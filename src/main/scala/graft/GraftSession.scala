@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+
+/** `SparkSessionExtensions` hook: makes graft's SQL functions available via
+  * `spark.sql.extensions=graft.GraftExtensions` — the idiomatic cluster-wide
+  * injection path (no code change for SQL-only users).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    functions.injectable.foreach(e.injectFunction)
+}
+
+/** Session factory with graft defaults. Local-mode knobs match the test
+  * environment (32 threads); on a real cluster only the SQL confs apply.
+  */
+object GraftSession {
+  def builder(master: String = "local[32]", shufflePartitions: Int = 32)
+      : SparkSession.Builder =
+    SparkSession.builder()
+      .master(master)
+      .appName("graft")
+      .withExtensions(new GraftExtensions)
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+
+  /** Ensure graft functions exist on a session we did not build (e.g. the
+    * driver-made Verify/Bench session).
+    */
+  def prepare(spark: SparkSession): SparkSession = {
+    functions.registerAll(spark)
+    spark
+  }
+}

@@ -1,0 +1,240 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Runtime errors shared by interpreted + generated code paths. */
+object VectorErrors {
+  /** Dimension-mismatch error with DuckDB cast-error parity
+    * (reference: model/search/vector.py:176 casts `::DOUBLE[n]`; DuckDB raises
+    * "Cannot cast list with length L to array with length N" on mismatch).
+    */
+  def dimMismatch(l: Int, r: Int): RuntimeException =
+    new IllegalArgumentException(
+      s"Cannot compute vector operation: dimension mismatch ($l vs $r); " +
+        s"mirrors DuckDB 'Cannot cast list with length $l to array with length $r'")
+}
+
+/** Base for binary vector->double expressions over array<float|double>.
+  *
+  * Mirrors the reference's single SQL surface
+  * `array_cosine_distance(embedding::DOUBLE[1024], <query>::DOUBLE[1024])`
+  * (reference: model/search/vector.py:173-180): float32 embeddings widen to
+  * double (reference widens via .tolist() at vector.py:134 and casts to DOUBLE
+  * at vector.py:176), all accumulation is in double, dimension mismatch raises.
+  *
+  * Designed for whole-stage codegen: `doGenCode` emits a tight primitive loop
+  * over `ArrayData` with no boxing — this is the hot path of the brute-force
+  * scan, executed once per (row x query) at 100 TB scale.
+  */
+trait VectorBinaryOp extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(
+    TypeCollection(ArrayType(FloatType), ArrayType(DoubleType)),
+    TypeCollection(ArrayType(FloatType), ArrayType(DoubleType)))
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  protected def leftIsFloat: Boolean =
+    left.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  protected def rightIsFloat: Boolean =
+    right.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  /** Fold (dot, normA, normB) into the scalar result (interpreted path). */
+  protected def finish(dot: Double, na: Double, nb: Double): Double
+
+  /** Java source computing the result from accumulators (codegen path). */
+  protected def finishCode(dot: String, na: String, nb: String): String
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    if (n != b.numElements()) throw VectorErrors.dimMismatch(n, b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    val lf = leftIsFloat; val rf = rightIsFloat
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val x = if (lf) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (rf) b.getFloat(i).toDouble else b.getDouble(i)
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    finish(dot, na, nb)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val getL = if (leftIsFloat) (a: String, i: String) => s"(double) $a.getFloat($i)"
+               else (a: String, i: String) => s"$a.getDouble($i)"
+    val getR = if (rightIsFloat) (b: String, i: String) => s"(double) $b.getFloat($i)"
+               else (b: String, i: String) => s"$b.getDouble($i)"
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot"); val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb"); val x = ctx.freshName("x")
+      val y = ctx.freshName("y")
+      s"""
+        |final int $n = $a.numElements();
+        |if ($n != $b.numElements()) {
+        |  throw graft.functions.VectorErrors.dimMismatch($n, $b.numElements());
+        |}
+        |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+        |for (int $i = 0; $i < $n; $i++) {
+        |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+        |  final double $x = ${getL(a, i)};
+        |  final double $y = ${getR(b, i)};
+        |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+        |}
+        |if (!${ev.isNull}) {
+        |  ${ev.value} = ${finishCode(dot, na, nb)};
+        |}
+      """.stripMargin
+    })
+  }
+}
+
+/** `array_cosine_distance(a, b)` = 1 - cos_sim; zero vector -> 2.0 and NULL -> NULL,
+  * pinned to the DuckDB 1.0 oracle (`1 - array_cosine_similarity`, similarity of a
+  * zero vector = -1.0 — verified locally; see repo FIXTURES.md §C).
+  */
+case class CosineDistance(left: Expression, right: Expression) extends VectorBinaryOp {
+  override def prettyName: String = "array_cosine_distance"
+  override protected def finish(dot: Double, na: Double, nb: Double): Double =
+    if (na == 0.0 || nb == 0.0) 2.0 else 1.0 - dot / (math.sqrt(na) * math.sqrt(nb))
+  override protected def finishCode(dot: String, na: String, nb: String): String =
+    s"(($na == 0.0 || $nb == 0.0) ? 2.0 : 1.0 - $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb)))"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** `array_cosine_similarity(a, b)`; zero vector -> -1.0 (DuckDB 1.0 parity). */
+case class CosineSimilarity(left: Expression, right: Expression) extends VectorBinaryOp {
+  override def prettyName: String = "array_cosine_similarity"
+  override protected def finish(dot: Double, na: Double, nb: Double): Double =
+    if (na == 0.0 || nb == 0.0) -1.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+  override protected def finishCode(dot: String, na: String, nb: String): String =
+    s"(($na == 0.0 || $nb == 0.0) ? -1.0 : $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb)))"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** `array_inner_product(a, b)` — plain dot product in double. */
+case class DotProduct(left: Expression, right: Expression) extends VectorBinaryOp {
+  override def prettyName: String = "array_inner_product"
+  override protected def finish(dot: Double, na: Double, nb: Double): Double = dot
+  override protected def finishCode(dot: String, na: String, nb: String): String = dot
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** `array_distance(a, b)` — Euclidean (L2) distance in double. */
+case class L2Distance(left: Expression, right: Expression) extends BinaryExpression
+    with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(
+    TypeCollection(ArrayType(FloatType), ArrayType(DoubleType)),
+    TypeCollection(ArrayType(FloatType), ArrayType(DoubleType)))
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "array_distance"
+
+  private def leftIsFloat: Boolean =
+    left.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  private def rightIsFloat: Boolean =
+    right.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    if (n != b.numElements()) throw VectorErrors.dimMismatch(n, b.numElements())
+    var acc = 0.0
+    var i = 0
+    val lf = leftIsFloat; val rf = rightIsFloat
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val x = if (lf) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (rf) b.getFloat(i).toDouble else b.getDouble(i)
+      val d = x - y
+      acc += d * d
+      i += 1
+    }
+    math.sqrt(acc)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val getL = if (leftIsFloat) (a: String, i: String) => s"(double) $a.getFloat($i)"
+               else (a: String, i: String) => s"$a.getDouble($i)"
+    val getR = if (rightIsFloat) (b: String, i: String) => s"(double) $b.getFloat($i)"
+               else (b: String, i: String) => s"$b.getDouble($i)"
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc"); val d = ctx.freshName("d")
+      s"""
+        |final int $n = $a.numElements();
+        |if ($n != $b.numElements()) {
+        |  throw graft.functions.VectorErrors.dimMismatch($n, $b.numElements());
+        |}
+        |double $acc = 0.0;
+        |for (int $i = 0; $i < $n; $i++) {
+        |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+        |  final double $d = ${getL(a, i)} - ${getR(b, i)};
+        |  $acc += $d * $d;
+        |}
+        |if (!${ev.isNull}) { ${ev.value} = java.lang.Math.sqrt($acc); }
+      """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** `array_l2_norm(a)` — Euclidean norm in double. */
+case class L2Norm(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(TypeCollection(ArrayType(FloatType), ArrayType(DoubleType)))
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "array_l2_norm"
+
+  private def isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    var acc = 0.0
+    var i = 0
+    val f = isFloat
+    while (i < n) {
+      if (a.isNullAt(i)) return null
+      val x = if (f) a.getFloat(i).toDouble else a.getDouble(i)
+      acc += x * x
+      i += 1
+    }
+    math.sqrt(acc)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val get = if (isFloat) (a: String, i: String) => s"(double) $a.getFloat($i)"
+              else (a: String, i: String) => s"$a.getDouble($i)"
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc"); val x = ctx.freshName("x")
+      s"""
+        |final int $n = $a.numElements();
+        |double $acc = 0.0;
+        |for (int $i = 0; $i < $n; $i++) {
+        |  if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }
+        |  final double $x = ${get(a, i)};
+        |  $acc += $x * $x;
+        |}
+        |if (!${ev.isNull}) { ${ev.value} = java.lang.Math.sqrt($acc); }
+      """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}

@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.functions._
+
+/** Column-API + SQL-registry surface for graft's custom expressions.
+  *
+  * The reference exposes exactly one custom scalar: DuckDB's
+  * `array_cosine_distance` (reference: model/search/vector.py:176); we add the
+  * DuckDB siblings (similarity / inner product / l2) the north star needs.
+  * Registered into the session `FunctionRegistry` so the oracle's literal SQL
+  * shape (reference: model/search/vector.py:173-180) parses and runs unchanged.
+  */
+package object functions {
+
+  private def col(e: Expression): Column = ExpressionUtils.column(e)
+  private def ex(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** 1 - cosine similarity, computed in double; see [[CosineDistance]]. */
+  def array_cosine_distance(a: Column, b: Column): Column =
+    col(CosineDistance(ex(a), ex(b)))
+
+  def array_cosine_similarity(a: Column, b: Column): Column =
+    col(CosineSimilarity(ex(a), ex(b)))
+
+  def array_inner_product(a: Column, b: Column): Column =
+    col(DotProduct(ex(a), ex(b)))
+
+  def array_distance(a: Column, b: Column): Column =
+    col(L2Distance(ex(a), ex(b)))
+
+  def array_l2_norm(a: Column): Column = col(L2Norm(ex(a)))
+
+  /** Ruri model-family document prefix (reference: model/search/vector.py:123). */
+  def doc_prefix(text: Column): Column = concat(lit("文章: "), text)
+
+  /** Ruri model-family query prefix (reference: model/search/vector.py:164). */
+  def query_prefix(text: Column): Column = concat(lit("クエリ: "), text)
+
+  /** Markdown-strip chain; order pinned to the reference
+    * (model/data/notion_db.py:161): "\n\n"->"\n", "<br/>"->"\n", "*"->"".
+    */
+  def markdown_strip(text: Column): Column = {
+    val s1 = regexp_replace(text, "\n\n", "\n")
+    val s2 = regexp_replace(s1, "<br/>", "\n")
+    regexp_replace(s2, "\\*", "")
+  }
+
+  private def binaryBuilder(name: String, f: (Expression, Expression) => Expression)
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = {
+    val builder: Seq[Expression] => Expression = {
+      case Seq(a, b) => f(a, b)
+      case other => throw new IllegalArgumentException(
+        s"$name expects 2 arguments, got ${other.size}")
+    }
+    (FunctionIdentifier(name), new ExpressionInfo("graft.functions", name), builder)
+  }
+
+  private def unaryBuilder(name: String, f: Expression => Expression)
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = {
+    val builder: Seq[Expression] => Expression = {
+      case Seq(a) => f(a)
+      case other => throw new IllegalArgumentException(
+        s"$name expects 1 argument, got ${other.size}")
+    }
+    (FunctionIdentifier(name), new ExpressionInfo("graft.functions", name), builder)
+  }
+
+  /** All injectable functions, shared by [[GraftExtensions]] and [[registerAll]]. */
+  private[graft] def injectable
+      : Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    binaryBuilder("array_cosine_distance", CosineDistance.apply),
+    binaryBuilder("array_cosine_similarity", CosineSimilarity.apply),
+    binaryBuilder("array_inner_product", DotProduct.apply),
+    binaryBuilder("array_distance", L2Distance.apply),
+    unaryBuilder("array_l2_norm", L2Norm.apply),
+  )
+
+  /** Register graft SQL functions on an existing session (idempotent). */
+  def registerAll(spark: SparkSession): Unit = injectable.foreach {
+    case (ident, _, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(ident.funcName, builder, "graft")
+  }
+}
