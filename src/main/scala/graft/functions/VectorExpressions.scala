@@ -3,6 +3,8 @@ package graft.functions
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftshim.SparkShims
+import org.apache.spark.sql.graftshim.SparkShims.AbstractDataType
 import org.apache.spark.sql.types._
 
 /** Runtime errors shared by interpreted + generated code paths. */
@@ -31,8 +33,8 @@ object VectorErrors {
   */
 trait VectorBinaryOp extends BinaryExpression with ExpectsInputTypes {
   override def inputTypes: Seq[AbstractDataType] = Seq(
-    TypeCollection(ArrayType(FloatType), ArrayType(DoubleType)),
-    TypeCollection(ArrayType(FloatType), ArrayType(DoubleType)))
+    SparkShims.typeCollection(ArrayType(FloatType), ArrayType(DoubleType)),
+    SparkShims.typeCollection(ArrayType(FloatType), ArrayType(DoubleType)))
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
 
@@ -133,8 +135,8 @@ case class DotProduct(left: Expression, right: Expression) extends VectorBinaryO
 case class L2Distance(left: Expression, right: Expression) extends BinaryExpression
     with ExpectsInputTypes {
   override def inputTypes: Seq[AbstractDataType] = Seq(
-    TypeCollection(ArrayType(FloatType), ArrayType(DoubleType)),
-    TypeCollection(ArrayType(FloatType), ArrayType(DoubleType)))
+    SparkShims.typeCollection(ArrayType(FloatType), ArrayType(DoubleType)),
+    SparkShims.typeCollection(ArrayType(FloatType), ArrayType(DoubleType)))
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
   override def prettyName: String = "array_distance"
@@ -194,7 +196,7 @@ case class L2Distance(left: Expression, right: Expression) extends BinaryExpress
 /** `array_l2_norm(a)` — Euclidean norm in double. */
 case class L2Norm(child: Expression) extends UnaryExpression with ExpectsInputTypes {
   override def inputTypes: Seq[AbstractDataType] =
-    Seq(TypeCollection(ArrayType(FloatType), ArrayType(DoubleType)))
+    Seq(SparkShims.typeCollection(ArrayType(FloatType), ArrayType(DoubleType)))
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
   override def prettyName: String = "array_l2_norm"

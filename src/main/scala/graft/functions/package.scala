@@ -3,8 +3,8 @@ package graft
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import org.apache.spark.sql.classic.ExpressionUtils
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftshim.SparkShims
 
 /** Column-API + SQL-registry surface for graft's custom expressions.
   *
@@ -16,8 +16,8 @@ import org.apache.spark.sql.functions._
   */
 package object functions {
 
-  private def col(e: Expression): Column = ExpressionUtils.column(e)
-  private def ex(c: Column): Expression = ExpressionUtils.expression(c)
+  private def col(e: Expression): Column = SparkShims.column(e)
+  private def ex(c: Column): Expression = SparkShims.expression(c)
 
   /** 1 - cosine similarity, computed in double; see [[CosineDistance]]. */
   def array_cosine_distance(a: Column, b: Column): Column =
@@ -83,6 +83,6 @@ package object functions {
   def registerAll(spark: SparkSession): Unit = injectable.foreach {
     case (ident, _, builder) =>
       spark.sessionState.functionRegistry
-        .createOrReplaceTempFunction(ident.funcName, builder, "graft")
+        .createOrReplaceTempFunction(ident.funcName, builder, "scala_udf")
   }
 }

@@ -1,0 +1,29 @@
+package org.apache.spark.sql.graftshim
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Accessors for Spark APIs that are `private[sql]` in Spark 4.x.
+  *
+  * In Spark 4.1.2, `AbstractDataType`, `TypeCollection` (sql-api) and
+  * `org.apache.spark.sql.classic.ExpressionUtils` are `private[sql]`; a
+  * package nested under `org.apache.spark.sql` may access them. This is the
+  * standard third-party Catalyst-extension technique (round-1 VERDICT.md
+  * "What's wrong" #1). Everything graft needs from the restricted surface is
+  * re-exported here, publicly, and nothing else in the codebase sits inside
+  * the Spark namespace.
+  */
+object SparkShims {
+  type AbstractDataType = org.apache.spark.sql.types.AbstractDataType
+
+  def typeCollection(types: AbstractDataType*): AbstractDataType =
+    org.apache.spark.sql.types.TypeCollection(types: _*)
+
+  /** Wrap a Catalyst Expression as a user-facing Column. */
+  def column(e: Expression): Column =
+    org.apache.spark.sql.classic.ExpressionUtils.column(e)
+
+  /** Unwrap a Column to its Catalyst Expression. */
+  def expression(c: Column): Expression =
+    org.apache.spark.sql.classic.ExpressionUtils.expression(c)
+}
