@@ -1,13 +1,292 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{array_cosine_distance, array_cosine_similarity, array_inner_product, array_distance, array_l2_norm, doc_prefix, markdown_strip, query_prefix}
+import graft.search.{HashingEmbedder, VectorSearchClient}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every entry in [[queries]] has a matching DuckDB-1.0 oracle in
+  * [[oracleSql]] (or is deliberately rows-only checked). Column names and
+  * types are aligned on both sides; all orderings carry a total tie-break;
+  * doubles are emitted raw (the driver's compare normalizes floats).
+  * Timestamps are never emitted directly — epoch seconds (BIGINT) or DATE —
+  * because Spark writes parquet timestamps as instant-adjusted while the
+  * DuckDB oracle computes naive timestamps.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** The events table carries parquet TIMESTAMP(NANOS), which Spark 4 refuses
+    * to map to TimestampType; read nanos as long and rebuild a microsecond
+    * timestamp (integer division — the values exceed double precision).
+    * DuckDB applies the same ns→µs truncation, so oracles agree.
+    */
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(s, dir, "events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Vector-search top-k: the reference's core query shape
+    * (model/search/vector.py:173-188) — distance scan, top-k, back-join,
+    * rank. The query vector is the corpus embedding with vec_id 0, so the
+    * oracle can reproduce it without a model in the loop.
+    */
+  private def searchTopK(s: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val emb = t(s, dir, "embeddings").withColumnRenamed("vec_id", "doc_id")
+    val qvec = emb.where(col("doc_id") === 0).select(col("embedding"))
+      .head().getSeq[Float](0).map(_.toDouble).toArray
+    val client = VectorSearchClient.fromEmbedded(
+      docs.select("doc_id", "text"), emb, "doc_id", HashingEmbedder(qvec.length))
+    client.searchByVector(qvec, k).select("rank", "doc_id", "text", "score")
+  }
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    searchTopK(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- reference surface: vector search (T1+J1+W1/W2+P2-P4+F1) ----
+    "search_topk" -> ((s, dir) => searchTopK(s, dir)),
+
+    // F1 siblings standalone over the embeddings table (fixed literal-free
+    // oracle: query vector = embedding of vec_id 0).
+    "vector_fns" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val qvec = emb.where(col("vec_id") === 0).select(col("embedding"))
+        .head().getSeq[Float](0).map(_.toDouble)
+      val q = typedLit(qvec)
+      emb.where(col("vec_id") < 20)
+        .select(
+          col("vec_id"),
+          array_cosine_distance(col("embedding"), q).as("cos_dist"),
+          array_cosine_similarity(col("embedding"), q).as("cos_sim"),
+          array_inner_product(col("embedding"), q).as("dot"),
+          array_distance(col("embedding"), q).as("l2"),
+          array_l2_norm(col("embedding")).as("norm"))
+        .orderBy("vec_id")
+    },
+
+    // ---- aggregations (north star; TPC-H Q1 shape) ----
+    "q1_agg" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum("l_quantity").as("sum_qty"),
+          sum("l_extendedprice").as("sum_base_price"),
+          sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+          avg("l_quantity").as("avg_qty"),
+          avg("l_discount").as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    // ---- joins: fact-dim star join, dims broadcast ----
+    "join_revenue" -> { (s, dir) =>
+      val lineitem = t(s, dir, "lineitem")
+      val orders = t(s, dir, "orders")
+      val customer = t(s, dir, "customer")
+      val nation = t(s, dir, "nation")
+      lineitem
+        .join(orders, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+          sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("n_name")
+    },
+
+    // ---- top-k by sort+limit (TakeOrderedAndProject) ----
+    "topk_orders" -> { (s, dir) =>
+      t(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc_nulls_last, col("o_orderkey").asc)
+        .limit(10)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    },
+
+    // ---- window functions: per-key ranking ----
+    "window_top_orders" -> { (s, dir) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc_nulls_last, col("o_orderkey").asc)
+      t(s, dir, "orders")
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .where(col("rn") <= 3)
+        .select("o_custkey", "rn", "o_orderkey", "o_totalprice")
+        .orderBy("o_custkey", "rn")
+    },
+
+    // ---- set ops: union-all of page batches (U1) ----
+    "union_langs" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      docs.where(col("lang") === "en").select("doc_id", "lang")
+        .unionAll(docs.where(col("lang") === "fr").select("doc_id", "lang"))
+        .orderBy("doc_id")
+    },
+
+    // ---- string ops: markdown strip (F6) + Ruri prefixes (F4/F5) ----
+    "markdown_strip_docs" -> { (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), markdown_strip(col("text")).as("clean"))
+        .orderBy("doc_id")
+    },
+    "prefix_docs" -> { (s, dir) =>
+      t(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          doc_prefix(col("text")).as("doc_prefixed"),
+          query_prefix(col("text")).as("query_prefixed"))
+        .orderBy("doc_id")
+    },
+
+    // ---- exact dedup (north star): keep first doc per identical text ----
+    "dedup_exact" -> { (s, dir) =>
+      t(s, dir, "documents")
+        .groupBy("text")
+        .agg(min("doc_id").as("doc_id"), count(lit(1)).as("dup_count"))
+        .select("doc_id", "text", "dup_count")
+        .orderBy("doc_id")
+    },
+
+    // ---- events: tumbling-window rollup (hour buckets as epoch bigint) ----
+    "events_hourly" -> { (s, dir) =>
+      events(s, dir)
+        .groupBy(
+          unix_timestamp(date_trunc("hour", col("ts"))).as("hour_epoch"),
+          col("event_type"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          sum("value").as("sum_value"),
+          avg("value").as("avg_value"))
+        .orderBy("hour_epoch", "event_type")
+    },
+
+    // ---- events: gap-based sessionization (30-min inactivity) ----
+    "events_sessions" -> { (s, dir) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+      events(s, dir)
+        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .withColumn("is_new",
+          when(col("prev_ts").isNull ||
+            col("ts").cast("double") - col("prev_ts").cast("double") > 1800.0, 1L)
+            .otherwise(0L))
+        .groupBy("user_id")
+        .agg(sum("is_new").as("n_sessions"), count(lit(1)).as("n_events"))
+        .orderBy("user_id")
+    },
+
+    // ---- events: exact event dedup by natural key ----
+    "events_dedup" -> { (s, dir) =>
+      events(s, dir)
+        .groupBy("user_id", "event_type", "ts")
+        .agg(min("event_id").as("event_id"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_unique"))
+        .orderBy("user_id")
+    },
+  )
+
+  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB 1.0 on
+    * the same parquet tables. Omit for non-SQL-expressible ops (driver then
+    * records a weaker rows-only check).
+    */
+  def oracleSql: Map[String, String] = Map(
+    "search_topk" ->
+      """WITH dist AS (
+        |  SELECT e.vec_id AS doc_id,
+        |         1 - array_cosine_similarity(e.embedding::DOUBLE[64],
+        |             (SELECT embedding FROM embeddings WHERE vec_id = 0)::DOUBLE[64]) AS score
+        |  FROM embeddings e
+        |), top AS (
+        |  SELECT doc_id, score FROM dist ORDER BY score ASC NULLS LAST, doc_id LIMIT 10
+        |)
+        |SELECT CAST(row_number() OVER (ORDER BY t.score ASC NULLS LAST, t.doc_id) AS BIGINT) AS rank,
+        |       t.doc_id, d.text, t.score
+        |FROM top t JOIN documents d USING (doc_id)
+        |ORDER BY rank""".stripMargin,
+    "vector_fns" ->
+      """WITH q AS (SELECT embedding::DOUBLE[64] AS v FROM embeddings WHERE vec_id = 0)
+        |SELECT vec_id,
+        |       1 - array_cosine_similarity(embedding::DOUBLE[64], (SELECT v FROM q)) AS cos_dist,
+        |       array_cosine_similarity(embedding::DOUBLE[64], (SELECT v FROM q)) AS cos_sim,
+        |       array_inner_product(embedding::DOUBLE[64], (SELECT v FROM q)) AS dot,
+        |       array_distance(embedding::DOUBLE[64], (SELECT v FROM q)) AS l2,
+        |       sqrt(array_inner_product(embedding::DOUBLE[64], embedding::DOUBLE[64])) AS norm
+        |FROM embeddings WHERE vec_id < 20 ORDER BY vec_id""".stripMargin,
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       sum(l_quantity) AS sum_qty,
+        |       sum(l_extendedprice) AS sum_base_price,
+        |       sum(l_extendedprice * (1.0 - l_discount)) AS sum_disc_price,
+        |       avg(l_quantity) AS avg_qty,
+        |       avg(l_discount) AS avg_disc,
+        |       count(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "join_revenue" ->
+      """SELECT n_name,
+        |       sum(l_extendedprice * (1.0 - l_discount)) AS revenue,
+        |       count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "topk_orders" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC NULLS LAST, o_orderkey ASC LIMIT 10""".stripMargin,
+    "window_top_orders" ->
+      """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         CAST(row_number() OVER (PARTITION BY o_custkey
+        |              ORDER BY o_totalprice DESC NULLS LAST, o_orderkey ASC) AS BIGINT) AS rn
+        |  FROM orders)
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+    "union_langs" ->
+      """SELECT doc_id, lang FROM documents WHERE lang = 'en'
+        |UNION ALL
+        |SELECT doc_id, lang FROM documents WHERE lang = 'fr'
+        |ORDER BY doc_id""".stripMargin,
+    "markdown_strip_docs" ->
+      """SELECT doc_id,
+        |       replace(replace(replace(text, chr(10)||chr(10), chr(10)), '<br/>', chr(10)), '*', '') AS clean
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "prefix_docs" ->
+      """SELECT doc_id,
+        |       '文章: ' || text AS doc_prefixed,
+        |       'クエリ: ' || text AS query_prefixed
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "dedup_exact" ->
+      """SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, text, count(*) AS dup_count
+        |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin,
+    "events_hourly" ->
+      """SELECT CAST(date_part('epoch', date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+        |       event_type, count(*) AS n_events,
+        |       sum(value) AS sum_value, avg(value) AS avg_value
+        |FROM events GROUP BY 1, 2 ORDER BY hour_epoch, event_type""".stripMargin,
+    "events_sessions" ->
+      """WITH g AS (
+        |  SELECT user_id,
+        |         CASE WHEN prev_ts IS NULL
+        |                OR date_part('epoch', ts) - date_part('epoch', prev_ts) > 1800.0
+        |              THEN 1 ELSE 0 END AS is_new
+        |  FROM (SELECT user_id, ts,
+        |               lag(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_ts
+        |        FROM events))
+        |SELECT user_id, CAST(sum(is_new) AS BIGINT) AS n_sessions, count(*) AS n_events
+        |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "events_dedup" ->
+      """SELECT user_id, count(*) AS n_unique FROM (
+        |  SELECT user_id, event_type, ts, min(event_id) AS event_id
+        |  FROM events GROUP BY user_id, event_type, ts)
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+  )
 }

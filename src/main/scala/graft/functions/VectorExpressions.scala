@@ -103,10 +103,15 @@ trait VectorBinaryOp extends BinaryExpression with ExpectsInputTypes {
   */
 case class CosineDistance(left: Expression, right: Expression) extends VectorBinaryOp {
   override def prettyName: String = "array_cosine_distance"
+  // Similarity is clamped to [-1, 1] before 1-x: float drift can push the
+  // ratio one ULP past 1 (self-similarity), and the DuckDB 1.0 oracle clamps
+  // (verified: self-similarity returns exactly 1.0, not 1.0000000000000002).
   override protected def finish(dot: Double, na: Double, nb: Double): Double =
-    if (na == 0.0 || nb == 0.0) 2.0 else 1.0 - dot / (math.sqrt(na) * math.sqrt(nb))
+    if (na == 0.0 || nb == 0.0) 2.0
+    else 1.0 - math.max(-1.0, math.min(1.0, dot / (math.sqrt(na) * math.sqrt(nb))))
   override protected def finishCode(dot: String, na: String, nb: String): String =
-    s"(($na == 0.0 || $nb == 0.0) ? 2.0 : 1.0 - $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb)))"
+    s"(($na == 0.0 || $nb == 0.0) ? 2.0 : 1.0 - java.lang.Math.max(-1.0, " +
+      s"java.lang.Math.min(1.0, $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb)))))"
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }
@@ -115,9 +120,11 @@ case class CosineDistance(left: Expression, right: Expression) extends VectorBin
 case class CosineSimilarity(left: Expression, right: Expression) extends VectorBinaryOp {
   override def prettyName: String = "array_cosine_similarity"
   override protected def finish(dot: Double, na: Double, nb: Double): Double =
-    if (na == 0.0 || nb == 0.0) -1.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+    if (na == 0.0 || nb == 0.0) -1.0
+    else math.max(-1.0, math.min(1.0, dot / (math.sqrt(na) * math.sqrt(nb))))
   override protected def finishCode(dot: String, na: String, nb: String): String =
-    s"(($na == 0.0 || $nb == 0.0) ? -1.0 : $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb)))"
+    s"(($na == 0.0 || $nb == 0.0) ? -1.0 : java.lang.Math.max(-1.0, " +
+      s"java.lang.Math.min(1.0, $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb)))))"
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }

@@ -7,49 +7,68 @@ import java.security.MessageDigest
   * (reference: model/search/vector.py:40-78): batch-in, batch-out, fixed dim.
   *
   * Implementations MUST be serializable and cheap to construct — one instance
-  * is shipped to every executor and `embed` is called once per partition batch
-  * (the distributed analogue of the reference's single `model.encode(corpus)`
-  * call at vector.py:126). A real model impl should lazily initialize native
-  * resources per-JVM (lazy singleton) and broadcast weights.
+  * is shipped to every executor and `embedBatch` is called once per partition
+  * batch (the distributed analogue of the reference's single
+  * `model.encode(corpus)` call at vector.py:126). A real model impl should
+  * lazily initialize native resources per-JVM (lazy singleton) and broadcast
+  * weights.
   */
 trait Embedder extends Serializable {
   def dim: Int
 
-  /** Embed one batch of already-prefixed texts. Must be deterministic. */
+  /** Embed one batch of already-prefixed texts. Must be deterministic.
+    * Null texts map to the zero vector (cosine distance 2.0 — sorts last).
+    */
   def embedBatch(texts: Seq[String]): Seq[Array[Float]]
 
   final def embedOne(text: String): Array[Float] = embedBatch(Seq(text)).head
 }
 
 /** Deterministic offline embedder for CI / correctness tests (the environment
-  * has no model hub access — SURVEY §7.3 risk 5). Hashes the text into a
-  * seeded pseudo-random unit vector: equal texts map to equal vectors, so
-  * exact-duplicate semantics survive, and cosine behaves like a real metric
-  * over distinct texts (near-orthogonal in expectation).
+  * has no model hub access — SURVEY §7.3 risk 5). Hashes the text ONCE into a
+  * 128-bit seed, then expands to `dim` floats with splitmix64 — one digest per
+  * text, not per (text × dim) (round-1 ADVICE perf fix). Equal texts map to
+  * equal vectors, so exact-duplicate semantics survive, and cosine behaves
+  * like a real metric over distinct texts (near-orthogonal in expectation).
   */
-final case class HashingEmbedder(dim: Int = 8) extends Embedder {
-  override def embedBatch(texts: Seq[String]): Seq[Array[Float]] =
+final case class HashingEmbedder(dim: Int = 64) extends Embedder {
+
+  @inline private def splitmix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  override def embedBatch(texts: Seq[String]): Seq[Array[Float]] = {
+    val md = MessageDigest.getInstance("MD5") // one instance per batch, reset between texts
     texts.map { t =>
       val v = new Array[Float](dim)
-      var norm = 0.0
-      var i = 0
-      while (i < dim) {
-        val md = MessageDigest.getInstance("MD5")
-        md.update(s"graft|$i|".getBytes(StandardCharsets.UTF_8))
+      if (t == null) return0(v) else {
+        md.reset()
+        md.update("graft|".getBytes(StandardCharsets.UTF_8))
         md.update(t.getBytes(StandardCharsets.UTF_8))
         val d = md.digest()
-        // first 8 digest bytes -> long -> uniform in [-1, 1)
-        var acc = 0L
+        var seed = 0L
         var j = 0
-        while (j < 8) { acc = (acc << 8) | (d(j) & 0xffL); j += 1 }
-        val x = (acc.toDouble / Long.MaxValue.toDouble)
-        v(i) = x.toFloat
-        norm += x * x
-        i += 1
+        while (j < 8) { seed = (seed << 8) | (d(j) & 0xffL); j += 1 }
+        var norm = 0.0
+        var i = 0
+        var s = seed
+        while (i < dim) {
+          s = splitmix64(s)
+          val x = s.toDouble / Long.MaxValue.toDouble // uniform in [-1, 1]
+          v(i) = x.toFloat
+          norm += x * x
+          i += 1
+        }
+        val inv = if (norm == 0.0) 0.0f else (1.0 / math.sqrt(norm)).toFloat
+        i = 0
+        while (i < dim) { v(i) = v(i) * inv; i += 1 }
+        v
       }
-      val inv = if (norm == 0.0) 0.0f else (1.0 / math.sqrt(norm)).toFloat
-      i = 0
-      while (i < dim) { v(i) = v(i) * inv; i += 1 }
-      v
     }
+  }
+
+  private def return0(v: Array[Float]): Array[Float] = v // zero vector for null text
 }

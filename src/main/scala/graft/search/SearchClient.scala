@@ -1,11 +1,11 @@
 package graft.search
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
-import graft.functions.{array_cosine_distance, doc_prefix, query_prefix}
+import graft.functions.{array_cosine_distance, doc_prefix}
 
 /** Spark-native semantic-search engine — the reference's core capability
   * (`BaseSearchClient`, reference: model/search/base.py:7-20, implemented by
@@ -15,7 +15,7 @@ import graft.functions.{array_cosine_distance, doc_prefix, query_prefix}
   *   corpus --(prefix "文章: ", mapPartitions embed)--> vector index [cached]
   *   query  --(prefix "クエリ: ", embed driver-side)--> literal vector
   *   index  --(cosine distance, TakeOrderedAndProject top-k)--> hits
-  *   hits   --(broadcast join corpus, rank window)--> (rank, title, content, score)
+  *   hits   --(broadcast join corpus, rank window)--> (rank, <corpus cols>, score)
   *
   * Scale design: the vector index keeps ONLY (id, embedding) — the text
   * columns live in the corpus table, so the brute-force scan reads a narrow
@@ -25,6 +25,13 @@ import graft.functions.{array_cosine_distance, doc_prefix, query_prefix}
   * no global sort, no full shuffle, the exact distributed analogue of
   * DuckDB's Top-N optimization. The k-row result is broadcast for the
   * back-join, so corpus rows never shuffle.
+  *
+  * Ordering parity: DuckDB's `ORDER BY distance` puts NULLs LAST (verified on
+  * the 1.0 oracle); Spark's default asc is NULLS FIRST — every ordering here
+  * uses `asc_nulls_last` so null-scored rows (null embeddings) never seize the
+  * top ranks. Internal columns are `__graft_`-prefixed so a corpus that
+  * already has `score`/`rank` columns (the reference itself writes those onto
+  * the corpus frame, vector.py:184-186) cannot collide.
   */
 final class VectorSearchClient private (
     val corpus: DataFrame,      // (doc_id, <target/text cols...>)
@@ -34,46 +41,56 @@ final class VectorSearchClient private (
 
   import VectorSearchClient._
 
-  /** Distance of every indexed vector to one literal query vector. */
-  private def distances(qvec: Array[Float]): DataFrame = {
-    val qlit = typedLit(qvec.map(_.toDouble).toSeq)
-    index.select(
-      col(idCol),
-      array_cosine_distance(col("embedding"), qlit).as("score"))
-  }
-
-  /** Top-n hits for a batch of text queries; one output DataFrame with a
-    * `query_id` column (the reference returns List[DataFrame], one per query —
-    * model/search/vector.py:140,170-188 — batched here by design, SURVEY §7.0).
-    * Output: (query_id, rank [1-based], <corpus cols...>, score).
+  /** Top-n hits for one literal query vector (no model in the loop — the
+    * oracle-checkable core). Output: (rank [1-based long], <corpus cols>, score).
     */
-  def searchTopN(queries: Seq[String], n: Int = 10): DataFrame = {
-    require(queries.nonEmpty, "searchTopN needs at least one query")
-    val spark = corpus.sparkSession
-    // Queries are a tiny driver-side batch — embed locally, exactly as the
-    // reference embeds the query batch in one encode() call (vector.py:167).
-    val qvecs = embedder.embedBatch(queries.map(q => QueryPrefix + q))
-    // Per-query top-k scans: each is a TakeOrderedAndProject (bounded heap),
-    // unioned. For small Q this beats a window (no shuffle of the scan).
-    val perQuery = qvecs.zipWithIndex.map { case (qv, qid) =>
-      distances(qv)
-        .orderBy(col("score").asc, col(idCol).asc)
+  def searchByVector(qvec: Array[Double], n: Int = 10): DataFrame =
+    searchByVectors(Seq(0L -> qvec), n).drop(QueryIdCol)
+
+  /** Batched vector search: one output DataFrame keyed by `query_id` (the
+    * reference returns List[DataFrame], one per query — vector.py:140,170-188
+    * — batched here by design, SURVEY §7.0).
+    */
+  def searchByVectors(qvecs: Seq[(Long, Array[Double])], n: Int = 10): DataFrame = {
+    require(qvecs.nonEmpty, "search needs at least one query vector")
+    // Per-query top-k scans, unioned: each plans as TakeOrderedAndProject
+    // (per-partition bounded heap, k-row driver merge). For large query
+    // batches prefer one scan + per-query heap aggregation; at the
+    // reference's Q (interactive, Q=1) per-query scans are optimal.
+    val perQuery = qvecs.map { case (qid, qv) =>
+      index
+        .select(
+          col(idCol),
+          array_cosine_distance(col("embedding"), typedLit(qv.toSeq)).as(ScoreCol))
+        .orderBy(col(ScoreCol).asc_nulls_last, col(idCol).asc)
         .limit(n)
-        .withColumn("query_id", lit(qid.toLong))
+        .withColumn(QueryIdCol, lit(qid))
     }
     val hits = perQuery.reduce(_ unionAll _)
     // Rank before the back-join: Spark joins do not preserve order (the
     // reference relies on pandas iloc order, vector.py:183-186 — SURVEY §7.3).
     val ranked = hits.withColumn(
-      "rank",
+      RankCol,
       row_number().over(
-        Window.partitionBy(col("query_id")).orderBy(col("score").asc, col(idCol).asc)))
+        Window.partitionBy(col(QueryIdCol))
+          .orderBy(col(ScoreCol).asc_nulls_last, col(idCol).asc)).cast("long"))
     broadcast(ranked)
       .join(corpus, idCol)
       .select(
-        (col("query_id") +: col("rank") +:
-          corpus.columns.map(col) :+ col("score")): _*)
+        (col(QueryIdCol).as("query_id") +: col(RankCol).as("rank") +:
+          corpus.columns.map(col) :+ col(ScoreCol).as("score")): _*)
       .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Top-n hits for a batch of text queries: embeds driver-side exactly as the
+    * reference embeds the query batch in one encode() call (vector.py:164-167),
+    * applying the Ruri query prefix.
+    */
+  def searchTopN(queries: Seq[String], n: Int = 10): DataFrame = {
+    require(queries.nonEmpty, "searchTopN needs at least one query")
+    val qvecs = embedder.embedBatch(queries.map(q => QueryPrefix + q))
+    searchByVectors(
+      qvecs.zipWithIndex.map { case (v, i) => i.toLong -> v.map(_.toDouble) }, n)
   }
 
   /** Single-query convenience matching the demo app's shape
@@ -90,6 +107,10 @@ object VectorSearchClient {
   val DocPrefix = "文章: "
   val QueryPrefix = "クエリ: "
 
+  private val ScoreCol = "__graft_score"
+  private val RankCol = "__graft_rank"
+  private val QueryIdCol = "__graft_query_id"
+
   /** Build from a corpus with precomputed embeddings (CI path — offline). */
   def fromEmbedded(corpus: DataFrame, embedded: DataFrame, idCol: String,
       embedder: Embedder): VectorSearchClient = {
@@ -100,6 +121,8 @@ object VectorSearchClient {
 
   /** Build by embedding `target` of every corpus row — the distributed
     * analogue of `from_dataframe` (reference: model/search/vector.py:96-137).
+    * Requires a long-castable id; a null id (or null-casting id) fails fast
+    * instead of silently matching nothing in the back-join.
     */
   def fromCorpus(corpus: DataFrame, target: String, idCol: String,
       embedder: Embedder): VectorSearchClient = {
@@ -107,10 +130,15 @@ object VectorSearchClient {
     import spark.implicits._
     val emb = embedder // avoid capturing `this`
     val index = corpus
-      .select(col(idCol).cast("long"), doc_prefix(col(target)).as("text"))
-      .as[(Long, String)]
+      .select(col(idCol).cast("long"), doc_prefix(col(target)).as("__graft_text"))
+      .map { r =>
+        if (r.isNullAt(0)) throw new IllegalArgumentException(
+          s"id column is null or not castable to long — refusing to build a vector index " +
+            "that would silently drop rows in the back-join")
+        (r.getLong(0), if (r.isNullAt(1)) "" else r.getString(1))
+      }
       .mapPartitions { it =>
-        // one embed batch per partition = the reference's batch encode()
+        // one embed batch per partition chunk = the reference's batch encode()
         it.grouped(1024).flatMap { chunk =>
           val vecs = emb.embedBatch(chunk.map(_._2))
           chunk.iterator.zip(vecs.iterator).map { case ((id, _), v) => (id, v) }

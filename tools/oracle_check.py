@@ -1,0 +1,110 @@
+#!/usr/bin/env python3
+"""Local pre-check of SparkEntry.queries vs the DuckDB 1.0 oracle.
+
+Mirrors the driver's correctness gate: run graft.Verify to dump each query's
+result parquet + oracle_sql.json, then run each oracle SQL in DuckDB over the
+same testdata parquet and compare (columns sorted by name, rows sorted by all
+columns, floats compared with relative epsilon and exactly).
+
+Usage: python3 tools/oracle_check.py [sfdir] [outdir]
+(run `sbt "runMain graft.Verify <sfdir> <outdir>"` first)
+"""
+import json
+import math
+import sys
+from pathlib import Path
+
+import duckdb
+
+SFDIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+OUT = Path(sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_verify")
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def norm_cell(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        return v
+    return v
+
+
+def close(a, b):
+    if a is None or b is None:
+        return a is None and b is None
+    if isinstance(a, float) or isinstance(b, float):
+        try:
+            af, bf = float(a), float(b)
+        except (TypeError, ValueError):
+            return False
+        if math.isnan(af) and math.isnan(bf):
+            return True
+        return math.isclose(af, bf, rel_tol=1e-9, abs_tol=1e-12)
+    return a == b
+
+
+def main():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SFDIR}/{t}.parquet')")
+    oracle = json.loads((OUT / "oracle_sql.json").read_text())
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        pdir = OUT / name
+        if not pdir.exists():
+            print(f"FAIL {name}: no spark output at {pdir}")
+            n_fail += 1
+            continue
+        try:
+            spark_rel = con.execute(
+                f"SELECT * FROM read_parquet('{pdir}/*.parquet')")
+            spark_cols = [d[0] for d in spark_rel.description]
+            spark_rows = spark_rel.fetchall()
+            duck_rel = con.execute(sql)
+            duck_cols = [d[0] for d in duck_rel.description]
+            duck_rows = duck_rel.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: {str(e)[:200]}")
+            n_fail += 1
+            continue
+        if sorted(spark_cols) != sorted(duck_cols):
+            print(f"FAIL {name}: columns differ spark={sorted(spark_cols)} duck={sorted(duck_cols)}")
+            n_fail += 1
+            continue
+        # reorder both to sorted column order, then sort rows
+        s_idx = [spark_cols.index(c) for c in sorted(spark_cols)]
+        d_idx = [duck_cols.index(c) for c in sorted(duck_cols)]
+        key = lambda r: tuple((x is None, str(x)) for x in r)
+        s_rows = sorted([tuple(r[i] for i in s_idx) for r in spark_rows], key=key)
+        d_rows = sorted([tuple(r[i] for i in d_idx) for r in duck_rows], key=key)
+        if len(s_rows) != len(d_rows):
+            print(f"FAIL {name}: row count spark={len(s_rows)} duck={len(d_rows)}")
+            n_fail += 1
+            continue
+        bad = None
+        exact = True
+        for i, (sr, dr) in enumerate(zip(s_rows, d_rows)):
+            for sc, dc in zip(sr, dr):
+                if not close(sc, dc):
+                    bad = (i, sc, dc)
+                    break
+                if sc != dc and not (sc is None and dc is None):
+                    exact = False
+            if bad:
+                break
+        if bad:
+            print(f"FAIL {name}: row {bad[0]} spark={bad[1]!r} duck={bad[2]!r}")
+            n_fail += 1
+        else:
+            tag = "exact" if exact else "eps"
+            print(f"PASS {name} ({len(s_rows)} rows, {tag})")
+            n_pass += 1
+    print(f"== {n_pass} pass, {n_fail} fail ==")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
