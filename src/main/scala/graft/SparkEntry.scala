@@ -51,8 +51,13 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     searchTopK(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  /** One entry per implemented operator from SURVEY.md §2 plus the
+    * north-star LLM-pipeline operators (graft.queries.NorthStarQueries).
+    */
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    baseQueries ++ graft.queries.NorthStarQueries.queries
+
+  private def baseQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- reference surface: vector search (T1+J1+W1/W2+P2-P4+F1) ----
     "search_topk" -> ((s, dir) => searchTopK(s, dir)),
 
@@ -198,7 +203,10 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops (driver then
     * records a weaker rows-only check).
     */
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] =
+    baseOracleSql ++ graft.queries.NorthStarQueries.oracleSql
+
+  private def baseOracleSql: Map[String, String] = Map(
     "search_topk" ->
       """WITH dist AS (
         |  SELECT e.vec_id AS doc_id,

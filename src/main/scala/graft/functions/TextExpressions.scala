@@ -1,0 +1,71 @@
+package graft.functions
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftshim.SparkShims
+import org.apache.spark.sql.graftshim.SparkShims.AbstractDataType
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** 60-bit SimHash over a token array (near-duplicate fingerprinting for the
+  * LLM-pipeline dedup surface — north star; no analogue in the reference,
+  * which only does exact-vector search).
+  *
+  * Definition (pinned so a DuckDB-1.0 oracle can replicate it relationally):
+  * token hash h = first 15 hex chars of md5(token) parsed base-16 (60 bits);
+  * for each bit b in 0..59 sum votes (+1 if bit set, -1 otherwise) over all
+  * tokens; result bit b is 1 iff the vote sum >= 0. Empty/NULL-element-free
+  * arrays of zero length hash to 0. NULL array -> NULL.
+  *
+  * md5 (not xxhash) keeps the oracle expressible; at 100 TB swap in a
+  * xxhash64-based variant — the banding/bucketing machinery is hash-agnostic.
+  * CodegenFallback is acceptable: per-token md5 dominates cost, not boxing.
+  */
+case class SimHash(child: Expression) extends UnaryExpression with ExpectsInputTypes
+    with CodegenFallback {
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "simhash"
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val votes = new Array[Int](60)
+    val md = MessageDigest.getInstance("MD5")
+    var used = 0
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        used += 1
+        val tok = arr.getUTF8String(i).toString
+        md.reset()
+        val d = md.digest(tok.getBytes(StandardCharsets.UTF_8))
+        // first 15 hex chars == high 60 bits of the first 8 digest bytes
+        var h = 0L
+        var j = 0
+        while (j < 8) { h = (h << 8) | (d(j) & 0xffL); j += 1 }
+        h = h >>> 4 // keep the leading 15 nibbles (60 bits)
+        var b = 0
+        while (b < 60) {
+          votes(b) += (if (((h >>> b) & 1L) == 1L) 1 else -1)
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 60) {
+      if (votes(b) >= 0 && used > 0) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}

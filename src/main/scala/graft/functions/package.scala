@@ -34,6 +34,9 @@ package object functions {
 
   def array_l2_norm(a: Column): Column = col(L2Norm(ex(a)))
 
+  /** 60-bit md5-based SimHash over a token array; see [[SimHash]]. */
+  def simhash(tokens: Column): Column = col(SimHash(ex(tokens)))
+
   /** Ruri model-family document prefix (reference: model/search/vector.py:123). */
   def doc_prefix(text: Column): Column = concat(lit("文章: "), text)
 
@@ -77,6 +80,7 @@ package object functions {
     binaryBuilder("array_inner_product", DotProduct.apply),
     binaryBuilder("array_distance", L2Distance.apply),
     unaryBuilder("array_l2_norm", L2Norm.apply),
+    unaryBuilder("simhash", SimHash.apply),
   )
 
   /** Register graft SQL functions on an existing session (idempotent). */

@@ -1,0 +1,153 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.simhash
+
+/** Deduplication operators for the LLM-data-pipeline surface (north star).
+  *
+  * Four tiers, all shuffle-disciplined for 100 TB:
+  *  - exact: one hash-aggregate shuffle on the dedup key.
+  *  - minhash+LSH: shingle explode -> per-doc signature aggregate -> band
+  *    bucket join (never all-pairs; candidate verification is an
+  *    inverted-index equi-join).
+  *  - simhash: one 60-bit fingerprint per doc (custom Catalyst expression),
+  *    banded 4x15 bits — pigeonhole-guarantees recall for hamming <= 3.
+  *  - exact n-gram Jaccard: prefix-free inverted-index join (pairs must
+  *    share >= 1 shingle — exact, no candidate loss, no cartesian).
+  *
+  * Hashes are md5-based so every pipeline is replicable as a DuckDB-1.0
+  * oracle query; at production scale substitute xxhash64 — the machinery is
+  * hash-agnostic.
+  */
+object Dedup {
+
+  /** Exact dedup: keep the lowest-tiebreak row per key (deterministic,
+    * unlike dropDuplicates). One hash-aggregate shuffle.
+    */
+  def exact(df: DataFrame, keyCols: Seq[String], tieBreak: String): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(tieBreak).asc)
+    df.withColumn("__graft_rn", row_number().over(w))
+      .where(col("__graft_rn") === 1)
+      .drop("__graft_rn")
+  }
+
+  /** MinHash signature k-column layout: h_j = min over shingles of
+    * md5(j || '|' || shingle) (string min — total order matches DuckDB).
+    * Input: (idCol, shingleCol: array<string>). Output: idCol, h0..h{k-1}.
+    */
+  def minhashSignatures(df: DataFrame, idCol: String, shingleCol: String,
+      k: Int = 16): DataFrame = {
+    // inner explode: docs with zero shingles drop out of the signature set
+    // (matches the oracle's unnest; short docs can't near-dup anyway)
+    val exploded = df
+      .select(col(idCol), explode(array_distinct(col(shingleCol))).as("__sh"))
+    val aggs = (0 until k).map { j =>
+      min(md5(concat(lit(j.toString), lit("|"), col("__sh")))).as(s"h$j")
+    }
+    exploded.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH band keys from a minhash signature frame: band b covers rows
+    * [b*rowsPerBand, (b+1)*rowsPerBand); band key = md5 of the joined mins.
+    * Output: (idCol, band, key).
+    */
+  def lshBands(sigs: DataFrame, idCol: String, k: Int = 16,
+      bands: Int = 4): DataFrame = {
+    val rowsPerBand = k / bands
+    require(bands * rowsPerBand == k, s"bands ($bands) must divide k ($k)")
+    val bandFrames = (0 until bands).map { b =>
+      val cols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(j => col(s"h$j"))
+      sigs.select(
+        col(idCol), lit(b).as("band"),
+        md5(concat_ws("|", cols: _*)).as("key"))
+    }
+    bandFrames.reduce(_ unionAll _)
+  }
+
+  /** Candidate pairs (a < b) sharing at least one LSH band bucket.
+    * Self-join on (band, key) — co-partitioned equi-join, no cartesian.
+    */
+  def lshCandidatePairs(bandsDf: DataFrame, idCol: String): DataFrame = {
+    val l = bandsDf.select(col("band"), col("key"), col(idCol).as("a"))
+    val r = bandsDf.select(col("band"), col("key"), col(idCol).as("b"))
+    l.join(r, Seq("band", "key"))
+      .where(col("a") < col("b"))
+      .select("a", "b").distinct()
+  }
+
+  /** Exact n-gram Jaccard similarity join via inverted index: explode
+    * distinct shingles, equi-join on shingle (any pair with J > 0 shares one
+    * — exact, no recall loss), count intersections, compute
+    * J = |A∩B| / (|A| + |B| - |A∩B|), keep J >= tau.
+    * Output: (a, b, inter, size_a, size_b, jaccard).
+    */
+  def jaccardJoin(df: DataFrame, idCol: String, shingleCol: String,
+      tau: Double): DataFrame = {
+    val sh = df.select(col(idCol).as("__id"),
+      explode(array_distinct(col(shingleCol))).as("__sh"))
+    val sizes = sh.groupBy("__id").agg(count(lit(1)).as("__sz"))
+    val inter = sh.as("l").join(sh.as("r"), col("l.__sh") === col("r.__sh"))
+      .where(col("l.__id") < col("r.__id"))
+      .groupBy(col("l.__id").as("a"), col("r.__id").as("b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("__id", "a").withColumnRenamed("__sz", "size_a"), "a")
+      .join(sizes.withColumnRenamed("__id", "b").withColumnRenamed("__sz", "size_b"), "b")
+      .withColumn("jaccard",
+        col("inter").cast("double") /
+          (col("size_a") + col("size_b") - col("inter")).cast("double"))
+      .where(col("jaccard") >= tau)
+      .select("a", "b", "inter", "size_a", "size_b", "jaccard")
+  }
+
+  /** SimHash near-dup candidate pairs with hamming distance <= maxHamming.
+    * 60-bit signature banded into 4x15 bits: any pair within hamming 3 shares
+    * at least one identical band (pigeonhole) — exact recall for
+    * maxHamming <= 3; the hamming filter makes precision exact too.
+    * Output: (a, b, sig_a, sig_b, hamming).
+    */
+  def simhashPairs(df: DataFrame, idCol: String, tokensCol: Column,
+      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "4-band 60-bit simhash guarantees recall only for hamming <= 3")
+    val sigs = df.select(col(idCol).as("__id"), simhash(tokensCol).as("__sig"))
+    val banded = (0 until 4).map { b =>
+      sigs.select(col("__id"), col("__sig"),
+        lit(b).as("band"),
+        shiftright(col("__sig"), b * 15).bitwiseAND(lit(0x7fffL)).as("key"))
+    }.reduce(_ unionAll _)
+    val l = banded.select(col("band"), col("key"), col("__id").as("a"), col("__sig").as("sig_a"))
+    val r = banded.select(col("band"), col("key"), col("__id").as("b"), col("__sig").as("sig_b"))
+    l.join(r, Seq("band", "key"))
+      .where(col("a") < col("b"))
+      .select("a", "b", "sig_a", "sig_b").distinct()
+      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+      .where(col("hamming") <= maxHamming)
+  }
+
+  /** Verify candidate pairs with the exact Jaccard over distinct shingle
+    * sets (array_intersect — no explode needed once candidates are known).
+    * Input pairs: (a, b); sh: (idCol, shingleCol). Output: (a, b, jaccard).
+    */
+  def verifyJaccard(pairs: DataFrame, sh: DataFrame, idCol: String,
+      shingleCol: String, tau: Double): DataFrame = {
+    val a = sh.select(col(idCol).as("a"), array_distinct(col(shingleCol)).as("__sa"))
+    val b = sh.select(col(idCol).as("b"), array_distinct(col(shingleCol)).as("__sb"))
+    pairs.join(a, "a").join(b, "b")
+      .withColumn("inter", size(array_intersect(col("__sa"), col("__sb"))).cast("long"))
+      .withColumn("jaccard",
+        col("inter").cast("double") /
+          (size(col("__sa")) + size(col("__sb")) - col("inter")).cast("double"))
+      .where(col("jaccard") >= tau)
+      .select("a", "b", "jaccard")
+  }
+
+  /** Greedy survivor set from near-dup pairs: drop any doc that appears as
+    * the larger id in a matched pair (keep-first semantics; not transitive
+    * clustering — documented choice, mirrors common corpus-dedup practice).
+    */
+  def survivors(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame =
+    df.join(pairs.select(col("b").as(idCol)).distinct(), Seq(idCol), "left_anti")
+}

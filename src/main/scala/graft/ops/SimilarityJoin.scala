@@ -1,0 +1,165 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{array_cosine_distance, array_inner_product, array_l2_norm}
+
+/** Embedding-similarity joins and approximate-nearest-neighbor search
+  * (north star: similarity search over an embedding column).
+  *
+  * Scale posture:
+  *  - `cosineJoinBroadcast`: exact theta-join, small side broadcast. Use when
+  *    one side fits an executor (dims, centroids, query batches). This is
+  *    what the oracle checks.
+  *  - `cosineJoinLsh`: random-hyperplane signatures + banded buckets; only
+  *    bucket-mates are compared, then verified with the true distance —
+  *    the O(n·bucket) scale path for all-pairs near-dup over 10^9 vectors.
+  *  - `AnnIndex`: brute-force top-k (TakeOrderedAndProject — the reference's
+  *    exact semantics, model/search/vector.py:173-180) plus an IVF-style
+  *    coarse quantizer: vectors bucketed by nearest centroid, queries probe
+  *    the closest `nprobe` buckets only.
+  */
+object SimilarityJoin {
+
+  /** Exact cosine-threshold self-join: pairs (a, b), a < b, with
+    * cosine distance <= tau. The right side is broadcast — exact and
+    * shuffle-free, intended for sides that fit in an executor.
+    */
+  def cosineJoinBroadcast(df: DataFrame, idCol: String, vecCol: String,
+      tau: Double): DataFrame = {
+    val l = df.select(col(idCol).as("a"), col(vecCol).as("__va"))
+    val r = df.select(col(idCol).as("b"), col(vecCol).as("__vb"))
+    l.join(broadcast(r), col("a") < col("b"))
+      .withColumn("cos_dist", array_cosine_distance(col("__va"), col("__vb")))
+      .where(col("cos_dist") <= tau)
+      .select("a", "b", "cos_dist")
+  }
+
+  /** Deterministic pseudo-random unit hyperplanes (splitmix64 stream) for
+    * sign-LSH. Returned as Seq of Array[Double], broadcast via literals.
+    */
+  private[ops] def hyperplanes(dim: Int, nBits: Int, seed: Long = 42L): Seq[Array[Double]] = {
+    @inline def mix(z0: Long): Long = {
+      var z = z0 + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    var s = seed
+    (0 until nBits).map { _ =>
+      Array.fill(dim) {
+        s = mix(s)
+        s.toDouble / Long.MaxValue.toDouble
+      }
+    }
+  }
+
+  /** Sign-LSH signature: bit i = 1 iff <v, plane_i> >= 0. Computed with the
+    * codegen'd dot-product expression — no UDF.
+    */
+  def signBits(vecCol: Column, planes: Seq[Array[Double]]): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      when(array_inner_product(vecCol, typedLit(p.toSeq)) >= 0.0, shiftleft(lit(1L), i))
+        .otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+
+  /** Approximate cosine-threshold self-join: random-hyperplane signatures,
+    * banded buckets, candidates verified with the exact distance. Recall is
+    * probabilistic (more bands -> higher recall); precision is exact.
+    */
+  def cosineJoinLsh(df: DataFrame, idCol: String, vecCol: String, tau: Double,
+      dim: Int, nBits: Int = 16, bands: Int = 4, seed: Long = 42L): DataFrame = {
+    val rowsPerBand = nBits / bands
+    require(bands * rowsPerBand == nBits, s"bands ($bands) must divide nBits ($nBits)")
+    val planes = hyperplanes(dim, nBits, seed)
+    val sigs = df.select(col(idCol).as("__id"), col(vecCol).as("__v"),
+      signBits(col(vecCol), planes).as("__sig"))
+    val mask = (1L << rowsPerBand) - 1L
+    val banded = (0 until bands).map { b =>
+      sigs.select(col("__id"), col("__v"), lit(b).as("band"),
+        shiftright(col("__sig"), b * rowsPerBand).bitwiseAND(lit(mask)).as("key"))
+    }.reduce(_ unionAll _)
+    val l = banded.select(col("band"), col("key"), col("__id").as("a"), col("__v").as("__va"))
+    val r = banded.select(col("band"), col("key"), col("__id").as("b"), col("__v").as("__vb"))
+    l.join(r, Seq("band", "key"))
+      .where(col("a") < col("b"))
+      .select(col("a"), col("b"), col("__va"), col("__vb")).distinct()
+      .withColumn("cos_dist", array_cosine_distance(col("__va"), col("__vb")))
+      .where(col("cos_dist") <= tau)
+      .select("a", "b", "cos_dist")
+  }
+}
+
+/** IVF-style ANN index: a coarse quantizer over deterministic centroids.
+  * Build: pick every `stride`-th vector as a centroid (deterministic — no
+  * k-means iterations needed for a correctness-first index; swap in k-means||
+  * at scale), assign each vector to its nearest centroid (broadcast
+  * centroids, codegen distance, one narrow shuffle on centroid id).
+  * Query: rank centroids by distance to the query, scan only the `nprobe`
+  * nearest buckets (partition-pruned by the centroid-id filter), then exact
+  * top-k within the probed buckets.
+  */
+final class AnnIndex private (
+    assigned: DataFrame, // (id, vec, centroid_id) — partitioned by centroid_id
+    centroids: Seq[(Long, Array[Double])],
+    idCol: String, vecCol: String) extends Serializable {
+
+  /** Exact brute-force top-k — the reference's semantics
+    * (ORDER BY distance LIMIT k -> TakeOrderedAndProject).
+    */
+  def bruteForceTopK(qvec: Array[Double], k: Int): DataFrame =
+    assigned
+      .select(col(idCol),
+        array_cosine_distance(col(vecCol), typedLit(qvec.toSeq)).as("cos_dist"))
+      .orderBy(col("cos_dist").asc_nulls_last, col(idCol).asc)
+      .limit(k)
+
+  /** IVF probe: top-k among the `nprobe` buckets nearest to the query. */
+  def probeTopK(qvec: Array[Double], k: Int, nprobe: Int = 4): DataFrame = {
+    val ranked = centroids
+      .map { case (cid, c) =>
+        var dot = 0.0; var na = 0.0; var nb = 0.0
+        var i = 0
+        while (i < c.length) {
+          dot += c(i) * qvec(i); na += c(i) * c(i); nb += qvec(i) * qvec(i); i += 1
+        }
+        val sim = if (na == 0.0 || nb == 0.0) -1.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+        (cid, 1.0 - sim)
+      }
+      .sortBy { case (cid, d) => (d, cid) }
+      .take(nprobe).map(_._1)
+    assigned
+      .where(col("__centroid").isin(ranked: _*))
+      .select(col(idCol),
+        array_cosine_distance(col(vecCol), typedLit(qvec.toSeq)).as("cos_dist"))
+      .orderBy(col("cos_dist").asc_nulls_last, col(idCol).asc)
+      .limit(k)
+  }
+}
+
+object AnnIndex {
+  /** Build the IVF index. `stride` controls centroid count (~n/stride). */
+  def build(df: DataFrame, idCol: String, vecCol: String,
+      stride: Int = 64): AnnIndex = {
+    val spark = df.sparkSession
+    val centroids = df
+      .where(pmod(col(idCol), lit(stride)) === 0)
+      .select(col(idCol), col(vecCol))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+      .toSeq
+    require(centroids.nonEmpty, s"no centroids: no $idCol divisible by $stride")
+    // nearest centroid per vector: argmin over broadcast centroid literals
+    val distCols = centroids.map { case (cid, c) =>
+      struct(array_cosine_distance(col(vecCol), typedLit(c.toSeq)).as("d"),
+        lit(cid).as("cid"))
+    }
+    val assigned = df
+      .select(col(idCol), col(vecCol),
+        array_min(array(distCols: _*)).getField("cid").as("__centroid"))
+      .repartition(col("__centroid"))
+    new AnnIndex(assigned, centroids, idCol, vecCol)
+  }
+}

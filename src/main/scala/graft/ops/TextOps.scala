@@ -1,0 +1,125 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for the LLM-data-pipeline surface
+  * (north star; the reference's dormant tokenizer surface is
+  * model/utils/tokenizer.py:8-37 — generalized here to a pluggable,
+  * SQL-mirrorable token pipeline).
+  *
+  * Everything here is built from codegen'd Spark built-ins (no UDFs) and has
+  * an exact DuckDB-SQL equivalent, so every operator is oracle-checkable.
+  * Tokenization is single-space split to match `string_split(text, ' ')` in
+  * the oracle; a pluggable [[Tokenizer]] covers richer strategies.
+  */
+object TextOps {
+
+  /** Stopword list used by quality scoring and language markers. */
+  val Stopwords: Seq[String] =
+    Seq("the", "a", "of", "to", "and", "in", "is", "on", "for", "with")
+
+  /** Language marker words for the n-gram/stopword language-ID heuristic.
+    * Deterministic and SQL-expressible; not a real langid model (no MeCab/
+    * fasttext in a zero-egress JVM — SURVEY §7.3 risk 6).
+    */
+  val LangMarkers: Seq[(String, String)] = Seq(
+    "en" -> "the", "en" -> "a", "en" -> "of", "en" -> "is",
+    "es" -> "el", "es" -> "la", "es" -> "de", "es" -> "que",
+    "fr" -> "le", "fr" -> "la", "fr" -> "et", "fr" -> "les",
+    "de" -> "der", "de" -> "die", "de" -> "und", "de" -> "das",
+    "zh" -> "de", "zh" -> "shi", "zh" -> "bu", "zh" -> "le")
+
+  /** Whitespace tokens (empty tokens preserved — matches DuckDB
+    * `string_split(text, ' ')`).
+    */
+  def tokens(text: Column): Column = split(text, " ")
+
+  def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
+
+  /** Word n-grams as space-joined strings ("shingles"). Guarded so short
+    * texts yield an empty array (Spark `sequence` would otherwise descend).
+    */
+  def wordNGrams(text: Column, n: Int): Column = {
+    val t = tokens(text)
+    when(size(t) >= n,
+      transform(sequence(lit(0), size(t) - n),
+        i => concat_ws(" ", slice(t, i + lit(1), lit(n)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** BPE-ish sub-word token estimate: alphanumeric runs + individual
+    * non-space symbol characters (lookaround-free so the DuckDB/RE2 oracle
+    * can replicate it exactly).
+    */
+  def approxBpeTokenCount(text: Column): Column = {
+    val runs = size(filter(split(text, "[^A-Za-z0-9]+"), t => length(t) > 0)).cast("long")
+    val symbols = length(regexp_replace(text, "[A-Za-z0-9\\s]", "")).cast("long")
+    runs + symbols
+  }
+
+  /** Document fingerprint: md5 of case/whitespace-normalized text.
+    * (Rolling-hash shingle fingerprints live in [[graft.functions.SimHash]].)
+    */
+  def fingerprint(text: Column): Column =
+    md5(lower(trim(regexp_replace(text, "\\s+", " "))))
+
+  /** Ratio of punctuation characters. */
+  def punctRatio(text: Column): Column = {
+    val stripped = regexp_replace(text, "[.,;:!?'\"()]", "")
+    (length(text) - length(stripped)).cast("double") /
+      greatest(length(text).cast("double"), lit(1.0))
+  }
+
+  /** Ratio of stopword tokens to all tokens. */
+  def stopwordRatio(text: Column): Column = {
+    val t = tokens(text)
+    val sw = filter(t, x => x.isin(Stopwords: _*))
+    size(sw).cast("double") / greatest(size(t).cast("double"), lit(1.0))
+  }
+
+  /** Mean token length over non-empty tokens. */
+  def meanTokenLen(text: Column): Column = {
+    val t = filter(tokens(text), x => length(x) > 0)
+    when(size(t) > 0,
+      aggregate(t, lit(0L), (acc, x) => acc + length(x).cast("long")).cast("double") /
+        size(t).cast("double"))
+      .otherwise(lit(0.0))
+  }
+
+  /** Composite quality score in [0,1]: length band + punctuation sanity +
+    * stopword presence — the standard cheap pre-filter for LLM corpora.
+    */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(length(text).cast("double") / lit(200.0), lit(1.0))
+    val punctOk = when(punctRatio(text) < 0.2, lit(1.0)).otherwise(lit(0.5))
+    val swOk = when(stopwordRatio(text).between(0.05, 0.6), lit(1.0)).otherwise(lit(0.5))
+    round((lenScore * 0.5 + punctOk * 0.25 + swOk * 0.25), 6)
+  }
+}
+
+/** Pluggable tokenizer contract mirroring the reference's
+  * `BaseTokenizer.tokenize` (model/utils/tokenizer.py:8-24; MeCab impl at
+  * :27-37, Janome alternative dead code at :40-63 — evidence the strategy is
+  * intentionally pluggable). JVM has no MeCab; the default is whitespace.
+  */
+trait Tokenizer extends Serializable {
+  /** Space-joined token string — the reference's wakati contract. */
+  def tokenize(text: String): String
+}
+
+/** Whitespace tokenizer (defaults match TextOps.tokens). */
+final class WhitespaceTokenizer extends Tokenizer {
+  override def tokenize(text: String): String =
+    if (text == null) "" else text.trim.split("\\s+").mkString(" ")
+}
+
+/** Character n-gram tokenizer — the no-dictionary fallback for CJK text
+  * (the reference's corpus is Japanese lyrics; char n-grams are the standard
+  * segmentation-free approach).
+  */
+final class CharNGramTokenizer(n: Int = 2) extends Tokenizer {
+  override def tokenize(text: String): String =
+    if (text == null || text.length < n) ""
+    else text.sliding(n).mkString(" ")
+}

@@ -1,0 +1,300 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ops.{AnnIndex, Dedup, SimilarityJoin, TextOps}
+
+/** North-star operator queries (LLM-data-pipeline surface): dedup tiers,
+  * similarity joins, ANN, text analysis. Each Spark query exercises the
+  * library operators in graft.ops; each oracle replicates the exact same
+  * deterministic (md5-based) pipeline in DuckDB-1.0 SQL, so even MinHash-LSH
+  * and SimHash are hash-match checkable, not just rows-only.
+  */
+object NorthStarQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  private def docsWithShingles(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), TextOps.wordNGrams(col("text"), 3).as("sh"))
+
+  private val JaccardTau = 0.5
+  private val CosineTau = 0.55
+  private val Bm25Terms = Seq("spark", "join", "fast")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // exact n-gram Jaccard similarity join — inverted index, no cartesian
+    "ngram_jaccard_join" -> { (s, dir) =>
+      Dedup.jaccardJoin(docsWithShingles(s, dir), "doc_id", "sh", JaccardTau)
+        .orderBy("a", "b")
+    },
+
+    // MinHash signatures -> banded LSH buckets -> candidates -> exact verify
+    "minhash_lsh_pairs" -> { (s, dir) =>
+      val sh = docsWithShingles(s, dir)
+      val sigs = Dedup.minhashSignatures(sh, "doc_id", "sh", 16)
+      val cands = Dedup.lshCandidatePairs(Dedup.lshBands(sigs, "doc_id", 16, 4), "doc_id")
+      Dedup.verifyJaccard(cands, sh, "doc_id", "sh", JaccardTau).orderBy("a", "b")
+    },
+
+    // near-dedup survivors: drop larger id of each verified near-dup pair
+    "near_dedup_survivors" -> { (s, dir) =>
+      val sh = docsWithShingles(s, dir)
+      val pairs = Dedup.jaccardJoin(sh, "doc_id", "sh", JaccardTau)
+      Dedup.survivors(t(s, dir, "documents").select("doc_id"), "doc_id", pairs)
+        .orderBy("doc_id")
+    },
+
+    // SimHash banded near-dup pairs (custom Catalyst expression)
+    "simhash_pairs" -> { (s, dir) =>
+      Dedup.simhashPairs(t(s, dir, "documents"), "doc_id",
+          split(col("text"), " "), 3)
+        .select(col("a"), col("b"), col("hamming").cast("long").as("hamming"))
+        .orderBy("a", "b")
+    },
+
+    // embedding cosine near-dup join (exact, broadcast)
+    "sim_join_cosine" -> { (s, dir) =>
+      SimilarityJoin.cosineJoinBroadcast(
+          t(s, dir, "embeddings"), "vec_id", "embedding", CosineTau)
+        .orderBy("a", "b")
+    },
+
+    // embedding cosine join, LSH-bucketed (scale path; deterministic but the
+    // hyperplane literals make a SQL oracle impractical -> rows-only check)
+    "sim_join_lsh" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val dim = emb.select(col("embedding")).head().getSeq[Float](0).length
+      SimilarityJoin.cosineJoinLsh(emb, "vec_id", "embedding", CosineTau, dim)
+        .orderBy("a", "b")
+    },
+
+    // IVF-probe ANN top-k (rows-only: assignment argmin oracle impractical)
+    "ann_ivf_topk" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val qvec = emb.where(col("vec_id") === 1).select(col("embedding"))
+        .head().getSeq[Float](0).map(_.toDouble).toArray
+      AnnIndex.build(emb, "vec_id", "embedding", stride = 64)
+        .probeTopK(qvec, 10, nprobe = 4)
+    },
+
+    // language-ID heuristic: marker-word argmax
+    "langid_docs" -> { (s, dir) =>
+      val spark = s
+      import spark.implicits._
+      val docs = t(s, dir, "documents")
+      val tok = docs.select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tk"))
+      val markers = TextOps.LangMarkers.toDF("lang", "word")
+      val counts = tok.join(broadcast(markers), col("tk") === col("word"))
+        .groupBy("doc_id", "lang").agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("cnt").desc, col("lang").asc)
+      val best = counts.withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1).select(col("doc_id"), col("lang"))
+      docs.select("doc_id").join(best, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("lang"), lit("und")).as("lang_guess"))
+        .orderBy("doc_id")
+    },
+
+    // quality scoring: token/char/punct/stopword stats + composite score
+    "quality_docs" -> { (s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TextOps.tokenCount(col("text")).as("n_tokens"),
+        TextOps.approxBpeTokenCount(col("text")).as("n_bpe"),
+        TextOps.punctRatio(col("text")).as("punct_ratio"),
+        TextOps.stopwordRatio(col("text")).as("stopword_ratio"),
+        TextOps.meanTokenLen(col("text")).as("mean_token_len"),
+        TextOps.qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id")
+    },
+
+    // token table: term + document frequencies (tokenize -> explode -> agg)
+    "token_stats" -> { (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("token"))
+        .groupBy("token")
+        .agg(count(lit(1)).as("tf"), count_distinct(col("doc_id")).as("df"))
+        .orderBy(col("tf").desc, col("token").asc)
+        .limit(50)
+    },
+
+    // BM25 scoring for a fixed query over the token table
+    "bm25_topk" -> { (s, dir) =>
+      val k1 = 1.2; val b = 0.75
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tk"))
+      val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      val stats = dl.agg(avg(col("dl")), count(lit(1))).head()
+      val avgdl = stats.getDouble(0); val n = stats.getLong(1)
+      val tf = toks.where(col("tk").isin(Bm25Terms: _*))
+        .groupBy("doc_id", "tk").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("tk").agg(count(lit(1)).as("df"))
+      tf.join(broadcast(dfreq), "tk").join(dl, "doc_id")
+        .withColumn("s",
+          log(lit(1.0) + (lit(n.toDouble) - col("df") + 0.5) / (col("df") + 0.5)) *
+            (col("tf") * (k1 + 1.0)) /
+            (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / lit(avgdl))))
+        .groupBy("doc_id").agg(round(sum(col("s")), 6).as("score"))
+        .orderBy(col("score").desc, col("doc_id").asc)
+        .limit(20)
+    },
+
+    // document fingerprint: md5 of normalized text
+    "fingerprint_docs" -> { (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")
+    },
+  )
+
+  // ---- oracle SQL ----
+
+  /** Word-3-gram distinct shingle list, DuckDB-side (mirrors
+    * TextOps.wordNGrams + array_distinct).
+    */
+  private val ShinglesSql =
+    "list_distinct(list_transform(range(0, greatest(len(string_split(text,' '))-2, 0)), " +
+      "i -> array_to_string(string_split(text,' ')[i+1:i+3], ' ')))"
+
+  private val ShCte =
+    s"sh AS (SELECT doc_id, unnest($ShinglesSql) AS sh FROM documents)"
+
+  private val JaccardPairsSql =
+    s"""WITH $ShCte,
+       |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS inter
+       |  FROM sh l JOIN sh r ON l.sh = r.sh AND l.doc_id < r.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT a, b, inter, sa.sz AS size_a, sb.sz AS size_b,
+       |       inter::DOUBLE / (sa.sz + sb.sz - inter) AS jaccard
+       |FROM inter JOIN sizes sa ON a = sa.doc_id JOIN sizes sb ON b = sb.doc_id
+       |WHERE inter::DOUBLE / (sa.sz + sb.sz - inter) >= $JaccardTau""".stripMargin
+
+  private def minhashOracle: String = {
+    val mins = (0 until 16).map(j => s"min(md5('$j|' || sh)) AS h$j").mkString(", ")
+    val bandRows = (0 until 4).map { b =>
+      val cols = (b * 4 until b * 4 + 4).map(j => s"h$j").mkString(" || '|' || ")
+      s"SELECT doc_id, $b AS band, md5($cols) AS key FROM sig"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH $ShCte,
+       |sig AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
+       |bands AS (
+       |  $bandRows),
+       |cand AS (
+       |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+       |  FROM bands l JOIN bands r ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id),
+       |sets AS (SELECT doc_id, $ShinglesSql AS s FROM documents),
+       |v AS (
+       |  SELECT a, b, CAST(len(list_intersect(sa.s, sb.s)) AS BIGINT) AS inter,
+       |         len(sa.s) AS sza, len(sb.s) AS szb
+       |  FROM cand JOIN sets sa ON a = sa.doc_id JOIN sets sb ON b = sb.doc_id)
+       |SELECT a, b, inter::DOUBLE / (sza + szb - inter) AS jaccard
+       |FROM v WHERE inter::DOUBLE / (sza + szb - inter) >= $JaccardTau
+       |ORDER BY a, b""".stripMargin
+  }
+
+  private def simhashOracle: String =
+    """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tk FROM documents),
+      |h AS (SELECT doc_id, ('0x' || substr(md5(tk), 1, 15))::BIGINT AS h FROM tok),
+      |bits AS (
+      |  SELECT doc_id, bt.b AS b,
+      |         sum(CASE WHEN (h >> bt.b) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+      |  FROM h CROSS JOIN (SELECT unnest(range(0, 60)) AS b) bt
+      |  GROUP BY doc_id, bt.b),
+      |sig AS (
+      |  SELECT doc_id,
+      |         CAST(sum(CASE WHEN vote >= 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS sig
+      |  FROM bits GROUP BY doc_id),
+      |banded AS (
+      |  SELECT doc_id, sig, bs.band AS band, (sig >> (bs.band * 15)) & 32767 AS key
+      |  FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS band) bs),
+      |cand AS (
+      |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b, l.sig AS sig_a, r.sig AS sig_b
+      |  FROM banded l JOIN banded r ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id)
+      |SELECT a, b, CAST(bit_count(xor(sig_a, sig_b)) AS BIGINT) AS hamming
+      |FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= 3
+      |ORDER BY a, b""".stripMargin
+
+  private val MarkersValues: String =
+    TextOps.LangMarkers.map { case (l, w) => s"('$l','$w')" }.mkString(", ")
+
+  private val StopwordList: String =
+    TextOps.Stopwords.map(w => s"'$w'").mkString(", ")
+
+  def oracleSql: Map[String, String] = Map(
+    "ngram_jaccard_join" -> (JaccardPairsSql + "\nORDER BY a, b"),
+    "minhash_lsh_pairs" -> minhashOracle,
+    "near_dedup_survivors" ->
+      s"""WITH pairs AS ($JaccardPairsSql)
+         |SELECT doc_id FROM documents
+         |WHERE doc_id NOT IN (SELECT b FROM pairs)
+         |ORDER BY doc_id""".stripMargin,
+    "simhash_pairs" -> simhashOracle,
+    "sim_join_cosine" ->
+      s"""SELECT l.vec_id AS a, r.vec_id AS b,
+         |       1 - array_cosine_similarity(l.embedding::DOUBLE[64], r.embedding::DOUBLE[64]) AS cos_dist
+         |FROM embeddings l JOIN embeddings r ON l.vec_id < r.vec_id
+         |WHERE 1 - array_cosine_similarity(l.embedding::DOUBLE[64], r.embedding::DOUBLE[64]) <= $CosineTau
+         |ORDER BY a, b""".stripMargin,
+    "langid_docs" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tk FROM documents),
+         |m(lang, word) AS (VALUES $MarkersValues),
+         |counts AS (
+         |  SELECT doc_id, lang, count(*) AS cnt FROM tok JOIN m ON tk = word
+         |  GROUP BY doc_id, lang),
+         |best AS (
+         |  SELECT doc_id, lang FROM (
+         |    SELECT doc_id, lang,
+         |           row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, lang ASC) AS rn
+         |    FROM counts) WHERE rn = 1)
+         |SELECT d.doc_id, coalesce(b.lang, 'und') AS lang_guess
+         |FROM documents d LEFT JOIN best b USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
+    "quality_docs" ->
+      s"""SELECT doc_id,
+         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |  CAST(len(list_filter(string_split_regex(text, '[^A-Za-z0-9]+'), x -> len(x) > 0)) AS BIGINT)
+         |    + CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS BIGINT) AS n_bpe,
+         |  (length(text) - length(regexp_replace(text, '[.,;:!?''"()]', '', 'g')))::DOUBLE
+         |    / greatest(length(text), 1) AS punct_ratio,
+         |  len(list_filter(string_split(text, ' '), x -> list_contains([$StopwordList], x)))::DOUBLE
+         |    / greatest(len(string_split(text, ' ')), 1) AS stopword_ratio,
+         |  CASE WHEN len(list_filter(string_split(text, ' '), x -> len(x) > 0)) > 0
+         |       THEN list_aggregate(list_transform(list_filter(string_split(text, ' '), x -> len(x) > 0), x -> len(x)), 'sum')::DOUBLE
+         |            / len(list_filter(string_split(text, ' '), x -> len(x) > 0))
+         |       ELSE 0.0 END AS mean_token_len,
+         |  round(
+         |    least(length(text)::DOUBLE / 200.0, 1.0) * 0.5
+         |    + (CASE WHEN (length(text) - length(regexp_replace(text, '[.,;:!?''"()]', '', 'g')))::DOUBLE
+         |               / greatest(length(text), 1) < 0.2 THEN 1.0 ELSE 0.5 END) * 0.25
+         |    + (CASE WHEN len(list_filter(string_split(text, ' '), x -> list_contains([$StopwordList], x)))::DOUBLE
+         |               / greatest(len(string_split(text, ' ')), 1) BETWEEN 0.05 AND 0.6
+         |            THEN 1.0 ELSE 0.5 END) * 0.25, 6) AS quality
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "token_stats" ->
+      """SELECT tk AS token, count(*) AS tf, count(DISTINCT doc_id) AS df
+        |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tk FROM documents)
+        |GROUP BY tk ORDER BY tf DESC, token ASC LIMIT 50""".stripMargin,
+    "bm25_topk" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tk FROM documents),
+         |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+         |stats AS (SELECT avg(dl) AS avgdl, count(*) AS n FROM dl),
+         |tf AS (SELECT doc_id, tk, count(*) AS tf FROM tok
+         |       WHERE tk IN (${Bm25Terms.map(t => s"'$t'").mkString(", ")}) GROUP BY doc_id, tk),
+         |dfreq AS (SELECT tk, count(*) AS df FROM tf GROUP BY tk)
+         |SELECT doc_id,
+         |       round(sum(
+         |         ln(1.0 + ((SELECT n FROM stats) - df + 0.5) / (df + 0.5))
+         |         * (tf * (1.2 + 1.0))
+         |         / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / (SELECT avgdl FROM stats)))), 6) AS score
+         |FROM tf JOIN dfreq USING (tk) JOIN dl USING (doc_id)
+         |GROUP BY doc_id ORDER BY score DESC, doc_id ASC LIMIT 20""".stripMargin,
+    "fingerprint_docs" ->
+      """SELECT doc_id, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+  )
+}
