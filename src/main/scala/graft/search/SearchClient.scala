@@ -74,12 +74,15 @@ final class VectorSearchClient private (
       row_number().over(
         Window.partitionBy(col(QueryIdCol))
           .orderBy(col(ScoreCol).asc_nulls_last, col(idCol).asc)).cast("long"))
+    // Order on the internal (collision-proof) columns BEFORE the renaming
+    // projection: a corpus that already has rank/score columns would make a
+    // post-rename orderBy ambiguous. Projection preserves sort order.
     broadcast(ranked)
       .join(corpus, idCol)
+      .orderBy(col(QueryIdCol), col(RankCol))
       .select(
         (col(QueryIdCol).as("query_id") +: col(RankCol).as("rank") +:
           corpus.columns.map(col) :+ col(ScoreCol).as("score")): _*)
-      .orderBy(col("query_id"), col("rank"))
   }
 
   /** Top-n hits for a batch of text queries: embeds driver-side exactly as the

@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Dedup, TextOps}
+
+/** Dedup tiers over synthetic corpora with planted duplicates. */
+class DedupSpec extends SparkTestBase {
+
+  private def corpus = {
+    val sp = spark
+    import sp.implicits._
+    Seq(
+      (0L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      (1L, "the quick brown fox jumps over the lazy dog near the river bend"), // near-dup of 0
+      (2L, "completely different text about spark query engines and columnar scans"),
+      (3L, "the quick brown fox jumps over the lazy dog near the river bank"), // exact dup of 0
+      (4L, "another unrelated document mentioning joins aggregates and windows only")
+    ).toDF("doc_id", "text")
+  }
+
+  test("exact dedup keeps lowest tie-break per key") {
+    val out = Dedup.exact(corpus, Seq("text"), "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(out.toSeq == Seq(0L, 1L, 2L, 4L))
+  }
+
+  test("jaccard join finds exact and near duplicates, nothing else") {
+    val sh = corpus.select(col("doc_id"), TextOps.wordNGrams(col("text"), 3).as("sh"))
+    val pairs = Dedup.jaccardJoin(sh, "doc_id", "sh", 0.5)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((0L, 1L), (0L, 3L), (1L, 3L)))
+  }
+
+  test("minhash LSH candidates cover all true near-dup pairs here") {
+    val sh = corpus.select(col("doc_id"), TextOps.wordNGrams(col("text"), 3).as("sh"))
+    val sigs = Dedup.minhashSignatures(sh, "doc_id", "sh", 16)
+    val cands = Dedup.lshCandidatePairs(Dedup.lshBands(sigs, "doc_id", 16, 4), "doc_id")
+    val verified = Dedup.verifyJaccard(cands, sh, "doc_id", "sh", 0.5)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(verified == Set((0L, 1L), (0L, 3L), (1L, 3L)))
+  }
+
+  test("identical texts have identical minhash signatures") {
+    val sh = corpus.select(col("doc_id"), TextOps.wordNGrams(col("text"), 3).as("sh"))
+    val sigs = Dedup.minhashSignatures(sh, "doc_id", "sh", 16).collect()
+      .map(r => r.getLong(0) -> (1 to 16).map(r.getString).toSeq).toMap
+    assert(sigs(0L) == sigs(3L))
+    assert(sigs(0L) != sigs(2L))
+  }
+
+  test("simhash pairs: exact dup has hamming 0; near-dup small; unrelated absent") {
+    val pairs = Dedup.simhashPairs(corpus, "doc_id", split(col("text"), " "), 3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(4))).toMap
+    assert(pairs.contains((0L, 3L)) && pairs((0L, 3L)) == 0)
+    assert(!pairs.keySet.exists { case (a, b) => Set(a, b).contains(2L) })
+  }
+
+  test("survivors drop larger ids of matched pairs") {
+    val sh = corpus.select(col("doc_id"), TextOps.wordNGrams(col("text"), 3).as("sh"))
+    val pairs = Dedup.jaccardJoin(sh, "doc_id", "sh", 0.5)
+    val out = Dedup.survivors(corpus, "doc_id", pairs)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(out.toSeq == Seq(0L, 2L, 4L))
+  }
+}

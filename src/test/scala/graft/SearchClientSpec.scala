@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.search.{HashingEmbedder, VectorSearchClient}
+
+/** End-to-end search pipeline (the reference's live surface,
+  * model/search/vector.py:96-190) with the deterministic offline embedder.
+  */
+class SearchClientSpec extends SparkTestBase {
+
+  private def docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    .select("doc_id", "text")
+  private def emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    .withColumnRenamed("vec_id", "doc_id")
+
+  test("searchByVector: self-query ranks itself first at distance 0") {
+    val client = VectorSearchClient.fromEmbedded(docs, emb, "doc_id", HashingEmbedder(64))
+    val q = emb.where(col("doc_id") === 7).select("embedding").head()
+      .getSeq[Float](0).map(_.toDouble).toArray
+    val top = client.searchByVector(q, 5).collect()
+    assert(top.length == 5)
+    val first = top.head
+    assert(first.getAs[Long]("rank") == 1L)
+    assert(first.getAs[Long]("doc_id") == 7L)
+    assert(first.getAs[Double]("score") == 0.0)
+    // ranks are 1..5 in ascending score order
+    assert(top.map(_.getAs[Long]("rank")).toSeq == (1L to 5L))
+    val scores = top.map(_.getAs[Double]("score")).toSeq
+    assert(scores == scores.sorted)
+  }
+
+  test("fromCorpus embeds and finds an identical text at distance 0") {
+    val client = VectorSearchClient.fromCorpus(docs, "text", "doc_id", HashingEmbedder(16))
+    // embed the same prefixed text the index used for doc 3
+    val text3 = docs.where(col("doc_id") === 3).select("text").head().getString(0)
+    val qv = HashingEmbedder(16)
+      .embedOne(VectorSearchClient.DocPrefix + text3).map(_.toDouble)
+    val top = client.searchByVector(qv, 3).collect()
+    assert(top.head.getAs[Long]("doc_id") == 3L)
+    // sqrt(x)*sqrt(x) != x at ULP level, so self-distance may be ~1e-16,
+    // exactly as the DuckDB oracle computes it
+    assert(math.abs(top.head.getAs[Double]("score")) <= 1e-12)
+  }
+
+  test("searchTopN batches queries into one frame keyed by query_id") {
+    val client = VectorSearchClient.fromEmbedded(docs, emb, "doc_id", HashingEmbedder(64))
+    val out = client.searchTopN(Seq("alpha", "beta"), 4)
+    assert(out.columns.toSeq ==
+      Seq("query_id", "rank", "doc_id", "text", "score"))
+    val rows = out.collect()
+    assert(rows.length == 8)
+    assert(rows.map(_.getAs[Long]("query_id")).toSet == Set(0L, 1L))
+  }
+
+  test("search drops query_id and keeps demo shape") {
+    val client = VectorSearchClient.fromEmbedded(docs, emb, "doc_id", HashingEmbedder(64))
+    val out = client.search("hello", 3)
+    assert(out.columns.toSeq == Seq("rank", "doc_id", "text", "score"))
+    assert(out.count() == 3)
+  }
+
+  test("corpus columns named score/rank do not collide") {
+    val tricky = docs.withColumn("score", lit("corpus-score"))
+      .withColumn("rank", lit(99))
+    val client = VectorSearchClient.fromEmbedded(tricky, emb, "doc_id", HashingEmbedder(64))
+    val q = emb.where(col("doc_id") === 0).select("embedding").head()
+      .getSeq[Float](0).map(_.toDouble).toArray
+    // corpus score/rank survive under their names; search appends its own
+    val cols = client.searchByVector(q, 2).columns.toSeq
+    assert(cols.count(_ == "score") == 2) // corpus's and the search score
+  }
+
+  test("fromCorpus fails fast on null ids") {
+    val sp = spark
+    import sp.implicits._
+    val bad = Seq((Some(1L), "a"), (None, "b")).toDF("doc_id", "text")
+    val e = intercept[Exception] {
+      VectorSearchClient.fromCorpus(bad, "text", "doc_id", HashingEmbedder(8))
+        .searchByVector(Array.fill(8)(0.1), 1).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("id column is null")))
+  }
+}

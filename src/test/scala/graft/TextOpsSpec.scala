@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{CharNGramTokenizer, TextOps, WhitespaceTokenizer}
+
+class TextOpsSpec extends SparkTestBase {
+
+  private def one(c: org.apache.spark.sql.Column, text: String) = {
+    val sp = spark
+    import sp.implicits._
+    Seq(text).toDF("text").select(c).head()
+  }
+
+  test("wordNGrams produces size-n+1 shingles; short text yields empty") {
+    val sp = spark
+    import sp.implicits._
+    val out = Seq("a b c d", "a b", "").toDF("text")
+      .select(TextOps.wordNGrams(col("text"), 3).as("sh"))
+      .collect().map(_.getSeq[String](0).toSeq)
+    assert(out(0) == Seq("a b c", "b c d"))
+    assert(out(1) == Nil)
+    assert(out(2) == Nil)
+  }
+
+  test("tokenCount counts single-space tokens including empties (DuckDB parity)") {
+    assert(one(TextOps.tokenCount(col("text")), "a b  c").getLong(0) == 4L)
+  }
+
+  test("approxBpeTokenCount counts alnum runs plus symbols") {
+    // "hello, world!" -> runs: hello, world; symbols: , !
+    assert(one(TextOps.approxBpeTokenCount(col("text")), "hello, world!").getLong(0) == 4L)
+  }
+
+  test("quality score stays within [0, 1]") {
+    val sp = spark
+    import sp.implicits._
+    val texts = Seq("", "a", "the quick brown fox. it jumps!",
+      "x" * 500, ("word " * 100).trim)
+    val qs = texts.toDF("text")
+      .select(TextOps.qualityScore(col("text")).as("q"))
+      .collect().map(_.getDouble(0))
+    assert(qs.forall(q => q >= 0.0 && q <= 1.0))
+  }
+
+  test("fingerprint is whitespace/case insensitive") {
+    val sp = spark
+    import sp.implicits._
+    val fps = Seq("Hello  World", "hello world", "different")
+      .toDF("text").select(TextOps.fingerprint(col("text")).as("fp"))
+      .collect().map(_.getString(0))
+    assert(fps(0) == fps(1))
+    assert(fps(0) != fps(2))
+  }
+
+  test("whitespace tokenizer matches the wakati contract") {
+    val t = new WhitespaceTokenizer
+    assert(t.tokenize("  foo   bar baz ") == "foo bar baz")
+    assert(t.tokenize(null) == "")
+  }
+
+  test("char n-gram tokenizer covers segmentation-free text") {
+    val t = new CharNGramTokenizer(2)
+    assert(t.tokenize("abcd") == "ab bc cd")
+    assert(t.tokenize("a") == "")
+  }
+}
