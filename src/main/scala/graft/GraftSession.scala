@@ -25,6 +25,10 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // single-node bench posture: mid-size dimension tables (orders at
+      // sf0.1, shingle dictionaries) should broadcast rather than shuffle
+      // the big fact side; on a real cluster executors have >= this much
+      .config("spark.sql.autoBroadcastJoinThreshold", "64m")
 
   /** Ensure graft functions exist on a session we did not build (e.g. the
     * driver-made Verify/Bench session).

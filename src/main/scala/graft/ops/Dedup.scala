@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 import graft.functions.simhash
 
@@ -44,10 +45,18 @@ object Dedup {
     // (matches the oracle's unnest; short docs can't near-dup anyway)
     val exploded = df
       .select(col(idCol), explode(array_distinct(col(shingleCol))).as("__sh"))
-    val aggs = (0 until k).map { j =>
-      min(md5(concat(lit(j.toString), lit("|"), col("__sh")))).as(s"h$j")
-    }
-    exploded.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+      .persist(StorageLevel.MEMORY_AND_DISK) // feeds the dictionary AND the join
+    // Hash each DISTINCT shingle once (the shingle dictionary is vocabulary-
+    // sized — far smaller than the (doc, shingle) instance table), then join
+    // the k hashes back. Cuts k*instances md5 calls to k*|dict|; AQE
+    // broadcasts the dictionary when it fits.
+    val dict = exploded.select(col("__sh")).distinct()
+      .select(col("__sh") +: (0 until k).map { j =>
+        md5(concat(lit(s"$j|"), col("__sh"))).as(s"__h$j")
+      }: _*)
+    val aggs = (0 until k).map(j => min(col(s"__h$j")).as(s"h$j"))
+    exploded.join(dict, "__sh")
+      .groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }
 
   /** LSH band keys from a minhash signature frame: band b covers rows
@@ -58,13 +67,14 @@ object Dedup {
       bands: Int = 4): DataFrame = {
     val rowsPerBand = k / bands
     require(bands * rowsPerBand == k, s"bands ($bands) must divide k ($k)")
-    val bandFrames = (0 until bands).map { b =>
+    // posexplode of a band-key array: ONE pass over the signatures (a
+    // per-band union would recompute the whole minhash pipeline per band)
+    val bandKeys = (0 until bands).map { b =>
       val cols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(j => col(s"h$j"))
-      sigs.select(
-        col(idCol), lit(b).as("band"),
-        md5(concat_ws("|", cols: _*)).as("key"))
+      md5(concat_ws("|", cols: _*))
     }
-    bandFrames.reduce(_ unionAll _)
+    sigs.select(col(idCol), posexplode(array(bandKeys: _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "key")
   }
 
   /** Candidate pairs (a < b) sharing at least one LSH band bucket.
@@ -84,18 +94,30 @@ object Dedup {
     * J = |A∩B| / (|A| + |B| - |A∩B|), keep J >= tau.
     * Output: (a, b, inter, size_a, size_b, jaccard).
     */
+  /** Exact n-gram Jaccard similarity join via inverted index: explode each
+    * doc's distinct shingles, equi-join on shingle (any pair with J > 0
+    * shares one — exact, no recall loss, no cartesian), count matches per
+    * pair, filter J >= tau. Set sizes travel with the exploded rows (no
+    * back-joins), pairs failing the length bound `tau*|A| <= |B| <= |A|/tau`
+    * are cut before aggregation, and the shingle sets are persisted so both
+    * join sides share one computation.
+    */
   def jaccardJoin(df: DataFrame, idCol: String, shingleCol: String,
       tau: Double): DataFrame = {
-    val sh = df.select(col(idCol).as("__id"),
-      explode(array_distinct(col(shingleCol))).as("__sh"))
-    val sizes = sh.groupBy("__id").agg(count(lit(1)).as("__sz"))
-    val inter = sh.as("l").join(sh.as("r"), col("l.__sh") === col("r.__sh"))
-      .where(col("l.__id") < col("r.__id"))
-      .groupBy(col("l.__id").as("a"), col("r.__id").as("b"))
+    val base = df
+      .select(col(idCol).as("__id"), array_distinct(col(shingleCol)).as("__arr"))
+      .withColumn("__sz", size(col("__arr")).cast("long"))
+      .where(col("__sz") > 0)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val ex = base.select(col("__id"), col("__sz"), explode(col("__arr")).as("__sh"))
+    val l = ex.select(col("__sh"), col("__id").as("a"), col("__sz").as("size_a"))
+    val r = ex.select(col("__sh"), col("__id").as("b"), col("__sz").as("size_b"))
+    l.join(r, "__sh")
+      .where(col("a") < col("b") &&
+        col("size_b") >= ceil(lit(tau) * col("size_a")) &&
+        col("size_a") >= ceil(lit(tau) * col("size_b")))
+      .groupBy("a", "b", "size_a", "size_b")
       .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.withColumnRenamed("__id", "a").withColumnRenamed("__sz", "size_a"), "a")
-      .join(sizes.withColumnRenamed("__id", "b").withColumnRenamed("__sz", "size_b"), "b")
       .withColumn("jaccard",
         col("inter").cast("double") /
           (col("size_a") + col("size_b") - col("inter")).cast("double"))
@@ -112,12 +134,15 @@ object Dedup {
   def simhashPairs(df: DataFrame, idCol: String, tokensCol: Column,
       maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3, "4-band 60-bit simhash guarantees recall only for hamming <= 3")
+    // persist: the signature (md5 per token) feeds both sides of the band
+    // self-join; without it the whole simhash recomputes per join side
     val sigs = df.select(col(idCol).as("__id"), simhash(tokensCol).as("__sig"))
-    val banded = (0 until 4).map { b =>
-      sigs.select(col("__id"), col("__sig"),
-        lit(b).as("band"),
-        shiftright(col("__sig"), b * 15).bitwiseAND(lit(0x7fffL)).as("key"))
-    }.reduce(_ unionAll _)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val bandKeys = (0 until 4).map { b =>
+      shiftright(col("__sig"), b * 15).bitwiseAND(lit(0x7fffL))
+    }
+    val banded = sigs.select(col("__id"), col("__sig"), posexplode(array(bandKeys: _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "key")
     val l = banded.select(col("band"), col("key"), col("__id").as("a"), col("__sig").as("sig_a"))
     val r = banded.select(col("band"), col("key"), col("__id").as("b"), col("__sig").as("sig_b"))
     l.join(r, Seq("band", "key"))

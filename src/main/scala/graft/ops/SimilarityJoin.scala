@@ -29,7 +29,10 @@ object SimilarityJoin {
     */
   def cosineJoinBroadcast(df: DataFrame, idCol: String, vecCol: String,
       tau: Double): DataFrame = {
-    val l = df.select(col(idCol).as("a"), col(vecCol).as("__va"))
+    // repartition the stream side: a single-row-group parquet scan is one
+    // partition, which would run the O(n^2) distance loop on one thread
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val l = df.repartition(par).select(col(idCol).as("a"), col(vecCol).as("__va"))
     val r = df.select(col(idCol).as("b"), col(vecCol).as("__vb"))
     l.join(broadcast(r), col("a") < col("b"))
       .withColumn("cos_dist", array_cosine_distance(col("__va"), col("__vb")))
@@ -74,13 +77,16 @@ object SimilarityJoin {
     val rowsPerBand = nBits / bands
     require(bands * rowsPerBand == nBits, s"bands ($bands) must divide nBits ($nBits)")
     val planes = hyperplanes(dim, nBits, seed)
+    // persist: nBits dot products per row feed both self-join sides
     val sigs = df.select(col(idCol).as("__id"), col(vecCol).as("__v"),
       signBits(col(vecCol), planes).as("__sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val mask = (1L << rowsPerBand) - 1L
-    val banded = (0 until bands).map { b =>
-      sigs.select(col("__id"), col("__v"), lit(b).as("band"),
-        shiftright(col("__sig"), b * rowsPerBand).bitwiseAND(lit(mask)).as("key"))
-    }.reduce(_ unionAll _)
+    val bandKeys = (0 until bands).map { b =>
+      shiftright(col("__sig"), b * rowsPerBand).bitwiseAND(lit(mask))
+    }
+    val banded = sigs.select(col("__id"), col("__v"), posexplode(array(bandKeys: _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "key")
     val l = banded.select(col("band"), col("key"), col("__id").as("a"), col("__v").as("__va"))
     val r = banded.select(col("band"), col("key"), col("__id").as("b"), col("__v").as("__vb"))
     l.join(r, Seq("band", "key"))

@@ -17,8 +17,15 @@ object NorthStarQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Documents spread across the cluster: the testdata parquet is a single
+    * row-group (= one scan partition), which would serialize every
+    * string-heavy operator onto one thread.
+    */
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").repartition(s.sparkContext.defaultParallelism)
+
   private def docsWithShingles(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
+    docs(s, dir)
       .select(col("doc_id"), TextOps.wordNGrams(col("text"), 3).as("sh"))
 
   private val JaccardTau = 0.5
@@ -34,8 +41,13 @@ object NorthStarQueries {
 
     // MinHash signatures -> banded LSH buckets -> candidates -> exact verify
     "minhash_lsh_pairs" -> { (s, dir) =>
+      // persist: the shingle arrays feed the signature pipeline AND both
+      // verification sides
       val sh = docsWithShingles(s, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // persist: both band self-join sides read the signatures
       val sigs = Dedup.minhashSignatures(sh, "doc_id", "sh", 16)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val cands = Dedup.lshCandidatePairs(Dedup.lshBands(sigs, "doc_id", 16, 4), "doc_id")
       Dedup.verifyJaccard(cands, sh, "doc_id", "sh", JaccardTau).orderBy("a", "b")
     },
@@ -50,7 +62,7 @@ object NorthStarQueries {
 
     // SimHash banded near-dup pairs (custom Catalyst expression)
     "simhash_pairs" -> { (s, dir) =>
-      Dedup.simhashPairs(t(s, dir, "documents"), "doc_id",
+      Dedup.simhashPairs(docs(s, dir), "doc_id",
           split(col("text"), " "), 3)
         .select(col("a"), col("b"), col("hamming").cast("long").as("hamming"))
         .orderBy("a", "b")
@@ -85,22 +97,22 @@ object NorthStarQueries {
     "langid_docs" -> { (s, dir) =>
       val spark = s
       import spark.implicits._
-      val docs = t(s, dir, "documents")
-      val tok = docs.select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tk"))
+      val docsDf = docs(s, dir)
+      val tok = docsDf.select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tk"))
       val markers = TextOps.LangMarkers.toDF("lang", "word")
       val counts = tok.join(broadcast(markers), col("tk") === col("word"))
         .groupBy("doc_id", "lang").agg(count(lit(1)).as("cnt"))
       val w = Window.partitionBy(col("doc_id")).orderBy(col("cnt").desc, col("lang").asc)
       val best = counts.withColumn("rn", row_number().over(w))
         .where(col("rn") === 1).select(col("doc_id"), col("lang"))
-      docs.select("doc_id").join(best, Seq("doc_id"), "left")
+      docsDf.select("doc_id").join(best, Seq("doc_id"), "left")
         .select(col("doc_id"), coalesce(col("lang"), lit("und")).as("lang_guess"))
         .orderBy("doc_id")
     },
 
     // quality scoring: token/char/punct/stopword stats + composite score
     "quality_docs" -> { (s, dir) =>
-      t(s, dir, "documents").select(
+      docs(s, dir).select(
         col("doc_id"),
         TextOps.tokenCount(col("text")).as("n_tokens"),
         TextOps.approxBpeTokenCount(col("text")).as("n_bpe"),
@@ -113,7 +125,7 @@ object NorthStarQueries {
 
     // token table: term + document frequencies (tokenize -> explode -> agg)
     "token_stats" -> { (s, dir) =>
-      t(s, dir, "documents")
+      docs(s, dir)
         .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("token"))
         .groupBy("token")
         .agg(count(lit(1)).as("tf"), count_distinct(col("doc_id")).as("df"))
@@ -121,22 +133,27 @@ object NorthStarQueries {
         .limit(50)
     },
 
-    // BM25 scoring for a fixed query over the token table
+    // BM25 scoring for a fixed query over the token table. Corpus stats
+    // (avgdl, N) travel as a broadcast one-row frame — no driver collect,
+    // one pass over the persisted token table.
     "bm25_topk" -> { (s, dir) =>
       val k1 = 1.2; val b = 0.75
-      val toks = t(s, dir, "documents")
+      val toks = docs(s, dir)
         .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tk"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-      val stats = dl.agg(avg(col("dl")), count(lit(1))).head()
-      val avgdl = stats.getDouble(0); val n = stats.getLong(1)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val stats = dl.agg(avg(col("dl")).as("avgdl"),
+        count(lit(1)).cast("double").as("n"))
       val tf = toks.where(col("tk").isin(Bm25Terms: _*))
         .groupBy("doc_id", "tk").agg(count(lit(1)).as("tf"))
       val dfreq = tf.groupBy("tk").agg(count(lit(1)).as("df"))
       tf.join(broadcast(dfreq), "tk").join(dl, "doc_id")
+        .crossJoin(broadcast(stats))
         .withColumn("s",
-          log(lit(1.0) + (lit(n.toDouble) - col("df") + 0.5) / (col("df") + 0.5)) *
+          log(lit(1.0) + (col("n") - col("df") + 0.5) / (col("df") + 0.5)) *
             (col("tf") * (k1 + 1.0)) /
-            (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / lit(avgdl))))
+            (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
         .groupBy("doc_id").agg(round(sum(col("s")), 6).as("score"))
         .orderBy(col("score").desc, col("doc_id").asc)
         .limit(20)
@@ -144,7 +161,7 @@ object NorthStarQueries {
 
     // document fingerprint: md5 of normalized text
     "fingerprint_docs" -> { (s, dir) =>
-      t(s, dir, "documents")
+      docs(s, dir)
         .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
         .orderBy("doc_id")
     },
