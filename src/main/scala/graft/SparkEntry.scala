@@ -188,6 +188,36 @@ object SparkEntry {
         .orderBy("user_id")
     },
 
+    // ---- ingestion: CSV sink+scan roundtrip (S1/S2), schema'd both ways ----
+    "csv_roundtrip" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_csv_rt").toString + "/docs"
+      docs.write.option("header", "true").option("escape", "\"")
+        .mode("overwrite").csv(tmp)
+      s.read.schema(docs.schema).option("header", "true")
+        .option("multiLine", "true").option("escape", "\"").csv(tmp)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"), sum("n_chars").as("total_chars"))
+        .orderBy("lang")
+    },
+
+    // ---- F7: newline join of rich-text blocks ----
+    "blocks_join_docs" -> { (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.functions.join_blocks(split(col("text"), " ")).as("joined"))
+        .orderBy("doc_id")
+    },
+
+    // ---- DSv2 paged REST scan with source-side predicate (S3/S4);
+    // rows-only check: the synthetic service is invisible to DuckDB ----
+    "paged_rest_scan" -> { (s, _) =>
+      s.read.format("graft.sources.rest.PagedRestProvider")
+        .option("rows", "300").option("pageSize", "100").load()
+        .where(col("is_target") === true)
+        .orderBy("id")
+    },
+
     // ---- events: exact event dedup by natural key ----
     "events_dedup" -> { (s, dir) =>
       events(s, dir)
@@ -291,6 +321,14 @@ object SparkEntry {
         |        FROM events))
         |SELECT user_id, CAST(sum(is_new) AS BIGINT) AS n_sessions, count(*) AS n_events
         |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "csv_roundtrip" ->
+      """SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "blocks_join_docs" ->
+      """SELECT doc_id,
+        |       array_to_string(list_transform(string_split(text, ' '),
+        |         x -> CASE WHEN x IS NULL OR x = '' THEN chr(10) ELSE x END), chr(10)) AS joined
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "events_dedup" ->
       """SELECT user_id, count(*) AS n_unique FROM (
         |  SELECT user_id, event_type, ts, min(event_id) AS event_id

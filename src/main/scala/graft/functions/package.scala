@@ -52,6 +52,14 @@ package object functions {
     regexp_replace(s2, "\\*", "")
   }
 
+  /** F7 — newline join of rich-text blocks: empty/NULL blocks contribute a
+    * bare newline (reference: model/data/notion_db.py:127-133 joins block
+    * texts with "\n", emitting "\n" for blocks with no rich_text).
+    */
+  def join_blocks(blocks: Column): Column =
+    concat_ws("\n", transform(blocks, b =>
+      when(b.isNull || b === "", lit("\n")).otherwise(b)))
+
   private def binaryBuilder(name: String, f: (Expression, Expression) => Expression)
       : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = {
     val builder: Seq[Expression] => Expression = {

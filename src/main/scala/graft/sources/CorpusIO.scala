@@ -1,0 +1,96 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.markdown_strip
+
+/** Corpus ingestion surface (SURVEY §2.1):
+  *  - S1/S2: schema'd CSV scan/sink mirroring the reference's corpus cache
+  *    (`pd.read_csv` / `to_csv(index=False)`, notion_db.py:209,205)
+  *  - S7: cache-or-fetch materialization (`fetch_sakurap_corpus`,
+  *    notion_db.py:175-211): if the cache path exists (and no refetch), read
+  *    it; otherwise run the fetch, persist write-through, and read back.
+  *  - S5/S6: per-row content enrichment (`StringExporter().export()` /
+  *    `__load_blocks`, notion_db.py:106-134,159) as batched mapPartitions.
+  */
+object CorpusIO {
+
+  /** The reference corpus schema: (title, content) rows (notion_db.py:163-168). */
+  val corpusSchema: StructType = StructType(Seq(
+    StructField("title", StringType, nullable = true),
+    StructField("content", StringType, nullable = true)))
+
+  /** S1 — CSV scan with explicit schema (no inference jobs at scale). */
+  def readCsv(spark: SparkSession, path: String,
+      schema: StructType = corpusSchema): DataFrame =
+    spark.read
+      .schema(schema)
+      .option("header", "true")
+      .option("multiLine", "true") // lyric content contains newlines
+      .option("escape", "\"")
+      .csv(path)
+
+  /** S2 — CSV sink (header, no index column — pandas parity). */
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write
+      .option("header", "true")
+      .option("escape", "\"")
+      .mode("overwrite")
+      .csv(path)
+
+  /** S7 — cache-or-fetch: the reference's write-through corpus cache.
+    * `fetch` runs only on cache miss (or refetch=true), its result is
+    * persisted to `cachePath` and read back so downstream always consumes
+    * the materialized copy (same lifecycle as notion_db.py:193-209).
+    */
+  def cacheOrFetch(spark: SparkSession, cachePath: String,
+      refetch: Boolean = false)(fetch: => DataFrame): DataFrame = {
+    val path = new Path(cachePath)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (refetch || !fs.exists(path)) {
+      writeCsv(fetch, cachePath)
+    }
+    readCsv(spark, cachePath)
+  }
+
+  /** S5/S6 — per-row content fetch, batched per partition (the reference
+    * does a per-row HTTP call, an N+1 pattern; here the fetcher sees one
+    * batch per partition so a real impl can pipeline its I/O).
+    */
+  def enrichWithContent(df: DataFrame, idCol: String,
+      fetcher: PageContentFetcher): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val f = fetcher
+    df.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions { ids =>
+        ids.grouped(64).flatMap { chunk =>
+          chunk.iterator.zip(f.fetchBatch(chunk).iterator)
+        }
+      }
+      .toDF(idCol, "content_raw")
+      .withColumn("content", markdown_strip(col("content_raw")))
+      .drop("content_raw")
+      .join(df, idCol)
+  }
+}
+
+/** Pluggable page-content fetcher (mirrors the reference's StringExporter /
+  * plain-text block loader). Implementations must be Serializable; batches
+  * arrive one partition chunk at a time.
+  */
+trait PageContentFetcher extends Serializable {
+  def fetchBatch(ids: Seq[Long]): Seq[String]
+}
+
+/** Deterministic offline fetcher for tests: content derived from the id,
+  * with the markdown artifacts the strip chain (F6) removes.
+  */
+final case class SyntheticContentFetcher() extends PageContentFetcher {
+  override def fetchBatch(ids: Seq[Long]): Seq[String] =
+    ids.map(id => s"*page $id*\n\nline one<br/>line two for $id")
+}

@@ -1,0 +1,116 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-Streaming surface for the events table (SURVEY §2.11: the
+  * reference has no streaming; this is the north-star event-analytics
+  * extension, built from Spark's native stateful operators).
+  *
+  * Every transform takes a DataFrame with the events schema
+  * `(event_id long, ts timestamp, user_id long, event_type string,
+  * value double, props string)` and works identically on a batch frame or a
+  * `readStream` frame — the streaming-specific pieces (watermarks, output
+  * modes) are additive, which is exactly Spark's unified-model promise.
+  *
+  * Scale notes: all operators below keep state bounded via watermarks
+  * (late data beyond the watermark is dropped, state is evicted), shuffle
+  * once on their grouping keys, and use built-in stateful operators —
+  * no custom state store is needed for these semantics.
+  */
+object EventStreams {
+
+  /** Tumbling-window rollup per event type. Watermark bounds state. */
+  def hourlyRollup(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum("value").as("sum_value"),
+        avg("value").as("avg_value"))
+      .select(
+        col("window.start").as("hour_start"),
+        col("event_type"), col("n_events"), col("sum_value"), col("avg_value"))
+
+  /** Sliding-window rate per event type (1h window, 15m slide). */
+  def slidingRate(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("w_start"), col("window.end").as("w_end"),
+        col("event_type"), col("n_events"))
+
+  /** Native session windows: 30-minute inactivity gap per user. */
+  def sessionize(events: DataFrame, gap: String = "30 minutes",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum("value").as("session_value"))
+      .select(
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"), col("session_value"))
+
+  /** Watermarked exact dedup on the natural key — the streaming analogue of
+    * the batch events_dedup query (state evicted past the watermark).
+    */
+  def dedup(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("user_id", "event_type", "ts")
+
+  // ---- custom state: running per-user profile via mapGroupsWithState ----
+
+  case class UserEvent(user_id: Long, ts: Timestamp, value: Double)
+  case class UserProfile(user_id: Long, n_events: Long, total_value: Double,
+      last_seen: Timestamp)
+
+  /** Running per-user aggregate with explicit state — the
+    * `KeyValueGroupedDataset.mapGroupsWithState` pattern for semantics the
+    * built-in aggregates can't express (here: a live profile snapshot
+    * emitted per micro-batch). State eviction at scale belongs to an
+    * event-time timeout + watermark policy; kept timeout-free here because
+    * a processing-time timeout makes `processAllAvailable` livelock in
+    * tests (the query never drains).
+    */
+  def userProfiles(events: Dataset[UserEvent]): Dataset[UserProfile] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[UserProfile, UserProfile](
+        GroupStateTimeout.NoTimeout) {
+        case (uid, batch, state: GroupState[UserProfile]) =>
+          val prev = state.getOption.getOrElse(
+            UserProfile(uid, 0L, 0.0, new Timestamp(0L)))
+          var n = prev.n_events
+          var tot = prev.total_value
+          var last = prev.last_seen
+          batch.foreach { e =>
+            n += 1; tot += e.value
+            if (e.ts.after(last)) last = e.ts
+          }
+          val next = UserProfile(uid, n, tot, last)
+          state.update(next)
+          next
+      }
+  }
+
+  /** Wire a streaming frame to an in-memory sink for inspection/tests.
+    * Returns the query; caller stops it.
+    */
+  def toMemorySink(df: DataFrame, name: String, outputMode: OutputMode)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(outputMode)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+}

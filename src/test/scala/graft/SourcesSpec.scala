@@ -1,0 +1,76 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.{CorpusIO, SyntheticContentFetcher}
+
+/** Ingestion surface: CSV roundtrip (S1/S2), cache-or-fetch (S7), paged
+  * DSv2 REST source with pushdown (S3/S4), content enrichment (S5/S6).
+  */
+class SourcesSpec extends SparkTestBase {
+  private val sp = SparkTestBase.spark
+  import sp.implicits._
+
+  private def corpus = Seq(
+    ("song one", "line a\nline b"),
+    ("song two", "content with \"quotes\" and, commas"),
+    ("song three", null)).toDF("title", "content")
+
+  test("CSV roundtrip preserves the corpus including newlines and quotes") {
+    val dir = Files.createTempDirectory("graft_csv").toString + "/corpus"
+    CorpusIO.writeCsv(corpus, dir)
+    val back = CorpusIO.readCsv(spark, dir)
+    assert(back.schema == CorpusIO.corpusSchema)
+    assert(back.collect().map(r => (r.getString(0), r.getString(1))).toSet ==
+      corpus.collect().map(r => (r.getString(0), r.getString(1))).toSet)
+  }
+
+  test("cacheOrFetch fetches once, then serves the cache") {
+    val dir = Files.createTempDirectory("graft_cache").toString + "/corpus"
+    var fetches = 0
+    def fetch = { fetches += 1; corpus }
+    val first = CorpusIO.cacheOrFetch(spark, dir)(fetch)
+    assert(first.count() == 3 && fetches == 1)
+    val second = CorpusIO.cacheOrFetch(spark, dir)(fetch)
+    assert(second.count() == 3 && fetches == 1) // cache hit: no refetch
+    val third = CorpusIO.cacheOrFetch(spark, dir, refetch = true)(fetch)
+    assert(third.count() == 3 && fetches == 2) // forced refetch
+  }
+
+  test("paged REST source reads all pages in parallel partitions") {
+    val df = spark.read.format("graft.sources.rest.PagedRestProvider")
+      .option("rows", "250").option("pageSize", "100").load()
+    assert(df.count() == 250)
+    assert(df.rdd.getNumPartitions == 3) // 250 rows / 100 per page
+    assert(df.agg(min("id"), max("id")).head() == org.apache.spark.sql.Row(0L, 249L))
+  }
+
+  test("is_target predicate is pushed to the service, not post-filtered") {
+    val df = spark.read.format("graft.sources.rest.PagedRestProvider")
+      .option("rows", "250").option("pageSize", "100").load()
+      .where(col("is_target") === true)
+    assert(df.count() == 84) // ceil(250/3)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedServiceFilter=[is_target = true]"), plan)
+    // pushdown shrinks the page count: 84 target rows = 1 page of 100
+    assert(df.rdd.getNumPartitions == 1)
+  }
+
+  test("content enrichment fetches per-partition batches and strips markdown") {
+    val docs = Seq((1L, "t1"), (2L, "t2")).toDF("doc_id", "title")
+    val out = CorpusIO.enrichWithContent(docs, "doc_id", SyntheticContentFetcher())
+      .orderBy("doc_id").collect()
+    assert(out.length == 2)
+    val content = out.head.getAs[String]("content")
+    assert(!content.contains("*") && !content.contains("<br/>"))
+    assert(content == "page 1\nline one\nline two for 1")
+  }
+
+  test("join_blocks emits newline for empty blocks (F7 parity)") {
+    val out = Seq(Seq("a", "", "b")).toDF("blocks")
+      .select(graft.functions.join_blocks(col("blocks"))).head().getString(0)
+    assert(out == "a\n\n\nb")
+  }
+}
