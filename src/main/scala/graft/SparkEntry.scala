@@ -61,6 +61,21 @@ object SparkEntry {
     // ---- reference surface: vector search (T1+J1+W1/W2+P2-P4+F1) ----
     "search_topk" -> ((s, dir) => searchTopK(s, dir)),
 
+    // S8 + F1-via-SQL: the reference's literal query shape (ORDER BY
+    // distance LIMIT n over a registered index view, vector.py:173-180)
+    // through spark.sql with the injected array_cosine_distance.
+    "search_topk_sql" -> { (s, dir) =>
+      graft.functions.registerAll(s)
+      t(s, dir, "embeddings").createOrReplaceTempView("ruri_vector_index")
+      s.sql(
+        """WITH q AS (SELECT embedding FROM ruri_vector_index WHERE vec_id = 0)
+          |SELECT vec_id AS doc_id,
+          |       array_cosine_distance(embedding, (SELECT embedding FROM q)) AS distance
+          |FROM ruri_vector_index
+          |ORDER BY distance ASC NULLS LAST, doc_id ASC
+          |LIMIT 10""".stripMargin)
+    },
+
     // F1 siblings standalone over the embeddings table (fixed literal-free
     // oracle: query vector = embedding of vec_id 0).
     "vector_fns" -> { (s, dir) =>
@@ -321,6 +336,14 @@ object SparkEntry {
         |        FROM events))
         |SELECT user_id, CAST(sum(is_new) AS BIGINT) AS n_sessions, count(*) AS n_events
         |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "search_topk_sql" ->
+      """WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0)
+        |SELECT vec_id AS doc_id,
+        |       1 - array_cosine_similarity(embedding::DOUBLE[64],
+        |           (SELECT embedding FROM q)::DOUBLE[64]) AS distance
+        |FROM embeddings
+        |ORDER BY distance ASC NULLS LAST, doc_id ASC
+        |LIMIT 10""".stripMargin,
     "csv_roundtrip" ->
       """SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS total_chars
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,

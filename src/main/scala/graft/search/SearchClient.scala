@@ -101,6 +101,28 @@ final class VectorSearchClient private (
     */
   def search(query: String, n: Int = 10): DataFrame =
     searchTopN(Seq(query), n).drop("query_id")
+
+  /** The demo UI's exact projection+rename (reference app.py:12-14):
+    * `[rank, title, "rap lyric", distance]`, 1-based rank. `titleCol` /
+    * `contentCol` name the corpus columns standing in for title/content.
+    */
+  def searchDemo(query: String, n: Int = 10, titleCol: String = "title",
+      contentCol: String = "content"): DataFrame =
+    search(query, n).select(
+      col("rank"),
+      col(titleCol).as("title"),
+      col(contentCol).as("rap lyric"),
+      col("score").as("distance"))
+
+  /** S8 — expose the vector index to SQL under the reference's index name
+    * (`duckdb.register("ruri_vector_index", vdb)`, vector.py:133-135), so
+    * the oracle's literal SQL shape runs via spark.sql + the registered
+    * `array_cosine_distance` function.
+    */
+  def registerIndex(name: String = "ruri_vector_index"): Unit = {
+    graft.functions.registerAll(index.sparkSession)
+    index.createOrReplaceTempView(name)
+  }
 }
 
 object VectorSearchClient {
@@ -114,11 +136,22 @@ object VectorSearchClient {
   private val RankCol = "__graft_rank"
   private val QueryIdCol = "__graft_query_id"
 
-  /** Build from a corpus with precomputed embeddings (CI path — offline). */
+  /** Build from a corpus with precomputed embeddings (CI path — offline).
+    * E2: the index dimension is validated against the embedder up front —
+    * a mismatched index would otherwise fail per-row at query time (the
+    * reference introspects dim the same way, vector.py:129,172).
+    */
   def fromEmbedded(corpus: DataFrame, embedded: DataFrame, idCol: String,
-      embedder: Embedder): VectorSearchClient = {
+      embedder: Embedder, validateDim: Boolean = true): VectorSearchClient = {
     val index = embedded.select(col(idCol), col("embedding"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    if (validateDim) {
+      index.select(size(col("embedding"))).head(1).foreach { r =>
+        val d = r.getInt(0)
+        require(d == embedder.dim,
+          s"index embedding dim $d != embedder dim ${embedder.dim}")
+      }
+    }
     new VectorSearchClient(corpus, index, embedder, idCol)
   }
 

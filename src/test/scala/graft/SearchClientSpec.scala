@@ -71,6 +71,35 @@ class SearchClientSpec extends SparkTestBase {
     assert(cols.count(_ == "score") == 2) // corpus's and the search score
   }
 
+  test("searchDemo reproduces the demo app's renamed shape") {
+    val sp = spark
+    import sp.implicits._
+    val corpus = docs.withColumnRenamed("text", "content")
+      .withColumn("title", concat(lit("doc "), col("doc_id")))
+    val client = VectorSearchClient.fromEmbedded(corpus, emb, "doc_id", HashingEmbedder(64))
+    val out = client.searchDemo("query text", 3)
+    assert(out.columns.toSeq == Seq("rank", "title", "rap lyric", "distance"))
+    assert(out.count() == 3)
+  }
+
+  test("registerIndex exposes the reference's SQL surface") {
+    val client = VectorSearchClient.fromEmbedded(docs, emb, "doc_id", HashingEmbedder(64))
+    client.registerIndex()
+    val top = spark.sql(
+      """SELECT doc_id, array_cosine_distance(embedding,
+        |  (SELECT embedding FROM ruri_vector_index WHERE doc_id = 0)) AS distance
+        |FROM ruri_vector_index
+        |ORDER BY distance ASC NULLS LAST, doc_id ASC LIMIT 3""".stripMargin).collect()
+    assert(top.head.getLong(0) == 0L && top.head.getDouble(1) == 0.0)
+  }
+
+  test("fromEmbedded validates index dimension against the embedder") {
+    val e = intercept[IllegalArgumentException] {
+      VectorSearchClient.fromEmbedded(docs, emb, "doc_id", HashingEmbedder(8))
+    }
+    assert(e.getMessage.contains("dim"))
+  }
+
   test("fromCorpus fails fast on null ids") {
     val sp = spark
     import sp.implicits._
