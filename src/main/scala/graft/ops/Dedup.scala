@@ -35,9 +35,16 @@ object Dedup {
       .drop("__graft_rn")
   }
 
-  /** MinHash signature k-column layout: h_j = min over shingles of
-    * md5(j || '|' || shingle) (string min — total order matches DuckDB).
-    * Input: (idCol, shingleCol: array<string>). Output: idCol, h0..h{k-1}.
+  /** MinHash signature k-column layout: h_j = min over shingles of the
+    * 60-bit value `first-15-hex-chars(md5(j || '|' || shingle))` (the same
+    * hash convention as [[graft.functions.SimHash]]). Minhashing over longs
+    * — not hex strings — matters: `min(string)` has a variable-length
+    * aggregation buffer, which forces Spark into SortAggregate (two full
+    * sorts of the exploded table); `min(long)` takes the HashAggregate fast
+    * path. Numeric order == fixed-width-hex lexicographic order, so the
+    * semantics are unchanged and a DuckDB oracle expresses the same value as
+    * `('0x' || substr(md5(...), 1, 15))::BIGINT`.
+    * Input: (idCol, shingleCol: array<string>). Output: idCol, h0..h{k-1} long.
     */
   def minhashSignatures(df: DataFrame, idCol: String, shingleCol: String,
       k: Int = 16): DataFrame = {
@@ -52,7 +59,8 @@ object Dedup {
     // broadcasts the dictionary when it fits.
     val dict = exploded.select(col("__sh")).distinct()
       .select(col("__sh") +: (0 until k).map { j =>
-        md5(concat(lit(s"$j|"), col("__sh"))).as(s"__h$j")
+        conv(substring(md5(concat(lit(s"$j|"), col("__sh"))), 1, 15), 16, 10)
+          .cast("long").as(s"__h$j")
       }: _*)
     val aggs = (0 until k).map(j => min(col(s"__h$j")).as(s"h$j"))
     exploded.join(dict, "__sh")
@@ -68,9 +76,12 @@ object Dedup {
     val rowsPerBand = k / bands
     require(bands * rowsPerBand == k, s"bands ($bands) must divide k ($k)")
     // posexplode of a band-key array: ONE pass over the signatures (a
-    // per-band union would recompute the whole minhash pipeline per band)
+    // per-band union would recompute the whole minhash pipeline per band).
+    // Long minhashes render as decimal strings — DuckDB's `::VARCHAR` casts
+    // identically, keeping the band keys oracle-replicable.
     val bandKeys = (0 until bands).map { b =>
-      val cols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(j => col(s"h$j"))
+      val cols = (b * rowsPerBand until (b + 1) * rowsPerBand)
+        .map(j => col(s"h$j").cast("string"))
       md5(concat_ws("|", cols: _*))
     }
     sigs.select(col(idCol), posexplode(array(bandKeys: _*)))

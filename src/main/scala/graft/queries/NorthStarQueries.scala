@@ -192,9 +192,13 @@ object NorthStarQueries {
        |WHERE inter::DOUBLE / (sa.sz + sb.sz - inter) >= $JaccardTau""".stripMargin
 
   private def minhashOracle: String = {
-    val mins = (0 until 16).map(j => s"min(md5('$j|' || sh)) AS h$j").mkString(", ")
+    // 60-bit long minhash (numeric min == fixed-width-hex min); band keys
+    // concatenate the decimal renderings — mirrors Dedup.minhashSignatures
+    val mins = (0 until 16).map { j =>
+      s"min(('0x' || substr(md5('$j|' || sh), 1, 15))::BIGINT) AS h$j"
+    }.mkString(", ")
     val bandRows = (0 until 4).map { b =>
-      val cols = (b * 4 until b * 4 + 4).map(j => s"h$j").mkString(" || '|' || ")
+      val cols = (b * 4 until b * 4 + 4).map(j => s"h$j::VARCHAR").mkString(" || '|' || ")
       s"SELECT doc_id, $b AS band, md5($cols) AS key FROM sig"
     }.mkString("\n  UNION ALL ")
     s"""WITH $ShCte,

@@ -44,7 +44,7 @@ class DedupSpec extends SparkTestBase {
   test("identical texts have identical minhash signatures") {
     val sh = corpus.select(col("doc_id"), TextOps.wordNGrams(col("text"), 3).as("sh"))
     val sigs = Dedup.minhashSignatures(sh, "doc_id", "sh", 16).collect()
-      .map(r => r.getLong(0) -> (1 to 16).map(r.getString).toSeq).toMap
+      .map(r => r.getLong(0) -> (1 to 16).map(r.getLong).toSeq).toMap
     assert(sigs(0L) == sigs(3L))
     assert(sigs(0L) != sigs(2L))
   }
