@@ -32,6 +32,10 @@ object SparkEntry {
     t(s, dir, "events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
+  /** Events reader shared with the north-star query pack. */
+  private[graft] def eventsTable(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+
   /** Vector-search top-k: the reference's core query shape
     * (model/search/vector.py:173-188) — distance scan, top-k, back-join,
     * rank. The query vector is the corpus embedding with vec_id 0, so the

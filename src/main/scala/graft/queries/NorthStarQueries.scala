@@ -159,6 +159,17 @@ object NorthStarQueries {
         .limit(20)
     },
 
+    // skew-safe salted rollup: same result as a plain groupBy, but the hot
+    // key spreads over 16 reducers (two-phase aggregation)
+    "events_salted_rollup" -> { (s, dir) =>
+      val ev = graft.SparkEntry.eventsTable(s, dir)
+      graft.ops.Skew.saltedSumCount(ev, Seq("event_type"), "value",
+          Seq(col("event_id")), salts = 16)
+        .select(col("event_type"), round(col("sum_value"), 6).as("sum_value"),
+          col("n_rows"))
+        .orderBy("event_type")
+    },
+
     // document fingerprint: md5 of normalized text
     "fingerprint_docs" -> { (s, dir) =>
       docs(s, dir)
@@ -317,5 +328,8 @@ object NorthStarQueries {
     "fingerprint_docs" ->
       """SELECT doc_id, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "events_salted_rollup" ->
+      """SELECT event_type, round(sum(value), 6) AS sum_value, count(*) AS n_rows
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
   )
 }

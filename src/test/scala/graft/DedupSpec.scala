@@ -56,6 +56,28 @@ class DedupSpec extends SparkTestBase {
     assert(!pairs.keySet.exists { case (a, b) => Set(a, b).contains(2L) })
   }
 
+  test("jaccardJoin matches a naive driver-side all-pairs computation") {
+    val sp = spark
+    import sp.implicits._
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("a", "b", "c", "d", "e", "f", "g", "h")
+    val corp = (0 until 40).map { i =>
+      (i.toLong, Seq.fill(5 + rnd.nextInt(10))(vocab(rnd.nextInt(vocab.size))))
+    }
+    val df = corp.toDF("id", "sh")
+    val got = graft.ops.Dedup.jaccardJoin(df, "id", "sh", 0.4)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(5))).toMap
+    val sets = corp.map { case (id, sh) => id -> sh.toSet }.toMap
+    val expected = (for {
+      a <- sets.keys; b <- sets.keys if a < b
+      inter = (sets(a) & sets(b)).size
+      j = inter.toDouble / (sets(a).size + sets(b).size - inter)
+      if j >= 0.4
+    } yield (a, b) -> j).toMap
+    assert(got.keySet == expected.keySet)
+    got.foreach { case (k, j) => assert(math.abs(j - expected(k)) < 1e-12) }
+  }
+
   test("survivors drop larger ids of matched pairs") {
     val sh = corpus.select(col("doc_id"), TextOps.wordNGrams(col("text"), 3).as("sh"))
     val pairs = Dedup.jaccardJoin(sh, "doc_id", "sh", 0.5)
