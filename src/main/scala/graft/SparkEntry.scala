@@ -59,7 +59,8 @@ object SparkEntry {
     * north-star LLM-pipeline operators (graft.queries.NorthStarQueries).
     */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    baseQueries ++ graft.queries.NorthStarQueries.queries
+    baseQueries ++ graft.queries.NorthStarQueries.queries ++
+      graft.queries.RelationalQueries.queries
 
   private def baseQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- reference surface: vector search (T1+J1+W1/W2+P2-P4+F1) ----
@@ -253,7 +254,8 @@ object SparkEntry {
     * records a weaker rows-only check).
     */
   def oracleSql: Map[String, String] =
-    baseOracleSql ++ graft.queries.NorthStarQueries.oracleSql
+    baseOracleSql ++ graft.queries.NorthStarQueries.oracleSql ++
+      graft.queries.RelationalQueries.oracleSql
 
   private def baseOracleSql: Map[String, String] = Map(
     "search_topk" ->

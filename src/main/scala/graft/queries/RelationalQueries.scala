@@ -1,0 +1,148 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Broader relational coverage over the TPC-H-ish tables: join variants
+  * (semi/anti), grouping sets, exact percentiles, date bucketing,
+  * decorrelated subqueries, and event-sequence (funnel/retention)
+  * analytics. Everything oracle-checked against DuckDB 1.0.
+  */
+object RelationalQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // left-semi + left-anti: customers with and without orders
+    "semi_anti_customers" -> { (s, dir) =>
+      val customer = t(s, dir, "customer")
+      val orders = t(s, dir, "orders")
+      val withOrders = customer.join(orders,
+        col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(lit("with_orders").as("bucket"), col("c_custkey"))
+      val withoutOrders = customer.join(orders,
+        col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(lit("no_orders").as("bucket"), col("c_custkey"))
+      withOrders.unionAll(withoutOrders)
+        .groupBy("bucket").agg(count(lit(1)).as("n"))
+        .orderBy("bucket")
+    },
+
+    // ROLLUP grouping sets over the Q1 keys
+    "rollup_lineitem" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), sum("l_quantity").as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)
+    },
+
+    // exact interpolated percentiles per order priority
+    "orders_percentiles" -> { (s, dir) =>
+      t(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+          round(expr("percentile(o_totalprice, 0.5)"), 6).as("p50"),
+          round(expr("percentile(o_totalprice, 0.9)"), 6).as("p90"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderpriority")
+    },
+
+    // month bucketing + conditional aggregation over ship dates
+    "monthly_shipments" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(trunc(col("l_shipdate").cast("date"), "month").as("ship_month"))
+        .agg(
+          count(lit(1)).as("n_items"),
+          round(sum(when(col("l_returnflag") === "R", col("l_extendedprice"))
+            .otherwise(lit(0.0))), 6).as("returned_value"))
+        .orderBy("ship_month")
+    },
+
+    // decorrelated scalar subquery: orders above their customer's average
+    "orders_above_cust_avg" -> { (s, dir) =>
+      val orders = t(s, dir, "orders")
+      val custAvg = orders.groupBy("o_custkey")
+        .agg(avg("o_totalprice").as("cust_avg"))
+      orders.join(custAvg, "o_custkey")
+        .where(col("o_totalprice") > col("cust_avg") * 1.5)
+        .groupBy("o_custkey").agg(count(lit(1)).as("n_big_orders"))
+        .orderBy("o_custkey")
+    },
+
+    // event funnel: users whose first 'click' precedes a later 'purchase'
+    // within one hour (sequence analytics via per-user window ordering)
+    "events_funnel" -> { (s, dir) =>
+      val ev = graft.SparkEntry.eventsTable(s, dir)
+      val clicks = ev.where(col("event_type") === "click")
+        .groupBy("user_id").agg(min("ts").as("first_click"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("p_ts"))
+      clicks.join(purchases, "user_id")
+        .where(col("p_ts") > col("first_click") &&
+          col("p_ts").cast("double") - col("first_click").cast("double") <= 3600.0)
+        .groupBy("user_id").agg(count(lit(1)).as("n_purchases_1h"))
+        .orderBy("user_id")
+    },
+
+    // daily retention: users active on consecutive days
+    "events_retention" -> { (s, dir) =>
+      val ev = graft.SparkEntry.eventsTable(s, dir)
+      val daily = ev.select(col("user_id"), col("ts").cast("date").as("day")).distinct()
+      val next = daily.select(col("user_id"), col("day"))
+      daily.as("a").join(next.as("b"),
+          col("a.user_id") === col("b.user_id") &&
+            col("b.day") === date_add(col("a.day"), 1))
+        .groupBy(col("a.day").as("day"))
+        .agg(count(lit(1)).as("retained_users"))
+        .orderBy("day")
+    },
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "semi_anti_customers" ->
+      """SELECT bucket, count(*) AS n FROM (
+        |  SELECT 'with_orders' AS bucket, c_custkey FROM customer
+        |  WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |  UNION ALL
+        |  SELECT 'no_orders' AS bucket, c_custkey FROM customer
+        |  WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey))
+        |GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "rollup_lineitem" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n, sum(l_quantity) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "orders_percentiles" ->
+      """SELECT o_orderpriority,
+        |       round(quantile_cont(o_totalprice, 0.5), 6) AS p50,
+        |       round(quantile_cont(o_totalprice, 0.9), 6) AS p90,
+        |       count(*) AS n
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "monthly_shipments" ->
+      """SELECT date_trunc('month', l_shipdate::DATE)::DATE AS ship_month,
+        |       count(*) AS n_items,
+        |       round(sum(CASE WHEN l_returnflag = 'R' THEN l_extendedprice ELSE 0.0 END), 6) AS returned_value
+        |FROM lineitem GROUP BY 1 ORDER BY ship_month""".stripMargin,
+    "orders_above_cust_avg" ->
+      """WITH ca AS (SELECT o_custkey, avg(o_totalprice) AS cust_avg FROM orders GROUP BY o_custkey)
+        |SELECT o.o_custkey, count(*) AS n_big_orders
+        |FROM orders o JOIN ca USING (o_custkey)
+        |WHERE o.o_totalprice > ca.cust_avg * 1.5
+        |GROUP BY o.o_custkey ORDER BY o.o_custkey""".stripMargin,
+    "events_funnel" ->
+      """WITH c AS (SELECT user_id, min(ts) AS first_click FROM events
+        |           WHERE event_type = 'click' GROUP BY user_id)
+        |SELECT e.user_id, count(*) AS n_purchases_1h
+        |FROM events e JOIN c ON e.user_id = c.user_id
+        |WHERE e.event_type = 'purchase' AND e.ts > c.first_click
+        |  AND date_part('epoch', e.ts) - date_part('epoch', c.first_click) <= 3600.0
+        |GROUP BY e.user_id ORDER BY e.user_id""".stripMargin,
+    "events_retention" ->
+      """WITH daily AS (SELECT DISTINCT user_id, ts::DATE AS day FROM events)
+        |SELECT a.day AS day, count(*) AS retained_users
+        |FROM daily a JOIN daily b ON a.user_id = b.user_id AND b.day = a.day + 1
+        |GROUP BY a.day ORDER BY a.day""".stripMargin,
+  )
+}

@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.AnnIndex
+
+/** IVF coarse quantizer: brute force is exact; probing more buckets
+  * converges to brute force (recall is monotone in nprobe).
+  */
+class AnnIndexSpec extends SparkTestBase {
+
+  private def emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  private def qvec(id: Long): Array[Double] =
+    emb.where(col("vec_id") === id).select("embedding").head()
+      .getSeq[Float](0).map(_.toDouble).toArray
+
+  test("bruteForceTopK matches a full sort exactly") {
+    val idx = AnnIndex.build(emb, "vec_id", "embedding", stride = 64)
+    val brute = idx.bruteForceTopK(qvec(5), 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val full = emb.select(col("vec_id"),
+        graft.functions.array_cosine_distance(col("embedding"),
+          typedLit(qvec(5).toSeq)).as("cos_dist"))
+      .orderBy(col("cos_dist").asc_nulls_last, col("vec_id").asc)
+      .limit(10).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(brute == full)
+  }
+
+  test("probing all buckets equals brute force; fewer buckets is a subset-ranked approximation") {
+    val idx = AnnIndex.build(emb, "vec_id", "embedding", stride = 64)
+    val nCentroids = 500 / 64 + 1 // vec_ids divisible by 64 in [0, 500)
+    val brute = idx.bruteForceTopK(qvec(3), 10)
+      .collect().map(_.getLong(0)).toSet
+    val allProbe = idx.probeTopK(qvec(3), 10, nprobe = nCentroids)
+      .collect().map(_.getLong(0)).toSet
+    assert(allProbe == brute)
+    val recalls = Seq(1, 2, 4, nCentroids).map { np =>
+      idx.probeTopK(qvec(3), 10, nprobe = np)
+        .collect().map(_.getLong(0)).toSet.intersect(brute).size
+    }
+    assert(recalls == recalls.sorted, s"recall not monotone: $recalls")
+    // the query's own bucket is always probed first -> self-match present
+    assert(idx.probeTopK(qvec(3), 1, nprobe = 1)
+      .head().getLong(0) == 3L)
+  }
+}
