@@ -161,7 +161,7 @@ object SparkEntry {
     "markdown_strip_docs" -> { (s, dir) =>
       t(s, dir, "documents")
         .select(col("doc_id"), markdown_strip(col("text")).as("clean"))
-        .orderBy("doc_id")
+        .transform(graft.queries.sortedSingle(_, col("doc_id")))
     },
     "prefix_docs" -> { (s, dir) =>
       t(s, dir, "documents")
@@ -169,7 +169,7 @@ object SparkEntry {
           col("doc_id"),
           doc_prefix(col("text")).as("doc_prefixed"),
           query_prefix(col("text")).as("query_prefixed"))
-        .orderBy("doc_id")
+        .transform(graft.queries.sortedSingle(_, col("doc_id")))
     },
 
     // ---- exact dedup (north star): keep first doc per identical text ----
@@ -226,7 +226,7 @@ object SparkEntry {
       t(s, dir, "documents")
         .select(col("doc_id"),
           graft.functions.join_blocks(split(col("text"), " ")).as("joined"))
-        .orderBy("doc_id")
+        .transform(graft.queries.sortedSingle(_, col("doc_id")))
     },
 
     // ---- DSv2 paged REST scan with source-side predicate (S3/S4);

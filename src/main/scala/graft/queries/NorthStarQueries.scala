@@ -120,7 +120,7 @@ object NorthStarQueries {
         TextOps.stopwordRatio(col("text")).as("stopword_ratio"),
         TextOps.meanTokenLen(col("text")).as("mean_token_len"),
         TextOps.qualityScore(col("text")).as("quality"))
-        .orderBy("doc_id")
+        .transform(sortedSingle(_, col("doc_id")))
     },
 
     // token table: term + document frequencies (tokenize -> explode -> agg)
@@ -133,22 +133,28 @@ object NorthStarQueries {
         .limit(50)
     },
 
-    // BM25 scoring for a fixed query over the token table. Corpus stats
-    // (avgdl, N) travel as a broadcast one-row frame — no driver collect,
-    // one pass over the persisted token table.
+    // BM25 scoring for a fixed query. ONE explode+aggregate pass computes
+    // doc length and per-term tf together (conditional sums), then the tiny
+    // per-doc frame is unpivoted; corpus stats travel as a broadcast one-row
+    // frame — no driver collect, no second pass over the token table.
     "bm25_topk" -> { (s, dir) =>
       val k1 = 1.2; val b = 0.75
-      val toks = docs(s, dir)
+      val tfCols = Bm25Terms.map(term =>
+        sum(when(col("tk") === term, 1L).otherwise(0L)).as(s"tf_$term"))
+      val perDoc = docs(s, dir)
         .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tk"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("dl"), tfCols: _*)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val stats = dl.agg(avg(col("dl")).as("avgdl"),
+      val stats = perDoc.agg(avg(col("dl")).as("avgdl"),
         count(lit(1)).cast("double").as("n"))
-      val tf = toks.where(col("tk").isin(Bm25Terms: _*))
-        .groupBy("doc_id", "tk").agg(count(lit(1)).as("tf"))
+      val stackExpr = Bm25Terms.map(t => s"'$t', tf_$t").mkString(", ")
+      val tf = perDoc
+        .selectExpr("doc_id", "dl",
+          s"stack(${Bm25Terms.size}, $stackExpr) AS (tk, tf)")
+        .where(col("tf") > 0)
       val dfreq = tf.groupBy("tk").agg(count(lit(1)).as("df"))
-      tf.join(broadcast(dfreq), "tk").join(dl, "doc_id")
+      tf.join(broadcast(dfreq), "tk")
         .crossJoin(broadcast(stats))
         .withColumn("s",
           log(lit(1.0) + (col("n") - col("df") + 0.5) / (col("df") + 0.5)) *
@@ -174,7 +180,7 @@ object NorthStarQueries {
     "fingerprint_docs" -> { (s, dir) =>
       docs(s, dir)
         .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
-        .orderBy("doc_id")
+        .transform(sortedSingle(_, col("doc_id")))
     },
   )
 
