@@ -176,6 +176,19 @@ object NorthStarQueries {
         .orderBy("event_type")
     },
 
+    // multimodal pipeline (rows-only: synthetic media, stub codec):
+    // binary columns -> feature extraction -> content dedup -> rollup
+    "media_pipeline" -> { (s, _) =>
+      import graft.ops.Multimodal
+      val media = Multimodal.syntheticMedia(s, 300)
+      val feats = Multimodal.extractFeatures(media, dim = 16)
+      Multimodal.dedupByContent(feats)
+        .groupBy("kind")
+        .agg(count(lit(1)).as("n"),
+          sum(size(col("features"))).cast("long").as("total_dims"))
+        .orderBy("kind")
+    },
+
     // document fingerprint: md5 of normalized text
     "fingerprint_docs" -> { (s, dir) =>
       docs(s, dir)
