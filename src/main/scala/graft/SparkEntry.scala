@@ -81,6 +81,21 @@ object SparkEntry {
           |LIMIT 10""".stripMargin)
     },
 
+    // batched top-k: ONE index scan for 5 queries via the bounded-heap
+    // aggregate (TopKByScore) — the offline-batch scale path
+    "search_topk_batched" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings").withColumnRenamed("vec_id", "doc_id")
+      val docs = t(s, dir, "documents").select("doc_id")
+      val qvecs = emb.where(col("doc_id") < 5)
+        .select(col("doc_id"), col("embedding")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+        .sortBy(_._1).toSeq
+      val client = VectorSearchClient.fromEmbedded(
+        docs, emb, "doc_id", HashingEmbedder(qvecs.head._2.length))
+      client.searchByVectorsBatched(qvecs, 10)
+        .select("query_id", "rank", "doc_id", "score")
+    },
+
     // F1 siblings standalone over the embeddings table (fixed literal-free
     // oracle: query vector = embedding of vec_id 0).
     "vector_fns" -> { (s, dir) =>
@@ -342,6 +357,19 @@ object SparkEntry {
         |        FROM events))
         |SELECT user_id, CAST(sum(is_new) AS BIGINT) AS n_sessions, count(*) AS n_events
         |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "search_topk_batched" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 5),
+        |d AS (
+        |  SELECT q.query_id, e.vec_id AS doc_id,
+        |         1 - array_cosine_similarity(e.embedding::DOUBLE[64],
+        |             q.embedding::DOUBLE[64]) AS score
+        |  FROM embeddings e CROSS JOIN q)
+        |SELECT query_id, rank, doc_id, score FROM (
+        |  SELECT query_id, doc_id, score,
+        |         CAST(row_number() OVER (PARTITION BY query_id
+        |              ORDER BY score ASC NULLS LAST, doc_id ASC) AS BIGINT) AS rank
+        |  FROM d)
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
     "search_topk_sql" ->
       """WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0)
         |SELECT vec_id AS doc_id,

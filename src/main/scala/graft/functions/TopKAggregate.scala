@@ -1,0 +1,113 @@
+package graft.functions
+
+import java.io.{ByteArrayOutputStream, DataOutputStream}
+import java.nio.ByteBuffer
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Bounded top-k heap aggregate over `struct(score double, id long)` rows:
+  * keeps the k smallest by (score asc, id asc), emits them as a sorted
+  * array of structs.
+  *
+  * This is the batched-query analogue of `TakeOrderedAndProject`: a window
+  * (`row_number <= k`) would shuffle EVERY (query, candidate) distance row;
+  * this aggregate combines map-side — each partition contributes at most k
+  * rows per query to the shuffle, so a 10^9-vector scan serving 10^4
+  * queries shuffles 10^4 * k * partitions rows instead of 10^13.
+  *
+  * Null scores are skipped (a null cosine distance sorts last in the
+  * per-query path — `asc_nulls_last` — and therefore never enters a full
+  * top-k; skipping keeps the two paths consistent whenever >= k non-null
+  * candidates exist).
+  */
+case class TopKByScore(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[mutable.PriorityQueue[(Double, Long)]] {
+
+  require(k > 0, "k must be positive")
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("score", DoubleType, nullable = false),
+    StructField("id", LongType, nullable = false))), containsNull = false)
+
+  // max-heap on (score, id): the root is the WORST kept entry, evicted when
+  // something better arrives
+  private def ord: Ordering[(Double, Long)] =
+    Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Long)
+
+  override def createAggregationBuffer(): mutable.PriorityQueue[(Double, Long)] =
+    mutable.PriorityQueue.empty[(Double, Long)](ord)
+
+  private def add(buf: mutable.PriorityQueue[(Double, Long)],
+      score: Double, id: Long): Unit = {
+    if (buf.size < k) {
+      buf.enqueue((score, id))
+    } else if (ord.lt((score, id), buf.head)) {
+      buf.dequeue()
+      buf.enqueue((score, id))
+    }
+  }
+
+  override def update(buf: mutable.PriorityQueue[(Double, Long)],
+      input: InternalRow): mutable.PriorityQueue[(Double, Long)] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val row = v.asInstanceOf[InternalRow]
+      if (!row.isNullAt(0) && !row.isNullAt(1)) {
+        add(buf, row.getDouble(0), row.getLong(1))
+      }
+    }
+    buf
+  }
+
+  override def merge(b1: mutable.PriorityQueue[(Double, Long)],
+      b2: mutable.PriorityQueue[(Double, Long)]): mutable.PriorityQueue[(Double, Long)] = {
+    b2.foreach { case (s, id) => add(b1, s, id) }
+    b1
+  }
+
+  override def eval(buf: mutable.PriorityQueue[(Double, Long)]): Any = {
+    val sorted = buf.toArray.sorted(ord)
+    new GenericArrayData(sorted.map { case (s, id) =>
+      InternalRow(s, id)
+    }.asInstanceOf[Array[Any]])
+  }
+
+  override def serialize(buf: mutable.PriorityQueue[(Double, Long)]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buf.size)
+    buf.foreach { case (s, id) => out.writeDouble(s); out.writeLong(id) }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): mutable.PriorityQueue[(Double, Long)] = {
+    val in = ByteBuffer.wrap(bytes)
+    val n = in.getInt
+    val buf = createAggregationBuffer()
+    var i = 0
+    while (i < n) { buf.enqueue((in.getDouble, in.getLong)); i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): TopKByScore =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): TopKByScore =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren.head)
+  override def prettyName: String = "topk_by_score"
+}

@@ -37,6 +37,13 @@ package object functions {
   /** 60-bit md5-based SimHash over a token array; see [[SimHash]]. */
   def simhash(tokens: Column): Column = col(SimHash(ex(tokens)))
 
+  /** Bounded top-k heap over `struct(score double, id long)`; see
+    * [[TopKByScore]]. Map-side combining: each partition ships at most k
+    * rows per group to the shuffle.
+    */
+  def topk_by_score(sv: Column, k: Int): Column =
+    col(TopKByScore(ex(sv), k).toAggregateExpression())
+
   /** Ruri model-family document prefix (reference: model/search/vector.py:123). */
   def doc_prefix(text: Column): Column = concat(lit("文章: "), text)
 

@@ -85,6 +85,41 @@ final class VectorSearchClient private (
           corpus.columns.map(col) :+ col(ScoreCol).as("score")): _*)
   }
 
+  /** Batched search with ONE index scan for the whole query batch: the
+    * query-vector table is broadcast into the scan, distances aggregate
+    * per query through a bounded-heap aggregate ([[graft.functions.TopKByScore]])
+    * with map-side combining — each partition ships at most k rows per
+    * query to the shuffle. Use for large offline batches; per-query
+    * `TakeOrderedAndProject` scans ([[searchByVectors]]) win at
+    * interactive Q. Requires a long id column.
+    * Output matches [[searchByVectors]]: (query_id, rank, <corpus cols>, score).
+    */
+  def searchByVectorsBatched(qvecs: Seq[(Long, Array[Double])], n: Int = 10): DataFrame = {
+    require(qvecs.nonEmpty, "search needs at least one query vector")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val qdf = qvecs.map { case (qid, v) => (qid, v.toSeq) }
+      .toDF(QueryIdCol, "__graft_qvec")
+    val hits = index
+      .crossJoin(broadcast(qdf))
+      .select(col(QueryIdCol),
+        struct(
+          graft.functions.array_cosine_distance(col("embedding"), col("__graft_qvec"))
+            .as("score"),
+          col(idCol).cast("long").as("id")).as("__graft_sv"))
+      .groupBy(col(QueryIdCol))
+      .agg(graft.functions.topk_by_score(col("__graft_sv"), n).as("__graft_hits"))
+      .select(col(QueryIdCol), posexplode(col("__graft_hits")))
+      .select(col(QueryIdCol), (col("pos") + 1).cast("long").as(RankCol),
+        col("col.id").as(idCol), col("col.score").as(ScoreCol))
+    broadcast(hits)
+      .join(corpus, idCol)
+      .orderBy(col(QueryIdCol), col(RankCol))
+      .select(
+        (col(QueryIdCol).as("query_id") +: col(RankCol).as("rank") +:
+          corpus.columns.map(col) :+ col(ScoreCol).as("score")): _*)
+  }
+
   /** Top-n hits for a batch of text queries: embeds driver-side exactly as the
     * reference embeds the query batch in one encode() call (vector.py:164-167),
     * applying the Ruri query prefix.

@@ -71,6 +71,19 @@ class SearchClientSpec extends SparkTestBase {
     assert(cols.count(_ == "score") == 2) // corpus's and the search score
   }
 
+  test("batched bounded-heap search equals the per-query scan path") {
+    val client = VectorSearchClient.fromEmbedded(docs, emb, "doc_id", HashingEmbedder(64))
+    val qvecs = (0L to 2L).map { i =>
+      i -> emb.where(col("doc_id") === i).select("embedding").head()
+        .getSeq[Float](0).map(_.toDouble).toArray
+    }
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "rank", "doc_id", "score").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(rows(client.searchByVectorsBatched(qvecs, 7)) ==
+      rows(client.searchByVectors(qvecs, 7)))
+  }
+
   test("searchDemo reproduces the demo app's renamed shape") {
     val sp = spark
     import sp.implicits._
