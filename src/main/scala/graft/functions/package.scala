@@ -96,6 +96,16 @@ package object functions {
     binaryBuilder("array_distance", L2Distance.apply),
     unaryBuilder("array_l2_norm", L2Norm.apply),
     unaryBuilder("simhash", SimHash.apply),
+    {
+      val builder: Seq[Expression] => Expression = {
+        case Seq(sv, org.apache.spark.sql.catalyst.expressions.Literal(k: Int, _)) =>
+          TopKByScore(sv, k)
+        case other => throw new IllegalArgumentException(
+          s"topk_by_score expects (struct<score,id>, int literal k), got ${other.size} args")
+      }
+      (FunctionIdentifier("topk_by_score"),
+        new ExpressionInfo("graft.functions", "topk_by_score"), builder)
+    },
   )
 
   /** Register graft SQL functions on an existing session (idempotent). */
