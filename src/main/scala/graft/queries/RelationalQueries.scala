@@ -87,6 +87,19 @@ object RelationalQueries {
         .orderBy("user_id")
     },
 
+    // cardinality sketches (rows-only: HLL/quantile-sketch internals differ
+    // from DuckDB's — approximate by design, exactness checked in tests
+    // against exact counts at this scale)
+    "sketch_stats" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+          count_distinct(col("l_orderkey")).as("exact_orders"),
+          expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("approx_median"))
+        .orderBy("l_returnflag")
+    },
+
     // daily retention: users active on consecutive days
     "events_retention" -> { (s, dir) =>
       val ev = graft.SparkEntry.eventsTable(s, dir)
