@@ -87,6 +87,17 @@ object RelationalQueries {
         .orderBy("user_id")
     },
 
+    // set operations: INTERSECT / EXCEPT (distinct semantics both engines)
+    "set_ops_docs" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val en = docs.where(col("lang") === "en").select("doc_id")
+      val long = docs.where(col("n_chars") > 250).select("doc_id")
+      en.intersect(long).withColumn("op", lit("intersect"))
+        .unionAll(en.except(long).withColumn("op", lit("except")))
+        .select("op", "doc_id")
+        .orderBy("op", "doc_id")
+    },
+
     // cardinality sketches (rows-only: HLL/quantile-sketch internals differ
     // from DuckDB's — approximate by design, exactness checked in tests
     // against exact counts at this scale)
@@ -152,6 +163,17 @@ object RelationalQueries {
         |WHERE e.event_type = 'purchase' AND e.ts > c.first_click
         |  AND date_part('epoch', e.ts) - date_part('epoch', c.first_click) <= 3600.0
         |GROUP BY e.user_id ORDER BY e.user_id""".stripMargin,
+    "set_ops_docs" ->
+      """SELECT 'intersect' AS op, doc_id FROM (
+        |  SELECT doc_id FROM documents WHERE lang = 'en'
+        |  INTERSECT
+        |  SELECT doc_id FROM documents WHERE n_chars > 250)
+        |UNION ALL
+        |SELECT 'except' AS op, doc_id FROM (
+        |  SELECT doc_id FROM documents WHERE lang = 'en'
+        |  EXCEPT
+        |  SELECT doc_id FROM documents WHERE n_chars > 250)
+        |ORDER BY op, doc_id""".stripMargin,
     "events_retention" ->
       """WITH daily AS (SELECT DISTINCT user_id, ts::DATE AS day FROM events)
         |SELECT a.day AS day, count(*) AS retained_users
