@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -22,17 +21,27 @@ import graft.functions.simhash
   * Hashes are md5-based so every pipeline is replicable as a DuckDB-1.0
   * oracle query; at production scale substitute xxhash64 — the machinery is
   * hash-agnostic.
+  *
+  * Caching note: the multi-consumer pipelines (minhash, jaccard, simhash)
+  * persist shared intermediates (MEMORY_AND_DISK) and hand the lineage to
+  * the returned plan — the blocks live until the session ends or the caller
+  * runs `spark.catalog.clearCache()`. In a long-lived session invoking
+  * these repeatedly, clear between batches.
   */
 object Dedup {
 
   /** Exact dedup: keep the lowest-tiebreak row per key (deterministic,
-    * unlike dropDuplicates). One hash-aggregate shuffle.
+    * unlike dropDuplicates). Genuinely ONE hash-aggregate shuffle:
+    * `min_by(struct(*), tieBreak)` combines map-side, so the exchange
+    * carries one surviving row per (partition, key) — a window/row_number
+    * formulation would shuffle and sort every input row. Ties on
+    * `tieBreak` within a key pick an arbitrary row; use a unique tie-break.
     */
   def exact(df: DataFrame, keyCols: Seq[String], tieBreak: String): DataFrame = {
-    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(tieBreak).asc)
-    df.withColumn("__graft_rn", row_number().over(w))
-      .where(col("__graft_rn") === 1)
-      .drop("__graft_rn")
+    val all = struct(df.columns.map(col): _*)
+    df.groupBy(keyCols.map(col): _*)
+      .agg(min_by(all, col(tieBreak)).as("__graft_row"))
+      .select(df.columns.map(c => col(s"__graft_row.`$c`").as(c)): _*)
   }
 
   /** MinHash signature k-column layout: h_j = min over shingles of the
@@ -99,12 +108,6 @@ object Dedup {
       .select("a", "b").distinct()
   }
 
-  /** Exact n-gram Jaccard similarity join via inverted index: explode
-    * distinct shingles, equi-join on shingle (any pair with J > 0 shares one
-    * — exact, no recall loss), count intersections, compute
-    * J = |A∩B| / (|A| + |B| - |A∩B|), keep J >= tau.
-    * Output: (a, b, inter, size_a, size_b, jaccard).
-    */
   /** Exact n-gram Jaccard similarity join via inverted index: explode each
     * doc's distinct shingles, equi-join on shingle (any pair with J > 0
     * shares one — exact, no recall loss, no cartesian), count matches per

@@ -73,9 +73,11 @@ object Multimodal {
         else {
           val resized = c.resize(r.getAs[Array[Byte]]("bytes"), width, height)
           val metaIdx = r.fieldIndex("meta")
-          val meta = r.getStruct(metaIdx)
-          val newMeta = Row(Integer.valueOf(width), Integer.valueOf(height),
-            meta.get(2), meta.get(3), meta.get(4))
+          val meta = r.getStruct(metaIdx) // nullable in mediaSchema
+          val newMeta =
+            if (meta == null) Row(Integer.valueOf(width), Integer.valueOf(height), null, null, null)
+            else Row(Integer.valueOf(width), Integer.valueOf(height),
+              meta.get(2), meta.get(3), meta.get(4))
           val vals = r.toSeq.toArray
           vals(r.fieldIndex("bytes")) = resized
           vals(metaIdx) = newMeta
@@ -108,9 +110,16 @@ object Multimodal {
     }(encoder)
   }
 
-  /** Exact duplicate media by payload hash (binary-safe dedup). */
+  /** Exact duplicate media by payload hash (binary-safe dedup). Null
+    * payloads are NOT duplicates of each other — sha2(null) is null, which
+    * would otherwise collapse every null-bytes row into one; they get a
+    * per-row sentinel key instead.
+    */
   def dedupByContent(media: DataFrame): DataFrame =
-    Dedup.exact(media.withColumn("__content_hash", sha2(col("bytes"), 256)),
+    Dedup.exact(
+      media.withColumn("__content_hash",
+        coalesce(sha2(col("bytes"), 256),
+          concat(lit("__graft_null_"), col("media_id")))),
       Seq("__content_hash"), "media_id").drop("__content_hash")
 
   /** Deterministic synthetic media table for tests (bytes = seeded digest

@@ -44,16 +44,10 @@ object SimilarityJoin {
     * sign-LSH. Returned as Seq of Array[Double], broadcast via literals.
     */
   private[ops] def hyperplanes(dim: Int, nBits: Int, seed: Long = 42L): Seq[Array[Double]] = {
-    @inline def mix(z0: Long): Long = {
-      var z = z0 + 0x9e3779b97f4a7c15L
-      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-      z ^ (z >>> 31)
-    }
     var s = seed
     (0 until nBits).map { _ =>
       Array.fill(dim) {
-        s = mix(s)
+        s = graft.util.Hashing.splitmix64(s)
         s.toDouble / Long.MaxValue.toDouble
       }
     }

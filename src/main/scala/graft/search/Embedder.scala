@@ -32,13 +32,7 @@ trait Embedder extends Serializable {
   * like a real metric over distinct texts (near-orthogonal in expectation).
   */
 final case class HashingEmbedder(dim: Int = 64) extends Embedder {
-
-  @inline private def splitmix64(z0: Long): Long = {
-    var z = z0 + 0x9e3779b97f4a7c15L
-    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-    z ^ (z >>> 31)
-  }
+  import graft.util.Hashing.splitmix64
 
   override def embedBatch(texts: Seq[String]): Seq[Array[Float]] = {
     val md = MessageDigest.getInstance("MD5") // one instance per batch, reset between texts

@@ -45,7 +45,7 @@ final class VectorSearchClient private (
     * oracle-checkable core). Output: (rank [1-based long], <corpus cols>, score).
     */
   def searchByVector(qvec: Array[Double], n: Int = 10): DataFrame =
-    searchByVectors(Seq(0L -> qvec), n).drop(QueryIdCol)
+    searchByVectors(Seq(0L -> qvec), n).drop("query_id")
 
   /** Batched vector search: one output DataFrame keyed by `query_id` (the
     * reference returns List[DataFrame], one per query — vector.py:140,170-188

@@ -18,7 +18,10 @@ class SearchClientSpec extends SparkTestBase {
     val client = VectorSearchClient.fromEmbedded(docs, emb, "doc_id", HashingEmbedder(64))
     val q = emb.where(col("doc_id") === 7).select("embedding").head()
       .getSeq[Float](0).map(_.toDouble).toArray
-    val top = client.searchByVector(q, 5).collect()
+    val out = client.searchByVector(q, 5)
+    // exact documented shape: (rank, <corpus cols>, score) — no query_id leak
+    assert(out.columns.toSeq == Seq("rank", "doc_id", "text", "score"))
+    val top = out.collect()
     assert(top.length == 5)
     val first = top.head
     assert(first.getAs[Long]("rank") == 1L)
