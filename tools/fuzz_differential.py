@@ -1,0 +1,173 @@
+#!/usr/bin/env python3
+"""Differential SQL fuzzing: seeded random queries in the Spark/DuckDB common
+dialect, executed by graft (spark.sql via graft.tools.SqlRunner) and DuckDB,
+results compared (columns sorted, rows sorted, float epsilon).
+
+Generator constraints keep the dialect common and deterministic:
+ - aggregates over doubles are round()ed to kill summation-order noise
+ - no division (x/0 semantics differ), no implicit casts across engines
+ - ORDER BY always carries a total tie-break
+
+Usage: python3 tools/fuzz_differential.py [n_queries] [seed] [sfdir]
+"""
+import json
+import math
+import random
+import subprocess
+import sys
+import tempfile
+from pathlib import Path
+
+import duckdb
+
+N = int(sys.argv[1]) if len(sys.argv) > 1 else 40
+SEED = int(sys.argv[2]) if len(sys.argv) > 2 else 42
+SFDIR = sys.argv[3] if len(sys.argv) > 3 else "/root/testdata/sf0.01"
+
+rng = random.Random(SEED)
+
+TABLES = {
+    "lineitem": {
+        "num": ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "int": ["l_orderkey", "l_partkey", "l_suppkey"],
+        "str": ["l_returnflag", "l_linestatus"],
+        # tie-break must be a TRULY unique key: l_orderkey alone leaves
+        # LIMIT under-determined at the boundary (both engines "correct",
+        # different rows)
+        "key": "l_orderkey, l_linenumber",
+    },
+    "orders": {
+        "num": ["o_totalprice"],
+        "int": ["o_orderkey", "o_custkey"],
+        "str": ["o_orderstatus", "o_orderpriority"],
+        "key": "o_orderkey",
+    },
+    "customer": {
+        "num": ["c_acctbal"],
+        "int": ["c_custkey", "c_nationkey"],
+        "str": ["c_name", "c_mktsegment"],
+        "key": "c_custkey",
+    },
+    "part": {
+        "num": ["p_retailprice"],
+        "int": ["p_partkey", "p_size"],
+        "str": ["p_name", "p_brand", "p_type"],
+        "key": "p_partkey",
+    },
+}
+
+
+def predicate(t):
+    kind = rng.choice(["num", "int", "str", "and", "or"])
+    if kind == "and" or kind == "or":
+        return f"({predicate(t)} {kind.upper()} {predicate(t)})"
+    if kind == "num":
+        c = rng.choice(TABLES[t]["num"])
+        op = rng.choice(["<", ">", "<=", ">="])
+        return f"{c} {op} {round(rng.uniform(0, 1000), 2)}"
+    if kind == "int":
+        c = rng.choice(TABLES[t]["int"])
+        op = rng.choice(["<", ">", "=", "<>"])
+        return f"{c} {op} {rng.randint(0, 5000)}"
+    c = rng.choice(TABLES[t]["str"])
+    return f"{c} {rng.choice(['<', '>', '<>'])} '{rng.choice('ABCFNOPR')}'"
+
+
+def gen_query():
+    t = rng.choice(list(TABLES))
+    cols = TABLES[t]
+    shape = rng.choice(["agg", "agg", "filter_topk", "distinct"])
+    if shape == "agg":
+        g = rng.choice(cols["str"])
+        aggs = []
+        for i in range(rng.randint(1, 3)):
+            c = rng.choice(cols["num"] + cols["int"])
+            fn = rng.choice(["sum", "min", "max", "avg", "count"])
+            expr = f"round({fn}({c}), 4)" if fn in ("sum", "avg") else f"{fn}({c})"
+            if fn == "count":
+                expr = f"count({c})"
+            aggs.append(f"{expr} AS a{i}")
+        where = f" WHERE {predicate(t)}" if rng.random() < 0.7 else ""
+        return (f"SELECT {g}, count(*) AS n, {', '.join(aggs)} FROM {t}{where} "
+                f"GROUP BY {g} ORDER BY {g}")
+    if shape == "filter_topk":
+        sel = rng.sample(cols["int"] + cols["str"] + cols["num"], k=rng.randint(2, 4))
+        ordc = rng.choice(sel)
+        return (f"SELECT {', '.join(sel)} FROM {t} WHERE {predicate(t)} "
+                f"ORDER BY {ordc} {rng.choice(['ASC', 'DESC'])}, {cols['key']} LIMIT {rng.randint(5, 50)}")
+    g = rng.choice(cols["str"])
+    return (f"SELECT DISTINCT {g} FROM {t} WHERE {predicate(t)} ORDER BY {g}")
+
+
+def close(a, b):
+    if a is None or b is None:
+        return a is None and b is None
+    if isinstance(a, float) or isinstance(b, float):
+        try:
+            af, bf = float(a), float(b)
+        except (TypeError, ValueError):
+            return False
+        if math.isnan(af) and math.isnan(bf):
+            return True
+        return math.isclose(af, bf, rel_tol=1e-9, abs_tol=1e-12)
+    return a == b
+
+
+def main():
+    queries = [gen_query() for _ in range(N)]
+    work = Path(tempfile.mkdtemp(prefix="graft_fuzz_"))
+    sql_file = work / "queries.sql"
+    sql_file.write_text("\n".join(queries))
+    out = work / "out"
+    print(f"running {N} queries (seed {SEED}) via SqlRunner -> {out}")
+    r = subprocess.run(
+        ["sbt", "-batch", f"runMain graft.tools.SqlRunner {SFDIR} {sql_file} {out}"],
+        cwd="/root/repo", capture_output=True, text=True, timeout=560)
+    if r.returncode != 0:
+        print("SqlRunner failed:", r.stdout[-2000:], r.stderr[-500:])
+        sys.exit(2)
+
+    con = duckdb.connect()
+    for t in list(TABLES) + ["region", "nation", "supplier", "documents", "embeddings", "events"]:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SFDIR}/{t}.parquet')")
+    n_pass = n_fail = 0
+    for i, sql in enumerate(queries):
+        err = out / f"q{i}.error"
+        if err.exists():
+            print(f"FAIL q{i}: spark error: {err.read_text()[:120]}\n  SQL: {sql}")
+            n_fail += 1
+            continue
+        s_rel = con.execute(f"SELECT * FROM read_parquet('{out}/q{i}/*.parquet')")
+        s_cols = [d[0] for d in s_rel.description]
+        s_rows = s_rel.fetchall()
+        try:
+            d_rel = con.execute(sql)
+            d_cols = [d[0] for d in d_rel.description]
+            d_rows = d_rel.fetchall()
+        except Exception as e:
+            print(f"FAIL q{i}: duckdb error: {str(e)[:120]}\n  SQL: {sql}")
+            n_fail += 1
+            continue
+        key = lambda r: tuple((x is None, str(x)) for x in r)
+        si = [s_cols.index(c) for c in sorted(s_cols)]
+        di = [d_cols.index(c) for c in sorted(d_cols)]
+        s_sorted = sorted([tuple(r[j] for j in si) for r in s_rows], key=key)
+        d_sorted = sorted([tuple(r[j] for j in di) for r in d_rows], key=key)
+        ok = (sorted(s_cols) == sorted(d_cols) and len(s_sorted) == len(d_sorted)
+              and all(close(a, b) for sr, dr in zip(s_sorted, d_sorted)
+                      for a, b in zip(sr, dr)))
+        if ok:
+            n_pass += 1
+        else:
+            n_fail += 1
+            print(f"FAIL q{i}: mismatch rows spark={len(s_sorted)} duck={len(d_sorted)}\n  SQL: {sql}")
+            for sr, dr in list(zip(s_sorted, d_sorted))[:3]:
+                if not all(close(a, b) for a, b in zip(sr, dr)):
+                    print(f"    spark={sr}\n    duck ={dr}")
+                    break
+    print(f"== fuzz: {n_pass} pass, {n_fail} fail (seed {SEED}, n {N}) ==")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
