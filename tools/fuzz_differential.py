@@ -73,10 +73,33 @@ def predicate(t):
     return f"{c} {rng.choice(['<', '>', '<>'])} '{rng.choice('ABCFNOPR')}'"
 
 
+JOINS = [
+    ("lineitem", "orders", "l_orderkey = o_orderkey"),
+    ("orders", "customer", "o_custkey = c_custkey"),
+    ("customer", "nation", "c_nationkey = n_nationkey"),
+]
+
+
 def gen_query():
     t = rng.choice(list(TABLES))
     cols = TABLES[t]
-    shape = rng.choice(["agg", "agg", "filter_topk", "distinct"])
+    shape = rng.choice(["agg", "agg", "filter_topk", "distinct", "join_agg", "window"])
+    if shape == "join_agg":
+        a, b, cond = rng.choice(JOINS)
+        g = rng.choice(TABLES[a]["str"] if rng.random() < 0.5 and a in TABLES
+                       else TABLES[b]["str"] if b in TABLES else TABLES[a]["str"])
+        c = rng.choice(TABLES[a]["num"])
+        where = f" AND {predicate(a)}" if rng.random() < 0.5 else ""
+        return (f"SELECT {g}, count(*) AS n, round(sum({c}), 4) AS s "
+                f"FROM {a} JOIN {b} ON {cond}{where} GROUP BY {g} ORDER BY {g}")
+    if shape == "window":
+        g = rng.choice(cols["str"])
+        o = rng.choice(cols["num"] + cols["int"])
+        k = rng.randint(1, 3)
+        return (f"SELECT {g}, {o}, rn FROM ("
+                f"SELECT {g}, {o}, row_number() OVER (PARTITION BY {g} "
+                f"ORDER BY {o} DESC, {cols['key']}) AS rn FROM {t}) "
+                f"WHERE rn <= {k} ORDER BY {g}, rn")
     if shape == "agg":
         g = rng.choice(cols["str"])
         aggs = []
