@@ -45,3 +45,25 @@ class AnnIndexSpec extends SparkTestBase {
       .head().getLong(0) == 3L)
   }
 }
+
+/** Sketch error bounds: HLL within its configured relative standard
+  * deviation of the exact count (the sketch_stats query is rows-only; this
+  * pins that "approximate" still means bounded).
+  */
+class SketchBoundsSpec extends SparkTestBase {
+  test("approx_count_distinct stays within 4 rsd of exact") {
+    val li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+    val rsd = 0.05
+    val rows = li.groupBy("l_returnflag")
+      .agg(
+        approx_count_distinct(col("l_orderkey"), rsd).as("approx"),
+        count_distinct(col("l_orderkey")).as("exact"))
+      .collect()
+    rows.foreach { r =>
+      val approx = r.getLong(1).toDouble
+      val exact = r.getLong(2).toDouble
+      assert(math.abs(approx - exact) / exact <= 4 * rsd,
+        s"${r.getString(0)}: approx $approx vs exact $exact")
+    }
+  }
+}
