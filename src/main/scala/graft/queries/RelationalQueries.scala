@@ -87,6 +87,38 @@ object RelationalQueries {
         .orderBy("user_id")
     },
 
+    // TPC-H Q5-ish: revenue by region/nation through the supplier side
+    // (4-way star join; dims broadcast)
+    "q5_region_revenue" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
+          .as("revenue"))
+        .orderBy("r_name", "n_name")
+    },
+
+    // HAVING: customers above an order-count threshold
+    "having_big_customers" -> { (s, dir) =>
+      t(s, dir, "orders")
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum("o_totalprice"), 4).as("total_spend"))
+        .where(col("n_orders") >= 15)
+        .orderBy("o_custkey")
+    },
+
+    // ordered string aggregation: nation list per region
+    "string_agg_nations" -> { (s, dir) =>
+      t(s, dir, "nation")
+        .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(concat_ws(",", sort_array(collect_list(col("n_name")))).as("nations"))
+        .orderBy("r_name")
+    },
+
     // set operations: INTERSECT / EXCEPT (distinct semantics both engines)
     "set_ops_docs" -> { (s, dir) =>
       val docs = t(s, dir, "documents")
@@ -163,6 +195,23 @@ object RelationalQueries {
         |WHERE e.event_type = 'purchase' AND e.ts > c.first_click
         |  AND date_part('epoch', e.ts) - date_part('epoch', c.first_click) <= 3600.0
         |GROUP BY e.user_id ORDER BY e.user_id""".stripMargin,
+    "q5_region_revenue" ->
+      """SELECT r_name, n_name,
+        |       round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+    "having_big_customers" ->
+      """SELECT o_custkey, count(*) AS n_orders,
+        |       round(sum(o_totalprice), 4) AS total_spend
+        |FROM orders GROUP BY o_custkey
+        |HAVING count(*) >= 15 ORDER BY o_custkey""".stripMargin,
+    "string_agg_nations" ->
+      """SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
     "set_ops_docs" ->
       """SELECT 'intersect' AS op, doc_id FROM (
         |  SELECT doc_id FROM documents WHERE lang = 'en'
