@@ -130,6 +130,25 @@ object RelationalQueries {
         .orderBy("op", "doc_id")
     },
 
+    // grouped top-k via the bounded-heap aggregate (generic use of
+    // TopKByScore beyond vector search: top users per event type; a
+    // window row_number would shuffle every (type, user) row)
+    "events_top_users" -> { (s, dir) =>
+      val perUser = graft.SparkEntry.eventsTable(s, dir)
+        .groupBy("event_type", "user_id")
+        .agg(count(lit(1)).as("cnt"))
+      perUser
+        .select(col("event_type"),
+          struct((-col("cnt")).cast("double").as("score"), col("user_id").as("id"))
+            .as("sv"))
+        .groupBy("event_type")
+        .agg(graft.functions.topk_by_score(col("sv"), 3).as("hits"))
+        .select(col("event_type"), posexplode(col("hits")))
+        .select(col("event_type"), (col("pos") + 1).cast("long").as("rank"),
+          col("col.id").as("user_id"), (-col("col.score")).cast("long").as("cnt"))
+        .orderBy("event_type", "rank")
+    },
+
     // cardinality sketches (rows-only: HLL/quantile-sketch internals differ
     // from DuckDB's — approximate by design, exactness checked in tests
     // against exact counts at this scale)
@@ -223,6 +242,14 @@ object RelationalQueries {
         |  EXCEPT
         |  SELECT doc_id FROM documents WHERE n_chars > 250)
         |ORDER BY op, doc_id""".stripMargin,
+    "events_top_users" ->
+      """SELECT event_type, rank, user_id, cnt FROM (
+        |  SELECT event_type, user_id, cnt,
+        |         CAST(row_number() OVER (PARTITION BY event_type
+        |              ORDER BY cnt DESC, user_id ASC) AS BIGINT) AS rank
+        |  FROM (SELECT event_type, user_id, count(*) AS cnt
+        |        FROM events GROUP BY event_type, user_id))
+        |WHERE rank <= 3 ORDER BY event_type, rank""".stripMargin,
     "events_retention" ->
       """WITH daily AS (SELECT DISTINCT user_id, ts::DATE AS day FROM events)
         |SELECT a.day AS day, count(*) AS retained_users
