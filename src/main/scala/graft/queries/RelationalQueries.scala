@@ -162,6 +162,16 @@ object RelationalQueries {
         .orderBy("l_returnflag")
     },
 
+    // JSON property extraction from the events props payload
+    "events_json_extract" -> { (s, dir) =>
+      graft.SparkEntry.eventsTable(s, dir)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
+          round(avg("k"), 6).as("avg_k"))
+        .orderBy("event_type")
+    },
+
     // daily retention: users active on consecutive days
     "events_retention" -> { (s, dir) =>
       val ev = graft.SparkEntry.eventsTable(s, dir)
@@ -250,6 +260,11 @@ object RelationalQueries {
         |  FROM (SELECT event_type, user_id, count(*) AS cnt
         |        FROM events GROUP BY event_type, user_id))
         |WHERE rank <= 3 ORDER BY event_type, rank""".stripMargin,
+    "events_json_extract" ->
+      """SELECT event_type, count(*) AS n,
+        |       CAST(sum(json_extract_string(props, '$.k')::BIGINT) AS BIGINT) AS sum_k,
+        |       round(avg(json_extract_string(props, '$.k')::BIGINT), 6) AS avg_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "events_retention" ->
       """WITH daily AS (SELECT DISTINCT user_id, ts::DATE AS day FROM events)
         |SELECT a.day AS day, count(*) AS retained_users
