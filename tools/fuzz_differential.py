@@ -31,10 +31,12 @@ TABLES = {
         "num": ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
         "int": ["l_orderkey", "l_partkey", "l_suppkey"],
         "str": ["l_returnflag", "l_linestatus"],
-        # tie-break must be a TRULY unique key: l_orderkey alone leaves
-        # LIMIT under-determined at the boundary (both engines "correct",
-        # different rows)
-        "key": "l_orderkey, l_linenumber",
+        # tie-break must make the order total. The SYNTHETIC lineitem has
+        # ~12k duplicate (l_orderkey, l_linenumber) pairs (unlike real
+        # TPC-H), so order by every column: fully-identical rows are
+        # interchangeable in a sorted-multiset compare.
+        "key": ("l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity, "
+                "l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus"),
     },
     "orders": {
         "num": ["o_totalprice"],
