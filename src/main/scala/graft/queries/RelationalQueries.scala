@@ -162,6 +162,31 @@ object RelationalQueries {
         .orderBy("l_returnflag")
     },
 
+    // pivot: per-user event-type counts as columns (explicit value list ->
+    // deterministic schema; oracle via conditional aggregation)
+    "events_pivot" -> { (s, dir) =>
+      graft.SparkEntry.eventsTable(s, dir)
+        .groupBy("user_id")
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy("user_id")
+    },
+
+    // full outer join with match classification (orders x customer)
+    "full_outer_match" -> { (s, dir) =>
+      val orders = t(s, dir, "orders").groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_orders"))
+      val customer = t(s, dir, "customer").select("c_custkey")
+      orders.join(customer, col("o_custkey") === col("c_custkey"), "full_outer")
+        .select(
+          when(col("o_custkey").isNull, "customer_only")
+            .when(col("c_custkey").isNull, "orders_only")
+            .otherwise("matched").as("side"))
+        .groupBy("side").agg(count(lit(1)).as("n"))
+        .orderBy("side")
+    },
+
     // JSON property extraction from the events props payload
     "events_json_extract" -> { (s, dir) =>
       graft.SparkEntry.eventsTable(s, dir)
@@ -260,6 +285,22 @@ object RelationalQueries {
         |  FROM (SELECT event_type, user_id, count(*) AS cnt
         |        FROM events GROUP BY event_type, user_id))
         |WHERE rank <= 3 ORDER BY event_type, rank""".stripMargin,
+    "events_pivot" ->
+      """SELECT user_id,
+        |       CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+        |       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+        |       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+        |       CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+        |       CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "full_outer_match" ->
+      """SELECT side, count(*) AS n FROM (
+        |  SELECT CASE WHEN o.o_custkey IS NULL THEN 'customer_only'
+        |              WHEN c.c_custkey IS NULL THEN 'orders_only'
+        |              ELSE 'matched' END AS side
+        |  FROM (SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY o_custkey) o
+        |  FULL OUTER JOIN (SELECT c_custkey FROM customer) c ON o.o_custkey = c.c_custkey)
+        |GROUP BY side ORDER BY side""".stripMargin,
     "events_json_extract" ->
       """SELECT event_type, count(*) AS n,
         |       CAST(sum(json_extract_string(props, '$.k')::BIGINT) AS BIGINT) AS sum_k,
