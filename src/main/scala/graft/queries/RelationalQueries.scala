@@ -162,6 +162,19 @@ object RelationalQueries {
         .orderBy("l_returnflag")
     },
 
+    // window frames: running per-customer order total (rows unbounded
+    // preceding -> current row), deterministic frame order
+    "running_order_total" -> { (s, dir) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "orders")
+        .where(col("o_custkey") < 100)
+        .select(col("o_custkey"), col("o_orderkey"),
+          round(sum(col("o_totalprice")).over(w), 6).as("running_total"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+
     // pivot: per-user event-type counts as columns (explicit value list ->
     // deterministic schema; oracle via conditional aggregation)
     "events_pivot" -> { (s, dir) =>
@@ -285,6 +298,13 @@ object RelationalQueries {
         |  FROM (SELECT event_type, user_id, count(*) AS cnt
         |        FROM events GROUP BY event_type, user_id))
         |WHERE rank <= 3 ORDER BY event_type, rank""".stripMargin,
+    "running_order_total" ->
+      """SELECT o_custkey, o_orderkey,
+        |       round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+        |             ORDER BY o_orderdate ASC, o_orderkey ASC
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS running_total
+        |FROM orders WHERE o_custkey < 100
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
     "events_pivot" ->
       """SELECT user_id,
         |       CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
