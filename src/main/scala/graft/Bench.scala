@@ -44,12 +44,19 @@ object Bench {
     }
 
     // best-of-2: single-run wall clock on a shared machine carries ~15%
-    // scheduling noise; the minimum is the standard steady-state estimate
+    // scheduling noise; the minimum is the standard steady-state estimate.
+    // Run 2 of the SAME query may reuse run 1's persisted intermediates
+    // (steady-state behavior); the cache is cleared BETWEEN queries so
+    // per-query persists can't accumulate across the 49-query session
+    // (unbounded growth risks spill and distorts later timings).
     def timed(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val a = timedOnce(name, fn)
-      if (a < 0) return a
-      val b = timedOnce(name, fn)
-      if (b < 0) a else math.min(a, b)
+      val r = if (a < 0) a else {
+        val b = timedOnce(name, fn)
+        if (b < 0) a else math.min(a, b)
+      }
+      spark.catalog.clearCache()
+      r
     }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
@@ -61,8 +68,11 @@ object Bench {
     val qs = results
       .map { case (k, v) => "\"" + k + "\":" + num(v) }
       .mkString("{", ",", "}")
+    val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","runs":2,"agg":"min"}""")
+    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir","runs":2,"agg":"min"}""")
     spark.stop()
+    // a broken query must not masquerade as a faster total
+    if (failed.nonEmpty) sys.exit(1)
   }
 }

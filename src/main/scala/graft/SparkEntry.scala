@@ -26,10 +26,30 @@ object SparkEntry {
     * to map to TimestampType; read nanos as long and rebuild a microsecond
     * timestamp (integer division — the values exceed double precision).
     * DuckDB applies the same ns→µs truncation, so oracles agree.
+    *
+    * The converted frame is materialized ONCE per source dir to a local
+    * parquet spool and re-read from there: the 8+ events_* queries would
+    * otherwise each re-read and re-convert the nanos column (measured ~0.5 s
+    * per query at sf0.1). A parquet spool, unlike `.persist`, survives
+    * `spark.catalog.clearCache()` (which Bench issues between queries to
+    * bound cache growth) and gives every consumer a normal multi-file scan
+    * with pushdown instead of a single-row-group file.
     */
+  private val eventsSpool = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   private def events(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(s, dir, "events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val path = eventsSpool.computeIfAbsent(dir, d => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_events_spool").toString
+      // NO repartition: the spool must preserve file row order — double
+      // sums (events_hourly) accumulate in input order, and the oracle
+      // compare needs them bit-identical to DuckDB's sequential scan
+      t(s, d, "events")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .write.mode("overwrite").parquet(tmp)
+      tmp
+    })
+    s.read.parquet(path)
   }
 
   /** Events reader shared with the north-star query pack. */
@@ -244,8 +264,9 @@ object SparkEntry {
         .transform(graft.queries.sortedSingle(_, col("doc_id")))
     },
 
-    // ---- DSv2 paged REST scan with source-side predicate (S3/S4);
-    // rows-only check: the synthetic service is invisible to DuckDB ----
+    // ---- DSv2 paged REST scan with source-side predicate (S3/S4).
+    // The synthetic service is deterministic (id, "page-<id>", id%3==0),
+    // so a table-free DuckDB range() relation oracles it exactly ----
     "paged_rest_scan" -> { (s, _) =>
       s.read.format("graft.sources.rest.PagedRestProvider")
         .option("rows", "300").option("pageSize", "100").load()
@@ -391,5 +412,11 @@ object SparkEntry {
         |  SELECT user_id, event_type, ts, min(event_id) AS event_id
         |  FROM events GROUP BY user_id, event_type, ts)
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // mirrors SyntheticNotionService: 300 rows, is_target = id % 3 == 0,
+    // title "page-<id>" — the pushed filter keeps only targets
+    "paged_rest_scan" ->
+      """SELECT i AS id, 'page-' || i AS title, TRUE AS is_target
+        |FROM (SELECT unnest(range(0, 300)) AS i)
+        |WHERE i % 3 = 0 ORDER BY id""".stripMargin,
   )
 }

@@ -42,8 +42,9 @@ case class TopKByScore(
     StructField("id", LongType, nullable = false))), containsNull = false)
 
   // max-heap on (score, id): the root is the WORST kept entry, evicted when
-  // something better arrives
-  private def ord: Ordering[(Double, Long)] =
+  // something better arrives. A val: a def here would allocate a fresh
+  // Ordering per add()/merge comparison in the per-input-row hot path.
+  @transient private lazy val ord: Ordering[(Double, Long)] =
     Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Long)
 
   override def createAggregationBuffer(): mutable.PriorityQueue[(Double, Long)] =

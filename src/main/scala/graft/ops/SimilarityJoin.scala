@@ -95,15 +95,19 @@ object SimilarityJoin {
 /** IVF-style ANN index: a coarse quantizer over deterministic centroids.
   * Build: pick every `stride`-th vector as a centroid (deterministic — no
   * k-means iterations needed for a correctness-first index; swap in k-means||
-  * at scale), assign each vector to its nearest centroid (broadcast
-  * centroids, codegen distance, one narrow shuffle on centroid id).
-  * Query: rank centroids by distance to the query, scan only the `nprobe`
-  * nearest buckets (partition-pruned by the centroid-id filter), then exact
-  * top-k within the probed buckets.
+  * at scale), assign each vector to its nearest centroid via a BROADCAST
+  * centroid join + `min(struct(dist, cid))` argmin aggregation — the
+  * assignment is a plan over DataFrames end to end, so centroid count scales
+  * to millions without any driver collect or per-centroid literal in the
+  * expression tree (a 10^7-centroid literal argmin would kill plan
+  * serialization and codegen long before 100 TB).
+  * Query: rank centroids by distance to the query (a tiny distributed top-k;
+  * only `nprobe` ids reach the driver), scan only the `nprobe` nearest
+  * buckets (co-partitioned by centroid id), then exact top-k within them.
   */
 final class AnnIndex private (
-    assigned: DataFrame, // (id, vec, centroid_id) — partitioned by centroid_id
-    centroids: Seq[(Long, Array[Double])],
+    assigned: DataFrame, // (id, vec, __centroid) — partitioned by __centroid
+    centroids: DataFrame, // (__cid, __cvec)
     idCol: String, vecCol: String) extends Serializable {
 
   /** Exact brute-force top-k — the reference's semantics
@@ -118,22 +122,20 @@ final class AnnIndex private (
 
   /** IVF probe: top-k among the `nprobe` buckets nearest to the query. */
   def probeTopK(qvec: Array[Double], k: Int, nprobe: Int = 4): DataFrame = {
-    val ranked = centroids
-      .map { case (cid, c) =>
-        var dot = 0.0; var na = 0.0; var nb = 0.0
-        var i = 0
-        while (i < c.length) {
-          dot += c(i) * qvec(i); na += c(i) * c(i); nb += qvec(i) * qvec(i); i += 1
-        }
-        val sim = if (na == 0.0 || nb == 0.0) -1.0 else dot / (math.sqrt(na) * math.sqrt(nb))
-        (cid, 1.0 - sim)
-      }
-      .sortBy { case (cid, d) => (d, cid) }
-      .take(nprobe).map(_._1)
+    val q = typedLit(qvec.toSeq)
+    // rank centroids distributed (TakeOrderedAndProject); collect nprobe IDS
+    // only — never the centroid vectors
+    val probed = centroids
+      .select(col("__cid"), array_cosine_distance(col("__cvec"), q).as("__d"))
+      .orderBy(col("__d").asc_nulls_last, col("__cid").asc)
+      .limit(nprobe)
+      .collect().map(_.getLong(0)).toSeq
+    require(probed.nonEmpty,
+      "no centroids: no index id divisible by the build stride")
     assigned
-      .where(col("__centroid").isin(ranked: _*))
+      .where(col("__centroid").isin(probed: _*))
       .select(col(idCol),
-        array_cosine_distance(col(vecCol), typedLit(qvec.toSeq)).as("cos_dist"))
+        array_cosine_distance(col(vecCol), q).as("cos_dist"))
       .orderBy(col("cos_dist").asc_nulls_last, col(idCol).asc)
       .limit(k)
   }
@@ -143,22 +145,24 @@ object AnnIndex {
   /** Build the IVF index. `stride` controls centroid count (~n/stride). */
   def build(df: DataFrame, idCol: String, vecCol: String,
       stride: Int = 64): AnnIndex = {
-    val spark = df.sparkSession
+    // laziness preserved: emptiness is checked when the first probe runs
+    // (probeTopK) rather than paying a separate Spark job at build time
     val centroids = df
       .where(pmod(col(idCol), lit(stride)) === 0)
-      .select(col(idCol), col(vecCol))
-      .collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
-      .toSeq
-    require(centroids.nonEmpty, s"no centroids: no $idCol divisible by $stride")
-    // nearest centroid per vector: argmin over broadcast centroid literals
-    val distCols = centroids.map { case (cid, c) =>
-      struct(array_cosine_distance(col(vecCol), typedLit(c.toSeq)).as("d"),
-        lit(cid).as("cid"))
-    }
+      .select(col(idCol).cast("long").as("__cid"), col(vecCol).as("__cvec"))
+    // nearest centroid per vector: broadcast the centroid table into the
+    // scan, partial-aggregate the argmin map-side — each partition ships one
+    // row per vector to the shuffle regardless of centroid count. Ties on
+    // distance break by centroid id (struct ordering: d, then cid).
     val assigned = df
+      .select(col(idCol), col(vecCol))
+      .crossJoin(broadcast(centroids))
       .select(col(idCol), col(vecCol),
-        array_min(array(distCols: _*)).getField("cid").as("__centroid"))
+        struct(array_cosine_distance(col(vecCol), col("__cvec")).as("d"),
+          col("__cid").as("cid")).as("__dc"))
+      .groupBy(col(idCol))
+      .agg(first(col(vecCol)).as(vecCol),
+        min(col("__dc")).getField("cid").as("__centroid"))
       .repartition(col("__centroid"))
     new AnnIndex(assigned, centroids, idCol, vecCol)
   }

@@ -84,7 +84,10 @@ object NorthStarQueries {
         .orderBy("a", "b")
     },
 
-    // IVF-probe ANN top-k (rows-only: assignment argmin oracle impractical)
+    // IVF-probe ANN top-k. Fully oracle-checked: centroid choice (every
+    // stride-th id), the argmin assignment, the nprobe centroid ranking and
+    // the final top-k are all deterministic, so DuckDB replicates the exact
+    // pipeline (same distance expression, same (d, cid) tie-break).
     "ann_ivf_topk" -> { (s, dir) =>
       val emb = t(s, dir, "embeddings")
       val qvec = emb.where(col("vec_id") === 1).select(col("embedding"))
@@ -350,5 +353,28 @@ object NorthStarQueries {
     "events_salted_rollup" ->
       """SELECT event_type, round(sum(value), 6) AS sum_value, count(*) AS n_rows
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "ann_ivf_topk" ->
+      """WITH cents AS (
+        |  SELECT vec_id AS cid, embedding FROM embeddings WHERE vec_id % 64 = 0),
+        |q AS (SELECT embedding::DOUBLE[64] AS v FROM embeddings WHERE vec_id = 1),
+        |probed AS (
+        |  SELECT cid FROM (
+        |    SELECT cid,
+        |           1 - array_cosine_similarity(embedding::DOUBLE[64], (SELECT v FROM q)) AS d
+        |    FROM cents)
+        |  ORDER BY d ASC NULLS LAST, cid ASC LIMIT 4),
+        |assign AS (
+        |  SELECT vec_id, centroid FROM (
+        |    SELECT e.vec_id, c.cid AS centroid,
+        |           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |             1 - array_cosine_similarity(e.embedding::DOUBLE[64],
+        |                 c.embedding::DOUBLE[64]) ASC,
+        |             c.cid ASC) AS rn
+        |    FROM embeddings e CROSS JOIN cents c) WHERE rn = 1)
+        |SELECT e.vec_id,
+        |       1 - array_cosine_similarity(e.embedding::DOUBLE[64], (SELECT v FROM q)) AS cos_dist
+        |FROM embeddings e JOIN assign a ON e.vec_id = a.vec_id
+        |WHERE a.centroid IN (SELECT cid FROM probed)
+        |ORDER BY cos_dist ASC NULLS LAST, e.vec_id ASC LIMIT 10""".stripMargin,
   )
 }

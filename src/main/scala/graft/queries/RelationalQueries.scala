@@ -149,16 +149,38 @@ object RelationalQueries {
         .orderBy("event_type", "rank")
     },
 
-    // cardinality sketches (rows-only: HLL/quantile-sketch internals differ
-    // from DuckDB's — approximate by design, exactness checked in tests
-    // against exact counts at this scale)
+    // cardinality + quantile sketches, oracle-checkable. The sketch values
+    // themselves (HLL++, GK-quantile) can't hash-match DuckDB's internals,
+    // so the query emits the EXACT distinct count plus booleans asserting
+    // each sketch honors its published error bound — the oracle emits the
+    // same exact count and TRUE. Three cheap passes beat one mixed
+    // distinct/approx agg: count_distinct alongside other aggregates forces
+    // an Expand (row duplication) over the whole scan, and the rank check
+    // verifies approx_percentile without buffering exact percentiles.
     "sketch_stats" -> { (s, dir) =>
-      t(s, dir, "lineitem")
-        .groupBy("l_returnflag")
+      val li = t(s, dir, "lineitem")
+      // exact distinct, two-phase: dedup keys map-side, then count — no Expand
+      val exact = li.groupBy("l_returnflag", "l_orderkey").agg(count(lit(1)).as("__c"))
+        .groupBy("l_returnflag").agg(count(lit(1)).as("exact_orders"))
+      // sketches in one plain hash-aggregate pass
+      val sketch = li.groupBy("l_returnflag")
         .agg(
-          approx_count_distinct(col("l_orderkey")).as("approx_orders"),
-          count_distinct(col("l_orderkey")).as("exact_orders"),
-          expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("approx_median"))
+          approx_count_distinct(col("l_orderkey")).as("__approx_orders"),
+          expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("__approx_median"))
+      // rank check: the fraction of rows <= the sketch median must sit within
+      // eps of 0.5 (approx_percentile's rank-error contract, eps >= 1/accuracy)
+      val rank = li.join(broadcast(sketch), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg((sum(when(col("l_extendedprice") <= col("__approx_median"), 1L)
+          .otherwise(0L)) / count(lit(1))).as("__median_frac"))
+      exact.join(broadcast(sketch), "l_returnflag").join(broadcast(rank), "l_returnflag")
+        .select(
+          col("l_returnflag"),
+          col("exact_orders"),
+          // HLL++ default rsd is 0.05; 0.15 = 3 sigma
+          (abs(col("__approx_orders") - col("exact_orders")) <=
+            col("exact_orders") * 0.15).as("approx_orders_ok"),
+          (abs(col("__median_frac") - 0.5) <= 0.01).as("approx_median_ok"))
         .orderBy("l_returnflag")
     },
 
@@ -331,5 +353,9 @@ object RelationalQueries {
         |SELECT a.day AS day, count(*) AS retained_users
         |FROM daily a JOIN daily b ON a.user_id = b.user_id AND b.day = a.day + 1
         |GROUP BY a.day ORDER BY a.day""".stripMargin,
+    "sketch_stats" ->
+      """SELECT l_returnflag, count(DISTINCT l_orderkey) AS exact_orders,
+        |       TRUE AS approx_orders_ok, TRUE AS approx_median_ok
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
   )
 }

@@ -181,11 +181,14 @@ object VectorSearchClient {
     val index = embedded.select(col(idCol), col("embedding"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     if (validateDim) {
-      index.select(size(col("embedding"))).head(1).foreach { r =>
-        val d = r.getInt(0)
-        require(d == embedder.dim,
-          s"index embedding dim $d != embedder dim ${embedder.dim}")
-      }
+      // skip null embeddings: size(NULL) is NULL and would NPE on getInt
+      // instead of raising the descriptive dim-mismatch message
+      index.where(col("embedding").isNotNull)
+        .select(size(col("embedding"))).head(1).foreach { r =>
+          val d = r.getInt(0)
+          require(d == embedder.dim,
+            s"index embedding dim $d != embedder dim ${embedder.dim}")
+        }
     }
     new VectorSearchClient(corpus, index, embedder, idCol)
   }

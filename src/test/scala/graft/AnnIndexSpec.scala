@@ -46,9 +46,32 @@ class AnnIndexSpec extends SparkTestBase {
   }
 }
 
+/** sim_join_lsh's documented check (it has no SQL oracle: the hyperplane
+  * literals are impractical to replicate in DuckDB): every emitted pair is
+  * exact-verified (precision 1.0 by construction — assert it), and recall
+  * against the exact broadcast join stays above a measured floor.
+  */
+class LshRecallSpec extends SparkTestBase {
+  test("sign-LSH cosine join: precision 1.0, recall >= 0.5 vs exact join") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val tau = 0.55
+    val dim = emb.select(col("embedding")).head().getSeq[Float](0).length
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(graft.ops.SimilarityJoin.cosineJoinBroadcast(
+      emb, "vec_id", "embedding", tau))
+    val lsh = pairs(graft.ops.SimilarityJoin.cosineJoinLsh(
+      emb, "vec_id", "embedding", tau, dim))
+    assert(lsh.subsetOf(exact), s"false positives: ${lsh -- exact}")
+    assert(exact.nonEmpty, "exact join returned no pairs — tau too tight for this data")
+    val recall = lsh.size.toDouble / exact.size
+    assert(recall >= 0.5, s"recall $recall below floor (lsh=${lsh.size}, exact=${exact.size})")
+  }
+}
+
 /** Sketch error bounds: HLL within its configured relative standard
-  * deviation of the exact count (the sketch_stats query is rows-only; this
-  * pins that "approximate" still means bounded).
+  * deviation of the exact count (the sketch_stats query asserts the same
+  * bound as an oracle-checked boolean; this pins it independently).
   */
 class SketchBoundsSpec extends SparkTestBase {
   test("approx_count_distinct stays within 4 rsd of exact") {

@@ -59,4 +59,22 @@ class PlanSpec extends SparkTestBase {
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]"), plan)
   }
+
+  test("ANN centroid assignment is a broadcast join, not O(centroids) literals") {
+    // VERDICT r2 item 3: the old build collected centroids to the driver and
+    // inlined one struct literal per centroid into an array_min argmin — plan
+    // size grew linearly with centroid count. The plan must now carry the
+    // centroids as a broadcast relation: constant-size expression tree.
+    def planFor(stride: Int): String =
+      graft.ops.AnnIndex.build(emb, "vec_id", "embedding", stride)
+        .probeTopK(qvec, 5, nprobe = 2)
+        .queryExecution.executedPlan.toString
+    val p64 = planFor(64)
+    assert(p64.contains("BroadcastNestedLoopJoin") || p64.contains("BroadcastExchange"), p64)
+    assert(!p64.contains("array_min"), p64)
+    // 8x the centroids must not inflate the plan (literal argmin would)
+    val p8 = planFor(8)
+    assert(math.abs(p8.length - p64.length) < p64.length / 4,
+      s"plan size scales with centroids: stride64=${p64.length} stride8=${p8.length}")
+  }
 }
