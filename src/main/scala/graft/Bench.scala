@@ -49,14 +49,17 @@ object Bench {
     // (steady-state behavior); the cache is cleared BETWEEN queries so
     // per-query persists can't accumulate across the 49-query session
     // (unbounded growth risks spill and distorts later timings).
+    val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt
     def timed(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
-      val a = timedOnce(name, fn)
-      val r = if (a < 0) a else {
-        val b = timedOnce(name, fn)
-        if (b < 0) a else math.min(a, b)
+      var best = timedOnce(name, fn)
+      var i = 1
+      while (best >= 0 && i < runs) {
+        val t = timedOnce(name, fn)
+        if (t >= 0 && t < best) best = t
+        i += 1
       }
       spark.catalog.clearCache()
-      r
+      best
     }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
@@ -70,7 +73,7 @@ object Bench {
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir","runs":2,"agg":"min"}""")
+    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir","runs":$runs,"agg":"min"}""")
     spark.stop()
     // a broken query must not masquerade as a faster total
     if (failed.nonEmpty) sys.exit(1)

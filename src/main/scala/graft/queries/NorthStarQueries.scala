@@ -126,12 +126,17 @@ object NorthStarQueries {
         .transform(sortedSingle(_, col("doc_id")))
     },
 
-    // token table: term + document frequencies (tokenize -> explode -> agg)
+    // token table: term + document frequencies (tokenize -> explode -> agg).
+    // Two-phase: count_distinct NEXT TO count(*) would force an Expand (row
+    // duplication) over the whole exploded token table — the most expensive
+    // possible shape at corpus scale. Aggregating (token, doc_id) first
+    // partial-combines map-side, then tf/df both fall out of one pass.
     "token_stats" -> { (s, dir) =>
       docs(s, dir)
         .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("token"))
+        .groupBy("token", "doc_id").agg(count(lit(1)).as("__c"))
         .groupBy("token")
-        .agg(count(lit(1)).as("tf"), count_distinct(col("doc_id")).as("df"))
+        .agg(sum("__c").as("tf"), count(lit(1)).as("df"))
         .orderBy(col("tf").desc, col("token").asc)
         .limit(50)
     },

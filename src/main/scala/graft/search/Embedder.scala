@@ -66,3 +66,58 @@ final case class HashingEmbedder(dim: Int = 64) extends Embedder {
 
   private def return0(v: Array[Float]): Array[Float] = v // zero vector for null text
 }
+
+/** Per-JVM model-handle registry: the executor half of a real model
+  * embedder. The reference loads its SentenceTransformer once per process
+  * and reuses it for every encode call (model/search/vector.py:41-62,
+  * `@classmethod from_*` construct-once); the distributed analogue is a
+  * load-once-per-EXECUTOR singleton — an `Embedder` instance is shipped to
+  * every task, but the expensive handle (native weights, tokenizer) must be
+  * materialized exactly once per JVM no matter how many partitions run
+  * there. `computeIfAbsent` gives that guarantee under concurrent tasks.
+  */
+object ModelRegistry {
+  private val handles =
+    new java.util.concurrent.ConcurrentHashMap[String, Embedder]()
+  private val loads =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicInteger]()
+
+  def getOrLoad(key: String)(load: () => Embedder): Embedder =
+    handles.computeIfAbsent(key, { _ =>
+      loads.computeIfAbsent(key, _ => new java.util.concurrent.atomic.AtomicInteger)
+        .incrementAndGet()
+      load()
+    })
+
+  /** How many times `key`'s loader actually ran in this JVM (observability +
+    * the singleton-contract spec).
+    */
+  def loadCount(key: String): Int = {
+    val c = loads.get(key)
+    if (c == null) 0 else c.get()
+  }
+}
+
+/** Embedder whose model handle is resolved lazily through [[ModelRegistry]]:
+  * what ships to executors is only (modelName, dim, loader); the handle
+  * itself is created once per JVM on first use. A real deployment points
+  * `loader` at actual weight loading; offline it wraps [[HashingEmbedder]]
+  * (no model hub in this environment — SURVEY §7.3 risk 5).
+  */
+final case class SingletonEmbedder(
+    modelName: String,
+    dim: Int = 64,
+    loader: (String, Int) => Embedder = SingletonEmbedder.defaultLoader)
+    extends Embedder {
+
+  @transient private lazy val handle: Embedder =
+    ModelRegistry.getOrLoad(s"$modelName/$dim")(() => loader(modelName, dim))
+
+  override def embedBatch(texts: Seq[String]): Seq[Array[Float]] =
+    handle.embedBatch(texts)
+}
+
+object SingletonEmbedder {
+  /** Offline stand-in load: deterministic hashing model. */
+  val defaultLoader: (String, Int) => Embedder = (_, dim) => HashingEmbedder(dim)
+}

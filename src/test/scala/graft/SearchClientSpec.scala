@@ -129,3 +129,38 @@ class SearchClientSpec extends SparkTestBase {
     assert(msgs(e).exists(_.contains("id column is null")))
   }
 }
+
+/** Executor-singleton model loading (the production half of S9 that is
+  * buildable offline): a SingletonEmbedder ships only (name, dim, loader);
+  * the handle materializes exactly once per JVM regardless of partition
+  * count or how many embedder instances reference the same model — the
+  * distributed analogue of the reference's construct-once model client
+  * (model/search/vector.py:41-62).
+  */
+class SingletonEmbedderSpec extends SparkTestBase {
+  import org.apache.spark.sql.functions._
+  import graft.search.{ModelRegistry, SingletonEmbedder, VectorSearchClient}
+
+  test("model handle loads once per JVM across partitions and instances") {
+    val corpus = spark.range(200)
+      .select(col("id"), concat(lit("text "), col("id")).as("text"))
+      .repartition(16)
+    val name = s"spec-${java.util.UUID.randomUUID}"
+    val key = s"$name/64"
+
+    val c1 = VectorSearchClient.fromCorpus(corpus, "text", "id", SingletonEmbedder(name))
+    c1.searchTopN(Seq("query one"), 3).collect()
+    assert(ModelRegistry.loadCount(key) == 1,
+      s"expected one load across 16 partitions, got ${ModelRegistry.loadCount(key)}")
+
+    // a second embedder instance for the same model must reuse the handle
+    val c2 = VectorSearchClient.fromCorpus(corpus, "text", "id", SingletonEmbedder(name))
+    c2.searchTopN(Seq("query two"), 3).collect()
+    assert(ModelRegistry.loadCount(key) == 1)
+
+    // deterministic parity with the underlying hashing model
+    val viaSingleton = SingletonEmbedder(name).embedOne("abc").toSeq
+    val direct = graft.search.HashingEmbedder(64).embedOne("abc").toSeq
+    assert(viaSingleton == direct)
+  }
+}

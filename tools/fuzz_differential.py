@@ -5,8 +5,16 @@ results compared (columns sorted, rows sorted, float epsilon).
 
 Generator constraints keep the dialect common and deterministic:
  - aggregates over doubles are round()ed to kill summation-order noise
+ - window-frame sums run over INT columns only (frame evaluation order and
+   segment-tree float association differ per engine; ints are exact)
  - no division (x/0 semantics differ), no implicit casts across engines
  - ORDER BY always carries a total tie-break
+ - JSON extraction is the one dialect split: Spark get_json_object is
+   rewritten to DuckDB json_extract_string before the oracle run
+
+Shapes: agg, filter_topk, distinct, join_agg, window (row_number top-k),
+window_frame (running/banded frames, lag), setop (INTERSECT/EXCEPT/UNION),
+json (events props extraction).
 
 Usage: python3 tools/fuzz_differential.py [n_queries] [seed] [sfdir]
 """
@@ -56,6 +64,12 @@ TABLES = {
         "str": ["p_name", "p_brand", "p_type"],
         "key": "p_partkey",
     },
+    "events": {
+        "num": ["value"],
+        "int": ["user_id"],
+        "str": ["event_type"],
+        "key": "event_id",
+    },
 }
 
 
@@ -82,10 +96,55 @@ JOINS = [
 ]
 
 
+# Spark-only spellings -> DuckDB spellings (the one dialect split we fuzz)
+DUCK_REWRITES = [
+    ("get_json_object(props, '$.k')", "json_extract_string(props, '$.k')"),
+]
+
+
+def to_duck(sql):
+    for spark_form, duck_form in DUCK_REWRITES:
+        sql = sql.replace(spark_form, duck_form)
+    return sql
+
+
 def gen_query():
     t = rng.choice(list(TABLES))
     cols = TABLES[t]
-    shape = rng.choice(["agg", "agg", "filter_topk", "distinct", "join_agg", "window"])
+    shape = rng.choice(["agg", "agg", "filter_topk", "distinct", "join_agg",
+                        "window", "window_frame", "setop", "json"])
+    if shape == "json":
+        # JSON property extraction over the events props payload; the value
+        # is an integer, so aggregates stay exact across engines
+        where = f" WHERE {predicate('events')}" if rng.random() < 0.6 else ""
+        agg = rng.choice([
+            "sum(CAST(get_json_object(props, '$.k') AS BIGINT))",
+            "max(CAST(get_json_object(props, '$.k') AS BIGINT))",
+            "count(get_json_object(props, '$.k'))"])
+        return (f"SELECT event_type, count(*) AS n, {agg} AS j "
+                f"FROM events{where} GROUP BY event_type ORDER BY event_type")
+    if shape == "window_frame":
+        # running/banded frames over INT columns only: frame sums must be
+        # exact, not subject to per-engine float association in segment trees
+        g = rng.choice(cols["str"])
+        ic = rng.choice(cols["int"])
+        frame = rng.choice([
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW",
+            f"ROWS BETWEEN {rng.randint(1, 3)} PRECEDING AND CURRENT ROW"])
+        fn = rng.choice([f"sum({ic})", f"min({ic})", f"count({ic})"])
+        expr = f"{fn} OVER (PARTITION BY {g} ORDER BY {cols['key']} {frame})"
+        if rng.random() < 0.3:
+            expr = f"lag({ic}, 1) OVER (PARTITION BY {g} ORDER BY {cols['key']})"
+        where = f" WHERE {predicate(t)}" if rng.random() < 0.5 else ""
+        return (f"SELECT {g}, {ic}, {expr} AS w FROM {t}{where} "
+                f"ORDER BY {cols['key']}")
+    if shape == "setop":
+        op = rng.choice(["INTERSECT", "EXCEPT", "UNION"])
+        sel = ", ".join(rng.sample(cols["int"] + cols["str"], k=rng.randint(1, 2)))
+        n_cols = sel.count(",") + 1
+        order = ", ".join(str(i + 1) for i in range(n_cols))
+        return (f"SELECT {sel} FROM {t} WHERE {predicate(t)} {op} "
+                f"SELECT {sel} FROM {t} WHERE {predicate(t)} ORDER BY {order}")
     if shape == "join_agg":
         a, b, cond = rng.choice(JOINS)
         g = rng.choice(TABLES[a]["str"] if rng.random() < 0.5 and a in TABLES
@@ -116,7 +175,8 @@ def gen_query():
         return (f"SELECT {g}, count(*) AS n, {', '.join(aggs)} FROM {t}{where} "
                 f"GROUP BY {g} ORDER BY {g}")
     if shape == "filter_topk":
-        sel = rng.sample(cols["int"] + cols["str"] + cols["num"], k=rng.randint(2, 4))
+        pool = cols["int"] + cols["str"] + cols["num"]
+        sel = rng.sample(pool, k=rng.randint(2, min(4, len(pool))))
         ordc = rng.choice(sel)
         return (f"SELECT {', '.join(sel)} FROM {t} WHERE {predicate(t)} "
                 f"ORDER BY {ordc} {rng.choice(['ASC', 'DESC'])}, {cols['key']} LIMIT {rng.randint(5, 50)}")
@@ -147,13 +207,13 @@ def main():
     print(f"running {N} queries (seed {SEED}) via SqlRunner -> {out}")
     r = subprocess.run(
         ["sbt", "-batch", f"runMain graft.tools.SqlRunner {SFDIR} {sql_file} {out}"],
-        cwd="/root/repo", capture_output=True, text=True, timeout=560)
+        cwd="/root/repo", capture_output=True, text=True, timeout=1800)
     if r.returncode != 0:
         print("SqlRunner failed:", r.stdout[-2000:], r.stderr[-500:])
         sys.exit(2)
 
     con = duckdb.connect()
-    for t in list(TABLES) + ["region", "nation", "supplier", "documents", "embeddings", "events"]:
+    for t in set(TABLES) | {"region", "nation", "supplier", "documents", "embeddings", "events"}:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SFDIR}/{t}.parquet')")
     n_pass = n_fail = 0
     for i, sql in enumerate(queries):
@@ -166,14 +226,23 @@ def main():
         s_cols = [d[0] for d in s_rel.description]
         s_rows = s_rel.fetchall()
         try:
-            d_rel = con.execute(sql)
+            d_rel = con.execute(to_duck(sql))
             d_cols = [d[0] for d in d_rel.description]
             d_rows = d_rel.fetchall()
         except Exception as e:
             print(f"FAIL q{i}: duckdb error: {str(e)[:120]}\n  SQL: {sql}")
             n_fail += 1
             continue
-        key = lambda r: tuple((x is None, str(x)) for x in r)
+        # Sort key: floats through %.6g so a last-ULP difference between the
+        # engines cannot reorder the two sorted lists (a raw str() key did —
+        # r2 ADVICE); non-floats compare exactly.
+        def cell_key(x):
+            if x is None:
+                return (True, "")
+            if isinstance(x, float):
+                return (False, f"{x:.6g}")
+            return (False, str(x))
+        key = lambda r: tuple(cell_key(x) for x in r)
         si = [s_cols.index(c) for c in sorted(s_cols)]
         di = [d_cols.index(c) for c in sorted(d_cols)]
         s_sorted = sorted([tuple(r[j] for j in si) for r in s_rows], key=key)
@@ -181,6 +250,19 @@ def main():
         ok = (sorted(s_cols) == sorted(d_cols) and len(s_sorted) == len(d_sorted)
               and all(close(a, b) for sr, dr in zip(s_sorted, d_sorted)
                       for a, b in zip(sr, dr)))
+        if not ok and sorted(s_cols) == sorted(d_cols) \
+                and len(s_sorted) == len(d_sorted) and len(s_sorted) <= 5000:
+            # positional compare failed — rule out residual sort-boundary
+            # noise with tolerance-aware multiset matching before declaring
+            # an engine mismatch
+            remaining = list(d_sorted)
+            def take(sr):
+                for idx, dr in enumerate(remaining):
+                    if all(close(a, b) for a, b in zip(sr, dr)):
+                        remaining.pop(idx)
+                        return True
+                return False
+            ok = all(take(sr) for sr in s_sorted)
         if ok:
             n_pass += 1
         else:
