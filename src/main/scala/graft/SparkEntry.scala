@@ -148,7 +148,12 @@ object SparkEntry {
         .orderBy("l_returnflag", "l_linestatus")
     },
 
-    // ---- joins: fact-dim star join, dims broadcast ----
+    // ---- joins: fact-dim star join, dims broadcast. (A/B-measured: fanning
+    // the fact side out to 32 partitions first LOSES here — the repartition's
+    // map side serializes on the same one-partition scan it tries to fix,
+    // 0.97 s -> 1.25 s. The codegen'd single-thread probe is the cheaper
+    // local shape; on a real multi-split layout the probes parallelize for
+    // free.) ----
     "join_revenue" -> { (s, dir) =>
       val lineitem = t(s, dir, "lineitem")
       val orders = t(s, dir, "orders")

@@ -1,0 +1,90 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Backward as-of join: for every left row, the single most recent right row
+  * with `rightTime <= leftTime` on the same key (pandas `merge_asof` /
+  * DuckDB `ASOF JOIN` semantics, exact-time matches included).
+  *
+  * Spark has no native as-of join; the naive encodings both fail at scale:
+  * a `left.join(right, key && rTime <= lTime)` range join explodes to every
+  * (left, right-history) pair before picking the max, and a per-left-row
+  * correlated top-1 re-shuffles the right side per query. This is the
+  * composed-operator formulation instead (brief's preference (a)):
+  *
+  *   1. union left and right rows into one stream, right rows sorted before
+  *      left rows at equal (key, time) so exact matches are visible;
+  *   2. one window pass per key ordered by time carrying
+  *      `last(right_payload, ignoreNulls)` forward;
+  *   3. keep the left rows — each one holds the latest right payload at or
+  *      before its time.
+  *
+  * Cost: ONE hash-partition shuffle + sort of |left| + |right| rows, the
+  * same shape as any windowed aggregation — 10^9-row safe, skew bounded by
+  * the hottest key like every per-key window. Right rows that tie on
+  * (key, time) resolve deterministically to the greatest payload struct.
+  */
+object AsOfJoin {
+
+  /** @param left         probe side; all its columns survive
+    * @param right        history side
+    * @param keys         equi-join key columns (same names both sides)
+    * @param leftTime     event-time column on `left` (orderable; timestamp
+    *                     or numeric)
+    * @param rightTime    event-time column on `right`
+    * @param rightPayload right columns to carry onto matches (emitted under
+    *                     their own names; must not collide with left names)
+    * @param toleranceSec optional max allowed `leftTime - rightTime` in
+    *                     seconds (time columns must be castable to double
+    *                     epoch); matches farther back are nulled out
+    */
+  def backward(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTime: String, rightTime: String, rightPayload: Seq[String],
+      toleranceSec: Option[Double] = None): DataFrame = {
+    val leftCols = left.columns.toSeq
+    require(rightPayload.forall(right.columns.contains),
+      s"rightPayload not all in right: $rightPayload")
+    require(!rightPayload.exists(leftCols.contains),
+      s"rightPayload collides with left columns: ${rightPayload.filter(leftCols.contains)}")
+
+    // aligned union schema: keys, __t, __side, left row struct, right payload
+    // struct. Null sides are typed from the frames' schemas so the union
+    // lines up exactly.
+    import org.apache.spark.sql.types.StructType
+    val payFields = (rightPayload :+ rightTime).distinct
+    val lrowSchema = StructType(leftCols.map(c => left.schema(c)))
+    val paySchema = StructType(payFields.map(c => right.schema(c)))
+    val l = left.select(
+      keys.map(left.col) ++ Seq(
+        left.col(leftTime).as("__t"), lit(1).as("__side"),
+        struct(leftCols.map(left.col): _*).as("__lrow"),
+        lit(null).cast(paySchema).as("__pay")): _*)
+    val r = right.select(
+      keys.map(right.col) ++ Seq(
+        right.col(rightTime).as("__t"), lit(0).as("__side"),
+        lit(null).cast(lrowSchema).as("__lrow"),
+        struct(payFields.map(right.col): _*).as("__pay")): _*)
+
+    // right before left at equal time (inclusive match); equal-time right
+    // rows tie-break on the payload struct itself — deterministic
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__t").asc, col("__side").asc, col("__pay").asc_nulls_last)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matched = l.unionByName(r)
+      .withColumn("__match", last(col("__pay"), ignoreNulls = true).over(w))
+      .where(col("__side") === 1)
+
+    val withTol = toleranceSec match {
+      case Some(tol) =>
+        matched.withColumn("__match",
+          when(col("__t").cast("double") -
+            col(s"__match.`$rightTime`").cast("double") <= tol, col("__match")))
+      case None => matched
+    }
+    withTol.select(
+      leftCols.map(c => col(s"__lrow.`$c`").as(c)) ++
+        rightPayload.map(c => col(s"__match.`$c`").as(c)): _*)
+  }
+}

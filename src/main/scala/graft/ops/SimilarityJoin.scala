@@ -120,20 +120,21 @@ final class AnnIndex private (
       .orderBy(col("cos_dist").asc_nulls_last, col(idCol).asc)
       .limit(k)
 
-  /** IVF probe: top-k among the `nprobe` buckets nearest to the query. */
+  /** IVF probe: top-k among the `nprobe` buckets nearest to the query.
+    * Fully lazy — the nprobe nearest centroids are a ranked k-row frame
+    * broadcast into a semi-join against the assignment, not a driver
+    * `.collect()` (one Spark job instead of two, and no driver round-trip
+    * on the query path at scale).
+    */
   def probeTopK(qvec: Array[Double], k: Int, nprobe: Int = 4): DataFrame = {
     val q = typedLit(qvec.toSeq)
-    // rank centroids distributed (TakeOrderedAndProject); collect nprobe IDS
-    // only — never the centroid vectors
     val probed = centroids
       .select(col("__cid"), array_cosine_distance(col("__cvec"), q).as("__d"))
       .orderBy(col("__d").asc_nulls_last, col("__cid").asc)
       .limit(nprobe)
-      .collect().map(_.getLong(0)).toSeq
-    require(probed.nonEmpty,
-      "no centroids: no index id divisible by the build stride")
+      .select(col("__cid").as("__probe_cid"))
     assigned
-      .where(col("__centroid").isin(probed: _*))
+      .join(broadcast(probed), col("__centroid") === col("__probe_cid"), "left_semi")
       .select(col(idCol),
         array_cosine_distance(col(vecCol), q).as("cos_dist"))
       .orderBy(col("cos_dist").asc_nulls_last, col(idCol).asc)
@@ -145,8 +146,9 @@ object AnnIndex {
   /** Build the IVF index. `stride` controls centroid count (~n/stride). */
   def build(df: DataFrame, idCol: String, vecCol: String,
       stride: Int = 64): AnnIndex = {
-    // laziness preserved: emptiness is checked when the first probe runs
-    // (probeTopK) rather than paying a separate Spark job at build time
+    // fully lazy: no Spark job at build time. An empty centroid set (no id
+    // divisible by `stride`) makes every probe return empty — pick a stride
+    // <= max id, or validate eagerly at the call site if that risk is live.
     val centroids = df
       .where(pmod(col(idCol), lit(stride)) === 0)
       .select(col(idCol).cast("long").as("__cid"), col(vecCol).as("__cvec"))

@@ -235,6 +235,24 @@ object RelationalQueries {
         .orderBy("event_type")
     },
 
+    // as-of join (operator Spark lacks — graft.ops.AsOfJoin): each purchase
+    // matched to the same user's most recent at-or-before click. Union + one
+    // window pass; the oracle is DuckDB's native ASOF LEFT JOIN. Epochs as
+    // BIGINT (never raw timestamps — parquet instant-adjustment skew).
+    "events_asof" -> { (s, dir) =>
+      val ev = graft.SparkEntry.eventsTable(s, dir)
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("click_ts"))
+      graft.ops.AsOfJoin.backward(purchases, clicks, Seq("user_id"),
+          "ts", "click_ts", Seq("click_ts"))
+        .select(col("event_id"), col("user_id"),
+          unix_timestamp(col("ts")).as("p_epoch"),
+          unix_timestamp(col("click_ts")).as("click_epoch"))
+        .orderBy("event_id")
+    },
+
     // daily retention: users active on consecutive days
     "events_retention" -> { (s, dir) =>
       val ev = graft.SparkEntry.eventsTable(s, dir)
@@ -351,6 +369,14 @@ object RelationalQueries {
         |       CAST(sum(json_extract_string(props, '$.k')::BIGINT) AS BIGINT) AS sum_k,
         |       round(avg(json_extract_string(props, '$.k')::BIGINT), 6) AS avg_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "events_asof" ->
+      """SELECT p.event_id, p.user_id,
+        |       CAST(floor(date_part('epoch', p.ts)) AS BIGINT) AS p_epoch,
+        |       CAST(floor(date_part('epoch', c.ts)) AS BIGINT) AS click_epoch
+        |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY p.event_id""".stripMargin,
     "events_retention" ->
       """WITH daily AS (SELECT DISTINCT user_id, ts::DATE AS day FROM events)
         |SELECT a.day AS day, count(*) AS retained_users
