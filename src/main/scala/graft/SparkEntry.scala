@@ -131,7 +131,7 @@ object SparkEntry {
           array_inner_product(col("embedding"), q).as("dot"),
           array_distance(col("embedding"), q).as("l2"),
           array_l2_norm(col("embedding")).as("norm"))
-        .orderBy("vec_id")
+        .transform(graft.queries.sortedSingle(_, col("vec_id")))
     },
 
     // ---- aggregations (north star; TPC-H Q1 shape) ----
@@ -145,7 +145,7 @@ object SparkEntry {
           avg("l_quantity").as("avg_qty"),
           avg("l_discount").as("avg_disc"),
           count(lit(1)).as("count_order"))
-        .orderBy("l_returnflag", "l_linestatus")
+        .transform(graft.queries.sortedSingle(_, col("l_returnflag"), col("l_linestatus")))
     },
 
     // ---- joins: fact-dim star join, dims broadcast. (A/B-measured: fanning
@@ -167,7 +167,7 @@ object SparkEntry {
         .agg(
           sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
           count(lit(1)).as("n_items"))
-        .orderBy("n_name")
+        .transform(graft.queries.sortedSingle(_, col("n_name")))
     },
 
     // ---- top-k by sort+limit (TakeOrderedAndProject) ----
@@ -186,7 +186,7 @@ object SparkEntry {
         .withColumn("rn", row_number().over(w).cast("long"))
         .where(col("rn") <= 3)
         .select("o_custkey", "rn", "o_orderkey", "o_totalprice")
-        .orderBy("o_custkey", "rn")
+        .transform(graft.queries.sortedSingle(_, col("o_custkey"), col("rn")))
     },
 
     // ---- set ops: union-all of page batches (U1) ----
@@ -194,7 +194,7 @@ object SparkEntry {
       val docs = t(s, dir, "documents")
       docs.where(col("lang") === "en").select("doc_id", "lang")
         .unionAll(docs.where(col("lang") === "fr").select("doc_id", "lang"))
-        .orderBy("doc_id")
+        .transform(graft.queries.sortedSingle(_, col("doc_id")))
     },
 
     // ---- string ops: markdown strip (F6) + Ruri prefixes (F4/F5) ----
@@ -218,7 +218,7 @@ object SparkEntry {
         .groupBy("text")
         .agg(min("doc_id").as("doc_id"), count(lit(1)).as("dup_count"))
         .select("doc_id", "text", "dup_count")
-        .orderBy("doc_id")
+        .transform(graft.queries.sortedSingle(_, col("doc_id")))
     },
 
     // ---- events: tumbling-window rollup (hour buckets as epoch bigint) ----
@@ -231,7 +231,7 @@ object SparkEntry {
           count(lit(1)).as("n_events"),
           sum("value").as("sum_value"),
           avg("value").as("avg_value"))
-        .orderBy("hour_epoch", "event_type")
+        .transform(graft.queries.sortedSingle(_, col("hour_epoch"), col("event_type")))
     },
 
     // ---- events: gap-based sessionization (30-min inactivity) ----
@@ -245,7 +245,7 @@ object SparkEntry {
             .otherwise(0L))
         .groupBy("user_id")
         .agg(sum("is_new").as("n_sessions"), count(lit(1)).as("n_events"))
-        .orderBy("user_id")
+        .transform(graft.queries.sortedSingle(_, col("user_id")))
     },
 
     // ---- ingestion: CSV sink+scan roundtrip (S1/S2), schema'd both ways ----
@@ -258,7 +258,7 @@ object SparkEntry {
         .option("multiLine", "true").option("escape", "\"").csv(tmp)
         .groupBy("lang")
         .agg(count(lit(1)).as("n"), sum("n_chars").as("total_chars"))
-        .orderBy("lang")
+        .transform(graft.queries.sortedSingle(_, col("lang")))
     },
 
     // ---- F7: newline join of rich-text blocks ----
@@ -276,7 +276,7 @@ object SparkEntry {
       s.read.format("graft.sources.rest.PagedRestProvider")
         .option("rows", "300").option("pageSize", "100").load()
         .where(col("is_target") === true)
-        .orderBy("id")
+        .transform(graft.queries.sortedSingle(_, col("id")))
     },
 
     // ---- events: exact event dedup by natural key ----
@@ -286,7 +286,7 @@ object SparkEntry {
         .agg(min("event_id").as("event_id"))
         .groupBy("user_id")
         .agg(count(lit(1)).as("n_unique"))
-        .orderBy("user_id")
+        .transform(graft.queries.sortedSingle(_, col("user_id")))
     },
   )
 

@@ -36,7 +36,7 @@ object NorthStarQueries {
     // exact n-gram Jaccard similarity join — inverted index, no cartesian
     "ngram_jaccard_join" -> { (s, dir) =>
       Dedup.jaccardJoin(docsWithShingles(s, dir), "doc_id", "sh", JaccardTau)
-        .orderBy("a", "b")
+        .transform(sortedSingle(_, col("a"), col("b")))
     },
 
     // MinHash signatures -> banded LSH buckets -> candidates -> exact verify
@@ -49,7 +49,8 @@ object NorthStarQueries {
       val sigs = Dedup.minhashSignatures(sh, "doc_id", "sh", 16)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val cands = Dedup.lshCandidatePairs(Dedup.lshBands(sigs, "doc_id", 16, 4), "doc_id")
-      Dedup.verifyJaccard(cands, sh, "doc_id", "sh", JaccardTau).orderBy("a", "b")
+      Dedup.verifyJaccard(cands, sh, "doc_id", "sh", JaccardTau)
+        .transform(sortedSingle(_, col("a"), col("b")))
     },
 
     // near-dedup survivors: drop larger id of each verified near-dup pair
@@ -57,7 +58,7 @@ object NorthStarQueries {
       val sh = docsWithShingles(s, dir)
       val pairs = Dedup.jaccardJoin(sh, "doc_id", "sh", JaccardTau)
       Dedup.survivors(t(s, dir, "documents").select("doc_id"), "doc_id", pairs)
-        .orderBy("doc_id")
+        .transform(sortedSingle(_, col("doc_id")))
     },
 
     // SimHash banded near-dup pairs (custom Catalyst expression)
@@ -65,14 +66,14 @@ object NorthStarQueries {
       Dedup.simhashPairs(docs(s, dir), "doc_id",
           split(col("text"), " "), 3)
         .select(col("a"), col("b"), col("hamming").cast("long").as("hamming"))
-        .orderBy("a", "b")
+        .transform(sortedSingle(_, col("a"), col("b")))
     },
 
     // embedding cosine near-dup join (exact, broadcast)
     "sim_join_cosine" -> { (s, dir) =>
       SimilarityJoin.cosineJoinBroadcast(
           t(s, dir, "embeddings"), "vec_id", "embedding", CosineTau)
-        .orderBy("a", "b")
+        .transform(sortedSingle(_, col("a"), col("b")))
     },
 
     // embedding cosine join, LSH-bucketed (scale path; deterministic but the
@@ -81,7 +82,7 @@ object NorthStarQueries {
       val emb = t(s, dir, "embeddings")
       val dim = emb.select(col("embedding")).head().getSeq[Float](0).length
       SimilarityJoin.cosineJoinLsh(emb, "vec_id", "embedding", CosineTau, dim)
-        .orderBy("a", "b")
+        .transform(sortedSingle(_, col("a"), col("b")))
     },
 
     // IVF-probe ANN top-k. Fully oracle-checked: centroid choice (every
@@ -110,7 +111,7 @@ object NorthStarQueries {
         .where(col("rn") === 1).select(col("doc_id"), col("lang"))
       docsDf.select("doc_id").join(best, Seq("doc_id"), "left")
         .select(col("doc_id"), coalesce(col("lang"), lit("und")).as("lang_guess"))
-        .orderBy("doc_id")
+        .transform(sortedSingle(_, col("doc_id")))
     },
 
     // quality scoring: token/char/punct/stopword stats + composite score
@@ -181,7 +182,7 @@ object NorthStarQueries {
           Seq(col("event_id")), salts = 16)
         .select(col("event_type"), round(col("sum_value"), 6).as("sum_value"),
           col("n_rows"))
-        .orderBy("event_type")
+        .transform(sortedSingle(_, col("event_type")))
     },
 
     // multimodal pipeline (rows-only: synthetic media, stub codec):
@@ -194,7 +195,7 @@ object NorthStarQueries {
         .groupBy("kind")
         .agg(count(lit(1)).as("n"),
           sum(size(col("features"))).cast("long").as("total_dims"))
-        .orderBy("kind")
+        .transform(sortedSingle(_, col("kind")))
     },
 
     // document fingerprint: md5 of normalized text

@@ -27,7 +27,7 @@ object RelationalQueries {
         .select(lit("no_orders").as("bucket"), col("c_custkey"))
       withOrders.unionAll(withoutOrders)
         .groupBy("bucket").agg(count(lit(1)).as("n"))
-        .orderBy("bucket")
+        .transform(sortedSingle(_, col("bucket")))
     },
 
     // ROLLUP grouping sets over the Q1 keys
@@ -35,8 +35,8 @@ object RelationalQueries {
       t(s, dir, "lineitem")
         .rollup("l_returnflag", "l_linestatus")
         .agg(count(lit(1)).as("n"), sum("l_quantity").as("sum_qty"))
-        .orderBy(col("l_returnflag").asc_nulls_first,
-          col("l_linestatus").asc_nulls_first)
+        .transform(sortedSingle(_, col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first))
     },
 
     // exact interpolated percentiles per order priority
@@ -47,7 +47,7 @@ object RelationalQueries {
           round(expr("percentile(o_totalprice, 0.5)"), 6).as("p50"),
           round(expr("percentile(o_totalprice, 0.9)"), 6).as("p90"),
           count(lit(1)).as("n"))
-        .orderBy("o_orderpriority")
+        .transform(sortedSingle(_, col("o_orderpriority")))
     },
 
     // month bucketing + conditional aggregation over ship dates
@@ -58,7 +58,7 @@ object RelationalQueries {
           count(lit(1)).as("n_items"),
           round(sum(when(col("l_returnflag") === "R", col("l_extendedprice"))
             .otherwise(lit(0.0))), 6).as("returned_value"))
-        .orderBy("ship_month")
+        .transform(sortedSingle(_, col("ship_month")))
     },
 
     // decorrelated scalar subquery: orders above their customer's average
@@ -69,7 +69,7 @@ object RelationalQueries {
       orders.join(custAvg, "o_custkey")
         .where(col("o_totalprice") > col("cust_avg") * 1.5)
         .groupBy("o_custkey").agg(count(lit(1)).as("n_big_orders"))
-        .orderBy("o_custkey")
+        .transform(sortedSingle(_, col("o_custkey")))
     },
 
     // event funnel: users whose first 'click' precedes a later 'purchase'
@@ -84,7 +84,7 @@ object RelationalQueries {
         .where(col("p_ts") > col("first_click") &&
           col("p_ts").cast("double") - col("first_click").cast("double") <= 3600.0)
         .groupBy("user_id").agg(count(lit(1)).as("n_purchases_1h"))
-        .orderBy("user_id")
+        .transform(sortedSingle(_, col("user_id")))
     },
 
     // TPC-H Q5-ish: revenue by region/nation through the supplier side
@@ -97,7 +97,7 @@ object RelationalQueries {
         .groupBy("r_name", "n_name")
         .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
           .as("revenue"))
-        .orderBy("r_name", "n_name")
+        .transform(sortedSingle(_, col("r_name"), col("n_name")))
     },
 
     // HAVING: customers above an order-count threshold
@@ -107,7 +107,7 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n_orders"),
           round(sum("o_totalprice"), 4).as("total_spend"))
         .where(col("n_orders") >= 15)
-        .orderBy("o_custkey")
+        .transform(sortedSingle(_, col("o_custkey")))
     },
 
     // ordered string aggregation: nation list per region
@@ -116,7 +116,7 @@ object RelationalQueries {
         .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
         .groupBy("r_name")
         .agg(concat_ws(",", sort_array(collect_list(col("n_name")))).as("nations"))
-        .orderBy("r_name")
+        .transform(sortedSingle(_, col("r_name")))
     },
 
     // set operations: INTERSECT / EXCEPT (distinct semantics both engines)
@@ -127,7 +127,7 @@ object RelationalQueries {
       en.intersect(long).withColumn("op", lit("intersect"))
         .unionAll(en.except(long).withColumn("op", lit("except")))
         .select("op", "doc_id")
-        .orderBy("op", "doc_id")
+        .transform(sortedSingle(_, col("op"), col("doc_id")))
     },
 
     // grouped top-k via the bounded-heap aggregate (generic use of
@@ -146,7 +146,7 @@ object RelationalQueries {
         .select(col("event_type"), posexplode(col("hits")))
         .select(col("event_type"), (col("pos") + 1).cast("long").as("rank"),
           col("col.id").as("user_id"), (-col("col.score")).cast("long").as("cnt"))
-        .orderBy("event_type", "rank")
+        .transform(sortedSingle(_, col("event_type"), col("rank")))
     },
 
     // cardinality + quantile sketches, oracle-checkable. The sketch values
@@ -184,7 +184,7 @@ object RelationalQueries {
           (abs(col("__approx_orders") - col("exact_orders")) <=
             col("exact_orders") * 0.15).as("approx_orders_ok"),
           (abs(col("__median_frac") - 0.5) <= 0.01).as("approx_median_ok"))
-        .orderBy("l_returnflag")
+        .transform(sortedSingle(_, col("l_returnflag")))
     },
 
     // window frames: running per-customer order total (rows unbounded
@@ -197,7 +197,7 @@ object RelationalQueries {
         .where(col("o_custkey") < 100)
         .select(col("o_custkey"), col("o_orderkey"),
           round(sum(col("o_totalprice")).over(w), 6).as("running_total"))
-        .orderBy("o_custkey", "o_orderkey")
+        .transform(sortedSingle(_, col("o_custkey"), col("o_orderkey")))
     },
 
     // pivot: per-user event-type counts as columns (explicit value list ->
@@ -208,7 +208,7 @@ object RelationalQueries {
         .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
         .agg(count(lit(1)))
         .na.fill(0L)
-        .orderBy("user_id")
+        .transform(sortedSingle(_, col("user_id")))
     },
 
     // full outer join with match classification (orders x customer)
@@ -222,7 +222,7 @@ object RelationalQueries {
             .when(col("c_custkey").isNull, "orders_only")
             .otherwise("matched").as("side"))
         .groupBy("side").agg(count(lit(1)).as("n"))
-        .orderBy("side")
+        .transform(sortedSingle(_, col("side")))
     },
 
     // JSON property extraction from the events props payload
@@ -232,7 +232,7 @@ object RelationalQueries {
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
           round(avg("k"), 6).as("avg_k"))
-        .orderBy("event_type")
+        .transform(sortedSingle(_, col("event_type")))
     },
 
     // as-of join (operator Spark lacks — graft.ops.AsOfJoin): each purchase
@@ -250,7 +250,31 @@ object RelationalQueries {
         .select(col("event_id"), col("user_id"),
           unix_timestamp(col("ts")).as("p_epoch"),
           unix_timestamp(col("click_ts")).as("click_epoch"))
-        .orderBy("event_id")
+        .transform(sortedSingle(_, col("event_id")))
+    },
+
+    // bucketed range join (graft.ops.RangeJoin): views within the 30 minutes
+    // before each purchase, counted per purchase — the attribution-window
+    // shape. A view at ts covers the interval [ts, ts+1800]; a purchase
+    // matches every covering interval of its user. Equi-join on
+    // (user, bucket), never a nested loop. Epoch seconds as double carry
+    // fractional micros identically in both engines.
+    "events_attribution" -> { (s, dir) =>
+      val ev = graft.SparkEntry.eventsTable(s, dir)
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val views = ev.where(col("event_type") === "view")
+        .select(col("user_id"), col("ts").cast("double").as("v_start"))
+        .withColumn("v_end", col("v_start") + 1800.0)
+      val counts = graft.ops.RangeJoin.pointInInterval(
+          purchases.withColumn("p_t", col("ts").cast("double")), views,
+          Seq("user_id"), "p_t", "v_start", "v_end", 1800.0)
+        .groupBy("event_id").agg(count(lit(1)).as("__n"))
+      purchases.join(counts, Seq("event_id"), "left")
+        .select(col("event_id"), col("user_id"),
+          unix_timestamp(col("ts")).as("p_epoch"),
+          coalesce(col("__n"), lit(0L)).as("n_views_30m"))
+        .transform(sortedSingle(_, col("event_id")))
     },
 
     // daily retention: users active on consecutive days
@@ -263,7 +287,7 @@ object RelationalQueries {
             col("b.day") === date_add(col("a.day"), 1))
         .groupBy(col("a.day").as("day"))
         .agg(count(lit(1)).as("retained_users"))
-        .orderBy("day")
+        .transform(sortedSingle(_, col("day")))
     },
   )
 
@@ -376,6 +400,20 @@ object RelationalQueries {
         |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
         |ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'click') c
         |  ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY p.event_id""".stripMargin,
+    "events_attribution" ->
+      """WITH p AS (SELECT event_id, user_id, ts, date_part('epoch', ts) AS p_t
+        |           FROM events WHERE event_type = 'purchase'),
+        |     v AS (SELECT user_id, date_part('epoch', ts) AS v_t
+        |           FROM events WHERE event_type = 'view')
+        |SELECT p.event_id, p.user_id,
+        |       CAST(floor(p.p_t) AS BIGINT) AS p_epoch,
+        |       CAST(coalesce(c.cnt, 0) AS BIGINT) AS n_views_30m
+        |FROM p LEFT JOIN (
+        |  SELECT p2.event_id AS eid, count(*) AS cnt
+        |  FROM p p2 JOIN v ON p2.user_id = v.user_id
+        |    AND p2.p_t >= v.v_t AND p2.p_t <= v.v_t + 1800.0
+        |  GROUP BY 1) c ON p.event_id = c.eid
         |ORDER BY p.event_id""".stripMargin,
     "events_retention" ->
       """WITH daily AS (SELECT DISTINCT user_id, ts::DATE AS day FROM events)
