@@ -65,6 +65,31 @@ object EventStreams {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("user_id", "event_type", "ts")
 
+  /** Stream-stream interval join: purchases matched to the same user's
+    * views within the preceding `gapSec` seconds — the streaming analogue
+    * of the batch events_attribution range join (graft.ops.RangeJoin).
+    *
+    * Both sides carry watermarks and the join condition bounds event time
+    * from both directions, so Spark can size and evict the join state: a
+    * view is held only until `watermark + gapSec` passes it. Inner join +
+    * append mode — matched pairs emit as they are found. The output is the
+    * raw (purchase, view) pair stream; counting views per purchase is a
+    * downstream aggregation (chaining it here would add a second stateful
+    * operator — supported, but the pair stream is the reusable surface).
+    */
+  def attributionJoin(purchases: DataFrame, views: DataFrame,
+      gapSec: Long = 1800L, watermark: String = "1 hour"): DataFrame = {
+    val p = purchases.select(col("event_id"), col("user_id"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", watermark)
+    val v = views.select(col("user_id").as("v_user"), col("ts").as("v_ts"))
+      .withWatermark("v_ts", watermark)
+    p.join(v,
+      col("user_id") === col("v_user") &&
+        col("v_ts") <= col("p_ts") &&
+        col("v_ts") >= col("p_ts") - expr(s"INTERVAL $gapSec SECONDS"))
+      .select(col("event_id"), col("user_id"), col("p_ts"), col("v_ts"))
+  }
+
   // ---- custom state: running per-user profile via mapGroupsWithState ----
 
   case class UserEvent(user_id: Long, ts: Timestamp, value: Double)

@@ -100,6 +100,41 @@ class EventStreamsSpec extends SparkTestBase {
     assert(latest.getAs[Timestamp]("last_seen") == ts(10))
   }
 
+  test("attributionJoin stream matches the batch range join") {
+    val purchases = Seq(
+      (10L, 35, 1L), // views at 10, 30 within 30m; view at 0 too old
+      (11L, 90, 1L), // no view within [60, 90]
+      (12L, 40, 2L)) // user 2's view at 40 matches (inclusive equal time)
+    val views = Seq((1L, 0), (1L, 10), (1L, 30), (2L, 40), (3L, 35))
+
+    val pStream = MemoryStream[(Long, Long, Timestamp)](sp)
+    val vStream = MemoryStream[(Long, Timestamp)](sp)
+    val pDf = pStream.toDF().toDF("event_id", "user_id", "ts")
+    val vDf = vStream.toDF().toDF("user_id", "ts")
+    val q = EventStreams.attributionJoin(pDf, vDf, gapSec = 1800L)
+      .writeStream.format("memory").queryName("attr_test")
+      .outputMode(OutputMode.Append()).start()
+    pStream.addData(purchases.map { case (id, m, u) => (id, u, ts(m)) })
+    vStream.addData(views.map { case (u, m) => (u, ts(m)) })
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = sp.table("attr_test")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(3))).toSet
+    val pBatch = purchases.map { case (id, m, u) => (id, u, ts(m)) }
+      .toDF("event_id", "user_id", "ts")
+      .withColumn("p_t", col("ts").cast("double"))
+    val vBatch = views.map { case (u, m) => (u, ts(m)) }.toDF("user_id", "v_ts")
+      .withColumn("v_start", col("v_ts").cast("double"))
+      .withColumn("v_end", col("v_start") + 1800.0)
+    val batch = graft.ops.RangeJoin.pointInInterval(
+        pBatch, vBatch, Seq("user_id"),
+        "p_t", "v_start", "v_end", 1800.0)
+      .collect().map(r => (r.getAs[Long]("event_id"), r.getAs[Timestamp]("v_ts"))).toSet
+    assert(streamed == batch)
+    assert(streamed.map(_._1) == Set(10L, 12L))
+  }
+
   test("sliding windows overlap correctly (batch check)") {
     val out = EventStreams.slidingRate(eventsDf((1L, 30, 1L, "a", 1.0)))
       .collect()
