@@ -106,8 +106,8 @@ object SimilarityJoin {
   * buckets (co-partitioned by centroid id), then exact top-k within them.
   */
 final class AnnIndex private (
-    assigned: DataFrame, // (id, vec, __centroid) — partitioned by __centroid
-    centroids: DataFrame, // (__cid, __cvec)
+    private val assigned: DataFrame, // (id, vec, __centroid) — partitioned by __centroid
+    private val centroids: DataFrame, // (__cid, __cvec)
     idCol: String, vecCol: String) extends Serializable {
 
   /** Exact brute-force top-k — the reference's semantics
@@ -143,15 +143,41 @@ final class AnnIndex private (
 }
 
 object AnnIndex {
+
+  /** Materialize the IVF index as parquet PARTITIONED BY centroid bucket —
+    * the build-once / probe-many shape IVF exists for. Each probe's
+    * centroid ranking broadcasts into the semi-join and dynamic partition
+    * pruning cuts the scan to the `nprobe` bucket directories; the other
+    * buckets are never read. `stride` doubles as the file-granularity knob:
+    * pick it so a bucket is a healthy parquet file (hundreds of MB), since
+    * each bucket is one output directory.
+    */
+  def materialize(df: DataFrame, idCol: String, vecCol: String,
+      stride: Int, path: String): Unit =
+    build(df, idCol, vecCol, stride).assigned
+      .write.mode("overwrite").partitionBy("__centroid").parquet(path)
+
+  /** Open a [[materialize]]d index. `df` must be the same source frame (the
+    * centroid table is re-derived from it — a tiny lazy filter, never
+    * materialized at open time).
+    */
+  def fromMaterialized(df: DataFrame, idCol: String, vecCol: String,
+      stride: Int, path: String): AnnIndex =
+    new AnnIndex(df.sparkSession.read.parquet(path),
+      centroidsOf(df, idCol, vecCol, stride), idCol, vecCol)
+
+  private def centroidsOf(df: DataFrame, idCol: String, vecCol: String,
+      stride: Int): DataFrame =
+    df.where(pmod(col(idCol), lit(stride)) === 0)
+      .select(col(idCol).cast("long").as("__cid"), col(vecCol).as("__cvec"))
+
   /** Build the IVF index. `stride` controls centroid count (~n/stride). */
   def build(df: DataFrame, idCol: String, vecCol: String,
       stride: Int = 64): AnnIndex = {
     // fully lazy: no Spark job at build time. An empty centroid set (no id
     // divisible by `stride`) makes every probe return empty — pick a stride
     // <= max id, or validate eagerly at the call site if that risk is live.
-    val centroids = df
-      .where(pmod(col(idCol), lit(stride)) === 0)
-      .select(col(idCol).cast("long").as("__cid"), col(vecCol).as("__cvec"))
+    val centroids = centroidsOf(df, idCol, vecCol, stride)
     // nearest centroid per vector: broadcast the centroid table into the
     // scan, partial-aggregate the argmin map-side — each partition ships one
     // row per vector to the shuffle regardless of centroid count. Ties on

@@ -44,6 +44,26 @@ class AnnIndexSpec extends SparkTestBase {
     assert(idx.probeTopK(qvec(3), 1, nprobe = 1)
       .head().getLong(0) == 3L)
   }
+
+  test("materialized index probes equal the plan-built index and prune partitions") {
+    val path = java.nio.file.Files.createTempDirectory("ann_mat_test").toString
+    AnnIndex.materialize(emb, "vec_id", "embedding", 64, path)
+    val mat = AnnIndex.fromMaterialized(emb, "vec_id", "embedding", 64, path)
+    val plan = AnnIndex.build(emb, "vec_id", "embedding", stride = 64)
+    val got = mat.probeTopK(qvec(3), 10, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val want = plan.probeTopK(qvec(3), 10, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == want)
+    // the probe must not scan every bucket: the partitioned scan carries a
+    // runtime partition filter on __centroid (dynamic partition pruning)
+    val df = mat.probeTopK(qvec(3), 10, nprobe = 2)
+    df.collect()
+    val executed = df.queryExecution.executedPlan.toString
+    assert(executed.contains("dynamicpruning") ||
+      executed.contains("PartitionFilters: [isnotnull(__centroid"),
+      s"no partition pruning on the materialized probe:\n$executed")
+  }
 }
 
 /** sim_join_lsh's documented check (it has no SQL oracle: the hyperplane
