@@ -1,0 +1,46 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic, engine-replicable sampling for corpus pipelines.
+  *
+  * `rand()`-based sampling is useless at 100 TB: task retries and
+  * speculative execution re-roll the dice, so a failed stage changes the
+  * sample. Hash sampling decides membership from the row's own key —
+  * reproducible across runs, engines, and partial re-executions, and any
+  * two disjoint bucket ranges give disjoint splits (train/holdout from one
+  * pass, no coordination).
+  *
+  * The hash is the same 60-bit md5 prefix convention as the dedup tiers
+  * (`Dedup.minhashSignatures`), so every split is replicable as a DuckDB
+  * oracle; swap in xxhash64 at production scale if oracle parity is not
+  * needed.
+  */
+object Sampling {
+
+  /** Uniform bucket in [0, buckets) from the md5 of the key column. */
+  def hashBucket(key: Column, buckets: Int): Column = {
+    require(buckets > 0, s"buckets must be positive: $buckets")
+    pmod(conv(substring(md5(key.cast("string")), 1, 15), 16, 10).cast("long"),
+      lit(buckets.toLong))
+  }
+
+  /** Keep rows whose bucket falls in [lo, hi) of [0, buckets) — a
+    * deterministic (hi-lo)/buckets fraction. Disjoint [lo, hi) ranges give
+    * disjoint samples of the same frame.
+    */
+  def sampleRange(df: DataFrame, key: Column, buckets: Int,
+      lo: Int, hi: Int): DataFrame = {
+    require(0 <= lo && lo < hi && hi <= buckets,
+      s"need 0 <= lo < hi <= buckets, got [$lo, $hi) of $buckets")
+    val b = hashBucket(key, buckets)
+    df.where(b >= lo && b < hi)
+  }
+
+  /** Train/holdout split in one pass: (bucket < trainBuckets, the rest). */
+  def trainHoldout(df: DataFrame, key: Column, buckets: Int,
+      trainBuckets: Int): (DataFrame, DataFrame) = (
+    sampleRange(df, key, buckets, 0, trainBuckets),
+    sampleRange(df, key, buckets, trainBuckets, buckets))
+}

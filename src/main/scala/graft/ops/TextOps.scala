@@ -87,6 +87,26 @@ object TextOps {
       .otherwise(lit(0.0))
   }
 
+  /** Overlapping fixed-size token chunks — the context-window packing step
+    * of a training pipeline. Chunk i covers tokens [i·stride, i·stride+size);
+    * the last start is the first multiple of stride whose window reaches the
+    * final token, so every token is covered, consecutive chunks overlap by
+    * size-stride, and no chunk is a suffix of its predecessor. Returns an
+    * array of space-joined chunk strings (posexplode at the call site keeps
+    * the chunk index). Pure column expression — chunking 10^9 docs is a
+    * scan-parallel projection, no shuffle.
+    */
+  def chunks(text: Column, size: Int, stride: Int): Column = {
+    require(size > 0 && stride > 0 && stride <= size,
+      s"need 0 < stride <= size, got size=$size stride=$stride")
+    val t = tokens(text)
+    val n = org.apache.spark.sql.functions.size(t)
+    val lastStart =
+      greatest(ceil((n - lit(size)).cast("double") / stride), lit(0L)) * stride
+    transform(sequence(lit(0L), lastStart.cast("long"), lit(stride.toLong)),
+      start => concat_ws(" ", slice(t, start.cast("int") + lit(1), lit(size))))
+  }
+
   /** Composite quality score in [0,1]: length band + punctuation sanity +
     * stopword presence — the standard cheap pre-filter for LLM corpora.
     */

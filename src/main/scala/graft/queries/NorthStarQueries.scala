@@ -215,6 +215,27 @@ object NorthStarQueries {
         .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
         .transform(sortedSingle(_, col("doc_id")))
     },
+
+    // deterministic 10% hash sample (graft.ops.Sampling): membership from
+    // the row key's md5, reproducible across engines/retries — never rand()
+    "sample_docs" -> { (s, dir) =>
+      graft.ops.Sampling.sampleRange(
+          t(s, dir, "documents"), col("doc_id"), buckets = 100, lo = 0, hi = 10)
+        .select("doc_id", "lang", "n_chars")
+        .transform(sortedSingle(_, col("doc_id")))
+    },
+
+    // context-window chunking: overlapping 32-token windows, stride 24;
+    // emits per-chunk token count + content fingerprint (scan-parallel
+    // projection — the packing step of a training pipeline)
+    "chunk_docs" -> { (s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"), posexplode(TextOps.chunks(col("text"), 32, 24)))
+        .select(col("doc_id"), col("pos").cast("long").as("chunk_id"),
+          size(split(col("col"), " ")).cast("long").as("n_chunk_tokens"),
+          md5(col("col")).as("chunk_fp"))
+        .transform(sortedSingle(_, col("doc_id"), col("chunk_id")))
+    },
   )
 
   // ---- oracle SQL ----
@@ -367,6 +388,19 @@ object NorthStarQueries {
     "fingerprint_docs" ->
       """SELECT doc_id, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "sample_docs" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 10
+        |ORDER BY doc_id""".stripMargin,
+    "chunk_docs" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |ids AS (SELECT doc_id, t,
+        |               unnest(range(0, greatest(CAST(ceil((len(t) - 32) / 24.0) AS BIGINT), 0) + 1)) AS chunk_id
+        |        FROM tok)
+        |SELECT doc_id, chunk_id,
+        |       CAST(len(t[(chunk_id*24+1):(chunk_id*24+32)]) AS BIGINT) AS n_chunk_tokens,
+        |       md5(array_to_string(t[(chunk_id*24+1):(chunk_id*24+32)], ' ')) AS chunk_fp
+        |FROM ids ORDER BY doc_id, chunk_id""".stripMargin,
     "events_salted_rollup" ->
       """SELECT event_type, round(sum(value), 6) AS sum_value, count(*) AS n_rows
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,

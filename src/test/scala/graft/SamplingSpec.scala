@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Sampling, TextOps}
+
+/** Hash sampling: deterministic, disjoint splits, roughly-uniform buckets. */
+class SamplingSpec extends SparkTestBase {
+  private val sp = SparkTestBase.spark
+  import sp.implicits._
+
+  private def ids = (1L to 2000L).toDF("id")
+
+  test("same sample on repeated evaluation (no rand())") {
+    val a = Sampling.sampleRange(ids, col("id"), 100, 0, 10)
+      .collect().map(_.getLong(0)).toSet
+    val b = Sampling.sampleRange(ids, col("id"), 100, 0, 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(a == b)
+    // ~10% with md5 uniformity; wide tolerance to stay non-flaky
+    assert(a.size > 120 && a.size < 280, s"got ${a.size} of 2000")
+  }
+
+  test("trainHoldout partitions the frame exactly") {
+    val (train, hold) = Sampling.trainHoldout(ids, col("id"), 10, 8)
+    val t = train.collect().map(_.getLong(0)).toSet
+    val h = hold.collect().map(_.getLong(0)).toSet
+    assert(t.intersect(h).isEmpty)
+    assert(t.union(h).size == 2000)
+  }
+
+  test("rejects bad ranges") {
+    assertThrows[IllegalArgumentException] {
+      Sampling.sampleRange(ids, col("id"), 10, 5, 5)
+    }
+    assertThrows[IllegalArgumentException] {
+      Sampling.hashBucket(col("id"), 0)
+    }
+  }
+}
+
+/** Token chunking: windows cover every token, overlap by size-stride, and
+  * degrade to one (possibly short) chunk for short docs.
+  */
+class ChunkingSpec extends SparkTestBase {
+  private val sp = SparkTestBase.spark
+  import sp.implicits._
+
+  private def chunksOf(text: String, size: Int, stride: Int): Seq[String] =
+    Seq(text).toDF("text")
+      .select(TextOps.chunks(col("text"), size, stride).as("c"))
+      .head().getSeq[String](0)
+
+  test("known example: size 4, stride 2") {
+    val got = chunksOf("a b c d e f g", 4, 2)
+    assert(got == Seq("a b c d", "c d e f", "e f g"))
+  }
+
+  test("short and empty docs yield a single chunk") {
+    assert(chunksOf("a b", 4, 2) == Seq("a b"))
+    assert(chunksOf("", 4, 2) == Seq(""))
+  }
+
+  test("every token position is covered at any length") {
+    for (n <- 1 to 40) {
+      val text = (1 to n).map(i => s"t$i").mkString(" ")
+      val got = chunksOf(text, 7, 5)
+      val covered = got.zipWithIndex.flatMap { case (c, i) =>
+        val start = i * 5
+        c.split(" ").indices.map(start + _)
+      }.toSet
+      assert(covered == (0 until n).toSet, s"n=$n chunks=$got")
+    }
+  }
+}
