@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Quantize
+
+/** int8 quantization: code range, degenerate inputs, ranking quality vs
+  * exact cosine, and dot-product reconstruction error.
+  */
+class QuantizeSpec extends SparkTestBase {
+  private val sp = SparkTestBase.spark
+  import sp.implicits._
+
+  private def emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+
+  test("codes stay in [-127, 127]; zero vector gives null distance") {
+    val rows = emb.select(Quantize.codes(col("e")).as("q"))
+      .select(array_max(col("q")).as("mx"), array_min(col("q")).as("mn"))
+      .agg(max("mx"), min("mn")).head()
+    assert(rows.getInt(0) <= 127 && rows.getInt(1) >= -127)
+    val z = Seq((Seq(0.0, 0.0), Seq(1.0, 2.0))).toDF("a", "b")
+      .select(Quantize.cosineDistance(
+        Quantize.codes(col("a")), Quantize.codes(col("b"))).as("d"))
+      .head()
+    assert(z.isNullAt(0))
+  }
+
+  test("quantized top-10 recalls >= 8 of the exact cosine top-10") {
+    val qvec = emb.where(col("vec_id") === 7).select("e").head().getSeq[Double](0)
+    val exact = emb.select(col("vec_id"),
+        graft.functions.array_cosine_distance(col("e"), typedLit(qvec)).as("d"))
+      .orderBy(col("d").asc_nulls_last, col("vec_id").asc).limit(10)
+      .collect().map(_.getLong(0)).toSet
+    val codes = emb.select(col("vec_id"), Quantize.codes(col("e")).as("q"))
+    val qq = codes.where(col("vec_id") === 7).select(col("q").as("qq"))
+    val quant = codes.crossJoin(broadcast(qq))
+      .select(col("vec_id"), Quantize.cosineDistance(col("q"), col("qq")).as("d"))
+      .orderBy(col("d").asc_nulls_last, col("vec_id").asc).limit(10)
+      .collect().map(_.getLong(0)).toSet
+    val recall = exact.intersect(quant).size
+    assert(recall >= 8, s"recall@10 = $recall (exact=$exact quant=$quant)")
+  }
+
+  test("reconstructed dot error is bounded by 2% of the norm product") {
+    // int8 error is per-element additive: |err| scales with |a||b|, not with
+    // the dot value itself (near-orthogonal pairs cancel to small dots)
+    val q = emb.select(col("vec_id"), col("e"),
+      Quantize.codes(col("e")).as("qc"), Quantize.scaleOf(col("e")).as("s"))
+    val qv = q.where(col("vec_id") === 3)
+      .select(col("qc").as("qb"), col("s").as("sb"), col("e").as("eb"))
+    val rows = q.where(col("vec_id") < 50).crossJoin(broadcast(qv))
+      .select(
+        graft.functions.array_inner_product(col("e"), col("eb")).as("exact"),
+        (graft.functions.array_l2_norm(col("e")) *
+          graft.functions.array_l2_norm(col("eb"))).as("norms"),
+        Quantize.dotReconstructed(col("qc"), col("s"), col("qb"), col("sb")).as("approx"))
+      .collect()
+    rows.foreach { r =>
+      val (exact, norms, approx) = (r.getDouble(0), r.getDouble(1), r.getDouble(2))
+      assert(math.abs(exact - approx) <= 0.02 * norms,
+        s"dot $exact vs reconstructed $approx (norms $norms)")
+    }
+  }
+}
