@@ -185,8 +185,64 @@ object Dedup {
 
   /** Greedy survivor set from near-dup pairs: drop any doc that appears as
     * the larger id in a matched pair (keep-first semantics; not transitive
-    * clustering — documented choice, mirrors common corpus-dedup practice).
+    * clustering — for that, see [[components]]).
     */
   def survivors(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame =
     df.join(pairs.select(col("b").as(idCol)).distinct(), Seq(idCol), "left_anti")
+
+  /** Transitive duplicate clusters: connected components over the near-dup
+    * pair graph, each node labeled with the minimum id reachable from it.
+    * Greedy [[survivors]] can drop every member of a chain a–b–c except `a`
+    * while never comparing a to c; components make the transitive closure
+    * explicit so exactly one canonical doc survives per cluster.
+    *
+    * Iterative min-label propagation: each round joins labels across edges
+    * and keeps the per-node min; a round is one shuffle join + one
+    * aggregate, and the loop stops at fixpoint (round count = graph
+    * diameter). Near-dup graphs are shallow (dup clusters are cliques or
+    * short chains), so a handful of rounds suffices; for adversarially deep
+    * graphs swap in alternating large-star/small-star (O(log n) rounds) —
+    * same per-round plan shape. `maxIters` bounds the worst case; the
+    * method throws if the fixpoint is not reached by then (a silently
+    * unconverged labeling would look like valid clusters).
+    *
+    * Output: (idCol, component) for every node appearing in `pairs`.
+    */
+  def components(pairs: DataFrame, idCol: String = "id",
+      maxIters: Int = 25): DataFrame = {
+    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(pairs.select(col("b").as("src"), col("a").as("dst")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // localCheckpoint (not persist): each round's plan references the
+    // previous round's twice, so without truncating lineage the logical
+    // plan doubles per iteration and analysis itself OOMs around round 10.
+    // Checkpointing pins each round to its materialized result. (Caveat:
+    // localCheckpoint state does not survive executor loss — on a real
+    // cluster use reliable checkpoint() with a checkpoint dir.)
+    var labels = edges.select(col("src").as("__id")).distinct()
+      .withColumn("__label", col("__id"))
+      .localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIters) {
+      // propagate each node's label to its neighbors, keep the min
+      val prop = edges.join(labels, col("dst") === col("__id"))
+        .select(col("src").as("__id"), col("__label"))
+      val next = labels.unionAll(prop)
+        .groupBy("__id").agg(min("__label").as("__label"))
+        .localCheckpoint()
+      converged = next.as("n")
+        .join(labels.as("o"), col("n.__id") === col("o.__id"))
+        .where(col("n.__label") =!= col("o.__label"))
+        .isEmpty
+      labels = next
+      iter += 1
+    }
+    edges.unpersist()
+    require(converged,
+      s"components did not converge in $maxIters rounds — raise maxIters " +
+        "or use a star-contraction variant for this graph")
+    labels.select(col("__id").as(idCol), col("__label").as("component"))
+  }
 }

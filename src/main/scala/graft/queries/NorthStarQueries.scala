@@ -64,6 +64,17 @@ object NorthStarQueries {
         .transform(sortedSingle(_, col("doc_id")))
     },
 
+    // transitive duplicate clusters: connected components over the verified
+    // near-dup pair graph (min-label propagation; oracle = DuckDB recursive
+    // CTE reachability). The chain case a-b-c gets ONE canonical id even
+    // though a and c were never compared.
+    "dedup_components" -> { (s, dir) =>
+      val pairs = Dedup.jaccardJoin(docsWithShingles(s, dir), "doc_id", "sh", JaccardTau)
+        .select("a", "b")
+      Dedup.components(pairs, "doc_id")
+        .transform(sortedSingle(_, col("doc_id")))
+    },
+
     // SimHash banded near-dup pairs (custom Catalyst expression)
     "simhash_pairs" -> { (s, dir) =>
       Dedup.simhashPairs(docs(s, dir), "doc_id",
@@ -341,6 +352,20 @@ object NorthStarQueries {
          |SELECT doc_id FROM documents
          |WHERE doc_id NOT IN (SELECT b FROM pairs)
          |ORDER BY doc_id""".stripMargin,
+    "dedup_components" ->
+      s"""WITH RECURSIVE pairs AS ($JaccardPairsSql),
+         |edges AS (
+         |  SELECT a AS src, b AS dst FROM pairs
+         |  UNION
+         |  SELECT b AS src, a AS dst FROM pairs),
+         |nodes AS (SELECT DISTINCT src AS id FROM edges),
+         |reach(id, r) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT e.dst AS id, reach.r AS r
+         |  FROM reach JOIN edges e ON e.src = reach.id)
+         |SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS component
+         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
     "simhash_pairs" -> simhashOracle,
     "sim_join_cosine" ->
       s"""SELECT l.vec_id AS a, r.vec_id AS b,

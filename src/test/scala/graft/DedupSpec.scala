@@ -86,3 +86,44 @@ class DedupSpec extends SparkTestBase {
     assert(out.toSeq == Seq(0L, 2L, 4L))
   }
 }
+
+/** Connected components: transitivity, differential vs union-find, and the
+  * convergence guard.
+  */
+class ComponentsSpec extends SparkTestBase {
+  private val sp = SparkTestBase.spark
+  import sp.implicits._
+
+  test("chains collapse to one component (what greedy survivors can't see)") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("a", "b")
+    val got = graft.ops.Dedup.components(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 8L -> 7L))
+  }
+
+  test("differential vs union-find on a random graph") {
+    val rnd = new scala.util.Random(4242L)
+    val pairRows = (1 to 120).map(_ => (rnd.nextInt(60).toLong, 60L + rnd.nextInt(60)))
+    val got = graft.ops.Dedup.components(pairRows.toDF("a", "b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // plain union-find with path compression
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairRows.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = parent.keys.map(x => x -> find(x)).toMap
+    assert(got == want)
+  }
+
+  test("throws instead of returning an unconverged labeling") {
+    val chain = (1L until 12L).map(i => (i, i + 1)).toDF("a", "b")
+    assertThrows[IllegalArgumentException] {
+      graft.ops.Dedup.components(chain, maxIters = 3)
+    }
+  }
+}
