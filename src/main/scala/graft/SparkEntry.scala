@@ -40,7 +40,7 @@ object SparkEntry {
   private def events(s: SparkSession, dir: String): DataFrame = {
     val path = eventsSpool.computeIfAbsent(dir, d => {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val tmp = java.nio.file.Files.createTempDirectory("graft_events_spool").toString
+      val tmp = graft.util.TempDirs.create("graft_events_spool")
       // NO repartition: the spool must preserve file row order — double
       // sums (events_hourly) accumulate in input order, and the oracle
       // compare needs them bit-identical to DuckDB's sequential scan
@@ -251,7 +251,7 @@ object SparkEntry {
     // ---- ingestion: CSV sink+scan roundtrip (S1/S2), schema'd both ways ----
     "csv_roundtrip" -> { (s, dir) =>
       val docs = t(s, dir, "documents")
-      val tmp = java.nio.file.Files.createTempDirectory("graft_csv_rt").toString + "/docs"
+      val tmp = graft.util.TempDirs.create("graft_csv_rt") + "/docs"
       docs.write.option("header", "true").option("escape", "\"")
         .mode("overwrite").csv(tmp)
       s.read.schema(docs.schema).option("header", "true")

@@ -32,14 +32,20 @@ object RangeJoin {
     * @param startCol    interval start on `intervals`
     * @param endCol      interval end on `intervals`
     * @param bucketWidth bucket width in the same units as the columns
+    * @param maxFanout   hard cap on buckets per interval: a single corrupt
+    *                    row (bad unit conversion, sentinel end-date) would
+    *                    otherwise materialize a multi-hundred-million-element
+    *                    bucket array and kill the job far from the cause;
+    *                    exceeding rows raise a descriptive error instead
     * @return inner join: every (point, interval) row pair with
     *         start <= point <= end on matching keys; all columns from both
     *         sides (names must not collide)
     */
   def pointInInterval(points: DataFrame, intervals: DataFrame,
       keys: Seq[String], pointCol: String, startCol: String, endCol: String,
-      bucketWidth: Double): DataFrame = {
+      bucketWidth: Double, maxFanout: Int = 4096): DataFrame = {
     require(bucketWidth > 0, s"bucketWidth must be positive: $bucketWidth")
+    require(maxFanout > 0, s"maxFanout must be positive: $maxFanout")
     val collisions = points.columns.toSet.intersect(intervals.columns.toSet) -- keys
     require(collisions.isEmpty, s"column names collide across sides: $collisions")
 
@@ -48,10 +54,16 @@ object RangeJoin {
     val p = points.withColumn("__bucket", bucketOf(col(pointCol)))
     // sequence() materializes the covered bucket range per interval — the
     // fan-out is (length/width)+1 rows, not a cross product
+    val nBuckets = bucketOf(col(endCol)) - bucketOf(col(startCol)) + 1
     val iv = intervals
       .where(col(endCol).cast("double") >= col(startCol).cast("double"))
-      .withColumn("__bucket",
-        explode(sequence(bucketOf(col(startCol)), bucketOf(col(endCol)))))
+      .withColumn("__bucket", explode(
+        when(nBuckets <= maxFanout,
+          sequence(bucketOf(col(startCol)), bucketOf(col(endCol))))
+          .otherwise(raise_error(concat(
+            lit("RangeJoin: interval spans "), nBuckets,
+            lit(s" buckets > maxFanout $maxFanout — widen bucketWidth, " +
+              "raise maxFanout, or route outlier intervals to a broadcast tier"))))))
     p.join(iv, keys :+ "__bucket")
       .where(col(pointCol).cast("double") >= col(startCol).cast("double") &&
         col(pointCol).cast("double") <= col(endCol).cast("double"))

@@ -28,12 +28,13 @@ object Sampling {
 
   /** Keep rows whose bucket falls in [lo, hi) of [0, buckets) — a
     * deterministic (hi-lo)/buckets fraction. Disjoint [lo, hi) ranges give
-    * disjoint samples of the same frame.
+    * disjoint samples of the same frame; lo == hi is a legal empty range
+    * (the boundary of a split-ratio sweep), not an error.
     */
   def sampleRange(df: DataFrame, key: Column, buckets: Int,
       lo: Int, hi: Int): DataFrame = {
-    require(0 <= lo && lo < hi && hi <= buckets,
-      s"need 0 <= lo < hi <= buckets, got [$lo, $hi) of $buckets")
+    require(0 <= lo && lo <= hi && hi <= buckets,
+      s"need 0 <= lo <= hi <= buckets, got [$lo, $hi) of $buckets")
     val b = hashBucket(key, buckets)
     df.where(b >= lo && b < hi)
   }

@@ -153,18 +153,37 @@ object AnnIndex {
     * each bucket is one output directory.
     */
   def materialize(df: DataFrame, idCol: String, vecCol: String,
-      stride: Int, path: String): Unit =
+      stride: Int, path: String): Unit = {
+    // materializing is already an action — fail fast on an empty centroid
+    // set here instead of leaving a part-less parquet dir that makes a
+    // later read die with an unrelated schema-inference error
+    require(!centroidsOf(df, idCol, vecCol, stride).isEmpty,
+      s"no centroids: no $idCol divisible by stride $stride")
     build(df, idCol, vecCol, stride).assigned
       .write.mode("overwrite").partitionBy("__centroid").parquet(path)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(path, StrideMarker), stride.toString)
+  }
 
   /** Open a [[materialize]]d index. `df` must be the same source frame (the
     * centroid table is re-derived from it — a tiny lazy filter, never
-    * materialized at open time).
+    * materialized at open time); `stride` must match the one materialized,
+    * which is checked against the on-disk marker when it is readable (a
+    * mismatched stride would rank centroids that don't exist as buckets).
     */
   def fromMaterialized(df: DataFrame, idCol: String, vecCol: String,
-      stride: Int, path: String): AnnIndex =
+      stride: Int, path: String): AnnIndex = {
+    val marker = java.nio.file.Paths.get(path, StrideMarker)
+    if (java.nio.file.Files.isReadable(marker)) {
+      val written = java.nio.file.Files.readString(marker).trim
+      require(written == stride.toString,
+        s"index at $path was materialized with stride $written, opened with $stride")
+    }
     new AnnIndex(df.sparkSession.read.parquet(path),
       centroidsOf(df, idCol, vecCol, stride), idCol, vecCol)
+  }
+
+  private val StrideMarker = "_graft_ann_stride"
 
   private def centroidsOf(df: DataFrame, idCol: String, vecCol: String,
       stride: Int): DataFrame =

@@ -103,8 +103,11 @@ object TextOps {
     val n = org.apache.spark.sql.functions.size(t)
     val lastStart =
       greatest(ceil((n - lit(size)).cast("double") / stride), lit(0L)) * stride
-    transform(sequence(lit(0L), lastStart.cast("long"), lit(stride.toLong)),
-      start => concat_ws(" ", slice(t, start.cast("int") + lit(1), lit(size))))
+    // explicit null-in/null-out: greatest() skips the null from size(null)
+    // and would otherwise manufacture a single empty chunk for null text
+    when(text.isNotNull,
+      transform(sequence(lit(0L), lastStart.cast("long"), lit(stride.toLong)),
+        start => concat_ws(" ", slice(t, start.cast("int") + lit(1), lit(size)))))
   }
 
   /** Composite quality score in [0,1]: length band + punctuation sanity +

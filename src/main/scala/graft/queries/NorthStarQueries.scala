@@ -109,7 +109,7 @@ object NorthStarQueries {
     "ann_ivf_topk" -> { (s, dir) =>
       val emb = t(s, dir, "embeddings")
       val path = annSpool.computeIfAbsent(dir, d => {
-        val p = java.nio.file.Files.createTempDirectory("graft_ann_spool").toString
+        val p = graft.util.TempDirs.create("graft_ann_spool")
         AnnIndex.materialize(t(s, d, "embeddings"), "vec_id", "embedding", 64, p)
         p
       })
@@ -257,6 +257,7 @@ object NorthStarQueries {
     // projection — the packing step of a training pipeline)
     "chunk_docs" -> { (s, dir) =>
       docs(s, dir)
+        .where(col("text").isNotNull) // oracle filters identically
         .select(col("doc_id"), posexplode(TextOps.chunks(col("text"), 32, 24)))
         .select(col("doc_id"), col("pos").cast("long").as("chunk_id"),
           size(split(col("col"), " ")).cast("long").as("n_chunk_tokens"),
@@ -449,7 +450,8 @@ object NorthStarQueries {
         |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 10
         |ORDER BY doc_id""".stripMargin,
     "chunk_docs" ->
-      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t
+        |             FROM documents WHERE text IS NOT NULL),
         |ids AS (SELECT doc_id, t,
         |               unnest(range(0, greatest(CAST(ceil((len(t) - 32) / 24.0) AS BIGINT), 0) + 1)) AS chunk_id
         |        FROM tok)

@@ -24,6 +24,10 @@ object PlanPeek {
         (System.nanoTime() - t0) / 1e9
       }
       println(f"== $name min=${ts.min}%.3f all=${ts.map(t => f"$t%.2f").mkString(",")}")
+      // the noop writes above run their OWN QueryExecutions; execute this
+      // df once so AQE finalizes ITS plan — otherwise the print below shows
+      // the pre-AQE initial plan (wrong join strategies/exchange counts)
+      df.collect()
       println(df.queryExecution.executedPlan.toString.linesIterator
         .filter(l => l.contains("Join") || l.contains("Exchange") ||
           l.contains("HashAggregate") || l.contains("Scan parquet") ||

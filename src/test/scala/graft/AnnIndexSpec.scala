@@ -64,6 +64,20 @@ class AnnIndexSpec extends SparkTestBase {
       executed.contains("PartitionFilters: [isnotnull(__centroid"),
       s"no partition pruning on the materialized probe:\n$executed")
   }
+
+  test("materialize fails fast on an empty centroid set; stride mismatch is rejected") {
+    val path = java.nio.file.Files.createTempDirectory("ann_guard_test").toString
+    assertThrows[IllegalArgumentException] {
+      // ids 1..499 with a stride beyond the range (0 itself excluded —
+      // it divides everything) -> no centroids
+      AnnIndex.materialize(emb.where(col("vec_id") > 0),
+        "vec_id", "embedding", 1 << 20, path)
+    }
+    AnnIndex.materialize(emb, "vec_id", "embedding", 64, path)
+    assertThrows[IllegalArgumentException] {
+      AnnIndex.fromMaterialized(emb, "vec_id", "embedding", 32, path)
+    }
+  }
 }
 
 /** sim_join_lsh's documented check (it has no SQL oracle: the hyperplane

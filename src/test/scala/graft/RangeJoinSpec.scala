@@ -53,6 +53,16 @@ class RangeJoinSpec extends SparkTestBase {
     assert(got == want)
   }
 
+  test("a runaway interval fails fast instead of materializing its buckets") {
+    val runaway = Seq(("u1", 0.0, 1.0e12, 9L)).toDF("k", "lo", "hi", "iid")
+    val ex = intercept[Exception] {
+      RangeJoin.pointInInterval(points, runaway, Seq("k"), "t", "lo", "hi", 1.0)
+        .collect()
+    }
+    assert(ex.getMessage != null && ex.getMessage.contains("maxFanout"),
+      s"unexpected error: ${ex.getMessage}")
+  }
+
   test("rejects colliding non-key columns and bad widths") {
     val bad = Seq(("u1", 1.0, 9L)).toDF("k", "t", "iid2")
       .withColumnRenamed("iid2", "pid") // collides with points.pid

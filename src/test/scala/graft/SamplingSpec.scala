@@ -29,9 +29,12 @@ class SamplingSpec extends SparkTestBase {
     assert(t.union(h).size == 2000)
   }
 
-  test("rejects bad ranges") {
+  test("boundary splits are legal and empty; reversed ranges are not") {
+    // 100% train: holdout side is [10, 10) — empty, not an error
+    val (train, hold) = Sampling.trainHoldout(ids, col("id"), 10, 10)
+    assert(hold.isEmpty && train.count() == 2000)
     assertThrows[IllegalArgumentException] {
-      Sampling.sampleRange(ids, col("id"), 10, 5, 5)
+      Sampling.sampleRange(ids, col("id"), 10, 5, 4)
     }
     assertThrows[IllegalArgumentException] {
       Sampling.hashBucket(col("id"), 0)
@@ -56,9 +59,12 @@ class ChunkingSpec extends SparkTestBase {
     assert(got == Seq("a b c d", "c d e f", "e f g"))
   }
 
-  test("short and empty docs yield a single chunk") {
+  test("short and empty docs yield a single chunk; null text yields null") {
     assert(chunksOf("a b", 4, 2) == Seq("a b"))
     assert(chunksOf("", 4, 2) == Seq(""))
+    val r = Seq[(String, Int)]((null, 0)).toDF("text", "x")
+      .select(TextOps.chunks(col("text"), 4, 2).as("c")).head()
+    assert(r.isNullAt(0))
   }
 
   test("every token position is covered at any length") {
