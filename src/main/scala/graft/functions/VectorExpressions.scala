@@ -200,6 +200,70 @@ case class L2Distance(left: Expression, right: Expression) extends BinaryExpress
     copy(left = l, right = r)
 }
 
+/** `array_int8_cosine_distance(a, b)` — cosine distance over quantized
+  * integer code arrays (graft.ops.Quantize): dot and norms accumulate
+  * EXACTLY in long (int8 codes can't overflow: 2^53 headroom holds to
+  * ~5·10^8 dims), then one double division. NULL when either vector
+  * quantized to all zeros. This is the hot loop of a quantized brute-force
+  * scan — a higher-order-function encoding (zip_with + aggregate) stays
+  * interpreted and allocates per row; this compiles into the stage.
+  */
+case class Int8CosineDistance(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(IntegerType), ArrayType(IntegerType))
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "array_int8_cosine_distance"
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    if (n != b.numElements()) throw VectorErrors.dimMismatch(n, b.numElements())
+    var dot = 0L; var na = 0L; var nb = 0L
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val x = a.getInt(i).toLong
+      val y = b.getInt(i).toLong
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    val denom = math.sqrt(na.toDouble) * math.sqrt(nb.toDouble)
+    if (denom > 0) 1.0 - dot.toDouble / denom else null
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot"); val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb"); val x = ctx.freshName("x")
+      val y = ctx.freshName("y"); val denom = ctx.freshName("denom")
+      s"""
+        |final int $n = $a.numElements();
+        |if ($n != $b.numElements()) {
+        |  throw graft.functions.VectorErrors.dimMismatch($n, $b.numElements());
+        |}
+        |long $dot = 0L; long $na = 0L; long $nb = 0L;
+        |for (int $i = 0; $i < $n; $i++) {
+        |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+        |  final long $x = (long) $a.getInt($i);
+        |  final long $y = (long) $b.getInt($i);
+        |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+        |}
+        |if (!${ev.isNull}) {
+        |  final double $denom = java.lang.Math.sqrt((double) $na) * java.lang.Math.sqrt((double) $nb);
+        |  if ($denom > 0) { ${ev.value} = 1.0 - ((double) $dot) / $denom; }
+        |  else { ${ev.isNull} = true; }
+        |}
+      """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** `array_l2_norm(a)` — Euclidean norm in double. */
 case class L2Norm(child: Expression) extends UnaryExpression with ExpectsInputTypes {
   override def inputTypes: Seq[AbstractDataType] =

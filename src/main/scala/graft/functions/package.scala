@@ -34,6 +34,10 @@ package object functions {
 
   def array_l2_norm(a: Column): Column = col(L2Norm(ex(a)))
 
+  /** Cosine distance over int8 quantization codes; see [[Int8CosineDistance]]. */
+  def array_int8_cosine_distance(a: Column, b: Column): Column =
+    col(Int8CosineDistance(ex(a), ex(b)))
+
   /** 60-bit md5-based SimHash over a token array; see [[SimHash]]. */
   def simhash(tokens: Column): Column = col(SimHash(ex(tokens)))
 
@@ -94,6 +98,7 @@ package object functions {
     binaryBuilder("array_cosine_similarity", CosineSimilarity.apply),
     binaryBuilder("array_inner_product", DotProduct.apply),
     binaryBuilder("array_distance", L2Distance.apply),
+    binaryBuilder("array_int8_cosine_distance", Int8CosineDistance.apply),
     unaryBuilder("array_l2_norm", L2Norm.apply),
     unaryBuilder("simhash", SimHash.apply),
     {

@@ -35,19 +35,22 @@ object Quantize {
     transform(vec, v => round(v * s).cast("int"))
   }
 
-  /** Integer dot product of two code arrays (exact in long). */
+  /** Integer dot product of two code arrays (exact in long). Higher-order
+    * functions are fine for the occasional reconstruction below; the hot
+    * scan loop is [[cosineDistance]], which compiles via a native
+    * expression instead.
+    */
   def intDot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => (x * y).cast("long")),
       lit(0L), (acc, x) => acc + x)
 
   /** Cosine distance from integer codes alone (scales cancel). NULL when
-    * either vector quantized to all zeros.
+    * either vector quantized to all zeros. Backed by the codegen'd
+    * [[graft.functions.Int8CosineDistance]] — the quantized brute-force
+    * scan stays inside whole-stage codegen with long accumulators.
     */
-  def cosineDistance(qa: Column, qb: Column): Column = {
-    val denom = sqrt(intDot(qa, qa).cast("double")) *
-      sqrt(intDot(qb, qb).cast("double"))
-    when(denom > 0, lit(1.0) - intDot(qa, qb).cast("double") / denom)
-  }
+  def cosineDistance(qa: Column, qb: Column): Column =
+    graft.functions.array_int8_cosine_distance(qa, qb)
 
   /** Reconstructed float dot product: intDot/(scale_a·scale_b). */
   def dotReconstructed(qa: Column, sa: Column, qb: Column, sb: Column): Column =

@@ -42,6 +42,18 @@ class QuantizeSpec extends SparkTestBase {
     assert(recall >= 8, s"recall@10 = $recall (exact=$exact quant=$quant)")
   }
 
+  test("quantized distance projects inside whole-stage codegen") {
+    val codes = emb.select(col("vec_id"), Quantize.codes(col("e")).as("q"))
+    val qq = codes.where(col("vec_id") === 7).select(col("q").as("qq"))
+    val df = codes.crossJoin(broadcast(qq))
+      .select(Quantize.cosineDistance(col("q"), col("qq")).as("d"))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val codegenProject = plan.linesIterator.exists(l =>
+      l.contains("Project") && l.trim.stripPrefix("+- ").startsWith("*("))
+    assert(codegenProject, s"distance projection not codegen'd:\n$plan")
+  }
+
   test("reconstructed dot error is bounded by 2% of the norm product") {
     // int8 error is per-element additive: |err| scales with |a||b|, not with
     // the dot value itself (near-orthogonal pairs cancel to small dots)
