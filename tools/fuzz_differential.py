@@ -112,7 +112,32 @@ def gen_query():
     t = rng.choice(list(TABLES))
     cols = TABLES[t]
     shape = rng.choice(["agg", "agg", "filter_topk", "distinct", "join_agg",
-                        "window", "window_frame", "setop", "json"])
+                        "window", "window_frame", "setop", "json",
+                        "having", "subquery"])
+    if shape == "having":
+        g = rng.choice(cols["str"])
+        ic = rng.choice(cols["int"] + cols["num"])
+        where = f" WHERE {predicate(t)}" if rng.random() < 0.5 else ""
+        cond = rng.choice([f"count(*) >= {rng.randint(2, 50)}",
+                           f"min({ic}) > {rng.randint(0, 500)}"])
+        return (f"SELECT {g}, count(*) AS n FROM {t}{where} "
+                f"GROUP BY {g} HAVING {cond} ORDER BY {g}")
+    if shape == "subquery":
+        # correlated EXISTS / uncorrelated IN over the join graph
+        a, b, cond = rng.choice(JOINS)
+        if b not in TABLES:
+            a, b, cond = JOINS[0]
+        sel = rng.choice(TABLES[a]["str"])
+        neg = rng.choice(["", "NOT "])
+        if rng.random() < 0.5:
+            sub = f"SELECT 1 FROM {b} WHERE {cond} AND {predicate(b)}"
+            where = f"{neg}EXISTS ({sub})"
+        else:
+            lk, rk = cond.split(" = ")
+            sub = f"SELECT {rk} FROM {b} WHERE {predicate(b)}"
+            where = f"{lk} {neg}IN ({sub})"
+        return (f"SELECT {sel}, count(*) AS n FROM {a} WHERE {where} "
+                f"GROUP BY {sel} ORDER BY {sel}")
     if shape == "json":
         # JSON property extraction over the events props payload; the value
         # is an integer, so aggregates stay exact across engines
