@@ -4,7 +4,9 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.{Encoders => SparkEncoders}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
+  StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
 
 /** Structured-Streaming surface for the events table (SURVEY §2.11: the
   * reference has no streaming; this is the north-star event-analytics
@@ -125,6 +127,47 @@ object EventStreams {
           state.update(next)
           next
       }
+  }
+
+  /** State API v2 ([[userProfiles]] re-expressed on `transformWithState`,
+    * Spark 4's arbitrary-state surface): typed `ValueState` via the handle,
+    * explicit `TimeMode`, and per-state TTL — the knob `mapGroupsWithState`
+    * lacks for bounding state without event-time timers. Requires the
+    * RocksDB state-store provider (the v2 operator does not run on the
+    * default HDFS-backed store).
+    */
+  class ProfileProcessor
+      extends StatefulProcessor[Long, UserEvent, UserProfile] {
+    @transient private var profile: ValueState[UserProfile] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      profile = getHandle.getValueState[UserProfile](
+        "profile", SparkEncoders.product[UserProfile], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[UserEvent],
+        timerValues: TimerValues): Iterator[UserProfile] = {
+      var p =
+        if (profile.exists()) profile.get()
+        else UserProfile(key, 0L, 0.0, new Timestamp(0L))
+      rows.foreach { e =>
+        p = UserProfile(key, p.n_events + 1, p.total_value + e.value,
+          if (e.ts.after(p.last_seen)) e.ts else p.last_seen)
+      }
+      profile.update(p)
+      Iterator.single(p)
+    }
+  }
+
+  /** Running per-user profiles on the v2 state API; semantics match
+    * [[userProfiles]] (proven in the spec).
+    */
+  def userProfilesV2(events: Dataset[UserEvent]): Dataset[UserProfile] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new ProfileProcessor,
+        TimeMode.None(), OutputMode.Update())
   }
 
   /** Wire a streaming frame to an in-memory sink for inspection/tests.

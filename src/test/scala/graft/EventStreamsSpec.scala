@@ -135,6 +135,34 @@ class EventStreamsSpec extends SparkTestBase {
     assert(streamed.map(_._1) == Set(10L, 12L))
   }
 
+  test("userProfilesV2 (transformWithState) matches the v1 state semantics") {
+    val prev = sp.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    sp.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = MemoryStream[EventStreams.UserEvent](sp)
+      val q = EventStreams.userProfilesV2(stream.toDS())
+        .writeStream.format("memory").queryName("profiles_v2_test")
+        .outputMode(OutputMode.Update()).start()
+      stream.addData(EventStreams.UserEvent(1L, ts(0), 2.0),
+        EventStreams.UserEvent(1L, ts(5), 3.0))
+      q.processAllAvailable()
+      stream.addData(EventStreams.UserEvent(1L, ts(10), 5.0))
+      q.processAllAvailable()
+      val latest = sp.table("profiles_v2_test")
+        .orderBy(col("n_events").desc).head()
+      q.stop()
+      assert(latest.getAs[Long]("n_events") == 3L)
+      assert(latest.getAs[Double]("total_value") == 10.0)
+      assert(latest.getAs[Timestamp]("last_seen") == ts(10))
+    } finally {
+      prev match {
+        case Some(v) => sp.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => sp.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("sliding windows overlap correctly (batch check)") {
     val out = EventStreams.slidingRate(eventsDf((1L, 30, 1L, "a", 1.0)))
       .collect()
