@@ -39,15 +39,26 @@ object SparkEntry {
 
   private def events(s: SparkSession, dir: String): DataFrame = {
     val path = eventsSpool.computeIfAbsent(dir, d => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val tmp = graft.util.TempDirs.create("graft_events_spool")
-      // NO repartition: the spool must preserve file row order — double
-      // sums (events_hourly) accumulate in input order, and the oracle
-      // compare needs them bit-identical to DuckDB's sequential scan
-      t(s, d, "events")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-        .write.mode("overwrite").parquet(tmp)
-      tmp
+      // nanosAsLong is needed only while building the spool — set, spool,
+      // restore, so a query fn doesn't permanently mutate the session conf
+      val key = "spark.sql.legacy.parquet.nanosAsLong"
+      val prev = s.conf.getOption(key)
+      s.conf.set(key, "true")
+      try {
+        val tmp = graft.util.TempDirs.create("graft_events_spool")
+        // NO repartition: the spool must preserve file row order — double
+        // sums (events_hourly) accumulate in input order, and the oracle
+        // compare needs them bit-identical to DuckDB's sequential scan
+        t(s, d, "events")
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          .write.mode("overwrite").parquet(tmp)
+        tmp
+      } finally {
+        prev match {
+          case Some(v) => s.conf.set(key, v)
+          case None => s.conf.unset(key)
+        }
+      }
     })
     s.read.parquet(path)
   }

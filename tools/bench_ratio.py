@@ -1,0 +1,33 @@
+#!/usr/bin/env python3
+"""Per-query Spark/DuckDB ratio report: joins a graft.Bench JSON line with a
+tools/oracle_bench.py JSON line measured in the same load window.
+
+Usage: python3 tools/bench_ratio.py <bench.json> <oracle.json>
+(each file holds the one-line JSON its producer printed)
+"""
+import json
+import sys
+
+
+def load(path):
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if line.startswith("{") and '"queries"' in line:
+                return json.loads(line)
+    raise SystemExit(f"no JSON line with queries in {path}")
+
+
+b = load(sys.argv[1])["queries"]
+o = load(sys.argv[2])["queries"]
+common = sorted(set(b) & set(o))
+rows = [(q, b[q], o[q], b[q] / o[q] if o[q] > 0 else float("inf"))
+        for q in common]
+rows.sort(key=lambda r: -r[3])
+print(f"{'query':30s} {'spark':>7s} {'duck':>7s} {'ratio':>7s}")
+for q, sb, so, r in rows:
+    print(f"{q:30s} {sb:7.3f} {so:7.3f} {r:7.2f}")
+ts, to = sum(b[q] for q in common), sum(o[q] for q in common)
+over = sum(1 for *_, r in rows if r > 2.0)
+print(f"\n{len(common)} queries | spark {ts:.2f}s duck {to:.2f}s "
+      f"total ratio {ts / to:.2f}x | {over} queries individually > 2x")
