@@ -4,9 +4,11 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Backward as-of join: for every left row, the single most recent right row
-  * with `rightTime <= leftTime` on the same key (pandas `merge_asof` /
-  * DuckDB `ASOF JOIN` semantics, exact-time matches included).
+/** As-of joins (backward and forward): for every left row, the single most
+  * recent right row with `rightTime <= leftTime` (backward) or earliest
+  * with `rightTime >= leftTime` (forward) on the same key (pandas
+  * `merge_asof` / DuckDB `ASOF JOIN` semantics, exact-time matches
+  * included).
   *
   * Spark has no native as-of join; the naive encodings both fail at scale:
   * a `left.join(right, key && rTime <= lTime)` range join explodes to every
@@ -42,7 +44,24 @@ object AsOfJoin {
     */
   def backward(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTime: String, rightTime: String, rightPayload: Seq[String],
-      toleranceSec: Option[Double] = None): DataFrame = {
+      toleranceSec: Option[Double] = None): DataFrame =
+    asof(left, right, keys, leftTime, rightTime, rightPayload, toleranceSec,
+      forward = false)
+
+  /** Forward as-of join: the single EARLIEST right row with
+    * `rightTime >= leftTime` per key (pandas `merge_asof(direction=
+    * "forward")`; DuckDB `ASOF ... ON p.ts <= c.ts`). Same single-shuffle
+    * union+window machinery as [[backward]], run over reversed time order.
+    */
+  def forward(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTime: String, rightTime: String, rightPayload: Seq[String],
+      toleranceSec: Option[Double] = None): DataFrame =
+    asof(left, right, keys, leftTime, rightTime, rightPayload, toleranceSec,
+      forward = true)
+
+  private def asof(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTime: String, rightTime: String, rightPayload: Seq[String],
+      toleranceSec: Option[Double], forward: Boolean): DataFrame = {
     val leftCols = left.columns.toSeq
     require(rightPayload.forall(right.columns.contains),
       s"rightPayload not all in right: $rightPayload")
@@ -68,19 +87,25 @@ object AsOfJoin {
         struct(payFields.map(right.col): _*).as("__pay")): _*)
 
     // right before left at equal time (inclusive match); equal-time right
-    // rows tie-break on the payload struct itself — deterministic
+    // rows tie-break on the payload struct itself — deterministic. Forward
+    // is the mirror image: walk time descending, so "last payload seen" is
+    // the earliest right row at-or-after the left row.
+    val timeOrd = if (forward) col("__t").desc else col("__t").asc
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("__t").asc, col("__side").asc, col("__pay").asc_nulls_last)
+      .orderBy(timeOrd, col("__side").asc, col("__pay").asc_nulls_last)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val matched = l.unionByName(r)
       .withColumn("__match", last(col("__pay"), ignoreNulls = true).over(w))
       .where(col("__side") === 1)
 
+    val gap =
+      if (forward)
+        col(s"__match.`$rightTime`").cast("double") - col("__t").cast("double")
+      else
+        col("__t").cast("double") - col(s"__match.`$rightTime`").cast("double")
     val withTol = toleranceSec match {
       case Some(tol) =>
-        matched.withColumn("__match",
-          when(col("__t").cast("double") -
-            col(s"__match.`$rightTime`").cast("double") <= tol, col("__match")))
+        matched.withColumn("__match", when(gap <= tol, col("__match")))
       case None => matched
     }
     withTol.select(

@@ -44,6 +44,28 @@ class AsOfJoinSpec extends SparkTestBase {
     assert(out == Set((1L, 90L), (2L, 90L), (3L, null), (4L, null), (5L, null)))
   }
 
+  test("forward picks the earliest at-or-after right row per key") {
+    val out = AsOfJoin.forward(left, right, Seq("k"), "t", "rt", Seq("rt", "v"))
+      .select("id", "rt", "v")
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getLong(1), r.getString(2)))
+      .toSet
+    // t=100 -> none after; t=90 -> exact 90; t=40 -> 50; u2 t=500 -> none;
+    // u3 -> no rows
+    assert(out == Set(
+      (1L, null, null), (2L, 90L, "b"), (3L, 50L, "a"),
+      (4L, null, null), (5L, null, null)))
+  }
+
+  test("forward tolerance nulls matches too far ahead") {
+    val out = AsOfJoin.forward(left, right, Seq("k"), "t", "rt", Seq("rt"),
+        toleranceSec = Some(5.0))
+      .select("id", "rt")
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getLong(1)))
+      .toSet
+    // id 3: gap 10 > 5 -> null; id 2: gap 0 keeps 90
+    assert(out == Set((1L, null), (2L, 90L), (3L, null), (4L, null), (5L, null)))
+  }
+
   test("differential vs naive max-based formulation on random data") {
     val rnd = new scala.util.Random(20260812L)
     val lRows = (1 to 400).map(i =>
