@@ -53,6 +53,16 @@ class RangeJoinSpec extends SparkTestBase {
     assert(got == want)
   }
 
+  test("plan: equi-join on (keys, bucket), never a nested loop") {
+    val df = RangeJoin.pointInInterval(points, intervals, Seq("k"),
+      "t", "lo", "hi", bucketWidth = 7.0)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"range join planned a nested loop:\n$plan")
+    assert(plan.contains("__bucket"), s"bucket key missing from the join:\n$plan")
+  }
+
   test("a runaway interval fails fast instead of materializing its buckets") {
     val runaway = Seq(("u1", 0.0, 1.0e12, 9L)).toDF("k", "lo", "hi", "iid")
     val ex = intercept[Exception] {

@@ -4,7 +4,10 @@ dialect, executed by graft (spark.sql via graft.tools.SqlRunner) and DuckDB,
 results compared (columns sorted, rows sorted, float epsilon).
 
 Generator constraints keep the dialect common and deterministic:
- - aggregates over doubles are round()ed to kill summation-order noise
+ - aggregates over doubles are emitted RAW and compared with float epsilon:
+   round(x, n) is engine-divergent on decimal-boundary doubles (found by
+   seed 987654: avg = 962.98124999999993 rounds to .9812 via Spark's
+   exact-BigDecimal path but .9813 in DuckDB 1.0)
  - window-frame sums run over INT columns only (frame evaluation order and
    segment-tree float association differ per engine; ints are exact)
  - no division (x/0 semantics differ), no implicit casts across engines
@@ -176,7 +179,11 @@ def gen_query():
                        else TABLES[b]["str"] if b in TABLES else TABLES[a]["str"])
         c = rng.choice(TABLES[a]["num"])
         where = f" AND {predicate(a)}" if rng.random() < 0.5 else ""
-        return (f"SELECT {g}, count(*) AS n, round(sum({c}), 4) AS s "
+        # raw doubles, no round(): round(x, n) is engine-divergent when the
+        # exact value sits on a decimal boundary (e.g. avg = 962.98124999...
+        # rounds to .9812 on Spark's exact-BigDecimal path and .9813 in
+        # DuckDB) — the comparator's float epsilon is the right equality
+        return (f"SELECT {g}, count(*) AS n, sum({c}) AS s "
                 f"FROM {a} JOIN {b} ON {cond}{where} GROUP BY {g} ORDER BY {g}")
     if shape == "window":
         g = rng.choice(cols["str"])
@@ -192,10 +199,8 @@ def gen_query():
         for i in range(rng.randint(1, 3)):
             c = rng.choice(cols["num"] + cols["int"])
             fn = rng.choice(["sum", "min", "max", "avg", "count"])
-            expr = f"round({fn}({c}), 4)" if fn in ("sum", "avg") else f"{fn}({c})"
-            if fn == "count":
-                expr = f"count({c})"
-            aggs.append(f"{expr} AS a{i}")
+            # no round() — see the join_agg comment on boundary divergence
+            aggs.append(f"{fn}({c}) AS a{i}")
         where = f" WHERE {predicate(t)}" if rng.random() < 0.7 else ""
         return (f"SELECT {g}, count(*) AS n, {', '.join(aggs)} FROM {t}{where} "
                 f"GROUP BY {g} ORDER BY {g}")
