@@ -190,13 +190,64 @@ object AnnIndex {
     df.where(pmod(col(idCol), lit(stride)) === 0)
       .select(col(idCol).cast("long").as("__cid"), col(vecCol).as("__cvec"))
 
+  /** Lloyd-refined centroids: start from the deterministic stride sample,
+    * run `iters` rounds of (argmin assignment → per-cluster mean). Each
+    * round is one broadcast join + two aggregates — the same scale shape as
+    * the index build itself; k-means|| would only change the INIT step.
+    *
+    * Deterministic and oracle-replicable by construction: fixed init, fixed
+    * iteration count, empty clusters keep their previous centroid, and
+    * every mean is rounded to a 1e-6 grid so last-ULP accumulation-order
+    * drift (Spark partial aggregates vs a sequential engine) cannot flip a
+    * downstream argmin. Output: (__cid, __cvec double array).
+    */
+  def kmeansCentroids(df: DataFrame, idCol: String, vecCol: String,
+      stride: Int = 64, iters: Int = 2): DataFrame = {
+    val vecs = df.select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
+    var cents = centroidsOf(df, idCol, vecCol, stride)
+      .select(col("__cid"), col("__cvec").cast("array<double>").as("__cvec"))
+    for (_ <- 1 to iters) {
+      val assigned = vecs
+        .crossJoin(broadcast(cents))
+        .select(col(idCol), col("__v"),
+          struct(array_cosine_distance(col("__v"), col("__cvec")).as("d"),
+            col("__cid").as("cid")).as("__dc"))
+        .groupBy(col(idCol))
+        .agg(first(col("__v")).as("__v"), min(col("__dc")).getField("cid").as("__cid"))
+      val means = assigned
+        .select(col("__cid"), posexplode(col("__v")))
+        .groupBy("__cid", "pos").agg(avg("col").as("__m"))
+        .groupBy("__cid")
+        .agg(array_sort(collect_list(struct(col("pos"), col("__m")))).as("__pm"))
+        .select(col("__cid"),
+          transform(col("__pm"), x => round(x.getField("__m"), 6)).as("__mvec"))
+      // empty clusters keep their previous centroid; localCheckpoint bounds
+      // lineage across iterations (plan doubles per round otherwise)
+      cents = cents.select(col("__cid"), col("__cvec").as("__prev"))
+        .join(means, Seq("__cid"), "left")
+        .select(col("__cid"), coalesce(col("__mvec"), col("__prev")).as("__cvec"))
+        .localCheckpoint()
+    }
+    cents
+  }
+
+  /** Build an IVF index over [[kmeansCentroids]] — same assignment and
+    * probe machinery as [[build]], better-balanced buckets.
+    */
+  def buildKMeans(df: DataFrame, idCol: String, vecCol: String,
+      stride: Int = 64, iters: Int = 2): AnnIndex =
+    buildWith(df, idCol, vecCol, kmeansCentroids(df, idCol, vecCol, stride, iters))
+
   /** Build the IVF index. `stride` controls centroid count (~n/stride). */
   def build(df: DataFrame, idCol: String, vecCol: String,
-      stride: Int = 64): AnnIndex = {
+      stride: Int = 64): AnnIndex =
     // fully lazy: no Spark job at build time. An empty centroid set (no id
     // divisible by `stride`) makes every probe return empty — pick a stride
     // <= max id, or validate eagerly at the call site if that risk is live.
-    val centroids = centroidsOf(df, idCol, vecCol, stride)
+    buildWith(df, idCol, vecCol, centroidsOf(df, idCol, vecCol, stride))
+
+  private def buildWith(df: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame): AnnIndex = {
     // nearest centroid per vector: broadcast the centroid table into the
     // scan, partial-aggregate the argmin map-side — each partition ships one
     // row per vector to the shuffle regardless of centroid count. Ties on

@@ -119,6 +119,19 @@ object NorthStarQueries {
         .probeTopK(qvec, 10, nprobe = 4)
     },
 
+    // IVF over Lloyd-refined centroids (AnnIndex.buildKMeans): stride-sample
+    // init + 2 deterministic k-means rounds (means rounded to a 1e-6 grid so
+    // cross-engine accumulation drift can't flip an argmin) — the oracle
+    // replays the identical iteration in SQL. Closes SCALING.md's "swap in
+    // k-means later" with the probe path untouched.
+    "ann_kmeans_topk" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val qvec = emb.where(col("vec_id") === 1).select(col("embedding"))
+        .head().getSeq[Float](0).map(_.toDouble).toArray
+      AnnIndex.buildKMeans(emb, "vec_id", "embedding", stride = 64, iters = 2)
+        .probeTopK(qvec, 10, nprobe = 4)
+    },
+
     // language-ID heuristic: marker-word argmax
     "langid_docs" -> { (s, dir) =>
       val spark = s
@@ -339,6 +352,48 @@ object NorthStarQueries {
       |FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= 3
       |ORDER BY a, b""".stripMargin
 
+  /** One Lloyd iteration in DuckDB SQL: argmin assignment against `prev`,
+    * per-position means rounded to the 1e-6 grid, empty clusters keeping
+    * their previous centroid — mirrors `AnnIndex.kmeansCentroids` exactly.
+    */
+  private def kmeansIterSql(prev: String, n: Int): String =
+    s"""a$n AS (
+       |  SELECT vec_id, v, centroid FROM (
+       |    SELECT e.vec_id, e.v, c.cid AS centroid,
+       |           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |             1 - array_cosine_similarity(e.v, c.cv) ASC, c.cid ASC) AS rn
+       |    FROM e CROSS JOIN $prev c) WHERE rn = 1),
+       |m$n AS (
+       |  SELECT centroid AS cid, p.p AS p, round(avg(v[CAST(p.p AS INT) + 1]), 6) AS m
+       |  FROM a$n CROSS JOIN (SELECT unnest(range(0, 64)) AS p) p
+       |  GROUP BY 1, 2),
+       |c$n AS (
+       |  SELECT cid, list(m ORDER BY p)::DOUBLE[64] AS cv FROM m$n GROUP BY cid
+       |  UNION ALL
+       |  SELECT cid, cv FROM $prev WHERE cid NOT IN (SELECT DISTINCT centroid FROM a$n))""".stripMargin
+
+  private def annKmeansOracle: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[64] AS v FROM embeddings),
+       |c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 64 = 0),
+       |${kmeansIterSql("c0", 1)},
+       |${kmeansIterSql("c1", 2)},
+       |probed AS (
+       |  SELECT cid FROM (
+       |    SELECT cid, 1 - array_cosine_similarity(cv, (SELECT v FROM e WHERE vec_id = 1)) AS d
+       |    FROM c2)
+       |  ORDER BY d ASC NULLS LAST, cid ASC LIMIT 4),
+       |assign AS (
+       |  SELECT vec_id, centroid FROM (
+       |    SELECT e.vec_id, c.cid AS centroid,
+       |           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |             1 - array_cosine_similarity(e.v, c.cv) ASC, c.cid ASC) AS rn
+       |    FROM e CROSS JOIN c2 c) WHERE rn = 1)
+       |SELECT e.vec_id,
+       |       1 - array_cosine_similarity(e.v, (SELECT v FROM e WHERE vec_id = 1)) AS cos_dist
+       |FROM e JOIN assign a ON e.vec_id = a.vec_id
+       |WHERE a.centroid IN (SELECT cid FROM probed)
+       |ORDER BY cos_dist ASC NULLS LAST, e.vec_id ASC LIMIT 10""".stripMargin
+
   private val MarkersValues: String =
     TextOps.LangMarkers.map { case (l, w) => s"('$l','$w')" }.mkString(", ")
 
@@ -368,6 +423,7 @@ object NorthStarQueries {
          |SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS component
          |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
     "simhash_pairs" -> simhashOracle,
+    "ann_kmeans_topk" -> annKmeansOracle,
     "sim_join_cosine" ->
       s"""SELECT l.vec_id AS a, r.vec_id AS b,
          |       1 - array_cosine_similarity(l.embedding::DOUBLE[64], r.embedding::DOUBLE[64]) AS cos_dist

@@ -65,6 +65,32 @@ class AnnIndexSpec extends SparkTestBase {
       s"no partition pruning on the materialized probe:\n$executed")
   }
 
+  test("kmeans refinement keeps centroid count, lowers inertia, preserves exactness") {
+    val init = graft.ops.AnnIndex.kmeansCentroids(emb, "vec_id", "embedding",
+      stride = 64, iters = 0)
+    val refined = graft.ops.AnnIndex.kmeansCentroids(emb, "vec_id", "embedding",
+      stride = 64, iters = 2)
+    assert(init.count() == refined.count(), "iteration must not drop clusters")
+
+    def inertia(cents: org.apache.spark.sql.DataFrame): Double =
+      emb.select(col("vec_id"), col("embedding").cast("array<double>").as("__v"))
+        .crossJoin(broadcast(cents))
+        .select(col("vec_id"),
+          graft.functions.array_cosine_distance(col("__v"), col("__cvec")).as("d"))
+        .groupBy("vec_id").agg(min("d").as("d"))
+        .agg(sum("d")).head().getDouble(0)
+    val (i0, i2) = (inertia(init), inertia(refined))
+    assert(i2 <= i0 + 1e-6, s"inertia rose: $i0 -> $i2")
+
+    // probing every kmeans bucket still equals brute force
+    val idx = graft.ops.AnnIndex.buildKMeans(emb, "vec_id", "embedding", 64, 2)
+    val all = idx.probeTopK(qvec(3), 10, nprobe = 1000)
+      .collect().map(_.getLong(0)).toSeq
+    val brute = idx.bruteForceTopK(qvec(3), 10)
+      .collect().map(_.getLong(0)).toSeq
+    assert(all == brute)
+  }
+
   test("materialize fails fast on an empty centroid set; stride mismatch is rejected") {
     val path = java.nio.file.Files.createTempDirectory("ann_guard_test").toString
     assertThrows[IllegalArgumentException] {
