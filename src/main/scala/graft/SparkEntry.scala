@@ -259,14 +259,19 @@ object SparkEntry {
         .transform(graft.queries.sortedSingle(_, col("user_id")))
     },
 
-    // ---- ingestion: CSV sink+scan roundtrip (S1/S2), schema'd both ways ----
+    // ---- ingestion: CSV sink+scan roundtrip (S1/S2), schema'd both ways.
+    // NO multiLine on the read: the documents text is newline-free (verified
+    // against the generator), and multiLine makes every CSV file
+    // unsplittable — one task per file, a genuine scale killer. Reads of
+    // corpora that CAN embed newlines go through CorpusIO.readCsv, which
+    // documents that trade-off. ----
     "csv_roundtrip" -> { (s, dir) =>
       val docs = t(s, dir, "documents")
       val tmp = graft.util.TempDirs.create("graft_csv_rt") + "/docs"
       docs.write.option("header", "true").option("escape", "\"")
         .mode("overwrite").csv(tmp)
       s.read.schema(docs.schema).option("header", "true")
-        .option("multiLine", "true").option("escape", "\"").csv(tmp)
+        .option("escape", "\"").csv(tmp)
         .groupBy("lang")
         .agg(count(lit(1)).as("n"), sum("n_chars").as("total_chars"))
         .transform(graft.queries.sortedSingle(_, col("lang")))

@@ -23,12 +23,31 @@ import graft.functions.{array_cosine_distance, array_inner_product, array_l2_nor
   */
 object SimilarityJoin {
 
+  /** Default ceiling for the broadcast (exact) tier: 2M x 64-dim float
+    * vectors ~ 600 MB broadcast — near the practical executor-memory wall.
+    * Above this the exact all-pairs loop is the wrong plan anyway (O(n^2)
+    * distance evaluations); [[cosineJoin]] routes to the LSH tier instead.
+    */
+  val DefaultMaxBroadcastRows: Int = 2000000
+
   /** Exact cosine-threshold self-join: pairs (a, b), a < b, with
     * cosine distance <= tau. The right side is broadcast — exact and
     * shuffle-free, intended for sides that fit in an executor.
+    *
+    * Guarded: broadcasting an unbounded side OOMs every executor at scale,
+    * so the size ceiling is checked up front with `limit(n+1).count()` —
+    * a short-circuit scan that reads at most n+1 rows, never the full
+    * table. Pass `maxBroadcastRows = Int.MaxValue` to skip the check (and
+    * its one cheap job) when the caller already knows the size.
     */
   def cosineJoinBroadcast(df: DataFrame, idCol: String, vecCol: String,
-      tau: Double): DataFrame = {
+      tau: Double, maxBroadcastRows: Int = DefaultMaxBroadcastRows): DataFrame = {
+    if (maxBroadcastRows < Int.MaxValue) {
+      require(df.limit(maxBroadcastRows + 1).count() <= maxBroadcastRows,
+        s"cosineJoinBroadcast: side exceeds $maxBroadcastRows rows — " +
+          "broadcasting it would exhaust executor memory; use cosineJoin " +
+          "(auto-routes) or cosineJoinLsh (banded scale path)")
+    }
     // repartition the stream side: a single-row-group parquet scan is one
     // partition, which would run the O(n^2) distance loop on one thread
     val par = df.sparkSession.sparkContext.defaultParallelism
@@ -40,10 +59,24 @@ object SimilarityJoin {
       .select("a", "b", "cos_dist")
   }
 
+  /** Size-routed cosine self-join: the exact broadcast tier while the frame
+    * fits under `maxExactRows`, the banded LSH tier above it — so a caller
+    * can't accidentally broadcast a 100 GB table.
+    */
+  def cosineJoin(df: DataFrame, idCol: String, vecCol: String, tau: Double,
+      dim: Int, maxExactRows: Int = DefaultMaxBroadcastRows,
+      nBits: Int = 16, bands: Int = 4, seed: Long = 42L): DataFrame =
+    if (df.limit(maxExactRows + 1).count() <= maxExactRows)
+      cosineJoinBroadcast(df, idCol, vecCol, tau, maxBroadcastRows = Int.MaxValue)
+    else
+      cosineJoinLsh(df, idCol, vecCol, tau, dim, nBits, bands, seed)
+
   /** Deterministic pseudo-random unit hyperplanes (splitmix64 stream) for
     * sign-LSH. Returned as Seq of Array[Double], broadcast via literals.
+    * Public: the DuckDB oracle materializes the same planes as literal
+    * arrays to replicate the full sign-LSH pipeline in SQL.
     */
-  private[ops] def hyperplanes(dim: Int, nBits: Int, seed: Long = 42L): Seq[Array[Double]] = {
+  def hyperplanes(dim: Int, nBits: Int, seed: Long = 42L): Seq[Array[Double]] = {
     var s = seed
     (0 until nBits).map { _ =>
       Array.fill(dim) {
@@ -79,13 +112,20 @@ object SimilarityJoin {
     val bandKeys = (0 until bands).map { b =>
       shiftright(col("__sig"), b * rowsPerBand).bitwiseAND(lit(mask))
     }
-    val banded = sigs.select(col("__id"), col("__v"), posexplode(array(bandKeys: _*)))
+    val banded = sigs.select(col("__id"), posexplode(array(bandKeys: _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "key")
-    val l = banded.select(col("band"), col("key"), col("__id").as("a"), col("__v").as("__va"))
-    val r = banded.select(col("band"), col("key"), col("__id").as("b"), col("__v").as("__vb"))
-    l.join(r, Seq("band", "key"))
+    val l = banded.select(col("band"), col("key"), col("__id").as("a"))
+    val r = banded.select(col("band"), col("key"), col("__id").as("b"))
+    // candidate dedup exchanges ONLY the id pairs — carrying both vectors
+    // through the distinct would shuffle two dim-length arrays per
+    // candidate (~100x the bytes at real dims); the persisted `sigs` frame
+    // re-attaches them after the dedup instead
+    val cands = l.join(r, Seq("band", "key"))
       .where(col("a") < col("b"))
-      .select(col("a"), col("b"), col("__va"), col("__vb")).distinct()
+      .select("a", "b").distinct()
+    cands
+      .join(sigs.select(col("__id").as("a"), col("__v").as("__va")), "a")
+      .join(sigs.select(col("__id").as("b"), col("__v").as("__vb")), "b")
       .withColumn("cos_dist", array_cosine_distance(col("__va"), col("__vb")))
       .where(col("cos_dist") <= tau)
       .select("a", "b", "cos_dist")

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis column functions for the LLM-data-pipeline surface
@@ -108,6 +108,77 @@ object TextOps {
     when(text.isNotNull,
       transform(sequence(lit(0L), lastStart.cast("long"), lit(stride.toLong)),
         start => concat_ws(" ", slice(t, start.cast("int") + lit(1), lit(size)))))
+  }
+
+  /** Chunk statistics over a PRE-TOKENIZED array: one
+    * `struct(n_chunk_tokens, chunk_fp)` per chunk, same windowing as
+    * [[chunks]]. Takes the token-array column (not the text) so the
+    * expensive tokenization is evaluated exactly once per document in its
+    * own projection — passing `tokens(text)` directly here would embed the
+    * split inside the per-chunk lambda and re-tokenize per chunk (measured
+    * 22x slower at sf0.1). The two references to `toks` (window count +
+    * slice) also keep `CollapseProject` from inlining an upstream
+    * `split(...).as("toks")` alias into this expression.
+    */
+  def chunkStats(toks: Column, size: Int, stride: Int): Column = {
+    require(size > 0 && stride > 0 && stride <= size,
+      s"need 0 < stride <= size, got size=$size stride=$stride")
+    val n = org.apache.spark.sql.functions.size(toks)
+    val lastStart =
+      greatest(ceil((n - lit(size)).cast("double") / stride), lit(0L)) * stride
+    when(toks.isNotNull,
+      transform(sequence(lit(0L), lastStart.cast("long"), lit(stride.toLong)),
+        start => {
+          val sl = slice(toks, start.cast("int") + lit(1), lit(size))
+          struct(
+            org.apache.spark.sql.functions.size(sl).cast("long").as("n_chunk_tokens"),
+            md5(concat_ws(" ", sl)).as("chunk_fp"))
+        }))
+  }
+
+  /** BM25 relevance scores for a RUNTIME query-term list: output
+    * (idCol, score), one row per document matching at least one term.
+    *
+    * Terms flow through a broadcast term table (never per-term literal
+    * columns), so the same plan serves a 3-term lookup or a 10^4-term batch
+    * query. Shuffle discipline for a 10^9-doc corpus:
+    *  - term frequencies: explode -> broadcast-join the term table (filters
+    *    BEFORE aggregation — non-query tokens never reach a shuffle) ->
+    *    one map-side-combined aggregate on (doc, term);
+    *  - doc lengths: a pure projection on the source (`size(tokens)`) — no
+    *    explode, no shuffle;
+    *  - corpus stats (avgdl, N) and document frequencies are tiny aggregate
+    *    frames that travel as broadcasts.
+    * No persist: the one frame consumed twice (the tf aggregate, feeding df
+    * counts and scoring) sits behind a single shuffle that AQE's
+    * ReuseExchange dedups, so nothing blocks and nothing caches.
+    */
+  def bm25(df: DataFrame, idCol: String, toks: Column, terms: Seq[String],
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "bm25 needs at least one query term")
+    val spark = df.sparkSession
+    import spark.implicits._
+    // null token arrays (null text) drop out entirely — same corpus-stat
+    // denominator as an explode-based formulation, which emits no rows for
+    // null docs
+    val base = df.select(col(idCol), toks.as("__t")).where(col("__t").isNotNull)
+    val termsDf = terms.toDF("__term")
+    val tf = base.select(col(idCol), explode(col("__t")).as("__tk"))
+      .join(broadcast(termsDf), col("__tk") === col("__term"))
+      .groupBy(col(idCol), col("__tk")).agg(count(lit(1)).as("__tf"))
+    val dl = base.select(col(idCol), size(col("__t")).cast("long").as("__dl"))
+    val stats = dl.agg(avg("__dl").as("__avgdl"),
+      count(lit(1)).cast("double").as("__n"))
+    val dfreq = tf.groupBy("__tk").agg(count(lit(1)).as("__df"))
+    tf.join(dl, idCol)
+      .join(broadcast(dfreq), "__tk")
+      .crossJoin(broadcast(stats))
+      .withColumn("__s",
+        log(lit(1.0) + (col("__n") - col("__df") + 0.5) / (col("__df") + 0.5)) *
+          (col("__tf") * (k1 + 1.0)) /
+          (col("__tf") + lit(k1) *
+            (lit(1.0 - b) + lit(b) * col("__dl") / col("__avgdl"))))
+      .groupBy(col(idCol)).agg(sum(col("__s")).as("score"))
   }
 
   /** Composite quality score in [0,1]: length band + punctuation sanity +

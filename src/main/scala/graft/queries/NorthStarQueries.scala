@@ -90,8 +90,11 @@ object NorthStarQueries {
         .transform(sortedSingle(_, col("a"), col("b")))
     },
 
-    // embedding cosine join, LSH-bucketed (scale path; deterministic but the
-    // hyperplane literals make a SQL oracle impractical -> rows-only check)
+    // embedding cosine join, LSH-bucketed (scale path). Fully oracle-exact:
+    // the hyperplanes are a deterministic splitmix64 stream, materialized as
+    // literal DOUBLE[64] arrays in the DuckDB oracle, and both engines
+    // accumulate the sign dot products left-to-right in double — the whole
+    // sign-bit banding pipeline replays bit-identically in SQL.
     "sim_join_lsh" -> { (s, dir) =>
       val emb = t(s, dir, "embeddings")
       val dim = emb.select(col("embedding")).head().getSeq[Float](0).length
@@ -177,34 +180,14 @@ object NorthStarQueries {
         .limit(50)
     },
 
-    // BM25 scoring for a fixed query. ONE explode+aggregate pass computes
-    // doc length and per-term tf together (conditional sums), then the tiny
-    // per-doc frame is unpivoted; corpus stats travel as a broadcast one-row
-    // frame — no driver collect, no second pass over the token table.
+    // BM25 top-k for a runtime term list (TextOps.bm25): terms flow through
+    // a broadcast term table — same plan for 3 terms or 10^4 — doc lengths
+    // are a shuffle-free projection, and nothing persists (the one shared
+    // shuffle is deduped by AQE ReuseExchange, so no blocking
+    // materialization for small term sets).
     "bm25_topk" -> { (s, dir) =>
-      val k1 = 1.2; val b = 0.75
-      val tfCols = Bm25Terms.map(term =>
-        sum(when(col("tk") === term, 1L).otherwise(0L)).as(s"tf_$term"))
-      val perDoc = docs(s, dir)
-        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tk"))
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("dl"), tfCols: _*)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val stats = perDoc.agg(avg(col("dl")).as("avgdl"),
-        count(lit(1)).cast("double").as("n"))
-      val stackExpr = Bm25Terms.map(t => s"'$t', tf_$t").mkString(", ")
-      val tf = perDoc
-        .selectExpr("doc_id", "dl",
-          s"stack(${Bm25Terms.size}, $stackExpr) AS (tk, tf)")
-        .where(col("tf") > 0)
-      val dfreq = tf.groupBy("tk").agg(count(lit(1)).as("df"))
-      tf.join(broadcast(dfreq), "tk")
-        .crossJoin(broadcast(stats))
-        .withColumn("s",
-          log(lit(1.0) + (col("n") - col("df") + 0.5) / (col("df") + 0.5)) *
-            (col("tf") * (k1 + 1.0)) /
-            (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
-        .groupBy("doc_id").agg(round(sum(col("s")), 6).as("score"))
+      TextOps.bm25(docs(s, dir), "doc_id", TextOps.tokens(col("text")), Bm25Terms)
+        .select(col("doc_id"), round(col("score"), 6).as("score"))
         .orderBy(col("score").desc, col("doc_id").asc)
         .limit(20)
     },
@@ -267,14 +250,19 @@ object NorthStarQueries {
 
     // context-window chunking: overlapping 32-token windows, stride 24;
     // emits per-chunk token count + content fingerprint (scan-parallel
-    // projection — the packing step of a training pipeline)
+    // projection — the packing step of a training pipeline). ONE
+    // tokenization per doc: the token array is its own projection and
+    // chunkStats emits (count, fp) structs directly — no re-splitting of
+    // chunk strings downstream (the round-3 formulation re-tokenized per
+    // chunk and re-split per chunk string: 22x over the oracle)
     "chunk_docs" -> { (s, dir) =>
       docs(s, dir)
         .where(col("text").isNotNull) // oracle filters identically
-        .select(col("doc_id"), posexplode(TextOps.chunks(col("text"), 32, 24)))
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("__t"))
+        .select(col("doc_id"), posexplode(TextOps.chunkStats(col("__t"), 32, 24)))
         .select(col("doc_id"), col("pos").cast("long").as("chunk_id"),
-          size(split(col("col"), " ")).cast("long").as("n_chunk_tokens"),
-          md5(col("col")).as("chunk_fp"))
+          col("col.n_chunk_tokens").as("n_chunk_tokens"),
+          col("col.chunk_fp").as("chunk_fp"))
         .transform(sortedSingle(_, col("doc_id"), col("chunk_id")))
     },
   )
@@ -394,6 +382,37 @@ object NorthStarQueries {
        |WHERE a.centroid IN (SELECT cid FROM probed)
        |ORDER BY cos_dist ASC NULLS LAST, e.vec_id ASC LIMIT 10""".stripMargin
 
+  /** Sign-LSH oracle: the deterministic hyperplanes (same splitmix64 stream
+    * as `SimilarityJoin.hyperplanes(64, 16, 42)`) embedded as literal
+    * DOUBLE[64] arrays; signature, banding and verification replayed in SQL.
+    * Double literals use Scala's shortest-round-trip rendering, which DuckDB
+    * parses back to the identical IEEE value.
+    */
+  private def simJoinLshOracle: String = {
+    val values = SimilarityJoin.hyperplanes(64, 16, 42L).zipWithIndex
+      .map { case (p, i) => s"($i, [${p.mkString(", ")}]::DOUBLE[64])" }
+      .mkString(",\n    ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[64] AS v FROM embeddings),
+       |p(bit, pl) AS (VALUES
+       |    $values),
+       |sig AS (
+       |  SELECT vec_id,
+       |         CAST(sum(CASE WHEN array_inner_product(v, pl) >= 0
+       |                       THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS sig
+       |  FROM e CROSS JOIN p GROUP BY vec_id),
+       |banded AS (
+       |  SELECT vec_id, b.band AS band, (sig >> (b.band * 4)) & 15 AS key
+       |  FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS band) b),
+       |cand AS (
+       |  SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
+       |  FROM banded l JOIN banded r
+       |    ON l.band = r.band AND l.key = r.key AND l.vec_id < r.vec_id)
+       |SELECT c.a, c.b, 1 - array_cosine_similarity(ea.v, eb.v) AS cos_dist
+       |FROM cand c JOIN e ea ON c.a = ea.vec_id JOIN e eb ON c.b = eb.vec_id
+       |WHERE 1 - array_cosine_similarity(ea.v, eb.v) <= $CosineTau
+       |ORDER BY a, b""".stripMargin
+  }
+
   private val MarkersValues: String =
     TextOps.LangMarkers.map { case (l, w) => s"('$l','$w')" }.mkString(", ")
 
@@ -423,6 +442,7 @@ object NorthStarQueries {
          |SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS component
          |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
     "simhash_pairs" -> simhashOracle,
+    "sim_join_lsh" -> simJoinLshOracle,
     "ann_kmeans_topk" -> annKmeansOracle,
     "sim_join_cosine" ->
       s"""SELECT l.vec_id AS a, r.vec_id AS b,

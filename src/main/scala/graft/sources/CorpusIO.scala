@@ -24,13 +24,23 @@ object CorpusIO {
     StructField("title", StringType, nullable = true),
     StructField("content", StringType, nullable = true)))
 
-  /** S1 — CSV scan with explicit schema (no inference jobs at scale). */
+  /** S1 — CSV scan with explicit schema (no inference jobs at scale).
+    *
+    * `multiLine` defaults to true because the reference corpus (lyric
+    * content, notion_db.py:163-168) embeds newlines inside quoted fields —
+    * but a multiLine CSV file is UNSPLITTABLE: Spark cannot find record
+    * boundaries mid-file, so each file becomes exactly one task. That is
+    * acceptable for this corpus-cache path (many small write-through files,
+    * bounded by [[writeCsv]]'s output partitioning); for any large
+    * newline-free extract pass `multiLine = false` to keep files splittable,
+    * and prefer Parquet for anything beyond a cache (SURVEY §5).
+    */
   def readCsv(spark: SparkSession, path: String,
-      schema: StructType = corpusSchema): DataFrame =
+      schema: StructType = corpusSchema, multiLine: Boolean = true): DataFrame =
     spark.read
       .schema(schema)
       .option("header", "true")
-      .option("multiLine", "true") // lyric content contains newlines
+      .option("multiLine", multiLine.toString)
       .option("escape", "\"")
       .csv(path)
 
