@@ -112,17 +112,26 @@ object SimilarityJoin {
     val bandKeys = (0 until bands).map { b =>
       shiftright(col("__sig"), b * rowsPerBand).bitwiseAND(lit(mask))
     }
-    val banded = sigs.select(col("__id"), posexplode(array(bandKeys: _*)))
+    val banded = sigs.select(col("__id"), col("__sig"), posexplode(array(bandKeys: _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "key")
-    val l = banded.select(col("band"), col("key"), col("__id").as("a"))
-    val r = banded.select(col("band"), col("key"), col("__id").as("b"))
-    // candidate dedup exchanges ONLY the id pairs — carrying both vectors
-    // through the distinct would shuffle two dim-length arrays per
-    // candidate (~100x the bytes at real dims); the persisted `sigs` frame
-    // re-attaches them after the dedup instead
+    // Dedup WITHOUT a shuffle: a pair colliding in several bands is emitted
+    // only from its FIRST matching band — recomputable from the two
+    // signatures (8-byte longs) with bit ops, so no distinct() exchange at
+    // all and never a dim-length vector in the band join's payload.
+    val l = banded.select(col("band"), col("key"), col("__id").as("a"), col("__sig").as("__sa"))
+    val r = banded.select(col("band"), col("key"), col("__id").as("b"), col("__sig").as("__sb"))
+    val firstMatchingBand = (0 until bands).map { bp =>
+      when(col("band") > bp,
+        shiftright(col("__sa"), bp * rowsPerBand).bitwiseAND(lit(mask)) =!=
+          shiftright(col("__sb"), bp * rowsPerBand).bitwiseAND(lit(mask)))
+        .otherwise(lit(true))
+    }.reduce(_ && _)
     val cands = l.join(r, Seq("band", "key"))
-      .where(col("a") < col("b"))
-      .select("a", "b").distinct()
+      .where(col("a") < col("b") && firstMatchingBand)
+      .select("a", "b")
+    // verification re-attaches the vectors from the persisted signature
+    // frame — candidate count is bucket-bounded, so AQE turns these into
+    // broadcast joins when the candidate set is small
     cands
       .join(sigs.select(col("__id").as("a"), col("__v").as("__va")), "a")
       .join(sigs.select(col("__id").as("b"), col("__v").as("__vb")), "b")

@@ -136,42 +136,79 @@ object TextOps {
         }))
   }
 
+  /** How many query terms the BM25 scorer will inline as per-term columns
+    * before switching to the exploded/broadcast-join formulation.
+    */
+  val Bm25InlineTermLimit: Int = 16
+
   /** BM25 relevance scores for a RUNTIME query-term list: output
     * (idCol, score), one row per document matching at least one term.
     *
-    * Terms flow through a broadcast term table (never per-term literal
-    * columns), so the same plan serves a 3-term lookup or a 10^4-term batch
-    * query. Shuffle discipline for a 10^9-doc corpus:
-    *  - term frequencies: explode -> broadcast-join the term table (filters
-    *    BEFORE aggregation — non-query tokens never reach a shuffle) ->
-    *    one map-side-combined aggregate on (doc, term);
-    *  - doc lengths: a pure projection on the source (`size(tokens)`) — no
-    *    explode, no shuffle;
-    *  - corpus stats (avgdl, N) and document frequencies are tiny aggregate
-    *    frames that travel as broadcasts.
-    * No persist: the one frame consumed twice (the tf aggregate, feeding df
-    * counts and scoring) sits behind a single shuffle that AQE's
-    * ReuseExchange dedups, so nothing blocks and nothing caches.
+    * Terms are a runtime argument; two plans by term count:
+    *  - <= [[Bm25InlineTermLimit]] terms (the interactive-query case): tf per
+    *    term is counted directly on the token array in the scan projection —
+    *    ZERO shuffles end to end. Corpus stats (avgdl, N) and per-term doc
+    *    frequencies come from one broadcast aggregate over the same per-doc
+    *    frame; scoring is a projection and top-k is TakeOrderedAndProject.
+    *    Per-doc CPU is O(tokens * terms), which is why this tier is capped.
+    *  - above it (batch/expansion queries): explode + broadcast-join the
+    *    term table (non-query tokens never reach a shuffle), aggregate
+    *    (doc, term) with doc length riding along, window-count doc
+    *    frequencies over the tiny tf frame — one map-side-combined shuffle
+    *    of matched tokens, independent of term count.
+    * Neither tier persists or blocks.
     */
   def bm25(df: DataFrame, idCol: String, toks: Column, terms: Seq[String],
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(terms.nonEmpty, "bm25 needs at least one query term")
-    val spark = df.sparkSession
-    import spark.implicits._
     // null token arrays (null text) drop out entirely — same corpus-stat
     // denominator as an explode-based formulation, which emits no rows for
     // null docs
     val base = df.select(col(idCol), toks.as("__t")).where(col("__t").isNotNull)
+    if (terms.size <= Bm25InlineTermLimit) bm25Inline(base, idCol, terms, k1, b)
+    else bm25Exploded(base, idCol, terms, k1, b)
+  }
+
+  private def bm25Inline(base: DataFrame, idCol: String, terms: Seq[String],
+      k1: Double, b: Double): DataFrame = {
+    val tfCols = terms.zipWithIndex.map { case (term, i) =>
+      size(filter(col("__t"), x => x === lit(term))).cast("long").as(s"__tf$i")
+    }
+    val perDoc = base.select(
+      col(idCol) +: size(col("__t")).cast("long").as("__dl") +: tfCols: _*)
+    val statCols =
+      avg("__dl").as("__avgdl") +: count(lit(1)).cast("double").as("__n") +:
+        terms.indices.map(i =>
+          sum(when(col(s"__tf$i") > 0, 1L).otherwise(0L)).cast("double").as(s"__df$i"))
+    val stats = perDoc.agg(statCols.head, statCols.tail: _*)
+    val termScores = terms.indices.map { i =>
+      val tf = col(s"__tf$i"); val dfc = col(s"__df$i")
+      when(tf > 0,
+        log(lit(1.0) + (col("__n") - dfc + 0.5) / (dfc + 0.5)) *
+          (tf * (k1 + 1.0)) /
+          (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("__dl") / col("__avgdl"))))
+        .otherwise(lit(0.0))
+    }
+    perDoc.crossJoin(broadcast(stats))
+      .where(terms.indices.map(i => col(s"__tf$i") > 0).reduce(_ || _))
+      .select(col(idCol), termScores.reduce(_ + _).as("score"))
+  }
+
+  private def bm25Exploded(base: DataFrame, idCol: String, terms: Seq[String],
+      k1: Double, b: Double): DataFrame = {
+    val spark = base.sparkSession
+    import spark.implicits._
     val termsDf = terms.toDF("__term")
-    val tf = base.select(col(idCol), explode(col("__t")).as("__tk"))
+    val matched = base.select(col(idCol), size(col("__t")).cast("long").as("__dl"),
+        explode(col("__t")).as("__tk"))
       .join(broadcast(termsDf), col("__tk") === col("__term"))
-      .groupBy(col(idCol), col("__tk")).agg(count(lit(1)).as("__tf"))
-    val dl = base.select(col(idCol), size(col("__t")).cast("long").as("__dl"))
-    val stats = dl.agg(avg("__dl").as("__avgdl"),
-      count(lit(1)).cast("double").as("__n"))
-    val dfreq = tf.groupBy("__tk").agg(count(lit(1)).as("__df"))
-    tf.join(dl, idCol)
-      .join(broadcast(dfreq), "__tk")
+      .select(col(idCol), col("__dl"), col("__tk"))
+    val tf = matched.groupBy(col(idCol), col("__dl"), col("__tk"))
+      .agg(count(lit(1)).as("__tf"))
+    val stats = base.select(size(col("__t")).cast("long").as("__len"))
+      .agg(avg("__len").as("__avgdl"), count(lit(1)).cast("double").as("__n"))
+    tf.withColumn("__df",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("__tk")))
       .crossJoin(broadcast(stats))
       .withColumn("__s",
         log(lit(1.0) + (col("__n") - col("__df") + 0.5) / (col("__df") + 0.5)) *
