@@ -44,16 +44,19 @@ object Multimodal {
     */
   def extractFeatures(media: DataFrame, codec: MediaCodec = FakeCodec,
       dim: Int = 16): DataFrame = {
-    val spark = media.sparkSession
     val c = codec
     val outSchema = StructType(media.schema.fields :+
       StructField("features", ArrayType(FloatType, containsNull = false)))
     val encoder = org.apache.spark.sql.Encoders.row(outSchema)
+    // positional access, indices resolved driver-side: rows inside chained
+    // mapPartitions can be schema-less (EliminateSerialization drops the
+    // encoder round-trip between adjacent typed operators)
+    val bytesIdx = media.schema.fieldIndex("bytes")
     media.mapPartitions { rows =>
       // per-partition init happens here (real codecs load native state once)
       rows.map { r =>
-        val bytes = if (r.isNullAt(r.fieldIndex("bytes"))) null
-          else r.getAs[Array[Byte]]("bytes")
+        val bytes = if (r.isNullAt(bytesIdx)) null
+          else r.get(bytesIdx).asInstanceOf[Array[Byte]]
         Row.fromSeq(r.toSeq :+ c.features(bytes, dim).toSeq)
       }
     }(encoder)
@@ -64,22 +67,24 @@ object Multimodal {
     */
   def resizeImages(media: DataFrame, width: Int, height: Int,
       codec: MediaCodec = FakeCodec): DataFrame = {
-    val spark = media.sparkSession
     val c = codec
     val encoder = org.apache.spark.sql.Encoders.row(media.schema.asInstanceOf[StructType])
+    // indices resolved driver-side — see extractFeatures
+    val kindIdx = media.schema.fieldIndex("kind")
+    val bytesIdx = media.schema.fieldIndex("bytes")
+    val metaIdx = media.schema.fieldIndex("meta")
     media.mapPartitions { rows =>
       rows.map { r =>
-        if (r.getAs[String]("kind") != "image" || r.isNullAt(r.fieldIndex("bytes"))) r
+        if (r.get(kindIdx) != "image" || r.isNullAt(bytesIdx)) r
         else {
-          val resized = c.resize(r.getAs[Array[Byte]]("bytes"), width, height)
-          val metaIdx = r.fieldIndex("meta")
-          val meta = r.getStruct(metaIdx) // nullable in mediaSchema
+          val resized = c.resize(r.get(bytesIdx).asInstanceOf[Array[Byte]], width, height)
+          val meta = r.get(metaIdx).asInstanceOf[Row] // nullable in mediaSchema
           val newMeta =
             if (meta == null) Row(Integer.valueOf(width), Integer.valueOf(height), null, null, null)
             else Row(Integer.valueOf(width), Integer.valueOf(height),
               meta.get(2), meta.get(3), meta.get(4))
           val vals = r.toSeq.toArray
-          vals(r.fieldIndex("bytes")) = resized
+          vals(bytesIdx) = resized
           vals(metaIdx) = newMeta
           Row.fromSeq(vals.toSeq)
         }
@@ -97,14 +102,15 @@ object Multimodal {
       .withColumn("frame_ms",
         explode(sequence(lit(0L), coalesce(col("meta.duration_ms"), lit(0L)),
           lit(everyMs))))
-    val spark = media.sparkSession
     val c = codec
     val outSchema = StructType(videos.schema.fields :+
       StructField("frame", BinaryType, nullable = true))
     val encoder = org.apache.spark.sql.Encoders.row(outSchema)
+    val bytesIdx = videos.schema.fieldIndex("bytes")
+    val msIdx = videos.schema.fieldIndex("frame_ms")
     videos.mapPartitions { rows =>
       rows.map { r =>
-        val frame = c.frameAt(r.getAs[Array[Byte]]("bytes"), r.getAs[Long]("frame_ms"))
+        val frame = c.frameAt(r.get(bytesIdx).asInstanceOf[Array[Byte]], r.getLong(msIdx))
         Row.fromSeq(r.toSeq :+ frame)
       }
     }(encoder)
@@ -121,6 +127,100 @@ object Multimodal {
         coalesce(sha2(col("bytes"), 256),
           concat(lit("__graft_null_"), col("media_id")))),
       Seq("__content_hash"), "media_id").drop("__content_hash")
+
+  /** Deterministic pixel formula for synthetic images: each channel is a
+    * linear function of (image id, x, y) mod 256. Pure integer arithmetic,
+    * so a SQL oracle can recompute the exact pixel values the PNG decoder
+    * returns — PNG is lossless — without an image library in the loop.
+    */
+  final case class PixelFormula(
+      r: (Long, Long, Long), g: (Long, Long, Long), b: (Long, Long, Long)) {
+    private def ch(c: (Long, Long, Long), id: Long, x: Int, y: Int): Int =
+      ((id * c._1 + x * c._2 + y * c._3) % 256L).toInt
+    /** Packed 0xRRGGBB value for (id, x, y). */
+    def rgb(id: Long, x: Int, y: Int): Int =
+      (ch(r, id, x, y) << 16) | (ch(g, id, x, y) << 8) | ch(b, id, x, y)
+    /** `(id*a + x*b + y*c) % 256` as SQL text, for oracle generation. */
+    def channelSql(c: (Long, Long, Long), idSql: String, xSql: String,
+        ySql: String): String =
+      s"($idSql*${c._1} + ($xSql)*${c._2} + ($ySql)*${c._3}) % 256"
+  }
+
+  val DefaultFormula: PixelFormula =
+    PixelFormula((7L, 3L, 5L), (11L, 5L, 7L), (13L, 9L, 2L))
+
+  /** One REAL PNG per input id: pixels from [[PixelFormula]], encoded with
+    * `javax.imageio` in the executors (mapPartitions — the encoder is
+    * per-JVM static state, no driver round-trip). Output follows
+    * [[mediaSchema]] with kind = "image".
+    */
+  def syntheticImagesFor(ids: DataFrame, idCol: String, w: Int, h: Int,
+      formula: PixelFormula = DefaultFormula): DataFrame = {
+    val encoder = org.apache.spark.sql.Encoders.row(mediaSchema)
+    val f = formula
+    ids.select(col(idCol).cast("long")).mapPartitions { rows =>
+      rows.map { row =>
+        val id = row.getLong(0)
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { img.setRGB(x, y, f.rgb(id, x, y)); x += 1 }
+          y += 1
+        }
+        Row(id, "image", ImageIoCodec.encodePng(img),
+          Row(Integer.valueOf(w), Integer.valueOf(h), null, null, "png"))
+      }
+    }(encoder)
+  }
+
+  /** Per-grid-cell integer channel sums over DECODED image pixels: the
+    * feature-extraction shape of a vision-data pipeline (decode -> pool),
+    * with exact integer outputs so the whole pipeline is oracle-checkable.
+    * One output row per (image, cell): (idCol, cell_id, sum_r, sum_g,
+    * sum_b); image width/height must be divisible by `grid`. Non-image and
+    * null-payload rows are skipped. Scan-parallel flatMap — no shuffle.
+    */
+  def gridChannelStats(media: DataFrame, grid: Int,
+      decoder: ImageDecoder = ImageIoCodec, idCol: String = "media_id"): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField("cell_id", LongType, nullable = false),
+      StructField("sum_r", LongType, nullable = false),
+      StructField("sum_g", LongType, nullable = false),
+      StructField("sum_b", LongType, nullable = false)))
+    val encoder = org.apache.spark.sql.Encoders.row(outSchema)
+    val d = decoder
+    media.where(col("kind") === "image" && col("bytes").isNotNull)
+      .select(col(idCol).cast("long"), col("bytes"))
+      .mapPartitions { rows =>
+        rows.flatMap { row =>
+          val id = row.getLong(0)
+          val (w, h, px) = d.decodeRgb(row.get(1).asInstanceOf[Array[Byte]])
+          require(w % grid == 0 && h % grid == 0,
+            s"gridChannelStats: image ${w}x$h not divisible by grid $grid")
+          val cw = w / grid; val chh = h / grid
+          val sums = Array.ofDim[Long](grid * grid, 3)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val p = px(y * w + x)
+              val cell = (y / chh) * grid + (x / cw)
+              sums(cell)(0) += (p >> 16) & 0xff
+              sums(cell)(1) += (p >> 8) & 0xff
+              sums(cell)(2) += p & 0xff
+              x += 1
+            }
+            y += 1
+          }
+          (0 until grid * grid).iterator.map { c =>
+            Row(id, c.toLong, sums(c)(0), sums(c)(1), sums(c)(2))
+          }
+        }
+      }(encoder)
+  }
 
   /** Deterministic synthetic media table for tests (bytes = seeded digest
     * stream; metadata consistent with kind).
@@ -190,4 +290,100 @@ object FakeCodec extends MediaCodec {
 
   override def frameAt(bytes: Array[Byte], ms: Long): Array[Byte] =
     digest(bytes, s"frame|$ms".getBytes(StandardCharsets.UTF_8))
+}
+
+/** Pixel-level decode contract for operators that need real pixels (grid
+  * pooling, perceptual hashing). Separate from [[MediaCodec]] so stub codecs
+  * don't have to fake a decoder.
+  */
+trait ImageDecoder extends Serializable {
+  /** (width, height, row-major packed 0xRRGGBB pixels). */
+  def decodeRgb(bytes: Array[Byte]): (Int, Int, Array[Int])
+}
+
+/** REAL image codec on `javax.imageio` (ships with the JDK — zero deps).
+  * Decode and resize operate on actual pixels; PNG round-trips losslessly,
+  * which is what makes the media pipeline oracle-exact. Video (`frameAt`)
+  * stays unsupported: the JDK has no video codec — that one call needs a
+  * JNI-backed implementation in production.
+  */
+object ImageIoCodec extends MediaCodec with ImageDecoder {
+
+  // ImageIO's default scratch-file cache would hit executor-local disk on
+  // every encode/decode; images here are in-memory byte arrays
+  javax.imageio.ImageIO.setUseCache(false)
+
+  def encodePng(img: java.awt.image.BufferedImage): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  private def read(bytes: Array[Byte]): java.awt.image.BufferedImage = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    require(img != null, "ImageIoCodec: undecodable image payload")
+    img
+  }
+
+  override def decodeRgb(bytes: Array[Byte]): (Int, Int, Array[Int]) = {
+    val img = read(bytes)
+    val w = img.getWidth; val h = img.getHeight
+    // getRGB normalizes any source layout (indexed, 3BYTE_BGR, ...) to sRGB
+    val px = img.getRGB(0, 0, w, h, null, 0, w)
+    var i = 0
+    while (i < px.length) { px(i) &= 0xffffff; i += 1 }
+    (w, h, px)
+  }
+
+  /** Nearest-neighbor resize with explicit floor mapping
+    * `src = (dst * srcDim) / dstDim` — deterministic across JVMs (AWT's
+    * Graphics2D scaling depends on rendering-hint defaults; an explicit
+    * pixel loop does not) and exactly replicable in SQL integer division.
+    */
+  override def resize(bytes: Array[Byte], width: Int, height: Int): Array[Byte] = {
+    val src = read(bytes)
+    val sw = src.getWidth; val sh = src.getHeight
+    val dst = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      val sy = (y * sh) / height
+      var x = 0
+      while (x < width) {
+        dst.setRGB(x, y, src.getRGB((x * sw) / width, sy))
+        x += 1
+      }
+      y += 1
+    }
+    encodePng(dst)
+  }
+
+  /** Mean-luminance features over `dim` vertical strips, scaled to [0, 1].
+    * Strip s covers x in [s*w/dim, (s+1)*w/dim); a strip never lands empty
+    * because strips <= width is required.
+    */
+  override def features(bytes: Array[Byte], dim: Int): Array[Float] = {
+    if (bytes == null) return Array.fill(dim)(0.0f)
+    val (w, h, px) = decodeRgb(bytes)
+    require(dim <= w, s"features: $dim strips over width $w would leave empty strips")
+    val sums = new Array[Long](dim)
+    val counts = new Array[Long](dim)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val p = px(y * w + x)
+        val s = (x * dim) / w
+        sums(s) += ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
+        counts(s) += 3
+        x += 1
+      }
+      y += 1
+    }
+    Array.tabulate(dim)(s => (sums(s).toDouble / (counts(s) * 255.0)).toFloat)
+  }
+
+  override def frameAt(bytes: Array[Byte], ms: Long): Array[Byte] =
+    throw new UnsupportedOperationException(
+      "ImageIoCodec: the JDK ships no video codec — frameAt needs a JNI-backed MediaCodec")
 }

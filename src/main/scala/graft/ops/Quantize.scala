@@ -35,6 +35,20 @@ object Quantize {
     transform(vec, v => round(v * s).cast("int"))
   }
 
+  /** Driver-side twin of [[codes]] for a single local vector (e.g. a query
+    * vector that will be inlined as a literal — one row never justifies a
+    * Spark job). Bit-identical to the engine path: same max|x| scale and the
+    * same half-away-from-zero rounding Spark's `round` applies to doubles
+    * (BigDecimal HALF_UP, which DuckDB's `round` also matches).
+    */
+  def codesLocal(vec: Array[Double]): Array[Int] = {
+    var mx = 0.0
+    vec.foreach(x => mx = math.max(mx, math.abs(x)))
+    val s = if (mx > 0) 127.0 / mx else 1.0
+    vec.map(x => java.math.BigDecimal.valueOf(x * s)
+      .setScale(0, java.math.RoundingMode.HALF_UP).intValue)
+  }
+
   /** Integer dot product of two code arrays (exact in long). Higher-order
     * functions are fine for the occasional reconstruction below; the hot
     * scan loop is [[cosineDistance]], which compiles via a native

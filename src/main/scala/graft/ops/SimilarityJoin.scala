@@ -30,6 +30,13 @@ object SimilarityJoin {
     */
   val DefaultMaxBroadcastRows: Int = 2000000
 
+  /** Sign-LSH defaults — shared with oracle generation so the SQL replica
+    * can never drift out of sync with the Spark pipeline's banding math.
+    */
+  val DefaultNBits: Int = 16
+  val DefaultBands: Int = 4
+  val DefaultSeed: Long = 42L
+
   /** Exact cosine-threshold self-join: pairs (a, b), a < b, with
     * cosine distance <= tau. The right side is broadcast — exact and
     * shuffle-free, intended for sides that fit in an executor.

@@ -203,17 +203,21 @@ object NorthStarQueries {
         .transform(sortedSingle(_, col("event_type")))
     },
 
-    // multimodal pipeline (rows-only: synthetic media, stub codec):
-    // binary columns -> feature extraction -> content dedup -> rollup
-    "media_pipeline" -> { (s, _) =>
-      import graft.ops.Multimodal
-      val media = Multimodal.syntheticMedia(s, 300)
-      val feats = Multimodal.extractFeatures(media, dim = 16)
-      Multimodal.dedupByContent(feats)
-        .groupBy("kind")
-        .agg(count(lit(1)).as("n"),
-          sum(size(col("features"))).cast("long").as("total_dims"))
-        .transform(sortedSingle(_, col("kind")))
+    // multimodal pipeline with a REAL codec (javax.imageio, JDK-native):
+    // one PNG per doc id (pixels = integer formula), decoded and
+    // nearest-neighbor-resized on actual pixels, then per-grid-cell channel
+    // sums. PNG is lossless and the resize mapping is floor integer
+    // division, so the DuckDB oracle recomputes the identical sums from the
+    // formula alone — the decode path is hash-exact, not rows-only.
+    "media_pipeline" -> { (s, dir) =>
+      import graft.ops.{ImageIoCodec, Multimodal}
+      // per-row codec work is the cost: spread the single-row-group scan
+      val ids = t(s, dir, "documents").select(col("doc_id"))
+        .repartition(s.sparkContext.defaultParallelism)
+      val media = Multimodal.syntheticImagesFor(ids, "doc_id", MediaW, MediaH)
+      val resized = Multimodal.resizeImages(media, MediaRW, MediaRH, ImageIoCodec)
+      Multimodal.gridChannelStats(resized, MediaGrid, ImageIoCodec)
+        .transform(sortedSingle(_, col("media_id"), col("cell_id")))
     },
 
     // document fingerprint: md5 of normalized text
@@ -225,16 +229,20 @@ object NorthStarQueries {
 
     // int8-quantized cosine top-k (graft.ops.Quantize): integer codes only —
     // cosine is scale-invariant — 4x smaller scan/shuffle at ~1% rank cost.
-    // Quantization arithmetic runs engine-side in both engines (identical
-    // IEEE rounding), so the oracle is exact, not approximate.
+    // Quantization arithmetic is identical IEEE rounding in both engines, so
+    // the oracle is exact, not approximate. The query vector's code is
+    // derived ONCE driver-side (Quantize.codesLocal — one row) and inlined
+    // as a literal: one scan job total, no broadcast sub-plan re-deriving
+    // the codes frame (the round-4 shape cost 0.9 s for a 500-row table).
     "quantized_topk" -> { (s, dir) =>
       val emb = t(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
-      val codes = emb.select(col("vec_id"), graft.ops.Quantize.codes(col("e")).as("q"))
-      val qv = codes.where(col("vec_id") === 0).select(col("q").as("qq"))
-      codes.crossJoin(broadcast(qv))
-        .select(col("vec_id"),
-          graft.ops.Quantize.cosineDistance(col("q"), col("qq")).as("q_dist"))
+      val qv = emb.where(col("vec_id") === 0).select(col("e"))
+        .head().getSeq[Double](0).toArray
+      val qcode = graft.ops.Quantize.codesLocal(qv)
+      emb.select(col("vec_id"),
+          graft.ops.Quantize.cosineDistance(
+            graft.ops.Quantize.codes(col("e")), typedLit(qcode.toSeq)).as("q_dist"))
         .orderBy(col("q_dist").asc_nulls_last, col("vec_id").asc)
         .limit(10)
     },
@@ -266,6 +274,35 @@ object NorthStarQueries {
         .transform(sortedSingle(_, col("doc_id"), col("chunk_id")))
     },
   )
+
+  // ---- media pipeline constants (shared by the Spark query and oracle) ----
+
+  private val MediaW = 24; private val MediaH = 24 // generated image
+  private val MediaRW = 12; private val MediaRH = 12 // after resize
+  private val MediaGrid = 3 // grid cells per side
+
+  /** Replays the decode→resize→pool pipeline arithmetically: resized pixel
+    * (x,y) is source pixel ((x*W)//RW, (y*H)//RH) (ImageIoCodec's floor
+    * mapping), whose channels come straight from the PixelFormula — PNG adds
+    * nothing lossy in between.
+    */
+  private def mediaPipelineOracle: String = {
+    val f = graft.ops.Multimodal.DefaultFormula
+    val sx = s"(x * $MediaW) // $MediaRW"
+    val sy = s"(y * $MediaH) // $MediaRH"
+    val cw = MediaRW / MediaGrid; val ch = MediaRH / MediaGrid
+    s"""WITH px AS (
+       |  SELECT d.doc_id AS media_id, xs.x AS x, ys.y AS y
+       |  FROM documents d
+       |  CROSS JOIN (SELECT unnest(range(0, $MediaRW)) AS x) xs
+       |  CROSS JOIN (SELECT unnest(range(0, $MediaRH)) AS y) ys)
+       |SELECT media_id,
+       |       (y // $ch) * $MediaGrid + (x // $cw) AS cell_id,
+       |       CAST(sum(${f.channelSql(f.r, "media_id", sx, sy)}) AS BIGINT) AS sum_r,
+       |       CAST(sum(${f.channelSql(f.g, "media_id", sx, sy)}) AS BIGINT) AS sum_g,
+       |       CAST(sum(${f.channelSql(f.b, "media_id", sx, sy)}) AS BIGINT) AS sum_b
+       |FROM px GROUP BY 1, 2 ORDER BY media_id, cell_id""".stripMargin
+  }
 
   // ---- oracle SQL ----
 
@@ -442,6 +479,7 @@ object NorthStarQueries {
          |SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS component
          |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
     "simhash_pairs" -> simhashOracle,
+    "media_pipeline" -> mediaPipelineOracle,
     "sim_join_lsh" -> simJoinLshOracle,
     "ann_kmeans_topk" -> annKmeansOracle,
     "sim_join_cosine" ->

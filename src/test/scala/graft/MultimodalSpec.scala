@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.ops.Multimodal
+import graft.ops.{ImageIoCodec, Multimodal}
 
 /** Multimodal plumbing: schema, batching, frame explosion, binary dedup.
   * Codec outputs are the documented deterministic stubs.
@@ -49,6 +49,81 @@ class MultimodalSpec extends SparkTestBase {
     assert(counts.nonEmpty)
     assert(counts.forall(_.getLong(1) == 5L))
     assert(out.columns.contains("frame"))
+  }
+
+  test("ImageIoCodec: PNG roundtrip returns the exact formula pixels") {
+    val sp = spark
+    import sp.implicits._
+    val f = Multimodal.DefaultFormula
+    val media = Multimodal.syntheticImagesFor(
+      Seq(0L, 1L, 7L).toDF("id"), "id", 8, 6, f)
+    val rows = media.collect()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val (w, h, px) = ImageIoCodec.decodeRgb(r.getAs[Array[Byte]]("bytes"))
+      assert(w == 8 && h == 6)
+      for (y <- 0 until h; x <- 0 until w)
+        assert(px(y * w + x) == f.rgb(id, x, y), s"pixel ($x,$y) of image $id")
+    }
+  }
+
+  test("ImageIoCodec: nearest-neighbor resize uses the floor mapping") {
+    val sp = spark
+    import sp.implicits._
+    val f = Multimodal.DefaultFormula
+    val media = Multimodal.syntheticImagesFor(Seq(3L).toDF("id"), "id", 12, 12, f)
+    val bytes = media.head().getAs[Array[Byte]]("bytes")
+    val (w, h, px) = ImageIoCodec.decodeRgb(ImageIoCodec.resize(bytes, 4, 6))
+    assert(w == 4 && h == 6)
+    for (y <- 0 until h; x <- 0 until w)
+      assert(px(y * w + x) == f.rgb(3L, (x * 12) / 4, (y * 12) / 6))
+  }
+
+  test("ImageIoCodec: gridChannelStats matches directly-computed cell sums") {
+    val sp = spark
+    import sp.implicits._
+    val f = Multimodal.DefaultFormula
+    val media = Multimodal.syntheticImagesFor(Seq(2L, 5L).toDF("id"), "id", 6, 6, f)
+    val out = Multimodal.gridChannelStats(media, grid = 3)
+      .orderBy("media_id", "cell_id").collect()
+    assert(out.length == 2 * 9)
+    val expected = for (id <- Seq(2L, 5L); cy <- 0 until 3; cx <- 0 until 3) yield {
+      var (sr, sg, sb) = (0L, 0L, 0L)
+      for (y <- cy * 2 until cy * 2 + 2; x <- cx * 2 until cx * 2 + 2) {
+        val p = f.rgb(id, x, y)
+        sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+      }
+      (id, (cy * 3 + cx).toLong, sr, sg, sb)
+    }
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4))).toSeq == expected)
+  }
+
+  test("ImageIoCodec: features are per-strip luminance means in [0,1], deterministic") {
+    val sp = spark
+    import sp.implicits._
+    val media = Multimodal.syntheticImagesFor(Seq(4L).toDF("id"), "id", 16, 8)
+    val bytes = media.head().getAs[Array[Byte]]("bytes")
+    val v1 = ImageIoCodec.features(bytes, 4)
+    val v2 = ImageIoCodec.features(bytes, 4)
+    assert(v1.length == 4 && v1.sameElements(v2))
+    assert(v1.forall(x => x >= 0.0f && x <= 1.0f))
+    assert(ImageIoCodec.features(null, 4).forall(_ == 0.0f))
+    // hand-check strip 0: x in [0,4), all rows
+    val (w, h, px) = ImageIoCodec.decodeRgb(bytes)
+    var sum = 0L
+    for (y <- 0 until h; x <- 0 until 4) {
+      val p = px(y * w + x)
+      sum += ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
+    }
+    assert(math.abs(v1(0) - sum.toDouble / (4 * h * 3 * 255.0)) < 1e-6)
+  }
+
+  test("ImageIoCodec: frameAt is unsupported (JDK has no video codec)") {
+    intercept[UnsupportedOperationException] {
+      ImageIoCodec.frameAt(Array[Byte](1, 2, 3), 0L)
+    }
   }
 
   test("binary content dedup keeps one copy of identical payloads") {
