@@ -260,13 +260,17 @@ object SparkEntry {
     },
 
     // ---- ingestion: CSV sink+scan roundtrip (S1/S2), schema'd both ways.
-    // NO multiLine on the read: the documents text is newline-free (verified
-    // against the generator), and multiLine makes every CSV file
-    // unsplittable — one task per file, a genuine scale killer. Reads of
-    // corpora that CAN embed newlines go through CorpusIO.readCsv, which
-    // documents that trade-off. ----
+    // NO multiLine on the read: multiLine makes every CSV file unsplittable
+    // — one task per file, a genuine scale killer. The newline-free
+    // invariant the splittable read depends on is ENFORCED at write time
+    // (strip CR/LF), not assumed of the generator; documents.text is
+    // newline-free today so this is the identity, and a future generator
+    // change degrades to a lossy-but-correct roundtrip instead of rows torn
+    // mid-record. Reads of corpora that keep embedded newlines go through
+    // CorpusIO.readCsv, which documents the multiLine trade-off. ----
     "csv_roundtrip" -> { (s, dir) =>
       val docs = t(s, dir, "documents")
+        .withColumn("text", regexp_replace(col("text"), "[\\r\\n]", " "))
       val tmp = graft.util.TempDirs.create("graft_csv_rt") + "/docs"
       docs.write.option("header", "true").option("escape", "\"")
         .mode("overwrite").csv(tmp)

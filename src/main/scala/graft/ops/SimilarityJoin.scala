@@ -72,8 +72,12 @@ object SimilarityJoin {
     */
   def cosineJoin(df: DataFrame, idCol: String, vecCol: String, tau: Double,
       dim: Int, maxExactRows: Int = DefaultMaxBroadcastRows,
-      nBits: Int = 16, bands: Int = 4, seed: Long = 42L): DataFrame =
-    if (df.limit(maxExactRows + 1).count() <= maxExactRows)
+      nBits: Int = DefaultNBits, bands: Int = DefaultBands,
+      seed: Long = DefaultSeed): DataFrame =
+    // Int.MaxValue disables the size probe (limit(MaxValue+1) would overflow
+    // negative) — the caller is explicitly forcing the exact tier
+    if (maxExactRows == Int.MaxValue ||
+        df.limit(maxExactRows + 1).count() <= maxExactRows)
       cosineJoinBroadcast(df, idCol, vecCol, tau, maxBroadcastRows = Int.MaxValue)
     else
       cosineJoinLsh(df, idCol, vecCol, tau, dim, nBits, bands, seed)
@@ -83,7 +87,7 @@ object SimilarityJoin {
     * Public: the DuckDB oracle materializes the same planes as literal
     * arrays to replicate the full sign-LSH pipeline in SQL.
     */
-  def hyperplanes(dim: Int, nBits: Int, seed: Long = 42L): Seq[Array[Double]] = {
+  def hyperplanes(dim: Int, nBits: Int, seed: Long = DefaultSeed): Seq[Array[Double]] = {
     var s = seed
     (0 until nBits).map { _ =>
       Array.fill(dim) {
@@ -107,7 +111,8 @@ object SimilarityJoin {
     * probabilistic (more bands -> higher recall); precision is exact.
     */
   def cosineJoinLsh(df: DataFrame, idCol: String, vecCol: String, tau: Double,
-      dim: Int, nBits: Int = 16, bands: Int = 4, seed: Long = 42L): DataFrame = {
+      dim: Int, nBits: Int = DefaultNBits, bands: Int = DefaultBands,
+      seed: Long = DefaultSeed): DataFrame = {
     val rowsPerBand = nBits / bands
     require(bands * rowsPerBand == nBits, s"bands ($bands) must divide nBits ($nBits)")
     val planes = hyperplanes(dim, nBits, seed)

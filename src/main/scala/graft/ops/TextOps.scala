@@ -159,14 +159,19 @@ object TextOps {
     * Neither tier persists or blocks.
     */
   def bm25(df: DataFrame, idCol: String, toks: Column, terms: Seq[String],
-      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    require(terms.nonEmpty, "bm25 needs at least one query term")
+      k1: Double = 1.2, b: Double = 0.75,
+      inlineTermLimit: Int = Bm25InlineTermLimit): DataFrame = {
+    // dedupe up front: a repeated term would double-count linearly in the
+    // inline tier but double tf (nonlinear saturation) in the exploded one —
+    // distinct makes the two tiers agree and matches scoring a term set
+    val uniq = terms.distinct
+    require(uniq.nonEmpty, "bm25 needs at least one query term")
     // null token arrays (null text) drop out entirely — same corpus-stat
     // denominator as an explode-based formulation, which emits no rows for
     // null docs
     val base = df.select(col(idCol), toks.as("__t")).where(col("__t").isNotNull)
-    if (terms.size <= Bm25InlineTermLimit) bm25Inline(base, idCol, terms, k1, b)
-    else bm25Exploded(base, idCol, terms, k1, b)
+    if (uniq.size <= inlineTermLimit) bm25Inline(base, idCol, uniq, k1, b)
+    else bm25Exploded(base, idCol, uniq, k1, b)
   }
 
   private def bm25Inline(base: DataFrame, idCol: String, terms: Seq[String],

@@ -419,17 +419,29 @@ object NorthStarQueries {
        |WHERE a.centroid IN (SELECT cid FROM probed)
        |ORDER BY cos_dist ASC NULLS LAST, e.vec_id ASC LIMIT 10""".stripMargin
 
+  /** Embedding dimensionality of the testdata `embeddings` table (64 at
+    * every SF — verified by the dim probe the Spark queries run).
+    */
+  private val EmbeddingDim = 64
+
   /** Sign-LSH oracle: the deterministic hyperplanes (same splitmix64 stream
-    * as `SimilarityJoin.hyperplanes(64, 16, 42)`) embedded as literal
-    * DOUBLE[64] arrays; signature, banding and verification replayed in SQL.
+    * as `SimilarityJoin.hyperplanes`) embedded as literal DOUBLE arrays;
+    * signature, banding and verification replayed in SQL. Every parameter —
+    * dim, bit count, band math — derives from the same SimilarityJoin
+    * constants the Spark query uses, so the two sides cannot drift apart.
     * Double literals use Scala's shortest-round-trip rendering, which DuckDB
     * parses back to the identical IEEE value.
     */
   private def simJoinLshOracle: String = {
-    val values = SimilarityJoin.hyperplanes(64, 16, 42L).zipWithIndex
-      .map { case (p, i) => s"($i, [${p.mkString(", ")}]::DOUBLE[64])" }
+    val dim = EmbeddingDim
+    val nBits = SimilarityJoin.DefaultNBits
+    val bands = SimilarityJoin.DefaultBands
+    val rowsPerBand = nBits / bands
+    val mask = (1L << rowsPerBand) - 1L
+    val values = SimilarityJoin.hyperplanes(dim, nBits).zipWithIndex
+      .map { case (p, i) => s"($i, [${p.mkString(", ")}]::DOUBLE[$dim])" }
       .mkString(",\n    ")
-    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[64] AS v FROM embeddings),
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[$dim] AS v FROM embeddings),
        |p(bit, pl) AS (VALUES
        |    $values),
        |sig AS (
@@ -438,8 +450,8 @@ object NorthStarQueries {
        |                       THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS sig
        |  FROM e CROSS JOIN p GROUP BY vec_id),
        |banded AS (
-       |  SELECT vec_id, b.band AS band, (sig >> (b.band * 4)) & 15 AS key
-       |  FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS band) b),
+       |  SELECT vec_id, b.band AS band, (sig >> (b.band * $rowsPerBand)) & $mask AS key
+       |  FROM sig CROSS JOIN (SELECT unnest(range(0, $bands)) AS band) b),
        |cand AS (
        |  SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
        |  FROM banded l JOIN banded r
