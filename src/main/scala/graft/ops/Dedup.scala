@@ -208,30 +208,40 @@ object Dedup {
     *
     * Output: (idCol, component) for every node appearing in `pairs`.
     */
+  /** @param checkpointDir when set, per-round lineage truncation uses
+    *   RELIABLE `checkpoint()` into this directory (survives executor loss —
+    *   required for long cluster jobs) instead of `localCheckpoint()`
+    *   (executor-memory/disk only — fastest, fine for short-lived local
+    *   work, but an executor loss mid-iteration kills the job).
+    */
   def components(pairs: DataFrame, idCol: String = "id",
-      maxIters: Int = 25): DataFrame = {
+      maxIters: Int = 25, checkpointDir: Option[String] = None): DataFrame = {
+    val spark = pairs.sparkSession
+    // truncate lineage each round: a round's plan references the previous
+    // round's twice, so without checkpointing the logical plan doubles per
+    // iteration and analysis itself OOMs around round 10
+    val checkpoint: DataFrame => DataFrame = checkpointDir match {
+      case Some(dir) =>
+        spark.sparkContext.setCheckpointDir(dir)
+        df => df.checkpoint()
+      case None => df => df.localCheckpoint()
+    }
     val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
       .unionAll(pairs.select(col("b").as("src"), col("a").as("dst")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // localCheckpoint (not persist): each round's plan references the
-    // previous round's twice, so without truncating lineage the logical
-    // plan doubles per iteration and analysis itself OOMs around round 10.
-    // Checkpointing pins each round to its materialized result. (Caveat:
-    // localCheckpoint state does not survive executor loss — on a real
-    // cluster use reliable checkpoint() with a checkpoint dir.)
-    var labels = edges.select(col("src").as("__id")).distinct()
-      .withColumn("__label", col("__id"))
-      .localCheckpoint()
+    var labels = checkpoint(
+      edges.select(col("src").as("__id")).distinct()
+        .withColumn("__label", col("__id")))
     var iter = 0
     var converged = false
     while (!converged && iter < maxIters) {
       // propagate each node's label to its neighbors, keep the min
       val prop = edges.join(labels, col("dst") === col("__id"))
         .select(col("src").as("__id"), col("__label"))
-      val next = labels.unionAll(prop)
-        .groupBy("__id").agg(min("__label").as("__label"))
-        .localCheckpoint()
+      val next = checkpoint(
+        labels.unionAll(prop)
+          .groupBy("__id").agg(min("__label").as("__label")))
       converged = next.as("n")
         .join(labels.as("o"), col("n.__id") === col("o.__id"))
         .where(col("n.__label") =!= col("o.__label"))
@@ -242,7 +252,80 @@ object Dedup {
     edges.unpersist()
     require(converged,
       s"components did not converge in $maxIters rounds — raise maxIters " +
-        "or use a star-contraction variant for this graph")
+        "or use componentsStar for adversarially deep graphs")
     labels.select(col("__id").as(idCol), col("__label").as("component"))
+  }
+
+  /** Connected components by alternating large-star/small-star contraction
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14): O(log n) rounds regardless of graph diameter, where
+    * [[components]]' plain label propagation needs diameter-many rounds — a
+    * 10^6-node path graph needs ~20 rounds here vs 10^6 there. Same
+    * per-round plan shape (shuffle join + aggregate); prefer this variant
+    * when dup chains can be adversarially deep.
+    *
+    *  - large-star: every neighbor v > u re-attaches to m(u) = min of u's
+    *    closed neighborhood;
+    *  - small-star: every neighbor v <= u (and u itself) attaches to m(u).
+    *
+    * Output: (idCol, component) for every node in `pairs`, component = min
+    * node id of the cluster — identical labeling to [[components]].
+    */
+  def componentsStar(pairs: DataFrame, idCol: String = "id",
+      maxIters: Int = 50, checkpointDir: Option[String] = None): DataFrame = {
+    val spark = pairs.sparkSession
+    val checkpoint: DataFrame => DataFrame = checkpointDir match {
+      case Some(dir) =>
+        spark.sparkContext.setCheckpointDir(dir)
+        df => df.checkpoint()
+      case None => df => df.localCheckpoint()
+    }
+    val nodes = pairs.select(col("a").as("__id"))
+      .unionAll(pairs.select(col("b").as("__id"))).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // closed-neighborhood minimum per node over the symmetric edge view
+    def sym(e: DataFrame): DataFrame =
+      e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
+    def withMin(n: DataFrame): DataFrame =
+      n.join(
+        n.groupBy("u").agg(min(col("v")).as("__mv"))
+          .select(col("u"), least(col("__mv"), col("u")).as("m")),
+        "u")
+    def largeStar(e: DataFrame): DataFrame = {
+      val n = withMin(sym(e))
+      n.where(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .where(col("u") =!= col("v")).distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      val n = withMin(sym(e))
+      n.where(col("v") < col("u")).select(col("v").as("u"), col("m").as("v"))
+        .unionAll(n.select(col("u"), col("m").as("v")))
+        .where(col("u") =!= col("v")).distinct()
+    }
+    var edges = checkpoint(
+      pairs.select(col("a").as("u"), col("b").as("v"))
+        .where(col("u") =!= col("v")).distinct())
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIters) {
+      val next = checkpoint(smallStar(largeStar(edges)))
+      // fixpoint = identical edge sets (exact symmetric diff, one shuffle)
+      converged = next.unionAll(edges)
+        .groupBy("u", "v").agg(count(lit(1)).as("__c"))
+        .where(col("__c") === 1).isEmpty
+      edges = next
+      iter += 1
+    }
+    require(converged,
+      s"componentsStar did not converge in $maxIters rounds (unexpected: " +
+        "the bound is O(log n)) — raise maxIters")
+    // fixpoint edges form stars (child -> root); roots have no out-edge
+    nodes.join(edges.select(col("u").as("__id"), col("v").as("__root")),
+        Seq("__id"), "left")
+      .groupBy("__id")
+      .agg(min(col("__root")).as("__r"))
+      .select(col("__id").as(idCol),
+        coalesce(col("__r"), col("__id")).as("component"))
   }
 }

@@ -126,4 +126,52 @@ class ComponentsSpec extends SparkTestBase {
       graft.ops.Dedup.components(chain, maxIters = 3)
     }
   }
+
+  test("reliable checkpointing converges to the same labels") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (9L, 10L)).toDF("a", "b")
+    val dir = graft.util.TempDirs.create("graft_ckpt")
+    val reliable = graft.ops.Dedup.components(pairs, checkpointDir = Some(dir))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val local = graft.ops.Dedup.components(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(reliable == local)
+    // reliable checkpoints actually hit the checkpoint dir
+    assert(new java.io.File(dir).listFiles().nonEmpty)
+  }
+
+  test("componentsStar: path graph converges in O(log n) rounds, not diameter") {
+    // a 64-node path has diameter 63: min-label propagation needs 63 rounds,
+    // star contraction must finish well under this budget
+    val path = (0L until 63L).map(i => (i, i + 1)).toDF("a", "b")
+    val got = graft.ops.Dedup.componentsStar(path, maxIters = 20)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == (0L to 63L).map(_ -> 0L).toMap)
+  }
+
+  test("componentsStar: differential vs union-find on a random graph") {
+    val rnd = new scala.util.Random(777L)
+    val pairRows = (1 to 150).map(_ => (rnd.nextInt(70).toLong, 70L + rnd.nextInt(70)))
+    val got = graft.ops.Dedup.componentsStar(pairRows.toDF("a", "b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairRows.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = parent.keys.map(x => x -> find(x)).toMap
+    assert(got == want)
+  }
+
+  test("componentsStar: agrees with label propagation on a mixed graph") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 5L), (8L, 9L), (9L, 10L), (10L, 8L))
+      .toDF("a", "b")
+    def toMapOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(toMapOf(graft.ops.Dedup.componentsStar(pairs)) ==
+      toMapOf(graft.ops.Dedup.components(pairs)))
+  }
 }
