@@ -46,7 +46,7 @@ object AsOfJoin {
       leftTime: String, rightTime: String, rightPayload: Seq[String],
       toleranceSec: Option[Double] = None): DataFrame =
     asof(left, right, keys, leftTime, rightTime, rightPayload, toleranceSec,
-      forward = false)
+      Backward)
 
   /** Forward as-of join: the single EARLIEST right row with
     * `rightTime >= leftTime` per key (pandas `merge_asof(direction=
@@ -57,11 +57,30 @@ object AsOfJoin {
       leftTime: String, rightTime: String, rightPayload: Seq[String],
       toleranceSec: Option[Double] = None): DataFrame =
     asof(left, right, keys, leftTime, rightTime, rightPayload, toleranceSec,
-      forward = true)
+      Forward)
+
+  /** Nearest as-of join: the right row with the smallest absolute time gap
+    * in EITHER direction (pandas `merge_asof(direction="nearest")`); equal
+    * gaps resolve to the backward match, like pandas. Computed as both
+    * directional passes over ONE union + hash partitioning (the two window
+    * sorts share the exchange), then a per-row least-gap choice — still a
+    * single shuffle of |left| + |right| rows. `toleranceSec` bounds the
+    * absolute gap on each side before the choice.
+    */
+  def nearest(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTime: String, rightTime: String, rightPayload: Seq[String],
+      toleranceSec: Option[Double] = None): DataFrame =
+    asof(left, right, keys, leftTime, rightTime, rightPayload, toleranceSec,
+      Nearest)
+
+  private sealed trait Direction
+  private case object Backward extends Direction
+  private case object Forward extends Direction
+  private case object Nearest extends Direction
 
   private def asof(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTime: String, rightTime: String, rightPayload: Seq[String],
-      toleranceSec: Option[Double], forward: Boolean): DataFrame = {
+      toleranceSec: Option[Double], direction: Direction): DataFrame = {
     val leftCols = left.columns.toSeq
     require(rightPayload.forall(right.columns.contains),
       s"rightPayload not all in right: $rightPayload")
@@ -89,26 +108,45 @@ object AsOfJoin {
     // right before left at equal time (inclusive match); equal-time right
     // rows tie-break on the payload struct itself — deterministic. Forward
     // is the mirror image: walk time descending, so "last payload seen" is
-    // the earliest right row at-or-after the left row.
-    val timeOrd = if (forward) col("__t").desc else col("__t").asc
-    val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(timeOrd, col("__side").asc, col("__pay").asc_nulls_last)
+    // the earliest right row at-or-after the left row. Nearest runs both
+    // walks; the two windows share one hash partitioning (same keys), so
+    // the exchange is reused and only a second sort is paid.
+    def w(ord: Column) = Window.partitionBy(keys.map(col): _*)
+      .orderBy(ord, col("__side").asc, col("__pay").asc_nulls_last)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val matched = l.unionByName(r)
-      .withColumn("__match", last(col("__pay"), ignoreNulls = true).over(w))
-      .where(col("__side") === 1)
+    val backMatch = last(col("__pay"), ignoreNulls = true).over(w(col("__t").asc))
+    val fwdMatch = last(col("__pay"), ignoreNulls = true).over(w(col("__t").desc))
+    val u = l.unionByName(r)
+    val matched = (direction match {
+      case Backward => u.withColumn("__mb", backMatch)
+      case Forward => u.withColumn("__mf", fwdMatch)
+      case Nearest => u.withColumn("__mb", backMatch).withColumn("__mf", fwdMatch)
+    }).where(col("__side") === 1)
 
-    val gap =
-      if (forward)
-        col(s"__match.`$rightTime`").cast("double") - col("__t").cast("double")
-      else
-        col("__t").cast("double") - col(s"__match.`$rightTime`").cast("double")
-    val withTol = toleranceSec match {
-      case Some(tol) =>
-        matched.withColumn("__match", when(gap <= tol, col("__match")))
-      case None => matched
+    def gapOf(m: String, fwd: Boolean): Column =
+      if (fwd) col(s"$m.`$rightTime`").cast("double") - col("__t").cast("double")
+      else col("__t").cast("double") - col(s"$m.`$rightTime`").cast("double")
+    def tol(m: String, fwd: Boolean): Column = toleranceSec match {
+      case Some(t) => when(gapOf(m, fwd) <= t, col(m))
+      case None => col(m)
     }
-    withTol.select(
+    val chosen = direction match {
+      case Backward => matched.withColumn("__match", tol("__mb", fwd = false))
+      case Forward => matched.withColumn("__match", tol("__mf", fwd = true))
+      case Nearest =>
+        // per-side tolerance first, then least absolute gap; equal gaps
+        // resolve backward (pandas merge_asof nearest semantics)
+        matched
+          .withColumn("__b", tol("__mb", fwd = false))
+          .withColumn("__f", tol("__mf", fwd = true))
+          .withColumn("__match",
+            when(col("__b").isNull, col("__f"))
+              .when(col("__f").isNull, col("__b"))
+              .when(gapOf("__b", fwd = false) <= gapOf("__f", fwd = true),
+                col("__b"))
+              .otherwise(col("__f")))
+    }
+    chosen.select(
       leftCols.map(c => col(s"__lrow.`$c`").as(c)) ++
         rightPayload.map(c => col(s"__match.`$c`").as(c)): _*)
   }

@@ -39,14 +39,17 @@ object RelationalQueries {
           col("l_linestatus").asc_nulls_first))
     },
 
-    // exact interpolated percentiles per order priority
+    // exact interpolated percentiles per order priority. Exact tier is safe
+    // here because priorities are a 5-value dimension with bounded groups;
+    // unbounded groups must use Percentiles.approx (bounded sketch memory —
+    // exact percentile buffers every group value and OOMs on a hot key).
     "orders_percentiles" -> { (s, dir) =>
-      t(s, dir, "orders")
-        .groupBy("o_orderpriority")
-        .agg(
-          round(expr("percentile(o_totalprice, 0.5)"), 6).as("p50"),
-          round(expr("percentile(o_totalprice, 0.9)"), 6).as("p90"),
-          count(lit(1)).as("n"))
+      graft.ops.Percentiles.exact(
+          t(s, dir, "orders"), Seq("o_orderpriority"), "o_totalprice",
+          Seq(0.5, 0.9))
+        .select(col("o_orderpriority"),
+          round(col("p50"), 6).as("p50"), round(col("p90"), 6).as("p90"),
+          col("n"))
         .transform(sortedSingle(_, col("o_orderpriority")))
     },
 
@@ -253,6 +256,25 @@ object RelationalQueries {
         .transform(sortedSingle(_, col("event_id")))
     },
 
+    // nearest as-of join: each purchase matched to the temporally CLOSEST
+    // click either side (ties backward — pandas merge_asof nearest).
+    // DuckDB has no nearest ASOF, so the oracle composes its backward and
+    // forward ASOF joins and picks the least gap — an independent
+    // formulation, not a replay of the Spark plan.
+    "events_asof_nearest" -> { (s, dir) =>
+      val ev = graft.SparkEntry.eventsTable(s, dir)
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("click_ts"))
+      graft.ops.AsOfJoin.nearest(purchases, clicks, Seq("user_id"),
+          "ts", "click_ts", Seq("click_ts"))
+        .select(col("event_id"), col("user_id"),
+          unix_timestamp(col("ts")).as("p_epoch"),
+          unix_timestamp(col("click_ts")).as("click_epoch"))
+        .transform(sortedSingle(_, col("event_id")))
+    },
+
     // bucketed range join (graft.ops.RangeJoin): views within the 30 minutes
     // before each purchase, counted per purchase — the attribution-window
     // shape. A view at ts covers the interval [ts, ts+1800]; a purchase
@@ -400,6 +422,23 @@ object RelationalQueries {
         |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
         |ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'click') c
         |  ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY p.event_id""".stripMargin,
+    "events_asof_nearest" ->
+      """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+        |     c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+        |     b AS (SELECT p.event_id, c.ts AS m FROM p
+        |           ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts),
+        |     f AS (SELECT p.event_id, c.ts AS m FROM p
+        |           ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts <= c.ts)
+        |SELECT p.event_id, p.user_id,
+        |       CAST(floor(date_part('epoch', p.ts)) AS BIGINT) AS p_epoch,
+        |       CAST(floor(date_part('epoch',
+        |         CASE WHEN b.m IS NULL THEN f.m
+        |              WHEN f.m IS NULL THEN b.m
+        |              WHEN date_part('epoch', p.ts) - date_part('epoch', b.m)
+        |                   <= date_part('epoch', f.m) - date_part('epoch', p.ts)
+        |              THEN b.m ELSE f.m END)) AS BIGINT) AS click_epoch
+        |FROM p JOIN b USING (event_id) JOIN f USING (event_id)
         |ORDER BY p.event_id""".stripMargin,
     "events_attribution" ->
       """WITH p AS (SELECT event_id, user_id, ts, date_part('epoch', ts) AS p_t
