@@ -62,6 +62,15 @@ object Bench {
       best
     }
 
+    // host-load snapshots make contaminated runs self-identifying: a bench
+    // overlapping other activity on the shared machine (round-4's shipped
+    // artifact regressed untouched queries 2-5x) shows loadavg >> cores
+    def loadavg(): String =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
+        .split(" ").take(3).mkString(" ")
+      catch { case scala.util.control.NonFatal(_) => "unavailable" }
+    val loadBefore = loadavg()
+
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       name -> timed(name, fn)
     }
@@ -73,7 +82,7 @@ object Bench {
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir","runs":$runs,"agg":"min"}""")
+    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir","runs":$runs,"agg":"min","loadavg_before":"$loadBefore","loadavg_after":"${loadavg()}"}""")
     spark.stop()
     // a broken query must not masquerade as a faster total
     if (failed.nonEmpty) sys.exit(1)

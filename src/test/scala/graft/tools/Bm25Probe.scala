@@ -4,7 +4,8 @@ import org.apache.spark.sql.{functions => F}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.SparkSession
 
-/** Scratch: where does bm25_topk time go at sf0.1? */
+/** Scratch: where does bm25_topk time go at sf0.1?
+  * Usage: sbt "Test/runMain graft.tools.Bm25Probe" (test scope). */
 object Bm25Probe {
   def main(args: Array[String]): Unit = {
     val dir = "/root/testdata/sf0.1"

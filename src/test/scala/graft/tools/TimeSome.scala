@@ -3,7 +3,8 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 
 /** Scratch: time a subset of SparkEntry.queries at a given SF dir.
-  * Usage: runMain graft.tools.TimeSome <sfdir> <query1> <query2> ...
+  * Usage: sbt "Test/runMain graft.tools.TimeSome <sfdir> <query1> ..."
+  * (test scope: a benchmarking scratchpad is not library surface).
   */
 object TimeSome {
   def main(args: Array[String]): Unit = {
@@ -22,7 +23,7 @@ object TimeSome {
     try {
       graft.SparkEntry.queries("search_topk")(spark, "/root/testdata/sf0.001")
         .write.format("noop").mode("overwrite").save()
-    } catch { case _: Throwable => () }
+    } catch { case scala.util.control.NonFatal(_) => () }
     names.foreach { n =>
       val fn = graft.SparkEntry.queries(n)
       var best = Double.MaxValue
