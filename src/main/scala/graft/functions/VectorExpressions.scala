@@ -200,6 +200,68 @@ case class L2Distance(left: Expression, right: Expression) extends BinaryExpress
     copy(left = l, right = r)
 }
 
+/** `array_int8_codes(v)` — symmetric per-vector int8 quantization codes:
+  * `round(x * 127/max|x|)` (half away from zero, exactly Spark `round` /
+  * DuckDB `round` semantics via BigDecimal), all-zero vectors pass through
+  * as all-zero codes. ONE pass over the array computes the scale, a second
+  * emits the codes — the higher-order-function encoding this replaces
+  * (`transform(v, x -> round(x * scaleOf(v)))`) inlines the scale
+  * subexpression into the per-element lambda and re-derives max|x| for
+  * EVERY element: O(dim^2) traversals plus an allocation per element
+  * (measured 0.65 s for 2000x64 at sf0.1; this expression: one job floor).
+  */
+case class Int8Codes(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(SparkShims.typeCollection(ArrayType(FloatType), ArrayType(DoubleType)))
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = true)
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "array_int8_codes"
+
+  private def isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(v: Any): Any =
+    Int8Codes.compute(v.asInstanceOf[ArrayData], isFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Int8Codes.compute($c, $isFloat)")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object Int8Codes {
+  /** Shared by interpreted eval and generated code (one static call per row
+    * keeps the operator inside the whole-stage-codegen span).
+    */
+  def compute(a: ArrayData, isFloat: Boolean): ArrayData = {
+    val n = a.numElements()
+    var mx = 0.0
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i)) {
+        val x = if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+        val ax = math.abs(x)
+        if (ax > mx) mx = ax
+      }
+      i += 1
+    }
+    val s = if (mx > 0) 127.0 / mx else 1.0
+    val out = new Array[Any](n)
+    i = 0
+    while (i < n) {
+      if (!a.isNullAt(i)) {
+        val x = if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+        out(i) = java.math.BigDecimal.valueOf(x * s)
+          .setScale(0, java.math.RoundingMode.HALF_UP).intValue()
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
 /** `array_int8_cosine_distance(a, b)` — cosine distance over quantized
   * integer code arrays (graft.ops.Quantize): dot and norms accumulate
   * EXACTLY in long (int8 codes can't overflow: 2^53 headroom holds to

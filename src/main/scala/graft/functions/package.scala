@@ -38,6 +38,9 @@ package object functions {
   def array_int8_cosine_distance(a: Column, b: Column): Column =
     col(Int8CosineDistance(ex(a), ex(b)))
 
+  /** Symmetric int8 quantization codes; see [[Int8Codes]]. */
+  def array_int8_codes(v: Column): Column = col(Int8Codes(ex(v)))
+
   /** 60-bit md5-based SimHash over a token array; see [[SimHash]]. */
   def simhash(tokens: Column): Column = col(SimHash(ex(tokens)))
 
@@ -100,6 +103,7 @@ package object functions {
     binaryBuilder("array_distance", L2Distance.apply),
     binaryBuilder("array_int8_cosine_distance", Int8CosineDistance.apply),
     unaryBuilder("array_l2_norm", L2Norm.apply),
+    unaryBuilder("array_int8_codes", Int8Codes.apply),
     unaryBuilder("simhash", SimHash.apply),
     {
       val builder: Seq[Expression] => Expression = {

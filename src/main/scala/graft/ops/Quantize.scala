@@ -28,12 +28,13 @@ object Quantize {
   }
 
   /** Integer codes in [-127, 127] (int storage here; at rest cast to
-    * tinyint/byte for the full 4× shrink).
+    * tinyint/byte for the full 4× shrink). Backed by the codegen'd
+    * [[graft.functions.Int8Codes]]: a `transform` lambda would inline the
+    * scale subexpression and re-derive max|x| per ELEMENT — O(dim²) work
+    * plus an allocation per element (measured 6× the whole query's budget
+    * at sf0.1).
     */
-  def codes(vec: Column): Column = {
-    val s = scaleOf(vec)
-    transform(vec, v => round(v * s).cast("int"))
-  }
+  def codes(vec: Column): Column = graft.functions.array_int8_codes(vec)
 
   /** Driver-side twin of [[codes]] for a single local vector (e.g. a query
     * vector that will be inlined as a literal — one row never justifies a

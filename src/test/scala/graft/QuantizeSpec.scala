@@ -26,6 +26,31 @@ class QuantizeSpec extends SparkTestBase {
     assert(z.isNullAt(0))
   }
 
+  test("native Int8Codes == the higher-order-function formulation, and codesLocal") {
+    // the HOF encoding it replaced (kept here as the semantic reference)
+    val mx = array_max(transform(col("e"), v => abs(v)))
+    val s = when(mx > 0, lit(127.0) / mx).otherwise(lit(1.0))
+    val hof = transform(col("e"), v => round(v * s).cast("int"))
+    val rows = emb
+      .select(col("vec_id"), Quantize.codes(col("e")).as("q"), hof.as("ref"), col("e"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val q = r.getSeq[Int](1); val ref = r.getSeq[Int](2)
+      assert(q == ref, s"vec ${r.getLong(0)}")
+      // driver-side twin used for literal query codes
+      assert(Quantize.codesLocal(r.getSeq[Double](3).toArray).toSeq == ref,
+        s"codesLocal vec ${r.getLong(0)}")
+    }
+    // degenerate inputs: all-zero and negative-heavy vectors
+    val edge = Seq(Seq(0.0, 0.0, 0.0), Seq(-2.0, 1.0, -0.5), Seq(-2.5, 5.0))
+      .toDF("v").select(Quantize.codes(col("v")).as("q"))
+      .collect().map(_.getSeq[Int](0).toSeq)
+    assert(edge(0) == Seq(0, 0, 0))
+    assert(edge(1) == Seq(-127, 64, -32)) // round(63.5) = 64 half-away
+    assert(edge(2) == Seq(-64, 127))      // round(-63.5) = -64 half-away
+  }
+
   test("quantized top-10 recalls >= 8 of the exact cosine top-10") {
     val qvec = emb.where(col("vec_id") === 7).select("e").head().getSeq[Double](0)
     val exact = emb.select(col("vec_id"),
