@@ -35,6 +35,30 @@ object TextOps {
     */
   def tokens(text: Column): Column = split(text, " ")
 
+  /** Language guess over a token array: argmax of [[LangMarkers]] hit
+    * counts, ties to the alphabetically first language, zero hits -> "und".
+    * A pure scan-projection expression — no exploded token table, no
+    * shuffle: per-row cost is O(tokens × markers) with a compile-time
+    * marker list, the right trade at corpus scale (cf. the bm25 inline
+    * tier). Exactly mirrors the SQL formulation
+    * `row_number() OVER (ORDER BY cnt DESC, lang ASC) = 1` + left join.
+    */
+  def langGuess(toks: Column): Column = {
+    val langs = LangMarkers.map(_._1).distinct.sorted
+    // argmax via greatest(struct(cnt, idx)): idx reverses the sorted lang
+    // order so the struct maximum breaks count ties toward the
+    // alphabetically FIRST language
+    val scored = langs.zipWithIndex.map { case (lang, i) =>
+      val words = LangMarkers.collect { case (l, w) if l == lang => w }
+      val cnt = words.map(w =>
+        size(filter(toks, x => x === lit(w))).cast("long")).reduce(_ + _)
+      struct(cnt.as("cnt"), lit(langs.size - 1 - i).as("ri"),
+        lit(lang).as("lang"))
+    }
+    val best = greatest(scored: _*)
+    when(best.getField("cnt") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+
   def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
 
   /** Word n-grams as space-joined strings ("shingles"). Guarded so short

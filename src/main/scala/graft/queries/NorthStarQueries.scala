@@ -135,20 +135,15 @@ object NorthStarQueries {
         .probeTopK(qvec, 10, nprobe = 4)
     },
 
-    // language-ID heuristic: marker-word argmax
+    // language-ID heuristic: marker-word argmax, computed INLINE in the scan
+    // projection (TextOps.langGuess) — zero shuffles before the output sort,
+    // where the explode->broadcast-join->window formulation shuffled the
+    // whole exploded token table twice. The marker list is compile-time
+    // small (the bm25-inline precedent); per-doc cost O(tokens x langs).
     "langid_docs" -> { (s, dir) =>
-      val spark = s
-      import spark.implicits._
-      val docsDf = docs(s, dir)
-      val tok = docsDf.select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tk"))
-      val markers = TextOps.LangMarkers.toDF("lang", "word")
-      val counts = tok.join(broadcast(markers), col("tk") === col("word"))
-        .groupBy("doc_id", "lang").agg(count(lit(1)).as("cnt"))
-      val w = Window.partitionBy(col("doc_id")).orderBy(col("cnt").desc, col("lang").asc)
-      val best = counts.withColumn("rn", row_number().over(w))
-        .where(col("rn") === 1).select(col("doc_id"), col("lang"))
-      docsDf.select("doc_id").join(best, Seq("doc_id"), "left")
-        .select(col("doc_id"), coalesce(col("lang"), lit("und")).as("lang_guess"))
+      docs(s, dir)
+        .select(col("doc_id"),
+          TextOps.langGuess(TextOps.tokens(col("text"))).as("lang_guess"))
         .transform(sortedSingle(_, col("doc_id")))
     },
 

@@ -53,6 +53,24 @@ class TextOpsSpec extends SparkTestBase {
     assert(fps(0) != fps(2))
   }
 
+  test("langGuess: marker argmax, alphabetical ties, und on zero hits and null") {
+    val sp = spark
+    import sp.implicits._
+    val out = Seq(
+      "the cat is of the house",   // en
+      "el perro de la casa que",   // es
+      "la maison et le jardin les", // fr
+      "xyz qqq www",               // no markers -> und
+      "de de",                     // es "de" == zh "de" tie -> es (alphabetical... de? no: de count both)
+      null.asInstanceOf[String]    // null -> und
+    ).toDF("text")
+      .select(graft.ops.TextOps.langGuess(graft.ops.TextOps.tokens(col("text"))).as("g"))
+      .collect().map(_.getString(0)).toSeq
+    // "de de": the word 'de' is a marker for de(lang)? no — es and zh both
+    // list 'de'; counts tie at 2 and 'es' < 'zh' alphabetically
+    assert(out == Seq("en", "es", "fr", "und", "es", "und"))
+  }
+
   test("whitespace tokenizer matches the wakati contract") {
     val t = new WhitespaceTokenizer
     assert(t.tokenize("  foo   bar baz ") == "foo bar baz")
