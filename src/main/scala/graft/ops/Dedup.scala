@@ -139,6 +139,44 @@ object Dedup {
       .select("a", "b", "inter", "size_a", "size_b", "jaccard")
   }
 
+  /** Cross-corpus n-gram Jaccard join: pairs (a from `batch`, b from
+    * `corpus`) with J >= tau — the INCREMENTAL dedup shape (dedup a new
+    * crawl batch against the existing corpus without re-comparing the
+    * corpus to itself). Same inverted-index + length-bound machinery as
+    * [[jaccardJoin]], but the equi-join runs between the two sides only:
+    * join volume is Σ_shingle |batch postings|·|corpus postings|, never a
+    * self-join of the (much larger) corpus. Output: (a, b, inter, size_a,
+    * size_b, jaccard).
+    */
+  def jaccardJoinAgainst(batch: DataFrame, corpus: DataFrame, idCol: String,
+      shingleCol: String, tau: Double): DataFrame = {
+    def prep(df: DataFrame): DataFrame = df
+      .select(col(idCol).as("__id"), array_distinct(col(shingleCol)).as("__arr"))
+      .withColumn("__sz", size(col("__arr")).cast("long"))
+      .where(col("__sz") > 0)
+    val l = prep(batch)
+      .select(col("__id").as("a"), col("__sz").as("size_a"), explode(col("__arr")).as("__sh"))
+    val r = prep(corpus)
+      .select(col("__id").as("b"), col("__sz").as("size_b"), explode(col("__arr")).as("__sh"))
+    l.join(r, "__sh")
+      .where(col("size_b") >= ceil(lit(tau) * col("size_a")) &&
+        col("size_a") >= ceil(lit(tau) * col("size_b")))
+      .groupBy("a", "b", "size_a", "size_b")
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("jaccard",
+        col("inter").cast("double") /
+          (col("size_a") + col("size_b") - col("inter")).cast("double"))
+      .where(col("jaccard") >= tau)
+      .select("a", "b", "inter", "size_a", "size_b", "jaccard")
+  }
+
+  /** Batch rows surviving incremental dedup: anti-join on the matched batch
+    * ids from [[jaccardJoinAgainst]].
+    */
+  def incrementalSurvivors(batch: DataFrame, idCol: String,
+      pairs: DataFrame): DataFrame =
+    batch.join(pairs.select(col("a").as(idCol)).distinct(), Seq(idCol), "left_anti")
+
   /** SimHash near-dup candidate pairs with hamming distance <= maxHamming.
     * 60-bit signature banded into 4x15 bits: any pair within hamming 3 shares
     * at least one identical band (pigeonhole) — exact recall for

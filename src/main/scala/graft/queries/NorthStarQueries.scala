@@ -75,6 +75,21 @@ object NorthStarQueries {
         .transform(sortedSingle(_, col("doc_id")))
     },
 
+    // incremental dedup: new batch (odd doc ids) deduped AGAINST the
+    // existing corpus (even ids) — cross-side inverted-index Jaccard join,
+    // never a corpus self-join. The shape of "dedup today's crawl against
+    // the 100 TB already ingested".
+    "incremental_dedup" -> { (s, dir) =>
+      val sh = docsWithShingles(s, dir)
+      val batch = sh.where(pmod(col("doc_id"), lit(2)) === 1)
+      val corpus = sh.where(pmod(col("doc_id"), lit(2)) === 0)
+      val pairs = Dedup.jaccardJoinAgainst(batch, corpus, "doc_id", "sh", JaccardTau)
+      Dedup.incrementalSurvivors(
+          t(s, dir, "documents").select("doc_id")
+            .where(pmod(col("doc_id"), lit(2)) === 1), "doc_id", pairs)
+        .transform(sortedSingle(_, col("doc_id")))
+    },
+
     // SimHash banded near-dup pairs (custom Catalyst expression)
     "simhash_pairs" -> { (s, dir) =>
       Dedup.simhashPairs(docs(s, dir), "doc_id",
@@ -487,6 +502,21 @@ object NorthStarQueries {
          |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
     "simhash_pairs" -> simhashOracle,
     "media_pipeline" -> mediaPipelineOracle,
+    "incremental_dedup" ->
+      s"""WITH $ShCte,
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS inter
+         |  FROM sh l JOIN sh r ON l.sh = r.sh
+         |  WHERE l.doc_id % 2 = 1 AND r.doc_id % 2 = 0
+         |  GROUP BY 1, 2),
+         |matched AS (
+         |  SELECT DISTINCT a FROM inter
+         |  JOIN sizes sa ON a = sa.doc_id JOIN sizes sb ON b = sb.doc_id
+         |  WHERE inter::DOUBLE / (sa.sz + sb.sz - inter) >= $JaccardTau)
+         |SELECT doc_id FROM documents
+         |WHERE doc_id % 2 = 1 AND doc_id NOT IN (SELECT a FROM matched)
+         |ORDER BY doc_id""".stripMargin,
     "sim_join_lsh" -> simJoinLshOracle,
     "ann_kmeans_topk" -> annKmeansOracle,
     "sim_join_cosine" ->

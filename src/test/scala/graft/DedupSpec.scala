@@ -78,6 +78,50 @@ class DedupSpec extends SparkTestBase {
     got.foreach { case (k, j) => assert(math.abs(j - expected(k)) < 1e-12) }
   }
 
+  test("incremental dedup: batch-vs-corpus only, differential vs driver all-pairs") {
+    val sp = spark
+    import sp.implicits._
+    val rnd = new scala.util.Random(99L)
+    val vocab = (0 until 30).map(i => s"w$i")
+    def doc(): Seq[String] = (0 until 6 + rnd.nextInt(6)).map(_ => vocab(rnd.nextInt(vocab.size)))
+    val rows = (0L until 60L).map { i =>
+      // plant near-dups of corpus docs into the batch
+      if (i % 2 == 1 && i % 6 == 1) (i, ((i - 1), "copy")) else (i, (i, "fresh"))
+    }
+    val texts = rows.map { case (i, (src, kind)) =>
+      val base = { val r2 = new scala.util.Random(src); // deterministic per source
+        (0 until 9).map(_ => vocab(r2.nextInt(vocab.size))) }
+      (i, (if (kind == "copy") base :+ "x" else base).mkString(" "))
+    }
+    val df = texts.toDF("doc_id", "text")
+      .select(col("doc_id"), graft.ops.TextOps.wordNGrams(col("text"), 3).as("sh"))
+    val batch = df.where(col("doc_id") % 2 === 1)
+    val corpus = df.where(col("doc_id") % 2 === 0)
+    val got = graft.ops.Dedup.jaccardJoinAgainst(batch, corpus, "doc_id", "sh", 0.5)
+      .select("a", "b", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // cross-side only: a always odd, b always even
+    assert(got.forall { case (a, b, _) => a % 2 == 1 && b % 2 == 0 })
+    assert(got.nonEmpty) // planted copies found
+    // driver-side reference over distinct shingle sets
+    val sets = df.collect().map(r => r.getLong(0) -> r.getSeq[String](1).distinct.toSet).toMap
+    val want = (for {
+      a <- sets.keys if a % 2 == 1
+      b <- sets.keys if b % 2 == 0
+      if sets(a).nonEmpty && sets(b).nonEmpty
+      inter = (sets(a) & sets(b)).size
+      j = inter.toDouble / (sets(a).size + sets(b).size - inter)
+      if j >= 0.5
+    } yield (a, b, j)).toSet
+    assert(got == want)
+    // survivors = batch minus matched
+    val surv = graft.ops.Dedup.incrementalSurvivors(
+        batch.select("doc_id"), "doc_id",
+        graft.ops.Dedup.jaccardJoinAgainst(batch, corpus, "doc_id", "sh", 0.5))
+      .collect().map(_.getLong(0)).toSet
+    assert(surv == sets.keys.filter(_ % 2 == 1).toSet -- want.map(_._1))
+  }
+
   test("survivors drop larger ids of matched pairs") {
     val sh = corpus.select(col("doc_id"), TextOps.wordNGrams(col("text"), 3).as("sh"))
     val pairs = Dedup.jaccardJoin(sh, "doc_id", "sh", 0.5)
