@@ -51,6 +51,12 @@ package object functions {
   def topk_by_score(sv: Column, k: Int): Column =
     col(TopKByScore(ex(sv), k).toAggregateExpression())
 
+  /** Elementwise vector sum aggregate; see [[VectorSum]]. One dim-length
+    * buffer per (partition, group) instead of a posexplode row blow-up.
+    */
+  def vector_sum(v: Column): Column =
+    col(VectorSum(ex(v)).toAggregateExpression())
+
   /** Ruri model-family document prefix (reference: model/search/vector.py:123). */
   def doc_prefix(text: Column): Column = concat(lit("文章: "), text)
 

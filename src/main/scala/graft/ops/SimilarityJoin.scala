@@ -275,13 +275,16 @@ object AnnIndex {
             col("__cid").as("cid")).as("__dc"))
         .groupBy(col(idCol))
         .agg(first(col("__v")).as("__v"), min(col("__dc")).getField("cid").as("__cid"))
+      // vector_sum: ONE shuffle of dim-length buffers; the posexplode
+      // formulation this replaces shuffled |vectors|·dim rows twice and
+      // sorted them back into arrays. round-to-1e-6 absorbs the same
+      // accumulation-order ULP drift either way (sum/n == avg's sum/count).
       val means = assigned
-        .select(col("__cid"), posexplode(col("__v")))
-        .groupBy("__cid", "pos").agg(avg("col").as("__m"))
-        .groupBy("__cid")
-        .agg(array_sort(collect_list(struct(col("pos"), col("__m")))).as("__pm"))
+        .groupBy(col("__cid"))
+        .agg(graft.functions.vector_sum(col("__v")).as("__sum"),
+          count(lit(1)).as("__n"))
         .select(col("__cid"),
-          transform(col("__pm"), x => round(x.getField("__m"), 6)).as("__mvec"))
+          transform(col("__sum"), x => round(x / col("__n"), 6)).as("__mvec"))
       // empty clusters keep their previous centroid; localCheckpoint bounds
       // lineage across iterations (plan doubles per round otherwise)
       cents = cents.select(col("__cid"), col("__cvec").as("__prev"))
