@@ -44,4 +44,23 @@ object Sampling {
       trainBuckets: Int): (DataFrame, DataFrame) = (
     sampleRange(df, key, buckets, 0, trainBuckets),
     sampleRange(df, key, buckets, trainBuckets, buckets))
+
+  /** Stratified sample: a different keep-fraction per stratum — the
+    * training-data MIXTURE operator (e.g. upsample low-resource languages,
+    * downsample crawl boilerplate). `fractions` maps stratum value ->
+    * buckets kept out of `buckets`; strata not listed keep `defaultKeep`.
+    * Still one scan-side filter, no shuffle, deterministic per row key:
+    * the stratum only selects the threshold the row's hash bucket is
+    * compared against.
+    */
+  def stratified(df: DataFrame, stratum: Column, key: Column, buckets: Int,
+      fractions: Map[String, Int], defaultKeep: Int = 0): DataFrame = {
+    require((fractions.values ++ Seq(defaultKeep)).forall(k => k >= 0 && k <= buckets),
+      s"every keep-count must be in [0, $buckets]: $fractions / $defaultKeep")
+    val b = hashBucket(key, buckets)
+    val threshold = fractions.toSeq.sortBy(_._1).foldLeft(lit(defaultKeep)) {
+      case (acc, (value, keep)) => when(stratum === lit(value), lit(keep)).otherwise(acc)
+    }
+    df.where(b < threshold)
+  }
 }

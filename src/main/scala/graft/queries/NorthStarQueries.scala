@@ -266,6 +266,18 @@ object NorthStarQueries {
         .transform(sortedSingle(_, col("doc_id")))
     },
 
+    // stratified mixture sampling: per-language keep fractions from one
+    // deterministic hash-bucket filter (graft.ops.Sampling.stratified) —
+    // upsample fr to 50%, downsample en to 10%, 20% elsewhere. Scan-side
+    // filter, no shuffle, retry-stable.
+    "stratified_sample" -> { (s, dir) =>
+      graft.ops.Sampling.stratified(
+          t(s, dir, "documents"), col("lang"), col("doc_id"), buckets = 100,
+          fractions = Map("en" -> 10, "fr" -> 50), defaultKeep = 20)
+        .select("doc_id", "lang")
+        .transform(sortedSingle(_, col("doc_id")))
+    },
+
     // context-window chunking: overlapping 32-token windows, stride 24;
     // emits per-chunk token count + content fingerprint (scan-parallel
     // projection — the packing step of a training pipeline). ONE
@@ -599,6 +611,11 @@ object NorthStarQueries {
     "sample_docs" ->
       """SELECT doc_id, lang, n_chars FROM documents
         |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 10
+        |ORDER BY doc_id""".stripMargin,
+    "stratified_sample" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 <
+        |      CASE WHEN lang = 'en' THEN 10 WHEN lang = 'fr' THEN 50 ELSE 20 END
         |ORDER BY doc_id""".stripMargin,
     "chunk_docs" ->
       """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t

@@ -29,6 +29,36 @@ class SamplingSpec extends SparkTestBase {
     assert(t.union(h).size == 2000)
   }
 
+  test("stratified keeps per-stratum fractions, deterministic and subset-consistent") {
+    val sp = spark
+    import sp.implicits._
+    val df = (0L until 3000L).map(i => (i, Seq("en", "fr", "de")(i.toInt % 3)))
+      .toDF("id", "lang")
+    val out = graft.ops.Sampling.stratified(df, col("lang"), col("id"),
+      buckets = 100, fractions = Map("en" -> 10, "fr" -> 50), defaultKeep = 20)
+    val counts = out.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // 1000 rows per lang; hash buckets are uniform-ish — generous bounds
+    assert(counts("en") > 50 && counts("en") < 200)
+    assert(counts("fr") > 400 && counts("fr") < 600)
+    assert(counts("de") > 120 && counts("de") < 300)
+    // deterministic on re-evaluation
+    val again = graft.ops.Sampling.stratified(df, col("lang"), col("id"),
+      buckets = 100, fractions = Map("en" -> 10, "fr" -> 50), defaultKeep = 20)
+      .groupBy("lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == again)
+    // monotone: raising a stratum's keep-count only ADDS rows (same hash)
+    val smaller = graft.ops.Sampling.stratified(df, col("lang"), col("id"),
+      buckets = 100, fractions = Map("en" -> 5, "fr" -> 50), defaultKeep = 20)
+      .where(col("lang") === "en").collect().map(_.getLong(0)).toSet
+    val larger = out.where(col("lang") === "en").collect().map(_.getLong(0)).toSet
+    assert(smaller.subsetOf(larger))
+    intercept[IllegalArgumentException] {
+      graft.ops.Sampling.stratified(df, col("lang"), col("id"), 100,
+        Map("en" -> 101))
+    }
+  }
+
   test("boundary splits are legal and empty; reversed ranges are not") {
     // 100% train: holdout side is [10, 10) — empty, not an error
     val (train, hold) = Sampling.trainHoldout(ids, col("id"), 10, 10)
