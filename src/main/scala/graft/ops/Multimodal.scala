@@ -222,6 +222,47 @@ object Multimodal {
       }(encoder)
   }
 
+  /** 64-bit difference hash (dHash) over DECODED pixels — the standard
+    * perceptual near-dup fingerprint for images: resize to 9x8 (the same
+    * floor nearest-neighbor mapping as [[ImageIoCodec.resize]], inlined
+    * over the decoded pixels — no PNG re-encode), take the luminance
+    * channel-sum per cell, and set bit y*8+x iff lum(x+1, y) > lum(x, y).
+    * Re-encodings and mild brightness shifts preserve the hash; band it
+    * 4x16 bits for LSH pair generation exactly like SimHash (hamming <= 3
+    * pigeonhole recall). Pure integer arithmetic end to end, so a SQL
+    * oracle recomputes it from the pixel formula. Output: (idCol, dhash).
+    */
+  def dhash64(media: DataFrame, decoder: ImageDecoder = ImageIoCodec,
+      idCol: String = "media_id"): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField("dhash", LongType, nullable = false)))
+    val encoder = org.apache.spark.sql.Encoders.row(outSchema)
+    val d = decoder
+    media.where(col("kind") === "image" && col("bytes").isNotNull)
+      .select(col(idCol).cast("long"), col("bytes"))
+      .mapPartitions { rows =>
+        rows.map { row =>
+          val (w, h, px) = d.decodeRgb(row.get(1).asInstanceOf[Array[Byte]])
+          def lum(x: Int, y: Int): Int = {
+            val p = px(((y * h) / 8 * w) + (x * w) / 9)
+            ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
+          }
+          var hash = 0L
+          var y = 0
+          while (y < 8) {
+            var x = 0
+            while (x < 8) {
+              if (lum(x + 1, y) > lum(x, y)) hash |= 1L << (y * 8 + x)
+              x += 1
+            }
+            y += 1
+          }
+          Row(row.getLong(0), hash)
+        }
+      }(encoder)
+  }
+
   /** Deterministic synthetic media table for tests (bytes = seeded digest
     * stream; metadata consistent with kind).
     */

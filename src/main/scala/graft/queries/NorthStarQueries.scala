@@ -230,6 +230,18 @@ object NorthStarQueries {
         .transform(sortedSingle(_, col("media_id"), col("cell_id")))
     },
 
+    // perceptual image hash (dHash) over REAL decoded pixels: 9x8
+    // nearest-neighbor luminance grid, gradient sign bits. Integer-exact
+    // end to end, so the oracle recomputes the hash from the pixel formula.
+    "image_dhash" -> { (s, dir) =>
+      import graft.ops.{ImageIoCodec, Multimodal}
+      val ids = t(s, dir, "documents").select(col("doc_id"))
+        .repartition(s.sparkContext.defaultParallelism)
+      val media = Multimodal.syntheticImagesFor(ids, "doc_id", MediaW, MediaH)
+      Multimodal.dhash64(media, ImageIoCodec)
+        .transform(sortedSingle(_, col("media_id")))
+    },
+
     // document fingerprint: md5 of normalized text
     "fingerprint_docs" -> { (s, dir) =>
       docs(s, dir)
@@ -324,6 +336,36 @@ object NorthStarQueries {
        |       CAST(sum(${f.channelSql(f.g, "media_id", sx, sy)}) AS BIGINT) AS sum_g,
        |       CAST(sum(${f.channelSql(f.b, "media_id", sx, sy)}) AS BIGINT) AS sum_b
        |FROM px GROUP BY 1, 2 ORDER BY media_id, cell_id""".stripMargin
+  }
+
+  /** dHash oracle: luminance = channel sum at the floor-mapped source pixel
+    * of the 9x8 grid; bit y*8+x set iff the right neighbor is brighter.
+    * DuckDB refuses `1::BIGINT << 63`, so distinct bit powers accumulate in
+    * HUGEINT and the unsigned total folds to the signed long two's
+    * complement (subtract 2^64 when >= 2^63) — exactly Scala's bitwise OR.
+    */
+  private def dhashOracle: String = {
+    val f = graft.ops.Multimodal.DefaultFormula
+    def lum(cx: String): String = {
+      val sx = s"(($cx) * $MediaW) // 9"
+      val sy = s"(y * $MediaH) // 8"
+      Seq(f.r, f.g, f.b)
+        .map(c => s"(${f.channelSql(c, "media_id", sx, sy)})").mkString(" + ")
+    }
+    s"""WITH px AS (
+       |  SELECT d.doc_id AS media_id, xs.x AS x, ys.y AS y
+       |  FROM documents d
+       |  CROSS JOIN (SELECT unnest(range(0, 8)) AS x) xs
+       |  CROSS JOIN (SELECT unnest(range(0, 8)) AS y) ys),
+       |raw AS (
+       |  SELECT media_id,
+       |         sum(CASE WHEN ${lum("x + 1")} > ${lum("x")}
+       |                  THEN 1::HUGEINT << (y*8 + x) ELSE 0::HUGEINT END) AS u
+       |  FROM px GROUP BY media_id)
+       |SELECT media_id,
+       |       CAST(CASE WHEN u >= 9223372036854775808::HUGEINT
+       |                 THEN u - 18446744073709551616::HUGEINT ELSE u END AS BIGINT) AS dhash
+       |FROM raw ORDER BY media_id""".stripMargin
   }
 
   // ---- oracle SQL ----
@@ -514,6 +556,7 @@ object NorthStarQueries {
          |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
     "simhash_pairs" -> simhashOracle,
     "media_pipeline" -> mediaPipelineOracle,
+    "image_dhash" -> dhashOracle,
     "incremental_dedup" ->
       s"""WITH $ShCte,
          |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 
 import graft.ops.{ImageIoCodec, Multimodal}
@@ -118,6 +119,49 @@ class MultimodalSpec extends SparkTestBase {
       sum += ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
     }
     assert(math.abs(v1(0) - sum.toDouble / (4 * h * 3 * 255.0)) < 1e-6)
+  }
+
+  test("dhash64: matches driver recomputation; stable under mild brightness shift") {
+    val sp = spark
+    import sp.implicits._
+    val media = Multimodal.syntheticImagesFor(Seq(11L, 12L).toDF("id"), "id", 24, 24)
+    val got = Multimodal.dhash64(media).orderBy("media_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // driver-side recomputation from the decoded pixels
+    media.collect().foreach { r =>
+      val id = r.getLong(0)
+      val (w, h, px) = ImageIoCodec.decodeRgb(r.getAs[Array[Byte]]("bytes"))
+      def lum(x: Int, y: Int): Int = {
+        val p = px(((y * h) / 8) * w + (x * w) / 9)
+        ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
+      }
+      var want = 0L
+      for (y <- 0 until 8; x <- 0 until 8)
+        if (lum(x + 1, y) > lum(x, y)) want |= 1L << (y * 8 + x)
+      assert(got(id) == want, s"image $id")
+    }
+    // perceptual stability: +10 on every channel (clamped) barely moves the
+    // gradient signs -> tiny hamming distance; a different image is far
+    def brighten(bytes: Array[Byte]): Array[Byte] = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      val out = new java.awt.image.BufferedImage(img.getWidth, img.getHeight,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until img.getHeight; x <- 0 until img.getWidth) {
+        val p = img.getRGB(x, y)
+        def c(sh: Int) = math.min(((p >> sh) & 0xff) + 10, 255)
+        out.setRGB(x, y, (c(16) << 16) | (c(8) << 8) | c(0))
+      }
+      ImageIoCodec.encodePng(out)
+    }
+    val bright = media.where(col("media_id") === 11L).collect().map { r =>
+      Row(r.getLong(0), r.getString(1), brighten(r.getAs[Array[Byte]]("bytes")), r.getStruct(3))
+    }
+    val brightDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(bright.toSeq, 1), Multimodal.mediaSchema)
+    val hb = Multimodal.dhash64(brightDf).head().getLong(1)
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(got(11L), hb) <= 8, s"brightness shift moved ${hamming(got(11L), hb)} bits")
+    assert(hamming(got(11L), got(12L)) > 8) // distinct images stay apart
   }
 
   test("ImageIoCodec: frameAt is unsupported (JDK has no video codec)") {
