@@ -139,6 +139,34 @@ object Dedup {
       .select("a", "b", "inter", "size_a", "size_b", "jaccard")
   }
 
+  /** Drop "hot" shingles — those appearing in more than `maxDocFrac` of
+    * docs — from a (idCol, shingleCol) frame. Boilerplate n-grams (headers,
+    * license blurbs, navigation) are the LSH/Jaccard scale killer: one
+    * shingle shared by 10% of a 10^9-doc corpus puts 10^8 postings in one
+    * inverted-index bucket (join volume bucket² — 10^16 candidate pairs)
+    * while carrying no near-dup signal. The document-frequency pass is one
+    * hash aggregate; the rejoin is a broadcast-friendly semi-join against
+    * the (small) hot-shingle list. Rows keep their id even if every
+    * shingle was hot (empty array), so downstream survivors logic still
+    * sees the doc.
+    */
+  def dropHotShingles(df: DataFrame, idCol: String, shingleCol: String,
+      maxDocFrac: Double): DataFrame = {
+    require(maxDocFrac > 0.0 && maxDocFrac <= 1.0,
+      s"maxDocFrac must be in (0, 1]: $maxDocFrac")
+    val nDocs = df.count().toDouble
+    val hot = df
+      .select(col(idCol), explode(array_distinct(col(shingleCol))).as("__sh"))
+      .groupBy("__sh").agg(count(lit(1)).as("__df"))
+      .where(col("__df") > nDocs * maxDocFrac)
+      .select(col("__sh").as("__hot"))
+    val hotList = broadcast(hot.agg(collect_set(col("__hot")).as("__hots")))
+    df.crossJoin(hotList)
+      .withColumn(shingleCol,
+        filter(col(shingleCol), s => !array_contains(col("__hots"), s)))
+      .drop("__hots")
+  }
+
   /** Cross-corpus n-gram Jaccard join: pairs (a from `batch`, b from
     * `corpus`) with J >= tau — the INCREMENTAL dedup shape (dedup a new
     * crawl batch against the existing corpus without re-comparing the

@@ -78,6 +78,32 @@ class DedupSpec extends SparkTestBase {
     got.foreach { case (k, j) => assert(math.abs(j - expected(k)) < 1e-12) }
   }
 
+  test("dropHotShingles removes boilerplate, keeps signal, preserves rows") {
+    val sp = spark
+    import sp.implicits._
+    // every doc shares the "BOILER PLATE X" shingle; only 0/1 share real content
+    val docs = Seq(
+      (0L, Seq("BOILER", "real a", "real b")),
+      (1L, Seq("BOILER", "real a", "real b")),
+      (2L, Seq("BOILER", "other c")),
+      (3L, Seq("BOILER"))) // nothing but boilerplate
+      .toDF("doc_id", "sh")
+    val filtered = graft.ops.Dedup.dropHotShingles(docs, "doc_id", "sh", 0.5)
+    val got = filtered.collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    assert(got.keySet == Set(0L, 1L, 2L, 3L)) // no row dropped
+    assert(got.values.forall(!_.contains("BOILER")))
+    assert(got(0L) == Set("real a", "real b") && got(2L) == Set("other c"))
+    assert(got(3L).isEmpty)
+    // the boilerplate-only pairing disappears; the real near-dup survives
+    val pairs = graft.ops.Dedup.jaccardJoin(filtered, "doc_id", "sh", 0.5)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((0L, 1L)))
+    // below-threshold shingles untouched
+    val loose = graft.ops.Dedup.dropHotShingles(docs, "doc_id", "sh", 1.0)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    assert(loose(0L).contains("BOILER"))
+  }
+
   test("incremental dedup: batch-vs-corpus only, differential vs driver all-pairs") {
     val sp = spark
     import sp.implicits._
