@@ -80,7 +80,10 @@ object NorthStarQueries {
     // never a corpus self-join. The shape of "dedup today's crawl against
     // the 100 TB already ingested".
     "incremental_dedup" -> { (s, dir) =>
+      // persist: the shingle pipeline (split + n-grams over every doc)
+      // feeds BOTH join sides; unpersisted it recomputes per side
       val sh = docsWithShingles(s, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val batch = sh.where(pmod(col("doc_id"), lit(2)) === 1)
       val corpus = sh.where(pmod(col("doc_id"), lit(2)) === 0)
       val pairs = Dedup.jaccardJoinAgainst(batch, corpus, "doc_id", "sh", JaccardTau)
