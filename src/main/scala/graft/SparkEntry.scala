@@ -270,7 +270,7 @@ object SparkEntry {
     // CorpusIO.readCsv, which documents the multiLine trade-off. ----
     "csv_roundtrip" -> { (s, dir) =>
       val docs = t(s, dir, "documents")
-        .withColumn("text", regexp_replace(col("text"), "[\\r\\n]", " "))
+        .withColumn("text", translate(col("text"), "\r\n", "  "))
       val tmp = graft.util.TempDirs.create("graft_csv_rt") + "/docs"
       docs.write.option("header", "true").option("escape", "\"")
         .mode("overwrite").csv(tmp)
