@@ -60,6 +60,37 @@ class PlanSpec extends SparkTestBase {
     assert(plan.contains("PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]"), plan)
   }
 
+  test("inline language ID plans as a pure projection — no aggregate/join shuffle") {
+    val df = docs.select(col("doc_id"),
+      graft.ops.TextOps.langGuess(graft.ops.TextOps.tokens(col("text"))).as("g"))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!plan.contains("Exchange"), plan)
+    assert(!plan.contains("Join"), plan)
+    assert(!plan.contains("Generate"), plan) // no explode anywhere
+  }
+
+  test("stratified sampling is a scan-side filter — no shuffle, no join") {
+    val df = graft.ops.Sampling.stratified(docs, col("lang"), col("doc_id"),
+      buckets = 100, fractions = Map("en" -> 10), defaultKeep = 20)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!plan.contains("Exchange"), plan)
+    assert(!plan.contains("Join"), plan)
+  }
+
+  test("incremental dedup joins on the shingle equi-key — never a nested loop") {
+    val sh = docs.select(col("doc_id"),
+      graft.ops.TextOps.wordNGrams(col("text"), 3).as("sh"))
+    val pairs = graft.ops.Dedup.jaccardJoinAgainst(
+      sh.where(col("doc_id") % 2 === 1), sh.where(col("doc_id") % 2 === 0),
+      "doc_id", "sh", 0.5)
+    pairs.collect()
+    val plan = pairs.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("ANN centroid assignment is a broadcast join, not O(centroids) literals") {
     // VERDICT r2 item 3: the old build collected centroids to the driver and
     // inlined one struct literal per centroid into an array_min argmin — plan
