@@ -31,10 +31,17 @@ object GraftSession {
       .config("spark.sql.autoBroadcastJoinThreshold", "64m")
 
   /** Ensure graft functions exist on a session we did not build (e.g. the
-    * driver-made Verify/Bench session).
+    * driver-made Verify/Bench session), and apply runtime-settable scan
+    * tuning: the default file-packing bins (128 MB target, 4 MB per-file
+    * open cost) would coalesce a spooled multi-file table back into one
+    * scan partition on small test data. 16 MB bins with an 8 MB open cost
+    * keep ~2 files per partition; single-file single-row-group tables are
+    * unaffected (byte-range splits beyond the one row group are no-ops).
     */
   def prepare(spark: SparkSession): SparkSession = {
     functions.registerAll(spark)
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "16m")
+    spark.conf.set("spark.sql.files.openCostInBytes", "8m")
     spark
   }
 }
