@@ -102,6 +102,7 @@ JOINS = [
 # Spark-only spellings -> DuckDB spellings (the one dialect split we fuzz)
 DUCK_REWRITES = [
     ("get_json_object(props, '$.k')", "json_extract_string(props, '$.k')"),
+    ("explode(split(text, ' '))", "unnest(string_split(text, ' '))"),
 ]
 
 
@@ -116,7 +117,37 @@ def gen_query():
     cols = TABLES[t]
     shape = rng.choice(["agg", "agg", "filter_topk", "distinct", "join_agg",
                         "window", "window_frame", "setop", "json",
-                        "having", "subquery"])
+                        "having", "subquery", "rollup", "tokens"])
+    if shape == "rollup":
+        # grouping sets over string keys; int sums stay exact. NULLS FIRST
+        # is explicit: Spark defaults asc-nulls-first, DuckDB asc-nulls-last.
+        # NO WHERE: ROLLUP over an EMPTY input is a genuine engine
+        # divergence this fuzzer found (seed 777555) — DuckDB emits the
+        # standard grand-total row (NULL, NULL, 0, NULL) like a global
+        # aggregate, Spark emits zero rows — so the generator keeps the
+        # input non-empty, like it avoids round() and division
+        two = [x for x in TABLES if len(TABLES[x]["str"]) >= 2]
+        t = rng.choice(two)
+        cols = TABLES[t]
+        g1, g2 = rng.sample(cols["str"], k=2)
+        ic = rng.choice(cols["int"])
+        return (f"SELECT {g1}, {g2}, count(*) AS n, sum({ic}) AS s FROM {t} "
+                f"GROUP BY ROLLUP ({g1}, {g2}) "
+                f"ORDER BY {g1} NULLS FIRST, {g2} NULLS FIRST")
+    if shape == "tokens":
+        # the split-on-single-space token convention every text oracle uses
+        inner = "SELECT doc_id, explode(split(text, ' ')) AS tk FROM documents"
+        pick = rng.random()
+        if pick < 0.4:
+            k = rng.randint(10, 60)
+            return (f"SELECT tk, count(*) AS n, count(DISTINCT doc_id) AS df "
+                    f"FROM ({inner}) GROUP BY tk ORDER BY n DESC, tk LIMIT {k}")
+        if pick < 0.7:
+            return (f"SELECT length(tk) AS l, count(*) AS n FROM ({inner}) "
+                    f"GROUP BY length(tk) ORDER BY l")
+        lo = rng.randint(1, 6)
+        return (f"SELECT doc_id, count(*) AS n FROM ({inner}) "
+                f"WHERE length(tk) >= {lo} GROUP BY doc_id ORDER BY doc_id")
     if shape == "having":
         g = rng.choice(cols["str"])
         ic = rng.choice(cols["int"] + cols["num"])
