@@ -170,4 +170,34 @@ class EventStreamsSpec extends SparkTestBase {
     assert(out.length == 4)
     assert(out.forall(_.getAs[Long]("n_events") == 1L))
   }
+
+  test("stateless corpus ops run unchanged on a stream: stratified + fingerprint + langid") {
+    import org.apache.spark.sql.functions._
+    // the scan-side pipeline ops are pure projections/filters, so the SAME
+    // column expressions drive a streaming micro-batch with no rewrite —
+    // the design property that makes the corpus pipeline incrementally
+    // ingestable
+    def pipeline(df: org.apache.spark.sql.DataFrame) =
+      graft.ops.Sampling.stratified(df, col("lang"), col("doc_id"),
+          buckets = 10, fractions = Map("en" -> 8), defaultKeep = 3)
+        .select(col("doc_id"), col("lang"),
+          graft.ops.TextOps.fingerprint(col("text")).as("fp"),
+          graft.ops.TextOps.langGuess(graft.ops.TextOps.tokens(col("text"))).as("guess"))
+    val rows = (0L until 40L).map(i =>
+      (i, if (i % 2 == 0) "en" else "fr",
+        if (i % 2 == 0) "the cat is here" else "le chat et la maison"))
+    val stream = MemoryStream[(Long, String, String)](sp)
+    val q = pipeline(stream.toDF().toDF("doc_id", "lang", "text"))
+      .writeStream.format("memory").queryName("corpus_stream_test")
+      .outputMode(OutputMode.Append()).start()
+    stream.addData(rows)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = sp.table("corpus_stream_test").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3))).toSet
+    val batch = pipeline(rows.toDF("doc_id", "lang", "text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3))).toSet
+    assert(streamed == batch && streamed.nonEmpty)
+    assert(streamed.forall { case (_, _, _, g) => g == "en" || g == "fr" })
+  }
 }
