@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.ops._
+
+/** Every operator must degrade to an empty (or well-defined) result on
+  * empty input — the state a production pipeline hits whenever an upstream
+  * filter matches nothing. No operator may throw or hang.
+  */
+class EmptyInputsSpec extends SparkTestBase {
+  private val sp = SparkTestBase.spark
+  import sp.implicits._
+
+  private def emptyDocs: DataFrame =
+    Seq.empty[(Long, String)].toDF("doc_id", "text")
+  private def emptySh: DataFrame =
+    emptyDocs.select(col("doc_id"), TextOps.wordNGrams(col("text"), 3).as("sh"))
+  private def emptyVecs: DataFrame =
+    Seq.empty[(Long, Seq[Double])].toDF("id", "vec")
+  private def emptyPairs: DataFrame =
+    Seq.empty[(Long, Long)].toDF("a", "b")
+
+  test("dedup tiers on empty corpora") {
+    assert(Dedup.exact(emptyDocs, Seq("text"), "doc_id").count() == 0)
+    assert(Dedup.jaccardJoin(emptySh, "doc_id", "sh", 0.5).count() == 0)
+    assert(Dedup.jaccardJoinAgainst(emptySh, emptySh, "doc_id", "sh", 0.5).count() == 0)
+    assert(Dedup.minhashSignatures(emptySh, "doc_id", "sh", 8).count() == 0)
+    assert(Dedup.simhashPairs(emptyDocs, "doc_id", split(col("text"), " ")).count() == 0)
+    assert(Dedup.dropHotShingles(emptySh, "doc_id", "sh", 0.5).count() == 0)
+    assert(Dedup.survivors(emptyDocs, "doc_id", emptyPairs).count() == 0)
+    assert(Dedup.incrementalSurvivors(emptyDocs, "doc_id", emptyPairs).count() == 0)
+  }
+
+  test("connected components on an empty edge set") {
+    assert(Dedup.components(emptyPairs).count() == 0)
+    assert(Dedup.componentsStar(emptyPairs).count() == 0)
+  }
+
+  test("similarity joins and ANN on empty vector sets") {
+    assert(SimilarityJoin.cosineJoinBroadcast(emptyVecs, "id", "vec", 0.5).count() == 0)
+    assert(SimilarityJoin.cosineJoinLsh(emptyVecs, "id", "vec", 0.5, dim = 4).count() == 0)
+    assert(SimilarityJoin.cosineJoin(emptyVecs, "id", "vec", 0.5, dim = 4).count() == 0)
+    val idx = AnnIndex.build(emptyVecs, "id", "vec", stride = 4)
+    assert(idx.bruteForceTopK(Array(1.0, 0.0, 0.0, 0.0), 5).count() == 0)
+    assert(idx.probeTopK(Array(1.0, 0.0, 0.0, 0.0), 5).count() == 0)
+  }
+
+  test("time joins with an empty side") {
+    val left = Seq(("u", 10L, 1L)).toDF("k", "t", "id")
+    val noRight = Seq.empty[(String, Long, String)].toDF("k", "rt", "v")
+    for (dir <- Seq("b", "f", "n")) {
+      val out = dir match {
+        case "b" => AsOfJoin.backward(left, noRight, Seq("k"), "t", "rt", Seq("v"))
+        case "f" => AsOfJoin.forward(left, noRight, Seq("k"), "t", "rt", Seq("v"))
+        case _ => AsOfJoin.nearest(left, noRight, Seq("k"), "t", "rt", Seq("v"))
+      }
+      val rows = out.collect()
+      assert(rows.length == 1 && rows(0).isNullAt(3), s"direction $dir")
+    }
+    val noLeft = Seq.empty[(String, Long, Long)].toDF("k", "t", "id")
+    assert(AsOfJoin.backward(noLeft, noRight, Seq("k"), "t", "rt", Seq("v")).count() == 0)
+    val points = Seq.empty[(String, Double)].toDF("k", "p")
+    val ivals = Seq.empty[(String, Double, Double)].toDF("k", "lo", "hi")
+    assert(RangeJoin.pointInInterval(points, ivals, Seq("k"), "p", "lo", "hi", 10.0)
+      .count() == 0)
+  }
+
+  test("text scoring and sampling on empty corpora") {
+    assert(TextOps.bm25(emptyDocs, "doc_id", TextOps.tokens(col("text")),
+      Seq("x"), inlineTermLimit = 100).count() == 0)
+    assert(TextOps.bm25(emptyDocs, "doc_id", TextOps.tokens(col("text")),
+      Seq("x"), inlineTermLimit = 0).count() == 0)
+    assert(Percentiles.exact(emptyDocs, Seq("text"), "doc_id", Seq(0.5)).count() == 0)
+    assert(Percentiles.approx(emptyDocs, Seq("text"), "doc_id", Seq(0.5)).count() == 0)
+    assert(Sampling.stratified(emptyDocs, col("text"), col("doc_id"), 10,
+      Map("en" -> 5)).count() == 0)
+    assert(Skew.saltedSumCount(
+      Seq.empty[(String, Double, Long)].toDF("k", "value", "event_id"),
+      Seq("k"), "value", Seq(col("event_id")), salts = 4).count() == 0)
+  }
+
+  test("media operators on an empty table") {
+    val media = Multimodal.syntheticMedia(spark, 0)
+    assert(Multimodal.extractFeatures(media).count() == 0)
+    assert(Multimodal.resizeImages(media, 8, 8).count() == 0)
+    assert(Multimodal.gridChannelStats(media, 2).count() == 0)
+    assert(Multimodal.dhash64(media).count() == 0)
+    assert(Multimodal.dedupByContent(media).count() == 0)
+  }
+}
