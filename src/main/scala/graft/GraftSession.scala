@@ -7,8 +7,12 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
   * injection path (no code change for SQL-only users).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     functions.injectable.foreach(e.injectFunction)
+    // opt-in ANN index substitution (off unless spark.graft.ann.autoProbe
+    // is set AND an index is registered in graft.plans.AnnCatalog)
+    e.injectOptimizerRule(session => graft.plans.AnnProbeRule(session))
+  }
 }
 
 /** Session factory with graft defaults. Local-mode knobs match the test

@@ -1,0 +1,127 @@
+package graft.plans
+
+import java.util.concurrent.CopyOnWriteArrayList
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Ascending, AttributeReference, Literal, NamedExpression, SortOrder}
+import org.apache.spark.sql.catalyst.plans.logical.{GlobalLimit, LocalLimit, LogicalPlan, Project, Sort}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType, IntegerType}
+
+import graft.functions.CosineDistance
+import graft.ops.AnnIndex
+
+/** Opt-in ANN plan substitution — SURVEY §7's one optional `Rule` stretch
+  * (brief preference (c): extend the planner only where built-ins can't).
+  *
+  * A brute-force vector top-k is the plan
+  * `GlobalLimit k (Sort [cos_dist asc] (Project [id, cos_dist] scan))`.
+  * When the scanned relation has a REGISTERED [[AnnIndex]] and the session
+  * opts in (`spark.graft.ann.autoProbe=true`), this rule swaps the whole
+  * subtree for the index's `probeTopK` plan — scanning `nprobe` centroid
+  * buckets instead of every vector, the classic vector-database index
+  * substitution.
+  *
+  * The rewrite is APPROXIMATE (an IVF probe can miss true neighbors in
+  * unprobed buckets), which is why it is conf-gated off by default and
+  * never applied implicitly: exactly the contract every vector store
+  * documents for index-backed search. Matching is deliberately narrow —
+  * ascending cosine-distance-to-literal sort, optional id tie-break,
+  * projection of exactly (id, distance), relation canonically equal to the
+  * registered one — anything else is left untouched.
+  */
+object AnnCatalog {
+
+  final case class Entry(plan: LogicalPlan, idCol: String, vecCol: String,
+      index: AnnIndex, nprobe: Int)
+
+  private val entries = new CopyOnWriteArrayList[Entry]()
+
+  /** Register `df` (the exact frame the index was built over) as probe-able.
+    * Matching uses the canonicalized analyzed plan, so a re-read of the
+    * same source matches too.
+    */
+  def register(df: DataFrame, idCol: String, vecCol: String, index: AnnIndex,
+      nprobe: Int = 4): Unit =
+    entries.add(Entry(df.queryExecution.analyzed.canonicalized, idCol, vecCol,
+      index, nprobe))
+
+  def clear(): Unit = entries.clear()
+
+  private[plans] def lookup(plan: LogicalPlan): Option[Entry] =
+    entries.asScala.find(_.plan == plan.canonicalized)
+}
+
+case class AnnProbeRule(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  val ConfKey = "spark.graft.ann.autoProbe"
+
+  private def enabled: Boolean =
+    spark.conf.getOption(ConfKey).contains("true")
+
+  private def literalVector(l: Literal): Option[Array[Double]] = l match {
+    case Literal(data: ArrayData, ArrayType(DoubleType, _)) =>
+      Some(data.toDoubleArray())
+    case Literal(data: ArrayData, ArrayType(FloatType, _)) =>
+      Some(data.toFloatArray().map(_.toDouble))
+    case _ => None
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (!enabled) return plan
+    plan.transformDown {
+      case gl @ GlobalLimit(Literal(k: Int, IntegerType),
+          LocalLimit(_, Sort(orders, true,
+            Project(projList, child), _))) if k > 0 =>
+        // the spliced probe plan never re-matches: its Sort+Limit sits over
+        // a semi-join, not a registered relation
+        rewrite(k, orders, projList, child).getOrElse(gl)
+    }
+  }
+
+  /** The narrow match + splice; None leaves the plan untouched. */
+  private def rewrite(k: Int, orders: Seq[SortOrder],
+      projList: Seq[NamedExpression], child: LogicalPlan): Option[LogicalPlan] = {
+    for {
+      entry <- AnnCatalog.lookup(child)
+      // projection must be exactly (id attribute, distance alias)
+      distAlias <- projList.collectFirst {
+        case a @ Alias(CosineDistance(_: AttributeReference, l: Literal), _)
+            if literalVector(l).isDefined => a
+      }
+      idAttr <- projList.collectFirst {
+        case ar: AttributeReference if ar.name == entry.idCol => ar
+      }
+      if projList.size == 2
+      // sort: distance ascending first, optionally the id as tie-break
+      if orders.nonEmpty && orders.head.direction == Ascending &&
+        orders.head.child.references.subsetOf(
+          org.apache.spark.sql.catalyst.expressions.AttributeSet(Seq(distAlias.toAttribute)))
+      if orders.drop(1).forall(o => o.direction == Ascending &&
+        o.child.references.subsetOf(
+          org.apache.spark.sql.catalyst.expressions.AttributeSet(Seq(idAttr))))
+      if orders.size <= 2
+      qvec <- distAlias.child match {
+        case CosineDistance(_, l: Literal) => literalVector(l)
+        case _ => None
+      }
+    } yield {
+      val probe = entry.index.probeTopK(qvec, k, entry.nprobe)
+      val probePlan = probe.queryExecution.optimizedPlan
+      val idOut = probePlan.output.find(_.name == entry.idCol).get
+      val distOut = probePlan.output.find(_.name == "cos_dist").get
+      // preserve the original output attributes (names AND exprIds) so
+      // downstream operators keep resolving
+      val outProj = projList.map {
+        case ar: AttributeReference if ar.name == entry.idCol =>
+          Alias(idOut, ar.name)(exprId = ar.exprId)
+        case a: Alias => Alias(distOut, a.name)(exprId = a.exprId)
+        case other => other
+      }
+      Project(outProj, probePlan)
+    }
+  }
+}

@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.array_cosine_distance
+import graft.ops.AnnIndex
+import graft.plans.AnnCatalog
+
+/** Opt-in ANN plan substitution: the brute-force top-k shape over a
+  * registered indexed relation must become an index probe when (and ONLY
+  * when) the session opts in; non-matching shapes stay untouched.
+  */
+class AnnProbeRuleSpec extends SparkTestBase {
+
+  private val ConfKey = "spark.graft.ann.autoProbe"
+
+  private def emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  private def qvec: Array[Double] =
+    emb.where(col("vec_id") === 1).select("embedding")
+      .head().getSeq[Float](0).map(_.toDouble).toArray
+
+  private def bruteForceShape(k: Int = 10) =
+    emb.select(col("vec_id"),
+        array_cosine_distance(col("embedding"), typedLit(qvec.toSeq)).as("cos_dist"))
+      .orderBy(col("cos_dist").asc, col("vec_id").asc)
+      .limit(k)
+
+  private def withProbe[A](body: => A): A = {
+    AnnCatalog.clear()
+    AnnCatalog.register(emb, "vec_id", "embedding",
+      AnnIndex.build(emb, "vec_id", "embedding", stride = 64), nprobe = 4)
+    spark.conf.set(ConfKey, "true")
+    try body finally {
+      spark.conf.unset(ConfKey)
+      AnnCatalog.clear()
+    }
+  }
+
+  test("opt-in rewrite substitutes the probe plan (semi-join visible)") {
+    withProbe {
+      val df = bruteForceShape()
+      val plan = df.queryExecution.optimizedPlan.toString
+      assert(plan.contains("LeftSemi"), plan) // the nprobe bucket semi-join
+      // results come from the probe path: identical to calling it directly
+      val got = df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val want = AnnIndex.build(emb, "vec_id", "embedding", stride = 64)
+        .probeTopK(qvec, 10, nprobe = 4)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(got == want)
+    }
+  }
+
+  test("rewrite preserves output attributes for downstream operators") {
+    withProbe {
+      // filtering on the projected columns after the limit must still resolve
+      val out = bruteForceShape().where(col("cos_dist") >= 0.0)
+        .select(col("vec_id"))
+      assert(out.count() == 10)
+    }
+  }
+
+  test("no opt-in, no rewrite — and unregistered relations stay brute force") {
+    AnnCatalog.clear()
+    spark.conf.unset(ConfKey)
+    val plan = bruteForceShape().queryExecution.optimizedPlan.toString
+    assert(!plan.contains("LeftSemi"), plan)
+    // opt-in alone (no registered index) also leaves the plan alone
+    spark.conf.set(ConfKey, "true")
+    try {
+      val p2 = bruteForceShape().queryExecution.optimizedPlan.toString
+      assert(!p2.contains("LeftSemi"), p2)
+    } finally spark.conf.unset(ConfKey)
+  }
+
+  test("non-matching shapes are untouched even when opted in") {
+    withProbe {
+      // descending sort: not a nearest-neighbor query
+      val desc = emb.select(col("vec_id"),
+          array_cosine_distance(col("embedding"), typedLit(qvec.toSeq)).as("d"))
+        .orderBy(col("d").desc).limit(5)
+      assert(!desc.queryExecution.optimizedPlan.toString.contains("LeftSemi"))
+      // extra projected column: output schema wider than (id, dist)
+      val wide = emb.select(col("vec_id"), col("embedding"),
+          array_cosine_distance(col("embedding"), typedLit(qvec.toSeq)).as("d"))
+        .orderBy(col("d").asc).limit(5)
+      assert(!wide.queryExecution.optimizedPlan.toString.contains("LeftSemi"))
+      // distance to a non-literal (column) vector
+      val nonLit = emb.as("a").crossJoin(emb.limit(1).as("b"))
+        .select(col("a.vec_id"),
+          array_cosine_distance(col("a.embedding"), col("b.embedding")).as("d"))
+        .orderBy(col("d").asc).limit(5)
+      assert(!nonLit.queryExecution.optimizedPlan.toString.contains("LeftSemi"))
+    }
+  }
+
+  test("probe results track the index's recall contract vs exact") {
+    withProbe {
+      val probed = bruteForceShape(5).collect().map(_.getLong(0)).toSet
+      spark.conf.unset(ConfKey)
+      val exact = bruteForceShape(5).collect().map(_.getLong(0)).toSet
+      // nprobe=4 of ~8 buckets: most of the true top-5 should survive
+      assert((probed & exact).size >= 3, s"probed=$probed exact=$exact")
+    }
+  }
+}
