@@ -33,6 +33,9 @@ object GraftSession {
       // sf0.1, shingle dictionaries) should broadcast rather than shuffle
       // the big fact side; on a real cluster executors have >= this much
       .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+      // same scan tuning prepare() applies — see its doc
+      .config("spark.sql.files.maxPartitionBytes", "16m")
+      .config("spark.sql.files.openCostInBytes", "8m")
 
   /** Ensure graft functions exist on a session we did not build (e.g. the
     * driver-made Verify/Bench session), and apply runtime-settable scan
