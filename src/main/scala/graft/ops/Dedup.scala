@@ -108,6 +108,21 @@ object Dedup {
       .select("a", "b").distinct()
   }
 
+  /** Cross-corpus LSH candidates: batch band rows against CORPUS band rows
+    * — the scale tier of incremental dedup. The corpus signs ONCE (store
+    * its [[lshBands]] output as a table keyed by (band, key)); each new
+    * batch computes only its own signatures and equi-joins the band table —
+    * corpus text is never re-read, never self-joined. Output: (a = batch
+    * id, b = corpus id) candidates, to verify with [[verifyJaccard]].
+    */
+  def lshCandidatePairsAgainst(batchBands: DataFrame, corpusBands: DataFrame,
+      idCol: String): DataFrame = {
+    val l = batchBands.select(col("band"), col("key"), col(idCol).as("a"))
+    val r = corpusBands.select(col("band"), col("key"), col(idCol).as("b"))
+    l.join(r, Seq("band", "key"))
+      .select("a", "b").distinct()
+  }
+
   /** Exact n-gram Jaccard similarity join via inverted index: explode each
     * doc's distinct shingles, equi-join on shingle (any pair with J > 0
     * shares one — exact, no recall loss, no cartesian), count matches per

@@ -148,6 +148,37 @@ class DedupSpec extends SparkTestBase {
     assert(surv == sets.keys.filter(_ % 2 == 1).toSet -- want.map(_._1))
   }
 
+  test("incremental LSH tier: batch bands vs pre-signed corpus bands") {
+    val sp = spark
+    import sp.implicits._
+    // corpus: 20 docs; batch: copies of corpus docs 0/4/8 plus fresh docs
+    def text(i: Long) = {
+      val r = new scala.util.Random(i)
+      (0 until 12).map(_ => s"w${r.nextInt(25)}").mkString(" ")
+    }
+    val corpus = (0L until 20L).map(i => (i, text(i))).toDF("doc_id", "text")
+      .select(col("doc_id"), graft.ops.TextOps.wordNGrams(col("text"), 3).as("sh"))
+    val batch = Seq(100L -> text(0), 101L -> text(4), 102L -> text(8),
+        103L -> text(1000), 104L -> text(2000))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), graft.ops.TextOps.wordNGrams(col("text"), 3).as("sh"))
+    // corpus signs once; the batch signs only itself
+    val corpusBands = graft.ops.Dedup.lshBands(
+      graft.ops.Dedup.minhashSignatures(corpus, "doc_id", "sh", 16), "doc_id", 16, 4)
+    val batchBands = graft.ops.Dedup.lshBands(
+      graft.ops.Dedup.minhashSignatures(batch, "doc_id", "sh", 16), "doc_id", 16, 4)
+    val cands = graft.ops.Dedup.lshCandidatePairsAgainst(
+      batchBands, corpusBands, "doc_id")
+    val verified = graft.ops.Dedup.verifyJaccard(
+        cands, batch.unionAll(corpus), "doc_id", "sh", 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // exact copies MUST be found (identical signatures share every band)
+    assert(Set((100L, 0L), (101L, 4L), (102L, 8L)).subsetOf(verified))
+    // every candidate is cross-side: a from batch, b from corpus
+    val all = cands.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(all.forall { case (a, b) => a >= 100L && b < 100L })
+  }
+
   test("survivors drop larger ids of matched pairs") {
     val sh = corpus.select(col("doc_id"), TextOps.wordNGrams(col("text"), 3).as("sh"))
     val pairs = Dedup.jaccardJoin(sh, "doc_id", "sh", 0.5)
