@@ -267,6 +267,52 @@ class ComponentsSpec extends SparkTestBase {
     assert(got == want)
   }
 
+  test("componentsStar: union-find differential across 12 random topologies") {
+    def unionFind(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      parent.keys.map(x => x -> find(x)).toMap
+    }
+    (1 to 12).foreach { seed =>
+      val rnd = new scala.util.Random(seed * 7919L)
+      val n = 20 + rnd.nextInt(60)
+      val shape = seed % 4
+      val pairs: Seq[(Long, Long)] = shape match {
+        case 0 => // sparse random
+          (1 to n).map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        case 1 => // long paths (deep diameter — the star-contraction case)
+          (0L until n.toLong - 1).map(i => (i, i + 1))
+        case 2 => // cliques of 5
+          (0 until n / 5).flatMap(c => for (i <- 0 until 5; j <- i + 1 until 5)
+            yield ((c * 5 + i).toLong, (c * 5 + j).toLong))
+        case _ => // stars + isolated self-loops
+          (1 until n).map(i => if (i % 3 == 0) (i.toLong, i.toLong)
+            else ((i - i % 7).toLong, i.toLong))
+      }
+      val filtered = pairs.filter(p => p._1 != p._2) ++
+        pairs.filter(p => p._1 == p._2) // keep self-loops: must not crash
+      val got = graft.ops.Dedup.componentsStar(filtered.toDF("a", "b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val want = unionFind(filtered.filter(p => p._1 != p._2)) ++
+        filtered.collect { case (a, b) if a == b &&
+          !filtered.exists(q => q._1 != q._2 && (q._1 == a || q._2 == a)) => a -> a }
+      // every node present in the edge list must be labeled
+      val nodes = filtered.flatMap(p => Seq(p._1, p._2)).toSet
+      assert(got.keySet == nodes, s"seed $seed: node set")
+      nodes.foreach { x =>
+        val w = want.getOrElse(x, x)
+        assert(got(x) == w, s"seed $seed shape $shape node $x: ${got(x)} vs $w")
+      }
+    }
+  }
+
   test("componentsStar: agrees with label propagation on a mixed graph") {
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 5L), (8L, 9L), (9L, 10L), (10L, 8L))
       .toDF("a", "b")
