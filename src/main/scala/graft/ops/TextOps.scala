@@ -88,6 +88,47 @@ object TextOps {
   def fingerprint(text: Column): Column =
     md5(lower(trim(regexp_replace(text, "\\s+", " "))))
 
+  /** Distinct-token count (the numerator of a Gopher-style duplicate-token
+    * signal: `1 - distinct/total`). Scan-side array expression, no shuffle.
+    */
+  def distinctTokenCount(text: Column): Column =
+    size(array_distinct(tokens(text))).cast("long")
+
+  /** Number of word n-grams (`max(tokens - n + 1, 0)`). */
+  def nGramCount(text: Column, n: Int): Column =
+    greatest(tokenCount(text) - lit(n - 1), lit(0L))
+
+  /** Occurrence count of the MOST FREQUENT word n-gram — the numerator of
+    * the Gopher repetition signal "fraction of characters/tokens in the top
+    * n-gram". Computed per row with zero shuffle: sort the n-gram array and
+    * take the longest equal-adjacent run (`aggregate` with a (prev, run,
+    * best) struct accumulator), O(g log g) per doc. The explode → corpus-wide
+    * groupBy formulation would shuffle ~2× the corpus bytes for a strictly
+    * per-document statistic — the wrong shape at 100 TB.
+    */
+  def topNGramCount(text: Column, n: Int): Column = {
+    val grams = array_sort(wordNGrams(text, n))
+    val init = struct(lit(null).cast("string").as("prev"),
+      lit(0L).as("run"), lit(0L).as("best"))
+    aggregate(grams, init,
+      (acc, x) => {
+        val run = when(acc.getField("prev") <=> x, acc.getField("run") + 1L)
+          .otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+  }
+
+  /** Gopher-style repetition gate from integer signals (integer arithmetic
+    * only, so cross-engine comparison is exact — no float rounding):
+    * top 2-gram > 1/5 of 2-grams, top 3-gram > 1/6 of 3-grams, or duplicate
+    * tokens > 3/10 of tokens.
+    */
+  def repetitiveFlag(nTokens: Column, nDistinct: Column,
+      top2: Column, n2: Column, top3: Column, n3: Column): Column =
+    top2 * 5 > n2 || top3 * 6 > n3 || (nTokens - nDistinct) * 10 > nTokens * 3
+
   /** Ratio of punctuation characters. */
   def punctRatio(text: Column): Column = {
     val stripped = regexp_replace(text, "[.,;:!?'\"()]", "")

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ops.{AnnIndex, Dedup, SimilarityJoin, TextOps}
+import graft.ops.{AnnIndex, Dedup, Redact, SimilarityJoin, TextOps}
 
 /** North-star operator queries (LLM-data-pipeline surface): dedup tiers,
   * similarity joins, ANN, text analysis. Each Spark query exercises the
@@ -45,6 +45,30 @@ object NorthStarQueries {
   private val JaccardTau = 0.5
   private val CosineTau = 0.55
   private val Bm25Terms = Seq("spark", "join", "fast")
+
+  /** Deterministic PII injection shared by the `pii_redact` query and its
+    * oracle (the synthetic corpus is PII-free, so the fixture is salted
+    * in-query; counts vary with doc_id so the columns aren't constant).
+    */
+  private def piiSalted(text: org.apache.spark.sql.Column, docId: org.apache.spark.sql.Column) =
+    concat(text,
+      lit(" contact user"), docId.cast("string"), lit("@example.com"),
+      repeat(lit(" node 10.2.33.4"), (docId % 3).cast("int")),
+      when(docId % 5 === 0, lit(" id 123-45-6789")).otherwise(lit("")))
+
+  private val piiSaltedSql =
+    """text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+      |     || repeat(' node 10.2.33.4', CAST(doc_id % 3 AS INTEGER))
+      |     || CASE WHEN doc_id % 5 = 0 THEN ' id 123-45-6789' ELSE '' END""".stripMargin
+
+  /** The redaction chain as DuckDB SQL, generated from [[Redact.PiiPatterns]]
+    * so query and oracle can never drift (cf. the sim_join_lsh shared-constant
+    * rule).
+    */
+  private def redactSql(inner: String): String =
+    Redact.PiiPatterns.foldLeft(inner) { case (sql, (_, pat, tok)) =>
+      s"regexp_replace($sql, '$pat', '$tok', 'g')"
+    }
 
   /** One materialized ANN index per source dir (build-once / probe-many). */
   private val annSpool = new java.util.concurrent.ConcurrentHashMap[String, String]()
@@ -263,6 +287,46 @@ object NorthStarQueries {
     "fingerprint_docs" -> { (s, dir) =>
       docs(s, dir)
         .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+        .transform(sortedSingle(_, col("doc_id")))
+    },
+
+    // PII redaction (graft.ops.Redact): regex families with identical
+    // Java/RE2 semantics, applied as a per-row scan projection — zero
+    // shuffle at any corpus size. The fixture salts deterministic PII into
+    // the PII-free synthetic corpus (piiSalted, replayed verbatim by the
+    // oracle); output is match counts per family + an md5 of the redacted
+    // text, so the oracle proves string-exact replacement without hashing
+    // megabyte rows into the gate.
+    "pii_redact" -> { (s, dir) =>
+      val salted = piiSalted(col("text"), col("doc_id"))
+      docs(s, dir).select(
+        col("doc_id"),
+        Redact.piiCount(salted, "email").as("n_emails"),
+        Redact.piiCount(salted, "ipv4").as("n_ips"),
+        Redact.piiCount(salted, "ssn").as("n_ssns"),
+        md5(Redact.redactPii(salted)).as("redacted_fp"))
+        .transform(sortedSingle(_, col("doc_id")))
+    },
+
+    // Gopher-style repetition signals (duplicate-token and top-n-gram
+    // concentration) — the quality-filter family from the Gopher/RefinedWeb
+    // data pipelines. Every statistic is a per-document scan projection
+    // (sorted-run-length for the top-n-gram count, TextOps.topNGramCount):
+    // ZERO shuffles before the output sort, where explode+groupBy would
+    // shuffle 2x the corpus for a per-doc number. Integer columns + boolean
+    // flag only, so the cross-engine hash is exact by construction.
+    "repetition_docs" -> { (s, dir) =>
+      docs(s, dir).select(
+        col("doc_id"),
+        TextOps.tokenCount(col("text")).as("n_tokens"),
+        TextOps.distinctTokenCount(col("text")).as("n_distinct_tokens"),
+        TextOps.topNGramCount(col("text"), 2).as("top_2gram_n"),
+        TextOps.nGramCount(col("text"), 2).as("n_2grams"),
+        TextOps.topNGramCount(col("text"), 3).as("top_3gram_n"),
+        TextOps.nGramCount(col("text"), 3).as("n_3grams"))
+        .withColumn("repetitive", TextOps.repetitiveFlag(
+          col("n_tokens"), col("n_distinct_tokens"), col("top_2gram_n"),
+          col("n_2grams"), col("top_3gram_n"), col("n_3grams")))
         .transform(sortedSingle(_, col("doc_id")))
     },
 
@@ -653,6 +717,48 @@ object NorthStarQueries {
     "fingerprint_docs" ->
       """SELECT doc_id, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "pii_redact" -> {
+      val counts = Redact.PiiPatterns.map { case (name, pat, _) =>
+        val colName = name match {
+          case "email" => "n_emails"
+          case "ipv4"  => "n_ips"
+          case "ssn"   => "n_ssns"
+        }
+        s"CAST(len(regexp_extract_all(t, '$pat')) AS BIGINT) AS $colName"
+      }.mkString(",\n       ")
+      s"""WITH salted AS (SELECT doc_id,
+         |  $piiSaltedSql AS t
+         |FROM documents)
+         |SELECT doc_id,
+         |       $counts,
+         |       md5(${redactSql("t")}) AS redacted_fp
+         |FROM salted ORDER BY doc_id""".stripMargin
+    },
+    "repetition_docs" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |g2 AS (SELECT doc_id, t[i] || ' ' || t[i+1] AS g
+        |       FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM tok)),
+        |c2 AS (SELECT doc_id, max(c) AS top2
+        |       FROM (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2) GROUP BY 1),
+        |g3 AS (SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+        |       FROM (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM tok)),
+        |c3 AS (SELECT doc_id, max(c) AS top3
+        |       FROM (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY 1, 2) GROUP BY 1),
+        |base AS (
+        |  SELECT doc_id,
+        |         CAST(len(t) AS BIGINT) AS n_tokens,
+        |         CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct_tokens,
+        |         CAST(greatest(len(t) - 1, 0) AS BIGINT) AS n_2grams,
+        |         CAST(greatest(len(t) - 2, 0) AS BIGINT) AS n_3grams
+        |  FROM tok)
+        |SELECT b.doc_id, b.n_tokens, b.n_distinct_tokens,
+        |       coalesce(c2.top2, 0) AS top_2gram_n, b.n_2grams,
+        |       coalesce(c3.top3, 0) AS top_3gram_n, b.n_3grams,
+        |       (coalesce(c2.top2, 0) * 5 > b.n_2grams
+        |        OR coalesce(c3.top3, 0) * 6 > b.n_3grams
+        |        OR (b.n_tokens - b.n_distinct_tokens) * 10 > b.n_tokens * 3) AS repetitive
+        |FROM base b LEFT JOIN c2 USING (doc_id) LEFT JOIN c3 USING (doc_id)
+        |ORDER BY b.doc_id""".stripMargin,
     "quantized_topk" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[64] AS v FROM embeddings),
         |m AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS mx FROM e),
