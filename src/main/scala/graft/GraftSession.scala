@@ -19,9 +19,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   * environment (32 threads); on a real cluster only the SQL confs apply.
   */
 object GraftSession {
-  def builder(master: String = "local[32]", shufflePartitions: Int = 32)
-      : SparkSession.Builder =
-    SparkSession.builder()
+  /** @param tuneSmallFileScans opt-in SMALL-DATA scan tuning (see
+    *   [[tuneForSmallFiles]]) for test/bench sessions. Leave false for
+    *   production: at real (100 TB) scale Spark's default 128 MB bins are
+    *   right, and 16 MB bins would mean ~8x the scan-task count for pure
+    *   scheduler overhead.
+    */
+  def builder(master: String = "local[32]", shufflePartitions: Int = 32,
+      tuneSmallFileScans: Boolean = false): SparkSession.Builder = {
+    val b = SparkSession.builder()
       .master(master)
       .appName("graft")
       .withExtensions(new GraftExtensions)
@@ -33,22 +39,33 @@ object GraftSession {
       // sf0.1, shingle dictionaries) should broadcast rather than shuffle
       // the big fact side; on a real cluster executors have >= this much
       .config("spark.sql.autoBroadcastJoinThreshold", "64m")
-      // same scan tuning prepare() applies — see its doc
-      .config("spark.sql.files.maxPartitionBytes", "16m")
-      .config("spark.sql.files.openCostInBytes", "8m")
+    if (tuneSmallFileScans)
+      b.config("spark.sql.files.maxPartitionBytes", "16m")
+        .config("spark.sql.files.openCostInBytes", "8m")
+    else b
+  }
 
-  /** Ensure graft functions exist on a session we did not build (e.g. the
-    * driver-made Verify/Bench session), and apply runtime-settable scan
-    * tuning: the default file-packing bins (128 MB target, 4 MB per-file
-    * open cost) would coalesce a spooled multi-file table back into one
-    * scan partition on small test data. 16 MB bins with an 8 MB open cost
-    * keep ~2 files per partition; single-file single-row-group tables are
-    * unaffected (byte-range splits beyond the one row group are no-ops).
+  /** Runtime-settable scan tuning for SMALL test data only: the default
+    * file-packing bins (128 MB target, 4 MB per-file open cost) would
+    * coalesce a spooled multi-file table back into one scan partition at
+    * sf0.01/0.1. 16 MB bins with an 8 MB open cost keep ~2 files per
+    * partition; single-file single-row-group tables are unaffected
+    * (byte-range splits beyond the one row group are no-ops). Never apply
+    * to a production session — see [[builder]]'s scaladoc.
     */
-  def prepare(spark: SparkSession): SparkSession = {
-    functions.registerAll(spark)
+  def tuneForSmallFiles(spark: SparkSession): SparkSession = {
     spark.conf.set("spark.sql.files.maxPartitionBytes", "16m")
     spark.conf.set("spark.sql.files.openCostInBytes", "8m")
     spark
+  }
+
+  /** Ensure graft functions exist on a session we did not build (e.g. the
+    * driver-made Verify/Bench session) and apply the small-file scan
+    * tuning — this entrypoint is for the TEST/BENCH path only; production
+    * sessions use [[builder]] (default: no small-file tuning).
+    */
+  def prepare(spark: SparkSession): SparkSession = {
+    functions.registerAll(spark)
+    tuneForSmallFiles(spark)
   }
 }

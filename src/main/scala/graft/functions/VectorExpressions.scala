@@ -242,8 +242,13 @@ object Int8Codes {
     while (i < n) {
       if (!a.isNullAt(i)) {
         val x = if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
-        val ax = math.abs(x)
-        if (ax > mx) mx = ax
+        // non-finite elements don't participate in the scale and code to
+        // null below (BigDecimal.valueOf throws on NaN/Inf; Inf as the max
+        // would collapse every finite code to 0)
+        if (java.lang.Double.isFinite(x)) {
+          val ax = math.abs(x)
+          if (ax > mx) mx = ax
+        }
       }
       i += 1
     }
@@ -253,8 +258,10 @@ object Int8Codes {
     while (i < n) {
       if (!a.isNullAt(i)) {
         val x = if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
-        out(i) = java.math.BigDecimal.valueOf(x * s)
-          .setScale(0, java.math.RoundingMode.HALF_UP).intValue()
+        if (java.lang.Double.isFinite(x)) {
+          out(i) = java.math.BigDecimal.valueOf(x * s)
+            .setScale(0, java.math.RoundingMode.HALF_UP).intValue()
+        }
       }
       i += 1
     }

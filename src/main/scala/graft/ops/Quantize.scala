@@ -40,14 +40,19 @@ object Quantize {
     * vector that will be inlined as a literal — one row never justifies a
     * Spark job). Bit-identical to the engine path: same max|x| scale and the
     * same half-away-from-zero rounding Spark's `round` applies to doubles
-    * (BigDecimal HALF_UP, which DuckDB's `round` also matches).
+    * (BigDecimal HALF_UP, which DuckDB's `round` also matches). Non-finite
+    * elements are excluded from the scale and code to None, matching the
+    * engine expression's null element.
     */
-  def codesLocal(vec: Array[Double]): Array[Int] = {
+  def codesLocal(vec: Array[Double]): Seq[Option[Int]] = {
     var mx = 0.0
-    vec.foreach(x => mx = math.max(mx, math.abs(x)))
+    vec.foreach(x => if (java.lang.Double.isFinite(x)) mx = math.max(mx, math.abs(x)))
     val s = if (mx > 0) 127.0 / mx else 1.0
-    vec.map(x => java.math.BigDecimal.valueOf(x * s)
-      .setScale(0, java.math.RoundingMode.HALF_UP).intValue)
+    vec.toSeq.map(x =>
+      if (java.lang.Double.isFinite(x))
+        Some(java.math.BigDecimal.valueOf(x * s)
+          .setScale(0, java.math.RoundingMode.HALF_UP).intValue)
+      else None)
   }
 
   /** Integer dot product of two code arrays (exact in long). Higher-order

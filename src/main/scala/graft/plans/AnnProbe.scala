@@ -5,7 +5,7 @@ import java.util.concurrent.CopyOnWriteArrayList
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{Alias, Ascending, AttributeReference, Literal, NamedExpression, SortOrder}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Ascending, AttributeReference, Literal, NamedExpression, NullsLast, SortOrder}
 import org.apache.spark.sql.catalyst.plans.logical.{GlobalLimit, LocalLimit, LogicalPlan, Project, Sort}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -85,19 +85,26 @@ case class AnnProbeRule(spark: SparkSession) extends Rule[LogicalPlan] {
   /** The narrow match + splice; None leaves the plan untouched. */
   private def rewrite(k: Int, orders: Seq[SortOrder],
       projList: Seq[NamedExpression], child: LogicalPlan): Option[LogicalPlan] = {
+    val resolver = spark.sessionState.conf.resolver
     for {
       entry <- AnnCatalog.lookup(child)
-      // projection must be exactly (id attribute, distance alias)
+      // projection must be exactly (id attribute, distance alias), and the
+      // distance must be computed over the REGISTERED vector column — a
+      // top-k over a different array column of the same relation (a second
+      // embedding, quantized codes) must not be answered by this index
       distAlias <- projList.collectFirst {
-        case a @ Alias(CosineDistance(_: AttributeReference, l: Literal), _)
-            if literalVector(l).isDefined => a
+        case a @ Alias(CosineDistance(v: AttributeReference, l: Literal), _)
+            if literalVector(l).isDefined && resolver(v.name, entry.vecCol) => a
       }
       idAttr <- projList.collectFirst {
-        case ar: AttributeReference if ar.name == entry.idCol => ar
+        case ar: AttributeReference if resolver(ar.name, entry.idCol) => ar
       }
       if projList.size == 2
-      // sort: distance ascending first, optionally the id as tie-break
+      // sort: distance ascending nulls-last first, optionally the id as
+      // tie-break. probeTopK orders asc_nulls_last, so a NullsFirst sort
+      // (plain .asc) would change where null-distance rows land — reject it
       if orders.nonEmpty && orders.head.direction == Ascending &&
+        orders.head.nullOrdering == NullsLast &&
         orders.head.child.references.subsetOf(
           org.apache.spark.sql.catalyst.expressions.AttributeSet(Seq(distAlias.toAttribute)))
       if orders.drop(1).forall(o => o.direction == Ascending &&

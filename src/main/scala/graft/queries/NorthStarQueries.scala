@@ -56,10 +56,14 @@ object NorthStarQueries {
       repeat(lit(" node 10.2.33.4"), (docId % 3).cast("int")),
       when(docId % 5 === 0, lit(" id 123-45-6789")).otherwise(lit("")))
 
+  // Single line on purpose: this fragment is interpolated into oracle SQL
+  // templates that call .stripMargin AFTERWARD, and a stripMargin over a
+  // continuation line starting with `||` eats one `|` (the r5 pii_redact bug).
+  // Rule: never hand a multi-line string to a template that stripMargins later.
   private val piiSaltedSql =
-    """text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
-      |     || repeat(' node 10.2.33.4', CAST(doc_id % 3 AS INTEGER))
-      |     || CASE WHEN doc_id % 5 = 0 THEN ' id 123-45-6789' ELSE '' END""".stripMargin
+    "text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'" +
+      " || repeat(' node 10.2.33.4', CAST(doc_id % 3 AS INTEGER))" +
+      " || CASE WHEN doc_id % 5 = 0 THEN ' id 123-45-6789' ELSE '' END"
 
   /** The redaction chain as DuckDB SQL, generated from [[Redact.PiiPatterns]]
     * so query and oracle can never drift (cf. the sim_join_lsh shared-constant
@@ -316,7 +320,7 @@ object NorthStarQueries {
     // shuffle 2x the corpus for a per-doc number. Integer columns + boolean
     // flag only, so the cross-engine hash is exact by construction.
     "repetition_docs" -> { (s, dir) =>
-      docs(s, dir).select(
+      docs(s, dir).filter(col("text").isNotNull).select(
         col("doc_id"),
         TextOps.tokenCount(col("text")).as("n_tokens"),
         TextOps.distinctTokenCount(col("text")).as("n_distinct_tokens"),
@@ -345,7 +349,7 @@ object NorthStarQueries {
       val qcode = graft.ops.Quantize.codesLocal(qv)
       emb.select(col("vec_id"),
           graft.ops.Quantize.cosineDistance(
-            graft.ops.Quantize.codes(col("e")), typedLit(qcode.toSeq)).as("q_dist"))
+            graft.ops.Quantize.codes(col("e")), typedLit(qcode)).as("q_dist"))
         .orderBy(col("q_dist").asc_nulls_last, col("vec_id").asc)
         .limit(10)
     },
@@ -735,7 +739,8 @@ object NorthStarQueries {
          |FROM salted ORDER BY doc_id""".stripMargin
     },
     "repetition_docs" ->
-      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t
+        |            FROM documents WHERE text IS NOT NULL),
         |g2 AS (SELECT doc_id, t[i] || ' ' || t[i+1] AS g
         |       FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM tok)),
         |c2 AS (SELECT doc_id, max(c) AS top2
@@ -754,8 +759,8 @@ object NorthStarQueries {
         |SELECT b.doc_id, b.n_tokens, b.n_distinct_tokens,
         |       coalesce(c2.top2, 0) AS top_2gram_n, b.n_2grams,
         |       coalesce(c3.top3, 0) AS top_3gram_n, b.n_3grams,
-        |       (coalesce(c2.top2, 0) * 5 > b.n_2grams
-        |        OR coalesce(c3.top3, 0) * 6 > b.n_3grams
+        |       ((coalesce(c2.top2, 0) * 5 > b.n_2grams AND b.n_2grams >= 5)
+        |        OR (coalesce(c3.top3, 0) * 6 > b.n_3grams AND b.n_3grams >= 6)
         |        OR (b.n_tokens - b.n_distinct_tokens) * 10 > b.n_tokens * 3) AS repetitive
         |FROM base b LEFT JOIN c2 USING (doc_id) LEFT JOIN c3 USING (doc_id)
         |ORDER BY b.doc_id""".stripMargin,

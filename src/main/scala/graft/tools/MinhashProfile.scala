@@ -5,7 +5,7 @@ import graft.GraftSession
 import graft.ops.{Dedup, TextOps}
 object MinhashProfile {
   def main(args: Array[String]): Unit = {
-    val spark = GraftSession.builder("local[32]", 32).getOrCreate()
+    val spark = GraftSession.builder("local[32]", 32, tuneSmallFileScans = true).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1000000).selectExpr("sum(id)").collect()
     def time(name: String)(f: => Unit): Unit = {

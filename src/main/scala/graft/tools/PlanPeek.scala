@@ -12,7 +12,7 @@ import org.apache.spark.sql.SparkSession
   */
 object PlanPeek {
   def main(args: Array[String]): Unit = {
-    val spark = graft.GraftSession.builder("local[32]", 32).getOrCreate()
+    val spark = graft.GraftSession.builder("local[32]", 32, tuneSmallFileScans = true).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark.range(1000000).selectExpr("sum(id)").collect() // warmup

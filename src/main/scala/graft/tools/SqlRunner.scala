@@ -17,7 +17,7 @@ object SqlRunner {
     val Array(sfDir, sqlFile, outDir) = args
     val spark = GraftSession.builder(
       master = s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]",
-      shufflePartitions = 8).getOrCreate()
+      shufflePartitions = 8, tuneSmallFileScans = true).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     registerTables(spark, sfDir)
     new java.io.File(outDir).mkdirs()

@@ -23,7 +23,9 @@ class AnnProbeRuleSpec extends SparkTestBase {
   private def bruteForceShape(k: Int = 10) =
     emb.select(col("vec_id"),
         array_cosine_distance(col("embedding"), typedLit(qvec.toSeq)).as("cos_dist"))
-      .orderBy(col("cos_dist").asc, col("vec_id").asc)
+      // asc_nulls_last matches probeTopK's ordering; plain .asc (NullsFirst)
+      // is deliberately NOT rewritten (see the non-matching-shapes test)
+      .orderBy(col("cos_dist").asc_nulls_last, col("vec_id").asc)
       .limit(k)
 
   private def withProbe[A](body: => A): A = {
@@ -91,6 +93,44 @@ class AnnProbeRuleSpec extends SparkTestBase {
           array_cosine_distance(col("a.embedding"), col("b.embedding")).as("d"))
         .orderBy(col("d").asc).limit(5)
       assert(!nonLit.queryExecution.optimizedPlan.toString.contains("LeftSemi"))
+      // NullsFirst sort (plain .asc): probeTopK orders asc_nulls_last, so
+      // rewriting would move null-distance rows out of the head of the top-k
+      val nullsFirst = emb.select(col("vec_id"),
+          array_cosine_distance(col("embedding"), typedLit(qvec.toSeq)).as("cos_dist"))
+        .orderBy(col("cos_dist").asc, col("vec_id").asc).limit(5)
+      assert(!nullsFirst.queryExecution.optimizedPlan.toString.contains("LeftSemi"))
+    }
+  }
+
+  test("top-k over a DIFFERENT vector column of the indexed relation is untouched") {
+    // a relation with TWO array columns: the index is built over `embedding`,
+    // so a distance over the other column (`emb2`, a real AttributeReference
+    // of the scan) must stay brute force — probing would answer a different
+    // query over the wrong vectors
+    val dir = java.nio.file.Files.createTempDirectory("graft_two_vec").toString
+    emb.select(col("vec_id"), col("embedding"),
+        transform(col("embedding"), x => -x).as("emb2"))
+      .write.mode("overwrite").parquet(dir)
+    val two = spark.read.parquet(dir)
+    AnnCatalog.clear()
+    AnnCatalog.register(two, "vec_id", "embedding",
+      AnnIndex.build(two, "vec_id", "embedding", stride = 64), nprobe = 4)
+    spark.conf.set(ConfKey, "true")
+    try {
+      val overOther = two.select(col("vec_id"),
+          array_cosine_distance(col("emb2"), typedLit(qvec.toSeq)).as("cos_dist"))
+        .orderBy(col("cos_dist").asc_nulls_last, col("vec_id").asc).limit(5)
+      assert(!overOther.queryExecution.optimizedPlan.toString.contains("LeftSemi"),
+        overOther.queryExecution.optimizedPlan.toString)
+      // sanity: the registered column over the same relation DOES match
+      val overVec = two.select(col("vec_id"),
+          array_cosine_distance(col("embedding"), typedLit(qvec.toSeq)).as("cos_dist"))
+        .orderBy(col("cos_dist").asc_nulls_last, col("vec_id").asc).limit(5)
+      assert(overVec.queryExecution.optimizedPlan.toString.contains("LeftSemi"),
+        overVec.queryExecution.optimizedPlan.toString)
+    } finally {
+      spark.conf.unset(ConfKey)
+      AnnCatalog.clear()
     }
   }
 

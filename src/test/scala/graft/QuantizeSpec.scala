@@ -39,7 +39,7 @@ class QuantizeSpec extends SparkTestBase {
       val q = r.getSeq[Int](1); val ref = r.getSeq[Int](2)
       assert(q == ref, s"vec ${r.getLong(0)}")
       // driver-side twin used for literal query codes
-      assert(Quantize.codesLocal(r.getSeq[Double](3).toArray).toSeq == ref,
+      assert(Quantize.codesLocal(r.getSeq[Double](3).toArray).map(_.get) == ref,
         s"codesLocal vec ${r.getLong(0)}")
     }
     // degenerate inputs: all-zero and negative-heavy vectors
@@ -49,6 +49,18 @@ class QuantizeSpec extends SparkTestBase {
     assert(edge(0) == Seq(0, 0, 0))
     assert(edge(1) == Seq(-127, 64, -32)) // round(63.5) = 64 half-away
     assert(edge(2) == Seq(-64, 127))      // round(-63.5) = -64 half-away
+  }
+
+  test("non-finite elements code to null, excluded from the scale (both paths)") {
+    val vec = Array(Double.NaN, 2.0, Double.PositiveInfinity, -1.0,
+      Double.NegativeInfinity)
+    val engine = Seq(Tuple1(vec.toSeq)).toDF("v")
+      .select(Quantize.codes(col("v")).as("q"))
+      .head().getSeq[Any](0)
+    // scale comes from max|finite| = 2.0 → codes 127 and -64; non-finite → null
+    assert(engine == Seq(null, 127, null, -64, null))
+    assert(Quantize.codesLocal(vec) ==
+      Seq(None, Some(127), None, Some(-64), None))
   }
 
   test("quantized top-10 recalls >= 8 of the exact cosine top-10") {

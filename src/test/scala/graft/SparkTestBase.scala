@@ -8,7 +8,7 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 object SparkTestBase {
   lazy val spark: SparkSession = {
-    val s = GraftSession.builder(master = "local[4]", shufflePartitions = 4)
+    val s = GraftSession.builder(master = "local[4]", shufflePartitions = 4, tuneSmallFileScans = true)
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s

@@ -34,7 +34,7 @@ object QProbe {
     time("main_scan") {
       emb.select(col("vec_id"),
           graft.ops.Quantize.cosineDistance(
-            graft.ops.Quantize.codes(col("e")), typedLit(qcode.toSeq)).as("q_dist"))
+            graft.ops.Quantize.codes(col("e")), typedLit(qcode)).as("q_dist"))
         .orderBy(col("q_dist").asc_nulls_last, col("vec_id").asc)
         .limit(10)
         .write.format("noop").mode("overwrite").save()
