@@ -162,6 +162,20 @@ object NorthStarQueries {
         .transform(sortedSingle(_, col("a"), col("b")))
     },
 
+    // the size-ROUTED production entrypoint (SimilarityJoin.cosineJoin):
+    // maxExactRows is forced below the corpus size so the router must take
+    // the banded LSH tier — this puts the routed branch itself (the call
+    // every production consumer makes) in the correctness gate, not just
+    // the tiers it dispatches to. Oracle = the sign-LSH replication, which
+    // only hash-matches if the router actually picked the LSH tier.
+    "sim_join_routed" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val dim = emb.select(col("embedding")).head().getSeq[Float](0).length
+      SimilarityJoin.cosineJoin(emb, "vec_id", "embedding", CosineTau, dim,
+          maxExactRows = 10)
+        .transform(sortedSingle(_, col("a"), col("b")))
+    },
+
     // IVF-probe ANN top-k. Fully oracle-checked: centroid choice (every
     // stride-th id), the argmin assignment, the nprobe centroid ranking and
     // the final top-k are all deterministic, so DuckDB replicates the exact
@@ -658,6 +672,8 @@ object NorthStarQueries {
          |WHERE doc_id % 2 = 1 AND doc_id NOT IN (SELECT a FROM matched)
          |ORDER BY doc_id""".stripMargin,
     "sim_join_lsh" -> simJoinLshOracle,
+    // routed entrypoint forced above maxExactRows → must equal the LSH tier
+    "sim_join_routed" -> simJoinLshOracle,
     "ann_kmeans_topk" -> annKmeansOracle,
     "sim_join_cosine" ->
       s"""SELECT l.vec_id AS a, r.vec_id AS b,
