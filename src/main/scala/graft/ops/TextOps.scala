@@ -123,14 +123,18 @@ object TextOps {
   /** Gopher-style repetition gate from integer signals (integer arithmetic
     * only, so cross-engine comparison is exact — no float rounding):
     * top 2-gram > 1/5 of 2-grams, top 3-gram > 1/6 of 3-grams, or duplicate
-    * tokens > 3/10 of tokens. The n-gram terms require minimum evidence
+    * tokens > `dupTauTimes10`/10 of tokens (default 3/10, the Gopher
+    * setting; corpora with naturally small vocabularies want it looser —
+    * integer so the cross-engine comparison stays exact).
+    * The n-gram terms require minimum evidence
     * (>= 5 2-grams / >= 6 3-grams): below that, top-n-gram >= 1 by
     * construction makes the ratio test fire on every short document.
     */
   def repetitiveFlag(nTokens: Column, nDistinct: Column,
-      top2: Column, n2: Column, top3: Column, n3: Column): Column =
+      top2: Column, n2: Column, top3: Column, n3: Column,
+      dupTauTimes10: Int = 3): Column =
     (top2 * 5 > n2 && n2 >= 5) || (top3 * 6 > n3 && n3 >= 6) ||
-      (nTokens - nDistinct) * 10 > nTokens * 3
+      (nTokens - nDistinct) * 10 > nTokens * dupTauTimes10
 
   /** Ratio of punctuation characters. */
   def punctRatio(text: Column): Column = {

@@ -46,6 +46,14 @@ object NorthStarQueries {
   private val CosineTau = 0.55
   private val Bm25Terms = Seq("spark", "join", "fast")
 
+  // curation_funnel thresholds — shared constants interpolated into the
+  // oracle SQL so the two engines can never drift. DupTau is looser than
+  // the Gopher 0.3 (the synthetic corpus has a naturally small vocabulary:
+  // 0.3 flags 85% of docs, which would gut every downstream stage).
+  private val FunnelMinChars = 100
+  private val FunnelMinQuality = 0.75
+  private val FunnelDupTau10 = 7
+
   /** Deterministic PII injection shared by the `pii_redact` query and its
     * oracle (the synthetic corpus is PII-free, so the fixture is salted
     * in-query; counts vary with doc_id so the columns aren't constant).
@@ -76,6 +84,21 @@ object NorthStarQueries {
 
   /** One materialized ANN index per source dir (build-once / probe-many). */
   private val annSpool = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Embedding dim probed from data ONCE per source dir: every LSH query
+    * needs it, and an unmemoized `head()` is a whole extra Spark job per
+    * query run. The probe still validates the [[EmbeddingDim]] constant the
+    * oracles bake into their literal hyperplanes.
+    */
+  private val dimCache = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+  private def embeddingDim(s: SparkSession, dir: String): Int =
+    dimCache.computeIfAbsent(dir, d => {
+      val dim = t(s, d, "embeddings").select(col("embedding"))
+        .head().getSeq[Float](0).length
+      require(dim == EmbeddingDim,
+        s"embeddings at $d have dim $dim, oracles assume $EmbeddingDim")
+      dim
+    }).intValue
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // exact n-gram Jaccard similarity join — inverted index, no cartesian
@@ -157,8 +180,8 @@ object NorthStarQueries {
     // sign-bit banding pipeline replays bit-identically in SQL.
     "sim_join_lsh" -> { (s, dir) =>
       val emb = t(s, dir, "embeddings")
-      val dim = emb.select(col("embedding")).head().getSeq[Float](0).length
-      SimilarityJoin.cosineJoinLsh(emb, "vec_id", "embedding", CosineTau, dim)
+      SimilarityJoin.cosineJoinLsh(emb, "vec_id", "embedding", CosineTau,
+          embeddingDim(s, dir))
         .transform(sortedSingle(_, col("a"), col("b")))
     },
 
@@ -170,9 +193,8 @@ object NorthStarQueries {
     // only hash-matches if the router actually picked the LSH tier.
     "sim_join_routed" -> { (s, dir) =>
       val emb = t(s, dir, "embeddings")
-      val dim = emb.select(col("embedding")).head().getSeq[Float](0).length
-      SimilarityJoin.cosineJoin(emb, "vec_id", "embedding", CosineTau, dim,
-          maxExactRows = 10)
+      SimilarityJoin.cosineJoin(emb, "vec_id", "embedding", CosineTau,
+          embeddingDim(s, dir), maxExactRows = 10)
         .transform(sortedSingle(_, col("a"), col("b")))
     },
 
@@ -387,6 +409,61 @@ object NorthStarQueries {
           fractions = Map("en" -> 10, "fr" -> 50), defaultKeep = 20)
         .select("doc_id", "lang")
         .transform(sortedSingle(_, col("doc_id")))
+    },
+
+    // END-TO-END corpus curation funnel — the composed LLM-training-data
+    // pipeline (length gate -> quality gate -> repetition gate -> exact
+    // dedup -> near-dedup), reporting survivor counts per stage. Shape at
+    // scale: ONE persisted scan computes every per-doc flag (zero shuffles),
+    // the cumulative counts fall out of one aggregate, exact dedup is one
+    // hash shuffle on the survivor subset only, and near-dedup runs the
+    // inverted-index Jaccard join on what's left — each stage shrinks the
+    // data the next one shuffles. Counts are exact integers, so the oracle
+    // (which replays the identical chain in SQL) hash-matches exactly.
+    "curation_funnel" -> { (s, dir) =>
+      val d = t(s, dir, "documents")
+      val rep = TextOps.repetitiveFlag(
+        TextOps.tokenCount(col("text")), TextOps.distinctTokenCount(col("text")),
+        TextOps.topNGramCount(col("text"), 2), TextOps.nGramCount(col("text"), 2),
+        TextOps.topNGramCount(col("text"), 3), TextOps.nGramCount(col("text"), 3),
+        dupTauTimes10 = FunnelDupTau10)
+      val flagged = d
+        .withColumn("f1", col("text").isNotNull &&
+          length(col("text")) >= FunnelMinChars)
+        .withColumn("f2", col("f1") &&
+          TextOps.qualityScore(col("text")) >= FunnelMinQuality)
+        .withColumn("f3", col("f2") && !rep)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // stages 0-3: cumulative counts from ONE aggregate over the flag scan
+      val head = flagged.agg(
+          count(lit(1)).as("c0"),
+          count(when(col("f1"), 1)).as("c1"),
+          count(when(col("f2"), 1)).as("c2"),
+          count(when(col("f3"), 1)).as("c3"))
+        .select(explode(array(
+          struct(lit(0).as("stage_id"), lit("all").as("stage"), col("c0").as("n_docs")),
+          struct(lit(1).as("stage_id"), lit("min_length").as("stage"), col("c1").as("n_docs")),
+          struct(lit(2).as("stage_id"), lit("quality").as("stage"), col("c2").as("n_docs")),
+          struct(lit(3).as("stage_id"), lit("not_repetitive").as("stage"), col("c3").as("n_docs")))).as("s"))
+        .select(col("s.stage_id"), col("s.stage"), col("s.n_docs"))
+      // stage 4: exact dedup among stage-3 survivors (min doc_id per text
+      // hash; min_by keeps the text for the near-dup stage without a
+      // corpus re-join)
+      val exact = flagged.filter(col("f3"))
+        .groupBy(md5(col("text")).as("__h"))
+        .agg(min(col("doc_id")).as("doc_id"),
+          min_by(col("text"), col("doc_id")).as("text"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // stage 5: near-dedup survivors among the exact-dedup survivors
+      val pairs = Dedup.jaccardJoin(
+        exact.select(col("doc_id"), TextOps.wordNGrams(col("text"), 3).as("sh")),
+        "doc_id", "sh", JaccardTau)
+      val near = Dedup.survivors(exact.select("doc_id"), "doc_id", pairs)
+      val tail = exact.agg(count(lit(1)).as("n_docs"))
+        .select(lit(4).as("stage_id"), lit("exact_dedup").as("stage"), col("n_docs"))
+        .unionAll(near.agg(count(lit(1)).as("n_docs"))
+          .select(lit(5).as("stage_id"), lit("near_dedup").as("stage"), col("n_docs")))
+      head.unionAll(tail).transform(sortedSingle(_, col("stage_id")))
     },
 
     // context-window chunking: overlapping 32-token windows, stride 24;
@@ -631,6 +708,18 @@ object NorthStarQueries {
   private val StopwordList: String =
     TextOps.Stopwords.map(w => s"'$w'").mkString(", ")
 
+  /** TextOps.qualityScore replayed in DuckDB SQL — single source for the
+    * quality_docs oracle AND the curation_funnel quality gate. Single line
+    * (interpolated into stripMargin templates — see [[piiSaltedSql]]'s rule).
+    */
+  private def qualityExprSql: String =
+    "round(least(length(text)::DOUBLE / 200.0, 1.0) * 0.5" +
+      " + (CASE WHEN (length(text) - length(regexp_replace(text, '[.,;:!?''\"()]', '', 'g')))::DOUBLE" +
+      " / greatest(length(text), 1) < 0.2 THEN 1.0 ELSE 0.5 END) * 0.25" +
+      s" + (CASE WHEN len(list_filter(string_split(text, ' '), x -> list_contains([$StopwordList], x)))::DOUBLE" +
+      " / greatest(len(string_split(text, ' ')), 1) BETWEEN 0.05 AND 0.6" +
+      " THEN 1.0 ELSE 0.5 END) * 0.25, 6)"
+
   def oracleSql: Map[String, String] = Map(
     "ngram_jaccard_join" -> (JaccardPairsSql + "\nORDER BY a, b"),
     "minhash_lsh_pairs" -> minhashOracle,
@@ -708,18 +797,55 @@ object NorthStarQueries {
          |       THEN list_aggregate(list_transform(list_filter(string_split(text, ' '), x -> len(x) > 0), x -> len(x)), 'sum')::DOUBLE
          |            / len(list_filter(string_split(text, ' '), x -> len(x) > 0))
          |       ELSE 0.0 END AS mean_token_len,
-         |  round(
-         |    least(length(text)::DOUBLE / 200.0, 1.0) * 0.5
-         |    + (CASE WHEN (length(text) - length(regexp_replace(text, '[.,;:!?''"()]', '', 'g')))::DOUBLE
-         |               / greatest(length(text), 1) < 0.2 THEN 1.0 ELSE 0.5 END) * 0.25
-         |    + (CASE WHEN len(list_filter(string_split(text, ' '), x -> list_contains([$StopwordList], x)))::DOUBLE
-         |               / greatest(len(string_split(text, ' ')), 1) BETWEEN 0.05 AND 0.6
-         |            THEN 1.0 ELSE 0.5 END) * 0.25, 6) AS quality
+         |  $qualityExprSql AS quality
          |FROM documents ORDER BY doc_id""".stripMargin,
     "token_stats" ->
       """SELECT tk AS token, count(*) AS tf, count(DISTINCT doc_id) AS df
         |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tk FROM documents)
         |GROUP BY tk ORDER BY tf DESC, token ASC LIMIT 50""".stripMargin,
+    // the full curation chain replayed in SQL: same thresholds (shared
+    // constants), same repetition gate (incl. the minimum-evidence rules),
+    // same md5 dedup key and the same Jaccard near-dup semantics on the
+    // exact-dedup survivor subset
+    "curation_funnel" ->
+      s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t
+         |            FROM documents WHERE text IS NOT NULL),
+         |g2 AS (SELECT doc_id, t[i] || ' ' || t[i+1] AS g
+         |       FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM tok)),
+         |c2 AS (SELECT doc_id, max(c) AS top2
+         |       FROM (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2) GROUP BY 1),
+         |g3 AS (SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+         |       FROM (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM tok)),
+         |c3 AS (SELECT doc_id, max(c) AS top3
+         |       FROM (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY 1, 2) GROUP BY 1),
+         |rep AS (
+         |  SELECT b.doc_id,
+         |         ((coalesce(c2.top2, 0) * 5 > greatest(len(t) - 1, 0) AND greatest(len(t) - 1, 0) >= 5)
+         |          OR (coalesce(c3.top3, 0) * 6 > greatest(len(t) - 2, 0) AND greatest(len(t) - 2, 0) >= 6)
+         |          OR (len(t) - len(list_distinct(t))) * 10 > len(t) * $FunnelDupTau10) AS repetitive
+         |  FROM tok b LEFT JOIN c2 USING (doc_id) LEFT JOIN c3 USING (doc_id)),
+         |s1 AS (SELECT d.* FROM documents d
+         |       WHERE text IS NOT NULL AND length(text) >= $FunnelMinChars),
+         |s2 AS (SELECT * FROM s1 WHERE $qualityExprSql >= $FunnelMinQuality),
+         |s3 AS (SELECT s2.* FROM s2 JOIN rep USING (doc_id) WHERE NOT rep.repetitive),
+         |s4 AS (SELECT min(doc_id) AS doc_id, min_by(text, doc_id) AS text
+         |       FROM s3 GROUP BY md5(text)),
+         |sh4 AS (SELECT doc_id, unnest($ShinglesSql) AS sh FROM s4),
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM sh4 GROUP BY doc_id),
+         |inter AS (SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS inter
+         |          FROM sh4 l JOIN sh4 r ON l.sh = r.sh AND l.doc_id < r.doc_id
+         |          GROUP BY 1, 2),
+         |pairs AS (SELECT a, b FROM inter
+         |          JOIN sizes sa ON a = sa.doc_id JOIN sizes sb ON b = sb.doc_id
+         |          WHERE inter::DOUBLE / (sa.sz + sb.sz - inter) >= $JaccardTau),
+         |s5 AS (SELECT doc_id FROM s4 WHERE doc_id NOT IN (SELECT b FROM pairs))
+         |SELECT 0 AS stage_id, 'all' AS stage, count(*)::BIGINT AS n_docs FROM documents
+         |UNION ALL SELECT 1, 'min_length', count(*) FROM s1
+         |UNION ALL SELECT 2, 'quality', count(*) FROM s2
+         |UNION ALL SELECT 3, 'not_repetitive', count(*) FROM s3
+         |UNION ALL SELECT 4, 'exact_dedup', count(*) FROM s4
+         |UNION ALL SELECT 5, 'near_dedup', count(*) FROM s5
+         |ORDER BY stage_id""".stripMargin,
     "bm25_topk" ->
       s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tk FROM documents),
          |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
