@@ -185,6 +185,20 @@ object NorthStarQueries {
         .transform(sortedSingle(_, col("a"), col("b")))
     },
 
+    // transitive EMBEDDING-space duplicate clusters: sign-LSH cosine pairs
+    // -> Kiveris large-star/small-star contraction (Dedup.componentsStar,
+    // O(log n) rounds — the 100 TB-posture components variant, previously
+    // only differential-tested). Component = min vec_id of the cluster;
+    // oracle = recursive-CTE reachability over the same replayed LSH pairs.
+    "embed_dedup_components" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val pairs = SimilarityJoin.cosineJoinLsh(emb, "vec_id", "embedding",
+          CosineTau, embeddingDim(s, dir))
+        .select("a", "b")
+      Dedup.componentsStar(pairs, "vec_id")
+        .transform(sortedSingle(_, col("vec_id")))
+    },
+
     // the size-ROUTED production entrypoint (SimilarityJoin.cosineJoin):
     // maxExactRows is forced below the corpus size so the router must take
     // the banded LSH tier — this puts the routed branch itself (the call
@@ -672,7 +686,13 @@ object NorthStarQueries {
     * Double literals use Scala's shortest-round-trip rendering, which DuckDB
     * parses back to the identical IEEE value.
     */
-  private def simJoinLshOracle: String = {
+  private def simJoinLshOracle: String = simJoinLshPairsSql + "\nORDER BY a, b"
+
+  /** The sign-LSH pair pipeline (no final ORDER BY) — shared by the
+    * sim_join_lsh / sim_join_routed oracles and the embed_dedup_components
+    * recursive-CTE oracle, which consumes the pairs as a CTE.
+    */
+  private def simJoinLshPairsSql: String = {
     val dim = EmbeddingDim
     val nBits = SimilarityJoin.DefaultNBits
     val bands = SimilarityJoin.DefaultBands
@@ -698,8 +718,7 @@ object NorthStarQueries {
        |    ON l.band = r.band AND l.key = r.key AND l.vec_id < r.vec_id)
        |SELECT c.a, c.b, 1 - array_cosine_similarity(ea.v, eb.v) AS cos_dist
        |FROM cand c JOIN e ea ON c.a = ea.vec_id JOIN e eb ON c.b = eb.vec_id
-       |WHERE 1 - array_cosine_similarity(ea.v, eb.v) <= $CosineTau
-       |ORDER BY a, b""".stripMargin
+       |WHERE 1 - array_cosine_similarity(ea.v, eb.v) <= $CosineTau""".stripMargin
   }
 
   private val MarkersValues: String =
@@ -763,6 +782,20 @@ object NorthStarQueries {
     "sim_join_lsh" -> simJoinLshOracle,
     // routed entrypoint forced above maxExactRows → must equal the LSH tier
     "sim_join_routed" -> simJoinLshOracle,
+    "embed_dedup_components" ->
+      s"""WITH RECURSIVE pairs AS ($simJoinLshPairsSql),
+         |edges AS (
+         |  SELECT a AS src, b AS dst FROM pairs
+         |  UNION
+         |  SELECT b AS src, a AS dst FROM pairs),
+         |nodes AS (SELECT DISTINCT src AS id FROM edges),
+         |reach(id, r) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT e.dst AS id, reach.r AS r
+         |  FROM reach JOIN edges e ON e.src = reach.id)
+         |SELECT id AS vec_id, CAST(min(r) AS BIGINT) AS component
+         |FROM reach GROUP BY id ORDER BY vec_id""".stripMargin,
     "ann_kmeans_topk" -> annKmeansOracle,
     "sim_join_cosine" ->
       s"""SELECT l.vec_id AS a, r.vec_id AS b,
