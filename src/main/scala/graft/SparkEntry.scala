@@ -37,6 +37,26 @@ object SparkEntry {
     */
   private val eventsSpool = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Bucketed orders+lineitem written ONCE per source dir (catalog tables —
+    * bucket metadata needs `saveAsTable`): the pay-at-ingest layout that
+    * makes every later orderkey join exchange-free. See
+    * [[graft.sources.Bucketing]].
+    */
+  private val bucketSpool =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
+  private def bucketedOrdersLineitem(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val names = bucketSpool.computeIfAbsent(dir, d => {
+      val sfx = java.lang.Long.toHexString(d.hashCode.toLong & 0xffffffffL)
+      val ot = s"graft_bkt_orders_$sfx"
+      val lt = s"graft_bkt_lineitem_$sfx"
+      graft.sources.Bucketing.writeBucketed(t(s, d, "orders"), ot, "o_orderkey", 8)
+      graft.sources.Bucketing.writeBucketed(t(s, d, "lineitem"), lt, "l_orderkey", 8)
+      (ot, lt)
+    })
+    (s.table(names._1), s.table(names._2))
+  }
+
   private def events(s: SparkSession, dir: String): DataFrame = {
     val path = eventsSpool.computeIfAbsent(dir, d => {
       // nanosAsLong is needed only while building the spool — set, spool,
@@ -179,6 +199,24 @@ object SparkEntry {
           sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
           count(lit(1)).as("n_items"))
         .transform(graft.queries.sortedSingle(_, col("n_name")))
+    },
+
+    // ---- co-located fact-fact join on bucketed tables: both sides are
+    // written ONCE per source dir bucketed+sorted by the join key
+    // (graft.sources.Bucketing), so the merge join needs ZERO Exchange —
+    // the ingest-time layout that removes the dominant network cost of a
+    // recurring 100 TB fact-fact join. The merge hint keeps the plan on
+    // the co-located SMJ path even at test scale (where AQE would
+    // otherwise broadcast); BucketingSpec asserts the no-Exchange plan. ----
+    "bucketed_join_revenue" -> { (s, dir) =>
+      val (o, l) = bucketedOrdersLineitem(s, dir)
+      l.hint("merge")
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+          sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .transform(graft.queries.sortedSingle(_, col("o_orderpriority")))
     },
 
     // ---- top-k by sort+limit (TakeOrderedAndProject) ----
@@ -360,6 +398,14 @@ object SparkEntry {
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    // same rows regardless of layout: bucketing changes the PLAN, not the
+    // answer — which is exactly what the oracle proves
+    "bucketed_join_revenue" ->
+      """SELECT o_orderpriority,
+        |       sum(l_extendedprice * (1.0 - l_discount)) AS revenue,
+        |       count(*) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "topk_orders" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC NULLS LAST, o_orderkey ASC LIMIT 10""".stripMargin,
