@@ -425,6 +425,21 @@ object NorthStarQueries {
         .transform(sortedSingle(_, col("doc_id")))
     },
 
+    // dataset mixture to a token budget (graft.ops.Mixture): cap every
+    // language at 5000 tokens. The keep fraction is derived from the data
+    // (per-lang token totals -> integer bucket threshold, floor division so
+    // the oracle replays it exactly), then applied as the deterministic
+    // hash filter — one scan, one #strata-row aggregate, broadcast join,
+    // no driver collect. At sf0.01 this downsamples en (keep 425/1000
+    // buckets) and keeps the under-budget languages whole.
+    "mixture_budget" -> { (s, dir) =>
+      graft.ops.Mixture.toTokenBudget(
+          t(s, dir, "documents"), col("lang"), col("doc_id"),
+          TextOps.tokenCount(col("text")), targetTokens = 5000, buckets = 1000)
+        .select("doc_id", "lang")
+        .transform(sortedSingle(_, col("doc_id")))
+    },
+
     // END-TO-END corpus curation funnel — the composed LLM-training-data
     // pipeline (length gate -> quality gate -> repetition gate -> exact
     // dedup -> near-dedup), reporting survivor counts per stage. Shape at
@@ -836,6 +851,13 @@ object NorthStarQueries {
       """SELECT tk AS token, count(*) AS tf, count(DISTINCT doc_id) AS df
         |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tk FROM documents)
         |GROUP BY tk ORDER BY tf DESC, token ASC LIMIT 50""".stripMargin,
+    "mixture_budget" ->
+      """WITH tot AS (SELECT lang, sum(len(string_split(text, ' '))) AS tot
+        |             FROM documents GROUP BY lang),
+        |keep AS (SELECT lang, least(1000, (1000 * 5000) // tot) AS keep FROM tot)
+        |SELECT doc_id, d.lang AS lang FROM documents d JOIN keep USING (lang)
+        |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000 < keep
+        |ORDER BY doc_id""".stripMargin,
     // the full curation chain replayed in SQL: same thresholds (shared
     // constants), same repetition gate (incl. the minimum-evidence rules),
     // same md5 dedup key and the same Jaccard near-dup semantics on the

