@@ -263,6 +263,97 @@ object Multimodal {
       }(encoder)
   }
 
+  /** Deterministic PCM16 sample formula for synthetic audio — the audio
+    * twin of [[PixelFormula]]: positive-operand integer arithmetic only
+    * (both engines agree on `%` and `//` for non-negative operands), every
+    * third frame (per id) attenuated to |s| <= span/2 so the silence
+    * detector exercises both outcomes. PCM16 WAV is lossless, so a SQL
+    * oracle recomputes the exact samples the real decoder returns.
+    */
+  final case class SampleFormula(a: Long, b: Long, span: Int, amp: Int,
+      frameSize: Int) {
+    def sample(id: Long, i: Int): Int = {
+      val base = ((id * a + i.toLong * b) % span).toInt - span / 2
+      val loud = ((i / frameSize + id) % 3) != 0
+      base * (if (loud) amp else 1)
+    }
+    /** The same sample as SQL text (`//` = DuckDB integer division). */
+    def sampleSql(idSql: String, iSql: String): String =
+      s"((($idSql)*$a + ($iSql)*$b) % $span - ${span / 2})" +
+        s" * (CASE WHEN ((($iSql) // $frameSize) + ($idSql)) % 3 = 0" +
+        s" THEN 1 ELSE $amp END)"
+  }
+
+  val DefaultSampleFormula: SampleFormula = SampleFormula(37L, 113L, 81, 50, 160)
+
+  /** One REAL RIFF/WAV clip per input id: samples from [[SampleFormula]],
+    * encoded per executor partition. Output follows [[mediaSchema]] with
+    * kind = "audio".
+    */
+  def syntheticAudioFor(ids: DataFrame, idCol: String, nSamples: Int,
+      sampleRate: Int = 8000,
+      formula: SampleFormula = DefaultSampleFormula): DataFrame = {
+    val encoder = org.apache.spark.sql.Encoders.row(mediaSchema)
+    val f = formula
+    ids.select(col(idCol).cast("long")).mapPartitions { rows =>
+      rows.map { row =>
+        val id = row.getLong(0)
+        val samples = Array.tabulate(nSamples)(i => f.sample(id, i).toShort)
+        Row(id, "audio", WavCodec.encodePcm16(samples, sampleRate),
+          Row(null, null, Integer.valueOf(sampleRate),
+            java.lang.Long.valueOf(nSamples.toLong * 1000L / sampleRate), "wav"))
+      }
+    }(encoder)
+  }
+
+  /** Per-frame integer stats over REAL decoded PCM samples — the
+    * feature-extraction shape of an audio-data pipeline (decode -> frame ->
+    * aggregate): per (clip, frame) sample count, peak |s|, energy as the
+    * exact sum of squares (a float RMS would break cross-engine exactness;
+    * callers can sqrt/divide downstream), zero crossings, and a silence
+    * flag (peak < `silenceThreshold`). Scan-parallel flatMap, no shuffle.
+    * The tail partial frame (fewer than `frameSize` samples) is emitted
+    * with its true `n_samples`.
+    */
+  def audioFrameStats(media: DataFrame, frameSize: Int,
+      silenceThreshold: Int = 64, idCol: String = "media_id"): DataFrame = {
+    require(frameSize > 0, s"frameSize must be positive: $frameSize")
+    val outSchema = StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField("frame_id", LongType, nullable = false),
+      StructField("n_samples", LongType, nullable = false),
+      StructField("peak", LongType, nullable = false),
+      StructField("sum_sq", LongType, nullable = false),
+      StructField("zero_crossings", LongType, nullable = false),
+      StructField("silent", BooleanType, nullable = false)))
+    val encoder = org.apache.spark.sql.Encoders.row(outSchema)
+    media.where(col("kind") === "audio" && col("bytes").isNotNull)
+      .select(col(idCol).cast("long"), col("bytes"))
+      .mapPartitions { rows =>
+        rows.flatMap { row =>
+          val id = row.getLong(0)
+          val (_, s) = WavCodec.decodePcm16(row.get(1).asInstanceOf[Array[Byte]])
+          val nFrames = (s.length + frameSize - 1) / frameSize
+          (0 until nFrames).iterator.map { f =>
+            val start = f * frameSize
+            val end = math.min(start + frameSize, s.length)
+            var peak = 0L; var sumSq = 0L; var zc = 0L
+            var i = start
+            while (i < end) {
+              val v = s(i).toLong
+              val a = math.abs(v)
+              if (a > peak) peak = a
+              sumSq += v * v
+              if (i > start && (s(i - 1) < 0) != (s(i) < 0)) zc += 1
+              i += 1
+            }
+            Row(id, f.toLong, (end - start).toLong, peak, sumSq, zc,
+              java.lang.Boolean.valueOf(peak < silenceThreshold))
+          }
+        }
+      }(encoder)
+  }
+
   /** Deterministic synthetic media table for tests (bytes = seeded digest
     * stream; metadata consistent with kind).
     */
@@ -427,4 +518,52 @@ object ImageIoCodec extends MediaCodec with ImageDecoder {
   override def frameAt(bytes: Array[Byte], ms: Long): Array[Byte] =
     throw new UnsupportedOperationException(
       "ImageIoCodec: the JDK ships no video codec — frameAt needs a JNI-backed MediaCodec")
+}
+
+/** REAL audio codec on the pure JDK: RIFF/WAV PCM16 mono. Encode is a
+  * hand-rolled 44-byte RIFF header + little-endian samples; decode goes
+  * through `javax.sound.sampled.AudioSystem` (the JDK's actual WAV parser —
+  * header validation, format negotiation), so the decode path is a genuine
+  * codec, not a byte-level fake. PCM is lossless: decode(encode(s)) == s
+  * exactly, which is what lets SQL oracles recompute sample-level stats.
+  * Like [[ImageIoCodec]], this covers what the JDK can: compressed audio
+  * (mp3/opus) needs a JNI-backed codec behind the same interface.
+  */
+object WavCodec {
+
+  def encodePcm16(samples: Array[Short], sampleRate: Int): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes(StandardCharsets.US_ASCII)).putInt(36 + dataLen)
+      .put("WAVE".getBytes(StandardCharsets.US_ASCII))
+      .put("fmt ".getBytes(StandardCharsets.US_ASCII))
+      .putInt(16).putShort(1).putShort(1) // PCM, mono
+      .putInt(sampleRate).putInt(sampleRate * 2) // byte rate
+      .putShort(2).putShort(16) // block align, bits per sample
+      .put("data".getBytes(StandardCharsets.US_ASCII)).putInt(dataLen)
+    samples.foreach(bb.putShort)
+    bb.array()
+  }
+
+  /** (sampleRate, samples). Throws on non-PCM16-mono-LE input — this codec
+    * does not resample or downmix.
+    */
+  def decodePcm16(bytes: Array[Byte]): (Int, Array[Short]) = {
+    val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      val fmt = in.getFormat
+      require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
+        !fmt.isBigEndian, s"WavCodec: unsupported format $fmt")
+      val raw = in.readAllBytes()
+      val out = new Array[Short](raw.length / 2)
+      var i = 0
+      while (i < out.length) {
+        out(i) = ((raw(2 * i) & 0xff) | (raw(2 * i + 1) << 8)).toShort
+        i += 1
+      }
+      (fmt.getSampleRate.toInt, out)
+    } finally in.close()
+  }
 }

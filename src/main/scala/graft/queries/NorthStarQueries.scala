@@ -337,6 +337,22 @@ object NorthStarQueries {
         .transform(sortedSingle(_, col("media_id")))
     },
 
+    // per-frame audio features over REAL decoded PCM (WavCodec: hand-rolled
+    // RIFF encode, javax.sound.sampled decode — the JDK's actual WAV
+    // parser). Frame peak / exact energy (sum of squares) / zero crossings /
+    // silence flag, all integer arithmetic, so the oracle recomputes every
+    // stat from the sample formula (PCM16 is lossless). Decode+frame is a
+    // scan-parallel flatMap — no shuffle before the output sort.
+    "audio_frame_stats" -> { (s, dir) =>
+      import graft.ops.Multimodal
+      val ids = t(s, dir, "documents").select(col("doc_id"))
+        .repartition(s.sparkContext.defaultParallelism)
+      val media = Multimodal.syntheticAudioFor(ids, "doc_id", AudioSamples)
+      Multimodal.audioFrameStats(media,
+          Multimodal.DefaultSampleFormula.frameSize, AudioSilence)
+        .transform(sortedSingle(_, col("media_id"), col("frame_id")))
+    },
+
     // document fingerprint: md5 of normalized text
     "fingerprint_docs" -> { (s, dir) =>
       docs(s, dir)
@@ -519,12 +535,38 @@ object NorthStarQueries {
   private val MediaW = 24; private val MediaH = 24 // generated image
   private val MediaRW = 12; private val MediaRH = 12 // after resize
   private val MediaGrid = 3 // grid cells per side
+  private val AudioSamples = 800 // PCM16 samples per generated clip
+  private val AudioSilence = 64 // |peak| below this = silent frame
 
   /** Replays the decode→resize→pool pipeline arithmetically: resized pixel
     * (x,y) is source pixel ((x*W)//RW, (y*H)//RH) (ImageIoCodec's floor
     * mapping), whose channels come straight from the PixelFormula — PNG adds
     * nothing lossy in between.
     */
+  /** Recomputes every frame stat from the shared [[graft.ops.Multimodal
+    * .SampleFormula]] — never decoding: PCM16 WAV is lossless, so the
+    * decoder must return exactly these samples.
+    */
+  private def audioFrameStatsOracle: String = {
+    val f = graft.ops.Multimodal.DefaultSampleFormula
+    val fs = f.frameSize
+    s"""WITH ids AS (SELECT doc_id AS media_id FROM documents),
+       |samp AS (
+       |  SELECT media_id, i, CAST(${f.sampleSql("media_id", "i")} AS BIGINT) AS s
+       |  FROM ids CROSS JOIN (SELECT unnest(range(0, $AudioSamples)) AS i)),
+       |fr AS (SELECT media_id, i // $fs AS frame_id, i, s,
+       |              lag(s) OVER (PARTITION BY media_id ORDER BY i) AS prev
+       |       FROM samp)
+       |SELECT media_id, frame_id,
+       |       count(*)::BIGINT AS n_samples,
+       |       max(abs(s))::BIGINT AS peak,
+       |       sum(s*s)::BIGINT AS sum_sq,
+       |       count(*) FILTER (i % $fs != 0 AND (prev < 0) != (s < 0))::BIGINT AS zero_crossings,
+       |       (max(abs(s)) < $AudioSilence) AS silent
+       |FROM fr GROUP BY media_id, frame_id
+       |ORDER BY media_id, frame_id""".stripMargin
+  }
+
   private def mediaPipelineOracle: String = {
     val f = graft.ops.Multimodal.DefaultFormula
     val sx = s"(x * $MediaW) // $MediaRW"
@@ -779,6 +821,7 @@ object NorthStarQueries {
     "simhash_pairs" -> simhashOracle,
     "media_pipeline" -> mediaPipelineOracle,
     "image_dhash" -> dhashOracle,
+    "audio_frame_stats" -> audioFrameStatsOracle,
     "incremental_dedup" ->
       s"""WITH $ShCte,
          |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),

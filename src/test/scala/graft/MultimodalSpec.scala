@@ -176,4 +176,55 @@ class MultimodalSpec extends SparkTestBase {
     assert(out.count() == 5)
     assert(out.agg(max("media_id")).head().getLong(0) < 1000L) // kept lowest ids
   }
+
+  test("WavCodec: PCM16 encode -> javax.sound decode roundtrips exactly") {
+    import graft.ops.WavCodec
+    val samples = Array.tabulate(500)(i =>
+      Multimodal.DefaultSampleFormula.sample(3L, i).toShort)
+    val (rate, back) = WavCodec.decodePcm16(WavCodec.encodePcm16(samples, 8000))
+    assert(rate == 8000)
+    assert(back.toSeq == samples.toSeq)
+    // stereo / non-PCM16 inputs are rejected, not silently resampled
+    intercept[IllegalArgumentException] {
+      val bb = java.nio.ByteBuffer.allocate(44 + 4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes).putInt(40).put("WAVE".getBytes).put("fmt ".getBytes)
+        .putInt(16).putShort(1).putShort(2) // 2 channels
+        .putInt(8000).putInt(32000).putShort(4).putShort(16)
+        .put("data".getBytes).putInt(4)
+      WavCodec.decodePcm16(bb.array())
+    }
+  }
+
+  test("audioFrameStats: decoded per-frame stats match a direct recompute") {
+    val ids = spark.range(0, 7).toDF("media_id")
+    val f = Multimodal.DefaultSampleFormula
+    val clips = Multimodal.syntheticAudioFor(ids, "media_id", 800)
+    val got = Multimodal.audioFrameStats(clips, f.frameSize, 64)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getBoolean(6)))
+      .toMap
+    assert(got.size == 7 * (800 / f.frameSize))
+    for (id <- 0L until 7L; fr <- 0 until 800 / f.frameSize) {
+      val s = (fr * f.frameSize until (fr + 1) * f.frameSize)
+        .map(i => f.sample(id, i).toLong)
+      val peak = s.map(math.abs).max
+      val zc = s.sliding(2).count(p => (p(0) < 0) != (p(1) < 0))
+      val want = (f.frameSize.toLong, peak, s.map(v => v * v).sum, zc.toLong,
+        peak < 64)
+      assert(got((id, fr.toLong)) == want, s"clip $id frame $fr")
+    }
+    // the attenuated frames actually exercise the silence flag both ways
+    val flags = got.values.map(_._5).toSet
+    assert(flags == Set(true, false))
+  }
+
+  test("audioFrameStats: tail partial frame carries its true sample count") {
+    val ids = spark.range(0, 2).toDF("media_id")
+    val clips = Multimodal.syntheticAudioFor(ids, "media_id", 250)
+    val rows = Multimodal.audioFrameStats(clips, 160, 64)
+      .where(col("media_id") === 0L).orderBy("frame_id").collect()
+    assert(rows.map(_.getLong(2)).toSeq == Seq(160L, 90L))
+  }
 }
