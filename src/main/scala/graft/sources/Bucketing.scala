@@ -19,12 +19,24 @@ object Bucketing {
 
   def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int,
       sorted: Boolean = true): Unit = {
+    // the default catalog is in-memory: a previous JVM's table is gone from
+    // the catalog but its warehouse directory survives, and saveAsTable
+    // then fails with LOCATION_ALREADY_EXISTS — clear both first
+    drop(df.sparkSession, table)
     val w = df.write.mode("overwrite").format("parquet").bucketBy(buckets, key)
     (if (sorted) w.sortBy(key) else w).saveAsTable(table)
   }
 
   def table(spark: SparkSession, name: String): DataFrame = spark.table(name)
 
-  def drop(spark: SparkSession, name: String): Unit =
+  /** Drop the table AND its (possibly orphaned) default-database warehouse
+    * location.
+    */
+  def drop(spark: SparkSession, name: String): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS $name")
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val loc = new org.apache.hadoop.fs.Path(wh, name.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+  }
 }
