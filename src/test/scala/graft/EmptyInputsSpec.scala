@@ -89,4 +89,24 @@ class EmptyInputsSpec extends SparkTestBase {
     assert(Multimodal.dhash64(media).count() == 0)
     assert(Multimodal.dedupByContent(media).count() == 0)
   }
+
+  test("round-6 operators: mixture, audio, ingest, star components on empty input") {
+    assert(Mixture.toTokenBudget(emptyDocs, col("text"), col("doc_id"),
+      TextOps.tokenCount(col("text")), targetTokens = 1000).count() == 0)
+    val noClips = Multimodal.syntheticAudioFor(
+      Seq.empty[Long].toDF("id"), "id", 100)
+    assert(Multimodal.audioFrameStats(noClips, 160).count() == 0)
+    // a clip with zero samples decodes to zero frames, not a crash
+    val zeroSample = Multimodal.syntheticAudioFor(Seq(1L).toDF("id"), "id", 0)
+    assert(Multimodal.audioFrameStats(zeroSample, 160).count() == 0)
+    // streaming ingest: empty batch, and a batch against an empty corpus
+    assert(graft.streaming.CorpusIngest
+      .processBatch(emptySh, emptySh, "doc_id", "sh", 0.5).count() == 0)
+    val oneDoc = Seq((1L, "some fresh text with enough words to shingle"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), TextOps.wordNGrams(col("text"), 3).as("sh"))
+    assert(graft.streaming.CorpusIngest
+      .processBatch(oneDoc, emptySh, "doc_id", "sh", 0.5).count() == 1)
+    assert(Dedup.componentsStar(emptyPairs, "id").count() == 0)
+  }
 }
