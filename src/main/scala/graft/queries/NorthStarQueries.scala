@@ -441,6 +441,19 @@ object NorthStarQueries {
         .transform(sortedSingle(_, col("doc_id")))
     },
 
+    // benchmark decontamination (graft.ops.Decontaminate): docs sharing any
+    // 3-gram with the "benchmark" slice (doc_id % 50 == 0 stands in for the
+    // eval set) are flagged with their distinct-hit count. The benchmark
+    // n-gram set is vocabulary-sized and BROADCAST; the corpus explodes
+    // once and never shuffles — the decontamination shape at 100 TB.
+    "decontaminate_docs" -> { (s, dir) =>
+      val d = t(s, dir, "documents")
+      graft.ops.Decontaminate.contaminatedIds(
+          d.filter(col("doc_id") % 50 =!= 0), "doc_id", col("text"),
+          d.filter(col("doc_id") % 50 === 0), col("text"), n = 3)
+        .transform(sortedSingle(_, col("doc_id")))
+    },
+
     // dataset mixture to a token budget (graft.ops.Mixture): cap every
     // language at 5000 tokens. The keep fraction is derived from the data
     // (per-lang token totals -> integer bucket threshold, floor division so
@@ -894,6 +907,17 @@ object NorthStarQueries {
       """SELECT tk AS token, count(*) AS tf, count(DISTINCT doc_id) AS df
         |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tk FROM documents)
         |GROUP BY tk ORDER BY tf DESC, token ASC LIMIT 50""".stripMargin,
+    "decontaminate_docs" ->
+      s"""WITH bench AS (
+         |  SELECT DISTINCT gram FROM (
+         |    SELECT unnest($ShinglesSql) AS gram
+         |    FROM documents WHERE doc_id % 50 = 0)),
+         |corp AS (
+         |  SELECT doc_id, unnest($ShinglesSql) AS gram
+         |  FROM documents WHERE doc_id % 50 <> 0)
+         |SELECT doc_id, count(*)::BIGINT AS n_hits
+         |FROM corp JOIN bench USING (gram)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "mixture_budget" ->
       """WITH tot AS (SELECT lang, sum(len(string_split(text, ' '))) AS tot
         |             FROM documents GROUP BY lang),
