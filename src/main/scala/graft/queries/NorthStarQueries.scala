@@ -441,6 +441,20 @@ object NorthStarQueries {
         .transform(sortedSingle(_, col("doc_id")))
     },
 
+    // sequence packing (graft.ops.Packing): global token offsets + 512-token
+    // training-bin spans, computed as a SCALABLE prefix sum (range
+    // partitions -> parallel local cumsums -> partition-count-sized offset
+    // window -> broadcast back), never the single-task global window the
+    // naive `sum() OVER (ORDER BY id)` encoding degenerates to. The oracle
+    // uses exactly that naive window — fine at oracle scale — so the hash
+    // match proves the distributed prefix sum equals the sequential one.
+    "packing_offsets" -> { (s, dir) =>
+      graft.ops.Packing.sequenceOffsets(
+          t(s, dir, "documents"), "doc_id",
+          TextOps.tokenCount(col("text")), binSize = 512)
+        .transform(sortedSingle(_, col("doc_id")))
+    },
+
     // benchmark decontamination (graft.ops.Decontaminate): docs sharing any
     // 3-gram with the "benchmark" slice (doc_id % 50 == 0 stands in for the
     // eval set) are flagged with their distinct-hit count. The benchmark
@@ -907,6 +921,19 @@ object NorthStarQueries {
       """SELECT tk AS token, count(*) AS tf, count(DISTINCT doc_id) AS df
         |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tk FROM documents)
         |GROUP BY tk ORDER BY tf DESC, token ASC LIMIT 50""".stripMargin,
+    "packing_offsets" ->
+      """WITH n AS (SELECT doc_id,
+        |                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |           FROM documents),
+        |c AS (SELECT doc_id, n_tokens,
+        |             coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_offset
+        |      FROM n)
+        |SELECT doc_id, n_tokens, start_offset,
+        |       start_offset // 512 AS first_bin,
+        |       greatest(start_offset // 512,
+        |                (start_offset + n_tokens - 1) // 512) AS last_bin
+        |FROM c ORDER BY doc_id""".stripMargin,
     "decontaminate_docs" ->
       s"""WITH bench AS (
          |  SELECT DISTINCT gram FROM (
