@@ -319,6 +319,25 @@ object SparkEntry {
         .transform(graft.queries.sortedSingle(_, col("lang")))
     },
 
+    // ---- ingestion: JSONL sink+scan roundtrip — the LLM-corpus
+    // interchange format. Always splittable (JSON escapes newlines), so
+    // unlike CSV there is no multiLine trade-off and the roundtrip is
+    // lossless for ANY text. The md5-prefix fingerprint sum proves
+    // byte-exact text fidelity through the roundtrip, not just row counts.
+    // The oracle aggregates the parquet directly — same rows iff the
+    // roundtrip was the identity. ----
+    "jsonl_roundtrip" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val tmp = graft.util.TempDirs.create("graft_jsonl_rt") + "/docs"
+      graft.sources.CorpusIO.writeJsonl(docs, tmp)
+      graft.sources.CorpusIO.readJsonl(s, tmp, docs.schema)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"),
+          sum(conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long"))
+            .as("text_fp_sum"))
+        .transform(graft.queries.sortedSingle(_, col("lang")))
+    },
+
     // ---- F7: newline join of rich-text blocks ----
     "blocks_join_docs" -> { (s, dir) =>
       t(s, dir, "documents")
@@ -472,6 +491,10 @@ object SparkEntry {
         |LIMIT 10""".stripMargin,
     "csv_roundtrip" ->
       """SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "jsonl_roundtrip" ->
+      """SELECT lang, count(*) AS n,
+        |       sum(('0x' || substr(md5(text), 1, 8))::BIGINT) AS text_fp_sum
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "blocks_join_docs" ->
       """SELECT doc_id,

@@ -52,6 +52,22 @@ object CorpusIO {
       .mode("overwrite")
       .csv(path)
 
+  /** JSONL corpus sink — the LLM-pipeline interchange format (one JSON
+    * object per line). Unlike multiLine CSV, JSONL is ALWAYS splittable —
+    * record boundaries are physical newlines and embedded newlines are
+    * escaped by JSON itself — so files scan in parallel at any size, and
+    * the roundtrip is lossless for arbitrary text.
+    */
+  def writeJsonl(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
+
+  /** JSONL corpus scan. Schema is required, not inferred: inference scans
+    * the data an extra time and silently widens types on dirty corpora.
+    */
+  def readJsonl(spark: SparkSession, path: String,
+      schema: StructType = corpusSchema): DataFrame =
+    spark.read.schema(schema).json(path)
+
   /** S7 — cache-or-fetch: the reference's write-through corpus cache.
     * `fetch` runs only on cache miss (or refetch=true), its result is
     * persisted to `cachePath` and read back so downstream always consumes

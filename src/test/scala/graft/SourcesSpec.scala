@@ -73,4 +73,20 @@ class SourcesSpec extends SparkTestBase {
       .select(graft.functions.join_blocks(col("blocks"))).head().getString(0)
     assert(out == "a\n\n\nb")
   }
+
+  test("JSONL roundtrip is lossless for newlines, quotes, unicode, and nulls") {
+    val nasty = Seq(
+      (1L, "line one\nline two\r\nwindows"),
+      (2L, "quotes \" and \\ backslashes and \t tabs"),
+      (3L, "日本語テキストと emoji 😀 mixed"),
+      (4L, null: String),
+      (5L, ""))
+      .toDF("doc_id", "text")
+    val tmp = Files.createTempDirectory("graft_jsonl_spec").toString + "/docs"
+    CorpusIO.writeJsonl(nasty, tmp)
+    val back = CorpusIO.readJsonl(spark, tmp, nasty.schema)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val want = nasty.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(back == want)
+  }
 }
