@@ -353,6 +353,30 @@ object NorthStarQueries {
         .transform(sortedSingle(_, col("media_id"), col("frame_id")))
     },
 
+    // binary payload dedup (Multimodal.dedupByContent): 5 pixel-identical
+    // PNG copies per base image (id % 100 drives the pixel formula), exact
+    // sha2-content dedup keeps the min media_id of each. Proves binary-safe
+    // dedup against an oracle that never decodes: identical formula inputs
+    // MUST encode to identical bytes (PNG encoding is deterministic), so
+    // the survivor set is min(doc_id) per id-class.
+    "media_dedup" -> { (s, dir) =>
+      import graft.ops.Multimodal
+      // pixels derive from the id CLASS (doc_id % 100), so every class has
+      // byte-identical PNG copies; encode each class once, fan out to docs
+      val classMedia = Multimodal.syntheticImagesFor(
+          t(s, dir, "documents").select((col("doc_id") % 100).as("cls"))
+            .distinct().repartition(s.sparkContext.defaultParallelism),
+          "cls", MediaW, MediaH)
+        .select(col("media_id").as("__cls"), col("kind"), col("bytes"), col("meta"))
+      val withIds = t(s, dir, "documents")
+        .select(col("doc_id").as("media_id"), (col("doc_id") % 100).as("__cls"))
+        .join(broadcast(classMedia), "__cls")
+        .select("media_id", "kind", "bytes", "meta")
+      Multimodal.dedupByContent(withIds)
+        .select("media_id")
+        .transform(sortedSingle(_, col("media_id")))
+    },
+
     // document fingerprint: md5 of normalized text
     "fingerprint_docs" -> { (s, dir) =>
       docs(s, dir)
@@ -849,6 +873,11 @@ object NorthStarQueries {
     "media_pipeline" -> mediaPipelineOracle,
     "image_dhash" -> dhashOracle,
     "audio_frame_stats" -> audioFrameStatsOracle,
+    // byte-identical payloads <=> identical formula class: survivors are
+    // min(doc_id) per class, no decoding needed
+    "media_dedup" ->
+      """SELECT min(doc_id) AS media_id FROM documents
+        |GROUP BY doc_id % 100 ORDER BY media_id""".stripMargin,
     "incremental_dedup" ->
       s"""WITH $ShCte,
          |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
