@@ -34,6 +34,15 @@ grep -qE "^== [0-9]+ pass, 0 fail ==$" /tmp/preflight_oracle.log || {
   echo "PREFLIGHT FAIL: oracle_check has failures"; fail=1; }
 
 if [ "${1:-}" = "--bench" ]; then
+  # the gate's own sbt runs push the 1-min loadavg over 1.0 — wait (up to
+  # 6 min) for the machine to settle before deciding, instead of refusing
+  # a bench that would be clean 2 minutes later
+  for _ in $(seq 1 12); do
+    load=$(cut -d' ' -f1 /proc/loadavg)
+    python3 -c "import sys; sys.exit(0 if float('$load') < 1.0 else 1)" && break
+    echo "preflight: loadavg $load >= 1.0, settling 30s..."
+    sleep 30
+  done
   load=$(cut -d' ' -f1 /proc/loadavg)
   if python3 -c "import sys; sys.exit(0 if float('$load') < 1.0 else 1)"; then
     echo "== preflight: Bench at sf0.1 (loadavg $load) =="
