@@ -69,3 +69,58 @@ case class SimHash(child: Expression) extends UnaryExpression with ExpectsInputT
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
+
+/** Word n-grams ("shingles") over a token array — the hot loop of every
+  * shingle-based pipeline (Jaccard joins, MinHash, components, funnel,
+  * decontamination). The higher-order-function encoding it replaces
+  * (`transform(sequence(...), i -> concat_ws(" ", slice(t, i+1, n)))`)
+  * stays interpreted and allocates a sliced array per gram; this compiles
+  * into the stage and builds each gram with one `UTF8String.concatWs`
+  * (which skips nulls — exact parity with `concat_ws`). Arrays shorter
+  * than n yield an empty array; NULL arrays follow standard null-safe
+  * semantics (callers that need empty-for-null coalesce it).
+  */
+case class WordNGrams(child: Expression, n: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(n >= 1, s"word_ngrams: n must be >= 1, got $n")
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "word_ngrams"
+
+  override def nullSafeEval(v: Any): Any =
+    WordNGrams.compute(v.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.WordNGrams.compute($c, $n)")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object WordNGrams {
+  private val Space = UTF8String.fromString(" ")
+
+  /** Shared by interpreted eval and generated code. */
+  def compute(arr: ArrayData, n: Int): ArrayData = {
+    val sz = arr.numElements()
+    if (sz < n)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](sz - n + 1)
+    val parts = new Array[UTF8String](n)
+    var i = 0
+    while (i <= sz - n) {
+      var j = 0
+      while (j < n) {
+        parts(j) = if (arr.isNullAt(i + j)) null else arr.getUTF8String(i + j)
+        j += 1
+      }
+      out(i) = UTF8String.concatWs(Space, parts: _*)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}

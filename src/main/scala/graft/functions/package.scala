@@ -44,6 +44,9 @@ package object functions {
   /** 60-bit md5-based SimHash over a token array; see [[SimHash]]. */
   def simhash(tokens: Column): Column = col(SimHash(ex(tokens)))
 
+  /** Codegen'd word n-grams over a token array (shingles). */
+  def word_ngrams(tokens: Column, n: Int): Column = col(WordNGrams(ex(tokens), n))
+
   /** Bounded top-k heap over `struct(score double, id long)`; see
     * [[TopKByScore]]. Map-side combining: each partition ships at most k
     * rows per group to the shuffle.
@@ -120,6 +123,16 @@ package object functions {
       }
       (FunctionIdentifier("topk_by_score"),
         new ExpressionInfo("graft.functions", "topk_by_score"), builder)
+    },
+    {
+      val builder: Seq[Expression] => Expression = {
+        case Seq(arr, org.apache.spark.sql.catalyst.expressions.Literal(n: Int, _)) =>
+          WordNGrams(arr, n)
+        case other => throw new IllegalArgumentException(
+          s"word_ngrams expects (array<string>, int literal n), got ${other.size} args")
+      }
+      (FunctionIdentifier("word_ngrams"),
+        new ExpressionInfo("graft.functions", "word_ngrams"), builder)
     },
   )
 

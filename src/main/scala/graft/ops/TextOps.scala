@@ -61,16 +61,16 @@ object TextOps {
 
   def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
 
-  /** Word n-grams as space-joined strings ("shingles"). Guarded so short
-    * texts yield an empty array (Spark `sequence` would otherwise descend).
+  /** Word n-grams as space-joined strings ("shingles"), via the codegen'd
+    * [[graft.functions.WordNGrams]] expression — this is the hot loop of
+    * every shingle pipeline (Jaccard joins, MinHash, components, funnel,
+    * decontamination); the HOF transform-slice-concat encoding it replaces
+    * stayed interpreted and allocated a slice per gram. Null text yields an
+    * empty array (parity with the original when/otherwise guard).
     */
-  def wordNGrams(text: Column, n: Int): Column = {
-    val t = tokens(text)
-    when(size(t) >= n,
-      transform(sequence(lit(0), size(t) - n),
-        i => concat_ws(" ", slice(t, i + lit(1), lit(n)))))
-      .otherwise(array().cast("array<string>"))
-  }
+  def wordNGrams(text: Column, n: Int): Column =
+    coalesce(graft.functions.word_ngrams(tokens(text), n),
+      array().cast("array<string>"))
 
   /** BPE-ish sub-word token estimate: alphanumeric runs + individual
     * non-space symbol characters (lookaround-free so the DuckDB/RE2 oracle

@@ -23,6 +23,56 @@ class TextOpsSpec extends SparkTestBase {
     assert(out(2) == Nil)
   }
 
+  test("native WordNGrams == the HOF formulation it replaced, incl. codegen path") {
+    val sp = spark
+    import sp.implicits._
+    // the previous encoding, kept as the semantic reference
+    def hof(text: org.apache.spark.sql.Column, n: Int) = {
+      val t = split(text, " ")
+      when(size(t) >= n,
+        transform(sequence(lit(0), size(t) - n),
+          i => concat_ws(" ", slice(t, i + lit(1), lit(n)))))
+        .otherwise(array().cast("array<string>"))
+    }
+    val rng = new scala.util.Random(11)
+    val texts = Seq.fill(200) {
+      (0 until rng.nextInt(12)).map(_ => s"w${rng.nextInt(6)}").mkString(" ")
+    } :+ "" :+ "one" :+ "a  b   c" // empty tokens from runs of spaces
+    // parquet-backed so ConvertToLocalRelation cannot constant-fold — the
+    // doGenCode path is what executes (cf. verify skill codegen note)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ngram_spec").toString
+    texts.toDF("text").write.mode("overwrite").parquet(tmp)
+    val df = sp.read.parquet(tmp)
+    for (n <- 1 to 4) {
+      val rows = df.select(
+          TextOps.wordNGrams(col("text"), n).as("native"),
+          hof(col("text"), n).as("ref"))
+        .collect()
+      rows.foreach { r =>
+        assert(r.getSeq[String](0) == r.getSeq[String](1), s"n=$n")
+      }
+    }
+    // null text -> empty array (parity with the old guard)
+    val nul = Seq[(String, Int)]((null, 0)).toDF("text", "x")
+      .select(TextOps.wordNGrams(col("text"), 3)).head()
+    assert(nul.getSeq[String](0) == Nil)
+    // whole-stage codegen keeps the expression in the compiled span
+    val plan = df.select(TextOps.wordNGrams(col("text"), 3))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1)"), plan)
+  }
+
+  test("word_ngrams is SQL-callable") {
+    val sp = spark
+    import sp.implicits._
+    graft.functions.registerAll(sp)
+    Seq("x y z w").toDF("text").createOrReplaceTempView("ngram_sql_t")
+    val out = sp.sql(
+      "SELECT word_ngrams(split(text, ' '), 2) AS g FROM ngram_sql_t")
+      .head().getSeq[String](0)
+    assert(out == Seq("x y", "y z", "z w"))
+  }
+
   test("tokenCount counts single-space tokens including empties (DuckDB parity)") {
     assert(one(TextOps.tokenCount(col("text")), "a b  c").getLong(0) == 4L)
   }
