@@ -124,3 +124,59 @@ object WordNGrams {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 }
+
+/** Occurrence count of the most frequent element: sort a copy, take the
+  * longest equal-adjacent run. Replaces the interpreted
+  * `aggregate(array_sort(...), struct-accumulator)` encoding behind
+  * `TextOps.topNGramCount` — the Gopher repetition numerator — with one
+  * compiled call that also absorbs the ArraySort node. Empty array -> 0;
+  * NULL array -> NULL (null-safe). Null elements sort together and count
+  * as equal (parity with the `<=>` comparison it replaces).
+  */
+case class MaxEqualRun(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "max_equal_run"
+
+  override def nullSafeEval(v: Any): Any =
+    MaxEqualRun.compute(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.MaxEqualRun.compute($c)")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object MaxEqualRun {
+  def compute(arr: ArrayData): Long = {
+    val n = arr.numElements()
+    if (n == 0) return 0L
+    val a = new Array[UTF8String](n)
+    var i = 0
+    while (i < n) {
+      a(i) = if (arr.isNullAt(i)) null else arr.getUTF8String(i)
+      i += 1
+    }
+    java.util.Arrays.sort(a, (x: UTF8String, y: UTF8String) =>
+      if (x eq y) 0
+      else if (x == null) -1
+      else if (y == null) 1
+      else x.compareTo(y))
+    var best = 1L; var run = 1L
+    i = 1
+    while (i < n) {
+      val eq = (a(i) == null && a(i - 1) == null) ||
+        (a(i) != null && a(i).equals(a(i - 1)))
+      run = if (eq) run + 1L else 1L
+      if (run > best) best = run
+      i += 1
+    }
+    best
+  }
+}

@@ -47,6 +47,9 @@ package object functions {
   /** Codegen'd word n-grams over a token array (shingles). */
   def word_ngrams(tokens: Column, n: Int): Column = col(WordNGrams(ex(tokens), n))
 
+  /** Codegen'd most-frequent-element count (sorts internally). */
+  def max_equal_run(arr: Column): Column = col(MaxEqualRun(ex(arr)))
+
   /** Bounded top-k heap over `struct(score double, id long)`; see
     * [[TopKByScore]]. Map-side combining: each partition ships at most k
     * rows per group to the shuffle.

@@ -100,25 +100,16 @@ object TextOps {
 
   /** Occurrence count of the MOST FREQUENT word n-gram — the numerator of
     * the Gopher repetition signal "fraction of characters/tokens in the top
-    * n-gram". Computed per row with zero shuffle: sort the n-gram array and
-    * take the longest equal-adjacent run (`aggregate` with a (prev, run,
-    * best) struct accumulator), O(g log g) per doc. The explode → corpus-wide
-    * groupBy formulation would shuffle ~2× the corpus bytes for a strictly
-    * per-document statistic — the wrong shape at 100 TB.
+    * n-gram". Computed per row with zero shuffle via the codegen'd
+    * [[graft.functions.MaxEqualRun]] (sort the grams, take the longest
+    * equal-adjacent run — O(g log g) per doc, compiled; the interpreted
+    * `aggregate`-accumulator encoding it replaces allocated a struct per
+    * gram). The explode → corpus-wide groupBy formulation would shuffle
+    * ~2× the corpus bytes for a strictly per-document statistic — the
+    * wrong shape at 100 TB.
     */
-  def topNGramCount(text: Column, n: Int): Column = {
-    val grams = array_sort(wordNGrams(text, n))
-    val init = struct(lit(null).cast("string").as("prev"),
-      lit(0L).as("run"), lit(0L).as("best"))
-    aggregate(grams, init,
-      (acc, x) => {
-        val run = when(acc.getField("prev") <=> x, acc.getField("run") + 1L)
-          .otherwise(lit(1L))
-        struct(x.as("prev"), run.as("run"),
-          greatest(acc.getField("best"), run).as("best"))
-      },
-      acc => acc.getField("best"))
-  }
+  def topNGramCount(text: Column, n: Int): Column =
+    graft.functions.max_equal_run(wordNGrams(text, n))
 
   /** Gopher-style repetition gate from integer signals (integer arithmetic
     * only, so cross-engine comparison is exact — no float rounding):
