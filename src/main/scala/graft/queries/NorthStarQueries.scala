@@ -453,6 +453,23 @@ object NorthStarQueries {
         .transform(sortedSingle(_, col("doc_id")))
     },
 
+    // train/holdout split (Sampling.trainHoldout): one deterministic hash
+    // pass yields both splits; the oracle proves they are disjoint, exhaust
+    // the corpus, and land the exact rows the hash assigns (per-split count
+    // + doc_id sum + text fingerprint sum — any row in the wrong split
+    // breaks all three).
+    "train_holdout_split" -> { (s, dir) =>
+      val (train, holdout) = graft.ops.Sampling.trainHoldout(
+        t(s, dir, "documents"), col("doc_id"), buckets = 100, trainBuckets = 80)
+      def summarize(df: DataFrame, name: String) =
+        df.agg(count(lit(1)).as("n"), sum(col("doc_id")).as("id_sum"),
+            sum(conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long"))
+              .as("text_fp_sum"))
+          .select(lit(name).as("split"), col("n"), col("id_sum"), col("text_fp_sum"))
+      summarize(train, "train").unionAll(summarize(holdout, "holdout"))
+        .transform(sortedSingle(_, col("split")))
+    },
+
     // stratified mixture sampling: per-language keep fractions from one
     // deterministic hash-bucket filter (graft.ops.Sampling.stratified) —
     // upsample fr to 50%, downsample en to 10%, 20% elsewhere. Scan-side
@@ -950,6 +967,14 @@ object NorthStarQueries {
       """SELECT tk AS token, count(*) AS tf, count(DISTINCT doc_id) AS df
         |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tk FROM documents)
         |GROUP BY tk ORDER BY tf DESC, token ASC LIMIT 50""".stripMargin,
+    "train_holdout_split" ->
+      """WITH b AS (SELECT doc_id, text,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS bkt
+        |  FROM documents)
+        |SELECT CASE WHEN bkt < 80 THEN 'train' ELSE 'holdout' END AS split,
+        |       count(*) AS n, sum(doc_id) AS id_sum,
+        |       sum(('0x' || substr(md5(text), 1, 8))::BIGINT) AS text_fp_sum
+        |FROM b GROUP BY 1 ORDER BY split""".stripMargin,
     "packing_offsets" ->
       """WITH n AS (SELECT doc_id,
         |                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
