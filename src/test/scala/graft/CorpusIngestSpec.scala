@@ -80,6 +80,29 @@ class CorpusIngestSpec extends SparkTestBase {
     assert(surviving == manual1 ++ manual2)
   }
 
+  test("stateless media pipeline runs unchanged on a stream (audio stats, stream == batch)") {
+    val sp = spark
+    import sp.implicits._
+    import graft.ops.Multimodal
+    val f = Multimodal.DefaultSampleFormula
+    val stream = MemoryStream[Long](sp)
+    val clips = Multimodal.syntheticAudioFor(
+      stream.toDF().toDF("media_id"), "media_id", 320)
+    val q = Multimodal.audioFrameStats(clips, f.frameSize, 64)
+      .writeStream.format("memory").queryName("audio_stream_test")
+      .outputMode("append").start()
+    stream.addData(1L, 2L, 3L)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = sp.table("audio_stream_test").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getLong(4))).toSet
+    val batch = Multimodal.audioFrameStats(
+        Multimodal.syntheticAudioFor(Seq(1L, 2L, 3L).toDF("media_id"), "media_id", 320),
+        f.frameSize, 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getLong(4))).toSet
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
   test("evolving corpus: folding survivors back in dedupes later epochs against them") {
     // the production loop: sink writes survivors to the corpus store, so the
     // next epoch's static frame includes them. Simulate the fold-in.
