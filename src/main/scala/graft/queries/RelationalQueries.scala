@@ -190,6 +190,27 @@ object RelationalQueries {
         .transform(sortedSingle(_, col("l_returnflag")))
     },
 
+    // the APPROX percentile tier (Percentiles.approx — GK sketch, bounded
+    // memory per group: the 100 TB path for unbounded groups) under the
+    // gate via the sketch_stats pattern: the sketch value itself can't
+    // hash-match another engine, so the query asserts its rank-error
+    // contract Spark-side (fraction of rows <= approx median within eps of
+    // 0.5) and emits the boolean; the oracle emits TRUE. A contract
+    // violation flips the boolean and fails the hash.
+    "percentiles_approx_gate" -> { (s, dir) =>
+      val o = t(s, dir, "orders")
+      val ap = graft.ops.Percentiles.approx(
+        o, Seq("o_orderpriority"), "o_totalprice", Seq(0.5))
+      val rank = o.join(broadcast(ap.select("o_orderpriority", "p50")), "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg((sum(when(col("o_totalprice") <= col("p50"), 1L).otherwise(0L)) /
+          count(lit(1))).as("__frac"))
+      ap.join(broadcast(rank), "o_orderpriority")
+        .select(col("o_orderpriority"), col("n"),
+          (abs(col("__frac") - 0.5) <= 0.01).as("approx_median_ok"))
+        .transform(sortedSingle(_, col("o_orderpriority")))
+    },
+
     // window frames: running per-customer order total (rows unbounded
     // preceding -> current row), deterministic frame order
     "running_order_total" -> { (s, dir) =>
@@ -463,5 +484,8 @@ object RelationalQueries {
       """SELECT l_returnflag, count(DISTINCT l_orderkey) AS exact_orders,
         |       TRUE AS approx_orders_ok, TRUE AS approx_median_ok
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "percentiles_approx_gate" ->
+      """SELECT o_orderpriority, count(*) AS n, TRUE AS approx_median_ok
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
   )
 }
