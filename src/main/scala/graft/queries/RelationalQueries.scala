@@ -190,6 +190,21 @@ object RelationalQueries {
         .transform(sortedSingle(_, col("l_returnflag")))
     },
 
+    // salted JOIN (Skew.saltedJoin — the hot-key fact-dim join tier when
+    // the dim is too big to broadcast): facts salt deterministically on a
+    // row key, the dim replicates x salts, and the hot key's probe spreads
+    // over `salts` tasks. Salting must not change the answer — the oracle
+    // is the plain join.
+    "salted_join_orders" -> { (s, dir) =>
+      val facts = t(s, dir, "orders").withColumnRenamed("o_custkey", "custkey")
+      val dim = t(s, dir, "customer")
+        .select(col("c_custkey").as("custkey"), col("c_mktsegment"))
+      graft.ops.Skew.saltedJoin(facts, dim, "custkey", Seq(col("o_orderkey")), salts = 8)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"), sum(col("o_totalprice")).as("total"))
+        .transform(sortedSingle(_, col("c_mktsegment")))
+    },
+
     // the APPROX percentile tier (Percentiles.approx — GK sketch, bounded
     // memory per group: the 100 TB path for unbounded groups) under the
     // gate via the sketch_stats pattern: the sketch value itself can't
@@ -487,5 +502,9 @@ object RelationalQueries {
     "percentiles_approx_gate" ->
       """SELECT o_orderpriority, count(*) AS n, TRUE AS approx_median_ok
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "salted_join_orders" ->
+      """SELECT c_mktsegment, count(*) AS n_orders, sum(o_totalprice) AS total
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
   )
 }
