@@ -158,6 +158,26 @@ object NorthStarQueries {
         .transform(sortedSingle(_, col("doc_id")))
     },
 
+    // the LSH tier of incremental dedup (Dedup.lshCandidatePairsAgainst):
+    // the new batch signs itself and equi-joins the corpus's PRE-SIGNED
+    // band table — at 100 TB the corpus signs once at ingest and its text
+    // is never re-read; per-batch work scales with the batch. Candidates
+    // verified with the exact Jaccard; oracle replays the full minhash
+    // pipeline with the batch-vs-corpus candidate predicate.
+    "incremental_lsh_pairs" -> { (s, dir) =>
+      val sh = docsWithShingles(s, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val batch = sh.where(pmod(col("doc_id"), lit(2)) === 1)
+      val corpus = sh.where(pmod(col("doc_id"), lit(2)) === 0)
+      val batchBands = Dedup.lshBands(
+        Dedup.minhashSignatures(batch, "doc_id", "sh"), "doc_id")
+      val corpusBands = Dedup.lshBands(
+        Dedup.minhashSignatures(corpus, "doc_id", "sh"), "doc_id")
+      val cands = Dedup.lshCandidatePairsAgainst(batchBands, corpusBands, "doc_id")
+      Dedup.verifyJaccard(cands, sh, "doc_id", "sh", JaccardTau)
+        .transform(sortedSingle(_, col("a"), col("b")))
+    },
+
     // SimHash banded near-dup pairs (custom Catalyst expression)
     "simhash_pairs" -> { (s, dir) =>
       Dedup.simhashPairs(docs(s, dir), "doc_id",
@@ -707,7 +727,13 @@ object NorthStarQueries {
        |FROM inter JOIN sizes sa ON a = sa.doc_id JOIN sizes sb ON b = sb.doc_id
        |WHERE inter::DOUBLE / (sa.sz + sb.sz - inter) >= $JaccardTau""".stripMargin
 
-  private def minhashOracle: String = {
+  private def minhashOracle: String = minhashPairsOracle("l.doc_id < r.doc_id")
+
+  /** Minhash+LSH pair oracle, parameterized on the candidate predicate:
+    * `l < r` for the self-join tier, a parity split for the incremental
+    * batch-vs-corpus tier.
+    */
+  private def minhashPairsOracle(candPredicate: String): String = {
     // 60-bit long minhash (numeric min == fixed-width-hex min); band keys
     // concatenate the decimal renderings — mirrors Dedup.minhashSignatures
     val mins = (0 until 16).map { j =>
@@ -723,7 +749,7 @@ object NorthStarQueries {
        |  $bandRows),
        |cand AS (
        |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
-       |  FROM bands l JOIN bands r ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id),
+       |  FROM bands l JOIN bands r ON l.band = r.band AND l.key = r.key AND $candPredicate),
        |sets AS (SELECT doc_id, $ShinglesSql AS s FROM documents),
        |v AS (
        |  SELECT a, b, CAST(len(list_intersect(sa.s, sb.s)) AS BIGINT) AS inter,
@@ -867,6 +893,8 @@ object NorthStarQueries {
   def oracleSql: Map[String, String] = Map(
     "ngram_jaccard_join" -> (JaccardPairsSql + "\nORDER BY a, b"),
     "minhash_lsh_pairs" -> minhashOracle,
+    "incremental_lsh_pairs" ->
+      minhashPairsOracle("l.doc_id % 2 = 1 AND r.doc_id % 2 = 0"),
     "near_dedup_survivors" ->
       s"""WITH pairs AS ($JaccardPairsSql)
          |SELECT doc_id FROM documents
