@@ -46,6 +46,9 @@ object NorthStarQueries {
   private val CosineTau = 0.55
   private val Bm25Terms = Seq("spark", "join", "fast")
 
+  /** Single line, no quotes (interpolated into oracle SQL literals). */
+  private val BoilerplateSalt = " graft corp all rights reserved footer text"
+
   // curation_funnel thresholds — shared constants interpolated into the
   // oracle SQL so the two engines can never drift. DupTau is looser than
   // the Gopher 0.3 (the synthetic corpus has a naturally small vocabulary:
@@ -156,6 +159,21 @@ object NorthStarQueries {
           t(s, dir, "documents").select("doc_id")
             .where(pmod(col("doc_id"), lit(2)) === 1), "doc_id", pairs)
         .transform(sortedSingle(_, col("doc_id")))
+    },
+
+    // boilerplate resistance (Dedup.dropHotShingles): every doc gets the
+    // same salted footer (the corpus is boilerplate-free, so the fixture is
+    // in-query — cf. pii_redact), whose shingles then appear in 100% of
+    // docs and are dropped by the document-frequency pass before the
+    // Jaccard join. At 100 TB this is what keeps one shared header from
+    // putting 10^8 postings in one inverted-index bucket.
+    "boilerplate_filtered_pairs" -> { (s, dir) =>
+      val salted = docs(s, dir).select(col("doc_id"),
+        TextOps.wordNGrams(
+          concat(col("text"), lit(BoilerplateSalt)), 3).as("sh"))
+      val filtered = Dedup.dropHotShingles(salted, "doc_id", "sh", maxDocFrac = 0.25)
+      Dedup.jaccardJoin(filtered, "doc_id", "sh", JaccardTau)
+        .transform(sortedSingle(_, col("a"), col("b")))
     },
 
     // the LSH tier of incremental dedup (Dedup.lshCandidatePairsAgainst):
@@ -895,6 +913,24 @@ object NorthStarQueries {
     "minhash_lsh_pairs" -> minhashOracle,
     "incremental_lsh_pairs" ->
       minhashPairsOracle("l.doc_id % 2 = 1 AND r.doc_id % 2 = 0"),
+    // the salted CTE aliases `text`, so ShinglesSql resolves against the
+    // boilerplate-salted text without parameterization
+    "boilerplate_filtered_pairs" ->
+      s"""WITH salted AS (SELECT doc_id, text || '$BoilerplateSalt' AS text FROM documents),
+         |sh0 AS (SELECT doc_id, unnest($ShinglesSql) AS sh FROM salted),
+         |tot AS (SELECT count(*) AS n FROM salted),
+         |dfreq AS (SELECT sh, count(*) AS df FROM sh0 GROUP BY sh),
+         |sh AS (SELECT s.doc_id, s.sh FROM sh0 s JOIN dfreq d USING (sh)
+         |       CROSS JOIN tot WHERE d.df <= tot.n * 0.25),
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+         |inter AS (SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS inter
+         |          FROM sh l JOIN sh r ON l.sh = r.sh AND l.doc_id < r.doc_id
+         |          GROUP BY 1, 2)
+         |SELECT a, b, inter, sa.sz AS size_a, sb.sz AS size_b,
+         |       inter::DOUBLE / (sa.sz + sb.sz - inter) AS jaccard
+         |FROM inter JOIN sizes sa ON a = sa.doc_id JOIN sizes sb ON b = sb.doc_id
+         |WHERE inter::DOUBLE / (sa.sz + sb.sz - inter) >= $JaccardTau
+         |ORDER BY a, b""".stripMargin,
     "near_dedup_survivors" ->
       s"""WITH pairs AS ($JaccardPairsSql)
          |SELECT doc_id FROM documents
