@@ -185,12 +185,15 @@ object NorthStarQueries {
     "incremental_lsh_pairs" -> { (s, dir) =>
       val sh = docsWithShingles(s, dir)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val batch = sh.where(pmod(col("doc_id"), lit(2)) === 1)
-      val corpus = sh.where(pmod(col("doc_id"), lit(2)) === 0)
-      val batchBands = Dedup.lshBands(
-        Dedup.minhashSignatures(batch, "doc_id", "sh"), "doc_id")
-      val corpusBands = Dedup.lshBands(
-        Dedup.minhashSignatures(corpus, "doc_id", "sh"), "doc_id")
+      // signatures are per-doc, so sign the whole frame ONCE and split the
+      // BAND table by parity — in production the corpus half is exactly the
+      // stored band table from ingest, never recomputed (running the
+      // signature pipeline twice, once per side, measured 1.8 s vs 0.9 s)
+      val bands = Dedup.lshBands(
+          Dedup.minhashSignatures(sh, "doc_id", "sh"), "doc_id")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val batchBands = bands.where(pmod(col("doc_id"), lit(2)) === 1)
+      val corpusBands = bands.where(pmod(col("doc_id"), lit(2)) === 0)
       val cands = Dedup.lshCandidatePairsAgainst(batchBands, corpusBands, "doc_id")
       Dedup.verifyJaccard(cands, sh, "doc_id", "sh", JaccardTau)
         .transform(sortedSingle(_, col("a"), col("b")))
