@@ -30,7 +30,10 @@ object Mixture {
       .agg(sum(tokens).as("__tot"))
       .select(col("__s"),
         least(lit(buckets.toLong), expr(s"${num}L DIV __tot")).as("__keep"))
-    df.join(broadcast(keep), stratum === col("__s"))
+    // null-safe join: a null stratum is a stratum (groupBy already treats
+    // it as one group) — a plain === would silently DROP every null-stratum
+    // row from the mixture, a data-loss footgun at corpus scale
+    df.join(broadcast(keep), stratum <=> col("__s"))
       .where(Sampling.hashBucket(key, buckets) < col("__keep"))
       .drop("__s", "__keep")
   }

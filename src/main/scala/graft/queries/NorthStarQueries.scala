@@ -1070,8 +1070,9 @@ object NorthStarQueries {
       """WITH tot AS (SELECT lang, sum(len(string_split(text, ' '))) AS tot
         |             FROM documents GROUP BY lang),
         |keep AS (SELECT lang, least(1000, (1000 * 5000) // tot) AS keep FROM tot)
-        |SELECT doc_id, d.lang AS lang FROM documents d JOIN keep USING (lang)
-        |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000 < keep
+        |SELECT doc_id, d.lang AS lang FROM documents d
+        |JOIN keep k ON d.lang IS NOT DISTINCT FROM k.lang
+        |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000 < k.keep
         |ORDER BY doc_id""".stripMargin,
     // the full curation chain replayed in SQL: same thresholds (shared
     // constants), same repetition gate (incl. the minimum-evidence rules),

@@ -52,6 +52,20 @@ class MixtureSpec extends SparkTestBase {
     assert(a.subsetOf(all) && a.size < all.size)
   }
 
+  test("null strata are budgeted as a stratum, not silently dropped") {
+    val sp = spark
+    import sp.implicits._
+    val d = Seq(
+      (1L, "en", "words here and more and more"),
+      (2L, null, "null lang doc with several words"),
+      (3L, null, "another null lang doc right here"))
+      .toDF("doc_id", "lang", "text")
+    val out = Mixture.toTokenBudget(d, col("lang"), col("doc_id"),
+      TextOps.tokenCount(col("text")), targetTokens = 1000, buckets = 10)
+    // generous budget: every stratum (including null) keeps everything
+    assert(out.count() == 3)
+  }
+
   test("mixture filter stays a scan-side predicate (broadcast, no extra shuffle of the corpus)") {
     val d = docs
     val plan = Mixture.toTokenBudget(d, col("lang"), col("doc_id"),
