@@ -190,6 +190,20 @@ object RelationalQueries {
         .transform(sortedSingle(_, col("l_returnflag")))
     },
 
+    // Z-order clustering (graft.ops.Layout): the multi-dimension layout
+    // that gives min/max file pruning on EVERY participating column (the
+    // lakehouse OPTIMIZE ZORDER capability). The z-value is pure bit
+    // interleaving over bucketed columns, replayed exactly by the oracle;
+    // LayoutSpec proves the locality property (a clustered write confines
+    // each key of BOTH dimensions to few partitions).
+    "zorder_values" -> { (s, dir) =>
+      val z = graft.ops.Layout.zValue(Seq(
+        pmod(col("o_custkey"), lit(256L)), pmod(col("o_orderkey"), lit(256L))), 8)
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), z.as("z"))
+        .transform(sortedSingle(_, col("o_orderkey")))
+    },
+
     // salted JOIN (Skew.saltedJoin — the hot-key fact-dim join tier when
     // the dim is too big to broadcast): facts salt deterministically on a
     // row key, the dim replicates x salts, and the hot key's probe spreads
@@ -506,5 +520,9 @@ object RelationalQueries {
       """SELECT c_mktsegment, count(*) AS n_orders, sum(o_totalprice) AS total
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "zorder_values" ->
+      s"""SELECT o_orderkey,
+         |  ${graft.ops.Layout.zValueSql(Seq("(o_custkey % 256)", "(o_orderkey % 256)"), 8)} AS z
+         |FROM orders ORDER BY o_orderkey""".stripMargin,
   )
 }
