@@ -244,6 +244,28 @@ object AnnIndex {
       centroidsOf(df, idCol, vecCol, stride), idCol, vecCol)
   }
 
+  /** Append a NEW vector batch to a [[materialize]]d index: the batch is
+    * assigned against the index's EXISTING centroids (derived from `base`,
+    * the frame the index was built over), and only the batch's rows are
+    * appended to the affected bucket directories. This is the ingest path
+    * at scale — the already-assigned corpus is never re-read or rewritten,
+    * bucket geometry is untouched, and probes see old + new immediately.
+    * Appended vectors never become centroids (the standard IVF contract);
+    * re-materialize to re-balance after heavy growth.
+    */
+  def appendToMaterialized(batch: DataFrame, base: DataFrame, idCol: String,
+      vecCol: String, stride: Int, path: String): Unit = {
+    val marker = java.nio.file.Paths.get(path, StrideMarker)
+    if (java.nio.file.Files.isReadable(marker)) {
+      val written = java.nio.file.Files.readString(marker).trim
+      require(written == stride.toString,
+        s"index at $path was materialized with stride $written, appending with $stride")
+    }
+    buildWith(batch, idCol, vecCol, centroidsOf(base, idCol, vecCol, stride))
+      .assigned
+      .write.mode("append").partitionBy("__centroid").parquet(path)
+  }
+
   private val StrideMarker = "_graft_ann_stride"
 
   private def centroidsOf(df: DataFrame, idCol: String, vecCol: String,

@@ -88,6 +88,9 @@ object NorthStarQueries {
   /** One materialized ANN index per source dir (build-once / probe-many). */
   private val annSpool = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Incrementally-grown index (materialize half + append half) per dir. */
+  private val annIncSpool = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** Embedding dim probed from data ONCE per source dir: every LSH query
     * needs it, and an unmemoized `head()` is a whole extra Spark job per
     * query run. The probe still validates the [[EmbeddingDim]] constant the
@@ -265,6 +268,30 @@ object NorthStarQueries {
       val path = annSpool.computeIfAbsent(dir, d => {
         val p = graft.util.TempDirs.create("graft_ann_spool")
         AnnIndex.materialize(t(s, d, "embeddings"), "vec_id", "embedding", 64, p)
+        p
+      })
+      val qvec = emb.where(col("vec_id") === 1).select(col("embedding"))
+        .head().getSeq[Float](0).map(_.toDouble).toArray
+      AnnIndex.fromMaterialized(emb, "vec_id", "embedding", 64, path)
+        .probeTopK(qvec, 10, nprobe = 4)
+    },
+
+    // INCREMENTAL index growth (AnnIndex.appendToMaterialized): materialize
+    // the even-id half, append the odd-id batch against the SAME centroids
+    // (bucket geometry untouched, existing files never rewritten — the
+    // daily-ingest path at 100 TB), probe sees old + new. Assignment is
+    // identical to materializing the full corpus, so the oracle is shared
+    // with ann_ivf_topk.
+    "ann_incremental_topk" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val path = annIncSpool.computeIfAbsent(dir, d => {
+        val p = graft.util.TempDirs.create("graft_ann_inc_spool")
+        val all = t(s, d, "embeddings")
+        AnnIndex.materialize(
+          all.where(pmod(col("vec_id"), lit(2)) === 0), "vec_id", "embedding", 64, p)
+        AnnIndex.appendToMaterialized(
+          all.where(pmod(col("vec_id"), lit(2)) === 1), all,
+          "vec_id", "embedding", 64, p)
         p
       })
       val qvec = emb.where(col("vec_id") === 1).select(col("embedding"))
@@ -1214,28 +1241,34 @@ object NorthStarQueries {
     "events_salted_rollup" ->
       """SELECT event_type, round(sum(value), 6) AS sum_value, count(*) AS n_rows
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
-    "ann_ivf_topk" ->
-      """WITH cents AS (
-        |  SELECT vec_id AS cid, embedding FROM embeddings WHERE vec_id % 64 = 0),
-        |q AS (SELECT embedding::DOUBLE[64] AS v FROM embeddings WHERE vec_id = 1),
-        |probed AS (
-        |  SELECT cid FROM (
-        |    SELECT cid,
-        |           1 - array_cosine_similarity(embedding::DOUBLE[64], (SELECT v FROM q)) AS d
-        |    FROM cents)
-        |  ORDER BY d ASC NULLS LAST, cid ASC LIMIT 4),
-        |assign AS (
-        |  SELECT vec_id, centroid FROM (
-        |    SELECT e.vec_id, c.cid AS centroid,
-        |           row_number() OVER (PARTITION BY e.vec_id ORDER BY
-        |             1 - array_cosine_similarity(e.embedding::DOUBLE[64],
-        |                 c.embedding::DOUBLE[64]) ASC,
-        |             c.cid ASC) AS rn
-        |    FROM embeddings e CROSS JOIN cents c) WHERE rn = 1)
-        |SELECT e.vec_id,
-        |       1 - array_cosine_similarity(e.embedding::DOUBLE[64], (SELECT v FROM q)) AS cos_dist
-        |FROM embeddings e JOIN assign a ON e.vec_id = a.vec_id
-        |WHERE a.centroid IN (SELECT cid FROM probed)
-        |ORDER BY cos_dist ASC NULLS LAST, e.vec_id ASC LIMIT 10""".stripMargin,
+    "ann_ivf_topk" -> annIvfOracle,
+    // materialize(half) + appendToMaterialized(other half) yields the exact
+    // assignment of materializing the full corpus (centroids are the same
+    // stride sample either way), so the incremental path shares the oracle
+    "ann_incremental_topk" -> annIvfOracle,
   )
+
+  private val annIvfOracle: String =
+    """WITH cents AS (
+      |  SELECT vec_id AS cid, embedding FROM embeddings WHERE vec_id % 64 = 0),
+      |q AS (SELECT embedding::DOUBLE[64] AS v FROM embeddings WHERE vec_id = 1),
+      |probed AS (
+      |  SELECT cid FROM (
+      |    SELECT cid,
+      |           1 - array_cosine_similarity(embedding::DOUBLE[64], (SELECT v FROM q)) AS d
+      |    FROM cents)
+      |  ORDER BY d ASC NULLS LAST, cid ASC LIMIT 4),
+      |assign AS (
+      |  SELECT vec_id, centroid FROM (
+      |    SELECT e.vec_id, c.cid AS centroid,
+      |           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |             1 - array_cosine_similarity(e.embedding::DOUBLE[64],
+      |                 c.embedding::DOUBLE[64]) ASC,
+      |             c.cid ASC) AS rn
+      |    FROM embeddings e CROSS JOIN cents c) WHERE rn = 1)
+      |SELECT e.vec_id,
+      |       1 - array_cosine_similarity(e.embedding::DOUBLE[64], (SELECT v FROM q)) AS cos_dist
+      |FROM embeddings e JOIN assign a ON e.vec_id = a.vec_id
+      |WHERE a.centroid IN (SELECT cid FROM probed)
+      |ORDER BY cos_dist ASC NULLS LAST, e.vec_id ASC LIMIT 10""".stripMargin
 }

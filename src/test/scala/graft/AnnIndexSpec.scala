@@ -65,6 +65,28 @@ class AnnIndexSpec extends SparkTestBase {
       s"no partition pruning on the materialized probe:\n$executed")
   }
 
+  test("appendToMaterialized: incremental growth equals a full materialize") {
+    import org.apache.spark.sql.functions.{col, pmod, lit}
+    val path = java.nio.file.Files.createTempDirectory("ann_inc_test").toString
+    val even = emb.where(pmod(col("vec_id"), lit(2)) === 0)
+    val odd = emb.where(pmod(col("vec_id"), lit(2)) === 1)
+    AnnIndex.materialize(even, "vec_id", "embedding", 64, path)
+    AnnIndex.appendToMaterialized(odd, emb, "vec_id", "embedding", 64, path)
+    val inc = AnnIndex.fromMaterialized(emb, "vec_id", "embedding", 64, path)
+    val full = AnnIndex.build(emb, "vec_id", "embedding", stride = 64)
+    for (nprobe <- Seq(2, 8)) {
+      val got = inc.probeTopK(qvec(5), 10, nprobe)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val want = full.probeTopK(qvec(5), 10, nprobe)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(got == want, s"nprobe=$nprobe")
+    }
+    // a stride mismatch on append is rejected like on open
+    intercept[IllegalArgumentException] {
+      AnnIndex.appendToMaterialized(odd, emb, "vec_id", "embedding", 32, path)
+    }
+  }
+
   test("kmeans refinement keeps centroid count, lowers inertia, preserves exactness") {
     val init = graft.ops.AnnIndex.kmeansCentroids(emb, "vec_id", "embedding",
       stride = 64, iters = 0)
