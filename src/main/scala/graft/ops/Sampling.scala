@@ -39,6 +39,16 @@ object Sampling {
     df.where(b >= lo && b < hi)
   }
 
+  /** Deterministic corpus shuffle: a total order from the key's md5 — the
+    * training-order randomization step, without `rand()`'s retry problem
+    * (a re-run, a task retry, or another engine produces the SAME order).
+    * Sorting by a hash is a full range-shuffle like any global sort;
+    * pipelines that only need per-partition mixing can
+    * `repartitionByRange` on the same key and skip the final sort.
+    */
+  def shuffled(df: DataFrame, key: Column): DataFrame =
+    df.orderBy(md5(key.cast("string")).asc, key.asc)
+
   /** Train/holdout split in one pass: (bucket < trainBuckets, the rest). */
   def trainHoldout(df: DataFrame, key: Column, buckets: Int,
       trainBuckets: Int): (DataFrame, DataFrame) = (

@@ -521,6 +521,21 @@ object NorthStarQueries {
         .transform(sortedSingle(_, col("doc_id")))
     },
 
+    // deterministic corpus shuffle (Sampling.shuffled): training-order
+    // randomization from the key's md5 — reproducible across runs, task
+    // retries, and engines, where rand() re-rolls on every retry. The
+    // shuffled rank is emitted so the oracle proves the ORDER, not just
+    // the membership, of the first 50 positions.
+    "corpus_shuffle" -> { (s, dir) =>
+      graft.ops.Sampling.shuffled(t(s, dir, "documents"), col("doc_id"))
+        .limit(50)
+        .select(col("doc_id"), col("lang"))
+        .withColumn("shuffle_rank",
+          row_number().over(org.apache.spark.sql.expressions.Window.orderBy(
+            md5(col("doc_id").cast("string")).asc, col("doc_id").asc)).cast("long"))
+        .transform(sortedSingle(_, col("shuffle_rank")))
+    },
+
     // train/holdout split (Sampling.trainHoldout): one deterministic hash
     // pass yields both splits; the oracle proves they are disjoint, exhaust
     // the corpus, and land the exact rows the hash assigns (per-split count
@@ -1061,6 +1076,12 @@ object NorthStarQueries {
       """SELECT tk AS token, count(*) AS tf, count(DISTINCT doc_id) AS df
         |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tk FROM documents)
         |GROUP BY tk ORDER BY tf DESC, token ASC LIMIT 50""".stripMargin,
+    "corpus_shuffle" ->
+      """SELECT doc_id, lang,
+        |       CAST(row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC,
+        |                               doc_id ASC) AS BIGINT) AS shuffle_rank
+        |FROM documents
+        |ORDER BY shuffle_rank LIMIT 50""".stripMargin,
     "train_holdout_split" ->
       """WITH b AS (SELECT doc_id, text,
         |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS bkt
