@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.LanguageModel
+
+/** Bigram LM scoring: counts, the integer-exact fit tier, the smoothed log
+  * tier (driver-replayed), and the filter semantics on edge docs.
+  */
+class LanguageModelSpec extends SparkTestBase {
+  private val sp = spark
+  import sp.implicits._
+
+  private def corpus = Seq(
+    (0L, "the cat sat"),          // bigrams: "the cat", "cat sat"
+    (1L, "the cat ran"),          // "the cat", "cat ran"
+    (2L, "the cat sat"),          // duplicate of 0 — doubles its bigrams
+    (3L, "zap"),                  // 1 token → no bigrams
+    (4L, "qq zz")                 // unique bigram "qq zz"
+  ).toDF("doc_id", "text")
+
+  test("trainBigrams counts occurrences, not presence") {
+    val cnt = LanguageModel.trainBigrams(corpus, "text")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(cnt == Map(
+      "the cat" -> 3L, "cat sat" -> 2L, "cat ran" -> 1L, "qq zz" -> 1L))
+  }
+
+  test("scoreDocs is integer-exact and keeps bigram-less docs null-scored") {
+    val got = LanguageModel.scoreDocs(corpus, "doc_id", "text",
+        LanguageModel.trainBigrams(corpus, "text"))
+      .orderBy("doc_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+    assert(got.toSeq == Seq(
+      (0L, 2L, 5L, Some(2.5)),   // ("the cat"=3) + ("cat sat"=2) over 2
+      (1L, 2L, 4L, Some(2.0)),   // 3 + 1 over 2
+      (2L, 2L, 5L, Some(2.5)),
+      (3L, 0L, 0L, None),        // no bigrams: present but unjudged
+      (4L, 1L, 1L, Some(1.0)))) // its only bigram is unique in the corpus
+  }
+
+  test("fitFilter drops rare-bigram and too-short docs") {
+    val kept = LanguageModel.fitFilter(corpus, "doc_id", "text",
+        LanguageModel.trainBigrams(corpus, "text"), minFitAvg = 2.0)
+      .select("doc_id").as[Long].collect().toSet
+    // doc 4 (avg 1.0) and doc 3 (null score) drop; 0/1/2 survive
+    assert(kept == Set(0L, 1L, 2L))
+  }
+
+  test("logScoreDocs matches a driver replay of the smoothed formula") {
+    val bi = LanguageModel.trainBigrams(corpus, "text")
+    val uni = LanguageModel.trainUnigrams(corpus, "text")
+    val vocab = uni.count()
+    val got = LanguageModel.logScoreDocs(corpus, "doc_id", "text",
+        bi, uni, vocab, k = 1.0)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+
+    val biM = bi.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val uniM = uni.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    def replay(text: String): (Double, Long) = {
+      val lps = text.split(" ", -1).sliding(2).filter(_.length == 2).toSeq
+        .map { bg =>
+          val c2 = biM.getOrElse(bg.mkString(" "), 0L).toDouble
+          val c1 = uniM.getOrElse(bg.head, 0L).toDouble
+          math.log((c2 + 1.0) / (c1 + 1.0 * vocab))
+        }
+      (lps.sum / lps.size, lps.size.toLong)
+    }
+    for ((id, text) <- Seq(0L -> "the cat sat", 1L -> "the cat ran",
+        4L -> "qq zz")) {
+      val (want, n) = replay(text)
+      val (gotLp, gotN) = got(id)
+      assert(gotN == n, s"doc $id bigram count")
+      assert(math.abs(gotLp - want) < 1e-12, s"doc $id: $gotLp vs $want")
+    }
+    // the bigram-less doc has no rows in the log tier
+    assert(!got.contains(3L))
+  }
+
+  test("unseen bigrams score low but finite (smoothing floor)") {
+    val bi = LanguageModel.trainBigrams(corpus, "text")
+    val uni = LanguageModel.trainUnigrams(corpus, "text")
+    val unseen = Seq((9L, "cat the")).toDF("doc_id", "text") // reversed: unseen
+    val r = LanguageModel.logScoreDocs(unseen, "doc_id", "text",
+      bi, uni, vocabSize = uni.count(), k = 1.0).collect()
+    assert(r.length == 1 && !r(0).isNullAt(1))
+    assert(r(0).getDouble(1) < math.log(0.5)) // clearly penalized
+  }
+}
