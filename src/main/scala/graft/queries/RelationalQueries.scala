@@ -39,6 +39,47 @@ object RelationalQueries {
           col("l_linestatus").asc_nulls_first))
     },
 
+    // analytic-window breadth: lag/lead/ntile/percent_rank/cume_dist/
+    // first_value in one pinned-order window. All outputs are exact across
+    // engines: lag/lead copy values, ntile is integer, percent_rank and
+    // cume_dist are single divisions of integers (IEEE-identical), and the
+    // (o_orderdate, o_orderkey) sort is total so no tie ambiguity exists.
+    "window_analytics" -> { (s, dir) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      t(s, dir, "orders")
+        .where(col("o_custkey") < 50)
+        .select(col("o_custkey"), col("o_orderkey"),
+          lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+          lead(col("o_totalprice"), 1).over(w).as("next_price"),
+          ntile(4).over(w).cast("long").as("quartile"),
+          percent_rank().over(w).as("pct_rank"),
+          cume_dist().over(w).as("cum_dist"),
+          first(col("o_orderkey")).over(w).as("first_key"))
+        .transform(sortedSingle(_, col("o_custkey"), col("o_orderkey")))
+    },
+
+    // statistical moments WITHOUT float-order nondeterminism: quantities
+    // cast to DECIMAL so the partial-aggregated sums are EXACT (and
+    // shuffle-order-independent — the property a double sum loses the
+    // moment AQE re-splits a partition); mean/variance then derive from
+    // the exact moments in a fixed double formula both engines replay
+    // bit for bit. The scale posture of every stats pipeline: exact
+    // integer/decimal partials, float only at the final scalar step.
+    "lineitem_moments" -> { (s, dir) =>
+      val q = col("l_quantity").cast("decimal(18,2)")
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(q).cast("double").as("sum_qty"),
+          sum(q * q).cast("double").as("sumsq_qty"))
+        .select(col("l_returnflag"), col("n"), col("sum_qty"), col("sumsq_qty"),
+          (col("sum_qty") / col("n")).as("mean_qty"),
+          ((col("sumsq_qty") - col("sum_qty") * col("sum_qty") / col("n"))
+            / (col("n") - 1)).as("var_qty"))
+        .transform(sortedSingle(_, col("l_returnflag")))
+    },
+
     // exact interpolated percentiles per order priority. Exact tier is safe
     // here because priorities are a 5-value dimension with bounded groups;
     // unbounded groups must use Percentiles.approx (bounded sketch memory —
@@ -376,6 +417,32 @@ object RelationalQueries {
       """SELECT l_returnflag, l_linestatus, count(*) AS n, sum(l_quantity) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "window_analytics" ->
+      """SELECT o_custkey, o_orderkey,
+        |       lag(o_totalprice) OVER w AS prev_price,
+        |       lead(o_totalprice) OVER w AS next_price,
+        |       CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |       percent_rank() OVER w AS pct_rank,
+        |       cume_dist() OVER w AS cum_dist,
+        |       first_value(o_orderkey) OVER w AS first_key
+        |FROM orders WHERE o_custkey < 50
+        |WINDOW w AS (PARTITION BY o_custkey
+        |             ORDER BY o_orderdate ASC, o_orderkey ASC)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    // exact decimal partials, double only at the final scalar formula —
+    // mirrors the Spark side operation for operation so every float op is
+    // the same IEEE op on the same exact inputs
+    "lineitem_moments" ->
+      """WITH m AS (
+        |  SELECT l_returnflag, count(*)::BIGINT AS n,
+        |         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))
+        |                  * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sumsq_qty
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, n, sum_qty, sumsq_qty,
+        |       sum_qty / n AS mean_qty,
+        |       (sumsq_qty - sum_qty * sum_qty / n) / (n - 1) AS var_qty
+        |FROM m ORDER BY l_returnflag""".stripMargin,
     "orders_percentiles" ->
       """SELECT o_orderpriority,
         |       round(quantile_cont(o_totalprice, 0.5), 6) AS p50,
