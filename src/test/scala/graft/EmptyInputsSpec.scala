@@ -109,4 +109,32 @@ class EmptyInputsSpec extends SparkTestBase {
       .processBatch(oneDoc, emptySh, "doc_id", "sh", 0.5).count() == 1)
     assert(Dedup.componentsStar(emptyPairs, "id").count() == 0)
   }
+
+  test("LM scoring, vocab, and the linear embedder on empty input") {
+    // empty train table: every doc joins nothing — null-scored, not dropped
+    val oneDoc = Seq((7L, "a b c")).toDF("doc_id", "text")
+    val scored = LanguageModel.scoreDocs(oneDoc, "doc_id", "text",
+      LanguageModel.trainBigrams(emptyDocs, "text")).collect()
+    assert(scored.length == 1 && scored(0).getLong(1) == 0
+      && scored(0).isNullAt(3))
+    assert(LanguageModel.scoreDocs(emptyDocs, "doc_id", "text",
+      LanguageModel.trainBigrams(emptyDocs, "text")).count() == 0)
+    assert(LanguageModel.fitFilter(emptyDocs, "doc_id", "text",
+      LanguageModel.trainBigrams(emptyDocs, "text"), 1.0).count() == 0)
+
+    val emptyVocab = Vocab.induce(emptyDocs, "text", 8)
+    assert(emptyVocab.count() == 0)
+    // everything is OOV against an empty vocab; packing still keeps order
+    val enc = Vocab.encode(oneDoc, "doc_id", "text", emptyVocab).collect()
+    assert(enc.length == 3 && enc.forall(_.getLong(2) == -1L))
+    val packed = Vocab.encodePacked(oneDoc, "doc_id", "text", emptyVocab)
+      .collect()
+    assert(packed.length == 1
+      && packed(0).getSeq[Long](1) == Seq(-1L, -1L, -1L))
+    assert(Vocab.encode(emptyDocs, "doc_id", "text", emptyVocab).count() == 0)
+
+    // empty batch through the embedder contract
+    assert(graft.search.LinearModelEmbedder(2, 4,
+      Array.fill(8)(0.5f)).embedBatch(Seq.empty).isEmpty)
+  }
 }
