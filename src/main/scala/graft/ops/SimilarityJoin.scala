@@ -201,6 +201,41 @@ final class AnnIndex private (
       .orderBy(col("cos_dist").asc_nulls_last, col(idCol).asc)
       .limit(k)
   }
+
+  /** Batched IVF probe: ONE pass over the index serving a whole
+    * query-vector table — the offline-batch shape (embed a day's queries,
+    * answer them all in a single job). Per-query centroid ranking windows
+    * over the tiny (queries × centroids) broadcast product; each index row
+    * then joins ONLY the queries probing its bucket, and per-query top-k
+    * runs through the bounded-heap aggregate ([[graft.functions.TopKByScore]])
+    * — each partition ships at most k rows per query to the shuffle, never
+    * the full (query × candidate) distance table. Output:
+    * `(qidCol, rank, idCol, cos_dist)`, rank 1-based by (dist asc, id asc).
+    */
+  def probeTopKBatch(queries: DataFrame, qidCol: String, qvecCol: String,
+      k: Int, nprobe: Int = 4): DataFrame = {
+    val q = broadcast(queries.select(col(qidCol).cast("long").as("__qid"),
+      col(qvecCol).as("__qvec")))
+    val w = Window.partitionBy(col("__qid"))
+      .orderBy(col("__d").asc_nulls_last, col("__cid").asc)
+    val probed = centroids.crossJoin(q)
+      .select(col("__qid"), col("__cid"),
+        array_cosine_distance(col("__cvec"), col("__qvec")).as("__d"))
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= nprobe)
+      .select(col("__qid"), col("__cid").as("__probe_cid"))
+    assigned
+      .join(broadcast(probed.join(q, Seq("__qid"))),
+        col("__centroid") === col("__probe_cid"))
+      .select(col("__qid"), struct(
+        array_cosine_distance(col(vecCol), col("__qvec")).as("score"),
+        col(idCol).cast("long").as("id")).as("__sv"))
+      .groupBy(col("__qid"))
+      .agg(graft.functions.topk_by_score(col("__sv"), k).as("__hits"))
+      .select(col("__qid"), posexplode(col("__hits")))
+      .select(col("__qid").as(qidCol), (col("pos") + 1).cast("long").as("rank"),
+        col("col.id").as(idCol), col("col.score").as("cos_dist"))
+  }
 }
 
 object AnnIndex {

@@ -313,6 +313,19 @@ object NorthStarQueries {
         .probeTopK(qvec, 10, nprobe = 4)
     },
 
+    // batched IVF probe: one index pass answers a query TABLE (the
+    // offline-batch shape). Per-query bucket routing + the bounded-heap
+    // top-k aggregate — each partition ships <= k rows per query to the
+    // shuffle; the (query x candidate) distance table never materializes.
+    "ann_batch_topk" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.where(col("vec_id").isin(1L, 2L, 3L))
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      AnnIndex.build(emb, "vec_id", "embedding", stride = 64)
+        .probeTopKBatch(queries, "qid", "qvec", 10, nprobe = 4)
+        .transform(sortedSingle(_, col("qid"), col("rank")))
+    },
+
     // AnnProbeRule under the oracle gate (VERDICT r5 task 5): the query is
     // written as BRUTE-FORCE top-k (select distance, order asc, limit 10)
     // over the registered embeddings relation with
@@ -1382,6 +1395,44 @@ object NorthStarQueries {
     // probe's answer (the rule spliced the probe plan in — asserted at
     // registration); sharing the probe oracle is exactly the proof
     "ann_autoprobe_topk" -> annIvfOracle,
+    // the batched probe replayed per query: same centroid choice and
+    // assignment as annIvfOracle, ranking and top-k partitioned by qid
+    "ann_batch_topk" ->
+      """WITH cents AS (
+        |  SELECT vec_id AS cid, embedding FROM embeddings WHERE vec_id % 64 = 0),
+        |q AS (SELECT vec_id AS qid, embedding::DOUBLE[64] AS v
+        |      FROM embeddings WHERE vec_id IN (1, 2, 3)),
+        |probed AS (
+        |  SELECT qid, cid FROM (
+        |    SELECT q.qid, c.cid,
+        |           row_number() OVER (PARTITION BY q.qid ORDER BY
+        |             1 - array_cosine_similarity(c.embedding::DOUBLE[64], q.v)
+        |               ASC NULLS LAST,
+        |             c.cid ASC) AS rn
+        |    FROM cents c CROSS JOIN q) WHERE rn <= 4),
+        |assign AS (
+        |  SELECT vec_id, centroid FROM (
+        |    SELECT e.vec_id, c.cid AS centroid,
+        |           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |             1 - array_cosine_similarity(e.embedding::DOUBLE[64],
+        |                 c.embedding::DOUBLE[64]) ASC,
+        |             c.cid ASC) AS rn
+        |    FROM embeddings e CROSS JOIN cents c) WHERE rn = 1),
+        |hits AS (
+        |  SELECT q.qid,
+        |         e.vec_id,
+        |         1 - array_cosine_similarity(e.embedding::DOUBLE[64], q.v) AS cos_dist,
+        |         row_number() OVER (PARTITION BY q.qid ORDER BY
+        |           1 - array_cosine_similarity(e.embedding::DOUBLE[64], q.v)
+        |             ASC NULLS LAST,
+        |           e.vec_id ASC) AS rnk
+        |  FROM embeddings e
+        |  JOIN assign a ON e.vec_id = a.vec_id
+        |  JOIN probed p ON a.centroid = p.cid
+        |  JOIN q ON q.qid = p.qid)
+        |SELECT qid, CAST(rnk AS BIGINT) AS rank, vec_id, cos_dist
+        |FROM hits WHERE rnk <= 10
+        |ORDER BY qid, rank""".stripMargin,
     // materialize(half) + appendToMaterialized(other half) yields the exact
     // assignment of materializing the full corpus (centroids are the same
     // stride sample either way), so the incremental path shares the oracle

@@ -126,6 +126,25 @@ class AnnIndexSpec extends SparkTestBase {
       AnnIndex.fromMaterialized(emb, "vec_id", "embedding", 32, path)
     }
   }
+
+  test("probeTopKBatch equals per-query probeTopK for every query in the batch") {
+    val idx = AnnIndex.build(emb, "vec_id", "embedding", stride = 64)
+    val qids = Seq(1L, 5L, 9L)
+    val queries = emb.where(col("vec_id").isin(qids: _*))
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val batch = idx.probeTopKBatch(queries, "qid", "qvec", 10, nprobe = 4)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .groupBy(_._1)
+    for (qid <- qids) {
+      val single = idx.probeTopK(qvec(qid), 10, nprobe = 4)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val got = batch(qid).sortBy(_._2).map(t => (t._3, t._4)).toSeq
+      assert(got == single, s"qid $qid: batch != single-query probe")
+      // ranks are 1-based and dense
+      assert(batch(qid).map(_._2).sorted.toSeq == (1L to single.length))
+    }
+  }
 }
 
 /** sim_join_lsh's documented check (it has no SQL oracle: the hyperplane
