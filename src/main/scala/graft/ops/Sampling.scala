@@ -73,4 +73,22 @@ object Sampling {
     }
     df.where(b < threshold)
   }
+
+  /** EXACTLY k rows per stratum (fewer if the stratum is smaller) — the
+    * eval-set / few-shot-pool construction step, where a fractional sample
+    * can't promise per-group counts. Deterministic: rows rank within their
+    * stratum by (md5(key), key) — a retry, re-run, or another engine picks
+    * the SAME k. The window partitions by stratum, so no global sort and no
+    * single-task window; a hot stratum costs one partition's sort of that
+    * stratum only (k is not a skew lever — the sort is over the stratum
+    * either way; salt the stratum first if one group alone exceeds a task).
+    */
+  def kPerGroup(df: DataFrame, stratum: Column, key: Column, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(stratum)
+      .orderBy(md5(key.cast("string")).asc, key.asc)
+    df.withColumn("__graft_rank", row_number().over(w))
+      .where(col("__graft_rank") <= k)
+      .drop("__graft_rank")
+  }
 }

@@ -599,6 +599,35 @@ object NorthStarQueries {
         .limit(10)
     },
 
+    // two-stage retrieval (the SCANN/FAISS production shape): stage 1 ranks
+    // the WHOLE corpus on cheap int8-code distances (4x smaller scan at
+    // rest) and keeps 100 candidates; stage 2 reranks only those 100 at
+    // full float precision (broadcast semi-join + TakeOrdered). At 100 TB
+    // the float embeddings are read for 100 rows instead of the corpus —
+    // recall comes from stage-1 overfetch (100 >> 10), exactness of the
+    // final ordering from stage 2. Both stages replay in SQL: quantization
+    // is IEEE/HALF_UP-identical and tie-breaks are pinned, so even the
+    // candidate-set boundary is deterministic.
+    "quantized_rerank_topk" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      val qv = emb.where(col("vec_id") === 0).select(col("e"))
+        .head().getSeq[Double](0).toArray
+      val qcode = graft.ops.Quantize.codesLocal(qv)
+      val cands = emb.select(col("vec_id"),
+          graft.ops.Quantize.cosineDistance(
+            graft.ops.Quantize.codes(col("e")), typedLit(qcode)).as("q_dist"))
+        .orderBy(col("q_dist").asc_nulls_last, col("vec_id").asc)
+        .limit(100)
+        .select(col("vec_id").as("cand_id"))
+      emb.join(broadcast(cands), col("vec_id") === col("cand_id"), "left_semi")
+        .select(col("vec_id"),
+          graft.functions.array_cosine_distance(
+            col("e"), typedLit(qv.toSeq)).as("cos_dist"))
+        .orderBy(col("cos_dist").asc_nulls_last, col("vec_id").asc)
+        .limit(10)
+    },
+
     // deterministic 10% hash sample (graft.ops.Sampling): membership from
     // the row key's md5, reproducible across engines/retries — never rand()
     "sample_docs" -> { (s, dir) =>
@@ -606,6 +635,18 @@ object NorthStarQueries {
           t(s, dir, "documents"), col("doc_id"), buckets = 100, lo = 0, hi = 10)
         .select("doc_id", "lang", "n_chars")
         .transform(sortedSingle(_, col("doc_id")))
+    },
+
+    // exactly-k-per-stratum sampling (Sampling.kPerGroup): eval-set /
+    // few-shot-pool construction — a fractional sample can't promise
+    // per-group counts. Rank within stratum by (md5(key), key): any retry
+    // or engine picks the same k; the window partitions by stratum so
+    // nothing global sorts.
+    "sample_k_per_group" -> { (s, dir) =>
+      graft.ops.Sampling.kPerGroup(
+          t(s, dir, "documents"), col("lang"), col("doc_id"), k = 5)
+        .select("doc_id", "lang")
+        .transform(sortedSingle(_, col("lang"), col("doc_id")))
     },
 
     // deterministic corpus shuffle (Sampling.shuffled): training-order
@@ -1368,10 +1409,40 @@ object NorthStarQueries {
         |                    sqrt(array_inner_product((SELECT q FROM qv), (SELECT q FROM qv))))
         |       END AS q_dist
         |FROM qc ORDER BY q_dist ASC NULLS LAST, vec_id ASC LIMIT 10""".stripMargin,
+    // stage-1 quantized candidates (identical arithmetic to quantized_topk)
+    // then full-precision rerank of exactly those 100
+    "quantized_rerank_topk" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[64] AS v FROM embeddings),
+        |m AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS mx FROM e),
+        |qc AS (SELECT vec_id,
+        |         list_transform(v, x -> round(x * (CASE WHEN mx > 0 THEN 127.0/mx ELSE 1.0 END)))::DOUBLE[64] AS q
+        |       FROM m),
+        |qv AS (SELECT q FROM qc WHERE vec_id = 0),
+        |cand AS (
+        |  SELECT vec_id,
+        |         CASE WHEN sqrt(array_inner_product(q, q)) *
+        |                   sqrt(array_inner_product((SELECT q FROM qv), (SELECT q FROM qv))) > 0
+        |              THEN 1.0 - array_inner_product(q, (SELECT q FROM qv))
+        |                   / (sqrt(array_inner_product(q, q)) *
+        |                      sqrt(array_inner_product((SELECT q FROM qv), (SELECT q FROM qv))))
+        |         END AS q_dist
+        |  FROM qc ORDER BY q_dist ASC NULLS LAST, vec_id ASC LIMIT 100),
+        |fq AS (SELECT v FROM e WHERE vec_id = 0)
+        |SELECT e.vec_id,
+        |       1 - array_cosine_similarity(e.v, (SELECT v FROM fq)) AS cos_dist
+        |FROM e JOIN cand c ON e.vec_id = c.vec_id
+        |ORDER BY cos_dist ASC NULLS LAST, e.vec_id ASC LIMIT 10""".stripMargin,
     "sample_docs" ->
       """SELECT doc_id, lang, n_chars FROM documents
         |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 10
         |ORDER BY doc_id""".stripMargin,
+    "sample_k_per_group" ->
+      """SELECT doc_id, lang FROM (
+        |  SELECT doc_id, lang,
+        |         row_number() OVER (PARTITION BY lang
+        |           ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS rn
+        |  FROM documents) WHERE rn <= 5
+        |ORDER BY lang, doc_id""".stripMargin,
     "stratified_sample" ->
       """SELECT doc_id, lang FROM documents
         |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 <

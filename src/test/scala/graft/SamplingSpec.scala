@@ -70,6 +70,28 @@ class SamplingSpec extends SparkTestBase {
       Sampling.hashBucket(col("id"), 0)
     }
   }
+
+  test("kPerGroup takes exactly k per stratum, deterministically") {
+    val sp = SparkTestBase.spark
+    import sp.implicits._
+    val df = (0L until 300L).map(i => (i, s"g${i % 3}"))
+      .toDF("id", "grp")
+    val a = Sampling.kPerGroup(df, col("grp"), col("id"), 7)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(a.size == 21 && a.groupBy(_._2).forall(_._2.size == 7))
+    // re-evaluation picks the same rows (no rand())
+    val b = Sampling.kPerGroup(df, col("grp"), col("id"), 7)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(a == b)
+    // a 2-row stratum yields 2 rows, not an error
+    val tiny = Seq((1L, "x"), (2L, "x"), (3L, "y")).toDF("id", "grp")
+    assert(Sampling.kPerGroup(tiny, col("grp"), col("id"), 5).count() == 3)
+    // k rows are a subset of k+1 rows (prefix property of the ranking)
+    val k7 = a.map(_._1)
+    val k8 = Sampling.kPerGroup(df, col("grp"), col("id"), 8)
+      .collect().map(_.getLong(0)).toSet
+    assert(k7.subsetOf(k8))
+  }
 }
 
 /** Token chunking: windows cover every token, overlap by size-stride, and
