@@ -80,6 +80,21 @@ object RelationalQueries {
         .transform(sortedSingle(_, col("l_returnflag")))
     },
 
+    // one-pass data profiling (ops/Profile): counts / nulls / ranges /
+    // exact distincts for three columns in ONE aggregate (the multi-
+    // count(DISTINCT) Expand pass), plus a fixed-range histogram — the
+    // corpus-QA stage, all integer-or-IEEE-exact
+    "profile_orders" -> { (s, dir) =>
+      graft.ops.Profile.numeric(t(s, dir, "orders"),
+          Seq("o_totalprice", "o_custkey", "o_orderkey"))
+        .transform(sortedSingle(_, col("column")))
+    },
+    "histogram_orders" -> { (s, dir) =>
+      graft.ops.Profile.histogram(t(s, dir, "orders"),
+          col("o_totalprice"), lo = 0.0, hi = 600000.0, buckets = 12)
+        .transform(sortedSingle(_, col("bucket")))
+    },
+
     // exact interpolated percentiles per order priority. Exact tier is safe
     // here because priorities are a 5-value dimension with bounded groups;
     // unbounded groups must use Percentiles.approx (bounded sketch memory —
@@ -443,6 +458,32 @@ object RelationalQueries {
         |       sum_qty / n AS mean_qty,
         |       (sumsq_qty - sum_qty * sum_qty / n) / (n - 1) AS var_qty
         |FROM m ORDER BY l_returnflag""".stripMargin,
+    "profile_orders" ->
+      """SELECT 'o_custkey' AS "column", count(*)::BIGINT AS n,
+        |       (count(*) - count(o_custkey))::BIGINT AS n_null,
+        |       CAST(min(o_custkey) AS DOUBLE) AS min,
+        |       CAST(max(o_custkey) AS DOUBLE) AS max,
+        |       count(DISTINCT o_custkey)::BIGINT AS n_distinct
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_orderkey', count(*), count(*) - count(o_orderkey),
+        |       CAST(min(o_orderkey) AS DOUBLE), CAST(max(o_orderkey) AS DOUBLE),
+        |       count(DISTINCT o_orderkey)
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_totalprice', count(*), count(*) - count(o_totalprice),
+        |       min(o_totalprice), max(o_totalprice),
+        |       count(DISTINCT o_totalprice)
+        |FROM orders
+        |ORDER BY "column" """.stripMargin,
+    "histogram_orders" ->
+      """SELECT CASE WHEN raw < 0 THEN -1
+        |            WHEN raw >= 12 THEN 12
+        |            ELSE CAST(raw AS BIGINT) END AS bucket,
+        |       count(*)::BIGINT AS n
+        |FROM (SELECT floor((o_totalprice - 0.0) * 12.0 / 600000.0) AS raw
+        |      FROM orders WHERE o_totalprice IS NOT NULL)
+        |GROUP BY 1 ORDER BY bucket""".stripMargin,
     "orders_percentiles" ->
       """SELECT o_orderpriority,
         |       round(quantile_cont(o_totalprice, 0.5), 6) AS p50,
