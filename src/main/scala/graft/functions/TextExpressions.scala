@@ -180,3 +180,40 @@ object MaxEqualRun {
     best
   }
 }
+
+/** Unicode NFC normalization — the canonicalization step of corpus text
+  * cleaning (decomposed e + U+0301 and precomposed é must dedup, tokenize,
+  * and fingerprint identically). Spark has no built-in; this wraps the
+  * JDK's `java.text.Normalizer` (the same Unicode NFC DuckDB exposes as
+  * `nfc_normalize`, so the oracle replicates it directly). Codegen'd; the
+  * already-normalized fast path (the overwhelming majority of real text)
+  * allocates nothing beyond the isNormalized scan.
+  */
+case class NfcNormalize(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "nfc_normalize"
+
+  override def nullSafeEval(v: Any): Any =
+    NfcNormalize.compute(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.NfcNormalize.compute($c)")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object NfcNormalize {
+  def compute(s: UTF8String): UTF8String = {
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+  }
+}

@@ -50,6 +50,9 @@ package object functions {
   /** Codegen'd most-frequent-element count (sorts internally). */
   def max_equal_run(arr: Column): Column = col(MaxEqualRun(ex(arr)))
 
+  /** Unicode NFC normalization (JDK Normalizer); see [[NfcNormalize]]. */
+  def nfc_normalize(text: Column): Column = col(NfcNormalize(ex(text)))
+
   /** Bounded top-k heap over `struct(score double, id long)`; see
     * [[TopKByScore]]. Map-side combining: each partition ships at most k
     * rows per group to the shuffle.
@@ -117,6 +120,7 @@ package object functions {
     unaryBuilder("array_l2_norm", L2Norm.apply),
     unaryBuilder("array_int8_codes", Int8Codes.apply),
     unaryBuilder("simhash", SimHash.apply),
+    unaryBuilder("nfc_normalize", NfcNormalize.apply),
     {
       val builder: Seq[Expression] => Expression = {
         case Seq(sv, org.apache.spark.sql.catalyst.expressions.Literal(k: Int, _)) =>

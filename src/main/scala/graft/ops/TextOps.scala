@@ -72,6 +72,22 @@ object TextOps {
     coalesce(graft.functions.word_ngrams(tokens(text), n),
       array().cast("array<string>"))
 
+  /** Canonical text normalization — the cleaning step that PRECEDES every
+    * dedup/tokenize/fingerprint stage (decomposed and precomposed accents
+    * must hash identically; stray control bytes must not split tokens).
+    * Order pinned, each step engine-replicable (DuckDB: regexp_replace with
+    * 'g' + nfc_normalize + lower):
+    * 1. control bytes ([\x00-\x1f\x7f]) → space;
+    * 2. Unicode NFC ([[graft.functions.nfc_normalize]]);
+    * 3. lowercase; 4. collapse runs of spaces; 5. trim.
+    * A pure scan projection — zero shuffles, stays in codegen.
+    */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(
+      lower(graft.functions.nfc_normalize(
+        regexp_replace(text, "[\\x00-\\x1f\\x7f]", " "))),
+      " +", " "))
+
   /** BPE-ish sub-word token estimate: alphanumeric runs + individual
     * non-space symbol characters (lookaround-free so the DuckDB/RE2 oracle
     * can replicate it exactly).

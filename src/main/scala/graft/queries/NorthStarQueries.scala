@@ -637,6 +637,22 @@ object NorthStarQueries {
         .transform(sortedSingle(_, col("doc_id")))
     },
 
+    // canonical text normalization (TextOps.normalizeText): control bytes →
+    // space, Unicode NFC (custom codegen'd expression — Spark has none),
+    // lowercase, space collapse, trim. The corpus is clean ASCII, so the
+    // fixture salts each doc with a deterministic messy suffix (tab, a
+    // DECOMPOSED e+U+0301 that NFC must compose to é, double spaces, a BEL
+    // control byte) — the oracle builds the same bytes with chr() and
+    // replays the chain through DuckDB's own nfc_normalize.
+    "normalize_docs" -> { (s, dir) =>
+      val messy = concat(col("text"),
+        lit("\tCafe\u0301  X\u0007Y del "), col("doc_id").cast("string"))
+      docs(s, dir).filter(col("text").isNotNull)
+        .select(col("doc_id"), TextOps.normalizeText(messy).as("norm_text"),
+          length(TextOps.normalizeText(messy)).cast("long").as("norm_len"))
+        .transform(sortedSingle(_, col("doc_id")))
+    },
+
     // exactly-k-per-stratum sampling (Sampling.kPerGroup): eval-set /
     // few-shot-pool construction — a fractional sample can't promise
     // per-group counts. Rank within stratum by (md5(key), key): any retry
@@ -1436,6 +1452,20 @@ object NorthStarQueries {
       """SELECT doc_id, lang, n_chars FROM documents
         |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 10
         |ORDER BY doc_id""".stripMargin,
+    "normalize_docs" ->
+      """WITH raw AS (
+        |  SELECT doc_id,
+        |         text || chr(9) || 'Cafe' || chr(769) || '  X' || chr(7)
+        |              || 'Y del ' || CAST(doc_id AS VARCHAR) AS t
+        |  FROM documents WHERE text IS NOT NULL),
+        |n AS (
+        |  SELECT doc_id,
+        |         trim(regexp_replace(lower(nfc_normalize(
+        |           regexp_replace(t, '[\x00-\x1f\x7f]', ' ', 'g'))),
+        |           ' +', ' ', 'g')) AS norm_text
+        |  FROM raw)
+        |SELECT doc_id, norm_text, CAST(length(norm_text) AS BIGINT) AS norm_len
+        |FROM n ORDER BY doc_id""".stripMargin,
     "sample_k_per_group" ->
       """SELECT doc_id, lang FROM (
         |  SELECT doc_id, lang,

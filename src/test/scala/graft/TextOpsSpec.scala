@@ -12,6 +12,22 @@ class TextOpsSpec extends SparkTestBase {
     Seq(text).toDF("text").select(c).head()
   }
 
+  test("normalizeText: NFC composes accents, controls die, case and spaces fold") {
+    val decomposed = "Cafe\u0301"  // e + COMBINING ACUTE
+    val got = one(graft.ops.TextOps.normalizeText(col("text")),
+      s"\tHELLO  $decomposed\u0007World ").getString(0)
+    assert(got == "hello caf\u00e9 world")
+    // already-normalized text is untouched (the fast path)
+    assert(one(graft.ops.TextOps.normalizeText(col("text")), "plain text")
+      .getString(0) == "plain text")
+    // null-safe
+    val sp = spark
+    import sp.implicits._
+    val r = Seq[(String, Int)]((null, 0)).toDF("text", "x")
+      .select(graft.ops.TextOps.normalizeText(col("text"))).head()
+    assert(r.isNullAt(0))
+  }
+
   test("wordNGrams produces size-n+1 shingles; short text yields empty") {
     val sp = spark
     import sp.implicits._
