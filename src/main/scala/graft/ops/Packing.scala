@@ -50,4 +50,27 @@ object Packing {
       .select(col(idCol), col("n_tokens"), col("start_offset"),
         col("first_bin"), col("last_bin"))
   }
+
+  /** Assemble the training stream itself: route every encoded token to its
+    * `(seq_id, pos_in_seq)` slot from the document's global
+    * [[sequenceOffsets]] offset — the last step of text → tensor, with
+    * documents crossing sequence boundaries exactly as GPT-style packing
+    * wants. `encoded` is the exploded `(idCol, pos, token_id)` form
+    * ([[Vocab.encode]]); `offsets` is [[sequenceOffsets]]' output for the
+    * SAME documents and ordering. The join is doc-keyed (both sides hash-
+    * partition on `idCol`) and everything after is pure integer arithmetic
+    * in the projection — no window, no sort, no skew lever beyond the join
+    * itself.
+    */
+  def packTokens(encoded: DataFrame, idCol: String, binSize: Int,
+      offsets: DataFrame): DataFrame = {
+    require(binSize > 0, s"binSize must be positive: $binSize")
+    encoded
+      .join(offsets.select(col(idCol), col("start_offset")), Seq(idCol))
+      .withColumn("__gpos", col("start_offset") + col("pos"))
+      .select(
+        expr(s"__gpos DIV $binSize").as("seq_id"),
+        pmod(col("__gpos"), lit(binSize.toLong)).as("pos_in_seq"),
+        col("token_id"))
+  }
 }

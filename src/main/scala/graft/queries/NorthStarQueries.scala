@@ -637,6 +637,24 @@ object NorthStarQueries {
         .transform(sortedSingle(_, col("doc_id")))
     },
 
+    // text → tensor END TO END: induce a vocab, encode docs to ids, compute
+    // scalable global offsets (Packing.sequenceOffsets — the parallel
+    // prefix sum), and route every token to its (seq_id, pos_in_seq) slot
+    // with docs crossing sequence boundaries (GPT-style packing). Every
+    // stage is the oracle-gated operator it names; this query proves the
+    // COMPOSITION is exact too.
+    "training_sequences" -> { (s, dir) =>
+      import graft.ops.{Packing, Vocab}
+      val d = docs(s, dir).filter(col("text").isNotNull)
+      val forty = d.where(col("doc_id") < 40)
+      val v = Vocab.induce(d, "text", 64)
+      val enc = Vocab.encode(forty, "doc_id", "text", v)
+      val offs = Packing.sequenceOffsets(forty, "doc_id",
+        TextOps.tokenCount(col("text")), binSize = 128)
+      Packing.packTokens(enc, "doc_id", 128, offs)
+        .transform(sortedSingle(_, col("seq_id"), col("pos_in_seq")))
+    },
+
     // canonical text normalization (TextOps.normalizeText): control bytes →
     // space, Unicode NFC (custom codegen'd expression — Spark has none),
     // lowercase, space collapse, trim. The corpus is clean ASCII, so the
@@ -1452,11 +1470,38 @@ object NorthStarQueries {
       """SELECT doc_id, lang, n_chars FROM documents
         |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 10
         |ORDER BY doc_id""".stripMargin,
+    // the composed pipeline replayed: same tok/voc as vocab_encode, doc
+    // offsets as a cumulative sum (fine at oracle scale; Spark's side is
+    // the scalable prefix sum), integer div/mod routing
+    "training_sequences" ->
+      """WITH tok AS (
+        |  SELECT doc_id, i AS pos, t[i+1] AS token
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS t
+        |        FROM documents WHERE text IS NOT NULL) d
+        |  CROSS JOIN (SELECT unnest(range(0, 4096)) AS i)
+        |  WHERE i < len(t)),
+        |cnt AS (SELECT token, count(*)::BIGINT AS tok_cnt FROM tok GROUP BY token),
+        |voc AS (SELECT token,
+        |               row_number() OVER (ORDER BY tok_cnt DESC, token ASC) - 1 AS token_id
+        |        FROM cnt ORDER BY tok_cnt DESC, token ASC LIMIT 64),
+        |lens AS (SELECT doc_id, len(string_split(text, ' ')) AS n
+        |         FROM documents WHERE text IS NOT NULL AND doc_id < 40),
+        |offs AS (SELECT doc_id,
+        |                coalesce(sum(n) OVER (ORDER BY doc_id
+        |                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_offset
+        |         FROM lens)
+        |SELECT CAST((o.start_offset + s.pos) // 128 AS BIGINT) AS seq_id,
+        |       CAST((o.start_offset + s.pos) % 128 AS BIGINT) AS pos_in_seq,
+        |       CAST(coalesce(v.token_id, -1) AS BIGINT) AS token_id
+        |FROM tok s
+        |JOIN offs o USING (doc_id)
+        |LEFT JOIN voc v USING (token)
+        |ORDER BY seq_id, pos_in_seq""".stripMargin,
     "normalize_docs" ->
       """WITH raw AS (
         |  SELECT doc_id,
-        |         text || chr(9) || 'Cafe' || chr(769) || '  X' || chr(7)
-        |              || 'Y del ' || CAST(doc_id AS VARCHAR) AS t
+        |         text || chr(9) || 'Cafe' || chr(769) || '  X' || chr(7) ||
+        |         'Y del ' || CAST(doc_id AS VARCHAR) AS t
         |  FROM documents WHERE text IS NOT NULL),
         |n AS (
         |  SELECT doc_id,

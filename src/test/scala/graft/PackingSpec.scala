@@ -58,4 +58,28 @@ class PackingSpec extends SparkTestBase {
       .findAllMatchIn(plan).map(_.group(1)).toSeq
     assert(windowSpecs.exists(_.contains("__pid")), plan)
   }
+
+  test("packTokens routes every token to a dense gap-free slot; docs cross bins") {
+    val sp = spark
+    import sp.implicits._
+    // docs of 3, 4, 2 tokens; binSize 4 -> stream 0..8 over bins 0,1,2
+    val toks = Seq(
+      (0L, 0L, 10L), (0L, 1L, 11L), (0L, 2L, 12L),
+      (1L, 0L, 20L), (1L, 1L, 21L), (1L, 2L, 22L), (1L, 3L, 23L),
+      (2L, 0L, 30L), (2L, 1L, 31L)
+    ).toDF("id", "pos", "token_id")
+    val offs = Packing.sequenceOffsets(
+      Seq((0L, "a b c"), (1L, "d e f g"), (2L, "h i")).toDF("id", "text"),
+      "id", size(split(col("text"), " ")), binSize = 4)
+    val got = Packing.packTokens(toks, "id", 4, offs)
+      .orderBy("seq_id", "pos_in_seq").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq(
+      (0L, 0L, 10L), (0L, 1L, 11L), (0L, 2L, 12L), (0L, 3L, 20L), // doc 1 starts mid-bin
+      (1L, 0L, 21L), (1L, 1L, 22L), (1L, 2L, 23L), (1L, 3L, 30L), // doc 2 crosses too
+      (2L, 0L, 31L)))
+    // slot coverage is dense and gap-free: global positions 0..8
+    val gpos = got.map { case (s, p, _) => s * 4 + p }
+    assert(gpos == (0L until 9L))
+  }
 }
