@@ -66,6 +66,19 @@ object GraftSession {
     */
   def prepare(spark: SparkSession): SparkSession = {
     functions.registerAll(spark)
+    attachAnnProbeRule(spark)
     tuneForSmallFiles(spark)
   }
+
+  /** Attach the opt-in ANN plan-substitution rule to a session built
+    * WITHOUT `GraftExtensions` (the extensions path injects it at build
+    * time; a foreign session only has the public experimental hook).
+    * Idempotent, and inert until `spark.graft.ann.autoProbe=true` AND an
+    * index is registered — same double gate as the extensions path.
+    */
+  def attachAnnProbeRule(spark: SparkSession): Unit =
+    if (!spark.experimental.extraOptimizations
+        .exists(_.isInstanceOf[graft.plans.AnnProbeRule]))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.AnnProbeRule(spark)
 }

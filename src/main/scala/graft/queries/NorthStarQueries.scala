@@ -335,13 +335,11 @@ object NorthStarQueries {
     // optimized plan) so a silently-unmatched shape fails loudly here
     // instead of passing as brute force.
     "ann_autoprobe_topk" -> { (s, dir) =>
-      import graft.plans.{AnnCatalog, AnnProbeRule}
+      import graft.plans.AnnCatalog
       // sessions built by GraftSession.builder get the rule via
       // GraftExtensions; a driver-made session (Verify/Bench) gets it here
       // through the public experimental hook — idempotent, still conf-gated
-      if (!s.experimental.extraOptimizations.exists(_.isInstanceOf[AnnProbeRule]))
-        s.experimental.extraOptimizations =
-          s.experimental.extraOptimizations :+ AnnProbeRule(s)
+      graft.GraftSession.attachAnnProbeRule(s)
       val emb = t(s, dir, "embeddings")
       val qvec = emb.where(col("vec_id") === 1).select(col("embedding"))
         .head().getSeq[Float](0).map(_.toDouble).toArray
