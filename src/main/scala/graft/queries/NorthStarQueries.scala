@@ -146,6 +146,19 @@ object NorthStarQueries {
         .transform(sortedSingle(_, col("doc_id")))
     },
 
+    // cluster-size distribution — the dedup QA view ("how big are my
+    // near-dup families?"): components -> per-cluster count -> size
+    // histogram. Two tiny aggregates after the (already-gated) clustering;
+    // at scale both group on compact longs.
+    "dedup_cluster_sizes" -> { (s, dir) =>
+      val pairs = Dedup.jaccardJoin(docsWithShingles(s, dir), "doc_id", "sh", JaccardTau)
+        .select("a", "b")
+      Dedup.components(pairs, "doc_id")
+        .groupBy(col("component")).agg(count(lit(1)).as("cluster_size"))
+        .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
+        .transform(sortedSingle(_, col("cluster_size")))
+    },
+
     // incremental dedup: new batch (odd doc ids) deduped AGAINST the
     // existing corpus (even ids) — cross-side inverted-index Jaccard join,
     // never a corpus self-join. The shape of "dedup today's crawl against
@@ -1155,6 +1168,23 @@ object NorthStarQueries {
          |  FROM reach JOIN edges e ON e.src = reach.id)
          |SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS component
          |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+    "dedup_cluster_sizes" ->
+      s"""WITH RECURSIVE pairs AS ($JaccardPairsSql),
+         |edges AS (
+         |  SELECT a AS src, b AS dst FROM pairs
+         |  UNION
+         |  SELECT b AS src, a AS dst FROM pairs),
+         |nodes AS (SELECT DISTINCT src AS id FROM edges),
+         |reach(id, r) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT e.dst AS id, reach.r AS r
+         |  FROM reach JOIN edges e ON e.src = reach.id),
+         |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+         |sizes AS (SELECT component, count(*)::BIGINT AS cluster_size
+         |          FROM comp GROUP BY component)
+         |SELECT cluster_size, count(*)::BIGINT AS n_clusters
+         |FROM sizes GROUP BY cluster_size ORDER BY cluster_size""".stripMargin,
     "simhash_pairs" -> simhashOracle,
     "media_pipeline" -> mediaPipelineOracle,
     "image_dhash" -> dhashOracle,
