@@ -137,4 +137,22 @@ class EmptyInputsSpec extends SparkTestBase {
     assert(graft.search.LinearModelEmbedder(2, 4,
       Array.fill(8)(0.5f)).embedBatch(Seq.empty).isEmpty)
   }
+
+  test("batched ANN probe, profiling, and packing on empty input") {
+    val someVecs = Seq((0L, Seq(1.0, 0.0)), (64L, Seq(0.0, 1.0)))
+      .toDF("id", "vec")
+    val idx = graft.ops.AnnIndex.build(someVecs, "id", "vec", stride = 64)
+    val noQueries = Seq.empty[(Long, Seq[Double])].toDF("qid", "qvec")
+    assert(idx.probeTopKBatch(noQueries, "qid", "qvec", 5).count() == 0)
+
+    assert(Profile.histogram(emptyDocs, col("doc_id"), 0.0, 10.0, 4)
+      .count() == 0)
+    val p = Profile.numeric(emptyDocs, Seq("doc_id")).collect()
+    assert(p.length == 1 && p(0).getLong(1) == 0) // one all-zero stats row
+
+    val noToks = Seq.empty[(Long, Long, Long)].toDF("id", "pos", "token_id")
+    val noOffs = Packing.sequenceOffsets(
+      Seq.empty[(Long, Long)].toDF("id", "n"), "id", col("n"), binSize = 8)
+    assert(Packing.packTokens(noToks, "id", 8, noOffs).count() == 0)
+  }
 }
