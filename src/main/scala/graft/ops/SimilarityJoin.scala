@@ -211,6 +211,11 @@ final class AnnIndex private (
     * — each partition ships at most k rows per query to the shuffle, never
     * the full (query × candidate) distance table. Output:
     * `(qidCol, rank, idCol, cos_dist)`, rank 1-based by (dist asc, id asc).
+    *
+    * The query table is broadcast twice, so it must be broadcast-sized
+    * (10^4-10^6 query vectors — a day's batch — fits executor memory;
+    * beyond that, shard the query table and union the outputs: the index
+    * side is re-scanned per shard but never re-built).
     */
   def probeTopKBatch(queries: DataFrame, qidCol: String, qvecCol: String,
       k: Int, nprobe: Int = 4): DataFrame = {
