@@ -46,14 +46,22 @@ object LanguageModel {
     * n_bigrams` (null for docs with < 2 tokens). Rare/garbled text scores
     * low, natural corpus-like text scores high — the same decision boundary
     * perplexity filtering draws, in exact arithmetic.
+    *
+    * The count-table join is LEFT: a bigram the training corpus has never
+    * seen contributes 0 to `fit_sum` but still counts in `n_bigrams`, so a
+    * new batch scored against an existing table (the incremental shape)
+    * ranks all-garbage docs near 0 instead of returning them null-scored
+    * as "unjudged". (Self-scoring is unaffected — every bigram matches by
+    * construction.)
     */
   def scoreDocs(docs: DataFrame, idCol: String, textCol: String,
       bigrams: DataFrame): DataFrame = {
     val perGram = docs
       .select(col(idCol), explode(TextOps.wordNGrams(col(textCol), 2)).as("gram"))
-      .join(bigrams, Seq("gram"))
+      .join(bigrams, Seq("gram"), "left")
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_bigrams"), sum(col("gram_cnt")).as("fit_sum"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(coalesce(col("gram_cnt"), lit(0L))).as("fit_sum"))
     // docs with < 2 tokens have no bigram rows — keep them, null-scored
     // (an inner join would silently drop them from the filter's view)
     docs.select(col(idCol)).distinct()

@@ -1427,8 +1427,8 @@ object NorthStarQueries {
         |  FROM documents WHERE text IS NOT NULL),
         |cnt AS (SELECT gram, count(*)::BIGINT AS gram_cnt FROM g2 GROUP BY gram),
         |per AS (SELECT g.doc_id, count(*)::BIGINT AS n_bigrams,
-        |               sum(c.gram_cnt)::BIGINT AS fit_sum
-        |        FROM g2 g JOIN cnt c USING (gram) GROUP BY g.doc_id)
+        |               sum(coalesce(c.gram_cnt, 0))::BIGINT AS fit_sum
+        |        FROM g2 g LEFT JOIN cnt c USING (gram) GROUP BY g.doc_id)
         |SELECT d.doc_id,
         |       coalesce(p.n_bigrams, 0)::BIGINT AS n_bigrams,
         |       coalesce(p.fit_sum, 0)::BIGINT AS fit_sum,

@@ -41,6 +41,24 @@ class LanguageModelSpec extends SparkTestBase {
       (4L, 1L, 1L, Some(1.0)))) // its only bigram is unique in the corpus
   }
 
+  test("unseen bigrams count in the denominator with zero contribution") {
+    // score a NEW batch against the corpus-trained table: "zz qq" is an
+    // unseen bigram (reversed) — it must DRAG THE AVERAGE DOWN, not
+    // vanish from the denominator (a garbage doc must rank near 0, not
+    // come back null as "unjudged")
+    val batch = Seq((100L, "the cat zz qq")).toDF("doc_id", "text")
+    val r = LanguageModel.scoreDocs(batch, "doc_id", "text",
+      LanguageModel.trainBigrams(corpus, "text")).collect()
+    // bigrams: "the cat"=3, "cat zz"=0 (unseen), "zz qq"=0 (unseen)
+    assert(r.length == 1 && r(0).getLong(1) == 3 && r(0).getLong(2) == 3)
+    assert(r(0).getDouble(3) == 1.0)
+    val garbage = Seq((101L, "xx yy zz")).toDF("doc_id", "text")
+    val g = LanguageModel.scoreDocs(garbage, "doc_id", "text",
+      LanguageModel.trainBigrams(corpus, "text")).collect()
+    assert(g(0).getLong(1) == 2 && g(0).getLong(2) == 0
+      && g(0).getDouble(3) == 0.0)
+  }
+
   test("fitFilter drops rare-bigram and too-short docs") {
     val kept = LanguageModel.fitFilter(corpus, "doc_id", "text",
         LanguageModel.trainBigrams(corpus, "text"), minFitAvg = 2.0)
