@@ -68,6 +68,33 @@ object CorpusIO {
       schema: StructType = corpusSchema): DataFrame =
     spark.read.schema(schema).json(path)
 
+  /** Small-file compaction — the operational fix for the classic
+    * post-ingest layout problem: streaming/incremental writers leave
+    * thousands of KB-sized parquet files whose per-file open cost and
+    * scheduler overhead dominate every later scan. Rewrites `inPath` to
+    * `outPath` as ~`targetBytes`-sized files (count derived from the
+    * ACTUAL on-disk bytes, never a row-count guess) and returns that file
+    * count. Deliberately writes to a NEW path: an in-place swap can't be
+    * atomic on a plain filesystem, so the caller owns the pointer flip —
+    * same contract as every table-format OPTIMIZE job.
+    *
+    * `coalesce` (not `repartition`): compaction must not pay a shuffle —
+    * narrow bin-packing of existing partitions is the whole point. Order
+    * within files changes; parquet scans never promised one.
+    */
+  def compactParquet(spark: SparkSession, inPath: String, outPath: String,
+      targetBytes: Long = 128L * 1024 * 1024): Int = {
+    require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(inPath), spark.sparkContext.hadoopConfiguration)
+    val totalBytes = fs.getContentSummary(
+      new org.apache.hadoop.fs.Path(inPath)).getLength
+    val n = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    spark.read.parquet(inPath).coalesce(n)
+      .write.mode("overwrite").parquet(outPath)
+    n
+  }
+
   /** S7 — cache-or-fetch: the reference's write-through corpus cache.
     * `fetch` runs only on cache miss (or refetch=true), its result is
     * persisted to `cachePath` and read back so downstream always consumes

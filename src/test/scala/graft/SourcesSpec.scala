@@ -89,4 +89,25 @@ class SourcesSpec extends SparkTestBase {
     val want = nasty.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(back == want)
   }
+
+  test("compactParquet bin-packs a many-file table, preserving rows, no shuffle") {
+    val sp = spark
+    import sp.implicits._
+    val base = Files.createTempDirectory("graft_compact_spec").toString
+    val in = s"$base/in"; val out = s"$base/out"
+    // 64 tiny files
+    (0L until 2000L).toDF("id").repartition(64).write.parquet(in)
+    val partsIn = new java.io.File(in).listFiles
+      .count(_.getName.endsWith(".parquet"))
+    assert(partsIn == 64)
+    val n = CorpusIO.compactParquet(spark, in, out, targetBytes = 64L * 1024)
+    val partsOut = new java.io.File(out).listFiles
+      .count(_.getName.endsWith(".parquet"))
+    assert(partsOut == n && partsOut < partsIn, s"$partsOut of $partsIn")
+    // row parity and no shuffle in the rewrite plan
+    assert(spark.read.parquet(out).count() == 2000)
+    val plan = spark.read.parquet(in).coalesce(n)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
 }
