@@ -111,12 +111,13 @@ class EmptyInputsSpec extends SparkTestBase {
   }
 
   test("LM scoring, vocab, and the linear embedder on empty input") {
-    // empty train table: every doc joins nothing — null-scored, not dropped
+    // empty train table: every bigram is unseen — the doc scores 0.0
+    // (garbage-ranked), its bigrams still count in the denominator
     val oneDoc = Seq((7L, "a b c")).toDF("doc_id", "text")
     val scored = LanguageModel.scoreDocs(oneDoc, "doc_id", "text",
       LanguageModel.trainBigrams(emptyDocs, "text")).collect()
-    assert(scored.length == 1 && scored(0).getLong(1) == 0
-      && scored(0).isNullAt(3))
+    assert(scored.length == 1 && scored(0).getLong(1) == 2
+      && scored(0).getLong(2) == 0 && scored(0).getDouble(3) == 0.0)
     assert(LanguageModel.scoreDocs(emptyDocs, "doc_id", "text",
       LanguageModel.trainBigrams(emptyDocs, "text")).count() == 0)
     assert(LanguageModel.fitFilter(emptyDocs, "doc_id", "text",
