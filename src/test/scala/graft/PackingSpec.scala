@@ -82,4 +82,24 @@ class PackingSpec extends SparkTestBase {
     val gpos = got.map { case (s, p, _) => s * 4 + p }
     assert(gpos == (0L until 9L))
   }
+
+  test("packTokens covers every global position exactly once (randomized)") {
+    val sp = spark
+    import sp.implicits._
+    val rnd = new scala.util.Random(20260812)
+    for (trial <- 1 to 3) {
+      val lens = Seq.fill(30)(rnd.nextInt(9).toLong) // includes zero-length
+      val docsDf = lens.zipWithIndex
+        .map { case (n, i) => (i.toLong, n) }.toDF("id", "n")
+      val toks = lens.zipWithIndex.flatMap { case (n, i) =>
+        (0L until n).map(p => (i.toLong, p, rnd.nextInt(100).toLong))
+      }.toDF("id", "pos", "token_id")
+      val binSize = 1 + rnd.nextInt(7)
+      val offs = Packing.sequenceOffsets(docsDf, "id", col("n"), binSize)
+      val got = Packing.packTokens(toks, "id", binSize, offs)
+        .collect().map(r => r.getLong(0) * binSize + r.getLong(1)).sorted.toSeq
+      assert(got == (0L until lens.sum),
+        s"trial $trial binSize $binSize: slots not dense")
+    }
+  }
 }
