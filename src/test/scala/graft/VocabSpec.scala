@@ -54,6 +54,26 @@ class VocabSpec extends SparkTestBase {
     assert(v.map(_.getLong(1)).sorted.toSeq == (0L until 5L))
   }
 
+  test("induce matches a driver replay on random corpora (pinned order)") {
+    val rnd = new scala.util.Random(424242)
+    for (trial <- 1 to 3) {
+      val words = Vector("aa", "bb", "cc", "dd", "ee", "ff", "gg")
+      val corpusSeq = Seq.fill(40)(
+        Seq.fill(1 + rnd.nextInt(12))(words(rnd.nextInt(words.size)))
+          .mkString(" "))
+      val df = corpusSeq.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val k = 1 + rnd.nextInt(6)
+      val got = Vocab.induce(df, "text", k).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(_._2)
+      val counts = corpusSeq.flatMap(_.split(" ", -1))
+        .groupBy(identity).map { case (w, g) => (w, g.size.toLong) }
+      val want = counts.toSeq.sortBy { case (w, c) => (-c, w) }.take(k)
+        .zipWithIndex.map { case ((w, c), i) => (w, i.toLong, c) }
+      assert(got.toSeq == want, s"trial $trial k=$k")
+    }
+  }
+
   test("top-k cut plans as TakeOrderedAndProject, not a global sort") {
     // scale posture: the count table is never globally sorted
     val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
