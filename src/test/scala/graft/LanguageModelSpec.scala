@@ -98,6 +98,34 @@ class LanguageModelSpec extends SparkTestBase {
     assert(!got.contains(3L))
   }
 
+  test("scoreDocs matches a driver replay on random cross-corpus batches") {
+    val rnd = new scala.util.Random(8675309)
+    val words = Vector("w1", "w2", "w3", "w4", "w5")
+    def randomDocs(n: Int, startId: Long) = Seq.tabulate(n) { i =>
+      (startId + i,
+        Seq.fill(rnd.nextInt(8))(words(rnd.nextInt(words.size))).mkString(" "))
+    }
+    for (trial <- 1 to 3) {
+      val train = randomDocs(25, 0)
+      val batch = randomDocs(10, 1000) // disjoint ids, partially-unseen grams
+      val trainDf = train.toDF("doc_id", "text")
+      val batchDf = batch.toDF("doc_id", "text")
+      val got = LanguageModel.scoreDocs(batchDf, "doc_id", "text",
+          LanguageModel.trainBigrams(trainDf, "text"))
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      def bigrams(t: String) =
+        t.split(" ", -1).sliding(2).filter(_.length == 2).map(_.mkString(" "))
+      val cnt = train.flatMap(d => bigrams(d._2)).groupBy(identity)
+        .map { case (g, xs) => g -> xs.size.toLong }
+      for ((id, text) <- batch) {
+        val bgs = bigrams(text).toSeq
+        val want = (bgs.size.toLong, bgs.map(cnt.getOrElse(_, 0L)).sum)
+        assert(got(id) == want, s"trial $trial doc $id")
+      }
+    }
+  }
+
   test("unseen bigrams score low but finite (smoothing floor)") {
     val bi = LanguageModel.trainBigrams(corpus, "text")
     val uni = LanguageModel.trainUnigrams(corpus, "text")
