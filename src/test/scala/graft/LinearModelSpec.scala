@@ -78,6 +78,22 @@ class LinearModelSpec extends SparkTestBase {
       == direct)
   }
 
+  test("embeddings are unit-norm and bag-invariant on random texts") {
+    val m = LinearModelEmbedder.parse(artifact)
+    val rnd = new scala.util.Random(77)
+    val words = Vector("alpha", "beta", "gamma", "delta", "eps")
+    for (_ <- 1 to 20) {
+      val toks = Seq.fill(1 + rnd.nextInt(10))(words(rnd.nextInt(words.size)))
+      val v = m.embedOne(toks.mkString(" "))
+      val n2 = v.map(x => x.toDouble * x.toDouble).sum
+      // unit norm unless the hashed features cancel to the zero vector
+      assert(n2 == 0.0 || math.abs(n2 - 1.0) < 1e-5, s"norm^2 $n2")
+      // bag-of-words: any permutation embeds identically
+      val shuffled = rnd.shuffle(toks).mkString(" ")
+      assert(m.embedOne(shuffled).toSeq == v.toSeq)
+    }
+  }
+
   test("classpath loader ships the model inside the app jar") {
     val name = s"linear-cp-${java.util.UUID.randomUUID}"
     val e = SingletonEmbedder(name, dim = 8,

@@ -30,6 +30,21 @@ class ProfileSpec extends SparkTestBase {
     assert(!plan.contains("Union"), plan)
   }
 
+  test("histogram matches a driver replay on random values (randomized)") {
+    val rnd = new scala.util.Random(31415)
+    for (trial <- 1 to 3) {
+      val vals = Seq.fill(300)(rnd.nextDouble() * 120 - 10) // some out of range
+      val (lo, hi, buckets) = (0.0, 100.0, 1 + rnd.nextInt(9))
+      val got = Profile.histogram(vals.toDF("x"), col("x"), lo, hi, buckets)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val want = vals.groupBy { x =>
+        val raw = math.floor((x - lo) * buckets / (hi - lo))
+        if (raw < 0) -1L else if (raw >= buckets) buckets.toLong else raw.toLong
+      }.map { case (b, xs) => b -> xs.size.toLong }
+      assert(got == want, s"trial $trial buckets=$buckets")
+    }
+  }
+
   test("histogram pins bin edges, clamps under/overflow, drops nulls") {
     val h = Profile.histogram(df, col("v"), lo = 10.0, hi = 40.0, buckets = 3)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
