@@ -66,9 +66,10 @@ object SparkEntry {
       s.conf.set(key, "true")
       try {
         val tmp = graft.util.TempDirs.create("graft_events_spool")
-        // NO repartition: the spool must preserve file row order — double
-        // sums (events_hourly) accumulate in input order, and the oracle
-        // compare needs them bit-identical to DuckDB's sequential scan
+        // single write, no repartition: the spool is small relative to its
+        // consumers' shuffles and readers re-split it by scan bins. Nothing
+        // downstream depends on file row order — value sums use exact
+        // DECIMAL partials, so any future multi-split layout stays correct
         t(s, d, "events")
           .withColumn("ts", timestamp_micros(expr("ts div 1000")))
           .write.mode("overwrite").parquet(tmp)
@@ -210,11 +211,17 @@ object SparkEntry {
     // otherwise broadcast); BucketingSpec asserts the no-Exchange plan. ----
     "bucketed_join_revenue" -> { (s, dir) =>
       val (o, l) = bucketedOrdersLineitem(s, dir)
+      // revenue via exact DECIMAL partials (the lineitem_moments recipe):
+      // the merge join's accumulation order is not pinned, so a double sum
+      // drifts by last-ULP run-to-run; decimal partials are order-free and
+      // the 2-dp money columns are recovered exactly by both engines
+      val rev = col("l_extendedprice").cast("decimal(18,2)") *
+        (lit(1.0).cast("decimal(3,2)") - col("l_discount").cast("decimal(18,2)"))
       l.hint("merge")
         .join(o, col("l_orderkey") === col("o_orderkey"))
         .groupBy("o_orderpriority")
         .agg(
-          sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+          sum(rev).cast("double").as("revenue"),
           count(lit(1)).as("n_items"))
         .transform(graft.queries.sortedSingle(_, col("o_orderpriority")))
     },
@@ -270,7 +277,11 @@ object SparkEntry {
         .transform(graft.queries.sortedSingle(_, col("doc_id")))
     },
 
-    // ---- events: tumbling-window rollup (hour buckets as epoch bigint) ----
+    // ---- events: tumbling-window rollup (hour buckets as epoch bigint).
+    // value is a 2-dp money column: DECIMAL partials make the sums exact and
+    // accumulation-order-free (a double sum is ULP-sensitive to scan split
+    // order); avg derives from the exact sum in one double division both
+    // engines replay identically. ----
     "events_hourly" -> { (s, dir) =>
       events(s, dir)
         .groupBy(
@@ -278,8 +289,8 @@ object SparkEntry {
           col("event_type"))
         .agg(
           count(lit(1)).as("n_events"),
-          sum("value").as("sum_value"),
-          avg("value").as("avg_value"))
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+        .withColumn("avg_value", col("sum_value") / col("n_events"))
         .transform(graft.queries.sortedSingle(_, col("hour_epoch"), col("event_type")))
     },
 
@@ -421,7 +432,8 @@ object SparkEntry {
     // answer — which is exactly what the oracle proves
     "bucketed_join_revenue" ->
       """SELECT o_orderpriority,
-        |       sum(l_extendedprice * (1.0 - l_discount)) AS revenue,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |            (1.00 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
         |       count(*) AS n_items
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
@@ -455,7 +467,8 @@ object SparkEntry {
     "events_hourly" ->
       """SELECT CAST(date_part('epoch', date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
         |       event_type, count(*) AS n_events,
-        |       sum(value) AS sum_value, avg(value) AS avg_value
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_value
         |FROM events GROUP BY 1, 2 ORDER BY hour_epoch, event_type""".stripMargin,
     "events_sessions" ->
       """WITH g AS (
@@ -492,9 +505,12 @@ object SparkEntry {
     "csv_roundtrip" ->
       """SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS total_chars
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    // CAST around the sum: DuckDB's sum(BIGINT) returns HUGEINT (int128),
+    // which the driver's type-sensitive hash cannot match against Spark's
+    // long — every oracle sum over integers must land back in BIGINT
     "jsonl_roundtrip" ->
       """SELECT lang, count(*) AS n,
-        |       sum(('0x' || substr(md5(text), 1, 8))::BIGINT) AS text_fp_sum
+        |       CAST(sum(('0x' || substr(md5(text), 1, 8))::BIGINT) AS BIGINT) AS text_fp_sum
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "blocks_join_docs" ->
       """SELECT doc_id,

@@ -438,10 +438,14 @@ object NorthStarQueries {
     // skew-safe salted rollup: same result as a plain groupBy, but the hot
     // key spreads over 16 reducers (two-phase aggregation)
     "events_salted_rollup" -> { (s, dir) =>
+      // value pre-cast to DECIMAL so both salted phases sum exactly —
+      // the two-phase merge order is inherently unpinned, which is fine
+      // once the partials are order-free
       val ev = graft.SparkEntry.eventsTable(s, dir)
+        .withColumn("value", col("value").cast("decimal(18,2)"))
       graft.ops.Skew.saltedSumCount(ev, Seq("event_type"), "value",
           Seq(col("event_id")), salts = 16)
-        .select(col("event_type"), round(col("sum_value"), 6).as("sum_value"),
+        .select(col("event_type"), col("sum_value").cast("double").as("sum_value"),
           col("n_rows"))
         .transform(sortedSingle(_, col("event_type")))
     },
@@ -1277,16 +1281,16 @@ object NorthStarQueries {
         |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS bkt
         |  FROM documents)
         |SELECT CASE WHEN bkt < 80 THEN 'train' ELSE 'holdout' END AS split,
-        |       count(*) AS n, sum(doc_id) AS id_sum,
-        |       sum(('0x' || substr(md5(text), 1, 8))::BIGINT) AS text_fp_sum
+        |       count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS id_sum,
+        |       CAST(sum(('0x' || substr(md5(text), 1, 8))::BIGINT) AS BIGINT) AS text_fp_sum
         |FROM b GROUP BY 1 ORDER BY split""".stripMargin,
     "packing_offsets" ->
       """WITH n AS (SELECT doc_id,
         |                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
         |           FROM documents),
         |c AS (SELECT doc_id, n_tokens,
-        |             coalesce(sum(n_tokens) OVER (ORDER BY doc_id
-        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_offset
+        |             CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_offset
         |      FROM n)
         |SELECT doc_id, n_tokens, start_offset,
         |       start_offset // 512 AS first_bin,
@@ -1562,7 +1566,9 @@ object NorthStarQueries {
         |       md5(array_to_string(t[(chunk_id*24+1):(chunk_id*24+32)], ' ')) AS chunk_fp
         |FROM ids ORDER BY doc_id, chunk_id""".stripMargin,
     "events_salted_rollup" ->
-      """SELECT event_type, round(sum(value), 6) AS sum_value, count(*) AS n_rows
+      """SELECT event_type,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        |       count(*) AS n_rows
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "ann_ivf_topk" -> annIvfOracle,
     // the autoprobe query is brute-force SHAPED but must return the IVF

@@ -52,6 +52,7 @@ def main():
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SFDIR}/{t}.parquet')")
     oracle = json.loads((OUT / "oracle_sql.json").read_text())
     n_pass = n_fail = 0
+    eps_only = []
     for name, sql in sorted(oracle.items()):
         pdir = OUT / name
         if not pdir.exists():
@@ -63,11 +64,23 @@ def main():
                 f"SELECT * FROM read_parquet('{pdir}/*.parquet')")
             spark_cols = [d[0] for d in spark_rel.description]
             spark_rows = spark_rel.fetchall()
-            duck_rel = con.execute(sql)
-            duck_cols = [d[0] for d in duck_rel.description]
+            duck_rel = con.sql(sql)
+            duck_cols = list(duck_rel.columns)
+            duck_types = [str(t).upper() for t in duck_rel.types]
             duck_rows = duck_rel.fetchall()
         except Exception as e:
             print(f"FAIL {name}: {str(e)[:200]}")
+            n_fail += 1
+            continue
+        # Driver-vs-local divergence guard (VERDICT r6): the driver's hash is
+        # value+TYPE-sensitive, while this script compares Python values — an
+        # oracle emitting HUGEINT (DuckDB's sum(BIGINT) default) passes here
+        # but hash-fails at the driver. Make that class unshippable.
+        bad_types = [f"{c}:{t}" for c, t in zip(duck_cols, duck_types)
+                     if "HUGEINT" in t]
+        if bad_types:
+            print(f"FAIL {name}: oracle emits driver-unhashable column type(s) "
+                  f"{bad_types} — wrap the sum in CAST(... AS BIGINT)")
             n_fail += 1
             continue
         if sorted(spark_cols) != sorted(duck_cols):
@@ -100,8 +113,14 @@ def main():
             n_fail += 1
         else:
             tag = "exact" if exact else "eps"
+            if not exact:
+                eps_only.append(name)
             print(f"PASS {name} ({len(s_rows)} rows, {tag})")
             n_pass += 1
+    if eps_only:
+        # eps-close is NOT the driver's bar: its hash compares raw values, so
+        # last-ULP drift (accumulation order) can still flip it. Surface loudly.
+        print(f"WARN eps-only (driver hash may still differ): {sorted(eps_only)}")
     print(f"== {n_pass} pass, {n_fail} fail ==")
     sys.exit(1 if n_fail else 0)
 
