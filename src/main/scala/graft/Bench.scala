@@ -59,6 +59,10 @@ object Bench {
         i += 1
       }
       spark.catalog.clearCache()
+      // reset ann_autoprobe_topk's session-wide opt-in between queries so a
+      // later brute-force-shaped top-k can't silently match its catalog entry
+      spark.conf.set(graft.plans.AnnProbeRule.ConfKey, "false")
+      graft.plans.AnnCatalog.clear()
       best
     }
 

@@ -29,6 +29,12 @@ object Verify {
       // per-query persists (dedup pipelines, sketch_stats) must not
       // accumulate across the 49-query session
       spark.catalog.clearCache()
+      // ann_autoprobe_topk must leave its conf + catalog entry alive until
+      // its frame is WRITTEN (the rule re-fires on the write's fresh
+      // QueryExecution); reset here — after the write — so no later
+      // brute-force-shaped top-k silently returns approximate IVF results
+      spark.conf.set(graft.plans.AnnProbeRule.ConfKey, "false")
+      graft.plans.AnnCatalog.clear()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

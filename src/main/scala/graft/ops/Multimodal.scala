@@ -332,7 +332,13 @@ object Multimodal {
       .mapPartitions { rows =>
         rows.flatMap { row =>
           val id = row.getLong(0)
-          val (_, s) = WavCodec.decodePcm16(row.get(1).asInstanceOf[Array[Byte]])
+          val bytes = row.get(1).asInstanceOf[Array[Byte]]
+          // fast chunk-walk parser; JDK AudioSystem only for layouts the
+          // walker rejects (keeps the hot path free of per-row SPI probes)
+          val (_, s) =
+            try WavCodec.decodePcm16Fast(bytes)
+            catch { case _: IllegalArgumentException =>
+              WavCodec.decodePcm16(bytes) }
           val nFrames = (s.length + frameSize - 1) / frameSize
           (0 until nFrames).iterator.map { f =>
             val start = f * frameSize
@@ -544,6 +550,60 @@ object WavCodec {
       .put("data".getBytes(StandardCharsets.US_ASCII)).putInt(dataLen)
     samples.foreach(bb.putShort)
     bb.array()
+  }
+
+  /** Fast decode: direct RIFF chunk walk over the in-memory byte array — no
+    * stream, no SPI lookup (`AudioSystem.getAudioInputStream` re-probes the
+    * provider registry on EVERY call, which dominated per-clip decode cost at
+    * scan scale — audio_frame_stats measured 2.5x the oracle on exactly
+    * that). Walks chunks (word-aligned per RIFF), validates the same
+    * invariants as the JDK path (RIFF/WAVE magic, PCM16 mono LE `fmt `), and
+    * returns bit-identical samples — MultimodalSpec asserts equivalence
+    * against [[decodePcm16]], which stays as the reference parser for
+    * layouts this walker rejects (e.g. WAVE_FORMAT_EXTENSIBLE).
+    */
+  def decodePcm16Fast(bytes: Array[Byte]): (Int, Array[Short]) = {
+    def le32(o: Int): Int =
+      (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8) |
+        ((bytes(o + 2) & 0xff) << 16) | ((bytes(o + 3) & 0xff) << 24)
+    def le16(o: Int): Int = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
+    def tag(o: Int): String =
+      new String(bytes, o, 4, StandardCharsets.US_ASCII)
+    require(bytes.length >= 12 && tag(0) == "RIFF" && tag(8) == "WAVE",
+      "WavCodec: not a RIFF/WAVE stream")
+    var pos = 12
+    var sampleRate = -1
+    var dataOff = -1
+    var dataLen = -1
+    while (pos + 8 <= bytes.length && (sampleRate < 0 || dataOff < 0)) {
+      val id = tag(pos)
+      val size = le32(pos + 4)
+      require(size >= 0 && pos + 8 + size <= bytes.length,
+        s"WavCodec: truncated chunk $id")
+      id match {
+        case "fmt " =>
+          require(size >= 16, "WavCodec: short fmt chunk")
+          require(le16(pos + 8) == 1 && le16(pos + 10) == 1 &&
+            le16(pos + 22) == 16,
+            "WavCodec: unsupported format (need PCM16 mono)")
+          sampleRate = le32(pos + 12)
+        case "data" =>
+          dataOff = pos + 8
+          dataLen = size
+        case _ => () // skip LIST/fact/etc
+      }
+      pos += 8 + size + (size & 1) // RIFF chunks are word-aligned
+    }
+    require(sampleRate > 0 && dataOff >= 0,
+      "WavCodec: missing fmt or data chunk")
+    val out = new Array[Short](dataLen / 2)
+    var i = 0
+    while (i < out.length) {
+      out(i) = ((bytes(dataOff + 2 * i) & 0xff) |
+        (bytes(dataOff + 2 * i + 1) << 8)).toShort
+      i += 1
+    }
+    (sampleRate, out)
   }
 
   /** (sampleRate, samples). Throws on non-PCM16-mono-LE input — this codec

@@ -78,7 +78,10 @@ object Sampling {
     * eval-set / few-shot-pool construction step, where a fractional sample
     * can't promise per-group counts. Deterministic: rows rank within their
     * stratum by (md5(key), key) — a retry, re-run, or another engine picks
-    * the SAME k. The window partitions by stratum, so no global sort and no
+    * the SAME k. Precondition (as with [[hashSample]]): `key` must be unique
+    * per row — duplicate keys sort as ties, and row_number breaks ties
+    * arbitrarily, which forfeits the determinism this function exists for.
+    * The window partitions by stratum, so no global sort and no
     * single-task window; a hot stratum costs one partition's sort of that
     * stratum only (k is not a skew lever — the sort is over the stratum
     * either way; salt the stratum first if one group alone exceeds a task).

@@ -216,6 +216,14 @@ final class AnnIndex private (
     * (10^4-10^6 query vectors — a day's batch — fits executor memory;
     * beyond that, shard the query table and union the outputs: the index
     * side is re-scanned per shard but never re-built).
+    *
+    * Preconditions: `qidCol` and the index's id column must be numeric —
+    * both are cast to long, so a non-numeric id becomes NULL and its rows
+    * drop out of the grouped top-k. And like [[graft.functions.TopKByScore]],
+    * NULL-distance candidates are excluded from the heap: when a query's
+    * probed buckets hold fewer than k non-null-distance candidates the query
+    * returns fewer than k rows, whereas a NULLS LAST sort would pad with
+    * null-distance rows.
     */
   def probeTopKBatch(queries: DataFrame, qidCol: String, qvecCol: String,
       k: Int, nprobe: Int = 4): DataFrame = {

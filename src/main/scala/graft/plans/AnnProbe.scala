@@ -55,9 +55,16 @@ object AnnCatalog {
     entries.asScala.find(_.plan == plan.canonicalized)
 }
 
+object AnnProbeRule {
+  /** Session opt-in flag; harnesses reset it (with [[AnnCatalog.clear]])
+    * after a probe-substituted frame is materialized.
+    */
+  val ConfKey = "spark.graft.ann.autoProbe"
+}
+
 case class AnnProbeRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
-  val ConfKey = "spark.graft.ann.autoProbe"
+  val ConfKey = AnnProbeRule.ConfKey
 
   private def enabled: Boolean =
     spark.conf.getOption(ConfKey).contains("true")

@@ -85,10 +85,19 @@ object CorpusIO {
   def compactParquet(spark: SparkSession, inPath: String, outPath: String,
       targetBytes: Long = 128L * 1024 * 1024): Int = {
     require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(inPath), spark.sparkContext.hadoopConfiguration)
-    val totalBytes = fs.getContentSummary(
-      new org.apache.hadoop.fs.Path(inPath)).getLength
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val inP = new org.apache.hadoop.fs.Path(inPath)
+    val fs = inP.getFileSystem(hconf)
+    // overwrite-while-reading guard: Spark's own self-overwrite detection
+    // can be evaded by path-spelling differences (trailing slash, relative
+    // vs scheme-qualified), so compare fully-qualified paths ourselves —
+    // mode("overwrite") onto the scan's own path would destroy the input
+    val outP = new org.apache.hadoop.fs.Path(outPath)
+    val qualIn = fs.makeQualified(inP)
+    val qualOut = outP.getFileSystem(hconf).makeQualified(outP)
+    require(qualIn != qualOut,
+      s"compactParquet: outPath must differ from inPath (both resolve to $qualIn)")
+    val totalBytes = fs.getContentSummary(inP).getLength
     val n = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
     spark.read.parquet(inPath).coalesce(n)
       .write.mode("overwrite").parquet(outPath)

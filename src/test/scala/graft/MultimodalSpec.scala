@@ -196,6 +196,46 @@ class MultimodalSpec extends SparkTestBase {
     }
   }
 
+  test("WavCodec: fast chunk-walk decode is bit-identical to javax.sound") {
+    import graft.ops.WavCodec
+    for (id <- 0L until 5L; n <- Seq(1, 159, 500)) {
+      val samples = Array.tabulate(n)(i =>
+        Multimodal.DefaultSampleFormula.sample(id, i).toShort)
+      val wav = WavCodec.encodePcm16(samples, 8000)
+      assert(WavCodec.decodePcm16Fast(wav)._1 == WavCodec.decodePcm16(wav)._1)
+      assert(WavCodec.decodePcm16Fast(wav)._2.toSeq ==
+        WavCodec.decodePcm16(wav)._2.toSeq)
+    }
+  }
+
+  test("WavCodec: fast decode walks extra + odd-sized chunks like the JDK") {
+    import graft.ops.WavCodec
+    val samples = Array.tabulate(64)(i => (i * 31 - 990).toShort)
+    // hand-build RIFF with a 3-byte (odd, so padded) junk chunk BEFORE fmt,
+    // and a LIST chunk between fmt and data — both must be skipped
+    val dataLen = samples.length * 2
+    val bb = java.nio.ByteBuffer.allocate(12 + (8 + 4) + (8 + 16) + (8 + 6) + (8 + dataLen))
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes).putInt(bb.capacity - 8).put("WAVE".getBytes)
+    bb.put("junk".getBytes).putInt(3).put(Array[Byte](1, 2, 3, 0)) // odd + pad
+    bb.put("fmt ".getBytes).putInt(16)
+      .putShort(1).putShort(1).putInt(8000).putInt(16000).putShort(2).putShort(16)
+    bb.put("LIST".getBytes).putInt(6).put(Array[Byte](73, 78, 70, 79, 0, 0))
+    bb.put("data".getBytes).putInt(dataLen)
+    samples.foreach(bb.putShort)
+    val wav = bb.array()
+    val (rate, fast) = WavCodec.decodePcm16Fast(wav)
+    assert(rate == 8000 && fast.toSeq == samples.toSeq)
+    val (jRate, jdk) = WavCodec.decodePcm16(wav)
+    assert(jRate == 8000 && jdk.toSeq == samples.toSeq)
+    // rejection parity: stereo fmt fails fast too
+    intercept[IllegalArgumentException] {
+      val st = WavCodec.encodePcm16(samples, 8000).clone()
+      st(22) = 2 // channels := 2
+      WavCodec.decodePcm16Fast(st)
+    }
+  }
+
   test("audioFrameStats: decoded per-frame stats match a direct recompute") {
     val ids = spark.range(0, 7).toDF("media_id")
     val f = Multimodal.DefaultSampleFormula

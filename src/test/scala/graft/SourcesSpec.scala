@@ -109,5 +109,13 @@ class SourcesSpec extends SparkTestBase {
     val plan = spark.read.parquet(in).coalesce(n)
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan)
+    // self-overwrite guard: path-spelling differences must not slip past —
+    // overwriting the path being read would destroy the input
+    intercept[IllegalArgumentException] {
+      CorpusIO.compactParquet(spark, in, in)
+    }
+    intercept[IllegalArgumentException] {
+      CorpusIO.compactParquet(spark, in, s"$in/")
+    }
   }
 }
