@@ -1,0 +1,138 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{array_cosine_distance, array_distance}
+
+/** Product quantization (PQ) — the memory tier of IVF-PQ, the capability
+  * family the reference's `voyager` (HNSW) dependency exists for
+  * (cobalt-duckdb requirements.txt:31-33, model/search/vector.py:96): ANN
+  * under a memory/latency budget too tight for full-precision vectors.
+  *
+  * A dim-D float vector (4·D bytes) compresses to M one-byte codes: the
+  * vector splits into M subvectors of D/M dims, and each subvector is
+  * replaced by the id of its nearest entry in that subspace's codebook.
+  * Query-time ADC (asymmetric distance computation) scans only the codes:
+  * the query is compared to every codebook entry ONCE — an M×K distance
+  * table, broadcast — and a vector's approximate distance is the sum of M
+  * table lookups. The float corpus is read only to rerank the survivors.
+  *
+  * At 100 TB that is the whole point: a 64-dim float corpus is 256 B/vec;
+  * PQ-8 codes are 8 B/vec — a 32× smaller scan, and the only full-precision
+  * reads are `overfetch` rows per query. Every stage here is a DataFrame
+  * plan: codebooks broadcast into the encode scan (map-side-combined
+  * argmin, one shuffled row per (vector, subspace)), the ADC sum is a
+  * map-side-combined integer aggregate (one shuffled row per vector), and
+  * the rerank is a broadcast semi-join.
+  *
+  * Cross-engine exactness: codebooks are deterministic (stride-sampled),
+  * assignment ties break on lowest entry id, and the ADC accumulates
+  * integer-scaled distances — `floor(d²·10⁶)` is bit-identical in both
+  * engines (array_distance agrees to the last ULP; floor of the same double
+  * is the same long), and an integer sum is accumulation-order-free. The
+  * repo's decimal-partials recipe, integer flavor.
+  */
+object ProductQuantizer {
+
+  /** PQ geometry: `m` subspaces of `dsub` dims; codebook entry `j` of
+    * subspace `s` is the s-th subvector of the corpus row with
+    * id = j·stride (deterministic, SQL-replayable; swap in per-subspace
+    * k-means entries at scale — all machinery below is codebook-agnostic).
+    */
+  final case class PqSpec(m: Int, dsub: Int, stride: Int) {
+    require(m > 0 && dsub > 0 && stride > 0, s"invalid PQ spec: $this")
+  }
+
+  /** The M subvector slices of `vec` as an array column (1-based slice). */
+  private def subvecs(vec: Column, spec: PqSpec): Column =
+    array((0 until spec.m).map(s =>
+      slice(vec, s * spec.dsub + 1, spec.dsub)): _*)
+
+  /** Long-form `(id, subspace, subvector)` — each input row exploded to its
+    * M subvectors, locally (posexplode — no shuffle).
+    */
+  private def explodeSub(df: DataFrame, idCol: String, vecCol: String,
+      spec: PqSpec): DataFrame =
+    df.select(col(idCol).cast("long").as("__id"),
+        posexplode(subvecs(col(vecCol).cast("array<double>"), spec)))
+      .withColumnRenamed("pos", "__m").withColumnRenamed("col", "__sv")
+
+  /** Long-form codebooks `(__m, __j, __cbvec)`: broadcast-sized
+    * (m·(n/stride) rows of dsub doubles).
+    */
+  def codebooks(df: DataFrame, idCol: String, vecCol: String,
+      spec: PqSpec): DataFrame =
+    explodeSub(df.where(pmod(col(idCol), lit(spec.stride)) === 0),
+        idCol, vecCol, spec)
+      .select((col("__id") / spec.stride).cast("long").as("__j"),
+        col("__m"), col("__sv").as("__cbvec"))
+
+  /** PQ codes `(__id, __m, __code)`: per (vector, subspace) the nearest
+    * codebook entry by L2 (tie → lowest entry id). The codebook broadcasts
+    * into the scan and the argmin partial-aggregates map-side, so the
+    * shuffle carries one row per (vector, subspace) — M rows per vector,
+    * never the ksub-way candidate fanout.
+    */
+  def encode(df: DataFrame, idCol: String, vecCol: String,
+      cb: DataFrame, spec: PqSpec): DataFrame =
+    explodeSub(df, idCol, vecCol, spec)
+      .join(broadcast(cb), Seq("__m"))
+      .select(col("__id"), col("__m"),
+        struct(array_distance(col("__sv"), col("__cbvec")).as("d"),
+          col("__j").as("j")).as("__dj"))
+      .groupBy(col("__id"), col("__m"))
+      .agg(min(col("__dj")).getField("j").as("__code"))
+
+  /** ADC top-k candidates + exact full-precision rerank (the SCANN/FAISS
+    * two-stage shape, PQ flavor). Stage 1 ranks every vector by the sum of
+    * integer-scaled table distances (`floor(d²·10⁶)` per subspace — exact,
+    * order-free); stage 2 reranks the `overfetch` survivors on true cosine
+    * distance. Returns `(idCol, cos_dist)`, k rows.
+    *
+    * `df` is the corpus to search — pass an IVF bucket-pruned frame
+    * ([[AnnIndex.probedRows]]) for the full IVF-PQ composition: partition
+    * pruning cuts the scan to nprobe buckets, PQ cuts the per-row cost
+    * inside them, rerank touches `overfetch` float rows total.
+    *
+    * Preconditions: numeric ids (cast to long), no null vector elements
+    * (the corpus contract for every ANN tier here), `qvec.length == m·dsub`.
+    */
+  def adcRerankTopK(df: DataFrame, idCol: String, vecCol: String,
+      qvec: Array[Double], k: Int, spec: PqSpec, overfetch: Int = 100,
+      precomputed: Option[(DataFrame, DataFrame)] = None): DataFrame = {
+    require(qvec.length == spec.m * spec.dsub,
+      s"query dim ${qvec.length} != m*dsub ${spec.m * spec.dsub}")
+    require(k > 0 && overfetch >= k, s"need overfetch >= k > 0: $overfetch, $k")
+    // build-once / probe-many: production passes (codebooks, codes) built
+    // ONCE over the corpus (codes are the at-rest compressed table) so a
+    // probe never re-encodes; the inline derivation is the one-shot path
+    val (cb, codes) = precomputed.getOrElse {
+      val c = codebooks(df, idCol, vecCol, spec)
+      (c, encode(df, idCol, vecCol, c, spec))
+    }
+    // M×K distance table: query subvector vs codebook entry, integer-scaled.
+    // qsub is a tiny literal (the query itself); the table is engine-side
+    // arithmetic so a SQL oracle replays it bit-for-bit.
+    val qsub = (0 until spec.m).map(s =>
+      qvec.slice(s * spec.dsub, (s + 1) * spec.dsub).toSeq)
+    val d = array_distance(col("__cbvec"),
+      element_at(typedLit(qsub), col("__m").cast("int") + 1))
+    val dt = cb.select(col("__m"), col("__j"),
+      floor(d * d * lit(1e6)).cast("long").as("__dq"))
+    val cands = codes
+      .join(broadcast(dt),
+        codes("__m") === dt("__m") && codes("__code") === dt("__j"))
+      .groupBy(col("__id"))
+      .agg(sum(col("__dq")).as("__adc"))
+      .orderBy(col("__adc").asc, col("__id").asc)
+      .limit(overfetch)
+      .select(col("__id").as("__cand"))
+    df.join(broadcast(cands), col(idCol).cast("long") === col("__cand"), "left_semi")
+      .select(col(idCol),
+        array_cosine_distance(col(vecCol).cast("array<double>"),
+          typedLit(qvec.toSeq)).as("cos_dist"))
+      .orderBy(col("cos_dist").asc_nulls_last, col(idCol).asc)
+      .limit(k)
+  }
+}

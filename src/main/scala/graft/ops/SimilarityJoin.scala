@@ -187,7 +187,21 @@ final class AnnIndex private (
     * `.collect()` (one Spark job instead of two, and no driver round-trip
     * on the query path at scale).
     */
-  def probeTopK(qvec: Array[Double], k: Int, nprobe: Int = 4): DataFrame = {
+  def probeTopK(qvec: Array[Double], k: Int, nprobe: Int = 4): DataFrame =
+    probedRows(qvec, nprobe)
+      .select(col(idCol),
+        array_cosine_distance(col(vecCol), typedLit(qvec.toSeq)).as("cos_dist"))
+      .orderBy(col("cos_dist").asc_nulls_last, col(idCol).asc)
+      .limit(k)
+
+  /** The bucket-pruned `(id, vec)` rows a probe scans — exposed for tier
+    * composition: IVF-PQ is
+    * `ProductQuantizer.adcRerankTopK(index.probedRows(q, nprobe), ...)`,
+    * so partition pruning cuts the scan to nprobe bucket directories, PQ
+    * codes cut the per-row cost inside them, and only the rerank overfetch
+    * touches full-precision vectors.
+    */
+  def probedRows(qvec: Array[Double], nprobe: Int): DataFrame = {
     val q = typedLit(qvec.toSeq)
     val probed = centroids
       .select(col("__cid"), array_cosine_distance(col("__cvec"), q).as("__d"))
@@ -196,10 +210,7 @@ final class AnnIndex private (
       .select(col("__cid").as("__probe_cid"))
     assigned
       .join(broadcast(probed), col("__centroid") === col("__probe_cid"), "left_semi")
-      .select(col(idCol),
-        array_cosine_distance(col(vecCol), q).as("cos_dist"))
-      .orderBy(col("cos_dist").asc_nulls_last, col(idCol).asc)
-      .limit(k)
+      .select(col(idCol), col(vecCol))
   }
 
   /** Batched IVF probe: ONE pass over the index serving a whole

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ops.{AnnIndex, Dedup, LanguageModel, Redact, SimilarityJoin, TextOps, Vocab}
+import graft.ops.{AnnIndex, Dedup, LanguageModel, ProductQuantizer, Redact, SimilarityJoin, TextOps, Vocab}
 
 /** North-star operator queries (LLM-data-pipeline surface): dedup tiers,
   * similarity joins, ANN, text analysis. Each Spark query exercises the
@@ -324,6 +324,23 @@ object NorthStarQueries {
         .head().getSeq[Float](0).map(_.toDouble).toArray
       AnnIndex.buildKMeans(emb, "vec_id", "embedding", stride = 64, iters = 2)
         .probeTopK(qvec, 10, nprobe = 4)
+    },
+
+    // PQ-ADC two-stage ANN (ops/ProductQuantizer) — the memory tier of
+    // IVF-PQ, covering the reference's voyager/HNSW latent surface
+    // (requirements.txt:31-33): vectors compress to 8 one-byte codes, the
+    // candidate scan reads ONLY codes + a broadcast 8xK integer distance
+    // table, and full-precision vectors are read for the 100-row rerank
+    // alone. Every stage is deterministic (stride codebooks, lowest-id tie
+    // break, floor(d^2*1e6) integer ADC — order-free), so DuckDB replays
+    // codebooks, assignment, ADC and rerank exactly.
+    "ann_pq_topk" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val qvec = emb.where(col("vec_id") === 1).select(col("embedding"))
+        .head().getSeq[Float](0).map(_.toDouble).toArray
+      ProductQuantizer.adcRerankTopK(emb, "vec_id", "embedding", qvec,
+        k = 10, ProductQuantizer.PqSpec(m = 8, dsub = 8, stride = 64),
+        overfetch = 100)
     },
 
     // batched IVF probe: one index pass answers a query TABLE (the
@@ -1575,6 +1592,46 @@ object NorthStarQueries {
     // probe's answer (the rule spliced the probe plan in — asserted at
     // registration); sharing the probe oracle is exactly the proof
     "ann_autoprobe_topk" -> annIvfOracle,
+    // PQ replayed stage by stage: stride-sampled subvector codebooks,
+    // (d asc, j asc) assignment, integer-scaled ADC sum (floor(d^2*1e6) —
+    // bit-identical per entry, order-free in the sum), exact cosine rerank
+    // of the 100 survivors. array_distance argument order matches the
+    // engine's (subvector, codebook) / (codebook, query) exactly.
+    "ann_pq_topk" ->
+      """WITH sub AS (
+        |  -- list_transform materializes the slice before the ARRAY cast:
+        |  -- DuckDB 1.0.0 casts a sliced list to DOUBLE[n] with the slice
+        |  -- OFFSET ignored (reads the wrong 8 floats / garbage). The
+        |  -- lambda forces fresh storage; values are the same float->double
+        |  -- conversion Spark's cast applies.
+        |  SELECT vec_id, m,
+        |         list_transform(embedding[m*8+1:m*8+8],
+        |                        x -> CAST(x AS DOUBLE))::DOUBLE[8] AS sv
+        |  FROM embeddings CROSS JOIN (SELECT unnest(range(0, 8)) AS m)),
+        |cb AS (SELECT vec_id // 64 AS j, m, sv AS cv FROM sub WHERE vec_id % 64 = 0),
+        |asn AS (
+        |  SELECT s.vec_id, s.m, c.j,
+        |         row_number() OVER (PARTITION BY s.vec_id, s.m
+        |           ORDER BY array_distance(s.sv, c.cv) ASC, c.j ASC) AS rn
+        |  FROM sub s JOIN cb c ON s.m = c.m),
+        |code AS (SELECT vec_id, m, j FROM asn WHERE rn = 1),
+        |q AS (SELECT m, sv AS qv FROM sub WHERE vec_id = 1),
+        |dt AS (
+        |  SELECT c.m, c.j,
+        |         CAST(floor(array_distance(c.cv, q.qv) * array_distance(c.cv, q.qv)
+        |              * 1000000.0) AS BIGINT) AS dq
+        |  FROM cb c JOIN q ON c.m = q.m),
+        |adc AS (
+        |  SELECT co.vec_id, CAST(sum(dt.dq) AS BIGINT) AS adc
+        |  FROM code co JOIN dt ON co.m = dt.m AND co.j = dt.j
+        |  GROUP BY co.vec_id),
+        |cand AS (SELECT vec_id FROM adc ORDER BY adc ASC, vec_id ASC LIMIT 100),
+        |fq AS (SELECT embedding FROM embeddings WHERE vec_id = 1)
+        |SELECT e.vec_id,
+        |       1 - array_cosine_similarity(e.embedding::DOUBLE[64],
+        |           (SELECT embedding FROM fq)::DOUBLE[64]) AS cos_dist
+        |FROM embeddings e JOIN cand USING (vec_id)
+        |ORDER BY cos_dist ASC NULLS LAST, vec_id ASC LIMIT 10""".stripMargin,
     // the batched probe replayed per query: same centroid choice and
     // assignment as annIvfOracle, ranking and top-k partitioned by qid
     "ann_batch_topk" ->
