@@ -87,13 +87,29 @@ class PagedRestScanBuilder(opts: Map[String, String]) extends ScanBuilder
     onlyTarget = pushed.nonEmpty,
     serviceClass = opts.getOrElse("service",
       classOf[SyntheticNotionService].getName),
-    serviceOpts = opts)
+    serviceOpts = opts,
+    headers = PagedRestScan.authHeaders(opts),
+    retry = RestRetryPolicy(
+      maxAttempts = opts.getOrElse("maxretries", opts.getOrElse("maxRetries", "3")).toInt + 1,
+      backoffMs = opts.getOrElse("retrybackoffms", opts.getOrElse("retryBackoffMs", "100")).toLong))
+}
+
+object PagedRestScan {
+  /** Bearer-token header from the `token` option — the reference reads its
+    * integration token from the environment and attaches it to every call
+    * (notion_db.py:18-26); production injects the secret via conf/env, never
+    * a literal in code.
+    */
+  def authHeaders(opts: Map[String, String]): Map[String, String] =
+    opts.get("token").map(t => "Authorization" -> s"Bearer $t").toMap
 }
 
 case class PageRange(pageIndex: Int) extends InputPartition
 
 case class PagedRestScan(rows: Int, pageSize: Int, onlyTarget: Boolean,
-    serviceClass: String, serviceOpts: Map[String, String])
+    serviceClass: String, serviceOpts: Map[String, String],
+    headers: Map[String, String] = Map.empty,
+    retry: RestRetryPolicy = RestRetryPolicy())
     extends Scan with Batch {
 
   override def readSchema(): StructType = PagedRestTable.Schema
@@ -106,25 +122,29 @@ case class PagedRestScan(rows: Int, pageSize: Int, onlyTarget: Boolean,
     // one cursor range per page — the parallel analogue of the reference's
     // sequential has_more loop
     val service = PagedService.instantiate(serviceClass, serviceOpts)
-    val total = service.total(onlyTarget)
+    val total = RestRetry.run(retry)(service.total(onlyTarget, headers))
     val pages = math.max(1, (total + pageSize - 1) / pageSize)
     (0 until pages).map(PageRange(_): InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new PagedReaderFactory(pageSize, onlyTarget, serviceClass, serviceOpts)
+    new PagedReaderFactory(pageSize, onlyTarget, serviceClass, serviceOpts,
+      headers, retry)
 }
 
 class PagedReaderFactory(pageSize: Int, onlyTarget: Boolean,
-    serviceClass: String, serviceOpts: Map[String, String])
+    serviceClass: String, serviceOpts: Map[String, String],
+    headers: Map[String, String], retry: RestRetryPolicy)
     extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val page = partition.asInstanceOf[PageRange].pageIndex
     new PartitionReader[InternalRow] {
       private val service = PagedService.instantiate(serviceClass, serviceOpts)
-      private val it = service
-        .fetch(page * pageSize, pageSize, onlyTarget).iterator
+      // retry wraps each PAGE fetch: a transient 429/5xx costs one page's
+      // backoff, not the whole scan; Spark task retry stays the outer net
+      private val it = RestRetry.run(retry)(service.fetch(
+        RestRequest(page * pageSize, pageSize, onlyTarget, headers))).iterator
       private var current: (Long, String, Boolean) = _
       override def next(): Boolean = { val h = it.hasNext; if (h) current = it.next(); h }
       override def get(): InternalRow = new GenericInternalRow(Array[Any](
@@ -134,13 +154,72 @@ class PagedReaderFactory(pageSize: Int, onlyTarget: Boolean,
   }
 }
 
+/** One HTTP-shaped page request: cursor window, the pushed predicate, and
+  * transport headers (bearer auth).
+  */
+final case class RestRequest(offset: Int, limit: Int, onlyTarget: Boolean,
+    headers: Map[String, String])
+
+/** HTTP-status failure a service raises for non-2xx responses. `retryAfterMs`
+  * mirrors Retry-After: honored by [[RestRetry]] when >= 0.
+  */
+class RestStatusException(val status: Int, val retryAfterMs: Long = -1L)
+    extends RuntimeException(
+      s"paged REST service returned HTTP $status" +
+        (if (status == 401 || status == 403)
+          " — credentials missing/invalid (set the `token` option; the" +
+            " service expects `Authorization: Bearer <token>`)"
+        else ""))
+
+/** Bounded exponential backoff for transient HTTP statuses. 401/403 never
+  * retry — a bad credential does not heal, fail loudly instead of hammering
+  * the service (`maxAttempts` = retries + 1).
+  */
+final case class RestRetryPolicy(maxAttempts: Int = 4, backoffMs: Long = 100L,
+    maxBackoffMs: Long = 10000L) {
+  require(maxAttempts >= 1, s"maxAttempts must be >= 1: $maxAttempts")
+  def retryable(status: Int): Boolean =
+    status == 408 || status == 429 || (status >= 500 && status <= 504)
+}
+
+object RestRetry {
+  /** Run `f`, retrying [[RestStatusException]]s the policy calls transient
+    * with exponential backoff (Retry-After wins when the service sends it).
+    * `sleep` is injectable for tests.
+    */
+  def run[A](policy: RestRetryPolicy, sleep: Long => Unit = Thread.sleep)(f: => A): A = {
+    var attempt = 1
+    var backoff = policy.backoffMs
+    var out: Option[A] = None
+    while (out.isEmpty) {
+      try out = Some(f)
+      catch {
+        case e: RestStatusException
+            if policy.retryable(e.status) && attempt < policy.maxAttempts =>
+          sleep(math.min(if (e.retryAfterMs >= 0) e.retryAfterMs else backoff,
+            policy.maxBackoffMs))
+          backoff = math.min(backoff * 2, policy.maxBackoffMs)
+          attempt += 1
+      }
+    }
+    out.get
+  }
+}
+
 /** Paged-service contract: offset/limit fetch plus a server-side boolean
   * predicate, mirroring the Notion database query API shape the reference
-  * consumes (filtered query + cursor pagination).
+  * consumes (filtered query + cursor pagination). The [[RestRequest]]
+  * overloads carry transport headers (bearer auth) for services that
+  * enforce them; the defaults delegate so header-oblivious services stay
+  * source-compatible.
   */
 trait PagedService extends Serializable {
   def total(onlyTarget: Boolean): Int
   def fetch(offset: Int, limit: Int, onlyTarget: Boolean): Seq[(Long, String, Boolean)]
+  def total(onlyTarget: Boolean, headers: Map[String, String]): Int =
+    total(onlyTarget)
+  def fetch(req: RestRequest): Seq[(Long, String, Boolean)] =
+    fetch(req.offset, req.limit, req.onlyTarget)
 }
 
 object PagedService {

@@ -90,6 +90,72 @@ class SourcesSpec extends SparkTestBase {
     assert(back == want)
   }
 
+  test("REST source: bearer token reaches the service; missing token is 401, no retry") {
+    AuthRetryService.reset("auth1")
+    // correct token: full scan succeeds and the Authorization header was
+    // asserted by the service on every call
+    val ok = spark.read.format("graft.sources.rest.PagedRestProvider")
+      .option("rows", "30").option("pageSize", "100")
+      .option("service", classOf[AuthRetryService].getName)
+      .option("nonce", "auth1").option("expectToken", "s3cret")
+      .option("token", "s3cret")
+      .load()
+    assert(ok.count() == 30)
+    // missing token: 401 surfaces immediately with a fix-it message and is
+    // NOT retried (a bad credential does not heal)
+    AuthRetryService.reset("auth2")
+    val e = intercept[Exception] {
+      spark.read.format("graft.sources.rest.PagedRestProvider")
+        .option("rows", "30").option("pageSize", "100")
+        .option("service", classOf[AuthRetryService].getName)
+        .option("nonce", "auth2").option("expectToken", "s3cret")
+        .load().count()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10).toSeq
+    val status = chain(e).collectFirst {
+      case r: graft.sources.rest.RestStatusException => r }
+    assert(status.exists(_.status == 401), s"expected HTTP 401, got $e")
+    assert(status.exists(_.getMessage.contains("token")), "message should name the fix")
+    assert(AuthRetryService.attempts("auth2") == 1,
+      s"401 must not retry, saw ${AuthRetryService.attempts("auth2")} attempts")
+  }
+
+  test("REST source: 429 backs off and retries to success; exhaustion fails") {
+    // two 429s (with Retry-After), then success: scan completes and the
+    // attempt count proves the retries (2 rejected + 1 success per the
+    // single page; planInputPartitions' total() is not failure-injected)
+    AuthRetryService.reset("rl1")
+    val ok = spark.read.format("graft.sources.rest.PagedRestProvider")
+      .option("rows", "30").option("pageSize", "100")
+      .option("service", classOf[AuthRetryService].getName)
+      .option("nonce", "rl1").option("expectToken", "s3cret")
+      .option("token", "s3cret").option("fail429", "2")
+      .option("retryBackoffMs", "1")
+      .load()
+    assert(ok.count() == 30)
+    assert(AuthRetryService.attempts("rl1") == 3,
+      s"expected 2 rejected + 1 success, saw ${AuthRetryService.attempts("rl1")}")
+    // more 429s than maxRetries: the scan fails with the status preserved
+    AuthRetryService.reset("rl2")
+    val e = intercept[Exception] {
+      spark.read.format("graft.sources.rest.PagedRestProvider")
+        .option("rows", "30").option("pageSize", "100")
+        .option("service", classOf[AuthRetryService].getName)
+        .option("nonce", "rl2").option("expectToken", "s3cret")
+        .option("token", "s3cret").option("fail429", "10")
+        .option("maxRetries", "2").option("retryBackoffMs", "1")
+        .load().count()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10).toSeq
+    assert(chain(e).exists {
+      case r: graft.sources.rest.RestStatusException => r.status == 429
+      case _ => false
+    }, s"expected HTTP 429 after exhaustion, got $e")
+    assert(AuthRetryService.attempts("rl2") == 3) // maxRetries 2 -> 3 attempts
+  }
+
   test("compactParquet bin-packs a many-file table, preserving rows, no shuffle") {
     val sp = spark
     import sp.implicits._
@@ -118,4 +184,42 @@ class SourcesSpec extends SparkTestBase {
       CorpusIO.compactParquet(spark, in, s"$in/")
     }
   }
+}
+
+/** Synthetic auth/rate-limit service for the bearer-token + backoff specs:
+  * `total` is public metadata (no auth — so the missing-token failure lands
+  * in the page fetch, attempt-countable), `fetch` requires
+  * `Authorization: Bearer <expectToken>` and rejects the first `fail429`
+  * attempts per nonce with HTTP 429 + Retry-After. Attempt counters are
+  * nonce-keyed in the companion (local mode shares one JVM).
+  */
+class AuthRetryService(opts: Map[String, String])
+    extends graft.sources.rest.PagedService {
+  import graft.sources.rest.{RestRequest, RestStatusException}
+
+  private val nonce = opts.getOrElse("nonce", "default")
+  private val expect = s"Bearer ${opts.getOrElse("expecttoken", opts.getOrElse("expectToken", ""))}"
+  private val fail429 = opts.getOrElse("fail429", "0").toInt
+  private val inner = new graft.sources.rest.SyntheticNotionService(opts)
+
+  override def total(onlyTarget: Boolean): Int = inner.total(onlyTarget)
+  override def fetch(offset: Int, limit: Int, onlyTarget: Boolean): Seq[(Long, String, Boolean)] =
+    fetch(RestRequest(offset, limit, onlyTarget, Map.empty))
+
+  override def fetch(req: RestRequest): Seq[(Long, String, Boolean)] = {
+    val n = AuthRetryService.counter(nonce).incrementAndGet()
+    if (!req.headers.get("Authorization").contains(expect))
+      throw new RestStatusException(401)
+    if (n <= fail429) throw new RestStatusException(429, retryAfterMs = 1L)
+    inner.fetch(req.offset, req.limit, req.onlyTarget)
+  }
+}
+
+object AuthRetryService {
+  private val counters =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicInteger]()
+  def counter(nonce: String): java.util.concurrent.atomic.AtomicInteger =
+    counters.computeIfAbsent(nonce, _ => new java.util.concurrent.atomic.AtomicInteger())
+  def attempts(nonce: String): Int = counter(nonce).get()
+  def reset(nonce: String): Unit = counter(nonce).set(0)
 }
