@@ -104,27 +104,47 @@ object ProductQuantizer {
     require(qvec.length == spec.m * spec.dsub,
       s"query dim ${qvec.length} != m*dsub ${spec.m * spec.dsub}")
     require(k > 0 && overfetch >= k, s"need overfetch >= k > 0: $overfetch, $k")
-    // build-once / probe-many: production passes (codebooks, codes) built
-    // ONCE over the corpus (codes are the at-rest compressed table) so a
-    // probe never re-encodes; the inline derivation is the one-shot path
-    val (cb, codes) = precomputed.getOrElse {
-      val c = codebooks(df, idCol, vecCol, spec)
-      (c, encode(df, idCol, vecCol, c, spec))
+    // M×K distance table inputs: query subvector vs codebook entry,
+    // integer-scaled. qsub is a tiny literal (the query itself); the
+    // arithmetic is engine-side so a SQL oracle replays it bit-for-bit.
+    def withDq(cb: DataFrame): DataFrame = {
+      val qsub = (0 until spec.m).map(s =>
+        qvec.slice(s * spec.dsub, (s + 1) * spec.dsub).toSeq)
+      val d = array_distance(col("__cbvec"),
+        element_at(typedLit(qsub), col("__m").cast("int") + 1))
+      cb.withColumn("__dq", floor(d * d * lit(1e6)).cast("long"))
     }
-    // M×K distance table: query subvector vs codebook entry, integer-scaled.
-    // qsub is a tiny literal (the query itself); the table is engine-side
-    // arithmetic so a SQL oracle replays it bit-for-bit.
-    val qsub = (0 until spec.m).map(s =>
-      qvec.slice(s * spec.dsub, (s + 1) * spec.dsub).toSeq)
-    val d = array_distance(col("__cbvec"),
-      element_at(typedLit(qsub), col("__m").cast("int") + 1))
-    val dt = cb.select(col("__m"), col("__j"),
-      floor(d * d * lit(1e6)).cast("long").as("__dq"))
-    val cands = codes
-      .join(broadcast(dt),
-        codes("__m") === dt("__m") && codes("__code") === dt("__j"))
-      .groupBy(col("__id"))
-      .agg(sum(col("__dq")).as("__adc"))
+    val cands = (precomputed match {
+      case Some((cb, codes)) =>
+        // at-rest codes: ADC is a broadcast (m, j) -> dq lookup over the
+        // compressed table — the corpus is never re-encoded
+        val dt = withDq(cb).select(col("__m"), col("__j"), col("__dq"))
+        codes
+          .join(broadcast(dt),
+            codes("__m") === dt("__m") && codes("__code") === dt("__j"))
+          .groupBy(col("__id"))
+          .agg(sum(col("__dq")).as("__adc"))
+      case None =>
+        // one-shot fused path: assignment argmin and the ADC lookup in ONE
+        // aggregation — the broadcast codebook row carries its dq, a
+        // per-subspace min(when(m)) picks (d, j, dq) map-side, and the adc
+        // is an M-term column sum. One shuffle of one row per vector; no
+        // separate codes/dt join stages (measured 3.4x -> ~2x the oracle
+        // at sf0.1, where stage latency dominates this query).
+        val cbq = withDq(codebooks(df, idCol, vecCol, spec))
+        val perSub = (0 until spec.m).map { s =>
+          min(when(col("__m") === s,
+            struct(array_distance(col("__sv"), col("__cbvec")).as("d"),
+              col("__j").as("j"), col("__dq").as("dq")))).as(s"__a$s")
+        }
+        explodeSub(df, idCol, vecCol, spec)
+          .join(broadcast(cbq), Seq("__m"))
+          .groupBy(col("__id"))
+          .agg(perSub.head, perSub.tail: _*)
+          .select(col("__id"),
+            (0 until spec.m).map(s => col(s"__a$s").getField("dq"))
+              .reduce(_ + _).as("__adc"))
+    })
       .orderBy(col("__adc").asc, col("__id").asc)
       .limit(overfetch)
       .select(col("__id").as("__cand"))
