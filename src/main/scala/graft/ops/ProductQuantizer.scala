@@ -155,4 +155,42 @@ object ProductQuantizer {
       .orderBy(col("cos_dist").asc_nulls_last, col(idCol).asc)
       .limit(k)
   }
+
+  private val SpecMarker = "_graft_pq_spec"
+
+  /** Materialize the compressed index as parquet: `codes/` (the at-rest
+    * table every ADC probe scans — M bytes of information per vector) and
+    * `codebooks/` beside it (codes are meaningless without their
+    * codebooks), plus a geometry marker so a reopen with different
+    * geometry fails fast instead of decoding garbage. The build is the
+    * one corpus-sized job; probes after this touch only codes + rerank
+    * rows — the float corpus is never re-encoded.
+    */
+  def materialize(df: DataFrame, idCol: String, vecCol: String,
+      spec: PqSpec, path: String): Unit = {
+    val cb = codebooks(df, idCol, vecCol, spec)
+    require(!cb.isEmpty,
+      s"no codebook entries: no $idCol divisible by stride ${spec.stride}")
+    cb.write.mode("overwrite").parquet(s"$path/codebooks")
+    encode(df, idCol, vecCol, cb, spec)
+      .write.mode("overwrite").parquet(s"$path/codes")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(path, SpecMarker),
+      s"${spec.m} ${spec.dsub} ${spec.stride}")
+  }
+
+  /** Open a [[materialize]]d index: `(spec, (codebooks, codes))`, shaped
+    * for [[adcRerankTopK]]'s `precomputed` parameter. The stored geometry
+    * is authoritative; pass `expect` to assert the caller's assumption.
+    */
+  def fromMaterialized(spark: org.apache.spark.sql.SparkSession, path: String,
+      expect: Option[PqSpec] = None): (PqSpec, (DataFrame, DataFrame)) = {
+    val parts = java.nio.file.Files
+      .readString(java.nio.file.Paths.get(path, SpecMarker)).trim.split(" ")
+    val spec = PqSpec(parts(0).toInt, parts(1).toInt, parts(2).toInt)
+    expect.foreach(e => require(e == spec,
+      s"index at $path was materialized with $spec, opened expecting $e"))
+    (spec, (spark.read.parquet(s"$path/codebooks"),
+      spark.read.parquet(s"$path/codes")))
+  }
 }

@@ -203,6 +203,25 @@ class ProductQuantizerSpec extends SparkTestBase {
     assert(got == bruteIds(qvec(3), 10))
   }
 
+  test("materialized PQ index reloads and probes identically; geometry guarded") {
+    val path = java.nio.file.Files.createTempDirectory("pq_mat_test").toString
+    ProductQuantizer.materialize(emb, "vec_id", "embedding", spec, path)
+    val (loaded, pre) = ProductQuantizer.fromMaterialized(spark, path)
+    assert(loaded == spec)
+    val viaDisk = ProductQuantizer.adcRerankTopK(emb, "vec_id", "embedding",
+        qvec(7), k = 10, loaded, overfetch = 100, precomputed = Some(pre))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val inline = ProductQuantizer.adcRerankTopK(emb, "vec_id", "embedding",
+        qvec(7), k = 10, spec, overfetch = 100)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(viaDisk == inline)
+    // wrong expected geometry is rejected at open
+    intercept[IllegalArgumentException] {
+      ProductQuantizer.fromMaterialized(spark, path,
+        expect = Some(ProductQuantizer.PqSpec(4, 16, 16)))
+    }
+  }
+
   test("precomputed (codebooks, codes) probes equal the inline path") {
     val cb = ProductQuantizer.codebooks(emb, "vec_id", "embedding", spec)
     val codes = ProductQuantizer.encode(emb, "vec_id", "embedding", cb, spec)
