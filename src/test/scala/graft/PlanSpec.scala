@@ -108,4 +108,21 @@ class PlanSpec extends SparkTestBase {
     assert(math.abs(p8.length - p64.length) < p64.length / 4,
       s"plan size scales with centroids: stride64=${p64.length} stride8=${p8.length}")
   }
+
+  test("PQ fused probe: broadcast codebooks, one aggregate, TakeOrdered cut") {
+    val plan = graft.ops.ProductQuantizer.adcRerankTopK(
+        emb, "vec_id", "embedding", qvec, k = 5,
+        graft.ops.ProductQuantizer.PqSpec(m = 8, dsub = 8, stride = 64),
+        overfetch = 50)
+      .queryExecution.executedPlan.toString
+    // codebooks reach the scan as a broadcast, never a shuffled join side
+    assert(plan.contains("BroadcastExchange"), plan)
+    // the candidate cut is a bounded TakeOrdered, not a global Sort
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    // fused path: exactly one aggregate pair (partial+final) computes
+    // argmin+ADC — the separate encode/distance-table stages are gone
+    val nAggs = "HashAggregate|ObjectHashAggregate|SortAggregate".r
+      .findAllIn(plan).size
+    assert(nAggs <= 2, s"expected one fused aggregate (partial+final), plan has $nAggs:\n$plan")
+  }
 }
