@@ -68,21 +68,40 @@ object ProductQuantizer {
       .select((col("__id") / spec.stride).cast("long").as("__j"),
         col("__m"), col("__sv").as("__cbvec"))
 
+  /** Codebooks are contractually SMALL (real PQ uses K = 256 — codes are
+    * bytes); 4096 is generous headroom and what lets the argmin pack into
+    * one long and the ADC table inline as a literal.
+    */
+  val MaxEntries = 4096
+
+  /** Packed assignment key: `floor(d·10¹²)·4096 + j`. A plain `long` min
+    * hash-aggregates (map-side partial combine), where a `min(struct(d, j))`
+    * falls back to SortAggregate and SORTS the full (vector × entry) fanout
+    * — the difference between a hash pass and an n·M·K-row sort at scale.
+    * Semantics: argmin over (d quantized to 1e-12, then j) — the 1e-12
+    * bucketing is part of the algorithm and replayed identically by the SQL
+    * oracle, so cross-engine agreement never depends on float tie-breaks.
+    * Bound: d·10¹²·4096 needs d ≲ 2·10³ — any normalized-embedding corpus
+    * (subvector L2 ≤ 2) has d ≤ 2.
+    */
+  private def packedKey(d: Column, j: Column): Column =
+    floor(d * lit(1e12)).cast("long") * lit(MaxEntries.toLong) + j
+
   /** PQ codes `(__id, __m, __code)`: per (vector, subspace) the nearest
-    * codebook entry by L2 (tie → lowest entry id). The codebook broadcasts
-    * into the scan and the argmin partial-aggregates map-side, so the
-    * shuffle carries one row per (vector, subspace) — M rows per vector,
-    * never the ksub-way candidate fanout.
+    * codebook entry by L2 (tie → lowest entry id, via [[packedKey]]). The
+    * codebook broadcasts into the scan and the argmin partial-aggregates
+    * map-side, so the shuffle carries one row per (vector, subspace) — M
+    * rows per vector, never the ksub-way candidate fanout.
     */
   def encode(df: DataFrame, idCol: String, vecCol: String,
       cb: DataFrame, spec: PqSpec): DataFrame =
     explodeSub(df, idCol, vecCol, spec)
       .join(broadcast(cb), Seq("__m"))
       .select(col("__id"), col("__m"),
-        struct(array_distance(col("__sv"), col("__cbvec")).as("d"),
-          col("__j").as("j")).as("__dj"))
+        packedKey(array_distance(col("__sv"), col("__cbvec")), col("__j"))
+          .as("__key"))
       .groupBy(col("__id"), col("__m"))
-      .agg(min(col("__dj")).getField("j").as("__code"))
+      .agg(pmod(min(col("__key")), lit(MaxEntries.toLong)).as("__code"))
 
   /** ADC top-k candidates + exact full-precision rerank (the SCANN/FAISS
     * two-stage shape, PQ flavor). Stage 1 ranks every vector by the sum of
@@ -125,25 +144,47 @@ object ProductQuantizer {
           .groupBy(col("__id"))
           .agg(sum(col("__dq")).as("__adc"))
       case None =>
-        // one-shot fused path: assignment argmin and the ADC lookup in ONE
-        // aggregation — the broadcast codebook row carries its dq, a
-        // per-subspace min(when(m)) picks (d, j, dq) map-side, and the adc
-        // is an M-term column sum. One shuffle of one row per vector; no
-        // separate codes/dt join stages (measured 3.4x -> ~2x the oracle
-        // at sf0.1, where stage latency dominates this query).
+        // one-shot fused path: assignment argmin and ADC in ONE
+        // HashAggregate. The packed-long min lets the whole thing stay a
+        // hash pass (a struct-min falls to SortAggregate and sorts the
+        // n·M·K fanout); per-subspace min(when(m)) picks the key map-side,
+        // then adc is an M-term sum of literal-table lookups — the dq
+        // table is M×K longs collected once (bounded by MaxEntries: PQ
+        // codebooks are model-artifact-sized, same class as the query
+        // vector itself). One shuffle of one row per vector.
+        // dq computed ENGINE-side then collected (never recomputed driver-
+        // side Scala — zero float-drift risk vs the oracle); the collected
+        // rows also become the LocalTableScan broadcast side, so the main
+        // job carries no codebook-derivation subplan
         val cbq = withDq(codebooks(df, idCol, vecCol, spec))
+          .select(col("__m"), col("__j"), col("__cbvec"), col("__dq"))
+        val cbRows = cbq.collect()
+        val ksub = cbRows.map(_.getLong(1)).max.toInt + 1
+        require(ksub <= MaxEntries,
+          s"codebook has $ksub entries; PQ expects small codebooks (<= $MaxEntries)" +
+            " — raise stride or pre-cluster")
+        val dqTable: Seq[Seq[Long]] = (0 until spec.m).map { s =>
+          val row = cbRows.filter(_.getInt(0) == s)
+            .map(r => r.getLong(1) -> r.getLong(3)).toMap
+          (0 until ksub).map(j => row.getOrElse(j.toLong, Long.MaxValue / 2))
+        }
+        val cbLocal = df.sparkSession.createDataFrame(
+          java.util.Arrays.asList(cbRows: _*), cbq.schema)
         val perSub = (0 until spec.m).map { s =>
           min(when(col("__m") === s,
-            struct(array_distance(col("__sv"), col("__cbvec")).as("d"),
-              col("__j").as("j"), col("__dq").as("dq")))).as(s"__a$s")
+            packedKey(array_distance(col("__sv"), col("__cbvec")), col("__j"))))
+            .as(s"__k$s")
         }
+        val adc = (0 until spec.m).map { s =>
+          element_at(element_at(typedLit(dqTable), s + 1),
+            pmod(col(s"__k$s"), lit(MaxEntries.toLong)).cast("int") + 1)
+        }.reduce(_ + _)
         explodeSub(df, idCol, vecCol, spec)
-          .join(broadcast(cbq), Seq("__m"))
+          .join(broadcast(cbLocal.select(col("__m"), col("__j"), col("__cbvec"))),
+            Seq("__m"))
           .groupBy(col("__id"))
           .agg(perSub.head, perSub.tail: _*)
-          .select(col("__id"),
-            (0 until spec.m).map(s => col(s"__a$s").getField("dq"))
-              .reduce(_ + _).as("__adc"))
+          .select(col("__id"), adc.as("__adc"))
     })
       .orderBy(col("__adc").asc, col("__id").asc)
       .limit(overfetch)

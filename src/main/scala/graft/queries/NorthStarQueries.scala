@@ -1609,12 +1609,15 @@ object NorthStarQueries {
         |                        x -> CAST(x AS DOUBLE))::DOUBLE[8] AS sv
         |  FROM embeddings CROSS JOIN (SELECT unnest(range(0, 8)) AS m)),
         |cb AS (SELECT vec_id // 64 AS j, m, sv AS cv FROM sub WHERE vec_id % 64 = 0),
-        |asn AS (
-        |  SELECT s.vec_id, s.m, c.j,
-        |         row_number() OVER (PARTITION BY s.vec_id, s.m
-        |           ORDER BY array_distance(s.sv, c.cv) ASC, c.j ASC) AS rn
-        |  FROM sub s JOIN cb c ON s.m = c.m),
-        |code AS (SELECT vec_id, m, j FROM asn WHERE rn = 1),
+        |-- assignment replays the engine's packed-long argmin exactly:
+        |-- floor(d*1e12)*4096 + j, min, then % 4096 recovers j (the 1e-12
+        |-- quantization is part of the algorithm, identical both sides)
+        |code AS (
+        |  SELECT s.vec_id, s.m,
+        |         min(CAST(floor(array_distance(s.sv, c.cv) * 1000000000000.0)
+        |             AS BIGINT) * 4096 + c.j) % 4096 AS j
+        |  FROM sub s JOIN cb c ON s.m = c.m
+        |  GROUP BY s.vec_id, s.m),
         |q AS (SELECT m, sv AS qv FROM sub WHERE vec_id = 1),
         |dt AS (
         |  SELECT c.m, c.j,
