@@ -409,4 +409,94 @@ object Dedup {
       .select(col("__id").as(idCol),
         coalesce(col("__r"), col("__id")).as("component"))
   }
+
+  /** SUBSTRING-level duplication — the tier doc-level dedup cannot see
+    * (Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    * Better", arXiv:2107.06499): a boilerplate paragraph pasted into
+    * thousands of otherwise-unique pages survives every whole-doc and
+    * near-doc tier above. Every L-token sliding WINDOW is a span; a span
+    * whose text occurs >= `minCount` times corpus-wide (across docs or
+    * repeated within one) is duplicated. This is the fixed-window exact
+    * formulation of the paper's suffix-array ExactSubstr — window hits are
+    * exact (no false positives), and any duplicated run of >= L tokens is
+    * guaranteed to be hit (its length-L prefix window repeats too).
+    *
+    * Per-doc duplication profile `(id, n_windows, n_dup_windows,
+    * dup_ratio)` — the filter/reporting view. Shuffle discipline: windows
+    * explode locally (posexplode of the codegen'd [[TextOps.wordNGrams]]),
+    * the corpus-wide count is ONE map-side-combined aggregate on the gram
+    * (the token_stats shape), and the window->count join carries only
+    * grams that survive `minCount` (typically a tiny fraction), so the
+    * second shuffle is the duplicated-span subset, not the corpus.
+    */
+  def substringDupStats(df: DataFrame, idCol: String, textCol: String,
+      windowTokens: Int, minCount: Int = 2): DataFrame = {
+    require(windowTokens >= 1 && minCount >= 2,
+      s"need windowTokens >= 1, minCount >= 2: $windowTokens, $minCount")
+    val wins = substringWindows(df, idCol, textCol, windowTokens)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val dup = duplicatedGrams(wins, minCount)
+    val dupPerDoc = wins.join(dup, Seq("__gram"))
+      .groupBy(col("__id")).agg(count(lit(1)).as("__ndup"))
+    wins.groupBy(col("__id")).agg(count(lit(1)).as("n_windows"))
+      .join(dupPerDoc, Seq("__id"), "left")
+      .select(col("__id").as(idCol), col("n_windows"),
+        coalesce(col("__ndup"), lit(0L)).as("n_dup_windows"),
+        (coalesce(col("__ndup"), lit(0L)).cast("double") /
+          col("n_windows")).as("dup_ratio"))
+  }
+
+  /** Remove the duplicated spans: a token is dropped iff ANY duplicated
+    * window covers it (window start s covers positions [s, s+L-1]); what
+    * remains is re-joined in order. Returns `(id, n_kept, clean_text)` for
+    * every input doc — a fully-duplicated doc yields an empty string, which
+    * is the honest answer (the caller's length filter drops it). Covered
+    * positions explode only from DUPLICATED windows (the small subset), the
+    * anti-join is an equi-join on (id, position), and the reassembly is one
+    * aggregate with a deterministic in-array sort — no window function, no
+    * global sort.
+    */
+  def substringDedupClean(df: DataFrame, idCol: String, textCol: String,
+      windowTokens: Int, minCount: Int = 2): DataFrame = {
+    require(windowTokens >= 1 && minCount >= 2,
+      s"need windowTokens >= 1, minCount >= 2: $windowTokens, $minCount")
+    val wins = substringWindows(df, idCol, textCol, windowTokens)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val dup = duplicatedGrams(wins, minCount)
+    val covered = wins.join(dup, Seq("__gram"))
+      .select(col("__id"),
+        explode(sequence(col("__s"), col("__s") + (windowTokens - 1))).as("__p"))
+      .distinct()
+    val toks = df
+      .select(col(idCol).cast("long").as("__id"),
+        posexplode(TextOps.tokens(col(textCol))))
+      .withColumnRenamed("pos", "__p").withColumnRenamed("col", "__tok")
+    val kept = toks.join(covered, Seq("__id", "__p"), "left_anti")
+      .groupBy(col("__id"))
+      .agg(count(lit(1)).as("__nk"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("__p"), col("__tok")))),
+          x => x.getField("__tok")), " ").as("__clean"))
+    df.select(col(idCol).cast("long").as("__id"))
+      .join(kept, Seq("__id"), "left")
+      .select(col("__id").as(idCol),
+        coalesce(col("__nk"), lit(0L)).as("n_kept"),
+        coalesce(col("__clean"), lit("")).as("clean_text"))
+  }
+
+  /** `(__id, __s, __gram)` — every L-token window with its start position
+    * (posexplode of the in-order gram array; local, no shuffle).
+    */
+  private def substringWindows(df: DataFrame, idCol: String, textCol: String,
+      windowTokens: Int): DataFrame =
+    df.select(col(idCol).cast("long").as("__id"),
+        posexplode(TextOps.wordNGrams(col(textCol), windowTokens)))
+      .withColumnRenamed("pos", "__s").withColumnRenamed("col", "__gram")
+
+  /** Grams occurring >= minCount corpus-wide — ONE map-side-combined
+    * aggregate; the result is the (small) duplicated-span dictionary.
+    */
+  private def duplicatedGrams(wins: DataFrame, minCount: Int): DataFrame =
+    wins.groupBy(col("__gram")).agg(count(lit(1)).as("__c"))
+      .where(col("__c") >= minCount).select(col("__gram"))
 }

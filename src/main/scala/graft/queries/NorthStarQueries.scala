@@ -786,6 +786,28 @@ object NorthStarQueries {
         .transform(sortedSingle(_, col("doc_id")))
     },
 
+    // SUBSTRING-level dedup (Dedup.substringDupStats/DedupClean — Lee et
+    // al. 2022's ExactSubstr in its fixed-window exact formulation): the
+    // tier every doc-level pass misses — boilerplate paragraphs pasted
+    // into otherwise-unique pages. Windows explode locally, the corpus-
+    // wide gram count is one map-side-combined aggregate, and only the
+    // (small) duplicated-span subset reaches the second shuffle.
+    "substring_dup_stats" -> { (s, dir) =>
+      Dedup.substringDupStats(
+          t(s, dir, "documents").filter(col("text").isNotNull),
+          "doc_id", "text", windowTokens = 6)
+        .transform(sortedSingle(_, col("doc_id")))
+    },
+    // the destructive form: tokens covered by ANY duplicated window are
+    // removed and the remainder re-joined in order (fully-duplicated docs
+    // honestly yield the empty string)
+    "substring_dedup_clean" -> { (s, dir) =>
+      Dedup.substringDedupClean(
+          t(s, dir, "documents").filter(col("text").isNotNull),
+          "doc_id", "text", windowTokens = 6)
+        .transform(sortedSingle(_, col("doc_id")))
+    },
+
     // dataset mixture to a token budget (graft.ops.Mixture): cap every
     // language at 5000 tokens. The keep fraction is derived from the data
     // (per-lang token totals -> integer bucket threshold, floor division so
@@ -1314,6 +1336,56 @@ object NorthStarQueries {
         |       greatest(start_offset // 512,
         |                (start_offset + n_tokens - 1) // 512) AS last_bin
         |FROM c ORDER BY doc_id""".stripMargin,
+    // fixed-window substring duplication replayed: same L=6 windows
+    // (array_to_string slice == WordNGrams), corpus-wide counts, >= 2
+    // threshold; dup_ratio is one exact int/int double division
+    "substring_dup_stats" ->
+      """WITH tl AS (SELECT doc_id, string_split(text, ' ') AS t
+        |            FROM documents WHERE text IS NOT NULL),
+        |win AS (
+        |  SELECT doc_id, i AS s, array_to_string(t[i+1:i+6], ' ') AS gram
+        |  FROM tl CROSS JOIN (SELECT unnest(range(0, 4096)) AS i)
+        |  WHERE i < len(t) - 5),
+        |cnt AS (SELECT gram, count(*) AS c FROM win GROUP BY gram),
+        |nd AS (SELECT w.doc_id, count(*) AS ndup
+        |       FROM win w JOIN (SELECT gram FROM cnt WHERE c >= 2) d USING (gram)
+        |       GROUP BY w.doc_id),
+        |nw AS (SELECT doc_id, count(*) AS n_windows FROM win GROUP BY doc_id)
+        |SELECT nw.doc_id, nw.n_windows,
+        |       coalesce(nd.ndup, 0) AS n_dup_windows,
+        |       coalesce(nd.ndup, 0)::DOUBLE / nw.n_windows AS dup_ratio
+        |FROM nw LEFT JOIN nd USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+    // covered position = any duplicated window start s with s <= p < s+6;
+    // the anti-join keeps the rest and string_agg(ORDER BY p) re-joins
+    "substring_dedup_clean" ->
+      """WITH tl AS (SELECT doc_id, string_split(text, ' ') AS t
+        |            FROM documents WHERE text IS NOT NULL),
+        |tok AS (
+        |  SELECT doc_id, i AS p, t[i+1] AS token
+        |  FROM tl CROSS JOIN (SELECT unnest(range(0, 4096)) AS i)
+        |  WHERE i < len(t)),
+        |win AS (
+        |  SELECT doc_id, i AS s, array_to_string(t[i+1:i+6], ' ') AS gram
+        |  FROM tl CROSS JOIN (SELECT unnest(range(0, 4096)) AS i)
+        |  WHERE i < len(t) - 5),
+        |cnt AS (SELECT gram, count(*) AS c FROM win GROUP BY gram),
+        |dwin AS (SELECT w.doc_id, w.s
+        |         FROM win w JOIN (SELECT gram FROM cnt WHERE c >= 2) d USING (gram)),
+        |cov AS (SELECT DISTINCT doc_id, s + u AS p
+        |        FROM dwin CROSS JOIN (SELECT unnest(range(0, 6)) AS u)),
+        |kept AS (
+        |  SELECT tok.doc_id, tok.p, tok.token FROM tok
+        |  WHERE NOT EXISTS (SELECT 1 FROM cov
+        |                    WHERE cov.doc_id = tok.doc_id AND cov.p = tok.p)),
+        |cl AS (SELECT doc_id, count(*) AS n_kept,
+        |              string_agg(token, ' ' ORDER BY p) AS clean_text
+        |       FROM kept GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(cl.n_kept, 0) AS n_kept,
+        |       coalesce(cl.clean_text, '') AS clean_text
+        |FROM (SELECT doc_id FROM documents WHERE text IS NOT NULL) d
+        |LEFT JOIN cl USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     "decontaminate_docs" ->
       s"""WITH bench AS (
          |  SELECT DISTINCT gram FROM (

@@ -4,6 +4,64 @@ import org.apache.spark.sql.functions._
 
 import graft.ops.{Dedup, TextOps}
 
+/** Substring-level dedup (Lee et al. ExactSubstr, fixed-window form):
+  * planted boilerplate is flagged and removed span-exactly; unique text
+  * is untouched; within-doc repetition counts.
+  */
+class SubstringDedupSpec extends SparkTestBase {
+
+  private val Boiler = "subscribe to our newsletter for daily updates now"
+
+  private def corpus = {
+    val sp = spark
+    import sp.implicits._
+    Seq(
+      (0L, s"alpha beta gamma delta epsilon zeta $Boiler"),
+      (1L, s"$Boiler one two three four five six"),
+      (2L, "entirely unique text with no repeated spans anywhere at all today"),
+      // within-doc repetition: the same 4-token run twice in one doc
+      (3L, "red green blue white red green blue white tail marker closing words")
+    ).toDF("doc_id", "text")
+  }
+
+  test("dup stats flag exactly the docs sharing the boilerplate or self-repeating") {
+    val got = Dedup.substringDupStats(corpus, "doc_id", "text", windowTokens = 4)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // docs 0 and 1 share every window inside the 8-token boilerplate:
+    // 8 - 4 + 1 = 5 shared windows each
+    assert(got(0L)._2 == 5, s"doc0 $got")
+    assert(got(1L)._2 == 5, s"doc1 $got")
+    assert(got(2L)._2 == 0, s"unique doc flagged: $got")
+    // doc 3: "red green blue white" appears at positions 0 and 4 -> both
+    // windows duplicated (within-doc repetition counts corpus-wide)
+    assert(got(3L)._2 == 2, s"doc3 $got")
+    // n_windows = tokens - 3
+    assert(got(0L)._1 == corpus.where(col("doc_id") === 0)
+      .select(TextOps.tokenCount(col("text"))).head().getLong(0) - 3)
+  }
+
+  test("clean removes exactly the covered spans and keeps order") {
+    val got = Dedup.substringDedupClean(corpus, "doc_id", "text", windowTokens = 4)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    // the boilerplate (8 tokens) is fully covered in docs 0 and 1; the
+    // unique prefixes/suffixes survive in order
+    assert(got(0L) == (6L, "alpha beta gamma delta epsilon zeta"), got(0L))
+    assert(got(1L) == (6L, "one two three four five six"), got(1L))
+    assert(got(2L)._2 == "entirely unique text with no repeated spans anywhere at all today")
+    // doc 3: both "red green blue white" runs removed, tail kept
+    assert(got(3L) == (4L, "tail marker closing words"), got(3L))
+  }
+
+  test("a doc that is entirely boilerplate yields the empty string, not a dropped row") {
+    val sp = spark
+    import sp.implicits._
+    val df = Seq((0L, Boiler), (1L, Boiler)).toDF("doc_id", "text")
+    val got = Dedup.substringDedupClean(df, "doc_id", "text", windowTokens = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sortBy(_._1)
+    assert(got.toSeq == Seq((0L, 0L, ""), (1L, 0L, "")))
+  }
+}
+
 /** Dedup tiers over synthetic corpora with planted duplicates. */
 class DedupSpec extends SparkTestBase {
 
