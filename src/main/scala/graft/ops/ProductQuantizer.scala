@@ -234,4 +234,19 @@ object ProductQuantizer {
     (spec, (spark.read.parquet(s"$path/codebooks"),
       spark.read.parquet(s"$path/codes")))
   }
+
+  /** Append a NEW vector batch to a [[materialize]]d index: the batch
+    * encodes against the STORED codebooks (never re-derived — appended
+    * vectors must not shift entry meanings) and only its rows append to
+    * `codes/`. The ingest path at scale, twin of
+    * [[AnnIndex.appendToMaterialized]]: the already-encoded corpus is
+    * untouched, probes see old + new immediately. Re-materialize to
+    * re-fit codebooks after heavy distribution drift.
+    */
+  def appendToMaterialized(batch: DataFrame, idCol: String, vecCol: String,
+      path: String, expect: Option[PqSpec] = None): Unit = {
+    val (spec, (cb, _)) = fromMaterialized(batch.sparkSession, path, expect)
+    encode(batch, idCol, vecCol, cb, spec)
+      .write.mode("append").parquet(s"$path/codes")
+  }
 }

@@ -222,6 +222,33 @@ class ProductQuantizerSpec extends SparkTestBase {
     }
   }
 
+  test("PQ incremental append: half materialize + half append == full materialize") {
+    val full = java.nio.file.Files.createTempDirectory("pq_full").toString
+    val half = java.nio.file.Files.createTempDirectory("pq_half").toString
+    ProductQuantizer.materialize(emb, "vec_id", "embedding", spec, full)
+    // codebook ids all live in the even half (stride 16 keeps even ids),
+    // so the half-build derives the SAME codebooks the full build did
+    ProductQuantizer.materialize(
+      emb.where(pmod(col("vec_id"), lit(2)) === 0), "vec_id", "embedding",
+      spec, half)
+    ProductQuantizer.appendToMaterialized(
+      emb.where(pmod(col("vec_id"), lit(2)) === 1), "vec_id", "embedding", half)
+    def codesOf(p: String): Set[(Long, Int, Long)] =
+      spark.read.parquet(s"$p/codes").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(codesOf(half) == codesOf(full))
+    // probes through the appended index match the full one
+    val (sp2, pre) = ProductQuantizer.fromMaterialized(spark, half)
+    val viaHalf = ProductQuantizer.adcRerankTopK(emb, "vec_id", "embedding",
+        qvec(3), k = 10, sp2, overfetch = 100, precomputed = Some(pre))
+      .collect().map(_.getLong(0)).toSeq
+    val (_, preF) = ProductQuantizer.fromMaterialized(spark, full)
+    val viaFull = ProductQuantizer.adcRerankTopK(emb, "vec_id", "embedding",
+        qvec(3), k = 10, spec, overfetch = 100, precomputed = Some(preF))
+      .collect().map(_.getLong(0)).toSeq
+    assert(viaHalf == viaFull)
+  }
+
   test("precomputed (codebooks, codes) probes equal the inline path") {
     val cb = ProductQuantizer.codebooks(emb, "vec_id", "embedding", spec)
     val codes = ProductQuantizer.encode(emb, "vec_id", "embedding", cb, spec)
