@@ -367,6 +367,23 @@ object SparkEntry {
         .transform(graft.queries.sortedSingle(_, col("id")))
     },
 
+    // ---- events: CUBE over (event_type, user bucket) — all four grouping
+    // sets in one pass (Expand + single aggregate). Group keys are
+    // non-null in the data, so the cube's NULLs mark subtotal rows
+    // unambiguously and coalesce to sentinels both engines share; the
+    // value sum uses the exact DECIMAL partial recipe. ----
+    "events_cube" -> { (s, dir) =>
+      events(s, dir)
+        .withColumn("user_bucket", pmod(col("user_id"), lit(5L)))
+        .cube(col("event_type"), col("user_bucket"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+        .select(coalesce(col("event_type"), lit("(all)")).as("event_type"),
+          coalesce(col("user_bucket"), lit(-1L)).as("user_bucket"),
+          col("n_events"), col("sum_value"))
+        .transform(graft.queries.sortedSingle(_, col("event_type"), col("user_bucket")))
+    },
+
     // ---- events: exact event dedup by natural key ----
     "events_dedup" -> { (s, dir) =>
       events(s, dir)
@@ -522,6 +539,14 @@ object SparkEntry {
         |  SELECT user_id, event_type, ts, min(event_id) AS event_id
         |  FROM events GROUP BY user_id, event_type, ts)
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "events_cube" ->
+      """SELECT coalesce(event_type, '(all)') AS event_type,
+        |       coalesce(user_id % 5, -1) AS user_bucket,
+        |       count(*) AS n_events,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events
+        |GROUP BY CUBE (event_type, user_id % 5)
+        |ORDER BY event_type, user_bucket""".stripMargin,
     // mirrors SyntheticNotionService: 300 rows, is_target = id % 3 == 0,
     // title "page-<id>" — the pushed filter keeps only targets
     "paged_rest_scan" ->
