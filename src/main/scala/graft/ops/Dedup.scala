@@ -450,11 +450,14 @@ object Dedup {
     * window covers it (window start s covers positions [s, s+L-1]); what
     * remains is re-joined in order. Returns `(id, n_kept, clean_text)` for
     * every input doc — a fully-duplicated doc yields an empty string, which
-    * is the honest answer (the caller's length filter drops it). Covered
-    * positions explode only from DUPLICATED windows (the small subset), the
-    * anti-join is an equi-join on (id, position), and the reassembly is one
-    * aggregate with a deterministic in-array sort — no window function, no
-    * global sort.
+    * is the honest answer (the caller's length filter drops it).
+    *
+    * The TOKENS never explode: only covered positions do — and only from
+    * DUPLICATED windows, the small subset — aggregating to one
+    * positions-array row per affected doc. The removal itself is a pure
+    * per-row expression (index-filter over the original token array +
+    * array_join), so the corpus-sized side contributes zero shuffle rows
+    * beyond the window counting every variant needs.
     */
   def substringDedupClean(df: DataFrame, idCol: String, textCol: String,
       windowTokens: Int, minCount: Int = 2): DataFrame = {
@@ -463,25 +466,19 @@ object Dedup {
     val wins = substringWindows(df, idCol, textCol, windowTokens)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val dup = duplicatedGrams(wins, minCount)
-    val covered = wins.join(dup, Seq("__gram"))
+    val coveredPerDoc = wins.join(dup, Seq("__gram"))
       .select(col("__id"),
         explode(sequence(col("__s"), col("__s") + (windowTokens - 1))).as("__p"))
-      .distinct()
-    val toks = df
-      .select(col(idCol).cast("long").as("__id"),
-        posexplode(TextOps.tokens(col(textCol))))
-      .withColumnRenamed("pos", "__p").withColumnRenamed("col", "__tok")
-    val kept = toks.join(covered, Seq("__id", "__p"), "left_anti")
       .groupBy(col("__id"))
-      .agg(count(lit(1)).as("__nk"),
-        array_join(transform(
-          array_sort(collect_list(struct(col("__p"), col("__tok")))),
-          x => x.getField("__tok")), " ").as("__clean"))
-    df.select(col(idCol).cast("long").as("__id"))
-      .join(kept, Seq("__id"), "left")
+      .agg(collect_set(col("__p")).as("__cov"))
+    val kept = filter(TextOps.tokens(col(textCol)),
+      (_, i) => !array_contains(coalesce(col("__cov"), array().cast("array<int>")), i))
+    df.select(col(idCol).cast("long").as("__id"), col(textCol))
+      .join(coveredPerDoc, Seq("__id"), "left")
       .select(col("__id").as(idCol),
-        coalesce(col("__nk"), lit(0L)).as("n_kept"),
-        coalesce(col("__clean"), lit("")).as("clean_text"))
+        // null text -> (0, ""): same contract as a fully-covered doc
+        coalesce(size(kept).cast("long"), lit(0L)).as("n_kept"),
+        coalesce(array_join(kept, " "), lit("")).as("clean_text"))
   }
 
   /** `(__id, __s, __gram)` — every L-token window with its start position
