@@ -384,6 +384,21 @@ object SparkEntry {
         .transform(graft.queries.sortedSingle(_, col("event_type"), col("user_bucket")))
     },
 
+    // ---- events: SLIDING windows via Spark's native window() — the
+    // streaming-core primitive under the batch hash gate (1h window,
+    // 30min slide => every event lands in exactly 2 windows; starts are
+    // epoch-aligned integers, sums use the exact DECIMAL recipe) ----
+    "events_sliding" -> { (s, dir) =>
+      events(s, dir)
+        .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+        .select(unix_timestamp(col("w.start")).as("win_start"),
+          col("event_type"), col("n_events"), col("sum_value"))
+        .transform(graft.queries.sortedSingle(_, col("win_start"), col("event_type")))
+    },
+
     // ---- events: exact event dedup by natural key ----
     "events_dedup" -> { (s, dir) =>
       events(s, dir)
@@ -539,6 +554,26 @@ object SparkEntry {
         |  SELECT user_id, event_type, ts, min(event_id) AS event_id
         |  FROM events GROUP BY user_id, event_type, ts)
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // each event's two sliding windows replayed with integer epoch
+    // arithmetic (floor-div to the slide grid; both starts always valid
+    // since epoch - (k0-1)*slide < 2*slide = window size). floor() before
+    // the BIGINT cast: DuckDB's double->int cast ROUNDS half-even, which
+    // would push a boundary-adjacent fractional epoch into the next slide
+    // bucket, while Spark's window() floors (grid membership only needs
+    // floor(t)/floor-div, which commutes with truncation)
+    "events_sliding" ->
+      """WITH e AS (
+        |  SELECT CAST(floor(date_part('epoch', ts)) AS BIGINT) AS t,
+        |         event_type, value
+        |  FROM events),
+        |w AS (
+        |  SELECT t, event_type, value,
+        |         unnest([(t // 1800) * 1800, (t // 1800) * 1800 - 1800]) AS win_start
+        |  FROM e)
+        |SELECT win_start, event_type, count(*) AS n_events,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM w GROUP BY win_start, event_type
+        |ORDER BY win_start, event_type""".stripMargin,
     "events_cube" ->
       """SELECT coalesce(event_type, '(all)') AS event_type,
         |       coalesce(user_id % 5, -1) AS user_bucket,
