@@ -343,6 +343,23 @@ object NorthStarQueries {
         overfetch = 100)
     },
 
+    // the full IVF-PQ composition under the gate: IVF prunes to the
+    // nprobe nearest buckets (AnnIndex.probedRows), PQ-ADC ranks inside
+    // them on codes alone, exact rerank on the overfetch survivors. The
+    // probed buckets always contain their own centroid ids (a centroid's
+    // nearest centroid is itself), so the subset-derived stride codebook
+    // is never empty.
+    "ann_ivfpq_topk" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val qvec = emb.where(col("vec_id") === 1).select(col("embedding"))
+        .head().getSeq[Float](0).map(_.toDouble).toArray
+      val idx = AnnIndex.build(emb, "vec_id", "embedding", stride = 64)
+      ProductQuantizer.adcRerankTopK(
+        idx.probedRows(qvec, nprobe = 4), "vec_id", "embedding", qvec,
+        k = 10, ProductQuantizer.PqSpec(m = 8, dsub = 8, stride = 64),
+        overfetch = 50)
+    },
+
     // batched IVF probe: one index pass answers a query TABLE (the
     // offline-batch shape). Per-query bucket routing + the bounded-heap
     // top-k aggregate — each partition ships <= k rows per query to the
@@ -1706,6 +1723,64 @@ object NorthStarQueries {
         |       1 - array_cosine_similarity(e.embedding::DOUBLE[64],
         |           (SELECT embedding FROM fq)::DOUBLE[64]) AS cos_dist
         |FROM embeddings e JOIN cand USING (vec_id)
+        |ORDER BY cos_dist ASC NULLS LAST, vec_id ASC LIMIT 10""".stripMargin,
+    // IVF bucket selection (annIvfOracle's CTEs) composed with the PQ
+    // replay over ONLY the selected rows; the query's subvectors come from
+    // the raw corpus row (the engine inlines the literal query vector
+    // whether or not its own bucket was probed)
+    "ann_ivfpq_topk" ->
+      """WITH cents AS (
+        |  SELECT vec_id AS cid, embedding FROM embeddings WHERE vec_id % 64 = 0),
+        |q AS (SELECT embedding::DOUBLE[64] AS v FROM embeddings WHERE vec_id = 1),
+        |probed AS (
+        |  SELECT cid FROM (
+        |    SELECT cid,
+        |           1 - array_cosine_similarity(embedding::DOUBLE[64], (SELECT v FROM q)) AS d
+        |    FROM cents)
+        |  ORDER BY d ASC NULLS LAST, cid ASC LIMIT 4),
+        |assign AS (
+        |  SELECT vec_id, centroid FROM (
+        |    SELECT e.vec_id, c.cid AS centroid,
+        |           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |             1 - array_cosine_similarity(e.embedding::DOUBLE[64],
+        |                 c.embedding::DOUBLE[64]) ASC,
+        |             c.cid ASC) AS rn
+        |    FROM embeddings e CROSS JOIN cents c) WHERE rn = 1),
+        |sel AS (
+        |  SELECT e.vec_id, e.embedding FROM embeddings e
+        |  JOIN assign a ON e.vec_id = a.vec_id
+        |  WHERE a.centroid IN (SELECT cid FROM probed)),
+        |sub AS (
+        |  SELECT vec_id, m,
+        |         list_transform(embedding[m*8+1:m*8+8],
+        |                        x -> CAST(x AS DOUBLE))::DOUBLE[8] AS sv
+        |  FROM sel CROSS JOIN (SELECT unnest(range(0, 8)) AS m)),
+        |cb AS (SELECT vec_id // 64 AS j, m, sv AS cv FROM sub WHERE vec_id % 64 = 0),
+        |code AS (
+        |  SELECT s.vec_id, s.m,
+        |         min(CAST(floor(array_distance(s.sv, c.cv) * 1000000000000.0)
+        |             AS BIGINT) * 4096 + c.j) % 4096 AS j
+        |  FROM sub s JOIN cb c ON s.m = c.m
+        |  GROUP BY s.vec_id, s.m),
+        |qsub AS (
+        |  SELECT m, list_transform(embedding[m*8+1:m*8+8],
+        |                           x -> CAST(x AS DOUBLE))::DOUBLE[8] AS qv
+        |  FROM embeddings CROSS JOIN (SELECT unnest(range(0, 8)) AS m)
+        |  WHERE vec_id = 1),
+        |dt AS (
+        |  SELECT c.m, c.j,
+        |         CAST(floor(array_distance(c.cv, s.qv) * array_distance(c.cv, s.qv)
+        |              * 1000000.0) AS BIGINT) AS dq
+        |  FROM cb c JOIN qsub s ON c.m = s.m),
+        |adc AS (
+        |  SELECT co.vec_id, CAST(sum(dt.dq) AS BIGINT) AS adc
+        |  FROM code co JOIN dt ON co.m = dt.m AND co.j = dt.j
+        |  GROUP BY co.vec_id),
+        |cand AS (SELECT vec_id FROM adc ORDER BY adc ASC, vec_id ASC LIMIT 50)
+        |SELECT s.vec_id,
+        |       1 - array_cosine_similarity(s.embedding::DOUBLE[64],
+        |           (SELECT v FROM q)) AS cos_dist
+        |FROM sel s JOIN cand USING (vec_id)
         |ORDER BY cos_dist ASC NULLS LAST, vec_id ASC LIMIT 10""".stripMargin,
     // the batched probe replayed per query: same centroid choice and
     // assignment as annIvfOracle, ranking and top-k partitioned by qid
