@@ -351,9 +351,17 @@ object NorthStarQueries {
     // is never empty.
     "ann_ivfpq_topk" -> { (s, dir) =>
       val emb = t(s, dir, "embeddings")
+      // probe the SAME materialized index ann_ivf_topk built (build once,
+      // probe many — a fresh AnnIndex.build would re-run the corpus-wide
+      // assignment argmin on every probe)
+      val path = annSpool.computeIfAbsent(dir, d => {
+        val p = graft.util.TempDirs.create("graft_ann_spool")
+        AnnIndex.materialize(t(s, d, "embeddings"), "vec_id", "embedding", 64, p)
+        p
+      })
       val qvec = emb.where(col("vec_id") === 1).select(col("embedding"))
         .head().getSeq[Float](0).map(_.toDouble).toArray
-      val idx = AnnIndex.build(emb, "vec_id", "embedding", stride = 64)
+      val idx = AnnIndex.fromMaterialized(emb, "vec_id", "embedding", 64, path)
       ProductQuantizer.adcRerankTopK(
         idx.probedRows(qvec, nprobe = 4), "vec_id", "embedding", qvec,
         k = 10, ProductQuantizer.PqSpec(m = 8, dsub = 8, stride = 64),
