@@ -349,6 +349,25 @@ object SparkEntry {
         .transform(graft.queries.sortedSingle(_, col("lang")))
     },
 
+    // ---- ingestion: schema-DRIFT scan — two batches written with
+    // different schemas (the second adds `lang`), read back with
+    // mergeSchema so pre-drift rows surface the new column as NULL
+    // instead of being dropped by a single-footer read. The oracle
+    // recomputes the same aggregate from the source table, so rows match
+    // iff the merged read preserved every batch and nulled the gap. ----
+    "schema_drift_scan" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val tmp = graft.util.TempDirs.create("graft_drift") + "/corpus"
+      docs.where(col("doc_id") < 250).select("doc_id", "text")
+        .write.mode("append").parquet(tmp)
+      docs.where(col("doc_id") >= 250).select("doc_id", "text", "lang")
+        .write.mode("append").parquet(tmp)
+      graft.sources.CorpusIO.readParquetMerged(s, tmp)
+        .groupBy(coalesce(col("lang"), lit("(pre-drift)")).as("lang"))
+        .agg(count(lit(1)).as("n"), sum(length(col("text"))).as("n_chars"))
+        .transform(graft.queries.sortedSingle(_, col("lang")))
+    },
+
     // ---- F7: newline join of rich-text blocks ----
     "blocks_join_docs" -> { (s, dir) =>
       t(s, dir, "documents")
@@ -544,6 +563,14 @@ object SparkEntry {
       """SELECT lang, count(*) AS n,
         |       CAST(sum(('0x' || substr(md5(text), 1, 8))::BIGINT) AS BIGINT) AS text_fp_sum
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    // replay: rows with doc_id < 250 were written WITHOUT lang, so the
+    // merged scan must surface them as NULL -> '(pre-drift)'
+    "schema_drift_scan" ->
+      """SELECT CASE WHEN doc_id < 250 THEN '(pre-drift)'
+        |            ELSE coalesce(lang, '(pre-drift)') END AS lang,
+        |       count(*) AS n,
+        |       CAST(sum(length(text)) AS BIGINT) AS n_chars
+        |FROM documents GROUP BY 1 ORDER BY lang""".stripMargin,
     "blocks_join_docs" ->
       """SELECT doc_id,
         |       array_to_string(list_transform(string_split(text, ' '),

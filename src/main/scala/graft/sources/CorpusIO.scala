@@ -68,6 +68,18 @@ object CorpusIO {
       schema: StructType = corpusSchema): DataFrame =
     spark.read.schema(schema).json(path)
 
+  /** Schema-drift scan: read a parquet corpus whose batches were written
+    * with EVOLVING schemas (a long-lived ingest adds columns over time;
+    * early files simply lack them). `mergeSchema` unions the per-file
+    * footers, so rows from pre-drift files surface the new columns as
+    * NULL instead of the default single-footer read silently dropping
+    * them (or failing, depending on which file Spark samples). Cost: one
+    * footer read per file at planning — fine after [[compactParquet]];
+    * on a million-file raw landing zone, compact first.
+    */
+  def readParquetMerged(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path)
+
   /** Small-file compaction — the operational fix for the classic
     * post-ingest layout problem: streaming/incremental writers leave
     * thousands of KB-sized parquet files whose per-file open cost and
