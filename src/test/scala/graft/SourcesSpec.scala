@@ -156,6 +156,26 @@ class SourcesSpec extends SparkTestBase {
     assert(AuthRetryService.attempts("rl2") == 3) // maxRetries 2 -> 3 attempts
   }
 
+  test("readParquetMerged: evolving schemas union; missing columns are NULL both ways") {
+    val sp = spark
+    import sp.implicits._
+    val dir = Files.createTempDirectory("graft_drift_spec").toString + "/corpus"
+    // batch 1 lacks `lang`; batch 2 lacks `score` — drift in BOTH directions
+    Seq((1L, "alpha", 0.5)).toDF("doc_id", "text", "score")
+      .write.mode("append").parquet(dir)
+    Seq((2L, "beta", "en")).toDF("doc_id", "text", "lang")
+      .write.mode("append").parquet(dir)
+    val got = CorpusIO.readParquetMerged(spark, dir)
+      .orderBy("doc_id").collect()
+    val cols = CorpusIO.readParquetMerged(spark, dir).columns.toSet
+    assert(cols == Set("doc_id", "text", "score", "lang"))
+    val byId = got.map(r => r.getLong(r.fieldIndex("doc_id")) -> r).toMap
+    assert(byId(1L).isNullAt(byId(1L).fieldIndex("lang")))
+    assert(!byId(1L).isNullAt(byId(1L).fieldIndex("score")))
+    assert(byId(2L).isNullAt(byId(2L).fieldIndex("score")))
+    assert(byId(2L).getString(byId(2L).fieldIndex("lang")) == "en")
+  }
+
   test("compactParquet bin-packs a many-file table, preserving rows, no shuffle") {
     val sp = spark
     import sp.implicits._
