@@ -74,18 +74,27 @@ object ProductQuantizer {
     */
   val MaxEntries = 4096
 
-  /** Packed assignment key: `floor(d·10¹²)·4096 + j`. A plain `long` min
-    * hash-aggregates (map-side partial combine), where a `min(struct(d, j))`
-    * falls back to SortAggregate and SORTS the full (vector × entry) fanout
-    * — the difference between a hash pass and an n·M·K-row sort at scale.
+  /** Distances saturate here before packing: `d·10¹²·4096` overflows a
+    * long for d > ~2·10³, which would silently corrupt assignments on an
+    * un-normalized corpus. Any normalized-embedding corpus (subvector
+    * L2 ≤ 2) sits ~3 orders of magnitude under the bound, so the clamp is
+    * inert there — it only turns would-be overflow into a deterministic
+    * tie (broken by lowest entry id, like every other tie).
+    */
+  val MaxPackedDistance = 2e3
+
+  /** Packed assignment key: `floor(min(d, 2·10³)·10¹²)·4096 + j`. A plain
+    * `long` min hash-aggregates (map-side partial combine), where a
+    * `min(struct(d, j))` falls back to SortAggregate and SORTS the full
+    * (vector × entry) fanout — the difference between a hash pass and an
+    * n·M·K-row sort at scale.
     * Semantics: argmin over (d quantized to 1e-12, then j) — the 1e-12
     * bucketing is part of the algorithm and replayed identically by the SQL
     * oracle, so cross-engine agreement never depends on float tie-breaks.
-    * Bound: d·10¹²·4096 needs d ≲ 2·10³ — any normalized-embedding corpus
-    * (subvector L2 ≤ 2) has d ≤ 2.
     */
   private def packedKey(d: Column, j: Column): Column =
-    floor(d * lit(1e12)).cast("long") * lit(MaxEntries.toLong) + j
+    floor(least(d, lit(MaxPackedDistance)) * lit(1e12)).cast("long") *
+      lit(MaxEntries.toLong) + j
 
   /** PQ codes `(__id, __m, __code)`: per (vector, subspace) the nearest
     * codebook entry by L2 (tie → lowest entry id, via [[packedKey]]). The
@@ -102,6 +111,54 @@ object ProductQuantizer {
           .as("__key"))
       .groupBy(col("__id"), col("__m"))
       .agg(pmod(min(col("__key")), lit(MaxEntries.toLong)).as("__code"))
+
+  /** Per-subspace Lloyd-refined codebooks — the trained tier real IVF-PQ
+    * recall comes from. Init is the deterministic stride sample
+    * ([[codebooks]]); each of `iters` rounds reassigns every subvector to
+    * its nearest entry (the same packed-long argmin [[encode]] uses) and
+    * moves each entry to the mean of its members, independently in every
+    * subspace. Empty entries keep their previous position, and means round
+    * to a 1e-6 grid so cross-engine accumulation-order drift cannot flip a
+    * downstream argmin — the `AnnIndex.kmeansCentroids` recipe, subspace
+    * flavor, which is what keeps the result SQL-replayable (and therefore
+    * under the hash gate) despite being genuinely trained.
+    *
+    * Scale shape: each round is one broadcast join of the codebook into the
+    * subvector scan + two map-side-combined aggregates over n·M rows — the
+    * same cost class as a single [[encode]] pass, run `iters` times at
+    * build time only (probes never pay it).
+    */
+  def trainedCodebooks(df: DataFrame, idCol: String, vecCol: String,
+      spec: PqSpec, iters: Int = 2): DataFrame = {
+    // persist: the exploded subvectors feed every round's assignment
+    val sub = explodeSub(df, idCol, vecCol, spec)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var cb = codebooks(df, idCol, vecCol, spec)
+    for (_ <- 1 to iters) {
+      val assigned = sub.join(broadcast(cb), Seq("__m"))
+        .select(col("__id"), col("__m"), col("__sv"),
+          packedKey(array_distance(col("__sv"), col("__cbvec")), col("__j"))
+            .as("__key"))
+        .groupBy(col("__id"), col("__m"))
+        .agg(first(col("__sv")).as("__sv"),
+          pmod(min(col("__key")), lit(MaxEntries.toLong)).as("__j"))
+      // vector_sum: one shuffle of dsub-length buffers per (subspace, entry)
+      val means = assigned
+        .groupBy(col("__m"), col("__j"))
+        .agg(graft.functions.vector_sum(col("__sv")).as("__sum"),
+          count(lit(1)).as("__n"))
+        .select(col("__m"), col("__j"),
+          transform(col("__sum"), x => round(x / col("__n"), 6)).as("__mvec"))
+      // lazy persist bounds the per-round plan doubling (kmeansCentroids'
+      // trade: cache on first evaluation, no eager job per round)
+      cb = cb.select(col("__m"), col("__j"), col("__cbvec").as("__prev"))
+        .join(means, Seq("__m", "__j"), "left")
+        .select(col("__j"), col("__m"),
+          coalesce(col("__mvec"), col("__prev")).as("__cbvec"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+    cb
+  }
 
   /** ADC top-k candidates + exact full-precision rerank (the SCANN/FAISS
     * two-stage shape, PQ flavor). Stage 1 ranks every vector by the sum of
@@ -159,6 +216,9 @@ object ProductQuantizer {
         val cbq = withDq(codebooks(df, idCol, vecCol, spec))
           .select(col("__m"), col("__j"), col("__cbvec"), col("__dq"))
         val cbRows = cbq.collect()
+        require(cbRows.nonEmpty,
+          s"no codebook entries: no $idCol divisible by stride ${spec.stride}" +
+            " — lower the stride or pass trained codebooks via `precomputed`")
         val ksub = cbRows.map(_.getLong(1)).max.toInt + 1
         require(ksub <= MaxEntries,
           s"codebook has $ksub entries; PQ expects small codebooks (<= $MaxEntries)" +
@@ -206,10 +266,17 @@ object ProductQuantizer {
     * geometry fails fast instead of decoding garbage. The build is the
     * one corpus-sized job; probes after this touch only codes + rerank
     * rows — the float corpus is never re-encoded.
+    *
+    * `trainedIters > 0` runs that many [[trainedCodebooks]] Lloyd rounds
+    * before encoding — the production build (better quantization, same
+    * at-rest layout; [[appendToMaterialized]] and probes are
+    * codebook-agnostic, so nothing downstream changes).
     */
   def materialize(df: DataFrame, idCol: String, vecCol: String,
-      spec: PqSpec, path: String): Unit = {
-    val cb = codebooks(df, idCol, vecCol, spec)
+      spec: PqSpec, path: String, trainedIters: Int = 0): Unit = {
+    val cb =
+      if (trainedIters > 0) trainedCodebooks(df, idCol, vecCol, spec, trainedIters)
+      else codebooks(df, idCol, vecCol, spec)
     require(!cb.isEmpty,
       s"no codebook entries: no $idCol divisible by stride ${spec.stride}")
     cb.write.mode("overwrite").parquet(s"$path/codebooks")

@@ -368,6 +368,26 @@ object NorthStarQueries {
         overfetch = 50)
     },
 
+    // PQ with TRAINED codebooks (ProductQuantizer.trainedCodebooks): the
+    // stride sample is only the init; two per-subspace Lloyd rounds move
+    // every codebook entry to the mean of its members (1e-6 grid, empty
+    // entries frozen — the ann_kmeans_topk determinism recipe, subspace
+    // flavor), then the probe runs the production precomputed path over
+    // the trained (codebooks, codes). The oracle replays the full
+    // training iteration in SQL, so "trained" is under the hash gate,
+    // not just a spec claim.
+    "ann_pq_trained_topk" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val spec = ProductQuantizer.PqSpec(m = 8, dsub = 8, stride = 64)
+      val qvec = emb.where(col("vec_id") === 1).select(col("embedding"))
+        .head().getSeq[Float](0).map(_.toDouble).toArray
+      val cb = ProductQuantizer.trainedCodebooks(emb, "vec_id", "embedding",
+        spec, iters = 2)
+      val codes = ProductQuantizer.encode(emb, "vec_id", "embedding", cb, spec)
+      ProductQuantizer.adcRerankTopK(emb, "vec_id", "embedding", qvec,
+        k = 10, spec, overfetch = 100, precomputed = Some((cb, codes)))
+    },
+
     // batched IVF probe: one index pass answers a query TABLE (the
     // offline-batch shape). Per-query bucket routing + the bounded-heap
     // top-k aggregate — each partition ships <= k rows per query to the
@@ -1106,6 +1126,31 @@ object NorthStarQueries {
        |  UNION ALL
        |  SELECT cid, cv FROM $prev WHERE cid NOT IN (SELECT DISTINCT centroid FROM a$n))""".stripMargin
 
+  /** One per-subspace PQ Lloyd round in DuckDB SQL: packed-long argmin
+    * assignment against `prev` (the engine's exact key arithmetic incl.
+    * the distance clamp), per-position means rounded to the 1e-6 grid,
+    * empty entries keeping their previous position — mirrors
+    * `ProductQuantizer.trainedCodebooks` exactly. Expects a `sub` CTE of
+    * (vec_id, m, sv DOUBLE[8]).
+    */
+  private def pqTrainIterSql(prev: String, n: Int): String =
+    s"""a$n AS (
+       |  SELECT s.vec_id, s.m,
+       |         min(CAST(floor(least(array_distance(s.sv, c.cv), 2000.0)
+       |             * 1000000000000.0) AS BIGINT) * 4096 + c.j) % 4096 AS j
+       |  FROM sub s JOIN $prev c ON s.m = c.m
+       |  GROUP BY s.vec_id, s.m),
+       |m$n AS (
+       |  SELECT a.m, a.j, p.p AS p, round(avg(s.sv[CAST(p.p AS INT) + 1]), 6) AS mv
+       |  FROM a$n a JOIN sub s ON a.vec_id = s.vec_id AND a.m = s.m
+       |  CROSS JOIN (SELECT unnest(range(0, 8)) AS p) p
+       |  GROUP BY 1, 2, 3),
+       |cb$n AS (
+       |  SELECT m, j, list(mv ORDER BY p)::DOUBLE[8] AS cv FROM m$n GROUP BY m, j
+       |  UNION ALL
+       |  SELECT c.m, c.j, c.cv FROM $prev c
+       |  WHERE NOT EXISTS (SELECT 1 FROM a$n a WHERE a.m = c.m AND a.j = c.j))""".stripMargin
+
   private def annKmeansOracle: String =
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[64] AS v FROM embeddings),
        |c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 64 = 0),
@@ -1732,6 +1777,43 @@ object NorthStarQueries {
         |           (SELECT embedding FROM fq)::DOUBLE[64]) AS cos_dist
         |FROM embeddings e JOIN cand USING (vec_id)
         |ORDER BY cos_dist ASC NULLS LAST, vec_id ASC LIMIT 10""".stripMargin,
+    // the trained-codebook PQ replayed END TO END: stride init, two
+    // per-subspace Lloyd rounds (pqTrainIterSql — the engine's packed-long
+    // argmin, 1e-6-grid means, frozen empty entries), then assignment /
+    // ADC / rerank against the TRAINED cb2 — identical pipeline to
+    // ann_pq_topk with cb -> cb2
+    "ann_pq_trained_topk" ->
+      s"""WITH sub AS (
+         |  SELECT vec_id, m,
+         |         list_transform(embedding[m*8+1:m*8+8],
+         |                        x -> CAST(x AS DOUBLE))::DOUBLE[8] AS sv
+         |  FROM embeddings CROSS JOIN (SELECT unnest(range(0, 8)) AS m)),
+         |cb0 AS (SELECT vec_id // 64 AS j, m, sv AS cv FROM sub WHERE vec_id % 64 = 0),
+         |${pqTrainIterSql("cb0", 1)},
+         |${pqTrainIterSql("cb1", 2)},
+         |code AS (
+         |  SELECT s.vec_id, s.m,
+         |         min(CAST(floor(least(array_distance(s.sv, c.cv), 2000.0)
+         |             * 1000000000000.0) AS BIGINT) * 4096 + c.j) % 4096 AS j
+         |  FROM sub s JOIN cb2 c ON s.m = c.m
+         |  GROUP BY s.vec_id, s.m),
+         |q AS (SELECT m, sv AS qv FROM sub WHERE vec_id = 1),
+         |dt AS (
+         |  SELECT c.m, c.j,
+         |         CAST(floor(array_distance(c.cv, q.qv) * array_distance(c.cv, q.qv)
+         |              * 1000000.0) AS BIGINT) AS dq
+         |  FROM cb2 c JOIN q ON c.m = q.m),
+         |adc AS (
+         |  SELECT co.vec_id, CAST(sum(dt.dq) AS BIGINT) AS adc
+         |  FROM code co JOIN dt ON co.m = dt.m AND co.j = dt.j
+         |  GROUP BY co.vec_id),
+         |cand AS (SELECT vec_id FROM adc ORDER BY adc ASC, vec_id ASC LIMIT 100),
+         |fq AS (SELECT embedding FROM embeddings WHERE vec_id = 1)
+         |SELECT e.vec_id,
+         |       1 - array_cosine_similarity(e.embedding::DOUBLE[64],
+         |           (SELECT embedding FROM fq)::DOUBLE[64]) AS cos_dist
+         |FROM embeddings e JOIN cand USING (vec_id)
+         |ORDER BY cos_dist ASC NULLS LAST, vec_id ASC LIMIT 10""".stripMargin,
     // IVF bucket selection (annIvfOracle's CTEs) composed with the PQ
     // replay over ONLY the selected rows; the query's subvectors come from
     // the raw corpus row (the engine inlines the literal query vector

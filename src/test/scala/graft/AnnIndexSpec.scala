@@ -262,6 +262,80 @@ class ProductQuantizerSpec extends SparkTestBase {
     assert(pre == inline)
   }
 
+  test("trained codebooks: same entry count, lower inertia, higher recall than stride on clustered data") {
+    import graft.ops.ProductQuantizer
+    // clustered fixture: 8 well-separated centers, 64 members each with
+    // moderate noise — the distribution PQ exists for (uniform data, like
+    // the synthetic embeddings table, has no structure for k-means to
+    // learn, which is why this spec builds its own corpus)
+    def u(x: Long): Double =
+      graft.util.Hashing.splitmix64(x).toDouble / Long.MaxValue.toDouble
+    val dim = 64
+    val rows = (0 until 512).map { i =>
+      val c = i / 64
+      (i.toLong, (0 until dim).map(p => u(c * 7919L + p) + 0.35 * u(i * 104729L + p)).toArray)
+    }
+    val df = spark.createDataFrame(rows).toDF("id", "v")
+    val sp = PqSpec(m = 8, dsub = 8, stride = 32)
+    val strideCb = ProductQuantizer.codebooks(df, "id", "v", sp)
+    val trainedCb = ProductQuantizer.trainedCodebooks(df, "id", "v", sp, iters = 2)
+    assert(strideCb.count() == trainedCb.count(), "training must not drop entries")
+
+    // k-means invariant: total quantization error (sum of min distances to
+    // any entry, per subspace) does not rise
+    def inertia(cb: org.apache.spark.sql.DataFrame): Double = {
+      val sub = df.select(col("id"),
+          posexplode(array((0 until sp.m).map(s =>
+            slice(col("v"), s * sp.dsub + 1, sp.dsub)): _*)))
+        .withColumnRenamed("pos", "__m").withColumnRenamed("col", "__sv")
+      sub.join(broadcast(cb), Seq("__m"))
+        .select(col("id"), col("__m"),
+          graft.functions.array_distance(col("__sv"), col("__cbvec")).as("d"))
+        .groupBy("id", "__m").agg(min("d").as("d"))
+        .agg(sum("d")).head().getDouble(0)
+    }
+    val (i0, i2) = (inertia(strideCb), inertia(trainedCb))
+    assert(i2 <= i0 + 1e-6, s"training raised quantization error: $i0 -> $i2")
+
+    def bruteOf(q: Array[Double]): Set[Long] =
+      df.select(col("id"),
+          graft.functions.array_cosine_distance(col("v"), typedLit(q.toSeq)).as("d"))
+        .orderBy(col("d").asc_nulls_last, col("id").asc)
+        .limit(10).collect().map(_.getLong(0)).toSet
+    def recallWith(cb: org.apache.spark.sql.DataFrame, q: Array[Double],
+        overfetch: Int): Int = {
+      val codes = ProductQuantizer.encode(df, "id", "v", cb, sp)
+      ProductQuantizer.adcRerankTopK(df, "id", "v", q, k = 10, sp,
+          overfetch = overfetch, precomputed = Some((cb, codes)))
+        .collect().map(_.getLong(0)).toSet.intersect(bruteOf(q)).size
+    }
+    // moderate overfetch (40 for k=10) makes recall track ADC ranking
+    // quality directly. Everything here is deterministic (splitmix64 data,
+    // deterministic training/encode), so the aggregate is a pinned value,
+    // not a flaky sample: trained must average >= 9/10 over the query set
+    // on a fixture where the untrained init measurably scores lower.
+    val qids = Seq(7, 137, 341)
+    val rs = qids.map(q => recallWith(strideCb, rows(q)._2, 40)).sum
+    val rt = qids.map(q => recallWith(trainedCb, rows(q)._2, 40)).sum
+    assert(rt >= 9 * qids.size, s"trained recall@10 total = $rt/${10 * qids.size}")
+    assert(rs < rt, s"stride recall $rs not below trained $rt — fixture has no training signal")
+
+    // the trained build persists through the at-rest layout unchanged:
+    // materialize(trainedIters) -> fromMaterialized == the inline trained path
+    val path = java.nio.file.Files.createTempDirectory("pq_trained_mat").toString
+    ProductQuantizer.materialize(df, "id", "v", sp, path, trainedIters = 2)
+    val (_, pre) = ProductQuantizer.fromMaterialized(spark, path)
+    val viaDisk = ProductQuantizer.adcRerankTopK(df, "id", "v", rows(7)._2,
+        k = 10, sp, overfetch = 40, precomputed = Some(pre))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val inline = ProductQuantizer.adcRerankTopK(df, "id", "v", rows(7)._2,
+        k = 10, sp, overfetch = 40,
+        precomputed = Some((trainedCb,
+          ProductQuantizer.encode(df, "id", "v", trainedCb, sp))))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(viaDisk == inline, "materialized trained index diverged from inline")
+  }
+
   test("IVF-PQ composition: PQ over probedRows; all-bucket probe is exact") {
     val idx = AnnIndex.build(emb, "vec_id", "embedding", stride = 64)
     val nCentroids = 500 / 64 + 1
