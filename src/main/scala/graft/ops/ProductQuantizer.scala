@@ -302,6 +302,55 @@ object ProductQuantizer {
       spark.read.parquet(s"$path/codes")))
   }
 
+  /** Materialize the full IVF-PQ composition: full-corpus codebooks plus
+    * codes PARTITIONED BY the IVF bucket (`__centroid`) — the layout where
+    * a probe's scan is `nprobe` bucket directories of M-byte codes, with
+    * the float corpus touched only for the rerank survivors. `assignment`
+    * is the IVF `(idCol, __centroid)` frame — typically the
+    * `AnnIndex.materialize` parquet read back — so the code table and the
+    * float table prune on the SAME bucket selection.
+    */
+  def materializeIvfPq(df: DataFrame, idCol: String, vecCol: String,
+      assignment: DataFrame, spec: PqSpec, path: String,
+      trainedIters: Int = 0): Unit = {
+    val cb =
+      if (trainedIters > 0) trainedCodebooks(df, idCol, vecCol, spec, trainedIters)
+      else codebooks(df, idCol, vecCol, spec)
+    require(!cb.isEmpty,
+      s"no codebook entries: no $idCol divisible by stride ${spec.stride}")
+    cb.write.mode("overwrite").parquet(s"$path/codebooks")
+    encode(df, idCol, vecCol, cb, spec)
+      .join(assignment.select(col(idCol).cast("long").as("__id"),
+        col("__centroid")), Seq("__id"))
+      .write.mode("overwrite").partitionBy("__centroid")
+      .parquet(s"$path/codes")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(path, SpecMarker),
+      s"${spec.m} ${spec.dsub} ${spec.stride}")
+  }
+
+  /** Probe a [[materializeIvfPq]]'d index: rank centroids (via `index`,
+    * which must be the IVF index the assignment came from), partition-prune
+    * the at-rest code table to the `nprobe` bucket directories, ADC over
+    * those codes alone, then full-precision rerank against the SAME pruned
+    * buckets of the float table ([[AnnIndex.probedRows]] — also a partition
+    * prune). Nothing corpus-sized runs at probe time: both scans are
+    * nprobe-bucket-bounded, the rerank touches `overfetch` float rows, and
+    * codebooks/distance-table are broadcast-sized.
+    */
+  def probeIvfPqTopK(index: AnnIndex, idCol: String, vecCol: String,
+      path: String, qvec: Array[Double], k: Int, nprobe: Int = 4,
+      overfetch: Int = 100,
+      spark: Option[org.apache.spark.sql.SparkSession] = None): DataFrame = {
+    val session = spark.getOrElse(org.apache.spark.sql.SparkSession.active)
+    val (spec, (cb, codes)) = fromMaterialized(session, path)
+    val pruned = codes.join(
+      org.apache.spark.sql.functions.broadcast(index.probedCentroids(qvec, nprobe)),
+      col("__centroid") === col("__probe_cid"), "left_semi")
+    adcRerankTopK(index.probedRows(qvec, nprobe), idCol, vecCol, qvec, k,
+      spec, overfetch, precomputed = Some((cb, pruned)))
+  }
+
   /** Append a NEW vector batch to a [[materialize]]d index: the batch
     * encodes against the STORED codebooks (never re-derived — appended
     * vectors must not shift entry meanings) and only its rows append to

@@ -201,16 +201,25 @@ final class AnnIndex private (
     * codes cut the per-row cost inside them, and only the rerank overfetch
     * touches full-precision vectors.
     */
-  def probedRows(qvec: Array[Double], nprobe: Int): DataFrame = {
+  def probedRows(qvec: Array[Double], nprobe: Int): DataFrame =
+    assigned
+      .join(broadcast(probedCentroids(qvec, nprobe)),
+        col("__centroid") === col("__probe_cid"), "left_semi")
+      .select(col(idCol), col(vecCol))
+
+  /** The `nprobe` centroid ids nearest the query, as a `(__probe_cid)`
+    * frame — the bucket-selection half of a probe, exposed so sibling
+    * at-rest layouts keyed by the same buckets (e.g.
+    * [[ProductQuantizer.probeIvfPqTopK]]'s centroid-partitioned code
+    * table) can partition-prune with the identical selection.
+    */
+  def probedCentroids(qvec: Array[Double], nprobe: Int): DataFrame = {
     val q = typedLit(qvec.toSeq)
-    val probed = centroids
+    centroids
       .select(col("__cid"), array_cosine_distance(col("__cvec"), q).as("__d"))
       .orderBy(col("__d").asc_nulls_last, col("__cid").asc)
       .limit(nprobe)
       .select(col("__cid").as("__probe_cid"))
-    assigned
-      .join(broadcast(probed), col("__centroid") === col("__probe_cid"), "left_semi")
-      .select(col(idCol), col(vecCol))
   }
 
   /** Batched IVF probe: ONE pass over the index serving a whole

@@ -91,6 +91,9 @@ object NorthStarQueries {
   /** Incrementally-grown index (materialize half + append half) per dir. */
   private val annIncSpool = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** At-rest IVF-PQ index (codebooks + bucket-partitioned codes) per dir. */
+  private val ivfpqSpool = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** Embedding dim probed from data ONCE per source dir: every LSH query
     * needs it, and an unmemoized `head()` is a whole extra Spark job per
     * query run. The probe still validates the [[EmbeddingDim]] constant the
@@ -343,12 +346,14 @@ object NorthStarQueries {
         overfetch = 100)
     },
 
-    // the full IVF-PQ composition under the gate: IVF prunes to the
-    // nprobe nearest buckets (AnnIndex.probedRows), PQ-ADC ranks inside
-    // them on codes alone, exact rerank on the overfetch survivors. The
-    // probed buckets always contain their own centroid ids (a centroid's
-    // nearest centroid is itself), so the subset-derived stride codebook
-    // is never empty.
+    // the full IVF-PQ composition under the gate, probe-many shape: the
+    // AT-REST layout (ProductQuantizer.materializeIvfPq — full-corpus
+    // codebooks, codes partitioned by IVF bucket) is built ONCE per dir
+    // beside ann_ivf_topk's materialized index, and the probe
+    // partition-prunes the code scan to the nprobe bucket directories,
+    // ADCs over those M-byte codes alone, and reranks against the SAME
+    // pruned buckets of the float table. Nothing corpus-sized runs at
+    // probe time — the benched plan is the production plan.
     "ann_ivfpq_topk" -> { (s, dir) =>
       val emb = t(s, dir, "embeddings")
       // probe the SAME materialized index ann_ivf_topk built (build once,
@@ -359,13 +364,18 @@ object NorthStarQueries {
         AnnIndex.materialize(t(s, d, "embeddings"), "vec_id", "embedding", 64, p)
         p
       })
+      val spec = ProductQuantizer.PqSpec(m = 8, dsub = 8, stride = 64)
+      val pqPath = ivfpqSpool.computeIfAbsent(dir, d => {
+        val p = graft.util.TempDirs.create("graft_ivfpq_spool")
+        ProductQuantizer.materializeIvfPq(t(s, d, "embeddings"),
+          "vec_id", "embedding", s.read.parquet(path), spec, p)
+        p
+      })
       val qvec = emb.where(col("vec_id") === 1).select(col("embedding"))
         .head().getSeq[Float](0).map(_.toDouble).toArray
       val idx = AnnIndex.fromMaterialized(emb, "vec_id", "embedding", 64, path)
-      ProductQuantizer.adcRerankTopK(
-        idx.probedRows(qvec, nprobe = 4), "vec_id", "embedding", qvec,
-        k = 10, ProductQuantizer.PqSpec(m = 8, dsub = 8, stride = 64),
-        overfetch = 50)
+      ProductQuantizer.probeIvfPqTopK(idx, "vec_id", "embedding", pqPath,
+        qvec, k = 10, nprobe = 4, overfetch = 50, spark = Some(s))
     },
 
     // PQ with TRAINED codebooks (ProductQuantizer.trainedCodebooks): the
@@ -1814,10 +1824,13 @@ object NorthStarQueries {
          |           (SELECT embedding FROM fq)::DOUBLE[64]) AS cos_dist
          |FROM embeddings e JOIN cand USING (vec_id)
          |ORDER BY cos_dist ASC NULLS LAST, vec_id ASC LIMIT 10""".stripMargin,
-    // IVF bucket selection (annIvfOracle's CTEs) composed with the PQ
-    // replay over ONLY the selected rows; the query's subvectors come from
-    // the raw corpus row (the engine inlines the literal query vector
-    // whether or not its own bucket was probed)
+    // IVF bucket selection (annIvfOracle's CTEs) composed with the at-rest
+    // PQ replay: codebooks and codes derive from the FULL corpus (that is
+    // what materializeIvfPq stores), the ADC runs only over rows in the
+    // probed buckets (the partition-pruned code scan), and the rerank reads
+    // the same pruned buckets. The query's subvectors come from the raw
+    // corpus row (the engine inlines the literal query vector whether or
+    // not its own bucket was probed).
     "ann_ivfpq_topk" ->
       """WITH cents AS (
         |  SELECT vec_id AS cid, embedding FROM embeddings WHERE vec_id % 64 = 0),
@@ -1840,23 +1853,21 @@ object NorthStarQueries {
         |  SELECT e.vec_id, e.embedding FROM embeddings e
         |  JOIN assign a ON e.vec_id = a.vec_id
         |  WHERE a.centroid IN (SELECT cid FROM probed)),
-        |sub AS (
+        |suball AS (
         |  SELECT vec_id, m,
         |         list_transform(embedding[m*8+1:m*8+8],
         |                        x -> CAST(x AS DOUBLE))::DOUBLE[8] AS sv
-        |  FROM sel CROSS JOIN (SELECT unnest(range(0, 8)) AS m)),
-        |cb AS (SELECT vec_id // 64 AS j, m, sv AS cv FROM sub WHERE vec_id % 64 = 0),
+        |  FROM embeddings CROSS JOIN (SELECT unnest(range(0, 8)) AS m)),
+        |cb AS (SELECT vec_id // 64 AS j, m, sv AS cv FROM suball WHERE vec_id % 64 = 0),
+        |sub AS (
+        |  SELECT s.vec_id, s.m, s.sv FROM suball s JOIN sel ON s.vec_id = sel.vec_id),
         |code AS (
         |  SELECT s.vec_id, s.m,
         |         min(CAST(floor(array_distance(s.sv, c.cv) * 1000000000000.0)
         |             AS BIGINT) * 4096 + c.j) % 4096 AS j
         |  FROM sub s JOIN cb c ON s.m = c.m
         |  GROUP BY s.vec_id, s.m),
-        |qsub AS (
-        |  SELECT m, list_transform(embedding[m*8+1:m*8+8],
-        |                           x -> CAST(x AS DOUBLE))::DOUBLE[8] AS qv
-        |  FROM embeddings CROSS JOIN (SELECT unnest(range(0, 8)) AS m)
-        |  WHERE vec_id = 1),
+        |qsub AS (SELECT m, sv AS qv FROM suball WHERE vec_id = 1),
         |dt AS (
         |  SELECT c.m, c.j,
         |         CAST(floor(array_distance(c.cv, s.qv) * array_distance(c.cv, s.qv)

@@ -336,6 +336,41 @@ class ProductQuantizerSpec extends SparkTestBase {
     assert(viaDisk == inline, "materialized trained index diverged from inline")
   }
 
+  test("materializeIvfPq: at-rest probe equals the inline composition and prunes both scans") {
+    val annPath = java.nio.file.Files.createTempDirectory("ivfpq_ann").toString
+    AnnIndex.materialize(emb, "vec_id", "embedding", 64, annPath)
+    val idx = AnnIndex.fromMaterialized(emb, "vec_id", "embedding", 64, annPath)
+    val pqPath = java.nio.file.Files.createTempDirectory("ivfpq_pq").toString
+    ProductQuantizer.materializeIvfPq(emb, "vec_id", "embedding",
+      spark.read.parquet(annPath), spec, pqPath)
+    val got = ProductQuantizer.probeIvfPqTopK(idx, "vec_id", "embedding",
+      pqPath, qvec(3), k = 10, nprobe = 4, overfetch = 100, spark = Some(spark))
+    val gotRows = got.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // inline equivalent: full-corpus codebooks + codes, ADC restricted to
+    // the probed rows, rerank over the probed rows
+    val cb = ProductQuantizer.codebooks(emb, "vec_id", "embedding", spec)
+    val codes = ProductQuantizer.encode(emb, "vec_id", "embedding", cb, spec)
+    val probedIds = idx.probedRows(qvec(3), 4)
+      .select(col("vec_id").cast("long").as("__id"))
+    val pruned = codes.join(probedIds, Seq("__id"), "left_semi")
+    val want = ProductQuantizer.adcRerankTopK(
+        idx.probedRows(qvec(3), 4), "vec_id", "embedding", qvec(3),
+        k = 10, spec, overfetch = 100, precomputed = Some((cb, pruned)))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(gotRows == want, "at-rest IVF-PQ probe diverged from inline composition")
+    // both the code scan and the float scan must carry a runtime partition
+    // filter on __centroid — the probe never reads unprobed buckets
+    val executed = got.queryExecution.executedPlan.toString
+    assert(executed.contains("dynamicpruning") ||
+      executed.contains("PartitionFilters: [isnotnull(__centroid"),
+      s"no partition pruning on the IVF-PQ probe:\n$executed")
+    // geometry marker is shared with the plain PQ layout
+    intercept[IllegalArgumentException] {
+      ProductQuantizer.fromMaterialized(spark, pqPath,
+        expect = Some(ProductQuantizer.PqSpec(4, 16, 16)))
+    }
+  }
+
   test("IVF-PQ composition: PQ over probedRows; all-bucket probe is exact") {
     val idx = AnnIndex.build(emb, "vec_id", "embedding", stride = 64)
     val nCentroids = 500 / 64 + 1
