@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ops.{AnnIndex, Dedup, LanguageModel, ProductQuantizer, Redact, SimilarityJoin, TextOps, Vocab}
+import graft.ops.{AnnIndex, Dedup, GraphAnn, LanguageModel, ProductQuantizer, Redact, SimilarityJoin, TextOps, Vocab}
 
 /** North-star operator queries (LLM-data-pipeline surface): dedup tiers,
   * similarity joins, ANN, text analysis. Each Spark query exercises the
@@ -93,6 +93,9 @@ object NorthStarQueries {
 
   /** At-rest IVF-PQ index (codebooks + bucket-partitioned codes) per dir. */
   private val ivfpqSpool = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Graph-ANN edge table (GraphAnn.materialize) per dir. */
+  private val graphSpool = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** Embedding dim probed from data ONCE per source dir: every LSH query
     * needs it, and an unmemoized `head()` is a whole extra Spark job per
@@ -376,6 +379,28 @@ object NorthStarQueries {
       val idx = AnnIndex.fromMaterialized(emb, "vec_id", "embedding", 64, path)
       ProductQuantizer.probeIvfPqTopK(idx, "vec_id", "embedding", pqPath,
         qvec, k = 10, nprobe = 4, overfetch = 50, spark = Some(s))
+    },
+
+    // Graph-ANN (ops/GraphAnn — the voyager/HNSW capability family as a
+    // deterministic navigable graph): bounded-degree bucket-kNN +
+    // centroid-kNN edge table materialized once per dir, probed by
+    // fixed-round best-first beam search with a tabu set. Probe cost is
+    // O(beam·degree·rounds) scored vectors — independent of corpus size —
+    // and the whole build + search replays in SQL, so the graph tier is
+    // under the hash gate like every other ANN tier.
+    "ann_graph_topk" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val path = graphSpool.computeIfAbsent(dir, d => {
+        val p = graft.util.TempDirs.create("graft_graph_spool")
+        GraphAnn.materialize(t(s, d, "embeddings"), "vec_id", "embedding",
+          64, GraphAnn.DefaultDegree, p)
+        p
+      })
+      val qvec = emb.where(col("vec_id") === 1).select(col("embedding"))
+        .head().getSeq[Float](0).map(_.toDouble).toArray
+      val edges = GraphAnn.fromMaterialized(s, path, 64, GraphAnn.DefaultDegree)
+      GraphAnn.beamSearchTopK(emb, "vec_id", "embedding", edges, qvec,
+        k = 10, stride = 64)
     },
 
     // PQ with TRAINED codebooks (ProductQuantizer.trainedCodebooks): the
@@ -1161,6 +1186,72 @@ object NorthStarQueries {
        |  SELECT c.m, c.j, c.cv FROM $prev c
        |  WHERE NOT EXISTS (SELECT 1 FROM a$n a WHERE a.m = c.m AND a.j = c.j))""".stripMargin
 
+  /** One beam-search round in DuckDB SQL: frontier = best `beam` visited
+    * nodes not yet expanded (the engine's tabu set), expand their
+    * out-edges, score the reached vectors, min-dedup into the visited set
+    * — mirrors `GraphAnn.beamSearchTopK` exactly. Expects CTEs `e`
+    * (vec_id, v), `q` (v), `edges` (src, dst) and `v{n-1}` (id, d).
+    */
+  private def graphRoundSql(n: Int, beam: Int): String = {
+    val notExpanded = if (n == 1) "" else s" WHERE id NOT IN (SELECT id FROM x${n - 1})"
+    val xDef =
+      if (n == 1) "SELECT id FROM f1"
+      else s"SELECT id FROM x${n - 1} UNION SELECT id FROM f$n"
+    s"""f$n AS (SELECT id, d FROM v${n - 1}$notExpanded
+       |        ORDER BY d ASC NULLS LAST, id ASC LIMIT $beam),
+       |x$n AS ($xDef),
+       |n$n AS (SELECT DISTINCT ed.dst AS id FROM f$n f JOIN edges ed ON ed.src = f.id),
+       |v$n AS (
+       |  SELECT id, min(d) AS d FROM (
+       |    SELECT id, d FROM v${n - 1}
+       |    UNION ALL
+       |    SELECT n.id, 1 - array_cosine_similarity(e.v, (SELECT v FROM q)) AS d
+       |    FROM n$n n JOIN e ON e.vec_id = n.id) GROUP BY id)""".stripMargin
+  }
+
+  /** The graph-ANN build + probe replayed end to end: stride-centroid
+    * assignment, per-bucket kNN edges + centroid kNN edges (both
+    * (dist asc, id asc)-ranked, degree-bounded), then `DefaultRounds`
+    * unrolled beam-search rounds.
+    */
+  private def annGraphOracle: String = {
+    val degree = GraphAnn.DefaultDegree
+    val beam = GraphAnn.DefaultBeam
+    val rounds = (1 to GraphAnn.DefaultRounds)
+      .map(graphRoundSql(_, beam)).mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[64] AS v FROM embeddings),
+       |q AS (SELECT v FROM e WHERE vec_id = 1),
+       |cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 64 = 0),
+       |assign AS (
+       |  SELECT vec_id, centroid FROM (
+       |    SELECT e.vec_id, c.cid AS centroid,
+       |           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |             1 - array_cosine_similarity(e.v, c.cv) ASC, c.cid ASC) AS rn
+       |    FROM e CROSS JOIN cents c) WHERE rn = 1),
+       |bedges AS (
+       |  SELECT src, dst FROM (
+       |    SELECT l.vec_id AS src, r.vec_id AS dst,
+       |           row_number() OVER (PARTITION BY l.vec_id ORDER BY
+       |             1 - array_cosine_similarity(le.v, re.v) ASC, r.vec_id ASC) AS rn
+       |    FROM assign l JOIN assign r ON l.centroid = r.centroid AND l.vec_id <> r.vec_id
+       |    JOIN e le ON le.vec_id = l.vec_id JOIN e re ON re.vec_id = r.vec_id)
+       |  WHERE rn <= $degree),
+       |cedges AS (
+       |  SELECT src, dst FROM (
+       |    SELECT l.cid AS src, r.cid AS dst,
+       |           row_number() OVER (PARTITION BY l.cid ORDER BY
+       |             1 - array_cosine_similarity(l.cv, r.cv) ASC, r.cid ASC) AS rn
+       |    FROM cents l JOIN cents r ON l.cid <> r.cid)
+       |  WHERE rn <= $degree),
+       |edges AS (SELECT src, dst FROM bedges UNION ALL SELECT src, dst FROM cedges),
+       |v0 AS (
+       |  SELECT cid AS id, 1 - array_cosine_similarity(cv, (SELECT v FROM q)) AS d
+       |  FROM cents ORDER BY d ASC NULLS LAST, cid ASC LIMIT $beam),
+       |$rounds
+       |SELECT id AS vec_id, d AS cos_dist FROM v${GraphAnn.DefaultRounds}
+       |ORDER BY d ASC NULLS LAST, id ASC LIMIT 10""".stripMargin
+  }
+
   private def annKmeansOracle: String =
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[64] AS v FROM embeddings),
        |c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 64 = 0),
@@ -1350,6 +1441,7 @@ object NorthStarQueries {
          |SELECT id AS vec_id, CAST(min(r) AS BIGINT) AS component
          |FROM reach GROUP BY id ORDER BY vec_id""".stripMargin,
     "ann_kmeans_topk" -> annKmeansOracle,
+    "ann_graph_topk" -> annGraphOracle,
     "sim_join_cosine" ->
       s"""SELECT l.vec_id AS a, r.vec_id AS b,
          |       1 - array_cosine_similarity(l.embedding::DOUBLE[64], r.embedding::DOUBLE[64]) AS cos_dist
