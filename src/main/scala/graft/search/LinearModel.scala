@@ -35,21 +35,7 @@ final case class LinearModelEmbedder(dim: Int, features: Int, w: Array[Float])
     s"weight matrix ${w.length} != dim $dim x features $features")
 
   /** Signed hashing-trick feature vector of one text. */
-  def featurize(text: String): Array[Float] = {
-    val f = new Array[Float](features)
-    var i = 0
-    val toks = text.split("\\s+")
-    while (i < toks.length) {
-      if (toks(i).nonEmpty) {
-        val h = splitmix64(toks(i).hashCode.toLong)
-        val idx = java.lang.Math.floorMod(h, features.toLong).toInt
-        val sign = if ((h >>> 32 & 1L) == 0L) 1.0f else -1.0f
-        f(idx) += sign
-      }
-      i += 1
-    }
-    f
-  }
+  def featurize(text: String): Array[Float] = FeatureHash(text, features)
 
   override def embedBatch(texts: Seq[String]): Seq[Array[Float]] =
     texts.map { t =>
@@ -75,6 +61,28 @@ final case class LinearModelEmbedder(dim: Int, features: Int, w: Array[Float])
       }
       out
     }
+}
+
+/** The signed hashing-trick bag-of-tokens featurizer, shared by every
+  * model whose input layer consumes text (linear and MLP embedders must
+  * agree on it exactly — the feature map is part of the model contract).
+  */
+private[search] object FeatureHash {
+  def apply(text: String, features: Int): Array[Float] = {
+    val f = new Array[Float](features)
+    var i = 0
+    val toks = text.split("\\s+")
+    while (i < toks.length) {
+      if (toks(i).nonEmpty) {
+        val h = splitmix64(toks(i).hashCode.toLong)
+        val idx = java.lang.Math.floorMod(h, features.toLong).toInt
+        val sign = if ((h >>> 32 & 1L) == 0L) 1.0f else -1.0f
+        f(idx) += sign
+      }
+      i += 1
+    }
+    f
+  }
 }
 
 object LinearModelEmbedder {

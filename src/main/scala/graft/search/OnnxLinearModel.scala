@@ -11,17 +11,21 @@ import java.nio.file.{Files, Paths}
   * `.onnx` binary.
   *
   * ONNX is plain protobuf over the public `onnx.proto` schema; no runtime
-  * dependency is needed to read the subset a linear
-  * `embed(text) = l2norm(W · features(text))` model uses: ModelProto →
-  * GraphProto → a MatMul node + its 2-D FLOAT weight initializer (raw_data
-  * little-endian or packed float_data). Heavier architectures swap in an
-  * actual ONNX runtime behind the same `(name, dim) => Embedder` loader
-  * signature — the seam, registry, and broadcast plumbing do not change.
+  * dependency is needed to read the executable subset here: ModelProto →
+  * GraphProto → a `Gemm(transB=1)`/MatMul(+Add bias) chain with Relu
+  * between layers, weights as 2-D FLOAT initializers (raw_data
+  * little-endian or packed float_data). [[fromBytes]] parses the
+  * single-layer linear case; [[parseMlp]] executes the multi-layer chain
+  * through [[MlpEmbedder]]. Attention-class architectures remain the
+  * cutoff where an actual ONNX runtime swaps in behind the same
+  * `(name, dim) => Embedder` loader signature — the seam, registry, and
+  * broadcast plumbing do not change.
   *
-  * The writer exists so fixtures are reproducible offline (zero egress):
-  * [[toBytes]] emits a canonical minimal model that real ONNX tooling
-  * accepts (ir_version, opset import, graph IO declared), and
-  * [[fromBytes]] round-trips it bit-exactly.
+  * The writers exist so fixtures are reproducible offline (zero egress):
+  * [[toBytes]]/[[toMlpBytes]] emit canonical minimal models (ir_version,
+  * opset import, graph input/output ValueInfo declared, Gemm transB=1 so
+  * the tensor semantics genuinely match the `[out, in]` row-major weight
+  * layout), and the readers round-trip them bit-exactly.
   */
 object OnnxLinearModel {
 
@@ -111,6 +115,97 @@ object OnnxLinearModel {
     (op, inputs)
   }
 
+  /** GraphProto → (initializers by name, nodes in file order). ONNX
+    * requires nodes to be topologically sorted, so file order IS execution
+    * order for the sequential subset here.
+    */
+  private def parseGraph(bytes: Array[Byte]): (Map[String, Tensor], Seq[(String, Seq[String])]) = {
+    var tensors = Vector.empty[Tensor]
+    var nodes = Vector.empty[(String, Seq[String])]
+    val m = new Reader(bytes, 0, bytes.length)
+    while (m.hasNext) {
+      val key = m.varint()
+      val field = (key >>> 3).toInt
+      val wire = (key & 7).toInt
+      if (field == 7 && wire == 2) { // ModelProto.graph
+        val (goff, glen) = m.lenDelimited()
+        val g = new Reader(bytes, goff, goff + glen)
+        while (g.hasNext) {
+          val gkey = g.varint()
+          val gfield = (gkey >>> 3).toInt
+          val gwire = (gkey & 7).toInt
+          (gfield, gwire) match {
+            case (1, 2) => // node
+              val (off, len) = g.lenDelimited()
+              nodes :+= parseNode(new Reader(bytes, off, off + len))
+            case (5, 2) => // initializer
+              val (off, len) = g.lenDelimited()
+              tensors :+= parseTensor(new Reader(bytes, off, off + len))
+            case (_, w) => g.skip(w)
+          }
+        }
+      } else m.skip(wire)
+    }
+    (tensors.map(t => t.name -> t).toMap, nodes)
+  }
+
+  /** Parse an ONNX MLP chain — the executable subset one step past the
+    * linear model: `(Gemm | MatMul Add?) (Relu (Gemm | MatMul Add?))*`.
+    * Weights are 2-D FLOAT initializers `[out, in]` row-major (Gemm with
+    * `transB = 1` — the canonical orientation [[toMlpBytes]] emits);
+    * biases are 1-D FLOAT initializers. Relu must separate consecutive
+    * layers and never follow the last (the [[MlpEmbedder]] architecture).
+    * Anything outside the subset fails loudly — attention-class graphs
+    * are the documented cutoff where a real ONNX runtime slots in behind
+    * the same loader seam.
+    */
+  def parseMlp(bytes: Array[Byte]): MlpEmbedder = {
+    val (tensors, nodes) = parseGraph(bytes)
+    def weight(name: String): Tensor = {
+      val t = tensors.getOrElse(name,
+        throw new IllegalArgumentException(s"onnx: no initializer '$name'"))
+      require(t.dataType == 1L && t.dims.length == 2,
+        s"onnx: tensor '$name' is not a 2-D FLOAT weight")
+      t
+    }
+    def bias(names: Seq[String]): Array[Float] = {
+      val cands = names.flatMap(tensors.get).filter(t =>
+        t.dataType == 1L && t.dims.length == 1)
+      require(cands.length == 1,
+        s"onnx: expected exactly one 1-D FLOAT bias among ${names.mkString(",")}")
+      cands.head.floats
+    }
+    var layers = Vector.empty[MlpLayer]
+    var relusAfter = Vector.empty[Int]
+    nodes.foreach {
+      case ("Gemm", inputs) =>
+        require(inputs.length >= 2, "onnx: Gemm needs (x, W[, b])")
+        val w = weight(inputs(1))
+        val b = if (inputs.length >= 3) bias(Seq(inputs(2))) else Array.empty[Float]
+        layers :+= MlpLayer(w.dims(0).toInt, w.dims(1).toInt, w.floats, b)
+      case ("MatMul", inputs) =>
+        require(inputs.length == 2, "onnx: MatMul needs (x, W)")
+        val w = weight(inputs(1))
+        layers :+= MlpLayer(w.dims(0).toInt, w.dims(1).toInt, w.floats,
+          Array.empty[Float])
+      case ("Add", inputs) =>
+        require(layers.nonEmpty && layers.last.b.isEmpty,
+          "onnx: Add without a preceding bias-less MatMul")
+        layers = layers.init :+ layers.last.copy(b = bias(inputs))
+      case ("Relu", _) =>
+        require(layers.nonEmpty, "onnx: Relu before any layer")
+        relusAfter :+= layers.length
+      case (op, _) =>
+        throw new IllegalArgumentException(
+          s"onnx: op '$op' outside the MatMul/Gemm/Add/Relu subset")
+    }
+    require(layers.nonEmpty, "onnx: no layers found")
+    require(relusAfter == (1 until layers.length).toVector,
+      s"onnx: Relu placement $relusAfter does not separate the " +
+        s"${layers.length} layers (expected between each pair, never last)")
+    MlpEmbedder(layers)
+  }
+
   private def readIntLE(b: Array[Byte], off: Int): Int =
     (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
       ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
@@ -198,35 +293,108 @@ object OnnxLinearModel {
     def toByteArray: Array[Byte] = out.toByteArray
   }
 
-  /** Encode a canonical minimal ONNX model: ir_version 8, opset 13, graph
-    * `y = MatMul(x, W)` with W as a raw_data FLOAT initializer of dims
-    * `[dim, features]`. Deterministic bytes — the checked-in fixture is
-    * reproducible from the text artifact.
-    */
-  def toBytes(m: LinearModelEmbedder): Array[Byte] = {
-    val raw = java.nio.ByteBuffer.allocate(m.w.length * 4)
+  /** TensorProto bytes for a FLOAT tensor (raw_data little-endian). */
+  private def floatTensor(name: String, dims: Seq[Long],
+      floats: Array[Float]): Array[Byte] = {
+    val raw = java.nio.ByteBuffer.allocate(floats.length * 4)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-    m.w.foreach(raw.putFloat)
-    val tensor = new Writer()
-      .int(1, m.dim.toLong).int(1, m.features.toLong) // dims
-      .int(2, 1L) // data_type FLOAT
-      .str(8, "W")
+    floats.foreach(raw.putFloat)
+    val w = new Writer()
+    dims.foreach(d => w.int(1, d))
+    w.int(2, 1L) // data_type FLOAT
+      .str(8, name)
       .bytes(9, raw.array())
-    val node = new Writer()
-      .str(1, "x").str(1, "W") // inputs
-      .str(2, "y") // output
-      .str(3, "linear")
-      .str(4, "MatMul")
-    val graph = new Writer()
-      .bytes(1, node.toByteArray)
-      .str(2, "graft_linear")
-      .bytes(5, tensor.toByteArray)
+      .toByteArray
+  }
+
+  /** ValueInfoProto bytes: FLOAT tensor `name` of static shape `dims` —
+    * the graph input/output declarations onnx.checker requires.
+    */
+  private def valueInfo(name: String, dims: Seq[Long]): Array[Byte] = {
+    val shape = new Writer()
+    dims.foreach(d =>
+      shape.bytes(1, new Writer().int(1, d).toByteArray)) // Dimension.dim_value
+    val tensorType = new Writer()
+      .int(1, 1L) // elem_type FLOAT
+      .bytes(2, shape.toByteArray)
+    val typeProto = new Writer().bytes(1, tensorType.toByteArray)
+    new Writer().str(1, name).bytes(2, typeProto.toByteArray).toByteArray
+  }
+
+  /** AttributeProto bytes for an INT attribute (name=1, i=3, type=20/INT). */
+  private def intAttr(name: String, v: Long): Array[Byte] =
+    new Writer().str(1, name).int(3, v).int(20, 2L).toByteArray
+
+  private def modelBytes(graph: Writer): Array[Byte] = {
     val opset = new Writer().str(1, "").int(2, 13L)
     new Writer()
       .int(1, 8L) // ir_version
       .bytes(7, graph.toByteArray)
       .bytes(8, opset.toByteArray)
       .toByteArray
+  }
+
+  /** Encode a canonical minimal ONNX model: ir_version 8, opset 13, graph
+    * `y = Gemm(x, W, transB=1)` with W as a raw_data FLOAT initializer of
+    * dims `[dim, features]` and graph input/output ValueInfo declared
+    * (`x: FLOAT[1, features]`, `y: FLOAT[1, dim]`) — so the semantics
+    * (`y = x·Wᵀ`) genuinely match the embedder's `W·f` with the row-major
+    * `[out, in]` weight layout, instead of relying on a private MatMul
+    * orientation convention. Deterministic bytes — the checked-in fixture
+    * is reproducible from the text artifact.
+    */
+  def toBytes(m: LinearModelEmbedder): Array[Byte] = {
+    val node = new Writer()
+      .str(1, "x").str(1, "W") // inputs
+      .str(2, "y") // output
+      .str(3, "linear")
+      .str(4, "Gemm")
+      .bytes(5, intAttr("transB", 1L))
+    val graph = new Writer()
+      .bytes(1, node.toByteArray)
+      .str(2, "graft_linear")
+      .bytes(5, floatTensor("W", Seq(m.dim.toLong, m.features.toLong), m.w))
+      .bytes(11, valueInfo("x", Seq(1L, m.features.toLong)))
+      .bytes(12, valueInfo("y", Seq(1L, m.dim.toLong)))
+    modelBytes(graph)
+  }
+
+  /** Encode an [[MlpEmbedder]] as the canonical ONNX chain
+    * `Gemm(transB=1) → Relu → ... → Gemm(transB=1)` with per-layer
+    * `W_i [out, in]` / `b_i [out]` initializers and graph IO declared.
+    * Round-trips bit-exactly through [[parseMlp]].
+    */
+  def toMlpBytes(m: MlpEmbedder): Array[Byte] = {
+    val graph = new Writer()
+    m.layers.zipWithIndex.foreach { case (l, i) =>
+      val in = if (i == 0) "x" else s"h$i"
+      val gemmOut = if (i == m.layers.length - 1) "y" else s"g${i + 1}"
+      val node = new Writer()
+        .str(1, in).str(1, s"W${i + 1}")
+      if (l.b.nonEmpty) node.str(1, s"b${i + 1}")
+      node.str(2, gemmOut)
+        .str(3, s"gemm${i + 1}")
+        .str(4, "Gemm")
+        .bytes(5, intAttr("transB", 1L))
+      graph.bytes(1, node.toByteArray)
+      if (i < m.layers.length - 1) {
+        val relu = new Writer()
+          .str(1, gemmOut).str(2, s"h${i + 1}")
+          .str(3, s"relu${i + 1}").str(4, "Relu")
+        graph.bytes(1, relu.toByteArray)
+      }
+    }
+    graph.str(2, "graft_mlp")
+    m.layers.zipWithIndex.foreach { case (l, i) =>
+      graph.bytes(5, floatTensor(s"W${i + 1}",
+        Seq(l.outDim.toLong, l.inDim.toLong), l.w))
+      if (l.b.nonEmpty)
+        graph.bytes(5, floatTensor(s"b${i + 1}", Seq(l.outDim.toLong), l.b))
+    }
+    graph
+      .bytes(11, valueInfo("x", Seq(1L, m.features.toLong)))
+      .bytes(12, valueInfo("y", Seq(1L, m.dim.toLong)))
+    modelBytes(graph)
   }
 
   /** Loader twin of [[LinearModelEmbedder.fileLoader]] for `.onnx`
@@ -247,6 +415,24 @@ object OnnxLinearModel {
     val bytes = try in.readAllBytes() finally in.close()
     val m = fromBytes(bytes)
     require(m.dim == d, s"onnx artifact dim ${m.dim} != requested $d")
+    m
+  }
+
+  /** [[parseMlp]]-backed loaders — same once-per-JVM registry lifecycle as
+    * every other model loader; dim checked against the LAST layer.
+    */
+  def mlpFileLoader(path: String): (String, Int) => Embedder = (_, d) => {
+    val m = parseMlp(Files.readAllBytes(Paths.get(path)))
+    require(m.dim == d, s"onnx MLP artifact dim ${m.dim} != requested $d")
+    m
+  }
+
+  def mlpResourceLoader(resource: String): (String, Int) => Embedder = (_, d) => {
+    val in = getClass.getResourceAsStream(resource)
+    require(in != null, s"onnx model resource $resource not on classpath")
+    val bytes = try in.readAllBytes() finally in.close()
+    val m = parseMlp(bytes)
+    require(m.dim == d, s"onnx MLP artifact dim ${m.dim} != requested $d")
     m
   }
 }
