@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.streaming.StreamingQuery
 
-import graft.ops.Dedup
+import graft.ops.{AnnIndex, Dedup, ProductQuantizer}
 
 /** Continuous corpus ingest with near-dup dedup — the streaming twin of the
   * `incremental_dedup` batch tier: documents arrive as a stream, each
@@ -55,6 +55,77 @@ object CorpusIngest {
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
         sink(processBatch(batch, corpusShingled, idCol, shingleCol, tau),
           epochId)
+      }
+      .start()
+
+  // ---- streaming ANN index maintenance -----------------------------------
+
+  private val EpochMarker = "_graft_ingest_epoch"
+
+  /** Run `append` once per (store, epoch): a parquet append is not
+    * idempotent under foreachBatch's at-least-once re-delivery, so each
+    * store records the last epoch it absorbed and a replayed epoch is a
+    * no-op — the standard epoch-id dedup recipe for exactly-once sinks
+    * (single-writer per store, like every materialized-index mutation
+    * here).
+    */
+  private def appendOnce(path: String, epochId: Long)(append: => Unit): Boolean = {
+    val marker = java.nio.file.Paths.get(path, EpochMarker)
+    val last =
+      if (java.nio.file.Files.isReadable(marker))
+        java.nio.file.Files.readString(marker).trim.toLong
+      else -1L
+    if (epochId <= last) false
+    else {
+      append
+      java.nio.file.Files.writeString(marker, epochId.toString)
+      true
+    }
+  }
+
+  /** One vector micro-batch into the materialized ANN stores: append to
+    * the IVF index at `annPath` ([[AnnIndex.appendToMaterialized]] — the
+    * batch assigns against the EXISTING centroids, only affected bucket
+    * directories grow) and, when present, encode against the STORED
+    * codebooks into the PQ codes at `pqPath`
+    * ([[ProductQuantizer.appendToMaterialized]]). Pure batch function;
+    * epoch-guarded per store so a replayed epoch cannot double-append.
+    * Returns the stores that actually absorbed this epoch.
+    */
+  def appendVectorEpoch(batch: DataFrame, base: DataFrame, idCol: String,
+      vecCol: String, stride: Int, annPath: String,
+      pqPath: Option[String], epochId: Long): Seq[String] = {
+    // materialize the micro-batch once: both stores encode the same rows,
+    // and a streaming source frame must not be recomputed per consumer
+    val rows = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val annDone = appendOnce(annPath, epochId) {
+        AnnIndex.appendToMaterialized(rows, base, idCol, vecCol, stride, annPath)
+      }
+      val pqDone = pqPath.filter(p => appendOnce(p, epochId) {
+        ProductQuantizer.appendToMaterialized(rows, idCol, vecCol, p)
+      })
+      (if (annDone) Seq(annPath) else Nil) ++ pqDone
+    } finally rows.unpersist()
+  }
+
+  /** Continuous ANN index maintenance — the ingest loop closed over the
+    * index stores: every micro-batch of `(idCol, vecCol)` rows appends to
+    * the materialized IVF index (and PQ codes, when `pqPath` is set), so
+    * probes see new vectors as soon as their epoch commits. `base` is the
+    * frame the index was built over (centroid source — appended vectors
+    * never become centroids, the standard IVF contract; re-materialize to
+    * re-balance after heavy growth).
+    */
+  def annIngest(newVectors: DataFrame, base: DataFrame, idCol: String,
+      vecCol: String, stride: Int, annPath: String,
+      pqPath: Option[String] = None)
+      (onEpoch: (Long, Seq[String]) => Unit = (_, _) => ()): StreamingQuery =
+    newVectors.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        onEpoch(epochId, appendVectorEpoch(batch, base, idCol, vecCol,
+          stride, annPath, pqPath, epochId))
       }
       .start()
 }

@@ -103,6 +103,70 @@ class CorpusIngestSpec extends SparkTestBase {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  test("streaming ANN maintenance: streamed epochs == batch appends; replayed epoch is a no-op") {
+    import graft.ops.{AnnIndex, ProductQuantizer}
+    import ProductQuantizer.PqSpec
+    val sp = spark
+    import sp.implicits._
+    val emb = sp.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val spec = PqSpec(m = 8, dsub = 8, stride = 16)
+    val annPath = java.nio.file.Files.createTempDirectory("ann_stream").toString
+    val pqPath = java.nio.file.Files.createTempDirectory("pq_stream").toString
+    // build both stores over the even half (stride centroids / codebook ids
+    // are all even, so the half-build derives the same geometry as full)
+    val even = emb.where(pmod(col("vec_id"), lit(2)) === 0)
+    AnnIndex.materialize(even, "vec_id", "embedding", 64, annPath)
+    ProductQuantizer.materialize(even, "vec_id", "embedding", spec, pqPath)
+
+    // stream the odd half in two epochs
+    val odd = emb.where(pmod(col("vec_id"), lit(2)) === 1)
+      .select(col("vec_id"), col("embedding"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val (e1, e2) = odd.partition(_._1 % 4 == 1)
+    val stream = MemoryStream[(Long, Seq[Float])](sp)
+    val sdf = stream.toDF().toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+    val epochs = mutable.Buffer[(Long, Seq[String])]()
+    val q = graft.streaming.CorpusIngest.annIngest(sdf, emb, "vec_id",
+      "embedding", 64, annPath, Some(pqPath)) { (id, stores) =>
+      epochs.synchronized { epochs += ((id, stores)) }
+    }
+    stream.addData(e1.toSeq)
+    q.processAllAvailable()
+    stream.addData(e2.toSeq)
+    q.processAllAvailable()
+    q.stop()
+    assert(epochs.count(_._2.nonEmpty) == 2, s"epochs seen: $epochs")
+
+    // probes through the streamed index equal a full batch build
+    val qvec = emb.where(col("vec_id") === 5).select(col("embedding"))
+      .head().getSeq[Float](0).map(_.toDouble).toArray
+    val streamed = AnnIndex.fromMaterialized(emb, "vec_id", "embedding", 64, annPath)
+      .probeTopK(qvec, 10, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val full = AnnIndex.build(emb, "vec_id", "embedding", stride = 64)
+      .probeTopK(qvec, 10, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(streamed == full, "streamed IVF index diverged from batch build")
+    // PQ codes match a full batch materialize
+    val fullPq = java.nio.file.Files.createTempDirectory("pq_stream_full").toString
+    ProductQuantizer.materialize(emb, "vec_id", "embedding", spec, fullPq)
+    def codesOf(p: String): Set[(Long, Int, Long)] =
+      sp.read.parquet(s"$p/codes").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(codesOf(pqPath) == codesOf(fullPq), "streamed PQ codes diverged")
+
+    // replaying an already-committed epoch must not double-append
+    val before = (sp.read.parquet(annPath).count(), sp.read.parquet(s"$pqPath/codes").count())
+    val replay = graft.streaming.CorpusIngest.appendVectorEpoch(
+      e1.toSeq.toDF("vec_id", "embedding")
+        .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding")),
+      emb, "vec_id", "embedding", 64, annPath, Some(pqPath), epochId = 0L)
+    assert(replay.isEmpty, s"replayed epoch appended to $replay")
+    val after = (sp.read.parquet(annPath).count(), sp.read.parquet(s"$pqPath/codes").count())
+    assert(before == after, "replayed epoch changed the stores")
+  }
+
   test("evolving corpus: folding survivors back in dedupes later epochs against them") {
     // the production loop: sink writes survivors to the corpus store, so the
     // next epoch's static frame includes them. Simulate the fold-in.
