@@ -338,3 +338,87 @@ final class CharNGramTokenizer(n: Int = 2) extends Tokenizer {
     if (text == null || text.length < n) ""
     else text.sliding(n).mkString(" ")
 }
+
+/** Dictionary-based Japanese segmenter — the reference's actual tokenizer
+  * use case (MeCab wakati, model/utils/tokenizer.py:27-37) behind the same
+  * [[Tokenizer]] trait, in pure Scala with a checked-in lexicon (no native
+  * MeCab on the JVM; see SURVEY §7.3). Greedy longest-match against the
+  * lexicon; where no entry matches, the fallback token is the maximal run
+  * of one character class (kanji / hiragana / katakana+ー / alnum / other),
+  * cut early where a dictionary word begins — the classic MaxMatch +
+  * char-class heuristic. Deterministic and pure, so driver-side
+  * tokenizations of fixture sentences are shareable constants for a SQL
+  * oracle (the hyperplane-literal recipe), while executors run the same
+  * code per row.
+  *
+  * Linguistic quality is bounded by the tiny default lexicon — the
+  * pluggable contract is the point: swap in a full dictionary (or a real
+  * morphological analyzer) without touching any consumer.
+  */
+final class JapaneseTokenizer(
+    lexicon: Set[String] = JapaneseTokenizer.DefaultLexicon) extends Tokenizer {
+  require(lexicon.nonEmpty, "empty lexicon — use CharNGramTokenizer instead")
+  private val maxLen = lexicon.iterator.map(_.length).max
+
+  private def charClass(c: Char): Int =
+    if (c >= 0x3040 && c <= 0x309f) 1 // hiragana
+    else if (c >= 0x30a0 && c <= 0x30ff) 2 // katakana incl. ー (0x30fc)
+    else if ((c >= 0x4e00 && c <= 0x9fff) || c == 0x3005) 3 // kanji + 々
+    else if (c.isLetterOrDigit) 4 // latin / digits / full-width alnum
+    else 5 // punctuation & everything else
+
+  private def dictAt(text: String, i: Int): String = {
+    var m = math.min(maxLen, text.length - i)
+    while (m >= 1) {
+      val cand = text.substring(i, i + m)
+      if (lexicon.contains(cand)) return cand
+      m -= 1
+    }
+    null
+  }
+
+  override def tokenize(text: String): String = {
+    if (text == null) return ""
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    val n = text.length
+    while (i < n) {
+      if (text.charAt(i).isWhitespace) i += 1
+      else {
+        val hit = dictAt(text, i)
+        if (hit != null) { out += hit; i += hit.length }
+        else {
+          val cls = charClass(text.charAt(i))
+          var j = i + 1
+          while (j < n && !text.charAt(j).isWhitespace &&
+              charClass(text.charAt(j)) == cls && dictAt(text, j) == null)
+            j += 1
+          out += text.substring(i, j)
+          i = j
+        }
+      }
+    }
+    out.mkString(" ")
+  }
+}
+
+object JapaneseTokenizer {
+  /** Minimal demonstration lexicon: particles, copulas and aux forms,
+    * common nouns, verb stems and adjectives — enough to segment simple
+    * sentences the way wakati output reads. Longest-match prefers the
+    * longest entry, so 好き beats 好, でした beats で.
+    */
+  val DefaultLexicon: Set[String] = Set(
+    // particles / copulas / auxiliaries
+    "は", "が", "を", "に", "で", "と", "の", "も", "へ", "や",
+    "から", "まで", "より", "です", "ます", "でした", "ました",
+    "する", "した", "して", "いる", "ある", "ない", "たい",
+    // common nouns
+    "私", "猫", "犬", "本", "水", "空", "歌", "声", "夢", "心",
+    "言葉", "世界", "音楽", "日本", "東京", "学校", "学生", "先生",
+    "今日", "明日", "昨日", "時間", "友達",
+    // verb stems / adjectives
+    "食べ", "飲み", "行き", "来", "見", "読み", "書き", "聞き",
+    "歌い", "走り", "好き", "嫌い", "大きい", "小さい", "新しい",
+    "高い", "楽しい", "美しい")
+}

@@ -57,6 +57,18 @@ object NorthStarQueries {
   private val FunnelMinQuality = 0.75
   private val FunnelDupTau10 = 7
 
+  /** Japanese fixture sentences for `ja_token_stats` (no quote characters
+    * — they interpolate into SQL literals). Assigned per doc by
+    * `doc_id % length`.
+    */
+  private val JaSentences: Seq[String] = Seq(
+    "私は猫が好きです。",
+    "今日は学校に行きました。",
+    "明日東京で友達と音楽を聞きます。",
+    "犬が水を飲みます。",
+    "先生は本を読みます。",
+    "コーヒーとケーキは新しい店で楽しいです。")
+
   /** Deterministic PII injection shared by the `pii_redact` query and its
     * oracle (the synthetic corpus is PII-free, so the fixture is salted
     * in-query; counts vary with doc_id so the columns aren't constant).
@@ -518,6 +530,30 @@ object NorthStarQueries {
         .agg(sum("__c").as("tf"), count(lit(1)).as("df"))
         .orderBy(col("tf").desc, col("token").asc)
         .limit(50)
+    },
+
+    // the Japanese tokenizer under the gate (the reference's MeCab wakati
+    // use case, model/utils/tokenizer.py:27-37): deterministic Japanese
+    // fixture sentences (the synthetic corpus has none — salted like
+    // pii_redact) are segmented PER ROW on executors by JapaneseTokenizer,
+    // then the token_stats shape runs over the segments. The oracle
+    // replays with the DRIVER-side tokenizations of the same sentences as
+    // shared literals (the hyperplane-constant recipe: both sides derive
+    // from the same pure function, so they cannot drift).
+    "ja_token_stats" -> { (s, dir) =>
+      val tok = new graft.ops.JapaneseTokenizer()
+      val segment = udf((t: String) => tok.tokenize(t))
+      docs(s, dir)
+        .select(col("doc_id"),
+          element_at(typedLit(JaSentences),
+            pmod(col("doc_id"), lit(JaSentences.length)).cast("int") + 1)
+            .as("__ja"))
+        .select(col("doc_id"), explode(split(segment(col("__ja")), " ")).as("token"))
+        .groupBy("token", "doc_id").agg(count(lit(1)).as("__c"))
+        .groupBy("token")
+        .agg(sum("__c").as("tf"), count(lit(1)).as("df"))
+        .orderBy(col("tf").desc, col("token").asc)
+        .limit(30)
     },
 
     // BM25 top-k for a runtime term list (TextOps.bm25): terms flow through
@@ -1481,6 +1517,19 @@ object NorthStarQueries {
       """SELECT tk AS token, count(*) AS tf, count(DISTINCT doc_id) AS df
         |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tk FROM documents)
         |GROUP BY tk ORDER BY tf DESC, token ASC LIMIT 50""".stripMargin,
+    // driver-side tokenizations of the SAME sentences via the SAME pure
+    // JapaneseTokenizer the executors run — shared-constant recipe
+    "ja_token_stats" -> {
+      val tok = new graft.ops.JapaneseTokenizer()
+      val rows = JaSentences.zipWithIndex
+        .map { case (sent, i) => s"($i, '${tok.tokenize(sent)}')" }
+        .mkString(", ")
+      s"""WITH f(i, toks) AS (VALUES $rows),
+         |t AS (SELECT d.doc_id, unnest(string_split(f.toks, ' ')) AS token
+         |      FROM documents d JOIN f ON d.doc_id % ${JaSentences.length} = f.i)
+         |SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
+         |FROM t GROUP BY token ORDER BY tf DESC, token ASC LIMIT 30""".stripMargin
+    },
     "corpus_shuffle" ->
       """SELECT doc_id, lang,
         |       CAST(row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC,

@@ -148,4 +148,28 @@ class TextOpsSpec extends SparkTestBase {
     assert(t.tokenize("abcd") == "ab bc cd")
     assert(t.tokenize("a") == "")
   }
+
+  test("Japanese tokenizer: dictionary longest-match with char-class fallback") {
+    import graft.ops.{JapaneseTokenizer, Tokenizer}
+    val t = new JapaneseTokenizer()
+    // particles split off nouns/adjectives; longest match wins (好き not 好)
+    assert(t.tokenize("私は猫が好きです。") == "私 は 猫 が 好き です 。")
+    assert(t.tokenize("今日は学校に行きました。") == "今日 は 学校 に 行き ました 。")
+    // OOV katakana run (incl. ー) stays one token; dictionary resumes after
+    assert(t.tokenize("コーヒーを飲みます") == "コーヒー を 飲み ます")
+    // alnum run is one token; class change plus dictionary both cut
+    assert(t.tokenize("ABC123は新しい") == "ABC123 は 新しい")
+    // OOV kanji run cut early where a dictionary word begins
+    assert(t.tokenize("砂漠で水を見ました") == "砂漠 で 水 を 見 ました")
+    // existing whitespace is a hard boundary; null/empty are safe
+    assert(t.tokenize("猫 が") == "猫 が")
+    assert(t.tokenize(null) == "")
+    assert(t.tokenize("") == "")
+    // pluggable through the trait like the other two implementations
+    val tk: Tokenizer = t
+    assert(tk.tokenize("犬が水を飲みます").split(" ").length == 6)
+    // determinism: the oracle-sharing contract (driver == executor output)
+    assert(t.tokenize("明日東京で友達と音楽を聞きます。")
+      == new JapaneseTokenizer().tokenize("明日東京で友達と音楽を聞きます。"))
+  }
 }
