@@ -1559,14 +1559,17 @@ object NorthStarQueries {
         |FROM c ORDER BY doc_id""".stripMargin,
     // fixed-window substring duplication replayed: same L=6 windows
     // (array_to_string slice == WordNGrams), corpus-wide counts, >= 2
-    // threshold; dup_ratio is one exact int/int double division
+    // threshold; dup_ratio is one exact int/int double division. Window
+    // starts come from a per-row range(len(t)) unnest — NO fixed position
+    // cap, so a longer-than-expected doc can never silently diverge from
+    // the uncapped engine
     "substring_dup_stats" ->
       """WITH tl AS (SELECT doc_id, string_split(text, ' ') AS t
         |            FROM documents WHERE text IS NOT NULL),
         |win AS (
-        |  SELECT doc_id, i AS s, array_to_string(t[i+1:i+6], ' ') AS gram
-        |  FROM tl CROSS JOIN (SELECT unnest(range(0, 4096)) AS i)
-        |  WHERE i < len(t) - 5),
+        |  SELECT doc_id, s, array_to_string(t[s+1:s+6], ' ') AS gram
+        |  FROM (SELECT doc_id, t, unnest(range(0, greatest(len(t) - 5, 0))) AS s
+        |        FROM tl)),
         |cnt AS (SELECT gram, count(*) AS c FROM win GROUP BY gram),
         |nd AS (SELECT w.doc_id, count(*) AS ndup
         |       FROM win w JOIN (SELECT gram FROM cnt WHERE c >= 2) d USING (gram)
@@ -1583,13 +1586,12 @@ object NorthStarQueries {
       """WITH tl AS (SELECT doc_id, string_split(text, ' ') AS t
         |            FROM documents WHERE text IS NOT NULL),
         |tok AS (
-        |  SELECT doc_id, i AS p, t[i+1] AS token
-        |  FROM tl CROSS JOIN (SELECT unnest(range(0, 4096)) AS i)
-        |  WHERE i < len(t)),
+        |  SELECT doc_id, p, t[p+1] AS token
+        |  FROM (SELECT doc_id, t, unnest(range(0, len(t))) AS p FROM tl)),
         |win AS (
-        |  SELECT doc_id, i AS s, array_to_string(t[i+1:i+6], ' ') AS gram
-        |  FROM tl CROSS JOIN (SELECT unnest(range(0, 4096)) AS i)
-        |  WHERE i < len(t) - 5),
+        |  SELECT doc_id, s, array_to_string(t[s+1:s+6], ' ') AS gram
+        |  FROM (SELECT doc_id, t, unnest(range(0, greatest(len(t) - 5, 0))) AS s
+        |        FROM tl)),
         |cnt AS (SELECT gram, count(*) AS c FROM win GROUP BY gram),
         |dwin AS (SELECT w.doc_id, w.s
         |         FROM win w JOIN (SELECT gram FROM cnt WHERE c >= 2) d USING (gram)),
@@ -1756,11 +1758,10 @@ object NorthStarQueries {
     // dense ids agree across engines; encode replays the left join + OOV -1
     "vocab_encode" ->
       """WITH tok AS (
-        |  SELECT doc_id, i AS pos, t[i+1] AS token
-        |  FROM (SELECT doc_id, string_split(text, ' ') AS t
-        |        FROM documents WHERE text IS NOT NULL) d
-        |  CROSS JOIN (SELECT unnest(range(0, 4096)) AS i)
-        |  WHERE i < len(t)),
+        |  SELECT doc_id, pos, t[pos+1] AS token
+        |  FROM (SELECT doc_id, t, unnest(range(0, len(t))) AS pos
+        |        FROM (SELECT doc_id, string_split(text, ' ') AS t
+        |              FROM documents WHERE text IS NOT NULL) d)),
         |cnt AS (SELECT token, count(*)::BIGINT AS tok_cnt FROM tok GROUP BY token),
         |voc AS (SELECT token,
         |               row_number() OVER (ORDER BY tok_cnt DESC, token ASC) - 1 AS token_id
@@ -1817,11 +1818,10 @@ object NorthStarQueries {
     // the scalable prefix sum), integer div/mod routing
     "training_sequences" ->
       """WITH tok AS (
-        |  SELECT doc_id, i AS pos, t[i+1] AS token
-        |  FROM (SELECT doc_id, string_split(text, ' ') AS t
-        |        FROM documents WHERE text IS NOT NULL) d
-        |  CROSS JOIN (SELECT unnest(range(0, 4096)) AS i)
-        |  WHERE i < len(t)),
+        |  SELECT doc_id, pos, t[pos+1] AS token
+        |  FROM (SELECT doc_id, t, unnest(range(0, len(t))) AS pos
+        |        FROM (SELECT doc_id, string_split(text, ' ') AS t
+        |              FROM documents WHERE text IS NOT NULL) d)),
         |cnt AS (SELECT token, count(*)::BIGINT AS tok_cnt FROM tok GROUP BY token),
         |voc AS (SELECT token,
         |               row_number() OVER (ORDER BY tok_cnt DESC, token ASC) - 1 AS token_id

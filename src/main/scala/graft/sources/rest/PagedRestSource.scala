@@ -118,6 +118,13 @@ case class PagedRestScan(rows: Int, pageSize: Int, onlyTarget: Boolean,
     s"PagedRestScan rows=$rows pageSize=$pageSize " +
       s"PushedServiceFilter=${if (onlyTarget) "[is_target = true]" else "[]"}"
 
+  /** The default case-class toString would print `serviceOpts` and
+    * `headers` verbatim — and both carry the bearer token, which plan
+    * descriptions, task-failure exceptions, and debug logs would then leak
+    * in plaintext. Never render the credential.
+    */
+  override def toString: String = description()
+
   override def planInputPartitions(): Array[InputPartition] = {
     // one cursor range per page — the parallel analogue of the reference's
     // sequential has_more loop
@@ -158,7 +165,13 @@ class PagedReaderFactory(pageSize: Int, onlyTarget: Boolean,
   * transport headers (bearer auth).
   */
 final case class RestRequest(offset: Int, limit: Int, onlyTarget: Boolean,
-    headers: Map[String, String])
+    headers: Map[String, String]) {
+  // header VALUES are credentials (Authorization: Bearer <token>); task
+  // failures stringify the request, so only header names may render
+  override def toString: String =
+    s"RestRequest($offset, $limit, $onlyTarget, " +
+      s"headers=[${headers.keys.mkString(", ")}])"
+}
 
 /** HTTP-status failure a service raises for non-2xx responses. `retryAfterMs`
   * mirrors Retry-After: honored by [[RestRetry]] when >= 0.

@@ -121,6 +121,23 @@ class SourcesSpec extends SparkTestBase {
       s"401 must not retry, saw ${AuthRetryService.attempts("auth2")} attempts")
   }
 
+  test("REST source: the bearer token never renders in scan or request toString") {
+    import graft.sources.rest.{PagedRestScan, RestRequest}
+    val secret = "s3cret-token-do-not-log"
+    val scan = PagedRestScan(rows = 30, pageSize = 100, onlyTarget = false,
+      serviceClass = "svc", serviceOpts = Map("token" -> secret),
+      headers = PagedRestScan.authHeaders(Map("token" -> secret)))
+    assert(!scan.toString.contains(secret),
+      s"scan toString leaks the credential: $scan")
+    assert(!scan.description().contains(secret))
+    val req = RestRequest(0, 100, onlyTarget = false,
+      headers = Map("Authorization" -> s"Bearer $secret"))
+    assert(!req.toString.contains(secret),
+      s"request toString leaks the credential: $req")
+    // header NAMES may render (diagnosable), values may not
+    assert(req.toString.contains("Authorization"))
+  }
+
   test("REST source: 429 backs off and retries to success; exhaustion fails") {
     // two 429s (with Retry-After), then success: scan completes and the
     // attempt count proves the retries (2 rejected + 1 success per the
