@@ -1,23 +1,64 @@
 package graft.tools
 
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Scale-behavior smoke: run the near-dup pipeline on 1x/2x/4x copies of
-  * the sf0.1 documents table and print wall times. Each copy's vocabulary
-  * is re-coded through md5 (token -> salted hash token), so copies share
-  * NO shingles: duplicate density stays constant as the corpus grows —
-  * measuring the pipeline's scaling, not an artificial cross-copy
-  * duplicate explosion. Usage: sbt "Test/runMain graft.tools.ScaleSmoke".
+/** Empirical scale validation (SCALING.md "measured" section): run the
+  * dedup family (exact Jaccard, MinHash+LSH, connected components,
+  * substring-level), sequence packing, and the materialized-ANN probe on
+  * 1x/10x/50x synthetic blow-ups of the sf0.1 tables, printing per-family
+  * wall time, total shuffle-write bytes, and driver-heap delta.
+  *
+  * The corpus scales by salted copies: each copy's vocabulary is re-coded
+  * through md5 (token -> salted hash token), so copies share NO shingles —
+  * duplicate density stays constant as the corpus grows, measuring the
+  * pipeline's scaling rather than an artificial cross-copy duplicate
+  * explosion. Embedding copies shift ids by a multiple of the centroid
+  * stride, so bucket COUNT grows with k while bucket size stays constant —
+  * the regime where a partition-pruned probe should stay flat.
+  *
+  * Usage: sbt "Test/runMain graft.tools.ScaleSmoke [sfDir] [k k ...]"
   */
 object ScaleSmoke {
+
+  private final class ShuffleTally extends SparkListener {
+    private val written = new java.util.concurrent.atomic.AtomicLong
+    override def onStageCompleted(sc: SparkListenerStageCompleted): Unit =
+      written.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+    def reset(): Long = written.getAndSet(0L)
+  }
+
+  private def usedHeapMb: Double = {
+    System.gc()
+    val r = Runtime.getRuntime
+    (r.totalMemory - r.freeMemory) / 1e6
+  }
+
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val ks = if (args.length > 1) args.drop(1).toSeq.map(_.toInt) else Seq(1, 10, 50)
     val spark = graft.GraftSession.builder().getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.GraftSession.prepare(spark)
+    val tally = new ShuffleTally
+    spark.sparkContext.addSparkListener(tally)
 
-    def corpusTimes(k: Int): (Double, Double, Long, Long) = {
+    def timed(family: String, k: Int, rows: Long)(body: => Long): Unit = {
+      val heap0 = usedHeapMb
+      tally.reset()
+      val t0 = System.nanoTime()
+      val out = body
+      val sec = (System.nanoTime() - t0) / 1e9
+      // one listener-drain breath so the tally covers the measured jobs
+      Thread.sleep(200)
+      val mb = tally.reset() / 1e6
+      val dHeap = usedHeapMb - heap0
+      println(f"SCALE family=$family%-12s k=$k%3d rows=$rows%9d out=$out%9d " +
+        f"sec=$sec%8.2f shuffleMB=$mb%9.1f driverHeapDeltaMB=$dHeap%7.1f")
+    }
+
+    def scaledDocs(k: Int): DataFrame = {
       val base = spark.read.parquet(s"$dir/documents.parquet")
         .select("doc_id", "text")
       val copies = (0 until k).map { c =>
@@ -26,40 +67,89 @@ object ScaleSmoke {
           concat_ws(" ", transform(split(col("text"), " "),
             t => substring(md5(concat(t, lit(s"|$c"))), 1, 8))).as("text"))
       }
-      val docs = copies.reduce(_ unionAll _)
+      copies.reduce(_ unionAll _)
         .repartition(spark.sparkContext.defaultParallelism)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      docs.count()
-      val sh = docs.select(col("doc_id"),
-        graft.ops.TextOps.wordNGrams(col("text"), 3).as("sh"))
-
-      // exact inverted-index jaccard join
-      var t0 = System.nanoTime()
-      val nPairs = graft.ops.Dedup.jaccardJoin(sh, "doc_id", "sh", 0.5).count()
-      val tJaccard = (System.nanoTime() - t0) / 1e9
-      spark.catalog.clearCache()
-
-      // minhash + banded LSH + verification
-      val sh2 = docs.select(col("doc_id"),
-        graft.ops.TextOps.wordNGrams(col("text"), 3).as("sh"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      t0 = System.nanoTime()
-      val sigs = graft.ops.Dedup.minhashSignatures(sh2, "doc_id", "sh", 16)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val cands = graft.ops.Dedup.lshCandidatePairs(
-        graft.ops.Dedup.lshBands(sigs, "doc_id", 16, 4), "doc_id")
-      val nLsh = graft.ops.Dedup.verifyJaccard(cands, sh2, "doc_id", "sh", 0.5).count()
-      val tLsh = (System.nanoTime() - t0) / 1e9
-      spark.catalog.clearCache()
-      docs.unpersist()
-      (tJaccard, tLsh, nPairs, nLsh)
     }
 
-    // warmup pass initializes codegen/shuffle machinery
-    corpusTimes(1)
-    Seq(1, 2, 4).foreach { k =>
-      val (tj, tl, nj, nl) = corpusTimes(k)
-      println(f"SCALE k=$k%d jaccard=$tj%.2f s ($nj%d pairs) minhash_lsh=$tl%.2f s ($nl%d pairs)")
+    // warmup initializes codegen/shuffle machinery off the clock
+    scaledDocs(1).count()
+
+    for (k <- ks) {
+      val docs = scaledDocs(k)
+      val nRows = docs.count()
+      def shingled = docs.select(col("doc_id"),
+        graft.ops.TextOps.wordNGrams(col("text"), 3).as("sh"))
+
+      timed("jaccard", k, nRows) {
+        graft.ops.Dedup.jaccardJoin(shingled, "doc_id", "sh", 0.5).count()
+      }
+
+      val sh2 = shingled.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      var lshPairs: DataFrame = null
+      timed("minhash_lsh", k, nRows) {
+        val sigs = graft.ops.Dedup.minhashSignatures(sh2, "doc_id", "sh", 16)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val cands = graft.ops.Dedup.lshCandidatePairs(
+          graft.ops.Dedup.lshBands(sigs, "doc_id", 16, 4), "doc_id")
+        lshPairs = graft.ops.Dedup.verifyJaccard(cands, sh2, "doc_id", "sh", 0.5)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        lshPairs.count()
+      }
+
+      timed("components", k, nRows) {
+        graft.ops.Dedup.components(lshPairs.select(col("a"), col("b")))
+          .select(countDistinct(col("component"))).head().getLong(0)
+      }
+
+      timed("substring", k, nRows) {
+        graft.ops.Dedup.substringDupStats(docs, "doc_id", "text", 6).count()
+      }
+
+      timed("packing", k, nRows) {
+        graft.ops.Packing.sequenceOffsets(docs, "doc_id",
+          size(split(col("text"), " ")), 512).count()
+      }
+
+      spark.catalog.clearCache()
+      docs.unpersist(blocking = true)
+    }
+
+    // materialized-ANN probe: bucket count grows with k, bucket size is
+    // constant -> build cost should scale ~linearly, probe cost ~flat
+    for (k <- ks) {
+      val base = spark.read.parquet(s"$dir/embeddings.parquet")
+        .select("vec_id", "embedding")
+      val emb = (0 until k).map(c => base.select(
+          (col("vec_id") + lit(c * 64000000L)).as("vec_id"), col("embedding")))
+        .reduce(_ unionAll _)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nVec = emb.count()
+      val qvec = base.where(col("vec_id") === 1).select(col("embedding"))
+        .head().getSeq[Float](0).map(_.toDouble).toArray
+      val path = graft.util.TempDirs.create(s"scale_ann_$k")
+      timed("ann_build", k, nVec) {
+        graft.ops.AnnIndex.materialize(emb, "vec_id", "embedding", 64, path)
+        nVec
+      }
+      val idx = graft.ops.AnnIndex.fromMaterialized(emb, "vec_id", "embedding", 64, path)
+      timed("ann_probe", k, nVec) { // best of 3
+        (1 to 3).map { _ =>
+          val t0 = System.nanoTime()
+          idx.probeTopK(qvec, 10, nprobe = 4).collect()
+          System.nanoTime() - t0
+        }.min / 1000000L // report min millis as `out`
+      }
+      timed("brute_force", k, nVec) {
+        emb.select(col("vec_id"),
+            graft.functions.array_cosine_distance(col("embedding"),
+              typedLit(qvec.toSeq)).as("d"))
+          .orderBy(col("d").asc_nulls_last, col("vec_id").asc)
+          .limit(10).collect().length.toLong
+      }
+      spark.catalog.clearCache()
+      emb.unpersist(blocking = true)
     }
     spark.stop()
   }
