@@ -1233,11 +1233,16 @@ object NorthStarQueries {
     val xDef =
       if (n == 1) "SELECT id FROM f1"
       else s"SELECT id FROM x${n - 1} UNION SELECT id FROM f$n"
-    s"""f$n AS (SELECT id, d FROM v${n - 1}$notExpanded
+    // every CTE here is referenced by LATER rounds too — AS MATERIALIZED is
+    // load-bearing: DuckDB inlines plain CTEs at each reference, which makes
+    // the unrolled-round chain EXPONENTIAL in evaluation cost (measured:
+    // 633 s for 4 rounds at sf0.1; materialized: sub-second). Same results,
+    // linear evaluation.
+    s"""f$n AS MATERIALIZED (SELECT id, d FROM v${n - 1}$notExpanded
        |        ORDER BY d ASC NULLS LAST, id ASC LIMIT $beam),
-       |x$n AS ($xDef),
-       |n$n AS (SELECT DISTINCT ed.dst AS id FROM f$n f JOIN edges ed ON ed.src = f.id),
-       |v$n AS (
+       |x$n AS MATERIALIZED ($xDef),
+       |n$n AS MATERIALIZED (SELECT DISTINCT ed.dst AS id FROM f$n f JOIN edges ed ON ed.src = f.id),
+       |v$n AS MATERIALIZED (
        |  SELECT id, min(d) AS d FROM (
        |    SELECT id, d FROM v${n - 1}
        |    UNION ALL
@@ -1255,16 +1260,16 @@ object NorthStarQueries {
     val beam = GraphAnn.DefaultBeam
     val rounds = (1 to GraphAnn.DefaultRounds)
       .map(graphRoundSql(_, beam)).mkString(",\n")
-    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[64] AS v FROM embeddings),
-       |q AS (SELECT v FROM e WHERE vec_id = 1),
-       |cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 64 = 0),
-       |assign AS (
+    s"""WITH e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[64] AS v FROM embeddings),
+       |q AS MATERIALIZED (SELECT v FROM e WHERE vec_id = 1),
+       |cents AS MATERIALIZED (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 64 = 0),
+       |assign AS MATERIALIZED (
        |  SELECT vec_id, centroid FROM (
        |    SELECT e.vec_id, c.cid AS centroid,
        |           row_number() OVER (PARTITION BY e.vec_id ORDER BY
        |             1 - array_cosine_similarity(e.v, c.cv) ASC, c.cid ASC) AS rn
        |    FROM e CROSS JOIN cents c) WHERE rn = 1),
-       |bedges AS (
+       |bedges AS MATERIALIZED (
        |  SELECT src, dst FROM (
        |    SELECT l.vec_id AS src, r.vec_id AS dst,
        |           row_number() OVER (PARTITION BY l.vec_id ORDER BY
@@ -1272,15 +1277,15 @@ object NorthStarQueries {
        |    FROM assign l JOIN assign r ON l.centroid = r.centroid AND l.vec_id <> r.vec_id
        |    JOIN e le ON le.vec_id = l.vec_id JOIN e re ON re.vec_id = r.vec_id)
        |  WHERE rn <= $degree),
-       |cedges AS (
+       |cedges AS MATERIALIZED (
        |  SELECT src, dst FROM (
        |    SELECT l.cid AS src, r.cid AS dst,
        |           row_number() OVER (PARTITION BY l.cid ORDER BY
        |             1 - array_cosine_similarity(l.cv, r.cv) ASC, r.cid ASC) AS rn
        |    FROM cents l JOIN cents r ON l.cid <> r.cid)
        |  WHERE rn <= $degree),
-       |edges AS (SELECT src, dst FROM bedges UNION ALL SELECT src, dst FROM cedges),
-       |v0 AS (
+       |edges AS MATERIALIZED (SELECT src, dst FROM bedges UNION ALL SELECT src, dst FROM cedges),
+       |v0 AS MATERIALIZED (
        |  SELECT cid AS id, 1 - array_cosine_similarity(cv, (SELECT v FROM q)) AS d
        |  FROM cents ORDER BY d ASC NULLS LAST, cid ASC LIMIT $beam),
        |$rounds
