@@ -197,4 +197,80 @@ object GraphAnn {
       .orderBy(col("cos_dist").asc_nulls_last, col(idCol).asc)
       .limit(k)
   }
+
+  /** Single-query point probe — row-identical to [[beamSearchTopK]]
+    * (spec-asserted), with the beam state held on the driver. The state is
+    * bounded by construction at ≤ beam + beam·degree·rounds (id, distance)
+    * pairs — a few hundred rows REGARDLESS of corpus size, the same
+    * per-query working set an in-process HNSW library keeps — so holding
+    * it driver-side is the model-artifact cost class, not a collect of
+    * data. Each round is then ONE `src IN (frontier)` scan of the edge
+    * table and ONE `id IN (reached)` scan of the corpus: both predicates
+    * push down to parquet (min-max row-group pruning → point reads over
+    * id-sorted files), where the join shape schedules a
+    * persist + anti-join + broadcast + shuffle chain per round. Distances
+    * are still computed by the engine's codegen'd expression — the driver
+    * only orders already-computed (distance, id) pairs, so the two probe
+    * shapes cannot drift. Use [[beamSearchTopK]] when probing a BATCH of
+    * queries in one pass (its per-round joins amortize across queries);
+    * use this for the single-query / low-latency path.
+    */
+  def pointProbeTopK(df: DataFrame, idCol: String, vecCol: String,
+      edges: DataFrame, qvec: Array[Double], k: Int, stride: Int,
+      beam: Int = DefaultBeam, rounds: Int = DefaultRounds): DataFrame = {
+    require(k > 0 && beam > 0 && rounds >= 0,
+      s"invalid probe: k=$k beam=$beam rounds=$rounds")
+    val spark = df.sparkSession
+    val q = typedLit(qvec.toSeq)
+    val vecs = df.select(col(idCol).cast("long").as("__nid"),
+      col(vecCol).as("__nv"))
+    // (distance asc NULLS LAST, id asc) — the join shape's exact sort key.
+    // java.lang.Double.compare is NaN-largest like Spark's ordering, and
+    // cos_dist never produces -0.0 (1 - 1 = +0.0), so exact double
+    // comparison of engine-computed values is drift-free.
+    val sortKey: ((Long, java.lang.Double)) => (Boolean, Double, Long) = {
+      case (id, d) => (d == null, if (d == null) 0d else d.doubleValue, id)
+    }
+    def collectScored(frame: DataFrame): Seq[(Long, java.lang.Double)] =
+      frame.collect().iterator.map(r => (r.getLong(0),
+        if (r.isNullAt(1)) null
+        else java.lang.Double.valueOf(r.getDouble(1)))).toSeq
+    val visited = scala.collection.mutable.HashMap.empty[Long, java.lang.Double]
+    collectScored(df.where(pmod(col(idCol), lit(stride)) === 0)
+        .select(col(idCol).cast("long").as("__nid"),
+          array_cosine_distance(col(vecCol), q).as("__d"))
+        .orderBy(col("__d").asc_nulls_last, col("__nid").asc)
+        .limit(beam))
+      .foreach { case (id, d) => visited(id) = d }
+    val expanded = scala.collection.mutable.HashSet.empty[Long]
+    var round = 0
+    var frontier = Seq.empty[Long]
+    def nextFrontier(): Seq[Long] = visited.iterator
+      .filterNot(kv => expanded(kv._1)).map { case (id, d) => (id, d) }
+      .toSeq.sortBy(sortKey).take(beam).map(_._1)
+    while (round < rounds && { frontier = nextFrontier(); frontier.nonEmpty }) {
+      expanded ++= frontier
+      val reached = edges.where(col("src").isin(frontier: _*))
+        .select(col("dst").cast("long"))
+        .collect().map(_.getLong(0)).distinct
+      // tabu on scoring: a node's distance is a pure function of its id,
+      // so re-scoring already-visited ids is identical to the join shape's
+      // union + min-groupBy dedup — skip it
+      val newIds = reached.filterNot(visited.contains)
+      if (newIds.nonEmpty)
+        collectScored(vecs.where(col("__nid").isin(newIds.toSeq: _*))
+            .select(col("__nid"),
+              array_cosine_distance(col("__nv"), q).as("__d")))
+          .foreach { case (id, d) => visited(id) = d }
+      round += 1
+    }
+    val top = visited.iterator.map { case (id, d) => (id, d) }
+      .toSeq.sortBy(sortKey).take(k)
+      .map { case (id, d) => org.apache.spark.sql.Row(id, d) }
+    import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(top.asJava, StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField("cos_dist", DoubleType, nullable = true))))
+  }
 }

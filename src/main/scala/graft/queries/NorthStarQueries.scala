@@ -411,7 +411,10 @@ object NorthStarQueries {
       val qvec = emb.where(col("vec_id") === 1).select(col("embedding"))
         .head().getSeq[Float](0).map(_.toDouble).toArray
       val edges = GraphAnn.fromMaterialized(s, path, 64, GraphAnn.DefaultDegree)
-      GraphAnn.beamSearchTopK(emb, "vec_id", "embedding", edges, qvec,
+      // single-query probe → the point-probe shape (bounded driver beam
+      // state, IN-pushdown point reads per round); row-identical to the
+      // batch join shape by GraphAnnSpec
+      GraphAnn.pointProbeTopK(emb, "vec_id", "embedding", edges, qvec,
         k = 10, stride = 64)
     },
 

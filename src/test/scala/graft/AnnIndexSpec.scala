@@ -485,6 +485,23 @@ class GraphAnnSpec extends SparkTestBase {
     assert(total >= 9 * qids.size, s"clustered recall total $total/${10 * qids.size}")
   }
 
+  test("point probe is row-identical to the join-shape probe") {
+    val edges = GraphAnn.buildEdges(emb, "vec_id", "embedding", stride = 64)
+    for (id <- Seq(1L, 7L, 42L)) {
+      val a = GraphAnn.beamSearchTopK(emb, "vec_id", "embedding", edges,
+        qvec(id), k = 10, stride = 64).collect().toSeq
+      val b = GraphAnn.pointProbeTopK(emb, "vec_id", "embedding", edges,
+        qvec(id), k = 10, stride = 64).collect().toSeq
+      assert(a == b, s"query $id: point probe diverged from join shape")
+    }
+    // non-default geometry: narrower beam, fewer rounds
+    val a = GraphAnn.beamSearchTopK(emb, "vec_id", "embedding", edges,
+      qvec(3), k = 5, stride = 64, beam = 4, rounds = 2).collect().toSeq
+    val b = GraphAnn.pointProbeTopK(emb, "vec_id", "embedding", edges,
+      qvec(3), k = 5, stride = 64, beam = 4, rounds = 2).collect().toSeq
+    assert(a == b)
+  }
+
   test("wider beam / more rounds converge toward brute force") {
     val edges = GraphAnn.buildEdges(emb, "vec_id", "embedding", stride = 64,
       degree = 8)
