@@ -10,9 +10,10 @@ package graft.search
   * Same [[Embedder]] lifecycle as the linear model: loaded once per JVM
   * through [[ModelRegistry]], broadcast-friendly, deterministic, null →
   * zero vector. Weights execute from a real ONNX artifact via
-  * [[OnnxLinearModel.parseMlp]] (a Gemm/MatMul→Add→Relu chain) — attention
-  * blocks remain the documented cutoff where a real ONNX runtime would
-  * slot in behind the same `(name, dim) => Embedder` loader signature.
+  * [[OnnxLinearModel.parseMlp]] (a Gemm/MatMul→Add→Relu chain); attention
+  * blocks execute through [[OnnxTransformer]]'s dataflow subset, leaving
+  * real pretrained models as the cutoff where an actual ONNX runtime
+  * would slot in behind the same `(name, dim) => Embedder` signature.
   */
 final case class MlpLayer(outDim: Int, inDim: Int, w: Array[Float],
     b: Array[Float]) {

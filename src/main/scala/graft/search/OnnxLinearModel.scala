@@ -16,10 +16,12 @@ import java.nio.file.{Files, Paths}
   * between layers, weights as 2-D FLOAT initializers (raw_data
   * little-endian or packed float_data). [[fromBytes]] parses the
   * single-layer linear case; [[parseMlp]] executes the multi-layer chain
-  * through [[MlpEmbedder]]. Attention-class architectures remain the
+  * through [[MlpEmbedder]]; [[OnnxTransformer]] executes a full
+  * single-head attention encoder block as a named dataflow graph. The
   * cutoff where an actual ONNX runtime swaps in behind the same
-  * `(name, dim) => Embedder` loader signature — the seam, registry, and
-  * broadcast plumbing do not change.
+  * `(name, dim) => Embedder` loader signature is now real pretrained
+  * multi-head/multi-layer models — the seam, registry, and broadcast
+  * plumbing do not change.
   *
   * The writers exist so fixtures are reproducible offline (zero egress):
   * [[toBytes]]/[[toMlpBytes]] emit canonical minimal models (ir_version,
@@ -30,8 +32,10 @@ import java.nio.file.{Files, Paths}
 object OnnxLinearModel {
 
   // ---- minimal protobuf wire-format reader -------------------------------
+  // (private[search]: OnnxTransformer reuses the same wire primitives for
+  // the attention-block subset)
 
-  private final class Reader(val bytes: Array[Byte], var pos: Int, val end: Int) {
+  private[search] final class Reader(val bytes: Array[Byte], var pos: Int, val end: Int) {
     def hasNext: Boolean = pos < end
     def varint(): Long = {
       var shift = 0; var out = 0L
@@ -58,10 +62,10 @@ object OnnxLinearModel {
     }
   }
 
-  private final case class Tensor(name: String, dims: Seq[Long],
+  private[search] final case class Tensor(name: String, dims: Seq[Long],
       dataType: Long, floats: Array[Float])
 
-  private def parseTensor(r: Reader): Tensor = {
+  private[search] def parseTensor(r: Reader): Tensor = {
     var name = ""
     var dims = Vector.empty[Long]
     var dataType = 0L
@@ -156,8 +160,7 @@ object OnnxLinearModel {
     * biases are 1-D FLOAT initializers. Relu must separate consecutive
     * layers and never follow the last (the [[MlpEmbedder]] architecture).
     * Anything outside the subset fails loudly — attention-class graphs
-    * are the documented cutoff where a real ONNX runtime slots in behind
-    * the same loader seam.
+    * go through [[OnnxTransformer.parse]]'s dataflow executor instead.
     */
   def parseMlp(bytes: Array[Byte]): MlpEmbedder = {
     val (tensors, nodes) = parseGraph(bytes)
@@ -269,7 +272,7 @@ object OnnxLinearModel {
 
   // ---- minimal protobuf writer (fixture generation, offline) -------------
 
-  private final class Writer {
+  private[search] final class Writer {
     private val out = new java.io.ByteArrayOutputStream()
     def varint(v: Long): Writer = {
       var x = v
@@ -290,11 +293,17 @@ object OnnxLinearModel {
     def str(field: Int, s: String): Writer =
       bytes(field, s.getBytes(StandardCharsets.UTF_8))
     def int(field: Int, v: Long): Writer = key(field, 0).varint(v)
+    def fixed32(field: Int, bits: Int): Writer = { // wire type 5 (float)
+      key(field, 5)
+      out.write(bits & 0xff); out.write((bits >>> 8) & 0xff)
+      out.write((bits >>> 16) & 0xff); out.write((bits >>> 24) & 0xff)
+      this
+    }
     def toByteArray: Array[Byte] = out.toByteArray
   }
 
   /** TensorProto bytes for a FLOAT tensor (raw_data little-endian). */
-  private def floatTensor(name: String, dims: Seq[Long],
+  private[search] def floatTensor(name: String, dims: Seq[Long],
       floats: Array[Float]): Array[Byte] = {
     val raw = java.nio.ByteBuffer.allocate(floats.length * 4)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
@@ -310,7 +319,7 @@ object OnnxLinearModel {
   /** ValueInfoProto bytes: FLOAT tensor `name` of static shape `dims` —
     * the graph input/output declarations onnx.checker requires.
     */
-  private def valueInfo(name: String, dims: Seq[Long]): Array[Byte] = {
+  private[search] def valueInfo(name: String, dims: Seq[Long]): Array[Byte] = {
     val shape = new Writer()
     dims.foreach(d =>
       shape.bytes(1, new Writer().int(1, d).toByteArray)) // Dimension.dim_value
@@ -322,10 +331,10 @@ object OnnxLinearModel {
   }
 
   /** AttributeProto bytes for an INT attribute (name=1, i=3, type=20/INT). */
-  private def intAttr(name: String, v: Long): Array[Byte] =
+  private[search] def intAttr(name: String, v: Long): Array[Byte] =
     new Writer().str(1, name).int(3, v).int(20, 2L).toByteArray
 
-  private def modelBytes(graph: Writer): Array[Byte] = {
+  private[search] def modelBytes(graph: Writer): Array[Byte] = {
     val opset = new Writer().str(1, "").int(2, 13L)
     new Writer()
       .int(1, 8L) // ir_version

@@ -1,0 +1,591 @@
+package graft.search
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import graft.util.Hashing.splitmix64
+
+/** ONNX attention-block subset — the step past [[MlpEmbedder]]: a real
+  * single-head transformer ENCODER BLOCK executes from a genuine `.onnx`
+  * protobuf, through the same once-per-JVM [[ModelRegistry]] lifecycle as
+  * every other model artifact. The reference's embedder is a full
+  * sentence-transformer (cobalt-duckdb model/search/vector.py:41-78); this
+  * closes the architecture family down to "real pretrained weights", which
+  * a zero-egress sandbox cannot fetch.
+  *
+  * Unlike [[OnnxLinearModel.parseMlp]]'s sequential chain, this is a NAMED
+  * DATAFLOW executor: nodes read/write a value environment keyed by tensor
+  * name (ONNX requires topological node order, so file order is execution
+  * order), which is what attention needs — Q/K/V branch from one input,
+  * residual adds join values from non-adjacent nodes. The executable op
+  * set is {Gather, Gemm(transB), MatMul, Transpose, Add, Div, Softmax,
+  * Relu, LayerNormalization, ReduceMean} over 2-D float tensors — enough
+  * for `ids → Gather(E) → [Q=XWq K=XWk V=XWv → softmax(QKᵀ/√d)V → Wo →
+  * +residual → LayerNorm → FFN(Relu) → +residual → LayerNorm] → mean-pool`.
+  * Anything outside the set fails loudly. All arithmetic is float32 with a
+  * fixed accumulation order, `StrictMath.exp` in softmax — bit-identical
+  * across JVMs and spec-replayable.
+  *
+  * The writer emits the canonical encoder-block fixture (opset 17 for
+  * LayerNormalization, graph IO declared: `ids: INT64[seq]` with a
+  * symbolic batch dim, `y: FLOAT[1, d]`), deterministic bytes — the
+  * checked-in `tiny_attention.onnx` is byte-reproducible from its seed.
+  */
+object OnnxTransformer {
+
+  import OnnxLinearModel.{Reader, Writer, Tensor, parseTensor, floatTensor,
+    intAttr, valueInfo}
+
+  // ---- tensors ----------------------------------------------------------
+
+  /** Row-major 2-D float tensor (scalars are 1×1, vectors 1×n). */
+  final case class Mat(rows: Int, cols: Int, a: Array[Float]) {
+    require(a.length == rows * cols, s"mat ${a.length} != $rows x $cols")
+    @inline def apply(r: Int, c: Int): Float = a(r * cols + c)
+  }
+
+  private def toMat(t: Tensor): Mat = t.dims.length match {
+    case 2 => Mat(t.dims(0).toInt, t.dims(1).toInt, t.floats)
+    case 1 => Mat(1, t.dims(0).toInt, t.floats)
+    case 0 =>
+      require(t.floats.length == 1, s"onnx: 0-dim tensor '${t.name}' with ${t.floats.length} floats")
+      Mat(1, 1, t.floats)
+    case n => throw new IllegalArgumentException(
+      s"onnx: ${n}-D tensor '${t.name}' outside the 2-D executor subset")
+  }
+
+  // ---- model ------------------------------------------------------------
+
+  final case class Node(op: String, inputs: Seq[String], outputs: Seq[String],
+      attrF: Map[String, Float], attrI: Map[String, Long],
+      attrInts: Map[String, Seq[Long]])
+
+  /** A parsed executable graph: initializers, topologically ordered nodes,
+    * the single INT64 graph input (token ids), the declared output.
+    */
+  final case class GraphModel(inits: Map[String, Mat], nodes: Seq[Node],
+      inputName: String, outputName: String, outputDim: Int) {
+    /** Vocabulary = row count of the Gather table (token-embedding matrix). */
+    val vocab: Int = nodes.find(_.op == "Gather")
+      .flatMap(n => inits.get(n.inputs.head)).map(_.rows)
+      .getOrElse(throw new IllegalArgumentException(
+        "onnx: no Gather over an initializer — not a token-embedding graph"))
+
+    /** Execute the graph on one token-id sequence (float32 throughout). */
+    def run(ids: Array[Int]): Array[Float] = {
+      require(ids.nonEmpty, "onnx: empty id sequence")
+      val env = scala.collection.mutable.HashMap.empty[String, Mat]
+      def in(node: Node, i: Int): Mat = {
+        val n = node.inputs(i)
+        env.getOrElse(n, inits.getOrElse(n,
+          throw new IllegalArgumentException(s"onnx: ${node.op} input '$n' undefined")))
+      }
+      nodes.foreach { node =>
+        val out: Mat = node.op match {
+          case "Gather" =>
+            val table = inits.getOrElse(node.inputs.head,
+              throw new IllegalArgumentException(
+                s"onnx: Gather table '${node.inputs.head}' must be an initializer"))
+            require(node.inputs(1) == inputName,
+              s"onnx: Gather indices '${node.inputs(1)}' is not the graph input")
+            require(node.attrI.getOrElse("axis", 0L) == 0L, "onnx: Gather axis != 0")
+            val out = new Array[Float](ids.length * table.cols)
+            var r = 0
+            while (r < ids.length) {
+              val id = ids(r)
+              require(id >= 0 && id < table.rows, s"onnx: id $id outside vocab ${table.rows}")
+              System.arraycopy(table.a, id * table.cols, out, r * table.cols, table.cols)
+              r += 1
+            }
+            Mat(ids.length, table.cols, out)
+          case "Gemm" =>
+            require(node.attrI.getOrElse("transA", 0L) == 0L, "onnx: Gemm transA unsupported")
+            require(node.attrF.getOrElse("alpha", 1f) == 1f &&
+              node.attrF.getOrElse("beta", 1f) == 1f, "onnx: Gemm alpha/beta != 1")
+            val transB = node.attrI.getOrElse("transB", 0L) == 1L
+            val bias = if (node.inputs.length >= 3) Some(in(node, 2)) else None
+            gemm(in(node, 0), in(node, 1), transB, bias)
+          case "MatMul" => gemm(in(node, 0), in(node, 1), transB = false, None)
+          case "Transpose" =>
+            val perm = node.attrInts.getOrElse("perm", Seq(1L, 0L))
+            require(perm == Seq(1L, 0L), s"onnx: Transpose perm $perm != [1,0]")
+            val x = in(node, 0)
+            val out = new Array[Float](x.a.length)
+            var r = 0
+            while (r < x.rows) {
+              var c = 0
+              while (c < x.cols) { out(c * x.rows + r) = x(r, c); c += 1 }
+              r += 1
+            }
+            Mat(x.cols, x.rows, out)
+          case "Add" =>
+            val x = in(node, 0); val y = in(node, 1)
+            if (x.rows == y.rows && x.cols == y.cols) {
+              val out = new Array[Float](x.a.length)
+              var i = 0
+              while (i < out.length) { out(i) = x.a(i) + y.a(i); i += 1 }
+              Mat(x.rows, x.cols, out)
+            } else if (y.rows == 1 && y.cols == x.cols) { // row broadcast
+              val out = new Array[Float](x.a.length)
+              var r = 0
+              while (r < x.rows) {
+                var c = 0
+                while (c < x.cols) { out(r * x.cols + c) = x(r, c) + y.a(c); c += 1 }
+                r += 1
+              }
+              Mat(x.rows, x.cols, out)
+            } else throw new IllegalArgumentException(
+              s"onnx: Add shapes ${x.rows}x${x.cols} vs ${y.rows}x${y.cols}")
+          case "Div" =>
+            val x = in(node, 0); val s = in(node, 1)
+            require(s.rows == 1 && s.cols == 1, "onnx: Div divisor must be scalar")
+            val d = s.a(0)
+            val out = new Array[Float](x.a.length)
+            var i = 0
+            while (i < out.length) { out(i) = x.a(i) / d; i += 1 }
+            Mat(x.rows, x.cols, out)
+          case "Softmax" =>
+            val axis = node.attrI.getOrElse("axis", -1L)
+            require(axis == -1L || axis == 1L, s"onnx: Softmax axis $axis != last")
+            val x = in(node, 0)
+            val out = new Array[Float](x.a.length)
+            var r = 0
+            while (r < x.rows) {
+              var m = Float.NegativeInfinity
+              var c = 0
+              while (c < x.cols) { if (x(r, c) > m) m = x(r, c); c += 1 }
+              var sum = 0f
+              c = 0
+              while (c < x.cols) {
+                val e = StrictMath.exp((x(r, c) - m).toDouble).toFloat
+                out(r * x.cols + c) = e
+                sum += e
+                c += 1
+              }
+              c = 0
+              while (c < x.cols) { out(r * x.cols + c) /= sum; c += 1 }
+              r += 1
+            }
+            Mat(x.rows, x.cols, out)
+          case "Relu" =>
+            val x = in(node, 0)
+            val out = new Array[Float](x.a.length)
+            var i = 0
+            while (i < out.length) { out(i) = if (x.a(i) < 0f) 0f else x.a(i); i += 1 }
+            Mat(x.rows, x.cols, out)
+          case "LayerNormalization" =>
+            val axis = node.attrI.getOrElse("axis", -1L)
+            require(axis == -1L || axis == 1L, s"onnx: LayerNormalization axis $axis != last")
+            val eps = node.attrF.getOrElse("epsilon", 1e-5f)
+            val x = in(node, 0); val g = in(node, 1); val b = in(node, 2)
+            require(g.a.length == x.cols && b.a.length == x.cols,
+              "onnx: LayerNormalization scale/bias length != cols")
+            val out = new Array[Float](x.a.length)
+            var r = 0
+            while (r < x.rows) {
+              var sum = 0f
+              var c = 0
+              while (c < x.cols) { sum += x(r, c); c += 1 }
+              val mean = sum / x.cols
+              var varSum = 0f
+              c = 0
+              while (c < x.cols) {
+                val d = x(r, c) - mean
+                varSum += d * d
+                c += 1
+              }
+              val inv = (1.0 / Math.sqrt((varSum / x.cols + eps).toDouble)).toFloat
+              c = 0
+              while (c < x.cols) {
+                out(r * x.cols + c) = (x(r, c) - mean) * inv * g.a(c) + b.a(c)
+                c += 1
+              }
+              r += 1
+            }
+            Mat(x.rows, x.cols, out)
+          case "ReduceMean" =>
+            require(node.attrInts.getOrElse("axes", Seq(0L)) == Seq(0L),
+              "onnx: ReduceMean axes != [0]")
+            val x = in(node, 0)
+            val out = new Array[Float](x.cols)
+            var c = 0
+            while (c < x.cols) {
+              var sum = 0f
+              var r = 0
+              while (r < x.rows) { sum += x(r, c); r += 1 }
+              out(c) = sum / x.rows
+              c += 1
+            }
+            Mat(1, x.cols, out)
+          case op => throw new IllegalArgumentException(
+            s"onnx: op '$op' outside the attention executor subset")
+        }
+        env(node.outputs.head) = out
+      }
+      val y = env.getOrElse(outputName,
+        throw new IllegalArgumentException(s"onnx: graph output '$outputName' never produced"))
+      require(y.rows == 1 && y.cols == outputDim,
+        s"onnx: output ${y.rows}x${y.cols} != declared 1x$outputDim")
+      y.a
+    }
+  }
+
+  /** `A · op(B) (+ bias row-broadcast)` — float accumulation, k ascending
+    * (the one order both the executor and the spec replay use).
+    */
+  private def gemm(x: Mat, w: Mat, transB: Boolean, bias: Option[Mat]): Mat = {
+    val (outCols, inner) = if (transB) (w.rows, w.cols) else (w.cols, w.rows)
+    require(x.cols == inner, s"onnx: matmul ${x.rows}x${x.cols} · " +
+      s"${w.rows}x${w.cols}${if (transB) "ᵀ" else ""}")
+    bias.foreach(b => require(b.rows == 1 && b.cols == outCols,
+      s"onnx: bias ${b.rows}x${b.cols} != 1x$outCols"))
+    val out = new Array[Float](x.rows * outCols)
+    var r = 0
+    while (r < x.rows) {
+      var c = 0
+      while (c < outCols) {
+        var acc = bias.map(_.a(c)).getOrElse(0f)
+        var k = 0
+        while (k < inner) {
+          acc += x(r, k) * (if (transB) w(c, k) else w(k, c))
+          k += 1
+        }
+        out(r * outCols + c) = acc
+        c += 1
+      }
+      r += 1
+    }
+    Mat(x.rows, outCols, out)
+  }
+
+  // ---- parser -----------------------------------------------------------
+
+  private def parseNode(r: Reader): Node = {
+    var op = ""
+    var inputs = Vector.empty[String]
+    var outputs = Vector.empty[String]
+    var attrF = Map.empty[String, Float]
+    var attrI = Map.empty[String, Long]
+    var attrInts = Map.empty[String, Seq[Long]]
+    while (r.hasNext) {
+      val key = r.varint()
+      ((key >>> 3).toInt, (key & 7).toInt) match {
+        case (1, 2) =>
+          val (off, len) = r.lenDelimited()
+          inputs :+= new String(r.bytes, off, len, StandardCharsets.UTF_8)
+        case (2, 2) =>
+          val (off, len) = r.lenDelimited()
+          outputs :+= new String(r.bytes, off, len, StandardCharsets.UTF_8)
+        case (4, 2) =>
+          val (off, len) = r.lenDelimited()
+          op = new String(r.bytes, off, len, StandardCharsets.UTF_8)
+        case (5, 2) => // AttributeProto
+          val (off, len) = r.lenDelimited()
+          val a = new Reader(r.bytes, off, off + len)
+          var name = ""
+          var f = Option.empty[Float]
+          var i = Option.empty[Long]
+          var ints = Vector.empty[Long]
+          while (a.hasNext) {
+            val akey = a.varint()
+            ((akey >>> 3).toInt, (akey & 7).toInt) match {
+              case (1, 2) =>
+                val (aoff, alen) = a.lenDelimited()
+                name = new String(a.bytes, aoff, alen, StandardCharsets.UTF_8)
+              case (2, 5) =>
+                var bits = 0
+                var b = 0
+                while (b < 4) { bits |= (a.bytes(a.pos + b) & 0xff) << (8 * b); b += 1 }
+                a.pos += 4
+                f = Some(java.lang.Float.intBitsToFloat(bits))
+              case (3, 0) => i = Some(a.varint())
+              case (8, 0) => ints :+= a.varint()
+              case (8, 2) => // packed ints
+                val (aoff, alen) = a.lenDelimited()
+                val pr = new Reader(a.bytes, aoff, aoff + alen)
+                while (pr.hasNext) ints :+= pr.varint()
+              case (_, w) => a.skip(w)
+            }
+          }
+          f.foreach(v => attrF += name -> v)
+          i.foreach(v => attrI += name -> v)
+          if (ints.nonEmpty) attrInts += name -> ints
+        case (_, w) => r.skip(w)
+      }
+    }
+    Node(op, inputs, outputs, attrF, attrI, attrInts)
+  }
+
+  /** ValueInfoProto → (name, dim_values — 0 for symbolic dims). */
+  private def parseValueInfo(r: Reader): (String, Seq[Long]) = {
+    var name = ""
+    var dims = Vector.empty[Long]
+    while (r.hasNext) {
+      val key = r.varint()
+      ((key >>> 3).toInt, (key & 7).toInt) match {
+        case (1, 2) =>
+          val (off, len) = r.lenDelimited()
+          name = new String(r.bytes, off, len, StandardCharsets.UTF_8)
+        case (2, 2) => // TypeProto
+          val (toff, tlen) = r.lenDelimited()
+          val t = new Reader(r.bytes, toff, toff + tlen)
+          while (t.hasNext) {
+            val tkey = t.varint()
+            if ((tkey >>> 3).toInt == 1 && (tkey & 7).toInt == 2) { // tensor_type
+              val (ttoff, ttlen) = t.lenDelimited()
+              val tt = new Reader(t.bytes, ttoff, ttoff + ttlen)
+              while (tt.hasNext) {
+                val ttkey = tt.varint()
+                if ((ttkey >>> 3).toInt == 2 && (ttkey & 7).toInt == 2) { // shape
+                  val (soff, slen) = tt.lenDelimited()
+                  val s = new Reader(tt.bytes, soff, soff + slen)
+                  while (s.hasNext) {
+                    val skey = s.varint()
+                    if ((skey >>> 3).toInt == 1 && (skey & 7).toInt == 2) { // dim
+                      val (doff, dlen) = s.lenDelimited()
+                      val d = new Reader(s.bytes, doff, doff + dlen)
+                      var v = 0L
+                      while (d.hasNext) {
+                        val dkey = d.varint()
+                        if ((dkey >>> 3).toInt == 1 && (dkey & 7).toInt == 0) v = d.varint()
+                        else d.skip((dkey & 7).toInt)
+                      }
+                      dims :+= v
+                    } else s.skip((skey & 7).toInt)
+                  }
+                } else tt.skip((ttkey & 7).toInt)
+              }
+            } else t.skip((tkey & 7).toInt)
+          }
+        case (_, w) => r.skip(w)
+      }
+    }
+    (name, dims)
+  }
+
+  /** Parse an ONNX model into an executable [[GraphModel]]. The graph must
+    * declare exactly one input (the INT64 token-id sequence) and one
+    * output (`FLOAT[1, d]`).
+    */
+  def parse(bytes: Array[Byte]): GraphModel = {
+    var tensors = Vector.empty[Tensor]
+    var nodes = Vector.empty[Node]
+    var gInputs = Vector.empty[(String, Seq[Long])]
+    var gOutputs = Vector.empty[(String, Seq[Long])]
+    val m = new Reader(bytes, 0, bytes.length)
+    while (m.hasNext) {
+      val key = m.varint()
+      if ((key >>> 3).toInt == 7 && (key & 7).toInt == 2) { // ModelProto.graph
+        val (goff, glen) = m.lenDelimited()
+        val g = new Reader(bytes, goff, goff + glen)
+        while (g.hasNext) {
+          val gkey = g.varint()
+          ((gkey >>> 3).toInt, (gkey & 7).toInt) match {
+            case (1, 2) =>
+              val (off, len) = g.lenDelimited()
+              nodes :+= parseNode(new Reader(bytes, off, off + len))
+            case (5, 2) =>
+              val (off, len) = g.lenDelimited()
+              tensors :+= parseTensor(new Reader(bytes, off, off + len))
+            case (11, 2) =>
+              val (off, len) = g.lenDelimited()
+              gInputs :+= parseValueInfo(new Reader(bytes, off, off + len))
+            case (12, 2) =>
+              val (off, len) = g.lenDelimited()
+              gOutputs :+= parseValueInfo(new Reader(bytes, off, off + len))
+            case (_, w) => g.skip(w)
+          }
+        }
+      } else m.skip((key & 7).toInt)
+    }
+    require(gInputs.length == 1, s"onnx: expected 1 graph input, got ${gInputs.length}")
+    require(gOutputs.length == 1, s"onnx: expected 1 graph output, got ${gOutputs.length}")
+    val outDims = gOutputs.head._2.filter(_ > 0L)
+    require(outDims.nonEmpty, "onnx: graph output has no static dim")
+    GraphModel(tensors.map(t => t.name -> toMat(t)).toMap, nodes,
+      gInputs.head._1, gOutputs.head._1, outDims.last.toInt)
+  }
+
+  // ---- embedder ---------------------------------------------------------
+
+  /** [[Embedder]] over a parsed attention graph: whitespace tokens hashed
+    * to ids `floorMod(splitmix64(token.hashCode), vocab)` (the FeatureHash
+    * idiom — token identity, not signed features: an embedding TABLE wants
+    * an index), capped at `seqCap` tokens, graph output l2-normalized (the
+    * Embedder contract every model family shares). Null/blank → zero
+    * vector (dist 2.0, sorts last).
+    */
+  final case class TransformerEmbedder(model: GraphModel, seqCap: Int = 64)
+      extends Embedder {
+    def dim: Int = model.outputDim
+
+    private def ids(text: String): Array[Int] =
+      text.split("\\s+").iterator.filter(_.nonEmpty).take(seqCap)
+        .map(t => java.lang.Math.floorMod(splitmix64(t.hashCode.toLong),
+          model.vocab.toLong).toInt)
+        .toArray
+
+    override def embedBatch(texts: Seq[String]): Seq[Array[Float]] =
+      texts.map { t =>
+        val toks = if (t == null) Array.empty[Int] else ids(t)
+        if (toks.isEmpty) new Array[Float](dim)
+        else {
+          val y = model.run(toks)
+          var norm = 0.0
+          var i = 0
+          while (i < y.length) { norm += y(i).toDouble * y(i).toDouble; i += 1 }
+          if (norm > 0.0) {
+            val inv = (1.0 / math.sqrt(norm)).toFloat
+            i = 0
+            while (i < y.length) { y(i) *= inv; i += 1 }
+          }
+          y
+        }
+      }
+  }
+
+  /** Loader twins of the linear/MLP loaders — same registry lifecycle. */
+  def fileLoader(path: String): (String, Int) => Embedder = (_, d) => {
+    val m = TransformerEmbedder(parse(Files.readAllBytes(Paths.get(path))))
+    require(m.dim == d, s"onnx transformer dim ${m.dim} != requested $d")
+    m
+  }
+
+  def resourceLoader(resource: String): (String, Int) => Embedder = (_, d) => {
+    val in = getClass.getResourceAsStream(resource)
+    require(in != null, s"onnx model resource $resource not on classpath")
+    val bytes = try in.readAllBytes() finally in.close()
+    val m = TransformerEmbedder(parse(bytes))
+    require(m.dim == d, s"onnx transformer dim ${m.dim} != requested $d")
+    m
+  }
+
+  // ---- writer (fixture generation, offline) -----------------------------
+
+  /** One-block single-head encoder weights. Layouts follow the repo's
+    * row-major `[out, in]` Gemm(transB=1) convention throughout.
+    */
+  final case class TransformerWeights(vocab: Int, d: Int, hidden: Int,
+      e: Array[Float],                                  // [vocab, d]
+      wq: Array[Float], bq: Array[Float],               // [d, d], [d]
+      wk: Array[Float], bk: Array[Float],
+      wv: Array[Float], bv: Array[Float],
+      wo: Array[Float], bo: Array[Float],
+      ln1g: Array[Float], ln1b: Array[Float],           // [d]
+      w1: Array[Float], b1: Array[Float],               // [hidden, d], [hidden]
+      w2: Array[Float], b2: Array[Float],               // [d, hidden], [d]
+      ln2g: Array[Float], ln2b: Array[Float],
+      eps: Float = 1e-5f) {
+    require(e.length == vocab * d && wq.length == d * d && w1.length == hidden * d
+      && w2.length == d * hidden, "transformer weight shapes inconsistent")
+  }
+
+  private def floatAttr(name: String, v: Float): Array[Byte] =
+    new Writer().str(1, name)
+      .fixed32(2, java.lang.Float.floatToIntBits(v)).int(20, 1L).toByteArray
+
+  private def intsAttr(name: String, vs: Seq[Long]): Array[Byte] = {
+    val w = new Writer().str(1, name)
+    vs.foreach(v => w.int(8, v))
+    w.int(20, 7L).toByteArray
+  }
+
+  /** ValueInfoProto for an INT64 vector with a symbolic (dim_param) dim. */
+  private def int64VectorInfo(name: String, dimParam: String): Array[Byte] = {
+    val shape = new Writer()
+      .bytes(1, new Writer().str(2, dimParam).toByteArray)
+    val tensorType = new Writer()
+      .int(1, 7L) // elem_type INT64
+      .bytes(2, shape.toByteArray)
+    val typeProto = new Writer().bytes(1, tensorType.toByteArray)
+    new Writer().str(1, name).bytes(2, typeProto.toByteArray).toByteArray
+  }
+
+  private def node(op: String, name: String, ins: Seq[String], out: String,
+      attrs: Seq[Array[Byte]] = Nil): Array[Byte] = {
+    val w = new Writer()
+    ins.foreach(w.str(1, _))
+    w.str(2, out).str(3, name).str(4, op)
+    attrs.foreach(w.bytes(5, _))
+    w.toByteArray
+  }
+
+  /** Encode the canonical one-block encoder (opset 17 — the
+    * LayerNormalization op). Deterministic bytes; round-trips through
+    * [[parse]] bit-exactly.
+    */
+  def toBytes(m: TransformerWeights): Array[Byte] = {
+    val d = m.d.toLong
+    val tB = intAttr("transB", 1L)
+    val g = new Writer()
+    Seq(
+      node("Gather", "embed", Seq("E", "ids"), "x"),
+      node("Gemm", "q_proj", Seq("x", "Wq", "bq"), "q", Seq(tB)),
+      node("Gemm", "k_proj", Seq("x", "Wk", "bk"), "k", Seq(tB)),
+      node("Gemm", "v_proj", Seq("x", "Wv", "bv"), "v", Seq(tB)),
+      node("Transpose", "k_t", Seq("k"), "kt", Seq(intsAttr("perm", Seq(1L, 0L)))),
+      node("MatMul", "scores", Seq("q", "kt"), "s"),
+      node("Div", "scale", Seq("s", "sqrt_d"), "ss"),
+      node("Softmax", "attn", Seq("ss"), "a", Seq(intAttr("axis", -1L))),
+      node("MatMul", "context", Seq("a", "v"), "ctx"),
+      node("Gemm", "o_proj", Seq("ctx", "Wo", "bo"), "o", Seq(tB)),
+      node("Add", "residual1", Seq("o", "x"), "r1"),
+      node("LayerNormalization", "ln1", Seq("r1", "ln1g", "ln1b"), "n1",
+        Seq(intAttr("axis", -1L), floatAttr("epsilon", m.eps))),
+      node("Gemm", "ffn1", Seq("n1", "W1", "b1"), "f1", Seq(tB)),
+      node("Relu", "ffn_act", Seq("f1"), "f1r"),
+      node("Gemm", "ffn2", Seq("f1r", "W2", "b2"), "f2", Seq(tB)),
+      node("Add", "residual2", Seq("f2", "n1"), "r2"),
+      node("LayerNormalization", "ln2", Seq("r2", "ln2g", "ln2b"), "n2",
+        Seq(intAttr("axis", -1L), floatAttr("epsilon", m.eps))),
+      node("ReduceMean", "pool", Seq("n2"), "y",
+        Seq(intsAttr("axes", Seq(0L)), intAttr("keepdims", 1L)))
+    ).foreach(g.bytes(1, _))
+    g.str(2, "graft_attention")
+    g.bytes(5, floatTensor("E", Seq(m.vocab.toLong, d), m.e))
+    Seq(("Wq", m.wq), ("Wk", m.wk), ("Wv", m.wv), ("Wo", m.wo))
+      .foreach { case (n, w) => g.bytes(5, floatTensor(n, Seq(d, d), w)) }
+    Seq(("bq", m.bq), ("bk", m.bk), ("bv", m.bv), ("bo", m.bo),
+      ("ln1g", m.ln1g), ("ln1b", m.ln1b), ("ln2g", m.ln2g), ("ln2b", m.ln2b))
+      .foreach { case (n, b) => g.bytes(5, floatTensor(n, Seq(d), b)) }
+    g.bytes(5, floatTensor("W1", Seq(m.hidden.toLong, d), m.w1))
+    g.bytes(5, floatTensor("b1", Seq(m.hidden.toLong), m.b1))
+    g.bytes(5, floatTensor("W2", Seq(d, m.hidden.toLong), m.w2))
+    g.bytes(5, floatTensor("b2", Seq(d), m.b2))
+    g.bytes(5, floatTensor("sqrt_d",
+      Seq(1L), Array(Math.sqrt(m.d.toDouble).toFloat)))
+    g.bytes(11, int64VectorInfo("ids", "seq"))
+    g.bytes(12, valueInfo("y", Seq(1L, d)))
+    val opset = new Writer().str(1, "").int(2, 17L)
+    new Writer()
+      .int(1, 8L) // ir_version
+      .bytes(7, g.toByteArray)
+      .bytes(8, opset.toByteArray)
+      .toByteArray
+  }
+
+  /** Deterministic small weights from a seed (fixture generation — the
+    * checked-in artifact is byte-reproducible from this).
+    */
+  def seededWeights(seed: Long, vocab: Int = 32, d: Int = 16,
+      hidden: Int = 32): TransformerWeights = {
+    var n = 0L
+    def f(scale: Float): Float = {
+      n += 1
+      val u = splitmix64(seed ^ n).toDouble / Long.MaxValue.toDouble
+      (u * scale).toFloat
+    }
+    def arr(len: Int, scale: Float): Array[Float] =
+      Array.fill(len)(f(scale))
+    TransformerWeights(vocab, d, hidden,
+      e = arr(vocab * d, 1f),
+      wq = arr(d * d, 0.3f), bq = arr(d, 0.05f),
+      wk = arr(d * d, 0.3f), bk = arr(d, 0.05f),
+      wv = arr(d * d, 0.3f), bv = arr(d, 0.05f),
+      wo = arr(d * d, 0.3f), bo = arr(d, 0.05f),
+      ln1g = Array.fill(d)(1f), ln1b = new Array[Float](d),
+      w1 = arr(hidden * d, 0.2f), b1 = arr(hidden, 0.05f),
+      w2 = arr(d * hidden, 0.2f), b2 = arr(d, 0.05f),
+      ln2g = Array.fill(d)(1f), ln2b = new Array[Float](d))
+  }
+}

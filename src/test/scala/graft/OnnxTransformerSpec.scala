@@ -1,0 +1,185 @@
+package graft
+
+import graft.search.OnnxTransformer
+import graft.search.OnnxTransformer.{TransformerEmbedder, TransformerWeights}
+
+/** The ONNX attention subset: a real single-head transformer encoder block
+  * parsed from genuine ONNX protobuf bytes and executed bit-identically to
+  * an independent float32 replay of the architecture — closing the model
+  * runtime's architecture family down to "real pretrained weights" (which
+  * a zero-egress sandbox cannot fetch).
+  */
+class OnnxTransformerSpec extends SparkTestBase {
+
+  private val w = OnnxTransformer.seededWeights(42L)
+
+  // ---- independent replay of the encoder block (plain loops, float32,
+  // written against the ONNX op definitions — NOT the executor code) ------
+
+  private def replay(m: TransformerWeights, ids: Array[Int]): Array[Float] = {
+    val n = ids.length; val d = m.d
+    def lin(x: Array[Array[Float]], wt: Array[Float], b: Array[Float],
+        out: Int): Array[Array[Float]] =
+      x.map { row =>
+        Array.tabulate(out) { o =>
+          var acc = if (b.isEmpty) 0f else b(o)
+          var k = 0
+          while (k < row.length) { acc += row(k) * wt(o * row.length + k); k += 1 }
+          acc
+        }
+      }
+    def addRows(a: Array[Array[Float]], b: Array[Array[Float]]) =
+      a.indices.map(i => a(i).indices.map(j => a(i)(j) + b(i)(j)).toArray).toArray
+    def layernorm(x: Array[Array[Float]], g: Array[Float], b: Array[Float]) =
+      x.map { row =>
+        var sum = 0f
+        row.foreach(sum += _)
+        val mean = sum / row.length
+        var vs = 0f
+        row.foreach { v => val dd = v - mean; vs += dd * dd }
+        val inv = (1.0 / Math.sqrt((vs / row.length + m.eps).toDouble)).toFloat
+        row.indices.map(j => (row(j) - mean) * inv * g(j) + b(j)).toArray
+      }
+    val x = ids.map(id => Array.tabulate(d)(c => m.e(id * d + c)))
+    val q = lin(x, m.wq, m.bq, d)
+    val k = lin(x, m.wk, m.bk, d)
+    val v = lin(x, m.wv, m.bv, d)
+    val scale = Math.sqrt(d.toDouble).toFloat
+    val a = Array.tabulate(n) { i =>
+      val s = Array.tabulate(n) { j =>
+        var acc = 0f
+        var c = 0
+        while (c < d) { acc += q(i)(c) * k(j)(c); c += 1 }
+        acc / scale
+      }
+      val mx = s.max
+      val e = s.map(x => StrictMath.exp((x - mx).toDouble).toFloat)
+      var sum = 0f
+      e.foreach(sum += _)
+      e.map(_ / sum)
+    }
+    val ctx = Array.tabulate(n) { i =>
+      Array.tabulate(d) { c =>
+        var acc = 0f
+        var j = 0
+        while (j < n) { acc += a(i)(j) * v(j)(c); j += 1 }
+        acc
+      }
+    }
+    val n1 = layernorm(addRows(lin(ctx, m.wo, m.bo, d), x), m.ln1g, m.ln1b)
+    val f1 = lin(n1, m.w1, m.b1, m.hidden).map(_.map(v => if (v < 0f) 0f else v))
+    val n2 = layernorm(addRows(lin(f1, m.w2, m.b2, d), n1), m.ln2g, m.ln2b)
+    Array.tabulate(d) { c =>
+      var sum = 0f
+      var r = 0
+      while (r < n) { sum += n2(r)(c); r += 1 }
+      sum / n
+    }
+  }
+
+  test("writer is deterministic and the fixture is byte-reproducible") {
+    val bytes = OnnxTransformer.toBytes(w)
+    assert(bytes.sameElements(OnnxTransformer.toBytes(w)))
+    val fixture = getClass.getResourceAsStream("/fixtures/tiny_attention.onnx")
+    assert(fixture != null, "fixtures/tiny_attention.onnx missing from test resources")
+    val checked = try fixture.readAllBytes() finally fixture.close()
+    assert(bytes.sameElements(checked),
+      "checked-in tiny_attention.onnx is not byte-identical to seededWeights(42)")
+  }
+
+  test("parse round-trips every weight bit-exactly") {
+    val g = OnnxTransformer.parse(OnnxTransformer.toBytes(w))
+    assert(g.vocab == w.vocab && g.outputDim == w.d)
+    assert(g.inits("E").a.sameElements(w.e))
+    assert(g.inits("Wq").a.sameElements(w.wq) && g.inits("bq").a.sameElements(w.bq))
+    assert(g.inits("W2").a.sameElements(w.w2))
+    assert(g.inits("sqrt_d").a.sameElements(Array(Math.sqrt(w.d.toDouble).toFloat)))
+    assert(g.nodes.map(_.op) == Seq("Gather", "Gemm", "Gemm", "Gemm",
+      "Transpose", "MatMul", "Div", "Softmax", "MatMul", "Gemm", "Add",
+      "LayerNormalization", "Gemm", "Relu", "Gemm", "Add",
+      "LayerNormalization", "ReduceMean"))
+  }
+
+  test("execution is bit-identical to the independent replay") {
+    val g = OnnxTransformer.parse(OnnxTransformer.toBytes(w))
+    for (ids <- Seq(Array(3), Array(0, 7, 31), Array.tabulate(16)(i => (i * 5) % 32))) {
+      val got = g.run(ids)
+      val want = replay(w, ids)
+      assert(got.length == want.length)
+      got.indices.foreach { i =>
+        assert(java.lang.Float.floatToIntBits(got(i)) ==
+          java.lang.Float.floatToIntBits(want(i)),
+          s"ids=${ids.mkString(",")} component $i: ${got(i)} != ${want(i)}")
+      }
+    }
+  }
+
+  test("architecture properties: token-sensitive, permutation-invariant pool") {
+    val g = OnnxTransformer.parse(OnnxTransformer.toBytes(w))
+    val a = g.run(Array(1, 2, 3, 4))
+    assert(a.sameElements(g.run(Array(1, 2, 3, 4))))
+    // a changed TOKEN changes the embedding
+    assert(!a.sameElements(g.run(Array(1, 2, 3, 5))))
+    // mean-pool over a permuted sequence is (near-)invariant: self-attention
+    // without positional input is permutation-EQUIVARIANT, so this is a
+    // correctness property of the architecture as written, not a defect
+    val b = g.run(Array(4, 3, 2, 1))
+    assert(a.zip(b).forall { case (x, y) => math.abs(x - y) < 1e-5f })
+  }
+
+  test("embedder contract: unit norm, determinism, null/blank -> zero vector") {
+    val emb = TransformerEmbedder(OnnxTransformer.parse(OnnxTransformer.toBytes(w)))
+    assert(emb.dim == w.d)
+    val Seq(v1, v2, zNull, zBlank) =
+      emb.embedBatch(Seq("hello world", "hello world", null, "   "))
+    assert(v1.sameElements(v2))
+    val norm = math.sqrt(v1.map(x => x.toDouble * x).sum)
+    assert(math.abs(norm - 1.0) < 1e-5, s"norm $norm")
+    assert(zNull.forall(_ == 0f) && zBlank.forall(_ == 0f))
+    assert(!v1.sameElements(emb.embedBatch(Seq("different text")).head))
+  }
+
+  test("registry lifecycle: the artifact parses once per JVM") {
+    import graft.search.ModelRegistry
+    val key = s"onnx-attention-spec-${System.nanoTime()}"
+    val loader = OnnxTransformer.resourceLoader("/fixtures/tiny_attention.onnx")
+    val e1 = ModelRegistry.getOrLoad(key)(() => loader(key, w.d))
+    val e2 = ModelRegistry.getOrLoad(key)(() => loader(key, w.d))
+    assert(e1 eq e2)
+    assert(ModelRegistry.loadCount(key) == 1)
+    assert(e1.embedBatch(Seq("tokyo tower")).head.length == w.d)
+  }
+
+  test("graphs outside the subset fail loudly") {
+    // the MLP fixture has a FLOAT graph input and no Gather — not a
+    // token-embedding graph
+    val in = getClass.getResourceAsStream("/fixtures/tiny_mlp.onnx")
+    assert(in != null)
+    val mlpBytes = try in.readAllBytes() finally in.close()
+    val ex = intercept[IllegalArgumentException] {
+      OnnxTransformer.parse(mlpBytes).vocab
+    }
+    assert(ex.getMessage.contains("Gather"))
+  }
+
+  test("embeds run distributed through mapPartitions (plumbing, not collect)") {
+    import org.apache.spark.sql.functions._
+    val emb = TransformerEmbedder(OnnxTransformer.parse(OnnxTransformer.toBytes(w)))
+    val texts = (1 to 40).map(i => (i.toLong, s"doc number $i about topic ${i % 5}"))
+    val df = spark.createDataFrame(texts).toDF("id", "text").repartition(8)
+    val s = spark
+    import s.implicits._
+    val vecs = df.as[(Long, String)].mapPartitions { it =>
+      val rows = it.toSeq
+      rows.iterator.zip(emb.embedBatch(rows.map(_._2)).iterator)
+        .map { case ((id, _), v) => (id, v) }
+    }.toDF("id", "vec").collect()
+    assert(vecs.length == 40)
+    val local = emb.embedBatch(texts.map(_._2))
+    val byId = vecs.map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    texts.indices.foreach { i =>
+      assert(byId(texts(i)._1).sameElements(local(i)),
+        s"row ${texts(i)._1} distributed != local")
+    }
+  }
+}
