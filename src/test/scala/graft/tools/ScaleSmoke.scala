@@ -148,6 +148,25 @@ object ScaleSmoke {
           .orderBy(col("d").asc_nulls_last, col("vec_id").asc)
           .limit(10).collect().length.toLong
       }
+      // graph tier: edge build is Σ bucket² (bucket count grows with k,
+      // bucket size constant -> ~linear); the point probe touches
+      // O(beam·degree·rounds) rows regardless of corpus size -> ~flat
+      val gpath = graft.util.TempDirs.create(s"scale_graph_$k")
+      timed("graph_build", k, nVec) {
+        graft.ops.GraphAnn.materialize(emb, "vec_id", "embedding", 64,
+          graft.ops.GraphAnn.DefaultDegree, gpath)
+        nVec
+      }
+      val edges = graft.ops.GraphAnn.fromMaterialized(spark, gpath, 64,
+        graft.ops.GraphAnn.DefaultDegree)
+      timed("graph_probe", k, nVec) { // best of 3, min millis as `out`
+        (1 to 3).map { _ =>
+          val t0 = System.nanoTime()
+          graft.ops.GraphAnn.pointProbeTopK(emb, "vec_id", "embedding",
+            edges, qvec, k = 10, stride = 64).collect()
+          System.nanoTime() - t0
+        }.min / 1000000L
+      }
       spark.catalog.clearCache()
       emb.unpersist(blocking = true)
     }
