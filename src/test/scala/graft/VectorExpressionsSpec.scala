@@ -90,6 +90,62 @@ class VectorExpressionsSpec extends SparkTestBase {
     assert(!r.isNullAt(4))
   }
 
+  test("cosine_argmin: distance semantics, tie to lowest cid, error paths") {
+    graft.functions.registerAll(spark)
+    // candidate 20 is parallel (d=0), 10 orthogonal (d=1) -> 20 wins
+    val r = spark.sql(
+      """SELECT cosine_argmin(array(1.0D, 0.0D),
+        |         array(10L, 20L),
+        |         array(array(0.0D, 1.0D), array(2.0D, 0.0D))) AS best,
+        |       cosine_argmin(array(1.0D, 0.0D),
+        |         array(9L, 3L),
+        |         array(array(1.0D, 0.0D), array(3.0D, 0.0D))) AS tie,
+        |       cosine_argmin(array(1.0D, 0.0D),
+        |         array(7L),
+        |         array(array(0.0D, 0.0D))) AS zerovec,
+        |       cosine_argmin(array(1.0D, 0.0D),
+        |         cast(array() AS array<bigint>),
+        |         cast(array() AS array<array<double>>)) AS empty""".stripMargin).head()
+    assert(r.getLong(0) == 20L)
+    assert(r.getLong(1) == 3L, "equal distances must tie to the lowest cid")
+    assert(r.getLong(2) == 7L, "zero-vector candidate (d=2.0) still selectable")
+    assert(r.isNullAt(3), "no candidates -> NULL")
+    // agrees with the two-expression formulation on real float data, and
+    // runs through codegen (parquet scan, not a folded LocalRelation)
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cents = emb.where(col("vec_id") % 64 === 0)
+    val candArr = cents.agg(
+      collect_list(col("vec_id").cast("long")).as("cids"),
+      collect_list(col("embedding")).as("cvecs"))
+    val got = emb.limit(50).crossJoin(candArr)
+      .select(col("vec_id"),
+        cosine_argmin(col("embedding"), col("cids"), col("cvecs")).as("best"))
+      .collect().map(row => row.getLong(0) -> row.getLong(1)).toMap
+    val centRows = cents.select(col("vec_id").cast("long"), col("embedding"))
+      .collect().map(row => row.getLong(0) -> row.getSeq[Float](1))
+    val expect = emb.limit(50)
+      .select(col("vec_id").cast("long"), col("embedding")).collect().map { row =>
+        val v = row.getSeq[Float](1)
+        def d(c: Seq[Float]): Double = {
+          var dot = 0.0; var na = 0.0; var nb = 0.0
+          v.indices.foreach { i =>
+            val x = v(i).toDouble; val y = c(i).toDouble
+            dot += x * y; na += x * x; nb += y * y
+          }
+          if (na == 0.0 || nb == 0.0) 2.0
+          else 1.0 - math.max(-1.0, math.min(1.0, dot / (math.sqrt(na) * math.sqrt(nb))))
+        }
+        row.getLong(0) -> centRows.map { case (cid, cv) => (d(cv), cid) }.min._2
+      }.toMap
+    assert(got == expect, "codegen'd argmin diverged from the replay")
+    val err = intercept[Exception] {
+      spark.sql("""SELECT cosine_argmin(array(1.0D, 0.0D), array(1L),
+        |  array(array(1.0D, 0.0D), array(0.0D, 1.0D)))""".stripMargin).head()
+    }
+    assert(err.getMessage.contains("cosine_argmin") ||
+      err.getCause != null && err.getCause.getMessage.contains("cosine_argmin"))
+  }
+
   test("simhash: equal token arrays agree, empty array is 0, null is null") {
     graft.functions.registerAll(spark)
     val r = spark.sql(
