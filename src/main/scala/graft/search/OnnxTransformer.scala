@@ -20,8 +20,10 @@ import graft.util.Hashing.splitmix64
   * residual adds join values from non-adjacent nodes. The executable op
   * set is {Gather, Gemm(transB), MatMul, Transpose, Add, Div, Softmax,
   * Relu, LayerNormalization, ReduceMean} over 2-D float tensors — enough
-  * for `ids → Gather(E) → [Q=XWq K=XWk V=XWv → softmax(QKᵀ/√d)V → Wo →
-  * +residual → LayerNorm → FFN(Relu) → +residual → LayerNorm] → mean-pool`.
+  * for `ids → Gather(E) [+ Gather(P, positions) — learned positional
+  * embeddings, runtime-fed positions input] → [Q=XWq K=XWk V=XWv →
+  * softmax(QKᵀ/√d)V → Wo → +residual → LayerNorm → FFN(Relu) →
+  * +residual → LayerNorm] → mean-pool`.
   * Anything outside the set fails loudly. All arithmetic is float32 with a
   * fixed accumulation order, `StrictMath.exp` in softmax — bit-identical
   * across JVMs and spec-replayable.
@@ -61,19 +63,31 @@ object OnnxTransformer {
       attrInts: Map[String, Seq[Long]])
 
   /** A parsed executable graph: initializers, topologically ordered nodes,
-    * the single INT64 graph input (token ids), the declared output.
+    * the INT64 graph inputs — token ids, plus an optional second input fed
+    * the positions `0..n-1` at run time (the positional-embedding Gather;
+    * real exporters emit the same shape) — and the declared output.
     */
   final case class GraphModel(inits: Map[String, Mat], nodes: Seq[Node],
-      inputName: String, outputName: String, outputDim: Int) {
-    /** Vocabulary = row count of the Gather table (token-embedding matrix). */
-    val vocab: Int = nodes.find(_.op == "Gather")
+      inputName: String, posInputName: Option[String],
+      outputName: String, outputDim: Int) {
+    /** Vocabulary = row count of the table the TOKEN-id Gather reads. */
+    val vocab: Int = nodes
+      .find(n => n.op == "Gather" && n.inputs.lift(1).contains(inputName))
       .flatMap(n => inits.get(n.inputs.head)).map(_.rows)
       .getOrElse(throw new IllegalArgumentException(
-        "onnx: no Gather over an initializer — not a token-embedding graph"))
+        "onnx: no Gather(initializer, ids) — not a token-embedding graph"))
+
+    /** Max sequence length = positional-table rows (unbounded if none). */
+    val seqLimit: Int = posInputName.flatMap(p => nodes
+        .find(n => n.op == "Gather" && n.inputs.lift(1).contains(p))
+        .flatMap(n => inits.get(n.inputs.head)).map(_.rows))
+      .getOrElse(Int.MaxValue)
 
     /** Execute the graph on one token-id sequence (float32 throughout). */
     def run(ids: Array[Int]): Array[Float] = {
       require(ids.nonEmpty, "onnx: empty id sequence")
+      require(ids.length <= seqLimit,
+        s"onnx: ${ids.length} tokens exceed the positional table ($seqLimit rows)")
       val env = scala.collection.mutable.HashMap.empty[String, Mat]
       def in(node: Node, i: Int): Mat = {
         val n = node.inputs(i)
@@ -86,18 +100,22 @@ object OnnxTransformer {
             val table = inits.getOrElse(node.inputs.head,
               throw new IllegalArgumentException(
                 s"onnx: Gather table '${node.inputs.head}' must be an initializer"))
-            require(node.inputs(1) == inputName,
-              s"onnx: Gather indices '${node.inputs(1)}' is not the graph input")
+            val idxName = node.inputs(1)
+            val indices: Array[Int] =
+              if (idxName == inputName) ids
+              else if (posInputName.contains(idxName)) Array.tabulate(ids.length)(identity)
+              else throw new IllegalArgumentException(
+                s"onnx: Gather indices '$idxName' is not a graph input")
             require(node.attrI.getOrElse("axis", 0L) == 0L, "onnx: Gather axis != 0")
-            val out = new Array[Float](ids.length * table.cols)
+            val out = new Array[Float](indices.length * table.cols)
             var r = 0
-            while (r < ids.length) {
-              val id = ids(r)
-              require(id >= 0 && id < table.rows, s"onnx: id $id outside vocab ${table.rows}")
+            while (r < indices.length) {
+              val id = indices(r)
+              require(id >= 0 && id < table.rows, s"onnx: id $id outside table ${table.rows}")
               System.arraycopy(table.a, id * table.cols, out, r * table.cols, table.cols)
               r += 1
             }
-            Mat(ids.length, table.cols, out)
+            Mat(indices.length, table.cols, out)
           case "Gemm" =>
             require(node.attrI.getOrElse("transA", 0L) == 0L, "onnx: Gemm transA unsupported")
             require(node.attrF.getOrElse("alpha", 1f) == 1f &&
@@ -398,12 +416,14 @@ object OnnxTransformer {
         }
       } else m.skip((key & 7).toInt)
     }
-    require(gInputs.length == 1, s"onnx: expected 1 graph input, got ${gInputs.length}")
+    require(gInputs.length == 1 || gInputs.length == 2,
+      s"onnx: expected 1-2 graph inputs (ids[, positions]), got ${gInputs.length}")
     require(gOutputs.length == 1, s"onnx: expected 1 graph output, got ${gOutputs.length}")
     val outDims = gOutputs.head._2.filter(_ > 0L)
     require(outDims.nonEmpty, "onnx: graph output has no static dim")
     GraphModel(tensors.map(t => t.name -> toMat(t)).toMap, nodes,
-      gInputs.head._1, gOutputs.head._1, outDims.last.toInt)
+      gInputs.head._1, gInputs.lift(1).map(_._1),
+      gOutputs.head._1, outDims.last.toInt)
   }
 
   // ---- embedder ---------------------------------------------------------
@@ -420,7 +440,8 @@ object OnnxTransformer {
     def dim: Int = model.outputDim
 
     private def ids(text: String): Array[Int] =
-      text.split("\\s+").iterator.filter(_.nonEmpty).take(seqCap)
+      text.split("\\s+").iterator.filter(_.nonEmpty)
+        .take(math.min(seqCap, model.seqLimit)) // positional table bounds seq
         .map(t => java.lang.Math.floorMod(splitmix64(t.hashCode.toLong),
           model.vocab.toLong).toInt)
         .toArray
@@ -475,9 +496,12 @@ object OnnxTransformer {
       w1: Array[Float], b1: Array[Float],               // [hidden, d], [hidden]
       w2: Array[Float], b2: Array[Float],               // [d, hidden], [d]
       ln2g: Array[Float], ln2b: Array[Float],
-      eps: Float = 1e-5f) {
+      eps: Float = 1e-5f,
+      pos: Array[Float] = Array.empty) {                // [maxSeq, d] (optional)
     require(e.length == vocab * d && wq.length == d * d && w1.length == hidden * d
       && w2.length == d * hidden, "transformer weight shapes inconsistent")
+    require(pos.isEmpty || pos.length % d == 0,
+      s"positional table ${pos.length} not a multiple of d=$d")
   }
 
   private def floatAttr(name: String, v: Float): Array[Byte] =
@@ -518,8 +542,17 @@ object OnnxTransformer {
     val d = m.d.toLong
     val tB = intAttr("transB", 1L)
     val g = new Writer()
-    Seq(
-      node("Gather", "embed", Seq("E", "ids"), "x"),
+    val positional = m.pos.nonEmpty
+    // with a positional table the token embedding is x = E[ids] + P[0..n-1]
+    // (the second Gather reads the runtime-fed positions input — the
+    // standard exporter shape); without one, x = E[ids] directly
+    val embedNodes =
+      if (positional) Seq(
+        node("Gather", "embed", Seq("E", "ids"), "x0"),
+        node("Gather", "pos_embed", Seq("P", "pos"), "px"),
+        node("Add", "add_pos", Seq("x0", "px"), "x"))
+      else Seq(node("Gather", "embed", Seq("E", "ids"), "x"))
+    (embedNodes ++ Seq(
       node("Gemm", "q_proj", Seq("x", "Wq", "bq"), "q", Seq(tB)),
       node("Gemm", "k_proj", Seq("x", "Wk", "bk"), "k", Seq(tB)),
       node("Gemm", "v_proj", Seq("x", "Wv", "bv"), "v", Seq(tB)),
@@ -540,9 +573,11 @@ object OnnxTransformer {
         Seq(intAttr("axis", -1L), floatAttr("epsilon", m.eps))),
       node("ReduceMean", "pool", Seq("n2"), "y",
         Seq(intsAttr("axes", Seq(0L)), intAttr("keepdims", 1L)))
-    ).foreach(g.bytes(1, _))
+    )).foreach(g.bytes(1, _))
     g.str(2, "graft_attention")
     g.bytes(5, floatTensor("E", Seq(m.vocab.toLong, d), m.e))
+    if (positional)
+      g.bytes(5, floatTensor("P", Seq((m.pos.length / m.d).toLong, d), m.pos))
     Seq(("Wq", m.wq), ("Wk", m.wk), ("Wv", m.wv), ("Wo", m.wo))
       .foreach { case (n, w) => g.bytes(5, floatTensor(n, Seq(d, d), w)) }
     Seq(("bq", m.bq), ("bk", m.bk), ("bv", m.bv), ("bo", m.bo),
@@ -555,6 +590,7 @@ object OnnxTransformer {
     g.bytes(5, floatTensor("sqrt_d",
       Seq(1L), Array(Math.sqrt(m.d.toDouble).toFloat)))
     g.bytes(11, int64VectorInfo("ids", "seq"))
+    if (positional) g.bytes(11, int64VectorInfo("pos", "seq"))
     g.bytes(12, valueInfo("y", Seq(1L, d)))
     val opset = new Writer().str(1, "").int(2, 17L)
     new Writer()
@@ -568,7 +604,7 @@ object OnnxTransformer {
     * checked-in artifact is byte-reproducible from this).
     */
   def seededWeights(seed: Long, vocab: Int = 32, d: Int = 16,
-      hidden: Int = 32): TransformerWeights = {
+      hidden: Int = 32, posRows: Int = 0): TransformerWeights = {
     var n = 0L
     def f(scale: Float): Float = {
       n += 1
@@ -586,6 +622,7 @@ object OnnxTransformer {
       ln1g = Array.fill(d)(1f), ln1b = new Array[Float](d),
       w1 = arr(hidden * d, 0.2f), b1 = arr(hidden, 0.05f),
       w2 = arr(d * hidden, 0.2f), b2 = arr(d, 0.05f),
-      ln2g = Array.fill(d)(1f), ln2b = new Array[Float](d))
+      ln2g = Array.fill(d)(1f), ln2b = new Array[Float](d),
+      pos = arr(posRows * d, 0.5f))
   }
 }

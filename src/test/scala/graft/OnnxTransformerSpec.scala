@@ -18,6 +18,7 @@ class OnnxTransformerSpec extends SparkTestBase {
 
   private def replay(m: TransformerWeights, ids: Array[Int]): Array[Float] = {
     val n = ids.length; val d = m.d
+    require(m.pos.isEmpty || n <= m.pos.length / d)
     def lin(x: Array[Array[Float]], wt: Array[Float], b: Array[Float],
         out: Int): Array[Array[Float]] =
       x.map { row =>
@@ -40,7 +41,10 @@ class OnnxTransformerSpec extends SparkTestBase {
         val inv = (1.0 / Math.sqrt((vs / row.length + m.eps).toDouble)).toFloat
         row.indices.map(j => (row(j) - mean) * inv * g(j) + b(j)).toArray
       }
-    val x = ids.map(id => Array.tabulate(d)(c => m.e(id * d + c)))
+    val x = ids.zipWithIndex.map { case (id, p) =>
+      Array.tabulate(d)(c => m.e(id * d + c) +
+        (if (m.pos.isEmpty) 0f else m.pos(p * d + c)))
+    }
     val q = lin(x, m.wq, m.bq, d)
     val k = lin(x, m.wk, m.bk, d)
     val v = lin(x, m.wv, m.bv, d)
@@ -125,6 +129,32 @@ class OnnxTransformerSpec extends SparkTestBase {
     // correctness property of the architecture as written, not a defect
     val b = g.run(Array(4, 3, 2, 1))
     assert(a.zip(b).forall { case (x, y) => math.abs(x - y) < 1e-5f })
+  }
+
+  test("positional table: bit-identical to replay, order-SENSITIVE, seq bounded") {
+    val wp = OnnxTransformer.seededWeights(43L, posRows = 8)
+    val g = OnnxTransformer.parse(OnnxTransformer.toBytes(wp))
+    assert(g.seqLimit == 8)
+    for (ids <- Seq(Array(3), Array(0, 7, 31), Array(5, 1, 5, 2))) {
+      val got = g.run(ids)
+      val want = replay(wp, ids)
+      got.indices.foreach { i =>
+        assert(java.lang.Float.floatToIntBits(got(i)) ==
+          java.lang.Float.floatToIntBits(want(i)),
+          s"ids=${ids.mkString(",")} component $i: ${got(i)} != ${want(i)}")
+      }
+    }
+    // with positions in the input, permuting the tokens changes the output
+    assert(!g.run(Array(1, 2, 3, 4)).sameElements(g.run(Array(4, 3, 2, 1))))
+    // 9 tokens exceed the 8-row positional table -> loud failure
+    val ex = intercept[IllegalArgumentException] {
+      g.run(Array.tabulate(9)(i => i % 32))
+    }
+    assert(ex.getMessage.contains("positional"))
+    // the embedder honors the table bound without failing
+    val emb = TransformerEmbedder(g, seqCap = 64)
+    assert(emb.embedBatch(Seq((1 to 20).map(i => s"tok$i").mkString(" ")))
+      .head.length == wp.d)
   }
 
   test("embedder contract: unit norm, determinism, null/blank -> zero vector") {
