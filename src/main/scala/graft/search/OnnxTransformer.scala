@@ -6,8 +6,9 @@ import java.nio.file.{Files, Paths}
 import graft.util.Hashing.splitmix64
 
 /** ONNX attention-block subset — the step past [[MlpEmbedder]]: a real
-  * single-head transformer ENCODER BLOCK executes from a genuine `.onnx`
-  * protobuf, through the same once-per-JVM [[ModelRegistry]] lifecycle as
+  * transformer ENCODER BLOCK (single- or multi-head, optional learned
+  * positional embeddings) executes from a genuine `.onnx` protobuf,
+  * through the same once-per-JVM [[ModelRegistry]] lifecycle as
   * every other model artifact. The reference's embedder is a full
   * sentence-transformer (cobalt-duckdb model/search/vector.py:41-78); this
   * closes the architecture family down to "real pretrained weights", which
@@ -191,6 +192,23 @@ object OnnxTransformer {
             var i = 0
             while (i < out.length) { out(i) = if (x.a(i) < 0f) 0f else x.a(i); i += 1 }
             Mat(x.rows, x.cols, out)
+          case "Concat" =>
+            require(node.attrI.getOrElse("axis", 0L) == 1L, "onnx: Concat axis != 1")
+            val parts = node.inputs.indices.map(in(node, _))
+            require(parts.forall(_.rows == parts.head.rows),
+              "onnx: Concat row counts differ")
+            val cols = parts.map(_.cols).sum
+            val out = new Array[Float](parts.head.rows * cols)
+            var r = 0
+            while (r < parts.head.rows) {
+              var off = 0
+              parts.foreach { p =>
+                System.arraycopy(p.a, r * p.cols, out, r * cols + off, p.cols)
+                off += p.cols
+              }
+              r += 1
+            }
+            Mat(parts.head.rows, cols, out)
           case "LayerNormalization" =>
             val axis = node.attrI.getOrElse("axis", -1L)
             require(axis == -1L || axis == 1L, s"onnx: LayerNormalization axis $axis != last")
@@ -589,6 +607,95 @@ object OnnxTransformer {
     g.bytes(5, floatTensor("b2", Seq(d), m.b2))
     g.bytes(5, floatTensor("sqrt_d",
       Seq(1L), Array(Math.sqrt(m.d.toDouble).toFloat)))
+    g.bytes(11, int64VectorInfo("ids", "seq"))
+    if (positional) g.bytes(11, int64VectorInfo("pos", "seq"))
+    g.bytes(12, valueInfo("y", Seq(1L, d)))
+    val opset = new Writer().str(1, "").int(2, 17L)
+    new Writer()
+      .int(1, 8L) // ir_version
+      .bytes(7, g.toByteArray)
+      .bytes(8, opset.toByteArray)
+      .toByteArray
+  }
+
+  /** Encode the MULTI-HEAD variant of the encoder block. Standard MHA is
+    * expressible inside the 2-D op subset with no Reshape/Slice: head h's
+    * Q/K/V projections are Gemm nodes over the ROW-slices
+    * `Wq[h·dh, (h+1)·dh)` of the fused weight (row-major `[out, in]`
+    * layout makes the slice contiguous), each head runs its own
+    * `softmax(Q_h·K_hᵀ/√dh)·V_h` chain, and `Concat(axis=1)` rebuilds the
+    * `[n, d]` context for the shared output projection — mathematically
+    * the textbook formulation, and a legal ONNX graph. `heads = 1`
+    * delegates to [[toBytes]] (the byte-stable fixture shape).
+    */
+  def toMultiHeadBytes(m: TransformerWeights, heads: Int): Array[Byte] = {
+    if (heads == 1) return toBytes(m)
+    require(heads > 1 && m.d % heads == 0,
+      s"heads $heads must divide model dim ${m.d}")
+    val d = m.d.toLong
+    val dh = m.d / heads
+    val tB = intAttr("transB", 1L)
+    val g = new Writer()
+    val positional = m.pos.nonEmpty
+    val embedNodes =
+      if (positional) Seq(
+        node("Gather", "embed", Seq("E", "ids"), "x0"),
+        node("Gather", "pos_embed", Seq("P", "pos"), "px"),
+        node("Add", "add_pos", Seq("x0", "px"), "x"))
+      else Seq(node("Gather", "embed", Seq("E", "ids"), "x"))
+    val headNodes = (0 until heads).flatMap { h =>
+      Seq(
+        node("Gemm", s"q_proj_$h", Seq("x", s"Wq_$h", s"bq_$h"), s"q$h", Seq(tB)),
+        node("Gemm", s"k_proj_$h", Seq("x", s"Wk_$h", s"bk_$h"), s"k$h", Seq(tB)),
+        node("Gemm", s"v_proj_$h", Seq("x", s"Wv_$h", s"bv_$h"), s"v$h", Seq(tB)),
+        node("Transpose", s"k_t_$h", Seq(s"k$h"), s"kt$h",
+          Seq(intsAttr("perm", Seq(1L, 0L)))),
+        node("MatMul", s"scores_$h", Seq(s"q$h", s"kt$h"), s"s$h"),
+        node("Div", s"scale_$h", Seq(s"s$h", "sqrt_dh"), s"ss$h"),
+        node("Softmax", s"attn_$h", Seq(s"ss$h"), s"a$h", Seq(intAttr("axis", -1L))),
+        node("MatMul", s"context_$h", Seq(s"a$h", s"v$h"), s"ctx$h"))
+    }
+    (embedNodes ++ headNodes ++ Seq(
+      node("Concat", "merge_heads", (0 until heads).map(h => s"ctx$h"), "ctx",
+        Seq(intAttr("axis", 1L))),
+      node("Gemm", "o_proj", Seq("ctx", "Wo", "bo"), "o", Seq(tB)),
+      node("Add", "residual1", Seq("o", "x"), "r1"),
+      node("LayerNormalization", "ln1", Seq("r1", "ln1g", "ln1b"), "n1",
+        Seq(intAttr("axis", -1L), floatAttr("epsilon", m.eps))),
+      node("Gemm", "ffn1", Seq("n1", "W1", "b1"), "f1", Seq(tB)),
+      node("Relu", "ffn_act", Seq("f1"), "f1r"),
+      node("Gemm", "ffn2", Seq("f1r", "W2", "b2"), "f2", Seq(tB)),
+      node("Add", "residual2", Seq("f2", "n1"), "r2"),
+      node("LayerNormalization", "ln2", Seq("r2", "ln2g", "ln2b"), "n2",
+        Seq(intAttr("axis", -1L), floatAttr("epsilon", m.eps))),
+      node("ReduceMean", "pool", Seq("n2"), "y",
+        Seq(intsAttr("axes", Seq(0L)), intAttr("keepdims", 1L)))
+    )).foreach(g.bytes(1, _))
+    g.str(2, "graft_attention_mh")
+    g.bytes(5, floatTensor("E", Seq(m.vocab.toLong, d), m.e))
+    if (positional)
+      g.bytes(5, floatTensor("P", Seq((m.pos.length / m.d).toLong, d), m.pos))
+    (0 until heads).foreach { h =>
+      def rowSlice(w: Array[Float]): Array[Float] =
+        w.slice(h * dh * m.d, (h + 1) * dh * m.d)
+      def bSlice(b: Array[Float]): Array[Float] = b.slice(h * dh, (h + 1) * dh)
+      g.bytes(5, floatTensor(s"Wq_$h", Seq(dh.toLong, d), rowSlice(m.wq)))
+      g.bytes(5, floatTensor(s"bq_$h", Seq(dh.toLong), bSlice(m.bq)))
+      g.bytes(5, floatTensor(s"Wk_$h", Seq(dh.toLong, d), rowSlice(m.wk)))
+      g.bytes(5, floatTensor(s"bk_$h", Seq(dh.toLong), bSlice(m.bk)))
+      g.bytes(5, floatTensor(s"Wv_$h", Seq(dh.toLong, d), rowSlice(m.wv)))
+      g.bytes(5, floatTensor(s"bv_$h", Seq(dh.toLong), bSlice(m.bv)))
+    }
+    g.bytes(5, floatTensor("Wo", Seq(d, d), m.wo))
+    Seq(("bo", m.bo), ("ln1g", m.ln1g), ("ln1b", m.ln1b),
+      ("ln2g", m.ln2g), ("ln2b", m.ln2b))
+      .foreach { case (n, b) => g.bytes(5, floatTensor(n, Seq(d), b)) }
+    g.bytes(5, floatTensor("W1", Seq(m.hidden.toLong, d), m.w1))
+    g.bytes(5, floatTensor("b1", Seq(m.hidden.toLong), m.b1))
+    g.bytes(5, floatTensor("W2", Seq(d, m.hidden.toLong), m.w2))
+    g.bytes(5, floatTensor("b2", Seq(d), m.b2))
+    g.bytes(5, floatTensor("sqrt_dh",
+      Seq(1L), Array(Math.sqrt(dh.toDouble).toFloat)))
     g.bytes(11, int64VectorInfo("ids", "seq"))
     if (positional) g.bytes(11, int64VectorInfo("pos", "seq"))
     g.bytes(12, valueInfo("y", Seq(1L, d)))

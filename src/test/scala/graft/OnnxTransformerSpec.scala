@@ -16,8 +16,10 @@ class OnnxTransformerSpec extends SparkTestBase {
   // ---- independent replay of the encoder block (plain loops, float32,
   // written against the ONNX op definitions — NOT the executor code) ------
 
-  private def replay(m: TransformerWeights, ids: Array[Int]): Array[Float] = {
-    val n = ids.length; val d = m.d
+  private def replay(m: TransformerWeights, ids: Array[Int],
+      heads: Int = 1): Array[Float] = {
+    val n = ids.length; val d = m.d; val dh = d / heads
+    require(d % heads == 0)
     require(m.pos.isEmpty || n <= m.pos.length / d)
     def lin(x: Array[Array[Float]], wt: Array[Float], b: Array[Float],
         out: Int): Array[Array[Float]] =
@@ -48,26 +50,30 @@ class OnnxTransformerSpec extends SparkTestBase {
     val q = lin(x, m.wq, m.bq, d)
     val k = lin(x, m.wk, m.bk, d)
     val v = lin(x, m.wv, m.bv, d)
-    val scale = Math.sqrt(d.toDouble).toFloat
-    val a = Array.tabulate(n) { i =>
-      val s = Array.tabulate(n) { j =>
-        var acc = 0f
-        var c = 0
-        while (c < d) { acc += q(i)(c) * k(j)(c); c += 1 }
-        acc / scale
+    // per-head attention over column slices [h*dh, (h+1)*dh); heads == 1
+    // degenerates to the single-head formulation with scale sqrt(d)
+    val scale = Math.sqrt(dh.toDouble).toFloat
+    val ctx = Array.tabulate(n)(_ => new Array[Float](d))
+    for (h <- 0 until heads) {
+      val lo = h * dh
+      val a = Array.tabulate(n) { i =>
+        val s = Array.tabulate(n) { j =>
+          var acc = 0f
+          var c = 0
+          while (c < dh) { acc += q(i)(lo + c) * k(j)(lo + c); c += 1 }
+          acc / scale
+        }
+        val mx = s.max
+        val e = s.map(x => StrictMath.exp((x - mx).toDouble).toFloat)
+        var sum = 0f
+        e.foreach(sum += _)
+        e.map(_ / sum)
       }
-      val mx = s.max
-      val e = s.map(x => StrictMath.exp((x - mx).toDouble).toFloat)
-      var sum = 0f
-      e.foreach(sum += _)
-      e.map(_ / sum)
-    }
-    val ctx = Array.tabulate(n) { i =>
-      Array.tabulate(d) { c =>
+      for (i <- 0 until n; c <- 0 until dh) {
         var acc = 0f
         var j = 0
-        while (j < n) { acc += a(i)(j) * v(j)(c); j += 1 }
-        acc
+        while (j < n) { acc += a(i)(j) * v(j)(lo + c); j += 1 }
+        ctx(i)(lo + c) = acc
       }
     }
     val n1 = layernorm(addRows(lin(ctx, m.wo, m.bo, d), x), m.ln1g, m.ln1b)
@@ -155,6 +161,29 @@ class OnnxTransformerSpec extends SparkTestBase {
     val emb = TransformerEmbedder(g, seqCap = 64)
     assert(emb.embedBatch(Seq((1 to 20).map(i => s"tok$i").mkString(" ")))
       .head.length == wp.d)
+  }
+
+  test("multi-head attention: bit-identical to replay, differs from single-head") {
+    val g4 = OnnxTransformer.parse(OnnxTransformer.toMultiHeadBytes(w, heads = 4))
+    val g1 = OnnxTransformer.parse(OnnxTransformer.toBytes(w))
+    assert(g4.vocab == w.vocab && g4.outputDim == w.d)
+    for (ids <- Seq(Array(3), Array(0, 7, 31), Array(5, 1, 5, 2, 30))) {
+      val got = g4.run(ids)
+      val want = replay(w, ids, heads = 4)
+      got.indices.foreach { i =>
+        assert(java.lang.Float.floatToIntBits(got(i)) ==
+          java.lang.Float.floatToIntBits(want(i)),
+          s"ids=${ids.mkString(",")} component $i: ${got(i)} != ${want(i)}")
+      }
+    }
+    // 4-head attention is a different function from single-head
+    assert(!g4.run(Array(0, 7, 31)).sameElements(g1.run(Array(0, 7, 31))))
+    // heads = 1 delegates to the canonical single-head bytes
+    assert(OnnxTransformer.toMultiHeadBytes(w, heads = 1)
+      .sameElements(OnnxTransformer.toBytes(w)))
+    intercept[IllegalArgumentException] {
+      OnnxTransformer.toMultiHeadBytes(w, heads = 3) // 3 does not divide 16
+    }
   }
 
   test("embedder contract: unit norm, determinism, null/blank -> zero vector") {
