@@ -5,11 +5,11 @@ import java.nio.file.{Files, Paths}
 
 import graft.util.Hashing.splitmix64
 
-/** ONNX attention-block subset — the step past [[MlpEmbedder]]: a real
-  * transformer ENCODER BLOCK (single- or multi-head, optional learned
-  * positional embeddings) executes from a genuine `.onnx` protobuf,
-  * through the same once-per-JVM [[ModelRegistry]] lifecycle as
-  * every other model artifact. The reference's embedder is a full
+/** ONNX attention subset — the step past [[MlpEmbedder]]: a real
+  * transformer ENCODER STACK (L chained blocks, single- or multi-head,
+  * optional learned positional embeddings) executes from a genuine
+  * `.onnx` protobuf, through the same once-per-JVM [[ModelRegistry]]
+  * lifecycle as every other model artifact. The reference's embedder is a full
   * sentence-transformer (cobalt-duckdb model/search/vector.py:41-78); this
   * closes the architecture family down to "real pretrained weights", which
   * a zero-egress sandbox cannot fetch.
@@ -694,6 +694,108 @@ object OnnxTransformer {
     g.bytes(5, floatTensor("b1", Seq(m.hidden.toLong), m.b1))
     g.bytes(5, floatTensor("W2", Seq(d, m.hidden.toLong), m.w2))
     g.bytes(5, floatTensor("b2", Seq(d), m.b2))
+    g.bytes(5, floatTensor("sqrt_dh",
+      Seq(1L), Array(Math.sqrt(dh.toDouble).toFloat)))
+    g.bytes(11, int64VectorInfo("ids", "seq"))
+    if (positional) g.bytes(11, int64VectorInfo("pos", "seq"))
+    g.bytes(12, valueInfo("y", Seq(1L, d)))
+    val opset = new Writer().str(1, "").int(2, 17L)
+    new Writer()
+      .int(1, 8L) // ir_version
+      .bytes(7, g.toByteArray)
+      .bytes(8, opset.toByteArray)
+      .toByteArray
+  }
+
+  /** Encode an L-layer encoder STACK — the full (toy) sentence-transformer
+    * shape: token (+ positional) embedding, then `blocks.length`
+    * multi-head encoder blocks chained input→output, then mean-pool.
+    * Layer i's attention/FFN weights come from `blocks(i)`; the embedding
+    * tables and epsilon come from `blocks.head`; `heads` applies to every
+    * layer. The executor needs nothing new — a stack is just a longer
+    * topologically-ordered node list over the same op subset.
+    */
+  def toStackedBytes(blocks: Seq[TransformerWeights],
+      heads: Int = 1): Array[Byte] = {
+    require(blocks.nonEmpty, "at least one encoder block")
+    val head = blocks.head
+    require(blocks.forall(b => b.d == head.d && b.hidden == head.hidden),
+      "all blocks must share (d, hidden)")
+    require(heads >= 1 && head.d % heads == 0,
+      s"heads $heads must divide model dim ${head.d}")
+    val d = head.d.toLong
+    val dh = head.d / heads
+    val tB = intAttr("transB", 1L)
+    val g = new Writer()
+    val positional = head.pos.nonEmpty
+    val embedNodes =
+      if (positional) Seq(
+        node("Gather", "embed", Seq("E", "ids"), "x0"),
+        node("Gather", "pos_embed", Seq("P", "pos"), "px"),
+        node("Add", "add_pos", Seq("x0", "px"), "x"))
+      else Seq(node("Gather", "embed", Seq("E", "ids"), "x"))
+    val layerNodes = blocks.indices.flatMap { l =>
+      val in = if (l == 0) "x" else s"n2_L${l - 1}"
+      val out = s"n2_L$l"
+      def t(n: String) = s"${n}_L$l"
+      val headNodes = (0 until heads).flatMap { h =>
+        Seq(
+          node("Gemm", t(s"q_proj_$h"), Seq(in, t(s"Wq_$h"), t(s"bq_$h")), t(s"q$h"), Seq(tB)),
+          node("Gemm", t(s"k_proj_$h"), Seq(in, t(s"Wk_$h"), t(s"bk_$h")), t(s"k$h"), Seq(tB)),
+          node("Gemm", t(s"v_proj_$h"), Seq(in, t(s"Wv_$h"), t(s"bv_$h")), t(s"v$h"), Seq(tB)),
+          node("Transpose", t(s"k_t_$h"), Seq(t(s"k$h")), t(s"kt$h"),
+            Seq(intsAttr("perm", Seq(1L, 0L)))),
+          node("MatMul", t(s"scores_$h"), Seq(t(s"q$h"), t(s"kt$h")), t(s"s$h")),
+          node("Div", t(s"scale_$h"), Seq(t(s"s$h"), "sqrt_dh"), t(s"ss$h")),
+          node("Softmax", t(s"attn_$h"), Seq(t(s"ss$h")), t(s"a$h"),
+            Seq(intAttr("axis", -1L))),
+          node("MatMul", t(s"context_$h"), Seq(t(s"a$h"), t(s"v$h")), t(s"ctx$h")))
+      }
+      headNodes ++ Seq(
+        node("Concat", t("merge_heads"), (0 until heads).map(h => t(s"ctx$h")),
+          t("ctx"), Seq(intAttr("axis", 1L))),
+        node("Gemm", t("o_proj"), Seq(t("ctx"), t("Wo"), t("bo")), t("o"), Seq(tB)),
+        node("Add", t("residual1"), Seq(t("o"), in), t("r1")),
+        node("LayerNormalization", t("ln1"), Seq(t("r1"), t("ln1g"), t("ln1b")),
+          t("n1"), Seq(intAttr("axis", -1L), floatAttr("epsilon", head.eps))),
+        node("Gemm", t("ffn1"), Seq(t("n1"), t("W1"), t("b1")), t("f1"), Seq(tB)),
+        node("Relu", t("ffn_act"), Seq(t("f1")), t("f1r")),
+        node("Gemm", t("ffn2"), Seq(t("f1r"), t("W2"), t("b2")), t("f2"), Seq(tB)),
+        node("Add", t("residual2"), Seq(t("f2"), t("n1")), t("r2")),
+        node("LayerNormalization", t("ln2"), Seq(t("r2"), t("ln2g"), t("ln2b")),
+          out, Seq(intAttr("axis", -1L), floatAttr("epsilon", head.eps))))
+    }
+    (embedNodes ++ layerNodes :+
+      node("ReduceMean", "pool", Seq(s"n2_L${blocks.length - 1}"), "y",
+        Seq(intsAttr("axes", Seq(0L)), intAttr("keepdims", 1L))))
+      .foreach(g.bytes(1, _))
+    g.str(2, "graft_attention_stack")
+    g.bytes(5, floatTensor("E", Seq(head.vocab.toLong, d), head.e))
+    if (positional)
+      g.bytes(5, floatTensor("P", Seq((head.pos.length / head.d).toLong, d), head.pos))
+    blocks.zipWithIndex.foreach { case (m, l) =>
+      def t(n: String) = s"${n}_L$l"
+      def rowSlice(w: Array[Float], h: Int): Array[Float] =
+        w.slice(h * dh * m.d, (h + 1) * dh * m.d)
+      def bSlice(b: Array[Float], h: Int): Array[Float] =
+        b.slice(h * dh, (h + 1) * dh)
+      (0 until heads).foreach { h =>
+        g.bytes(5, floatTensor(t(s"Wq_$h"), Seq(dh.toLong, d), rowSlice(m.wq, h)))
+        g.bytes(5, floatTensor(t(s"bq_$h"), Seq(dh.toLong), bSlice(m.bq, h)))
+        g.bytes(5, floatTensor(t(s"Wk_$h"), Seq(dh.toLong, d), rowSlice(m.wk, h)))
+        g.bytes(5, floatTensor(t(s"bk_$h"), Seq(dh.toLong), bSlice(m.bk, h)))
+        g.bytes(5, floatTensor(t(s"Wv_$h"), Seq(dh.toLong, d), rowSlice(m.wv, h)))
+        g.bytes(5, floatTensor(t(s"bv_$h"), Seq(dh.toLong), bSlice(m.bv, h)))
+      }
+      g.bytes(5, floatTensor(t("Wo"), Seq(d, d), m.wo))
+      Seq((t("bo"), m.bo), (t("ln1g"), m.ln1g), (t("ln1b"), m.ln1b),
+        (t("ln2g"), m.ln2g), (t("ln2b"), m.ln2b))
+        .foreach { case (n, b) => g.bytes(5, floatTensor(n, Seq(d), b)) }
+      g.bytes(5, floatTensor(t("W1"), Seq(m.hidden.toLong, d), m.w1))
+      g.bytes(5, floatTensor(t("b1"), Seq(m.hidden.toLong), m.b1))
+      g.bytes(5, floatTensor(t("W2"), Seq(d, m.hidden.toLong), m.w2))
+      g.bytes(5, floatTensor(t("b2"), Seq(d), m.b2))
+    }
     g.bytes(5, floatTensor("sqrt_dh",
       Seq(1L), Array(Math.sqrt(dh.toDouble).toFloat)))
     g.bytes(11, int64VectorInfo("ids", "seq"))

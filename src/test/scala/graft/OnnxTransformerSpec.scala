@@ -16,11 +16,13 @@ class OnnxTransformerSpec extends SparkTestBase {
   // ---- independent replay of the encoder block (plain loops, float32,
   // written against the ONNX op definitions — NOT the executor code) ------
 
-  private def replay(m: TransformerWeights, ids: Array[Int],
-      heads: Int = 1): Array[Float] = {
-    val n = ids.length; val d = m.d; val dh = d / heads
+  /** One encoder block applied to x — shared by the single-model and
+    * stacked replays.
+    */
+  private def replayBlock(m: TransformerWeights, x: Array[Array[Float]],
+      heads: Int): Array[Array[Float]] = {
+    val n = x.length; val d = m.d; val dh = d / heads
     require(d % heads == 0)
-    require(m.pos.isEmpty || n <= m.pos.length / d)
     def lin(x: Array[Array[Float]], wt: Array[Float], b: Array[Float],
         out: Int): Array[Array[Float]] =
       x.map { row =>
@@ -43,10 +45,6 @@ class OnnxTransformerSpec extends SparkTestBase {
         val inv = (1.0 / Math.sqrt((vs / row.length + m.eps).toDouble)).toFloat
         row.indices.map(j => (row(j) - mean) * inv * g(j) + b(j)).toArray
       }
-    val x = ids.zipWithIndex.map { case (id, p) =>
-      Array.tabulate(d)(c => m.e(id * d + c) +
-        (if (m.pos.isEmpty) 0f else m.pos(p * d + c)))
-    }
     val q = lin(x, m.wq, m.bq, d)
     val k = lin(x, m.wk, m.bk, d)
     val v = lin(x, m.wv, m.bv, d)
@@ -78,14 +76,28 @@ class OnnxTransformerSpec extends SparkTestBase {
     }
     val n1 = layernorm(addRows(lin(ctx, m.wo, m.bo, d), x), m.ln1g, m.ln1b)
     val f1 = lin(n1, m.w1, m.b1, m.hidden).map(_.map(v => if (v < 0f) 0f else v))
-    val n2 = layernorm(addRows(lin(f1, m.w2, m.b2, d), n1), m.ln2g, m.ln2b)
-    Array.tabulate(d) { c =>
-      var sum = 0f
-      var r = 0
-      while (r < n) { sum += n2(r)(c); r += 1 }
-      sum / n
+    layernorm(addRows(lin(f1, m.w2, m.b2, d), n1), m.ln2g, m.ln2b)
+  }
+
+  private def embedRows(m: TransformerWeights, ids: Array[Int]): Array[Array[Float]] = {
+    require(m.pos.isEmpty || ids.length <= m.pos.length / m.d)
+    ids.zipWithIndex.map { case (id, p) =>
+      Array.tabulate(m.d)(c => m.e(id * m.d + c) +
+        (if (m.pos.isEmpty) 0f else m.pos(p * m.d + c)))
     }
   }
+
+  private def meanPool(x: Array[Array[Float]]): Array[Float] =
+    Array.tabulate(x.head.length) { c =>
+      var sum = 0f
+      var r = 0
+      while (r < x.length) { sum += x(r)(c); r += 1 }
+      sum / x.length
+    }
+
+  private def replay(m: TransformerWeights, ids: Array[Int],
+      heads: Int = 1): Array[Float] =
+    meanPool(replayBlock(m, embedRows(m, ids), heads))
 
   test("writer is deterministic and the fixture is byte-reproducible") {
     val bytes = OnnxTransformer.toBytes(w)
@@ -184,6 +196,28 @@ class OnnxTransformerSpec extends SparkTestBase {
     intercept[IllegalArgumentException] {
       OnnxTransformer.toMultiHeadBytes(w, heads = 3) // 3 does not divide 16
     }
+  }
+
+  test("stacked encoder: two chained blocks bit-identical to the chained replay") {
+    val b2 = OnnxTransformer.seededWeights(99L)
+    val g = OnnxTransformer.parse(
+      OnnxTransformer.toStackedBytes(Seq(w, b2), heads = 2))
+    assert(g.vocab == w.vocab && g.outputDim == w.d)
+    for (ids <- Seq(Array(3), Array(0, 7, 31), Array(5, 1, 5, 2, 30))) {
+      val got = g.run(ids)
+      val want = meanPool(
+        replayBlock(b2, replayBlock(w, embedRows(w, ids), 2), 2))
+      got.indices.foreach { i =>
+        assert(java.lang.Float.floatToIntBits(got(i)) ==
+          java.lang.Float.floatToIntBits(want(i)),
+          s"ids=${ids.mkString(",")} component $i: ${got(i)} != ${want(i)}")
+      }
+    }
+    // a one-block stack computes the same function as the multi-head writer
+    val s1 = OnnxTransformer.parse(
+      OnnxTransformer.toStackedBytes(Seq(w), heads = 4))
+    val m4 = OnnxTransformer.parse(OnnxTransformer.toMultiHeadBytes(w, heads = 4))
+    assert(s1.run(Array(0, 7, 31)).sameElements(m4.run(Array(0, 7, 31))))
   }
 
   test("embedder contract: unit norm, determinism, null/blank -> zero vector") {
