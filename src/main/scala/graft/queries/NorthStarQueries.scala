@@ -109,6 +109,9 @@ object NorthStarQueries {
   /** Graph-ANN edge table (GraphAnn.materialize) per dir. */
   private val graphSpool = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Tiered (superStride) graph-ANN edge table per dir. */
+  private val graphTierSpool = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** Embedding dim probed from data ONCE per source dir: every LSH query
     * needs it, and an unmemoized `head()` is a whole extra Spark job per
     * query run. The probe still validates the [[EmbeddingDim]] constant the
@@ -414,6 +417,28 @@ object NorthStarQueries {
       // single-query probe → the point-probe shape (bounded driver beam
       // state, IN-pushdown point reads per round); row-identical to the
       // batch join shape by GraphAnnSpec
+      GraphAnn.pointProbeTopK(emb, "vec_id", "embedding", edges, qvec,
+        k = 10, stride = 64)
+    },
+
+    // The TIERED graph build under the hash gate: superStride=128 makes
+    // assignment hierarchical (nearest super bucket, then cosine_argmin
+    // over only that bucket's centroids — the subquadratic at-scale build)
+    // and adds the centroid-within-super + super-exact edge levels. The
+    // oracle replays the full hierarchy in SQL, so the production build
+    // path is oracle-proven, not just spec-parity-claimed.
+    "ann_graph_tiered_topk" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val path = graphTierSpool.computeIfAbsent(dir, d => {
+        val p = graft.util.TempDirs.create("graft_graph_tier_spool")
+        GraphAnn.materialize(t(s, d, "embeddings"), "vec_id", "embedding",
+          64, GraphAnn.DefaultDegree, p, superStride = 128)
+        p
+      })
+      val qvec = emb.where(col("vec_id") === 1).select(col("embedding"))
+        .head().getSeq[Float](0).map(_.toDouble).toArray
+      val edges = GraphAnn.fromMaterialized(s, path, 64,
+        GraphAnn.DefaultDegree, superStride = 128)
       GraphAnn.pointProbeTopK(emb, "vec_id", "embedding", edges, qvec,
         k = 10, stride = 64)
     },
@@ -1296,6 +1321,75 @@ object NorthStarQueries {
        |ORDER BY d ASC NULLS LAST, id ASC LIMIT 10""".stripMargin
   }
 
+  /** The TIERED graph build + probe replayed end to end (superStride=128):
+    * per-centroid and per-vector nearest-SUPER assignment, member argmin
+    * restricted to the super bucket's centroids (`cosine_argmin`'s
+    * (d, cid)-min = row_number ORDER BY d, cid), bucket kNN per level,
+    * exact kNN among supers, then the same unrolled beam rounds.
+    */
+  private def annGraphTieredOracle: String = {
+    val degree = GraphAnn.DefaultDegree
+    val beam = GraphAnn.DefaultBeam
+    val rounds = (1 to GraphAnn.DefaultRounds)
+      .map(graphRoundSql(_, beam)).mkString(",\n")
+    s"""WITH e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[64] AS v FROM embeddings),
+       |q AS MATERIALIZED (SELECT v FROM e WHERE vec_id = 1),
+       |cents AS MATERIALIZED (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 64 = 0),
+       |supers AS MATERIALIZED (SELECT vec_id AS sid, v AS sv FROM e WHERE vec_id % 128 = 0),
+       |cassign AS MATERIALIZED (
+       |  SELECT cid, cv, super FROM (
+       |    SELECT c.cid, c.cv, s.sid AS super,
+       |           row_number() OVER (PARTITION BY c.cid ORDER BY
+       |             1 - array_cosine_similarity(c.cv, s.sv) ASC, s.sid ASC) AS rn
+       |    FROM cents c CROSS JOIN supers s) WHERE rn = 1),
+       |vassign AS MATERIALIZED (
+       |  SELECT vec_id, super FROM (
+       |    SELECT e.vec_id, s.sid AS super,
+       |           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |             1 - array_cosine_similarity(e.v, s.sv) ASC, s.sid ASC) AS rn
+       |    FROM e CROSS JOIN supers s) WHERE rn = 1),
+       |assign AS MATERIALIZED (
+       |  SELECT vec_id, centroid FROM (
+       |    SELECT va.vec_id, ca.cid AS centroid,
+       |           row_number() OVER (PARTITION BY va.vec_id ORDER BY
+       |             1 - array_cosine_similarity(e.v, ca.cv) ASC, ca.cid ASC) AS rn
+       |    FROM vassign va
+       |    JOIN e ON e.vec_id = va.vec_id
+       |    JOIN cassign ca ON ca.super = va.super) WHERE rn = 1),
+       |bedges AS MATERIALIZED (
+       |  SELECT src, dst FROM (
+       |    SELECT l.vec_id AS src, r.vec_id AS dst,
+       |           row_number() OVER (PARTITION BY l.vec_id ORDER BY
+       |             1 - array_cosine_similarity(le.v, re.v) ASC, r.vec_id ASC) AS rn
+       |    FROM assign l JOIN assign r ON l.centroid = r.centroid AND l.vec_id <> r.vec_id
+       |    JOIN e le ON le.vec_id = l.vec_id JOIN e re ON re.vec_id = r.vec_id)
+       |  WHERE rn <= $degree),
+       |cedges AS MATERIALIZED (
+       |  SELECT src, dst FROM (
+       |    SELECT l.cid AS src, r.cid AS dst,
+       |           row_number() OVER (PARTITION BY l.cid ORDER BY
+       |             1 - array_cosine_similarity(l.cv, r.cv) ASC, r.cid ASC) AS rn
+       |    FROM cassign l JOIN cassign r ON l.super = r.super AND l.cid <> r.cid)
+       |  WHERE rn <= $degree),
+       |sedges AS MATERIALIZED (
+       |  SELECT src, dst FROM (
+       |    SELECT l.sid AS src, r.sid AS dst,
+       |           row_number() OVER (PARTITION BY l.sid ORDER BY
+       |             1 - array_cosine_similarity(l.sv, r.sv) ASC, r.sid ASC) AS rn
+       |    FROM supers l CROSS JOIN supers r WHERE l.sid <> r.sid)
+       |  WHERE rn <= $degree),
+       |edges AS MATERIALIZED (
+       |  SELECT src, dst FROM bedges
+       |  UNION ALL SELECT src, dst FROM cedges
+       |  UNION ALL SELECT src, dst FROM sedges),
+       |v0 AS MATERIALIZED (
+       |  SELECT cid AS id, 1 - array_cosine_similarity(cv, (SELECT v FROM q)) AS d
+       |  FROM cents ORDER BY d ASC NULLS LAST, cid ASC LIMIT $beam),
+       |$rounds
+       |SELECT id AS vec_id, d AS cos_dist FROM v${GraphAnn.DefaultRounds}
+       |ORDER BY d ASC NULLS LAST, id ASC LIMIT 10""".stripMargin
+  }
+
   private def annKmeansOracle: String =
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[64] AS v FROM embeddings),
        |c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 64 = 0),
@@ -1486,6 +1580,7 @@ object NorthStarQueries {
          |FROM reach GROUP BY id ORDER BY vec_id""".stripMargin,
     "ann_kmeans_topk" -> annKmeansOracle,
     "ann_graph_topk" -> annGraphOracle,
+    "ann_graph_tiered_topk" -> annGraphTieredOracle,
     "sim_join_cosine" ->
       s"""SELECT l.vec_id AS a, r.vec_id AS b,
          |       1 - array_cosine_similarity(l.embedding::DOUBLE[64], r.embedding::DOUBLE[64]) AS cos_dist
