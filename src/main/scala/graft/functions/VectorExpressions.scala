@@ -451,7 +451,9 @@ case class CosineArgmin(vec: Expression, ids: Expression, vecs: Expression)
       val d = if (na == 0.0 || nb == 0.0) 2.0
         else 1.0 - math.max(-1.0, math.min(1.0, dot / (math.sqrt(na) * math.sqrt(nb))))
       val cid = cids.getLong(j)
-      if (!found || d < bestD || (d == bestD && cid < bestId)) {
+      // d == d skips NaN candidates (NaN-largest, struct-min ordering);
+      // an all-NaN candidate set leaves found=false → NULL.
+      if (d == d && (!found || d < bestD || (d == bestD && cid < bestId))) {
         found = true; bestD = d; bestId = cid
       }
       j += 1
@@ -501,7 +503,7 @@ case class CosineArgmin(vec: Expression, ids: Expression, vecs: Expression)
         |    : 1.0 - java.lang.Math.max(-1.0, java.lang.Math.min(1.0,
         |        $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb))));
         |  final long $cid = $cids.getLong($j);
-        |  if (!$found || $d < $bestD || ($d == $bestD && $cid < $bestId)) {
+        |  if ($d == $d && (!$found || $d < $bestD || ($d == $bestD && $cid < $bestId))) {
         |    $found = true; $bestD = $d; $bestId = $cid;
         |  }
         |}

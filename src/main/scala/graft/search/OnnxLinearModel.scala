@@ -99,9 +99,14 @@ object OnnxLinearModel {
     Tensor(name, dims, dataType, floats)
   }
 
-  private def parseNode(r: Reader): (String, Seq[String]) = { // (op_type, inputs)
+  // (op_type, inputs, float attrs, int attrs) — attrs matter for Gemm:
+  // silently dropping transB/alpha/beta would execute an externally
+  // exported transB=0 Gemm with transposed weights.
+  private def parseNode(r: Reader): (String, Seq[String], Map[String, Float], Map[String, Long]) = {
     var op = ""
     var inputs = Vector.empty[String]
+    var attrF = Map.empty[String, Float]
+    var attrI = Map.empty[String, Long]
     while (r.hasNext) {
       val key = r.varint()
       val field = (key >>> 3).toInt
@@ -113,19 +118,44 @@ object OnnxLinearModel {
         case (4, 2) =>
           val (off, len) = r.lenDelimited()
           op = new String(r.bytes, off, len, StandardCharsets.UTF_8)
+        case (5, 2) => // AttributeProto
+          val (aoff, alen) = r.lenDelimited()
+          val a = new Reader(r.bytes, aoff, aoff + alen)
+          var name = ""
+          var f = Option.empty[Float]
+          var i = Option.empty[Long]
+          while (a.hasNext) {
+            val akey = a.varint()
+            ((akey >>> 3).toInt, (akey & 7).toInt) match {
+              case (1, 2) =>
+                val (noff, nlen) = a.lenDelimited()
+                name = new String(a.bytes, noff, nlen, StandardCharsets.UTF_8)
+              case (2, 5) =>
+                var bits = 0
+                var b = 0
+                while (b < 4) { bits |= (a.bytes(a.pos + b) & 0xff) << (8 * b); b += 1 }
+                a.pos += 4
+                f = Some(java.lang.Float.intBitsToFloat(bits))
+              case (3, 0) => i = Some(a.varint())
+              case (_, w) => a.skip(w)
+            }
+          }
+          f.foreach(v => attrF += name -> v)
+          i.foreach(v => attrI += name -> v)
         case (_, w) => r.skip(w)
       }
     }
-    (op, inputs)
+    (op, inputs, attrF, attrI)
   }
 
   /** GraphProto → (initializers by name, nodes in file order). ONNX
     * requires nodes to be topologically sorted, so file order IS execution
     * order for the sequential subset here.
     */
-  private def parseGraph(bytes: Array[Byte]): (Map[String, Tensor], Seq[(String, Seq[String])]) = {
+  private def parseGraph(bytes: Array[Byte])
+      : (Map[String, Tensor], Seq[(String, Seq[String], Map[String, Float], Map[String, Long])]) = {
     var tensors = Vector.empty[Tensor]
-    var nodes = Vector.empty[(String, Seq[String])]
+    var nodes = Vector.empty[(String, Seq[String], Map[String, Float], Map[String, Long])]
     val m = new Reader(bytes, 0, bytes.length)
     while (m.hasNext) {
       val key = m.varint()
@@ -181,24 +211,33 @@ object OnnxLinearModel {
     var layers = Vector.empty[MlpLayer]
     var relusAfter = Vector.empty[Int]
     nodes.foreach {
-      case ("Gemm", inputs) =>
+      case ("Gemm", inputs, attrF, attrI) =>
         require(inputs.length >= 2, "onnx: Gemm needs (x, W[, b])")
+        // The executor assumes y = x·Wᵀ + b; a Gemm outside that exact
+        // parameterization (ONNX defaults transB=0, alpha=beta=1) must
+        // fail loudly, not run with transposed or mis-scaled weights.
+        require(attrI.getOrElse("transB", 0L) == 1L,
+          "onnx: Gemm with transB=0 outside the executable subset (expected transB=1)")
+        require(attrI.getOrElse("transA", 0L) == 0L,
+          "onnx: Gemm with transA=1 outside the executable subset")
+        require(attrF.getOrElse("alpha", 1f) == 1f && attrF.getOrElse("beta", 1f) == 1f,
+          "onnx: Gemm with alpha/beta != 1 outside the executable subset")
         val w = weight(inputs(1))
         val b = if (inputs.length >= 3) bias(Seq(inputs(2))) else Array.empty[Float]
         layers :+= MlpLayer(w.dims(0).toInt, w.dims(1).toInt, w.floats, b)
-      case ("MatMul", inputs) =>
+      case ("MatMul", inputs, _, _) =>
         require(inputs.length == 2, "onnx: MatMul needs (x, W)")
         val w = weight(inputs(1))
         layers :+= MlpLayer(w.dims(0).toInt, w.dims(1).toInt, w.floats,
           Array.empty[Float])
-      case ("Add", inputs) =>
+      case ("Add", inputs, _, _) =>
         require(layers.nonEmpty && layers.last.b.isEmpty,
           "onnx: Add without a preceding bias-less MatMul")
         layers = layers.init :+ layers.last.copy(b = bias(inputs))
-      case ("Relu", _) =>
+      case ("Relu", _, _, _) =>
         require(layers.nonEmpty, "onnx: Relu before any layer")
         relusAfter :+= layers.length
-      case (op, _) =>
+      case (op, _, _, _) =>
         throw new IllegalArgumentException(
           s"onnx: op '$op' outside the MatMul/Gemm/Add/Relu subset")
     }
@@ -246,7 +285,7 @@ object OnnxLinearModel {
           (gfield, gwire) match {
             case (1, 2) => // node
               val (off, len) = g.lenDelimited()
-              val (op, inputs) = parseNode(new Reader(bytes, off, off + len))
+              val (op, inputs, _, _) = parseNode(new Reader(bytes, off, off + len))
               if (op == "MatMul" || op == "Gemm") matmulInputs ++= inputs
             case (5, 2) => // initializer
               val (off, len) = g.lenDelimited()
