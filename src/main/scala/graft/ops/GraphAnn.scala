@@ -143,6 +143,12 @@ object GraphAnn {
     } else {
       require(superStride > stride && superStride % stride == 0,
         s"superStride $superStride must be a multiple of stride $stride above it")
+      // fail-fast mirror of materialize's stride-centroid check: with no id
+      // divisible by superStride the hierarchical assignment would be empty
+      // and the build would silently emit NO member-level edges — a
+      // degenerate index, not an error (r8 ADVICE)
+      require(!df.where(pmod(col(idCol), lit(superStride)) === 0).isEmpty,
+        s"no super-centroids: no $idCol divisible by superStride $superStride")
       // centroids carry their super assignment (centroids × supers — the
       // small side of the hierarchy)
       val centAssigned = assignedOf(centDf, idCol, vecCol, superStride)
@@ -246,6 +252,7 @@ object GraphAnn {
       .orderBy(col("__d").asc_nulls_last, col("__nid").asc)
       .limit(beam)
     var expanded: DataFrame = null
+    var prevVisited: DataFrame = null
     for (_ <- 1 to rounds) {
       val unexpanded =
         if (expanded == null) visited
@@ -255,6 +262,7 @@ object GraphAnn {
         .limit(beam)
         .select(col("__nid"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val prevExpanded = expanded
       expanded =
         (if (expanded == null) frontier else expanded.union(frontier))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -270,7 +278,20 @@ object GraphAnn {
       visited = visited.union(scored)
         .groupBy(col("__nid")).agg(min(col("__d")).as("__d"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // materialize THIS round's state (both frames are beam-bounded —
+      // counts are trivial jobs), then release the superseded caches: a
+      // long-lived session probing many queries must not accumulate
+      // 3 cached frames per round until eviction pressure (r8 ADVICE)
+      visited.count()
+      expanded.count()
+      if (prevVisited != null) prevVisited.unpersist(blocking = false)
+      if (prevExpanded != null) prevExpanded.unpersist(blocking = false)
+      // round 1 aliases expanded = frontier — keep that one cached
+      if (!(expanded eq frontier)) frontier.unpersist(blocking = false)
+      prevVisited = visited
     }
+    // the final round's expanded set feeds nothing downstream
+    if (expanded != null) expanded.unpersist(blocking = false)
     visited
       .select(col("__nid").as(idCol), col("__d").as("cos_dist"))
       .orderBy(col("cos_dist").asc_nulls_last, col(idCol).asc)

@@ -134,6 +134,7 @@ object ProductQuantizer {
     val sub = explodeSub(df, idCol, vecCol, spec)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var cb = codebooks(df, idCol, vecCol, spec)
+    var prevCb: DataFrame = null
     for (_ <- 1 to iters) {
       val assigned = sub.join(broadcast(cb), Seq("__m"))
         .select(col("__id"), col("__m"), col("__sv"),
@@ -149,14 +150,23 @@ object ProductQuantizer {
           count(lit(1)).as("__n"))
         .select(col("__m"), col("__j"),
           transform(col("__sum"), x => round(x / col("__n"), 6)).as("__mvec"))
-      // lazy persist bounds the per-round plan doubling (kmeansCentroids'
-      // trade: cache on first evaluation, no eager job per round)
-      cb = cb.select(col("__m"), col("__j"), col("__cbvec").as("__prev"))
+      // eager materialize (the codebook is M×K rows — the count is one
+      // bounded job) so the PREVIOUS round's cache can be released: a
+      // long-lived session running many trained builds must not accumulate
+      // a cached frame per round until eviction pressure (r8 ADVICE)
+      val next = cb.select(col("__m"), col("__j"), col("__cbvec").as("__prev"))
         .join(means, Seq("__m", "__j"), "left")
         .select(col("__j"), col("__m"),
           coalesce(col("__mvec"), col("__prev")).as("__cbvec"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      next.count()
+      if (prevCb != null) prevCb.unpersist(blocking = false)
+      prevCb = next
+      cb = next
     }
+    // the subvector cache only feeds training rounds — free it here; the
+    // final codebook stays cached for the caller's encode + write reuse
+    sub.unpersist(blocking = false)
     cb
   }
 

@@ -2006,12 +2006,13 @@ object NorthStarQueries {
         |  FROM embeddings CROSS JOIN (SELECT unnest(range(0, 8)) AS m)),
         |cb AS (SELECT vec_id // 64 AS j, m, sv AS cv FROM sub WHERE vec_id % 64 = 0),
         |-- assignment replays the engine's packed-long argmin exactly:
-        |-- floor(d*1e12)*4096 + j, min, then % 4096 recovers j (the 1e-12
-        |-- quantization is part of the algorithm, identical both sides)
+        |-- floor(least(d, 2000)*1e12)*4096 + j, min, then % 4096 recovers j
+        |-- (the 1e-12 quantization AND the packedKey overflow clamp are part
+        |-- of the algorithm, identical both sides)
         |code AS (
         |  SELECT s.vec_id, s.m,
-        |         min(CAST(floor(array_distance(s.sv, c.cv) * 1000000000000.0)
-        |             AS BIGINT) * 4096 + c.j) % 4096 AS j
+        |         min(CAST(floor(least(array_distance(s.sv, c.cv), 2000.0)
+        |             * 1000000000000.0) AS BIGINT) * 4096 + c.j) % 4096 AS j
         |  FROM sub s JOIN cb c ON s.m = c.m
         |  GROUP BY s.vec_id, s.m),
         |q AS (SELECT m, sv AS qv FROM sub WHERE vec_id = 1),
@@ -2107,8 +2108,8 @@ object NorthStarQueries {
         |  SELECT s.vec_id, s.m, s.sv FROM suball s JOIN sel ON s.vec_id = sel.vec_id),
         |code AS (
         |  SELECT s.vec_id, s.m,
-        |         min(CAST(floor(array_distance(s.sv, c.cv) * 1000000000000.0)
-        |             AS BIGINT) * 4096 + c.j) % 4096 AS j
+        |         min(CAST(floor(least(array_distance(s.sv, c.cv), 2000.0)
+        |             * 1000000000000.0) AS BIGINT) * 4096 + c.j) % 4096 AS j
         |  FROM sub s JOIN cb c ON s.m = c.m
         |  GROUP BY s.vec_id, s.m),
         |qsub AS (SELECT m, sv AS qv FROM suball WHERE vec_id = 1),
