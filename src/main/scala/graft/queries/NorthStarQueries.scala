@@ -46,6 +46,11 @@ object NorthStarQueries {
   private val CosineTau = 0.55
   private val Bm25Terms = Seq("spark", "join", "fast")
 
+  // WordPiece gate geometry — interpolated into the oracle SQL so the two
+  // engines can never drift.
+  private val WpVocabSize = 200
+  private val WpMaxPieceLen = 4
+
   /** Single line, no quotes (interpolated into oracle SQL literals). */
   private val BoilerplateSalt = " graft corp all rights reserved footer text"
 
@@ -582,6 +587,67 @@ object NorthStarQueries {
         .agg(sum("__c").as("tf"), count(lit(1)).as("df"))
         .orderBy(col("tf").desc, col("token").asc)
         .limit(30)
+    },
+
+    // WordPiece vocabulary induction (ops/Subword.induce) under the gate:
+    // top-200 corpus-word substrings by occurrence count with the
+    // word-initial/continuation flag (the ## distinction as a column).
+    // Induction is one distinct-word aggregate + a substring explode of
+    // the DISTINCT word table only, then TakeOrderedAndProject — the
+    // 100 TB shape (the corpus-sized text is touched once).
+    "wordpiece_vocab" -> { (s, dir) =>
+      graft.ops.Subword.induce(docs(s, dir), "text", WpVocabSize, WpMaxPieceLen)
+        .orderBy(col("piece_id").asc)
+        .limit(50)
+    },
+
+    // greedy longest-match WordPiece ENCODING under the gate: every doc's
+    // words decompose against the induced vocab ([UNK] = -1 for words with
+    // an unmatched position — BERT semantics), digested per doc as
+    // (piece count, unk count, md5 of the id sequence in word/piece
+    // order) so the gate pins the ENTIRE sequence without corpus-sized
+    // output rows. The oracle replays induction AND the greedy walk
+    // (recursive CTE over the longest-match step function) — the
+    // tokenizer itself is hash-gated, not spec-claimed. Encoding is a
+    // per-row scan UDF over a broadcast vocab: zero shuffle before the
+    // per-doc digest.
+    "wordpiece_encode" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val vmap = graft.ops.Subword.collectVocab(
+        graft.ops.Subword.induce(d, "text", WpVocabSize, WpMaxPieceLen))
+      graft.ops.Subword.encode(d, "doc_id", "text", vmap, WpMaxPieceLen)
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_pieces"),
+          count(when(col("piece_id") === -1L, 1)).as("n_unk"),
+          md5(concat_ws(",",
+            transform(
+              sort_array(collect_list(struct(col("wpos"), col("k"), col("piece_id")))),
+              e => e.getField("piece_id").cast("string")))).as("seq_md5"))
+        .transform(sortedSingle(_, col("doc_id")))
+    },
+
+    // ENGINE-COMPUTED embeddings under the hash gate — the reference's
+    // full embed dataflow (model/search/vector.py:64-78,123,164):
+    // fixture sentences salted onto doc ids (the ja_token_stats recipe),
+    // `文章: ` prefix applied ENGINE-side (doc_prefix expression inside
+    // VectorSearchClient.fromCorpus), WordPiece ids → transformer encoder
+    // → l2-normalize computed PER ROW on executors through the
+    // once-per-JVM ModelRegistry, the query embedded by the same runtime
+    // with the `クエリ: ` prefix, then the standard top-k + rank +
+    // back-join. The oracle consumes the same pure functions'
+    // driver-side outputs as literals (EncoderFixture) — both sides
+    // derive from one deterministic computation, so the gate is
+    // hash-exact while the distributed side genuinely runs
+    // text → ids → encoder → vector.
+    "encoder_search_topk" -> { (s, dir) =>
+      val n = EncoderFixture.Sentences.length
+      val corpus = docs(s, dir).select(col("doc_id"),
+        element_at(typedLit(EncoderFixture.Sentences),
+          pmod(col("doc_id"), lit(n)).cast("int") + 1).as("text"))
+      val client = graft.search.VectorSearchClient.fromCorpus(
+        corpus, "text", "doc_id", EncoderFixture.embedder)
+      client.search(EncoderFixture.QueryText, 10)
+        .select(col("rank"), col("doc_id"), col("text"), col("score"))
     },
 
     // BM25 top-k for a runtime term list (TextOps.bm25): terms flow through
@@ -1632,6 +1698,115 @@ object NorthStarQueries {
          |      FROM documents d JOIN f ON d.doc_id % ${JaSentences.length} = f.i)
          |SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
          |FROM t GROUP BY token ORDER BY tf DESC, token ASC LIMIT 30""".stripMargin
+    },
+    // WordPiece induction replayed exactly: distinct-word counts,
+    // substring explode (start s, len 1..maxPieceLen), (cnt desc, piece
+    // asc, is_cont asc) top-N with dense ids
+    "wordpiece_vocab" ->
+      s"""WITH wc AS (
+         |  SELECT word, count(*) AS c FROM (
+         |    SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+         |  GROUP BY word),
+         |subs AS (
+         |  SELECT substr(wc.word, s.s, l.l) AS piece, s.s > 1 AS is_cont,
+         |         CAST(sum(c) AS BIGINT) AS cnt
+         |  FROM wc
+         |  JOIN (SELECT unnest(range(1, (SELECT max(length(word)) FROM wc) + 1)) AS s) s
+         |    ON s.s <= length(wc.word)
+         |  JOIN (SELECT unnest(range(1, ${WpMaxPieceLen + 1})) AS l) l
+         |    ON s.s + l.l - 1 <= length(wc.word)
+         |  GROUP BY 1, 2),
+         |vocab AS (
+         |  SELECT piece, is_cont, cnt,
+         |         CAST(row_number() OVER (ORDER BY cnt DESC, piece ASC, is_cont ASC) - 1
+         |              AS BIGINT) AS piece_id
+         |  FROM (SELECT * FROM subs
+         |        ORDER BY cnt DESC, piece ASC, is_cont ASC LIMIT $WpVocabSize))
+         |SELECT piece, is_cont, piece_id, cnt FROM vocab
+         |ORDER BY piece_id LIMIT 50""".stripMargin,
+    // the greedy longest-match walk replayed as a recursive CTE over the
+    // per-(word, position) longest-piece step function: a word whose walk
+    // stalls before length+1 is [UNK] (-1), BERT semantics; per-doc digest
+    // = (piece count, unk count, md5 of the ordered id sequence)
+    "wordpiece_encode" ->
+      s"""WITH RECURSIVE wc AS (
+         |  SELECT word, count(*) AS c FROM (
+         |    SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+         |  GROUP BY word),
+         |subs AS (
+         |  SELECT substr(wc.word, s.s, l.l) AS piece, s.s > 1 AS is_cont,
+         |         CAST(sum(c) AS BIGINT) AS cnt
+         |  FROM wc
+         |  JOIN (SELECT unnest(range(1, (SELECT max(length(word)) FROM wc) + 1)) AS s) s
+         |    ON s.s <= length(wc.word)
+         |  JOIN (SELECT unnest(range(1, ${WpMaxPieceLen + 1})) AS l) l
+         |    ON s.s + l.l - 1 <= length(wc.word)
+         |  GROUP BY 1, 2),
+         |vocab AS (
+         |  SELECT piece, is_cont,
+         |         CAST(row_number() OVER (ORDER BY cnt DESC, piece ASC, is_cont ASC) - 1
+         |              AS BIGINT) AS piece_id
+         |  FROM (SELECT * FROM subs
+         |        ORDER BY cnt DESC, piece ASC, is_cont ASC LIMIT $WpVocabSize)),
+         |words AS (
+         |  SELECT doc_id, CAST(wpos - 1 AS BIGINT) AS wpos, word
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+         |               generate_subscripts(string_split(text, ' '), 1) AS wpos
+         |        FROM documents)),
+         |dwords AS (SELECT DISTINCT word FROM words),
+         |steps AS (
+         |  SELECT word, p, piece_id, plen FROM (
+         |    SELECT d.word, s.s AS p, v.piece_id, length(v.piece) AS plen,
+         |           row_number() OVER (PARTITION BY d.word, s.s
+         |                              ORDER BY length(v.piece) DESC) AS rn
+         |    FROM dwords d
+         |    JOIN (SELECT unnest(range(1, (SELECT max(length(word)) FROM dwords) + 1)) AS s) s
+         |      ON s.s <= length(d.word)
+         |    JOIN vocab v
+         |      ON v.is_cont = (s.s > 1)
+         |     AND v.piece = substr(d.word, s.s, length(v.piece))
+         |  ) WHERE rn = 1),
+         |walk(word, p, k, piece_id) AS (
+         |  SELECT word, 1 AS p, CAST(0 AS BIGINT) AS k, CAST(NULL AS BIGINT) AS piece_id
+         |  FROM dwords
+         |  UNION ALL
+         |  SELECT w.word, w.p + s.plen, w.k + 1, s.piece_id
+         |  FROM walk w JOIN steps s ON s.word = w.word AND s.p = w.p),
+         |wend AS (SELECT word, max(p) AS pend FROM walk GROUP BY word),
+         |wpieces AS (
+         |  SELECT w.word, w.k - 1 AS k, w.piece_id
+         |  FROM walk w JOIN wend e ON w.word = e.word
+         |  WHERE w.k >= 1 AND e.pend = length(w.word) + 1
+         |  UNION ALL
+         |  SELECT e.word, CAST(0 AS BIGINT) AS k, CAST(-1 AS BIGINT) AS piece_id
+         |  FROM wend e WHERE e.pend <= length(e.word)),
+         |enc AS (
+         |  SELECT wo.doc_id, wo.wpos, wp.k, wp.piece_id
+         |  FROM words wo JOIN wpieces wp ON wo.word = wp.word)
+         |SELECT doc_id,
+         |       count(*)::BIGINT AS n_pieces,
+         |       count(*) FILTER (piece_id = -1)::BIGINT AS n_unk,
+         |       md5(string_agg(CAST(piece_id AS VARCHAR), ',' ORDER BY wpos, k)) AS seq_md5
+         |FROM enc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // engine-computed embeddings: the oracle's sentence/query vectors are
+    // the SAME pure runtime's driver-side outputs (EncoderFixture
+    // literals — exact double widenings of the float32 embeddings), so
+    // this hash-gates the executor-side text→ids→encoder→vector pipeline
+    // plus the top-k/rank/back-join arithmetic
+    "encoder_search_topk" -> {
+      s"""WITH sents(i, txt, v) AS (VALUES ${EncoderFixture.sentencesValuesSql}),
+         |q(v) AS (VALUES (${EncoderFixture.vecSql(EncoderFixture.queryVector)})),
+         |emb AS (
+         |  SELECT d.doc_id, s.txt, s.v
+         |  FROM documents d JOIN sents s ON d.doc_id % ${EncoderFixture.Sentences.length} = s.i),
+         |scored AS (
+         |  SELECT doc_id, txt,
+         |         1 - array_cosine_similarity(v, (SELECT v FROM q)) AS score
+         |  FROM emb)
+         |SELECT CAST(row_number() OVER (ORDER BY score ASC NULLS LAST, doc_id ASC)
+         |            AS BIGINT) AS rank,
+         |       doc_id, txt AS text, score
+         |FROM scored ORDER BY score ASC NULLS LAST, doc_id ASC LIMIT 10""".stripMargin
     },
     "corpus_shuffle" ->
       """SELECT doc_id, lang,

@@ -483,6 +483,53 @@ object OnnxTransformer {
       }
   }
 
+  /** The text → ids → encoder → vector pipeline the reference's embedder
+    * runs (model/search/vector.py:64-78: SentenceTransformer = WordPiece
+    * tokenizer + transformer encoder + pooling + l2-normalize), with the
+    * subword step REAL: whitespace words decompose by greedy longest-match
+    * against a WordPiece vocabulary ([[graft.ops.Subword.greedyPieces]] —
+    * the same pure function driver-side oracle literals use), unmatched
+    * words map to the [UNK] row — pinned to the LAST embedding-table row,
+    * so `model.vocab == wordpiece vocab size + 1` by construction. Piece
+    * ids feed the encoder unchanged; output l2-normalizes like every
+    * Embedder here. Deterministic end to end: same text → same ids → the
+    * same fixed-accumulation float32 forward pass on any JVM.
+    */
+  final case class SubwordTransformerEmbedder(model: GraphModel,
+      vocab: Map[(String, Boolean), Long], maxPieceLen: Int = 4,
+      seqCap: Int = 64) extends Embedder {
+    require(vocab.nonEmpty, "empty wordpiece vocabulary")
+    require(vocab.valuesIterator.forall(id => id >= 0 && id < model.vocab - 1),
+      s"wordpiece ids must fit below the [UNK] row ${model.vocab - 1}")
+    def dim: Int = model.outputDim
+    private val unkId: Long = model.vocab - 1L
+
+    private def ids(text: String): Array[Int] =
+      text.split("\\s+").iterator.filter(_.nonEmpty)
+        .flatMap(w => graft.ops.Subword.greedyPieces(w, vocab, maxPieceLen, unkId))
+        .take(math.min(seqCap, model.seqLimit))
+        .map(_.toInt)
+        .toArray
+
+    override def embedBatch(texts: Seq[String]): Seq[Array[Float]] =
+      texts.map { t =>
+        val toks = if (t == null) Array.empty[Int] else ids(t)
+        if (toks.isEmpty) new Array[Float](dim)
+        else {
+          val y = model.run(toks)
+          var norm = 0.0
+          var i = 0
+          while (i < y.length) { norm += y(i).toDouble * y(i).toDouble; i += 1 }
+          if (norm > 0.0) {
+            val inv = (1.0 / math.sqrt(norm)).toFloat
+            i = 0
+            while (i < y.length) { y(i) *= inv; i += 1 }
+          }
+          y
+        }
+      }
+  }
+
   /** Loader twins of the linear/MLP loaders — same registry lifecycle. */
   def fileLoader(path: String): (String, Int) => Embedder = (_, d) => {
     val m = TransformerEmbedder(parse(Files.readAllBytes(Paths.get(path))))
