@@ -223,13 +223,38 @@ object GraphAnn {
     spark.read.parquet(s"$path/edges")
   }
 
+  /** Executed-round observability for the convergence specs: how many
+    * rounds the most recent probe on this thread actually expanded (the
+    * early-exit's measurable effect). Thread-local because probes are
+    * driver-side loops and tests run suites concurrently.
+    */
+  private val probeRounds = new ThreadLocal[Int] { override def initialValue = 0 }
+  private[graft] def lastProbeRounds: Int = probeRounds.get()
+
+  /** The HNSW termination rule, shared by both probe shapes and replayed
+    * by the SQL oracle's per-round frontier guard: continue expanding only
+    * while some node of the CURRENT top-k is still unexpanded. Once every
+    * top-k node has been expanded, the best unexpanded candidate ranks
+    * below k — the greedy search has converged and further fixed rounds
+    * are pure cost (they could only improve the result through a
+    * longer-range hop, which greedy best-first search forgoes BY
+    * DEFINITION — this is the standard HNSW stopping condition, identical
+    * on both engines, so the gate stays hash-exact). The `rounds`
+    * parameter becomes a CAP rather than the exact cost, which is what
+    * lets a deep-graph deployment raise it without paying on easy
+    * queries.
+    */
+  private def converged(visitedTopK: Seq[Long], expanded: Long => Boolean): Boolean =
+    visitedTopK.forall(expanded)
+
   /** Beam-search top-k over a built edge table. Entry = the `beam`
     * centroids nearest the query; each of `rounds` rounds takes the best
     * `beam` visited-but-UNEXPANDED nodes (best-first with a tabu set —
     * re-expanding a node is pure waste, and on weakly-navigable data it
     * stalls convergence), expands their out-edges, and scores the reached
     * vectors against the query. Returns `(idCol, cos_dist)`, k rows,
-    * ranked (dist asc, id asc) over every node visited.
+    * ranked (dist asc, id asc) over every node visited. Rounds stop early
+    * at [[converged]]; `rounds` is the cap.
     *
     * Per-round work is O(beam·degree) rows; the vector lookup for reached
     * ids is a BROADCAST semi-join into the corpus scan — with the corpus
@@ -253,7 +278,10 @@ object GraphAnn {
       .limit(beam)
     var expanded: DataFrame = null
     var prevVisited: DataFrame = null
-    for (_ <- 1 to rounds) {
+    var round = 0
+    var done = rounds == 0
+    while (!done) {
+      round += 1
       val unexpanded =
         if (expanded == null) visited
         else visited.join(expanded, Seq("__nid"), "left_anti")
@@ -289,7 +317,19 @@ object GraphAnn {
       // round 1 aliases expanded = frontier — keep that one cached
       if (!(expanded eq frontier)) frontier.unpersist(blocking = false)
       prevVisited = visited
+      // HNSW convergence ([[converged]] — the oracle's per-round frontier
+      // guard): stop once every current-top-k node has been expanded. The
+      // check reads two beam-bounded cached frames — trivial driver work.
+      if (round >= rounds) done = true
+      else {
+        val topK = visited
+          .orderBy(col("__d").asc_nulls_last, col("__nid").asc).limit(k)
+          .collect().map(_.getLong(0)).toSeq
+        val exp = expanded.collect().map(_.getLong(0)).toSet
+        if (converged(topK, exp)) done = true
+      }
     }
+    probeRounds.set(round)
     // the final round's expanded set feeds nothing downstream
     if (expanded != null) expanded.unpersist(blocking = false)
     visited
@@ -348,7 +388,15 @@ object GraphAnn {
     def nextFrontier(): Seq[Long] = visited.iterator
       .filterNot(kv => expanded(kv._1)).map { case (id, d) => (id, d) }
       .toSeq.sortBy(sortKey).take(beam).map(_._1)
-    while (round < rounds && { frontier = nextFrontier(); frontier.nonEmpty }) {
+    // HNSW convergence (shared [[converged]] rule — identical to the join
+    // shape and the oracle's frontier guard): stop once every node of the
+    // current top-k has been expanded
+    def convergedNow: Boolean = converged(
+      visited.iterator.map { case (id, d) => (id, d) }.toSeq
+        .sortBy(sortKey).take(k).map(_._1),
+      expanded)
+    while (round < rounds && !(round > 0 && convergedNow)
+        && { frontier = nextFrontier(); frontier.nonEmpty }) {
       expanded ++= frontier
       val reached = edges.where(col("src").isin(frontier: _*))
         .select(col("dst").cast("long"))
@@ -364,6 +412,7 @@ object GraphAnn {
           .foreach { case (id, d) => visited(id) = d }
       round += 1
     }
+    probeRounds.set(round)
     val top = visited.iterator.map { case (id, d) => (id, d) }
       .toSeq.sortBy(sortKey).take(k)
       .map { case (id, d) => org.apache.spark.sql.Row(id, d) }

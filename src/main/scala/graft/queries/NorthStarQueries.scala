@@ -1322,8 +1322,16 @@ object NorthStarQueries {
     * — mirrors `GraphAnn.beamSearchTopK` exactly. Expects CTEs `e`
     * (vec_id, v), `q` (v), `edges` (src, dst) and `v{n-1}` (id, d).
     */
-  private def graphRoundSql(n: Int, beam: Int): String = {
-    val notExpanded = if (n == 1) "" else s" WHERE id NOT IN (SELECT id FROM x${n - 1})"
+  private def graphRoundSql(n: Int, beam: Int, k: Int): String = {
+    // rounds >= 2 carry the engine's HNSW convergence guard
+    // (GraphAnn.converged): the round's frontier is empty — and with it
+    // every later round — once no current-top-k node remains unexpanded.
+    // Identical rule both sides, so early exit cannot break the hash gate.
+    val notExpanded = if (n == 1) "" else
+      s""" WHERE id NOT IN (SELECT id FROM x${n - 1})
+         |          AND EXISTS (SELECT 1 FROM (SELECT id FROM v${n - 1}
+         |                      ORDER BY d ASC NULLS LAST, id ASC LIMIT $k) tk
+         |                      WHERE tk.id NOT IN (SELECT id FROM x${n - 1}))""".stripMargin
     val xDef =
       if (n == 1) "SELECT id FROM f1"
       else s"SELECT id FROM x${n - 1} UNION SELECT id FROM f$n"
@@ -1353,7 +1361,7 @@ object NorthStarQueries {
     val degree = GraphAnn.DefaultDegree
     val beam = GraphAnn.DefaultBeam
     val rounds = (1 to GraphAnn.DefaultRounds)
-      .map(graphRoundSql(_, beam)).mkString(",\n")
+      .map(graphRoundSql(_, beam, 10)).mkString(",\n")
     s"""WITH e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[64] AS v FROM embeddings),
        |q AS MATERIALIZED (SELECT v FROM e WHERE vec_id = 1),
        |cents AS MATERIALIZED (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 64 = 0),
@@ -1397,7 +1405,7 @@ object NorthStarQueries {
     val degree = GraphAnn.DefaultDegree
     val beam = GraphAnn.DefaultBeam
     val rounds = (1 to GraphAnn.DefaultRounds)
-      .map(graphRoundSql(_, beam)).mkString(",\n")
+      .map(graphRoundSql(_, beam, 10)).mkString(",\n")
     s"""WITH e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[64] AS v FROM embeddings),
        |q AS MATERIALIZED (SELECT v FROM e WHERE vec_id = 1),
        |cents AS MATERIALIZED (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 64 = 0),

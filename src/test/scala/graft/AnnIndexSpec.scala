@@ -550,6 +550,38 @@ class GraphAnnSpec extends SparkTestBase {
     assert(recalls.head <= recalls.last, s"ladder not improving: $recalls")
   }
 
+  test("convergence early-exit: a raised round cap costs nothing once converged") {
+    // clustered fixture (the case graph ANN exists for): the greedy walk
+    // converges in a few rounds, so a deep cap must EARLY-EXIT with rows
+    // identical to the capped run — `rounds` is a cap, not the cost. This
+    // is the HNSW termination rule, shared by both probe shapes and the
+    // SQL oracle's per-round frontier guard.
+    def u(x: Long): Double =
+      graft.util.Hashing.splitmix64(x).toDouble / Long.MaxValue.toDouble
+    val rows = (0 until 512).map { i =>
+      val c = i / 64
+      (i.toLong, (0 until 64).map(p => u(c * 7919L + p) + 0.35 * u(i * 104729L + p)).toArray)
+    }
+    val df = spark.createDataFrame(rows).toDF("id", "v")
+    val edges = GraphAnn.buildEdges(df, "id", "v", stride = 64)
+    val q = rows(137)._2
+    val capped = GraphAnn.pointProbeTopK(df, "id", "v", edges, q,
+      k = 10, stride = 64, rounds = 4).collect().toSeq
+    val cappedRounds = GraphAnn.lastProbeRounds
+    val deep = GraphAnn.pointProbeTopK(df, "id", "v", edges, q,
+      k = 10, stride = 64, rounds = 16).collect().toSeq
+    val deepRounds = GraphAnn.lastProbeRounds
+    info(s"rounds executed: cap4=$cappedRounds cap16=$deepRounds")
+    assert(deep == capped, "deep cap changed the converged result")
+    assert(deepRounds < 16, "16-round cap never early-exited on clustered data")
+    // the join shape exits at the same round with the same rows
+    val joinDeep = GraphAnn.beamSearchTopK(df, "id", "v", edges, q,
+      k = 10, stride = 64, rounds = 16).collect().toSeq
+    assert(joinDeep == deep, "join shape diverged under early exit")
+    assert(GraphAnn.lastProbeRounds == deepRounds,
+      "join shape exited at a different round than the point probe")
+  }
+
   test("materialized edges probe identically; geometry mismatch rejected") {
     val path = java.nio.file.Files.createTempDirectory("graph_mat").toString
     GraphAnn.materialize(emb, "vec_id", "embedding", 64, GraphAnn.DefaultDegree, path)
