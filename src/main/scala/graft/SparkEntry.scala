@@ -59,21 +59,41 @@ object SparkEntry {
 
   private def events(s: SparkSession, dir: String): DataFrame = {
     val path = eventsSpool.computeIfAbsent(dir, d => {
-      // nanosAsLong is needed only while building the spool — set, spool,
+      // The generator has shipped `ts` two ways across rounds: parquet
+      // TIMESTAMP(NANOS) (which Spark 4 only reads via the nanosAsLong
+      // legacy conf, as a LongType of epoch-nanos) and plain timestamp[us]
+      // (read as TIMESTAMP_NTZ). Probe the on-disk schema under nanosAsLong
+      // — under that conf BOTH variants resolve (nanos→LongType, µs→NTZ) —
+      // and branch, so a future generator flip is absorbed silently.
+      //
+      // nanosAsLong is needed only while probing/spooling — set, probe,
       // restore, so a query fn doesn't permanently mutate the session conf
       val key = "spark.sql.legacy.parquet.nanosAsLong"
       val prev = s.conf.getOption(key)
       s.conf.set(key, "true")
       try {
-        val tmp = graft.util.TempDirs.create("graft_events_spool")
-        // single write, no repartition: the spool is small relative to its
-        // consumers' shuffles and readers re-split it by scan bins. Nothing
-        // downstream depends on file row order — value sums use exact
-        // DECIMAL partials, so any future multi-split layout stays correct
-        t(s, d, "events")
-          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-          .write.mode("overwrite").parquet(tmp)
-        tmp
+        val raw = t(s, d, "events")
+        raw.schema("ts").dataType match {
+          case org.apache.spark.sql.types.LongType =>
+            // nanos case: rebuild a µs timestamp (integer division — the
+            // values exceed double precision; DuckDB applies the same ns→µs
+            // truncation, so oracles agree) and spool ONCE per source dir:
+            // the 14 events_* queries would otherwise each re-read and
+            // re-convert the nanos column (~0.5 s per query at sf0.1).
+            // Single write, no repartition: the spool is small relative to
+            // its consumers' shuffles and readers re-split it by scan bins.
+            // Nothing downstream depends on file row order — value sums use
+            // exact DECIMAL partials
+            val tmp = graft.util.TempDirs.create("graft_events_spool")
+            raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+              .write.mode("overwrite").parquet(tmp)
+            tmp
+          case _ =>
+            // µs case: no conversion needed — scan the source directly
+            // (keeps the native multi-file scan + pushdown; no spool cost).
+            // An NTZ/instant cast is applied uniformly at read-time below.
+            s"$d/events.parquet"
+        }
       } finally {
         prev match {
           case Some(v) => s.conf.set(key, v)
@@ -81,7 +101,15 @@ object SparkEntry {
         }
       }
     })
-    s.read.parquet(path)
+    val df = s.read.parquet(path)
+    df.schema("ts").dataType match {
+      // TIMESTAMP_NTZ → instant under the UTC session TZ: value-preserving,
+      // and downstream code (window(), unix_timestamp, ts arithmetic vs the
+      // DuckDB oracle's naive read) is written against TimestampType
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    }
   }
 
   /** Events reader shared with the north-star query pack. */

@@ -25,6 +25,24 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // Leave a red `err` row in the driver's correctness record instead
+        // of a silent absence (r9 shrank 104→93 entries and it read as
+        // progress): blow away any partial parquet output and plant an
+        // _ERROR sidecar — the driver's parquet read of this dir then
+        // fails loudly, attributed to this query.
+        try {
+          val qd = Paths.get(s"$outDir/$name")
+          if (Files.exists(qd)) {
+            import scala.jdk.CollectionConverters._
+            Files.walk(qd).iterator().asScala.toSeq.reverse
+              .foreach(p => Files.deleteIfExists(p))
+          }
+          Files.createDirectories(qd)
+          Files.writeString(qd.resolve("_ERROR"),
+            s"${e.getClass.getName}: ${String.valueOf(e.getMessage)}\n")
+        } catch { case m: Throwable =>
+          System.err.println(s"[verify] $name: marker write failed: $m")
+        }
       }
       // per-query persists (dedup pipelines, sketch_stats) must not
       // accumulate across the 49-query session

@@ -27,7 +27,10 @@ object PipelineMetrics {
       count(lit(1)).as("n_rows"),
       sum(when(col(textCol).isNull, 1L).otherwise(0L)).as("null_texts"),
       sum(when(length(col(textCol)) === 0, 1L).otherwise(0L)).as("empty_texts"),
-      avg(length(col(textCol))).as("avg_chars"))
+      avg(length(col(textCol))).as("avg_chars"),
+      // exact byte-ish volume counter (UTF-16 chars; deterministic, unlike
+      // avg_chars' float) — the per-stage certificate the gate query emits
+      sum(coalesce(length(col(textCol)).cast("long"), lit(0L))).as("total_chars"))
     (instrumented, obs)
   }
 

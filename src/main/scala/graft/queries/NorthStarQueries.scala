@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ops.{AnnIndex, Dedup, GraphAnn, LanguageModel, ProductQuantizer, Redact, SimilarityJoin, TextOps, Vocab}
+import graft.ops.{AnnIndex, Dedup, GraphAnn, LanguageModel, PipelineMetrics, ProductQuantizer, Redact, SimilarityJoin, TextOps, Vocab}
 
 /** North-star operator queries (LLM-data-pipeline surface): dedup tiers,
   * similarity joins, ANN, text analysis. Each Spark query exercises the
@@ -1033,6 +1033,31 @@ object NorthStarQueries {
         .transform(sortedSingle(_, col("doc_id")))
     },
 
+    // observe()-piggybacked per-stage health certificate (O1) for the
+    // funnel's declarative stages: counters (rows, null/empty texts, char
+    // volume) accumulate INSIDE the action that materializes each stage —
+    // at 100 TB the corpus and its health certificate cost ONE pass, not
+    // two. The certificate itself is a handful of longs per stage, so the
+    // driver-built result frame is O(stages), never O(data).
+    "pipeline_metrics" -> { (s, dir) =>
+      val d = t(s, dir, "documents")
+      val s1 = d.where(col("text").isNotNull &&
+        length(col("text")) >= FunnelMinChars)
+      val s2 = s1.where(TextOps.qualityScore(col("text")) >= FunnelMinQuality)
+      val lng = (x: Any) => Option(x).map(_.asInstanceOf[Long]).getOrElse(0L)
+      val certs = Seq((0, "all", d), (1, "min_length", s1), (2, "quality", s2))
+        .map { case (id, nm, df) =>
+          val (inst, obs) = PipelineMetrics.observeCorpus(
+            df, "text", s"pm_${nm}_${System.nanoTime}")
+          inst.write.format("noop").mode("overwrite").save()
+          val m = obs.get
+          (id, nm, lng(m("n_rows")), lng(m("null_texts")),
+            lng(m("empty_texts")), lng(m("total_chars")))
+        }
+      s.createDataFrame(certs).toDF("stage_id", "stage", "n_rows",
+          "null_texts", "empty_texts", "total_chars")
+        .transform(sortedSingle(_, col("stage_id")))
+    },
     // END-TO-END corpus curation funnel — the composed LLM-training-data
     // pipeline (length gate -> quality gate -> repetition gate -> exact
     // dedup -> near-dedup), reporting survivor counts per stage. Shape at
@@ -1918,6 +1943,30 @@ object NorthStarQueries {
     // constants), same repetition gate (incl. the minimum-evidence rules),
     // same md5 dedup key and the same Jaccard near-dup semantics on the
     // exact-dedup survivor subset
+    // same stage filters as the funnel head (shared threshold constants +
+    // the shared quality expression), plain aggregates per stage
+    "pipeline_metrics" ->
+      s"""WITH s1 AS (SELECT * FROM documents
+         |            WHERE text IS NOT NULL AND length(text) >= $FunnelMinChars),
+         |s2 AS (SELECT * FROM s1 WHERE $qualityExprSql >= $FunnelMinQuality)
+         |SELECT 0 AS stage_id, 'all' AS stage, count(*)::BIGINT AS n_rows,
+         |       coalesce(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END), 0)::BIGINT AS null_texts,
+         |       coalesce(sum(CASE WHEN length(text) = 0 THEN 1 ELSE 0 END), 0)::BIGINT AS empty_texts,
+         |       coalesce(sum(length(text)), 0)::BIGINT AS total_chars
+         |FROM documents
+         |UNION ALL
+         |SELECT 1, 'min_length', count(*)::BIGINT,
+         |       coalesce(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END), 0)::BIGINT,
+         |       coalesce(sum(CASE WHEN length(text) = 0 THEN 1 ELSE 0 END), 0)::BIGINT,
+         |       coalesce(sum(length(text)), 0)::BIGINT
+         |FROM s1
+         |UNION ALL
+         |SELECT 2, 'quality', count(*)::BIGINT,
+         |       coalesce(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END), 0)::BIGINT,
+         |       coalesce(sum(CASE WHEN length(text) = 0 THEN 1 ELSE 0 END), 0)::BIGINT,
+         |       coalesce(sum(length(text)), 0)::BIGINT
+         |FROM s2
+         |ORDER BY stage_id""".stripMargin,
     "curation_funnel" ->
       s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t
          |            FROM documents WHERE text IS NOT NULL),
