@@ -208,27 +208,49 @@ object OnnxLinearModel {
         s"onnx: expected exactly one 1-D FLOAT bias among ${names.mkString(",")}")
       cands.head.floats
     }
+    // [in, out] row-major → [out, in] row-major. Third-party exporters
+    // (ONNX default transB=0, and every MatMul) store weights in the
+    // x·W orientation; the executor runs W·x, so re-layout ONCE at parse
+    // time — load-time cost, zero inference cost, and the artifact's
+    // semantics (not our canonical layout) decide correctness.
+    def transposed(t: Tensor): Array[Float] = {
+      val (rows, cols) = (t.dims(0).toInt, t.dims(1).toInt)
+      val out = new Array[Float](t.floats.length)
+      var r = 0
+      while (r < rows) {
+        var c = 0
+        while (c < cols) { out(c * rows + r) = t.floats(r * cols + c); c += 1 }
+        r += 1
+      }
+      out
+    }
     var layers = Vector.empty[MlpLayer]
     var relusAfter = Vector.empty[Int]
     nodes.foreach {
       case ("Gemm", inputs, attrF, attrI) =>
         require(inputs.length >= 2, "onnx: Gemm needs (x, W[, b])")
-        // The executor assumes y = x·Wᵀ + b; a Gemm outside that exact
-        // parameterization (ONNX defaults transB=0, alpha=beta=1) must
-        // fail loudly, not run with transposed or mis-scaled weights.
-        require(attrI.getOrElse("transB", 0L) == 1L,
-          "onnx: Gemm with transB=0 outside the executable subset (expected transB=1)")
+        // The executor assumes y = x·Wᵀ + b (transB=1, W [out, in]); a
+        // transB=0 export (the ONNX attribute default — what most
+        // third-party tools emit) carries W as [in, out] and is
+        // re-laid-out at parse time. Anything else outside the exact
+        // y = x·W(ᵀ) + b parameterization (transA, alpha/beta scaling)
+        // must fail loudly, not run with mis-scaled weights.
         require(attrI.getOrElse("transA", 0L) == 0L,
           "onnx: Gemm with transA=1 outside the executable subset")
         require(attrF.getOrElse("alpha", 1f) == 1f && attrF.getOrElse("beta", 1f) == 1f,
           "onnx: Gemm with alpha/beta != 1 outside the executable subset")
         val w = weight(inputs(1))
         val b = if (inputs.length >= 3) bias(Seq(inputs(2))) else Array.empty[Float]
-        layers :+= MlpLayer(w.dims(0).toInt, w.dims(1).toInt, w.floats, b)
+        layers :+=
+          (if (attrI.getOrElse("transB", 0L) == 1L)
+            MlpLayer(w.dims(0).toInt, w.dims(1).toInt, w.floats, b)
+          else
+            MlpLayer(w.dims(1).toInt, w.dims(0).toInt, transposed(w), b))
       case ("MatMul", inputs, _, _) =>
         require(inputs.length == 2, "onnx: MatMul needs (x, W)")
+        // ONNX MatMul is y = x·W with W [in, out] — always re-laid-out
         val w = weight(inputs(1))
-        layers :+= MlpLayer(w.dims(0).toInt, w.dims(1).toInt, w.floats,
+        layers :+= MlpLayer(w.dims(1).toInt, w.dims(0).toInt, transposed(w),
           Array.empty[Float])
       case ("Add", inputs, _, _) =>
         require(layers.nonEmpty && layers.last.b.isEmpty,
@@ -373,6 +395,11 @@ object OnnxLinearModel {
   private[search] def intAttr(name: String, v: Long): Array[Byte] =
     new Writer().str(1, name).int(3, v).int(20, 2L).toByteArray
 
+  /** AttributeProto bytes for a FLOAT attribute (name=1, f=2, type=20/FLOAT). */
+  private[search] def floatAttr(name: String, v: Float): Array[Byte] =
+    new Writer().str(1, name)
+      .fixed32(2, java.lang.Float.floatToIntBits(v)).int(20, 1L).toByteArray
+
   private[search] def modelBytes(graph: Writer): Array[Byte] = {
     val opset = new Writer().str(1, "").int(2, 13L)
     new Writer()
@@ -436,6 +463,58 @@ object OnnxLinearModel {
     m.layers.zipWithIndex.foreach { case (l, i) =>
       graph.bytes(5, floatTensor(s"W${i + 1}",
         Seq(l.outDim.toLong, l.inDim.toLong), l.w))
+      if (l.b.nonEmpty)
+        graph.bytes(5, floatTensor(s"b${i + 1}", Seq(l.outDim.toLong), l.b))
+    }
+    graph
+      .bytes(11, valueInfo("x", Seq(1L, m.features.toLong)))
+      .bytes(12, valueInfo("y", Seq(1L, m.dim.toLong)))
+    modelBytes(graph)
+  }
+
+  /** Encode the SAME MLP the way a typical third-party exporter does —
+    * the checkpoint-portability fixture: `Gemm` with NO `transB`
+    * attribute (ONNX default 0), weights stored `[in, out]` (the x·W
+    * orientation), and the default `alpha`/`beta` **explicitly
+    * serialized** as FLOAT attributes (torch.onnx-style exporters write
+    * defaults out rather than omitting them). Must execute bit-identically
+    * to [[toMlpBytes]]'s canonical transB=1 artifact through [[parseMlp]];
+    * proving that is what makes an externally-trained checkpoint loadable.
+    */
+  def toMlpBytesExternal(m: MlpEmbedder): Array[Byte] = {
+    val graph = new Writer()
+    m.layers.zipWithIndex.foreach { case (l, i) =>
+      val in = if (i == 0) "x" else s"h$i"
+      val gemmOut = if (i == m.layers.length - 1) "y" else s"g${i + 1}"
+      val node = new Writer()
+        .str(1, in).str(1, s"W${i + 1}")
+      if (l.b.nonEmpty) node.str(1, s"b${i + 1}")
+      node.str(2, gemmOut)
+        .str(3, s"gemm${i + 1}")
+        .str(4, "Gemm")
+        .bytes(5, floatAttr("alpha", 1f))
+        .bytes(5, floatAttr("beta", 1f))
+        .bytes(5, intAttr("transA", 0L))
+      graph.bytes(1, node.toByteArray)
+      if (i < m.layers.length - 1) {
+        val relu = new Writer()
+          .str(1, gemmOut).str(2, s"h${i + 1}")
+          .str(3, s"relu${i + 1}").str(4, "Relu")
+        graph.bytes(1, relu.toByteArray)
+      }
+    }
+    graph.str(2, "thirdparty_mlp")
+    m.layers.zipWithIndex.foreach { case (l, i) =>
+      // [out, in] → [in, out]: store the x·W orientation
+      val wT = new Array[Float](l.w.length)
+      var r = 0
+      while (r < l.outDim) {
+        var c = 0
+        while (c < l.inDim) { wT(c * l.outDim + r) = l.w(r * l.inDim + c); c += 1 }
+        r += 1
+      }
+      graph.bytes(5, floatTensor(s"W${i + 1}",
+        Seq(l.inDim.toLong, l.outDim.toLong), wT))
       if (l.b.nonEmpty)
         graph.bytes(5, floatTensor(s"b${i + 1}", Seq(l.outDim.toLong), l.b))
     }
