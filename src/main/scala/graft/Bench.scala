@@ -86,7 +86,15 @@ object Bench {
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir","runs":$runs,"agg":"min","loadavg_before":"$loadBefore","loadavg_after":"${loadavg()}"}""")
+    val line = s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir","runs":$runs,"agg":"min","loadavg_before":"$loadBefore","loadavg_after":"${loadavg()}"}"""
+    println(line)
+    // The driver's stdout capture has truncated the head of this line two
+    // rounds running (fixed-size tail), dropping the ann_* family from the
+    // committed record. Persist the full line to a sidecar when asked so a
+    // complete per-query map always exists on disk.
+    sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { p =>
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(p), line + "\n")
+    }
     spark.stop()
     // a broken query must not masquerade as a faster total
     if (failed.nonEmpty) sys.exit(1)

@@ -122,10 +122,14 @@ object RelationalQueries {
 
     // decorrelated scalar subquery: orders above their customer's average
     "orders_above_cust_avg" -> { (s, dir) =>
-      val orders = t(s, dir, "orders")
-      val custAvg = orders.groupBy("o_custkey")
-        .agg(avg("o_totalprice").as("cust_avg"))
-      orders.join(custAvg, "o_custkey")
+      // decorrelated "above my group's average" via a WINDOW over the
+      // custkey partitioning, not groupBy + self-join: one exchange of
+      // orders instead of two, and no aggregate side that stops being
+      // broadcastable at scale (customer-count rows). The final groupBy
+      // reuses the window's partitioning, so it adds no exchange.
+      val w = Window.partitionBy("o_custkey")
+      t(s, dir, "orders")
+        .withColumn("cust_avg", avg("o_totalprice").over(w))
         .where(col("o_totalprice") > col("cust_avg") * 1.5)
         .groupBy("o_custkey").agg(count(lit(1)).as("n_big_orders"))
         .transform(sortedSingle(_, col("o_custkey")))
