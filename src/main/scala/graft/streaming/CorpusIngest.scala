@@ -116,16 +116,28 @@ object CorpusIngest {
     * frame the index was built over (centroid source — appended vectors
     * never become centroids, the standard IVF contract; re-materialize to
     * re-balance after heavy growth).
+    *
+    * `compactEvery > 0` folds the small-files maintenance into the loop:
+    * after every `compactEvery`-th absorbed epoch,
+    * [[AnnIndex.compactBuckets]] rewrites the buckets the appends
+    * fragmented past `maxFilesPerBucket` (a no-op listing otherwise).
+    * Running it inside foreachBatch keeps the single-writer contract —
+    * compaction and appends never race, with no external scheduler.
     */
   def annIngest(newVectors: DataFrame, base: DataFrame, idCol: String,
       vecCol: String, stride: Int, annPath: String,
-      pqPath: Option[String] = None)
+      pqPath: Option[String] = None, compactEvery: Int = 0,
+      maxFilesPerBucket: Int = 8)
       (onEpoch: (Long, Seq[String]) => Unit = (_, _) => ()): StreamingQuery =
     newVectors.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
-        onEpoch(epochId, appendVectorEpoch(batch, base, idCol, vecCol,
-          stride, annPath, pqPath, epochId))
+        val absorbed = appendVectorEpoch(batch, base, idCol, vecCol,
+          stride, annPath, pqPath, epochId)
+        if (compactEvery > 0 && absorbed.contains(annPath) &&
+            epochId > 0 && epochId % compactEvery == 0)
+          AnnIndex.compactBuckets(batch.sparkSession, annPath, maxFilesPerBucket)
+        onEpoch(epochId, absorbed)
       }
       .start()
 }

@@ -167,6 +167,54 @@ class CorpusIngestSpec extends SparkTestBase {
     assert(before == after, "replayed epoch changed the stores")
   }
 
+  test("in-loop compaction bounds bucket file counts without changing probes") {
+    import graft.ops.AnnIndex
+    val sp = spark
+    import sp.implicits._
+    val emb = sp.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val annPath = java.nio.file.Files.createTempDirectory("ann_compact_loop").toString
+    val even = emb.where(pmod(col("vec_id"), lit(2)) === 0)
+    AnnIndex.materialize(even, "vec_id", "embedding", 64, annPath)
+
+    // three epochs of odd-id appends; compactEvery=2 with an aggressive
+    // 1-file threshold fires after the final (epochId 2) append, so the
+    // steady state is fully compacted
+    val odd = emb.where(pmod(col("vec_id"), lit(2)) === 1)
+      .select(col("vec_id"), col("embedding"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val slices = Seq(
+      odd.filter(_._1 % 6 == 1), odd.filter(_._1 % 6 == 3), odd.filter(_._1 % 6 == 5))
+    val stream = MemoryStream[(Long, Seq[Float])](sp)
+    val sdf = stream.toDF().toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+    val q = graft.streaming.CorpusIngest.annIngest(sdf, emb, "vec_id",
+      "embedding", 64, annPath, pqPath = None,
+      compactEvery = 2, maxFilesPerBucket = 1)()
+    slices.foreach { s => stream.addData(s.toSeq); q.processAllAvailable() }
+    q.stop()
+
+    // every bucket directory is back to a single parquet file...
+    import scala.jdk.CollectionConverters._
+    val counts = java.nio.file.Files.list(java.nio.file.Paths.get(annPath))
+      .iterator().asScala
+      .filter(p => java.nio.file.Files.isDirectory(p) &&
+        p.getFileName.toString.startsWith("__centroid="))
+      .map(p => java.nio.file.Files.list(p).iterator().asScala
+        .count(_.getFileName.toString.endsWith(".parquet"))).toSeq
+    assert(counts.nonEmpty && counts.forall(_ == 1),
+      s"buckets not compacted to single files: $counts")
+    // ...and probes still equal a full batch build
+    val qvec = emb.where(col("vec_id") === 5).select(col("embedding"))
+      .head().getSeq[Float](0).map(_.toDouble).toArray
+    val streamed = AnnIndex.fromMaterialized(emb, "vec_id", "embedding", 64, annPath)
+      .probeTopK(qvec, 10, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val full = AnnIndex.build(emb, "vec_id", "embedding", stride = 64)
+      .probeTopK(qvec, 10, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(streamed == full, "compacted streamed index diverged from batch build")
+  }
+
   test("evolving corpus: folding survivors back in dedupes later epochs against them") {
     // the production loop: sink writes survivors to the corpus store, so the
     // next epoch's static frame includes them. Simulate the fold-in.
