@@ -338,6 +338,111 @@ object GraphAnn {
       .limit(k)
   }
 
+  /** Batched beam search: ONE pass of the round loop serves a whole
+    * query-vector table — every query advances together, so each round is
+    * one edge-table join and one corpus scan REGARDLESS of query count
+    * (the per-round joins amortize exactly as [[beamSearchTopK]]'s doc
+    * promises, but across queries instead of within one). Row-identical
+    * per query to [[beamSearchTopK]] / [[pointProbeTopK]] (spec-asserted):
+    * same entry beam, same best-first tabu frontier, same min-dedup, and
+    * the same per-query HNSW [[converged]] rule — a query that converges
+    * simply stops contributing frontier rows while the rest keep walking.
+    *
+    * All per-round state is (queries × beam)-bounded frames keyed by
+    * `(__qid, __nid)` — nothing corpus-sized and NO driver-side beam
+    * state; the driver only sees one tiny `count()` per round (active
+    * queries). The query table is broadcast twice per round (frontier
+    * semi-join and distance lookup), so it must be broadcast-sized —
+    * shard and union beyond ~10^5 queries, as with
+    * [[AnnIndex.probeTopKBatch]].
+    *
+    * Output: `(qidCol, rank, idCol, cos_dist)`, rank 1-based per query by
+    * (dist asc NULLS LAST, id asc) — the [[AnnIndex.probeTopKBatch]] shape.
+    * Preconditions: numeric query ids, `edges` built over the same
+    * corpus/stride.
+    */
+  def beamSearchTopKBatch(df: DataFrame, idCol: String, vecCol: String,
+      edges: DataFrame, queries: DataFrame, qidCol: String, qvecCol: String,
+      k: Int, stride: Int, beam: Int = DefaultBeam,
+      rounds: Int = DefaultRounds): DataFrame = {
+    require(k > 0 && beam > 0 && rounds >= 0,
+      s"invalid probe: k=$k beam=$beam rounds=$rounds")
+    val q = broadcast(queries.select(col(qidCol).cast("long").as("__qid"),
+      col(qvecCol).as("__qv")))
+    val vecs = df.select(col(idCol).cast("long").as("__nid"), col(vecCol).as("__nv"))
+    val wq = Window.partitionBy(col("__qid"))
+      .orderBy(col("__d").asc_nulls_last, col("__nid").asc)
+    // entry: per query, the beam nearest centroids (the cross product is
+    // (n/stride × queries) rows against the broadcast query table).
+    //
+    // Per-round state is localCheckpoint'd, not persisted: every round's
+    // frames reference the previous round's visited AND expanded, so
+    // without lineage truncation the logical plan compounds per round
+    // (same growth `Dedup.components` truncates) — at DefaultRounds=4 the
+    // un-truncated tree already OOMs the driver just STRINGIFYING the
+    // plan. Eager localCheckpoint bounds every round's plan at depth one;
+    // superseded checkpoint blocks are released by the ContextCleaner.
+    var visited = df.where(pmod(col(idCol), lit(stride)) === 0)
+      .select(col(idCol).cast("long").as("__nid"), col(vecCol).as("__nv"))
+      .crossJoin(q)
+      .select(col("__qid"), col("__nid"),
+        array_cosine_distance(col("__nv"), col("__qv")).as("__d"))
+      .withColumn("__rn", row_number().over(wq))
+      .where(col("__rn") <= beam).drop("__rn")
+      .localCheckpoint()
+    var expanded: DataFrame = null // (__qid, __nid)
+    var round = 0
+    var done = rounds == 0
+    while (!done) {
+      round += 1
+      // per-query convergence gate (round 1 always runs — expanded empty):
+      // a query stays active while some current-top-k node is unexpanded
+      val activeQids =
+        if (expanded == null) visited.select(col("__qid")).distinct()
+        else visited
+          .withColumn("__rn", row_number().over(wq))
+          .where(col("__rn") <= k).drop("__rn")
+          .join(expanded, Seq("__qid", "__nid"), "left_anti")
+          .select(col("__qid")).distinct()
+      val unexpanded = {
+        val live = visited.join(broadcast(activeQids), Seq("__qid"), "left_semi")
+        if (expanded == null) live
+        else live.join(expanded, Seq("__qid", "__nid"), "left_anti")
+      }
+      val frontier = unexpanded
+        .withColumn("__rn", row_number().over(wq))
+        .where(col("__rn") <= beam)
+        .select(col("__qid"), col("__nid"))
+        .localCheckpoint()
+      if (frontier.isEmpty) { // all queries converged (or stalled): stop
+        done = true
+      } else {
+        expanded =
+          (if (expanded == null) frontier else expanded.union(frontier))
+            .localCheckpoint()
+        val reached = edges
+          .join(broadcast(frontier.select(col("__qid").as("__fq"),
+            col("__nid").as("__fid"))), col("src") === col("__fid"))
+          .select(col("__fq").as("__qid"), col("dst").as("__nid")).distinct()
+        val scored = vecs
+          .join(broadcast(reached), Seq("__nid"))
+          .join(q, Seq("__qid"))
+          .select(col("__qid"), col("__nid"),
+            array_cosine_distance(col("__nv"), col("__qv")).as("__d"))
+        visited = visited.union(scored)
+          .groupBy(col("__qid"), col("__nid")).agg(min(col("__d")).as("__d"))
+          .localCheckpoint()
+        if (round >= rounds) done = true
+      }
+    }
+    probeRounds.set(round)
+    visited
+      .withColumn("__rn", row_number().over(wq))
+      .where(col("__rn") <= k)
+      .select(col("__qid").as(qidCol), col("__rn").cast("long").as("rank"),
+        col("__nid").as(idCol), col("__d").as("cos_dist"))
+  }
+
   /** Single-query point probe — row-identical to [[beamSearchTopK]]
     * (spec-asserted), with the beam state held on the driver. The state is
     * bounded by construction at ≤ beam + beam·degree·rounds (id, distance)

@@ -426,6 +426,29 @@ object NorthStarQueries {
         k = 10, stride = 64)
     },
 
+    // Batched graph probe under the hash gate: one round loop serves the
+    // whole query table (per-round joins amortize across queries; all
+    // state is (queries × beam)-bounded (__qid, __nid) frames with
+    // localCheckpoint lineage truncation — no driver-side beam state).
+    // The oracle replays the identical unrolled rounds once per query id
+    // over the SAME shared build CTEs.
+    "ann_graph_batch_topk" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val path = graphSpool.computeIfAbsent(dir, d => {
+        val p = graft.util.TempDirs.create("graft_graph_spool")
+        GraphAnn.materialize(t(s, d, "embeddings"), "vec_id", "embedding",
+          64, GraphAnn.DefaultDegree, p)
+        p
+      })
+      val edges = GraphAnn.fromMaterialized(s, path, 64, GraphAnn.DefaultDegree)
+      val queries = emb.where(col("vec_id").isin(GraphBatchQids: _*))
+        .select(col("vec_id").as("query_id"),
+          col("embedding").cast("array<double>").as("qv"))
+      GraphAnn.beamSearchTopKBatch(emb, "vec_id", "embedding", edges,
+          queries, "query_id", "qv", k = 10, stride = 64)
+        .transform(sortedSingle(_, col("query_id"), col("rank")))
+    },
+
     // The TIERED graph build under the hash gate: superStride=128 makes
     // assignment hierarchical (nearest super bucket, then cosine_argmin
     // over only that bucket's centroids — the subquadratic at-scale build)
@@ -1347,34 +1370,43 @@ object NorthStarQueries {
     * — mirrors `GraphAnn.beamSearchTopK` exactly. Expects CTEs `e`
     * (vec_id, v), `q` (v), `edges` (src, dst) and `v{n-1}` (id, d).
     */
-  private def graphRoundSql(n: Int, beam: Int, k: Int): String = {
+  /** Query ids for `ann_graph_batch_topk` — shared between the engine
+    * query and the generated oracle so the two can never drift.
+    */
+  private val GraphBatchQids: Seq[Long] = Seq(1L, 7L, 42L)
+
+  /** `sfx` namespaces the per-round CTEs (and the query CTE `q$sfx`) so a
+    * BATCH oracle can replay the identical round chain once per query id
+    * inside one WITH, sharing the build CTEs (e/cents/assign/edges).
+    */
+  private def graphRoundSql(n: Int, beam: Int, k: Int, sfx: String = ""): String = {
     // rounds >= 2 carry the engine's HNSW convergence guard
     // (GraphAnn.converged): the round's frontier is empty — and with it
     // every later round — once no current-top-k node remains unexpanded.
     // Identical rule both sides, so early exit cannot break the hash gate.
     val notExpanded = if (n == 1) "" else
-      s""" WHERE id NOT IN (SELECT id FROM x${n - 1})
-         |          AND EXISTS (SELECT 1 FROM (SELECT id FROM v${n - 1}
+      s""" WHERE id NOT IN (SELECT id FROM x${n - 1}$sfx)
+         |          AND EXISTS (SELECT 1 FROM (SELECT id FROM v${n - 1}$sfx
          |                      ORDER BY d ASC NULLS LAST, id ASC LIMIT $k) tk
-         |                      WHERE tk.id NOT IN (SELECT id FROM x${n - 1}))""".stripMargin
+         |                      WHERE tk.id NOT IN (SELECT id FROM x${n - 1}$sfx))""".stripMargin
     val xDef =
-      if (n == 1) "SELECT id FROM f1"
-      else s"SELECT id FROM x${n - 1} UNION SELECT id FROM f$n"
+      if (n == 1) s"SELECT id FROM f1$sfx"
+      else s"SELECT id FROM x${n - 1}$sfx UNION SELECT id FROM f$n$sfx"
     // every CTE here is referenced by LATER rounds too — AS MATERIALIZED is
     // load-bearing: DuckDB inlines plain CTEs at each reference, which makes
     // the unrolled-round chain EXPONENTIAL in evaluation cost (measured:
     // 633 s for 4 rounds at sf0.1; materialized: sub-second). Same results,
     // linear evaluation.
-    s"""f$n AS MATERIALIZED (SELECT id, d FROM v${n - 1}$notExpanded
+    s"""f$n$sfx AS MATERIALIZED (SELECT id, d FROM v${n - 1}$sfx$notExpanded
        |        ORDER BY d ASC NULLS LAST, id ASC LIMIT $beam),
-       |x$n AS MATERIALIZED ($xDef),
-       |n$n AS MATERIALIZED (SELECT DISTINCT ed.dst AS id FROM f$n f JOIN edges ed ON ed.src = f.id),
-       |v$n AS MATERIALIZED (
+       |x$n$sfx AS MATERIALIZED ($xDef),
+       |n$n$sfx AS MATERIALIZED (SELECT DISTINCT ed.dst AS id FROM f$n$sfx f JOIN edges ed ON ed.src = f.id),
+       |v$n$sfx AS MATERIALIZED (
        |  SELECT id, min(d) AS d FROM (
-       |    SELECT id, d FROM v${n - 1}
+       |    SELECT id, d FROM v${n - 1}$sfx
        |    UNION ALL
-       |    SELECT n.id, 1 - array_cosine_similarity(e.v, (SELECT v FROM q)) AS d
-       |    FROM n$n n JOIN e ON e.vec_id = n.id) GROUP BY id)""".stripMargin
+       |    SELECT n.id, 1 - array_cosine_similarity(e.v, (SELECT v FROM q$sfx)) AS d
+       |    FROM n$n$sfx n JOIN e ON e.vec_id = n.id) GROUP BY id)""".stripMargin
   }
 
   /** The graph-ANN build + probe replayed end to end: stride-centroid
@@ -1418,6 +1450,60 @@ object NorthStarQueries {
        |$rounds
        |SELECT id AS vec_id, d AS cos_dist FROM v${GraphAnn.DefaultRounds}
        |ORDER BY d ASC NULLS LAST, id ASC LIMIT 10""".stripMargin
+  }
+
+  /** The batch probe replayed: ONE shared build (e/cents/assign/edges —
+    * identical to [[annGraphOracle]]'s) and the same unrolled beam rounds
+    * namespaced per query id, UNION ALL'd with a rank per query. Engine
+    * row-identity per query is GraphAnnSpec's batched-vs-single assertion;
+    * this gate pins the whole batch result to DuckDB.
+    */
+  private def annGraphBatchOracle: String = {
+    val degree = GraphAnn.DefaultDegree
+    val beam = GraphAnn.DefaultBeam
+    val r = GraphAnn.DefaultRounds
+    val perQuery = GraphBatchQids.map { qid =>
+      val sfx = s"_$qid"
+      val rounds = (1 to r).map(graphRoundSql(_, beam, 10, sfx)).mkString(",\n")
+      s"""q$sfx AS MATERIALIZED (SELECT v FROM e WHERE vec_id = $qid),
+         |v0$sfx AS MATERIALIZED (
+         |  SELECT cid AS id, 1 - array_cosine_similarity(cv, (SELECT v FROM q$sfx)) AS d
+         |  FROM cents ORDER BY d ASC NULLS LAST, cid ASC LIMIT $beam),
+         |$rounds""".stripMargin
+    }.mkString(",\n")
+    val finals = GraphBatchQids.map { qid =>
+      s"""SELECT CAST($qid AS BIGINT) AS query_id,
+         |       row_number() OVER (ORDER BY d ASC NULLS LAST, id ASC) AS rank,
+         |       id AS vec_id, d AS cos_dist
+         |FROM (SELECT id, d FROM v${r}_$qid ORDER BY d ASC NULLS LAST, id ASC LIMIT 10)""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[64] AS v FROM embeddings),
+       |cents AS MATERIALIZED (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 64 = 0),
+       |assign AS MATERIALIZED (
+       |  SELECT vec_id, centroid FROM (
+       |    SELECT e.vec_id, c.cid AS centroid,
+       |           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |             1 - array_cosine_similarity(e.v, c.cv) ASC, c.cid ASC) AS rn
+       |    FROM e CROSS JOIN cents c) WHERE rn = 1),
+       |bedges AS MATERIALIZED (
+       |  SELECT src, dst FROM (
+       |    SELECT l.vec_id AS src, r.vec_id AS dst,
+       |           row_number() OVER (PARTITION BY l.vec_id ORDER BY
+       |             1 - array_cosine_similarity(le.v, re.v) ASC, r.vec_id ASC) AS rn
+       |    FROM assign l JOIN assign r ON l.centroid = r.centroid AND l.vec_id <> r.vec_id
+       |    JOIN e le ON le.vec_id = l.vec_id JOIN e re ON re.vec_id = r.vec_id)
+       |  WHERE rn <= $degree),
+       |cedges AS MATERIALIZED (
+       |  SELECT src, dst FROM (
+       |    SELECT l.cid AS src, r.cid AS dst,
+       |           row_number() OVER (PARTITION BY l.cid ORDER BY
+       |             1 - array_cosine_similarity(l.cv, r.cv) ASC, r.cid ASC) AS rn
+       |    FROM cents l JOIN cents r ON l.cid <> r.cid)
+       |  WHERE rn <= $degree),
+       |edges AS MATERIALIZED (SELECT src, dst FROM bedges UNION ALL SELECT src, dst FROM cedges),
+       |$perQuery
+       |SELECT query_id, rank, vec_id, cos_dist FROM ($finals)
+       |ORDER BY query_id, rank""".stripMargin
   }
 
   /** The TIERED graph build + probe replayed end to end (superStride=128):
@@ -1679,6 +1765,7 @@ object NorthStarQueries {
          |FROM reach GROUP BY id ORDER BY vec_id""".stripMargin,
     "ann_kmeans_topk" -> annKmeansOracle,
     "ann_graph_topk" -> annGraphOracle,
+    "ann_graph_batch_topk" -> annGraphBatchOracle,
     "ann_graph_tiered_topk" -> annGraphTieredOracle,
     "sim_join_cosine" ->
       s"""SELECT l.vec_id AS a, r.vec_id AS b,

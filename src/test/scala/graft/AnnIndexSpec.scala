@@ -502,6 +502,43 @@ class GraphAnnSpec extends SparkTestBase {
     assert(a == b)
   }
 
+  test("batched beam search is row-identical per query to the single-query shapes") {
+    val sp = spark
+    import sp.implicits._
+    val edges = GraphAnn.buildEdges(emb, "vec_id", "embedding", stride = 64)
+    val qids = Seq(1L, 7L, 42L)
+    val queries = emb.where(col("vec_id").isin(qids: _*))
+      .select(col("vec_id").as("qid"),
+        col("embedding").cast("array<double>").as("qv"))
+    val batch = GraphAnn.beamSearchTopKBatch(emb, "vec_id", "embedding",
+        edges, queries, "qid", "qv", k = 10, stride = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .groupBy(_._1)
+    for (id <- qids) {
+      val single = GraphAnn.beamSearchTopK(emb, "vec_id", "embedding", edges,
+          qvec(id), k = 10, stride = 64)
+        .collect().zipWithIndex
+        .map { case (r, i) => (id, i + 1L, r.getLong(0), r.getDouble(1)) }.toSeq
+      assert(batch(id).toSeq.sortBy(_._2) == single,
+        s"query $id: batch probe diverged from single-query shape")
+    }
+    // non-default geometry + a query whose convergence round differs from
+    // the others must freeze at ITS round, not the batch's last
+    val queries2 = emb.where(col("vec_id").isin(3L, 11L))
+      .select(col("vec_id").as("qid"),
+        col("embedding").cast("array<double>").as("qv"))
+    val batch2 = GraphAnn.beamSearchTopKBatch(emb, "vec_id", "embedding",
+        edges, queries2, "qid", "qv", k = 5, stride = 64, beam = 4, rounds = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+      .groupBy(_._1)
+    for (id <- Seq(3L, 11L)) {
+      val single = GraphAnn.beamSearchTopK(emb, "vec_id", "embedding", edges,
+          qvec(id), k = 5, stride = 64, beam = 4, rounds = 2)
+        .collect().map(r => (id, r.getLong(0), r.getDouble(1))).toSeq
+      assert(batch2(id).toSeq == single)
+    }
+  }
+
   test("tiered centroid layer: parity-class recall, bounded degree, geometry guard") {
     // stride 16 -> ~31 centroids, superStride 64 -> ~8 super-centroids on
     // the 500-vector corpus: small, but exercises all three edge levels
