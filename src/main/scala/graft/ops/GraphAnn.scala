@@ -372,9 +372,6 @@ object GraphAnn {
     val vecs = df.select(col(idCol).cast("long").as("__nid"), col(vecCol).as("__nv"))
     val wq = Window.partitionBy(col("__qid"))
       .orderBy(col("__d").asc_nulls_last, col("__nid").asc)
-    // entry: per query, the beam nearest centroids (the cross product is
-    // (n/stride × queries) rows against the broadcast query table).
-    //
     // Per-round state is localCheckpoint'd, not persisted: every round's
     // frames reference the previous round's visited AND expanded, so
     // without lineage truncation the logical plan compounds per round
@@ -382,65 +379,96 @@ object GraphAnn {
     // un-truncated tree already OOMs the driver just STRINGIFYING the
     // plan. Eager localCheckpoint bounds every round's plan at depth one;
     // superseded checkpoint blocks are released by the ContextCleaner.
-    var visited = df.where(pmod(col(idCol), lit(stride)) === 0)
-      .select(col(idCol).cast("long").as("__nid"), col(vecCol).as("__nv"))
-      .crossJoin(q)
-      .select(col("__qid"), col("__nid"),
-        array_cosine_distance(col("__nv"), col("__qv")).as("__d"))
-      .withColumn("__rn", row_number().over(wq))
-      .where(col("__rn") <= beam).drop("__rn")
-      .localCheckpoint()
-    var expanded: DataFrame = null // (__qid, __nid)
+    // `expanded` needs NO checkpoint of its own: it is a union of ≤rounds
+    // already-checkpointed frontiers — depth-one lineage by construction —
+    // which saves one materializing job per round.
+    //
+    // Every state frame is (queries × beam)-bounded, so the loop's
+    // shuffles (windows, anti-joins, the min-dedup groupBy) run with a
+    // CLAMPED partition count: at the session default (e.g. 200, or 32 in
+    // the bench) each tiny state shuffle pays task-scheduling overhead
+    // that dominates the probe wall-clock in local mode. The corpus-sized
+    // work (edge/vector scans) is broadcast-join probed, so its scan
+    // parallelism comes from the file splits, not this conf.
+    val spark = df.sparkSession
+    val spKey = "spark.sql.shuffle.partitions"
+    val prevSp = spark.conf.get(spKey)
+    val clamped = math.min(prevSp.toInt, 8).toString
     var round = 0
-    var done = rounds == 0
-    while (!done) {
-      round += 1
-      // per-query convergence gate (round 1 always runs — expanded empty):
-      // a query stays active while some current-top-k node is unexpanded
-      val activeQids =
-        if (expanded == null) visited.select(col("__qid")).distinct()
-        else visited
-          .withColumn("__rn", row_number().over(wq))
-          .where(col("__rn") <= k).drop("__rn")
-          .join(expanded, Seq("__qid", "__nid"), "left_anti")
-          .select(col("__qid")).distinct()
-      val unexpanded = {
-        val live = visited.join(broadcast(activeQids), Seq("__qid"), "left_semi")
-        if (expanded == null) live
-        else live.join(expanded, Seq("__qid", "__nid"), "left_anti")
-      }
-      val frontier = unexpanded
+    try {
+      spark.conf.set(spKey, clamped)
+      // entry: per query, the beam nearest centroids (the cross product is
+      // (n/stride × queries) rows against the broadcast query table)
+      var visited = df.where(pmod(col(idCol), lit(stride)) === 0)
+        .select(col(idCol).cast("long").as("__nid"), col(vecCol).as("__nv"))
+        .crossJoin(q)
+        .select(col("__qid"), col("__nid"),
+          array_cosine_distance(col("__nv"), col("__qv")).as("__d"))
         .withColumn("__rn", row_number().over(wq))
-        .where(col("__rn") <= beam)
-        .select(col("__qid"), col("__nid"))
+        .where(col("__rn") <= beam).drop("__rn")
         .localCheckpoint()
-      if (frontier.isEmpty) { // all queries converged (or stalled): stop
-        done = true
-      } else {
-        expanded =
-          (if (expanded == null) frontier else expanded.union(frontier))
-            .localCheckpoint()
-        val reached = edges
-          .join(broadcast(frontier.select(col("__qid").as("__fq"),
-            col("__nid").as("__fid"))), col("src") === col("__fid"))
-          .select(col("__fq").as("__qid"), col("dst").as("__nid")).distinct()
-        val scored = vecs
-          .join(broadcast(reached), Seq("__nid"))
-          .join(q, Seq("__qid"))
-          .select(col("__qid"), col("__nid"),
-            array_cosine_distance(col("__nv"), col("__qv")).as("__d"))
-        visited = visited.union(scored)
-          .groupBy(col("__qid"), col("__nid")).agg(min(col("__d")).as("__d"))
+      var frontiers = Vector.empty[DataFrame] // checkpointed, per round
+      def expanded: DataFrame =
+        if (frontiers.isEmpty) null else frontiers.reduce(_ union _)
+      var done = rounds == 0
+      while (!done) {
+        round += 1
+        val exp = expanded
+        // Convergence gate + frontier in ONE pass (round 1 always runs —
+        // expanded empty). A query stays active while some current-top-k
+        // node is unexpanded; its frontier is the best `beam` unexpanded
+        // nodes. Both derive from window flags over the SAME per-query
+        // partitioning — one broadcast left-join against the expanded set
+        // and one sort, instead of the semi/anti-join cascade whose
+        // per-round broadcast and AQE-stage jobs dominate wall-clock in
+        // local mode (measured 68 driver-scheduled jobs for 4 rounds).
+        val marked =
+          if (exp == null) visited.withColumn("__x", lit(null).cast("int"))
+          // frontiers are disjoint by construction (each excludes the
+          // union of its predecessors), so the expanded set is duplicate-
+          // free and the left join cannot fan out
+          else visited.join(broadcast(exp.withColumn("__x", lit(1))),
+            Seq("__qid", "__nid"), "left")
+        val wqAll = Window.partitionBy(col("__qid"))
+          .orderBy(col("__d").asc_nulls_last, col("__nid").asc)
+        val frontier = marked
+          .withColumn("__rk", row_number().over(wqAll))
+          .withColumn("__live", max(when(col("__rk") <= k && col("__x").isNull, 1)
+            .otherwise(0)).over(Window.partitionBy(col("__qid"))))
+          .where(col("__x").isNull && col("__live") === 1)
+          .withColumn("__rn", row_number().over(wqAll))
+          .where(col("__rn") <= beam)
+          .select(col("__qid"), col("__nid"))
           .localCheckpoint()
-        if (round >= rounds) done = true
+        if (frontier.isEmpty) { // all queries converged (or stalled): stop
+          done = true
+        } else {
+          frontiers :+= frontier
+          val reached = edges
+            .join(broadcast(frontier.select(col("__qid").as("__fq"),
+              col("__nid").as("__fid"))), col("src") === col("__fid"))
+            .select(col("__fq").as("__qid"), col("dst").as("__nid")).distinct()
+          val scored = vecs
+            .join(broadcast(reached), Seq("__nid"))
+            .join(q, Seq("__qid"))
+            .select(col("__qid"), col("__nid"),
+              array_cosine_distance(col("__nv"), col("__qv")).as("__d"))
+          visited = visited.union(scored)
+            .groupBy(col("__qid"), col("__nid")).agg(min(col("__d")).as("__d"))
+            .localCheckpoint()
+          if (round >= rounds) done = true
+        }
       }
-    }
-    probeRounds.set(round)
-    visited
-      .withColumn("__rn", row_number().over(wq))
-      .where(col("__rn") <= k)
-      .select(col("__qid").as(qidCol), col("__rn").cast("long").as("rank"),
-        col("__nid").as(idCol), col("__d").as("cos_dist"))
+      probeRounds.set(round)
+      visited
+        .withColumn("__rn", row_number().over(wq))
+        .where(col("__rn") <= k)
+        .select(col("__qid").as(qidCol), col("__rn").cast("long").as("rank"),
+          col("__nid").as(idCol), col("__d").as("cos_dist"))
+        // the caller consumes this OUTSIDE the conf clamp — pin the final
+        // ranked frame so its window also runs on the clamped state size
+        .localCheckpoint()
+    } finally spark.conf.set(spKey, prevSp)
   }
 
   /** Single-query point probe — row-identical to [[beamSearchTopK]]
