@@ -375,4 +375,39 @@ object ProductQuantizer {
     encode(batch, idCol, vecCol, cb, spec)
       .write.mode("append").parquet(s"$path/codes")
   }
+
+  /** Compact a [[materialize]]d index's flat `codes/` directory — the
+    * maintenance half of [[appendToMaterialized]], which grows it by one+
+    * file per ingest batch forever (the same small-files risk
+    * `AnnIndex.compactBuckets` closes for the bucket-partitioned store;
+    * codes are flat, so the remedy is a rewrite-and-swap instead of a
+    * dynamic partition overwrite). No-op below `maxFiles`. The rewrite is
+    * a narrow `coalesce` sized from actual on-disk bytes (no shuffle —
+    * code rows carry no ordering contract), staged to a sibling directory
+    * and swapped in with two directory renames; the swap window is not
+    * atomic on a plain filesystem, so run it under the store's
+    * single-writer contract with probes quiesced (the same contract
+    * re-materializing requires). Returns true when a rewrite happened.
+    */
+  def compactCodes(spark: org.apache.spark.sql.SparkSession, path: String,
+      maxFiles: Int = 16, targetBytes: Long = 128L << 20): Boolean = {
+    import java.nio.file.{Files => JF, Paths => JP, StandardCopyOption}
+    import scala.jdk.CollectionConverters._
+    val codesDir = JP.get(path, "codes")
+    val parts = JF.list(codesDir).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+    if (parts.length <= maxFiles) return false
+    val bytes = parts.map(JF.size(_)).sum
+    val nOut = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+    val staging = JP.get(path, "codes_compacting")
+    spark.read.parquet(codesDir.toString)
+      .coalesce(nOut)
+      .write.mode("overwrite").parquet(staging.toString)
+    val retired = JP.get(path, "codes_retired")
+    JF.move(codesDir, retired, StandardCopyOption.ATOMIC_MOVE)
+    JF.move(staging, codesDir, StandardCopyOption.ATOMIC_MOVE)
+    JF.walk(retired).iterator().asScala.toSeq.reverse
+      .foreach(p => JF.deleteIfExists(p))
+    true
+  }
 }

@@ -134,9 +134,12 @@ object CorpusIngest {
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
         val absorbed = appendVectorEpoch(batch, base, idCol, vecCol,
           stride, annPath, pqPath, epochId)
-        if (compactEvery > 0 && absorbed.contains(annPath) &&
-            epochId > 0 && epochId % compactEvery == 0)
-          AnnIndex.compactBuckets(batch.sparkSession, annPath, maxFilesPerBucket)
+        if (compactEvery > 0 && epochId > 0 && epochId % compactEvery == 0) {
+          if (absorbed.contains(annPath))
+            AnnIndex.compactBuckets(batch.sparkSession, annPath, maxFilesPerBucket)
+          pqPath.filter(absorbed.contains).foreach(p =>
+            ProductQuantizer.compactCodes(batch.sparkSession, p, maxFilesPerBucket))
+        }
         onEpoch(epochId, absorbed)
       }
       .start()

@@ -76,4 +76,41 @@ class AnnCompactionSpec extends SparkTestBase {
     assert(AnnIndex.compactBuckets(spark, path, maxFilesPerBucket = 8).isEmpty)
     assert(bucketFiles(path) == before)
   }
+
+  test("PQ codes compaction: fragmented flat store collapses, content identical, no-op below threshold") {
+    import graft.ops.ProductQuantizer
+    import ProductQuantizer.PqSpec
+    val spec = PqSpec(m = 8, dsub = 8, stride = 16)
+    val path = graft.util.TempDirs.create("graft_pq_compact")
+    AnnIndex // touch to keep imports tidy
+    ProductQuantizer.materialize(
+      emb.where(pmod(col("vec_id"), lit(2)) === 0), "vec_id", "embedding", spec, path)
+    (0 until 4).foreach { b =>
+      ProductQuantizer.appendToMaterialized(
+        emb.where(pmod(col("vec_id"), lit(8)) === 2 * b + 1),
+        "vec_id", "embedding", path)
+    }
+    def codeFiles(): Seq[String] = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.list(java.nio.file.Paths.get(path, "codes"))
+        .iterator().asScala.map(_.getFileName.toString)
+        .filter(_.endsWith(".parquet")).toSeq.sorted
+    }
+    def codes(): Set[(Long, Int, Long)] =
+      spark.read.parquet(s"$path/codes").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val beforeFiles = codeFiles()
+    val beforeCodes = codes()
+    assert(beforeFiles.length > 2, s"fixture failed to fragment: $beforeFiles")
+    assert(ProductQuantizer.compactCodes(spark, path, maxFiles = 2))
+    assert(codeFiles().length <= 2, s"still fragmented: ${codeFiles()}")
+    assert(codes() == beforeCodes, "compaction changed the code content")
+    // probes through the compacted store still work (spec marker + codebooks intact)
+    val (_, (cb, codesDf)) = ProductQuantizer.fromMaterialized(spark, path, Some(spec))
+    assert(!cb.isEmpty && codesDf.count() == beforeCodes.size)
+    // already-compacted: no-op
+    val afterFiles = codeFiles()
+    assert(!ProductQuantizer.compactCodes(spark, path, maxFiles = 2))
+    assert(codeFiles() == afterFiles)
+  }
 }

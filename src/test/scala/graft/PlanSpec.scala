@@ -125,4 +125,17 @@ class PlanSpec extends SparkTestBase {
       .findAllIn(plan).size
     assert(nAggs <= 2, s"expected one fused aggregate (partial+final), plan has $nAggs:\n$plan")
   }
+
+  test("group-average filter shuffles the data ONCE (window partitioning reused by the aggregate)") {
+    // orders_above_cust_avg: the groupBy+self-join shape would exchange
+    // the orders table twice (and its agg side stops being broadcastable
+    // at customer scale); the window shape must show exactly one
+    // hash-partitioning exchange, with the final groupBy riding on it.
+    val plan = graft.SparkEntry.queries("orders_above_cust_avg")(
+        spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    val nHash = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(nHash == 1, s"expected exactly 1 data exchange, found $nHash:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"), plan)
+  }
 }
