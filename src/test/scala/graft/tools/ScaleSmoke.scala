@@ -178,6 +178,20 @@ object ScaleSmoke {
           System.nanoTime() - t0
         }.min / 1000000L
       }
+      // batched probe: ONE round loop serves 100 queries; wall should be
+      // ~flat in BOTH corpus size (state is beam-bounded) and query count
+      // (the loop's cost is fixed driver scheduling — SCALING.md quotes
+      // the 3/30/300-query ladder at 1×)
+      timed("graph_batch100", k, nVec) { // wall millis as `out`
+        val queries = emb.where(pmod(col("vec_id"), lit(97)) === lit(1))
+          .limit(100)
+          .select(col("vec_id").as("qid"),
+            col("embedding").cast("array<double>").as("qv"))
+        val t0 = System.nanoTime()
+        graft.ops.GraphAnn.beamSearchTopKBatch(emb, "vec_id", "embedding",
+          edges, queries, "qid", "qv", k = 10, stride = 64).count()
+        (System.nanoTime() - t0) / 1000000L
+      }
       // tiered centroid layer: the fixed-stride centroid² remedy — the
       // centroid level becomes Σ bucket² under superStride, only the
       // ~n/superStride supers pay the exact kNN
