@@ -37,4 +37,45 @@ object Mixture {
       .where(Sampling.hashBucket(key, buckets) < col("__keep"))
       .drop("__s", "__keep")
   }
+
+  /** UPSAMPLE each stratum to ~`epochs` passes over it — the other half of
+    * mixture construction (LLaMA/Gopher-style recipes run a small
+    * high-quality source for >1 epoch while the bulk web crawl runs <1).
+    * Epochs are given in integer THOUSANDTHS (2500 = 2.5 epochs) so the
+    * fraction arithmetic is exact on both engines: every row gets
+    * `e1000 DIV 1000` copies, plus one more where its hash bucket falls
+    * under `e1000 MOD 1000` of the 1000 buckets — so a 2.5-epoch stratum
+    * is two full passes plus a deterministic half. e1000 < 1000
+    * downsamples (0 copies for rows above the fraction), so one operator
+    * expresses the whole mixture weight line.
+    *
+    * Scale shape: ONE scan — the epoch spec is a broadcast map join, the
+    * copy fan-out is a map-side `explode(sequence(...))` (no shuffle),
+    * and the emitted `epochCopyCol` (0-based copy index) keeps replicated
+    * rows distinct for downstream shuffles/dedup. Deterministic under
+    * retry/speculation/engine swap (same [[Sampling.hashBucket]] contract
+    * as [[toTokenBudget]]).
+    */
+  def epochReplicate(df: DataFrame, stratum: Column, key: Column,
+      epochs1000: Map[String, Long], default1000: Long = 1000L,
+      epochCopyCol: String = "epoch_copy"): DataFrame = {
+    require(default1000 >= 0 && epochs1000.values.forall(_ >= 0),
+      "epoch thousandths must be >= 0")
+    val spec = epochs1000.toSeq.flatMap { case (s, e) => Seq(lit(s), lit(e)) }
+    val e1000 =
+      if (spec.isEmpty) lit(default1000)
+      else coalesce(element_at(map(spec: _*), stratum.cast("string")),
+        lit(default1000))
+    // integer floor-division spelled shuffle-free and float-free: the
+    // numerator is made an exact multiple of 1000 before the divide
+    val e = e1000.cast("long")
+    val rem = pmod(e, lit(1000L))
+    val nCopies = ((e - rem) / lit(1000L)).cast("long") +
+      when(Sampling.hashBucket(key, 1000) < rem, 1L).otherwise(0L)
+    df.withColumn("__n", nCopies)
+      .where(col("__n") > 0)
+      .withColumn(epochCopyCol,
+        explode(sequence(lit(0L), col("__n") - 1L)))
+      .drop("__n")
+  }
 }

@@ -1056,6 +1056,20 @@ object NorthStarQueries {
         .transform(sortedSingle(_, col("doc_id")))
     },
 
+    // epoch UPSAMPLING — the other half of mixture construction: a small
+    // high-quality source runs 2.5 epochs, the bulk runs 1, a noisy one
+    // runs a 0.4-epoch downsample — all from ONE map-side scan
+    // (broadcast epoch spec + explode(sequence)), deterministic
+    // thousandths arithmetic both engines replay exactly
+    "epoch_upsample" -> { (s, dir) =>
+      graft.ops.Mixture.epochReplicate(
+          t(s, dir, "documents"), col("source"), col("doc_id"),
+          epochs1000 = Map("src0" -> 2500L, "src1" -> 1000L, "src2" -> 400L),
+          default1000 = 1000L)
+        .select("doc_id", "source", "epoch_copy")
+        .transform(sortedSingle(_, col("doc_id"), col("epoch_copy")))
+    },
+
     // observe()-piggybacked per-stage health certificate (O1) for the
     // funnel's declarative stages: counters (rows, null/empty texts, char
     // volume) accumulate INSIDE the action that materializes each stage —
@@ -2030,6 +2044,20 @@ object NorthStarQueries {
     // constants), same repetition gate (incl. the minimum-evidence rules),
     // same md5 dedup key and the same Jaccard near-dup semantics on the
     // exact-dedup survivor subset
+    // identical thousandths arithmetic: whole epochs = e DIV 1000 copies,
+    // the remainder epoch keeps the rows whose md5 bucket < e % 1000
+    "epoch_upsample" ->
+      """WITH spec(source, e1000) AS (VALUES ('src0', 2500), ('src1', 1000), ('src2', 400)),
+        |base AS (
+        |  SELECT d.doc_id, d.source, coalesce(s.e1000, 1000) AS e1000,
+        |         ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000 AS b
+        |  FROM documents d LEFT JOIN spec s USING (source)),
+        |n AS (SELECT doc_id, source,
+        |             e1000 // 1000 + CASE WHEN b < e1000 % 1000 THEN 1 ELSE 0 END AS n
+        |      FROM base)
+        |SELECT doc_id, source, unnest(range(n))::BIGINT AS epoch_copy
+        |FROM n WHERE n > 0
+        |ORDER BY doc_id, epoch_copy""".stripMargin,
     // same stage filters as the funnel head (shared threshold constants +
     // the shared quality expression), plain aggregates per stage
     "pipeline_metrics" ->

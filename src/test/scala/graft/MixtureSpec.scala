@@ -73,4 +73,38 @@ class MixtureSpec extends SparkTestBase {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"), plan)
   }
+
+  test("epoch replication: whole epochs replicate everyone, fractions a hash-stable subset, <1 downsamples") {
+    val d = docs.limit(200)
+    val out = Mixture.epochReplicate(d, col("source"), col("doc_id"),
+      epochs1000 = Map("src0" -> 3000L, "src1" -> 1500L, "src2" -> 500L),
+      default1000 = 1000L)
+    val perDoc = out.groupBy("doc_id", "source")
+      .agg(count(lit(1)).as("n"), max("epoch_copy").as("maxc"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // copy indices are dense 0..n-1
+    assert(perDoc.forall { case (_, _, n, maxc) => maxc == n - 1 })
+    val bySource = perDoc.groupBy(_._2).map { case (s, rows) =>
+      s -> rows.map(_._3)
+    }
+    // 3.0 epochs: exactly 3 copies each
+    assert(bySource("src0").forall(_ == 3L))
+    // 1.5 epochs: every doc 1 or 2 copies, and some of each
+    assert(bySource("src1").forall(n => n == 1L || n == 2L))
+    assert(bySource("src1").exists(_ == 2L) && bySource("src1").exists(_ == 1L))
+    // 0.5 epochs: the survivors appear exactly once, and some docs dropped
+    val src2Total = docs.limit(200).where(col("source") === "src2").count()
+    assert(bySource("src2").forall(_ == 1L) && bySource("src2").length < src2Total)
+    // replication is deterministic (retry-stable): same frame, same rows
+    val again = Mixture.epochReplicate(d, col("source"), col("doc_id"),
+      epochs1000 = Map("src0" -> 3000L, "src1" -> 1500L, "src2" -> 500L),
+      default1000 = 1000L)
+      .select("doc_id", "epoch_copy").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(again == out.select("doc_id", "epoch_copy").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet)
+    // scan-side fan-out: no shuffle of the corpus (no exchange at all —
+    // the epoch spec is a literal map, not even a broadcast join)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"), plan)
+  }
 }
