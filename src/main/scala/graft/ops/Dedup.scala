@@ -192,15 +192,24 @@ object Dedup {
     * size_b, jaccard).
     */
   def jaccardJoinAgainst(batch: DataFrame, corpus: DataFrame, idCol: String,
-      shingleCol: String, tau: Double): DataFrame = {
-    def prep(df: DataFrame): DataFrame = df
-      .select(col(idCol).as("__id"), array_distinct(col(shingleCol)).as("__arr"))
-      .withColumn("__sz", size(col("__arr")).cast("long"))
-      .where(col("__sz") > 0)
-    val l = prep(batch)
-      .select(col("__id").as("a"), col("__sz").as("size_a"), explode(col("__arr")).as("__sh"))
-    val r = prep(corpus)
-      .select(col("__id").as("b"), col("__sz").as("size_b"), explode(col("__arr")).as("__sh"))
+      shingleCol: String, tau: Double): DataFrame =
+    againstCore(
+      explodedPostings(batch, idCol, shingleCol, "a", "size_a"),
+      explodedPostings(corpus, idCol, shingleCol, "b", "size_b"), tau)
+
+  /** `(id, size, __sh)` posting rows of a shingled frame — the inverted-
+    * index representation every against-join consumes (zero-shingle docs
+    * drop out; they can't near-dup).
+    */
+  private def explodedPostings(df: DataFrame, idCol: String,
+      shingleCol: String, idAs: String, sizeAs: String): DataFrame = df
+    .select(col(idCol).as("__id"), array_distinct(col(shingleCol)).as("__arr"))
+    .withColumn("__sz", size(col("__arr")).cast("long"))
+    .where(col("__sz") > 0)
+    .select(col("__id").as(idAs), col("__sz").as(sizeAs),
+      explode(col("__arr")).as("__sh"))
+
+  private def againstCore(l: DataFrame, r: DataFrame, tau: Double): DataFrame =
     l.join(r, "__sh")
       .where(col("size_b") >= ceil(lit(tau) * col("size_a")) &&
         col("size_a") >= ceil(lit(tau) * col("size_b")))
@@ -211,7 +220,35 @@ object Dedup {
           (col("size_a") + col("size_b") - col("inter")).cast("double"))
       .where(col("jaccard") >= tau)
       .select("a", "b", "inter", "size_a", "size_b", "jaccard")
-  }
+
+  /** Materialize the corpus's inverted shingle postings as a BUCKETED
+    * catalog table — the build-once/probe-many artifact for incremental
+    * dedup. At 100 TB the corpus is never re-shingled, re-exploded, or
+    * re-SHUFFLED per crawl batch: the postings are bucketed (and sorted)
+    * by shingle, so [[jaccardJoinAgainstPostings]] exchanges ONLY the
+    * (much smaller) batch side — the corpus side of the equi-join reads
+    * its buckets in place. Pay shuffle at ingest once, not per probe —
+    * the same at-rest posture as `AnnIndex.materialize`.
+    */
+  def materializePostings(corpus: DataFrame, idCol: String,
+      shingleCol: String, table: String, buckets: Int = 32): Unit =
+    graft.sources.Bucketing.writeBucketed(
+      explodedPostings(corpus, idCol, shingleCol, "b", "size_b"),
+      table, "__sh", buckets)
+
+  /** Open a [[materializePostings]] table. */
+  def openPostings(spark: org.apache.spark.sql.SparkSession,
+      table: String): DataFrame = spark.table(table)
+
+  /** [[jaccardJoinAgainst]] with the corpus side already at rest as a
+    * [[materializePostings]] table — row-identical (spec-asserted), but
+    * the only exchange feeding the join is the batch side's.
+    */
+  def jaccardJoinAgainstPostings(batch: DataFrame, postings: DataFrame,
+      idCol: String, shingleCol: String, tau: Double): DataFrame =
+    againstCore(
+      explodedPostings(batch, idCol, shingleCol, "a", "size_a"),
+      postings, tau)
 
   /** Batch rows surviving incremental dedup: anti-join on the matched batch
     * ids from [[jaccardJoinAgainst]].

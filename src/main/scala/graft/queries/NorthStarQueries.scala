@@ -114,6 +114,11 @@ object NorthStarQueries {
   /** Graph-ANN edge table (GraphAnn.materialize) per dir. */
   private val graphSpool = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** incremental_postings_dedup's bucketed postings table, built ONCE per
+    * source dir (catalog table — bucket metadata needs `saveAsTable`).
+    */
+  private val postingsSpool = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** Tiered (superStride) graph-ANN edge table per dir. */
   private val graphTierSpool = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -197,6 +202,30 @@ object NorthStarQueries {
       val batch = sh.where(pmod(col("doc_id"), lit(2)) === 1)
       val corpus = sh.where(pmod(col("doc_id"), lit(2)) === 0)
       val pairs = Dedup.jaccardJoinAgainst(batch, corpus, "doc_id", "sh", JaccardTau)
+      Dedup.incrementalSurvivors(
+          t(s, dir, "documents").select("doc_id")
+            .where(pmod(col("doc_id"), lit(2)) === 1), "doc_id", pairs)
+        .transform(sortedSingle(_, col("doc_id")))
+    },
+
+    // the SAME incremental dedup through the AT-REST postings artifact
+    // (Dedup.materializePostings: corpus shingles exploded, bucketed and
+    // sorted by shingle ONCE at ingest) — per batch only the batch side
+    // shuffles; the corpus postings join from their buckets in place.
+    // Same oracle as incremental_dedup: the at-rest layout must not
+    // change a single row.
+    "incremental_postings_dedup" -> { (s, dir) =>
+      val table = postingsSpool.computeIfAbsent(dir, d => {
+        val nm = s"graft_postings_${java.lang.Long.toHexString(d.hashCode.toLong & 0xffffffffL)}"
+        Dedup.materializePostings(
+          docsWithShingles(s, d).where(pmod(col("doc_id"), lit(2)) === 0),
+          "doc_id", "sh", nm, buckets = 8)
+        nm
+      })
+      val batch = docsWithShingles(s, dir)
+        .where(pmod(col("doc_id"), lit(2)) === 1)
+      val pairs = Dedup.jaccardJoinAgainstPostings(
+        batch, Dedup.openPostings(s, table), "doc_id", "sh", JaccardTau)
       Dedup.incrementalSurvivors(
           t(s, dir, "documents").select("doc_id")
             .where(pmod(col("doc_id"), lit(2)) === 1), "doc_id", pairs)
@@ -1746,6 +1775,23 @@ object NorthStarQueries {
       """SELECT min(doc_id) AS media_id FROM documents
         |GROUP BY doc_id % 100 ORDER BY media_id""".stripMargin,
     "incremental_dedup" ->
+      s"""WITH $ShCte,
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS inter
+         |  FROM sh l JOIN sh r ON l.sh = r.sh
+         |  WHERE l.doc_id % 2 = 1 AND r.doc_id % 2 = 0
+         |  GROUP BY 1, 2),
+         |matched AS (
+         |  SELECT DISTINCT a FROM inter
+         |  JOIN sizes sa ON a = sa.doc_id JOIN sizes sb ON b = sb.doc_id
+         |  WHERE inter::DOUBLE / (sa.sz + sb.sz - inter) >= $JaccardTau)
+         |SELECT doc_id FROM documents
+         |WHERE doc_id % 2 = 1 AND doc_id NOT IN (SELECT a FROM matched)
+         |ORDER BY doc_id""".stripMargin,
+    // identical semantics to incremental_dedup — the at-rest bucketed
+    // postings layout must not change a single row
+    "incremental_postings_dedup" ->
       s"""WITH $ShCte,
          |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
          |inter AS (
