@@ -377,6 +377,23 @@ object SparkEntry {
         .transform(graft.queries.sortedSingle(_, col("lang")))
     },
 
+    // ---- ingestion: ORC sink+scan roundtrip — the Hive/Trino-side
+    // columnar interchange format, covered with the same byte-fidelity
+    // gate as jsonl_roundtrip (md5-prefix fingerprint sum over text):
+    // the oracle aggregates the source parquet, so the hash matches iff
+    // the ORC roundtrip was the identity on every row. ----
+    "orc_roundtrip" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val tmp = graft.util.TempDirs.create("graft_orc_rt") + "/docs"
+      graft.sources.CorpusIO.writeOrc(docs, tmp)
+      graft.sources.CorpusIO.readOrc(s, tmp, docs.schema)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"),
+          sum(conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long"))
+            .as("text_fp_sum"))
+        .transform(graft.queries.sortedSingle(_, col("lang")))
+    },
+
     // ---- ingestion: schema-DRIFT scan — two batches written with
     // different schemas (the second adds `lang`), read back with
     // mergeSchema so pre-drift rows surface the new column as NULL
@@ -588,6 +605,11 @@ object SparkEntry {
     // which the driver's type-sensitive hash cannot match against Spark's
     // long — every oracle sum over integers must land back in BIGINT
     "jsonl_roundtrip" ->
+      """SELECT lang, count(*) AS n,
+        |       CAST(sum(('0x' || substr(md5(text), 1, 8))::BIGINT) AS BIGINT) AS text_fp_sum
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    // same byte-fidelity gate as jsonl: the roundtrip must be the identity
+    "orc_roundtrip" ->
       """SELECT lang, count(*) AS n,
         |       CAST(sum(('0x' || substr(md5(text), 1, 8))::BIGINT) AS BIGINT) AS text_fp_sum
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,

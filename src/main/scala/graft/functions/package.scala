@@ -72,6 +72,13 @@ package object functions {
   def vector_sum(v: Column): Column =
     col(VectorSum(ex(v)).toAggregateExpression())
 
+  /** Membership probe against a driver-built Bloom filter (codegen'd; the
+    * serialized filter ships with the plan). See [[BloomMightContain]].
+    */
+  def bloom_might_contain(key: Column,
+      filter: org.apache.spark.util.sketch.BloomFilter): Column =
+    col(BloomMightContain(ex(key), BloomMightContain.serialize(filter)))
+
   /** Ruri model-family document prefix (reference: model/search/vector.py:123). */
   def doc_prefix(text: Column): Column = concat(lit("文章: "), text)
 

@@ -533,4 +533,93 @@ object Dedup {
   private def duplicatedGrams(wins: DataFrame, minCount: Int): DataFrame =
     wins.groupBy(col("__gram")).agg(count(lit(1)).as("__c"))
       .where(col("__c") >= minCount).select(col("__gram"))
+
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+    * cluster the embedding space with k-means, then screen each cluster for
+    * near-identical pairs — the embedding-space analogue of MinHash dedup
+    * for paraphrases/translations that share no surface n-grams.
+    *
+    * Algorithm (the paper's screening rule, made deterministic):
+    *  1. k-means centroids via [[AnnIndex.kmeansCentroids]] (fixed stride
+    *     init, fixed iteration count, 1e-6 mean grid — oracle-replayable).
+    *  2. assign every vector to its nearest centroid (lowest-cid tie-break).
+    *  3. within a cluster, order members by (distance-to-centroid ASC,
+    *     id ASC) — the paper keeps cluster members closest to the centroid.
+    *  4. a member is a semantic duplicate iff some EARLIER-ordered member of
+    *     the same cluster sits within cosine distance `eps` of it. The max
+    *     is over all earlier members regardless of their own dup flag
+    *     (the paper's non-iterative screen — one pass, no fixpoint).
+    *
+    * Scale posture: pairwise work is confined WITHIN clusters (equi-join on
+    * centroid id, never all-pairs); expected cluster size == `stride`, so
+    * compare cost is `n * stride` — at 100 TB you raise the centroid count
+    * (lower stride) to keep clusters bounded, exactly as the paper shards
+    * its clustering. One broadcast-join pass for assignment, one
+    * cluster-partitioned self-join for the screen.
+    *
+    * Output: (idCol, centroid, rnk, cdist, is_dup) for every input vector.
+    */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+      stride: Int = 64, iters: Int = 2, eps: Double = 0.55): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = AnnIndex.kmeansCentroids(df, idCol, vecCol, stride, iters)
+    val vecs = df.select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
+    // nearest-centroid argmin: struct min orders by distance then cid, so
+    // ties break to the lowest centroid id — same rule as the IVF build
+    val assigned = vecs.crossJoin(broadcast(cents))
+      .select(col(idCol), col("__v"),
+        struct(graft.functions.array_cosine_distance(col("__v"), col("__cvec")).as("d"),
+          col("__cid").as("cid")).as("__dc"))
+      .groupBy(col(idCol))
+      .agg(first(col("__v")).as("__v"), min(col("__dc")).as("__best"))
+      .select(col(idCol), col("__v"),
+        col("__best.cid").as("centroid"), col("__best.d").as("cdist"))
+    val w = Window.partitionBy(col("centroid"))
+      .orderBy(col("cdist").asc, col(idCol).asc)
+    val ranked = assigned.withColumn("rnk", row_number().over(w).cast("long"))
+      .persist(StorageLevel.MEMORY_AND_DISK) // feeds both sides of the screen
+    val earlier = ranked.select(col("centroid"), col("rnk").as("__lr"),
+      col("__v").as("__lv"))
+    val dupIds = ranked.select(col(idCol), col("centroid"), col("rnk"), col("__v"))
+      .join(earlier, Seq("centroid"))
+      .where(col("__lr") < col("rnk"))
+      .where(graft.functions.array_cosine_distance(col("__v"), col("__lv")) <= eps)
+      .select(col(idCol)).distinct()
+      .withColumn("__isdup", lit(true))
+    ranked.join(dupIds, Seq(idCol), "left")
+      .select(col(idCol), col("centroid"), col("rnk"), col("cdist"),
+        coalesce(col("__isdup"), lit(false)).as("is_dup"))
+  }
+
+  /** Bloom filter over the corpus's dedup keys, built in one aggregate pass
+    * (`stat.bloomFilter` — order-independent bit ORs, fixed seed, so the
+    * filter is deterministic for a given key set). The returned filter is a
+    * driver-side object sized by `expectedItems`/`fpp` — ~1.1 GB at 10^9
+    * keys / 1% fpp, so at the 100 TB tier build it once per ingest epoch and
+    * reuse across batches (it is the cheap side: ONE scan of corpus keys vs
+    * a per-batch corpus-sized join).
+    */
+  def corpusBloom(corpus: DataFrame, keyCol: String, expectedItems: Long,
+      fpp: Double = 0.03): org.apache.spark.util.sketch.BloomFilter =
+    corpus.stat.bloomFilter(keyCol, expectedItems, fpp)
+
+  /** Exact incremental dedup with a Bloom FAST PATH: batch rows the filter
+    * rejects are GUARANTEED unseen (Bloom has no false negatives) and
+    * survive without touching the corpus; only the "possibly seen" subset —
+    * true duplicates plus the fpp sliver — pays the exact anti-join. At
+    * 100 TB this turns "join every crawl batch against the full corpus key
+    * set" into "join the few-percent candidate subset": the shuffle carries
+    * candidates, not the batch. Row-identical to the plain anti-join by
+    * construction (the spec and the `bloom_dedup_survivors` gate both hold
+    * it to that).
+    */
+  def bloomIncrementalSurvivors(batch: DataFrame, corpusKeys: DataFrame,
+      keyCol: String,
+      filter: org.apache.spark.util.sketch.BloomFilter): DataFrame = {
+    val probe = graft.functions.bloom_might_contain(col(keyCol), filter)
+    val guaranteedUnseen = batch.where(!probe)
+    val verifiedUnseen = batch.where(probe)
+      .join(corpusKeys.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
+    guaranteedUnseen.unionByName(verifiedUnseen)
+  }
 }

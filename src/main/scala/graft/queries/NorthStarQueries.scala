@@ -232,6 +232,56 @@ object NorthStarQueries {
         .transform(sortedSingle(_, col("doc_id")))
     },
 
+    // Bloom membership CONTRACT gate (Dedup.corpusBloom + the codegen'd
+    // bloom_might_contain probe): filter over the even-id corpus text
+    // fingerprints, probed by ALL docs. Emits the exact batch/seen counts
+    // plus the two contract facts as stable values — false_negatives MUST
+    // be 0 (Bloom guarantee; a broken probe path flips it and fails the
+    // hash) and the false-positive count on truly-unseen keys must sit
+    // under 3x the configured fpp. Deterministic end to end: the filter's
+    // bits are order-independent ORs with fixed seeds.
+    "bloom_prefilter_gate" -> { (s, dir) =>
+      val fp = t(s, dir, "documents")
+        .select(col("doc_id"), md5(col("text")).as("fp"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val corpus = fp.where(pmod(col("doc_id"), lit(2)) === 0)
+      val filter = Dedup.corpusBloom(corpus, "fp",
+        expectedItems = math.max(corpus.count(), 1L), fpp = 0.03)
+      val probed = fp
+        .withColumn("__maybe", graft.functions.bloom_might_contain(col("fp"), filter))
+        .join(corpus.select(col("fp")).distinct().withColumn("__seen", lit(true)),
+          Seq("fp"), "left")
+        .withColumn("__seen", coalesce(col("__seen"), lit(false)))
+      probed.agg(
+          count(lit(1)).as("n_batch"),
+          sum(when(col("__seen"), 1L).otherwise(0L)).as("n_seen"),
+          sum(when(col("__seen") && !col("__maybe"), 1L).otherwise(0L))
+            .as("false_negatives"),
+          sum(when(!col("__seen") && col("__maybe"), 1L).otherwise(0L)).as("__fp"),
+          sum(when(!col("__seen"), 1L).otherwise(0L)).as("__unseen"))
+        .select(col("n_batch"), col("n_seen"), col("false_negatives"),
+          (col("__fp") <= greatest(ceil(col("__unseen") * 3 * 0.03), lit(5L)))
+            .as("fp_ok"))
+    },
+
+    // the Bloom tier END TO END: incremental exact dedup where the filter
+    // fast-paths guaranteed-unseen batch rows around the corpus anti-join
+    // (Dedup.bloomIncrementalSurvivors). The oracle is the PLAIN set
+    // difference — the hash matches iff the fast path changed nothing,
+    // which is the tier's whole contract.
+    "bloom_dedup_survivors" -> { (s, dir) =>
+      val fp = t(s, dir, "documents")
+        .select(col("doc_id"), md5(col("text")).as("fp"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val corpus = fp.where(pmod(col("doc_id"), lit(2)) === 0)
+      val batch = fp.where(pmod(col("doc_id"), lit(2)) === 1)
+      val filter = Dedup.corpusBloom(corpus, "fp",
+        expectedItems = math.max(corpus.count(), 1L), fpp = 0.03)
+      Dedup.bloomIncrementalSurvivors(batch, corpus, "fp", filter)
+        .select("doc_id")
+        .transform(sortedSingle(_, col("doc_id")))
+    },
+
     // boilerplate resistance (Dedup.dropHotShingles): every doc gets the
     // same salted footer (the corpus is boilerplate-free, so the fixture is
     // in-query — cf. pii_redact), whose shingles then appear in 100% of
@@ -308,6 +358,19 @@ object NorthStarQueries {
           CosineTau, embeddingDim(s, dir))
         .select("a", "b")
       Dedup.componentsStar(pairs, "vec_id")
+        .transform(sortedSingle(_, col("vec_id")))
+    },
+
+    // SemDeDup semantic dedup (Abbas et al. 2023): k-means clusters ->
+    // within-cluster centroid-distance ordering -> screen each member
+    // against all earlier-ordered members at cosine eps. The whole
+    // pipeline (stride-init Lloyd rounds, argmin assignment, ordering,
+    // screen) is deterministic, so DuckDB replays it exactly — "semantic
+    // dedup" is hash-gated, not a spec claim. Pairwise work stays WITHIN
+    // clusters (equi-join on centroid), the 100 TB-safe shape.
+    "semantic_dedup" -> { (s, dir) =>
+      Dedup.semanticDedup(t(s, dir, "embeddings"), "vec_id", "embedding",
+          stride = 64, iters = 2, eps = CosineTau)
         .transform(sortedSingle(_, col("vec_id")))
     },
 
@@ -1640,6 +1703,38 @@ object NorthStarQueries {
        |WHERE a.centroid IN (SELECT cid FROM probed)
        |ORDER BY cos_dist ASC NULLS LAST, e.vec_id ASC LIMIT 10""".stripMargin
 
+  /** SemDeDup replayed in SQL: the annKmeansOracle centroid prefix (stride
+    * init + two Lloyd rounds on the 1e-6 grid), argmin assignment carrying
+    * the centroid distance, per-cluster (cdist, vec_id) ordering, and the
+    * earlier-member cosine screen — mirrors `Dedup.semanticDedup` exactly.
+    */
+  private def semanticDedupOracle: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[64] AS v FROM embeddings),
+       |c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 64 = 0),
+       |${kmeansIterSql("c0", 1)},
+       |${kmeansIterSql("c1", 2)},
+       |assign AS (
+       |  SELECT vec_id, v, centroid, cdist FROM (
+       |    SELECT e.vec_id, e.v, c.cid AS centroid,
+       |           1 - array_cosine_similarity(e.v, c.cv) AS cdist,
+       |           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |             1 - array_cosine_similarity(e.v, c.cv) ASC, c.cid ASC) AS rn
+       |    FROM e CROSS JOIN c2 c) WHERE rn = 1),
+       |ranked AS (
+       |  SELECT vec_id, v, centroid, cdist,
+       |         row_number() OVER (PARTITION BY centroid
+       |           ORDER BY cdist ASC, vec_id ASC) AS rnk
+       |  FROM assign),
+       |dups AS (
+       |  SELECT DISTINCT r.vec_id
+       |  FROM ranked r JOIN ranked l
+       |    ON r.centroid = l.centroid AND l.rnk < r.rnk
+       |  WHERE 1 - array_cosine_similarity(r.v, l.v) <= $CosineTau)
+       |SELECT r.vec_id, r.centroid, CAST(r.rnk AS BIGINT) AS rnk, r.cdist,
+       |       (d.vec_id IS NOT NULL) AS is_dup
+       |FROM ranked r LEFT JOIN dups d ON r.vec_id = d.vec_id
+       |ORDER BY r.vec_id""".stripMargin
+
   /** Embedding dimensionality of the testdata `embeddings` table (64 at
     * every SF — verified by the dim probe the Spark queries run).
     */
@@ -1774,6 +1869,24 @@ object NorthStarQueries {
     "media_dedup" ->
       """SELECT min(doc_id) AS media_id FROM documents
         |GROUP BY doc_id % 100 ORDER BY media_id""".stripMargin,
+    // Bloom contract: the exact counts plus the two guarantees as constants
+    // — the Spark side can only reproduce them if the probe honors the
+    // no-false-negative / bounded-fp contract
+    "bloom_prefilter_gate" ->
+      """WITH fp AS (SELECT doc_id, md5(text) AS fp FROM documents),
+        |corpus AS (SELECT DISTINCT fp FROM fp WHERE doc_id % 2 = 0)
+        |SELECT CAST(count(*) AS BIGINT) AS n_batch,
+        |       CAST(sum(CASE WHEN c.fp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_seen,
+        |       CAST(0 AS BIGINT) AS false_negatives,
+        |       TRUE AS fp_ok
+        |FROM fp LEFT JOIN corpus c ON fp.fp = c.fp""".stripMargin,
+    // plain set difference — the Bloom fast path must be invisible in rows
+    "bloom_dedup_survivors" ->
+      """WITH fp AS (SELECT doc_id, md5(text) AS fp FROM documents)
+        |SELECT doc_id FROM fp
+        |WHERE doc_id % 2 = 1
+        |  AND fp NOT IN (SELECT fp FROM fp WHERE doc_id % 2 = 0)
+        |ORDER BY doc_id""".stripMargin,
     "incremental_dedup" ->
       s"""WITH $ShCte,
          |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
@@ -1824,6 +1937,7 @@ object NorthStarQueries {
          |SELECT id AS vec_id, CAST(min(r) AS BIGINT) AS component
          |FROM reach GROUP BY id ORDER BY vec_id""".stripMargin,
     "ann_kmeans_topk" -> annKmeansOracle,
+    "semantic_dedup" -> semanticDedupOracle,
     "ann_graph_topk" -> annGraphOracle,
     "ann_graph_batch_topk" -> annGraphBatchOracle,
     "ann_graph_tiered_topk" -> annGraphTieredOracle,

@@ -68,6 +68,23 @@ object CorpusIO {
       schema: StructType = corpusSchema): DataFrame =
     spark.read.schema(schema).json(path)
 
+  /** ORC corpus sink — the other columnar interchange format (Hive/Trino
+    * lakehouses). Same posture as parquet: splittable stripes, column
+    * projection and predicate pushdown at the reader, so a 100 TB corpus
+    * scans with the identical plan shape. Use when the downstream consumer
+    * is ORC-native; otherwise prefer parquet (the rest of this engine's
+    * at-rest layouts — ANN buckets, PQ codes, postings — are parquet).
+    */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
+  /** ORC corpus scan. Schema passed explicitly for the same reason as
+    * [[readJsonl]] — no inference pass, no silent widening.
+    */
+  def readOrc(spark: SparkSession, path: String,
+      schema: StructType = corpusSchema): DataFrame =
+    spark.read.schema(schema).orc(path)
+
   /** Schema-drift scan: read a parquet corpus whose batches were written
     * with EVOLVING schemas (a long-lived ingest adds columns over time;
     * early files simply lack them). `mergeSchema` unions the per-file
