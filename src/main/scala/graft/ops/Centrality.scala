@@ -1,0 +1,84 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Graph centrality over the near-duplicate pair graph — the curation use
+  * is CANONICAL REPRESENTATIVE selection: instead of keeping the min-id
+  * doc of each dedup cluster (Dedup.survivors), keep the most CENTRAL one
+  * (the doc most similar to the rest of its family — typically the
+  * cleanest copy of a boilerplate/mirror cluster, while min-id is an
+  * arbitrary crawl accident).
+  *
+  * PageRank here is INTEGER-EXACT: ranks live in fixed-point units
+  * (micro-units by default) and every step is integer arithmetic —
+  * `rank DIV deg` per-edge contributions, integer damping
+  * `(inflow * dampNum) DIV dampDen` — so the result is independent of
+  * shuffle/accumulation order and bit-identical across engines (the
+  * lineitem_moments / PQ integer-distance-table rule). With float ranks a
+  * 1000-executor sum order would drift; with integers the oracle can
+  * replay every iteration exactly.
+  *
+  * Scale shape: each iteration is ONE shuffle (the inflow aggregate on
+  * dst); the adjacency (edges ⋈ degree) is computed once and persisted.
+  * Rank state is |V| longs — never corpus-row-sized. Iteration count is a
+  * fixed small constant (PageRank on near-dup families converges in a few
+  * rounds; families are small-diameter). Overflow headroom: total rank
+  * mass is |V|·unit ≤ 1e10·1e6 = 1e16, well inside int64.
+  */
+object Centrality {
+
+  /** Fixed-point PageRank over an undirected pair graph.
+    *
+    * @param pairs  unique undirected pairs, `aCol < bCol` per row (the
+    *               dedup-pair contract); vertices are the docs that appear
+    *               in at least one pair
+    * @param iters  fixed iteration count (replayed by oracles)
+    * @param unit   fixed-point scale of the initial rank (1.0 == unit)
+    * @return (id, pr) — rank in integer units after `iters` rounds
+    */
+  def pageRankInt(pairs: DataFrame, aCol: String, bCol: String, iters: Int,
+      unit: Long = 1000000L, dampNum: Long = 85, dampDen: Long = 100)
+      : DataFrame = {
+    require(iters >= 1, s"need at least one iteration: $iters")
+    require((unit * (dampDen - dampNum)) % dampDen == 0,
+      s"teleport base must be integer-exact: $unit * ($dampDen - $dampNum) / $dampDen")
+    val base = unit * (dampDen - dampNum) / dampDen
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    // adjacency with out-degree attached: read `iters` times — persist once
+    val adj = edges.join(deg, "src")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var ranks = deg.select(col("src").as("id"), lit(unit).as("pr"))
+    (1 to iters).foreach { _ =>
+      val inflow = adj.join(ranks, adj("src") === ranks("id"))
+        .select(col("dst"), expr("pr DIV deg").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("inflow"))
+      ranks = inflow.select(col("dst").as("id"),
+        (lit(base) + expr(s"(inflow * $dampNum) DIV $dampDen")).as("pr"))
+    }
+    ranks.select(col("id"), col("pr").cast("long").as("pr"))
+  }
+
+  /** The most central doc of each near-dup cluster: connected components
+    * over the pair graph (Dedup.components) joined to [[pageRankInt]],
+    * argmax per component by (pr desc, id asc). Output
+    * `(component, doc_id, pr)` — one row per cluster.
+    */
+  def centralRepresentatives(pairs: DataFrame, aCol: String, bCol: String,
+      iters: Int, unit: Long = 1000000L, dampNum: Long = 85,
+      dampDen: Long = 100): DataFrame = {
+    val comp = Dedup.components(pairs.select(col(aCol).as("a"), col(bCol).as("b")),
+      "doc_id")
+    val pr = pageRankInt(pairs, aCol, bCol, iters, unit, dampNum, dampDen)
+    val w = Window.partitionBy(col("component"))
+      .orderBy(col("pr").desc, col("doc_id").asc)
+    comp.join(pr, comp("doc_id") === pr("id"))
+      .select(col("component"), col("doc_id"), col("pr"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .drop("rn")
+  }
+}

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -163,5 +163,169 @@ object Subword {
         posexplode(pieces(col("word"))).as(Seq("k", "piece_id")))
       .select(col(idCol), col("wpos"), col("k").cast("long").as("k"),
         col("piece_id"))
+  }
+
+  // --------------------------------------------------------------------
+  // Byte-pair encoding (Sennrich et al. 2016) — the MERGE-learned subword
+  // tier. WordPiece above is frequency-induced in one aggregate; BPE is
+  // the iterative algorithm GPT-family tokenizers actually train with:
+  // start from characters, repeatedly merge the most frequent adjacent
+  // piece pair. Both engines share one representation so the SQL oracle
+  // replays training and encoding EXACTLY:
+  //
+  //   word "abc"  ->  rep "|a||b||c|"   (each piece wrapped in `|`)
+  //   merge (l,r) ->  replace(rep, "|l||r|", "|lr|")
+  //
+  // A literal left-to-right non-overlapping string replace on the wrapped
+  // form IS the BPE merge pass: adjacent wrapped pieces share no
+  // characters, so consecutive matches never overlap and "a a a" merges
+  // to [aa, a] in both engines. Spark's `replace`, Java's
+  // String.replace and DuckDB's replace() all scan left to right without
+  // rescanning replaced output — identical semantics by construction.
+  //
+  // Scale shape: training runs `rounds` argmax jobs over the DISTINCT
+  // word table (vocab-class, never corpus-sized) — each round is one
+  // map-side-combined pair-count aggregate + a 1-row driver collect
+  // (the learned merge itself, model-artifact-sized). Encoding is a pure
+  // chained-`replace` column expression (codegen, zero shuffle, no UDF).
+  // --------------------------------------------------------------------
+
+  /** One learned merge: at `round`, `left`+`right` (count `cnt`) fused. */
+  final case class BpeMerge(round: Int, left: String, right: String, cnt: Long)
+
+  /** Words the BPE gate trains on: lowercase alnum only, so pieces can
+    * never contain the `|` wrapper (and interpolate safely into oracle
+    * SQL literals).
+    */
+  val BpeWordPattern = "^[a-z0-9]+$"
+
+  /** `word -> "|c1||c2|...|cn|"` as a pure column expression. */
+  def bpeInitRep(word: Column): Column =
+    regexp_replace(word, "(.)", "|$1|")
+
+  /** Adjacent-pair counts over a piece-rep table: split the wrapped rep
+    * back to pieces, count (pieces(i), pieces(i+1)) weighted by the word
+    * count. One map-side-combined aggregate.
+    */
+  private def bpePairCounts(words: DataFrame): DataFrame = {
+    val arr = split(expr("substring(rep, 2, length(rep) - 2)"), "\\Q||\\E")
+    words
+      .select(col("c"), arr.as("p"))
+      .where(size(col("p")) >= 2)
+      .select(col("c"), col("p"),
+        explode(sequence(lit(0), size(col("p")) - 2)).as("i"))
+      .select(element_at(col("p"), col("i") + 1).as("l"),
+        element_at(col("p"), col("i") + 2).as("r"), col("c"))
+      .groupBy(col("l"), col("r")).agg(sum(col("c")).as("cnt"))
+  }
+
+  /** Apply one merge to a rep column: the literal wrapped-pair replace. */
+  def bpeApplyMerge(rep: Column, left: String, right: String): Column =
+    call_function("replace", rep,
+      lit(s"|$left||$right|"), lit(s"|$left$right|"))
+
+  /** Learn `rounds` merges from the corpus: per round, the (count desc,
+    * left asc, right asc)-max adjacent pair over current piece reps.
+    * Deterministic; ties pinned. Distinct-word table persisted once; the
+    * per-round collect is exactly one row (the merge), never data-sized.
+    */
+  def bpeTrain(docs: DataFrame, textCol: String, rounds: Int,
+      wordPattern: String = BpeWordPattern): Seq[BpeMerge] = {
+    require(rounds > 0, s"need positive rounds: $rounds")
+    val base = docs
+      .select(explode(TextOps.tokens(col(textCol))).as("word"))
+      .where(col("word").rlike(wordPattern))
+      .groupBy(col("word")).agg(count(lit(1)).as("c"))
+      .select(col("word"), col("c"), bpeInitRep(col("word")).as("rep"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val out = Seq.newBuilder[BpeMerge]
+      var words = base
+      var r = 1
+      while (r <= rounds) {
+        val top = bpePairCounts(words)
+          .orderBy(col("cnt").desc, col("l").asc, col("r").asc)
+          .limit(1).collect()
+        require(top.nonEmpty, s"BPE round $r: no adjacent pairs left")
+        val m = BpeMerge(r, top(0).getString(0), top(0).getString(1),
+          top(0).getLong(2))
+        out += m
+        words = words.withColumn("rep",
+          bpeApplyMerge(col("rep"), m.left, m.right))
+        r += 1
+      }
+      out.result()
+    } finally base.unpersist()
+  }
+
+  /** Final piece sequence for a word column under a learned merge list:
+    * chars wrapped, merges replayed in order, unwrapped to an array.
+    * Pure codegen'd expressions — the 100 TB encode path has zero
+    * shuffle and no UDF.
+    */
+  def bpePieces(word: Column, merges: Seq[BpeMerge]): Column = {
+    val rep = merges.foldLeft(bpeInitRep(word)) { (acc, m) =>
+      bpeApplyMerge(acc, m.left, m.right)
+    }
+    split(expr_substr(rep), "\\Q||\\E")
+  }
+
+  /** `substring(rep, 2, len-2)` on an arbitrary column (helper: `expr`
+    * can't reference a derived column by name).
+    */
+  private def expr_substr(rep: Column): Column =
+    rep.substr(lit(2), length(rep) - 2)
+
+  /** Encode documents: one row per (doc word occurrence, piece) —
+    * `(idCol, wpos, k, piece)`. Words not matching `wordPattern` are
+    * dropped (the gate's declared charset; see [[BpeWordPattern]]).
+    */
+  def bpeEncode(docs: DataFrame, idCol: String, textCol: String,
+      merges: Seq[BpeMerge], wordPattern: String = BpeWordPattern)
+      : DataFrame =
+    docs
+      .select(col(idCol),
+        posexplode(TextOps.tokens(col(textCol))).as(Seq("wpos", "word")))
+      .where(col("word").rlike(wordPattern))
+      .select(col(idCol), col("wpos").cast("long").as("wpos"),
+        posexplode(bpePieces(col("word"), merges)).as(Seq("k", "piece")))
+      .select(col(idCol), col("wpos"), col("k").cast("long").as("k"),
+        col("piece"))
+
+  /** Driver-side pure twin of train+encode for spec differentials: same
+    * wrapped-string representation, same Java replace semantics.
+    */
+  def bpeLocal(texts: Seq[String], rounds: Int,
+      wordPattern: String = BpeWordPattern)
+      : (Seq[BpeMerge], Map[String, Seq[String]]) = {
+    val pat = wordPattern.r
+    val wc = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    texts.foreach(_.split(" ", -1).foreach { w =>
+      if (pat.findFirstIn(w).isDefined) wc.update(w, wc.getOrElse(w, 0L) + 1L)
+    })
+    var reps: Map[String, Long] =
+      wc.map { case (w, c) => w.map(ch => s"|$ch|").mkString -> c }.toMap
+    val merges = Seq.newBuilder[BpeMerge]
+    (1 to rounds).foreach { r =>
+      val cnt = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      reps.foreach { case (rep, c) =>
+        val ps = rep.substring(1, rep.length - 1).split("\\Q||\\E", -1)
+        (0 until ps.length - 1).foreach { i =>
+          cnt.update((ps(i), ps(i + 1)),
+            cnt.getOrElse((ps(i), ps(i + 1)), 0L) + c)
+        }
+      }
+      require(cnt.nonEmpty, s"BPE round $r: no adjacent pairs left")
+      val ((l, rr), c) = cnt.toSeq.sortBy { case ((l, rt), n) => (-n, l, rt) }.head
+      merges += BpeMerge(r, l, rr, c)
+      reps = reps.map { case (rep, n) =>
+        rep.replace(s"|$l||$rr|", s"|$l$rr|") -> n
+      }
+    }
+    val pieces = reps.keys.map { rep =>
+      val ps = rep.substring(1, rep.length - 1).split("\\Q||\\E", -1).toSeq
+      ps.mkString -> ps
+    }.toMap
+    (merges.result(), pieces)
   }
 }

@@ -51,6 +51,90 @@ object NorthStarQueries {
   private val WpVocabSize = 200
   private val WpMaxPieceLen = 4
 
+  /** BPE gate geometry: merge rounds replayed by the oracle CTE chain. */
+  private val BpeRounds = 8
+
+  // Integer-exact PageRank gate geometry (ops/Centrality.scala): ranks in
+  // micro-units, 85/100 damping, 5 iterations — all interpolated into the
+  // oracle so the two engines can never drift.
+  private val PrIters = 5
+  private val PrUnit = 1000000L
+  private val PrDampNum = 85L
+  private val PrDampDen = 100L
+  private val PrBase = PrUnit * (PrDampDen - PrDampNum) / PrDampDen
+
+  /** The PageRank iterations as a DuckDB CTE chain over a `pairs` CTE
+    * (unique a<b rows): undirected edges + degrees once, then one
+    * integer-exact aggregate per round. `AS MATERIALIZED` on edges/deg
+    * (each referenced every round) and on each r_k (referenced by r_{k+1}
+    * and possibly the final select).
+    */
+  private def pageRankCtes(rounds: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      s"""edges AS MATERIALIZED (
+         |  SELECT a AS src, b AS dst FROM pairs
+         |  UNION
+         |  SELECT b AS src, a AS dst FROM pairs),
+         |deg AS MATERIALIZED (
+         |  SELECT src, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY src),
+         |r0 AS (SELECT src AS id, CAST($PrUnit AS BIGINT) AS pr FROM deg),
+         |""".stripMargin)
+    (1 to rounds).foreach { k =>
+      sb.append(
+        s"""r$k AS MATERIALIZED (
+           |  SELECT e.dst AS id,
+           |         CAST($PrBase + (CAST(sum(r.pr // d.deg) AS BIGINT) * $PrDampNum) // $PrDampDen AS BIGINT) AS pr
+           |  FROM edges e JOIN deg d ON d.src = e.src JOIN r${k - 1} r ON r.id = e.src
+           |  GROUP BY e.dst)""".stripMargin)
+      sb.append(if (k < rounds) ",\n" else "")
+    }
+    sb.toString
+  }
+
+  /** The BPE training rounds as a DuckDB materialized-CTE chain
+    * `w0, rng, p1, b1, w1, …, p_R, b_R, w_R` over the distinct-word
+    * table — w_k = reps after merge k, b_k = the round-k argmax merge.
+    * `AS MATERIALIZED` is load-bearing: w_{k-1} is referenced by both
+    * p_k and w_k, and DuckDB would otherwise re-inline the whole replace
+    * chain exponentially (the graph-ANN oracle lesson). Word charset is
+    * pinned to lowercase alnum ([[graft.ops.Subword.BpeWordPattern]]) so
+    * pieces can never contain the `|` wrapper.
+    */
+  private def bpeTrainCtes: String = {
+    val sb = new StringBuilder
+    sb.append(
+      """w0 AS MATERIALIZED (
+        |  SELECT word, CAST(count(*) AS BIGINT) AS c,
+        |         regexp_replace(word, '(.)', '|\1|', 'g') AS rep
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |  WHERE regexp_matches(word, '^[a-z0-9]+$')
+        |  GROUP BY word),
+        |rng AS MATERIALIZED (
+        |  SELECT unnest(range(1, (SELECT max(length(word)) FROM w0) + 1)) AS s),
+        |""".stripMargin)
+    (1 to BpeRounds).foreach { k =>
+      sb.append(
+        s"""p$k AS (
+           |  SELECT w.arr[s.s] AS lhs, w.arr[s.s + 1] AS rhs,
+           |         CAST(sum(w.c) AS BIGINT) AS cnt
+           |  FROM (SELECT string_split(trim(rep, '|'), '||') AS arr, c FROM w${k - 1}) w
+           |  JOIN rng s ON s.s <= len(w.arr) - 1
+           |  GROUP BY 1, 2),
+           |b$k AS MATERIALIZED (
+           |  SELECT lhs, rhs, cnt FROM p$k
+           |  ORDER BY cnt DESC, lhs ASC, rhs ASC LIMIT 1),
+           |w$k AS MATERIALIZED (
+           |  SELECT word, c,
+           |         replace(rep,
+           |           '|' || (SELECT lhs FROM b$k) || '||' || (SELECT rhs FROM b$k) || '|',
+           |           '|' || (SELECT lhs FROM b$k) || (SELECT rhs FROM b$k) || '|') AS rep
+           |  FROM w${k - 1})""".stripMargin)
+      sb.append(if (k < BpeRounds) ",\n" else "")
+    }
+    sb.toString
+  }
+
   /** Single line, no quotes (interpolated into oracle SQL literals). */
   private val BoilerplateSalt = " graft corp all rights reserved footer text"
 
@@ -188,6 +272,32 @@ object NorthStarQueries {
         .groupBy(col("component")).agg(count(lit(1)).as("cluster_size"))
         .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
         .transform(sortedSingle(_, col("cluster_size")))
+    },
+
+    // INTEGER-EXACT PageRank over the near-dup pair graph
+    // (ops/Centrality.pageRankInt): fixed-point micro-unit ranks, integer
+    // per-edge contributions and damping — shuffle-order-independent, so
+    // all 5 iterations replay bit-exact in the oracle. One shuffle per
+    // iteration; rank state is |V| longs.
+    "pagerank_centrality" -> { (s, dir) =>
+      val pairs = Dedup.jaccardJoin(docsWithShingles(s, dir), "doc_id", "sh", JaccardTau)
+        .select("a", "b")
+      graft.ops.Centrality.pageRankInt(pairs, "a", "b", PrIters,
+          PrUnit, PrDampNum, PrDampDen)
+        .withColumnRenamed("id", "doc_id")
+        .transform(sortedSingle(_, col("doc_id")))
+    },
+
+    // canonical-representative selection: per dedup cluster, keep the most
+    // CENTRAL doc (pr desc, id asc) instead of the arbitrary min-id — the
+    // curation policy PageRank exists for here. Composes the two gated
+    // pieces (components + pageRankInt) plus a per-cluster argmax window.
+    "central_rep_docs" -> { (s, dir) =>
+      val pairs = Dedup.jaccardJoin(docsWithShingles(s, dir), "doc_id", "sh", JaccardTau)
+        .select("a", "b")
+      graft.ops.Centrality.centralRepresentatives(pairs, "a", "b", PrIters,
+          PrUnit, PrDampNum, PrDampDen)
+        .transform(sortedSingle(_, col("component")))
     },
 
     // incremental dedup: new batch (odd doc ids) deduped AGAINST the
@@ -738,6 +848,43 @@ object NorthStarQueries {
             transform(
               sort_array(collect_list(struct(col("wpos"), col("k"), col("piece_id")))),
               e => e.getField("piece_id").cast("string")))).as("seq_md5"))
+        .transform(sortedSingle(_, col("doc_id")))
+    },
+
+    // Byte-pair-encoding MERGE TRAINING under the gate (Sennrich et al.
+    // 2016 — the GPT-family tokenizer trainer; WordPiece above is the
+    // one-aggregate frequency variant, this is the real iterative
+    // algorithm). Each round: one map-side-combined adjacent-pair count
+    // over the DISTINCT word table (vocab-class, never corpus-sized) +
+    // a 1-row argmax collect; the merge is applied as a literal
+    // wrapped-pair `replace` whose semantics Spark, the JVM and DuckDB
+    // share exactly (ops/Subword.scala BPE section). The oracle replays
+    // all rounds as a materialized-CTE chain.
+    "bpe_merges" -> { (s, dir) =>
+      val ms = graft.ops.Subword.bpeTrain(docs(s, dir), "text", BpeRounds)
+      import s.implicits._
+      ms.map(m => (m.round.toLong, m.left, m.right, m.cnt))
+        .toDF("merge_round", "lhs", "rhs", "cnt")
+        .transform(sortedSingle(_, col("merge_round")))
+    },
+
+    // BPE ENCODING under the gate: the learned merges replayed as pure
+    // chained codegen'd `replace` column expressions — zero shuffle, no
+    // UDF, no vocab join on the encode path — digested per doc as
+    // (piece count, word count, md5 of the piece sequence in word/piece
+    // order) so the gate pins the entire sequence without corpus-sized
+    // output rows.
+    "bpe_encode" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val ms = graft.ops.Subword.bpeTrain(d, "text", BpeRounds)
+      graft.ops.Subword.bpeEncode(d, "doc_id", "text", ms)
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_pieces"),
+          countDistinct(col("wpos")).as("n_words"),
+          md5(concat_ws(",",
+            transform(
+              sort_array(collect_list(struct(col("wpos"), col("k"), col("piece")))),
+              e => e.getField("piece")))).as("seq_md5"))
         .transform(sortedSingle(_, col("doc_id")))
     },
 
@@ -1860,6 +2007,31 @@ object NorthStarQueries {
          |          FROM comp GROUP BY component)
          |SELECT cluster_size, count(*)::BIGINT AS n_clusters
          |FROM sizes GROUP BY cluster_size ORDER BY cluster_size""".stripMargin,
+    // integer-exact PageRank replayed iteration by iteration (see
+    // pageRankCtes): same fixed-point units, same integer divisions —
+    // bit-exact regardless of either engine's aggregation order
+    "pagerank_centrality" ->
+      s"""WITH pairs AS ($JaccardPairsSql),
+         |${pageRankCtes(PrIters)}
+         |SELECT id AS doc_id, pr FROM r$PrIters ORDER BY doc_id""".stripMargin,
+    // per-cluster argmax of the replayed PageRank over the recursive-CTE
+    // components — the canonical-representative policy end to end
+    "central_rep_docs" ->
+      s"""WITH RECURSIVE pairs AS ($JaccardPairsSql),
+         |${pageRankCtes(PrIters)},
+         |nodes AS (SELECT DISTINCT src AS id FROM edges),
+         |reach(id, r) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT e.dst AS id, reach.r AS r
+         |  FROM reach JOIN edges e ON e.src = reach.id),
+         |comp AS (SELECT id, CAST(min(r) AS BIGINT) AS component FROM reach GROUP BY id)
+         |SELECT component, doc_id, pr FROM (
+         |  SELECT c.component, p.id AS doc_id, p.pr,
+         |         row_number() OVER (PARTITION BY c.component
+         |                            ORDER BY p.pr DESC, p.id ASC) AS rn
+         |  FROM r$PrIters p JOIN comp c ON c.id = p.id)
+         |WHERE rn = 1 ORDER BY component""".stripMargin,
     "simhash_pairs" -> simhashOracle,
     "media_pipeline" -> mediaPipelineOracle,
     "image_dhash" -> dhashOracle,
@@ -2082,6 +2254,45 @@ object NorthStarQueries {
          |       count(*) FILTER (piece_id = -1)::BIGINT AS n_unk,
          |       md5(string_agg(CAST(piece_id AS VARCHAR), ',' ORDER BY wpos, k)) AS seq_md5
          |FROM enc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // BPE merge training replayed exactly: R materialized rounds of
+    // adjacent-pair count -> (cnt desc, lhs asc, rhs asc) argmax ->
+    // wrapped-pair replace (see bpeTrainCtes)
+    "bpe_merges" -> {
+      val unions = (1 to BpeRounds).map { k =>
+        s"SELECT CAST($k AS BIGINT) AS merge_round, lhs, rhs, cnt FROM b$k"
+      }.mkString("\nUNION ALL\n")
+      s"""WITH $bpeTrainCtes
+         |SELECT * FROM (
+         |$unions)
+         |ORDER BY merge_round""".stripMargin
+    },
+    // BPE encoding replayed from the SAME training chain: every safe word
+    // occurrence (position among ALL tokens, pre-filter — matching the
+    // engine's posexplode-then-filter) takes its final piece sequence
+    // from w_R; per-doc digest = (piece count, word count, md5 of the
+    // ordered piece sequence)
+    "bpe_encode" -> {
+      val R = BpeRounds
+      s"""WITH $bpeTrainCtes,
+         |words AS (
+         |  SELECT doc_id, CAST(wpos - 1 AS BIGINT) AS wpos, word FROM (
+         |    SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+         |           generate_subscripts(string_split(text, ' '), 1) AS wpos
+         |    FROM documents)
+         |  WHERE regexp_matches(word, '^[a-z0-9]+$$')),
+         |wp AS (
+         |  SELECT wr.word, CAST(s.s - 1 AS BIGINT) AS k, wr.arr[s.s] AS piece
+         |  FROM (SELECT word, string_split(trim(rep, '|'), '||') AS arr FROM w$R) wr
+         |  JOIN rng s ON s.s <= len(wr.arr)),
+         |enc AS (
+         |  SELECT w.doc_id, w.wpos, p.k, p.piece
+         |  FROM words w JOIN wp p ON p.word = w.word)
+         |SELECT doc_id,
+         |       CAST(count(*) AS BIGINT) AS n_pieces,
+         |       CAST(count(DISTINCT wpos) AS BIGINT) AS n_words,
+         |       md5(string_agg(piece, ',' ORDER BY wpos, k)) AS seq_md5
+         |FROM enc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
     // engine-computed embeddings: the oracle's sentence/query vectors are
     // the SAME pure runtime's driver-side outputs (EncoderFixture
     // literals — exact double widenings of the float32 embeddings), so

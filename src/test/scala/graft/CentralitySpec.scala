@@ -1,0 +1,86 @@
+package graft
+
+import graft.ops.Centrality
+
+/** Integer-exact PageRank (ops/Centrality) — fixed-point ranks over the
+  * near-dup pair graph and the canonical-representative selection built
+  * on it.
+  */
+class CentralitySpec extends SparkTestBase {
+  private val sp = spark
+  import sp.implicits._
+
+  /** Driver-side pure replay of pageRankInt for differentials. */
+  private def localPr(pairs: Seq[(Long, Long)], iters: Int,
+      unit: Long = 1000000L, dn: Long = 85, dd: Long = 100): Map[Long, Long] = {
+    val edges = pairs.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+    val deg = edges.groupBy(_._1).map { case (s, es) => s -> es.size.toLong }
+    val base = unit * (dd - dn) / dd
+    var pr = deg.keys.map(_ -> unit).toMap
+    (1 to iters).foreach { _ =>
+      val inflow = edges.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map { case (src, _) => pr(src) / deg(src) }.sum
+      }
+      pr = inflow.map { case (id, in) => id -> (base + in * dn / dd) }
+    }
+    pr
+  }
+
+  private val pairs = Seq(
+    (1L, 2L), (1L, 3L), (1L, 4L), // star around 1
+    (5L, 6L), // isolated pair
+    (2L, 3L)) // extra edge in the star family
+
+  test("pageRankInt matches the pure integer replay exactly") {
+    val df = pairs.toDF("a", "b")
+    val got = Centrality.pageRankInt(df, "a", "b", 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == localPr(pairs, 5))
+  }
+
+  test("the star center outranks its leaves") {
+    val df = pairs.toDF("a", "b")
+    val got = Centrality.pageRankInt(df, "a", "b", 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(1L) > got(2L) && got(1L) > got(4L))
+    // symmetric leaves tie exactly (integer arithmetic, no float noise)
+    assert(got(5L) == got(6L))
+    assert(got(2L) == got(3L))
+  }
+
+  test("iteration count is respected and deterministic across runs") {
+    val df = pairs.toDF("a", "b")
+    val one = Centrality.pageRankInt(df, "a", "b", 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(one == localPr(pairs, 1))
+    val again = Centrality.pageRankInt(df, "a", "b", 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again == localPr(pairs, 5))
+  }
+
+  test("centralRepresentatives picks the max-pr doc per component") {
+    val df = pairs.toDF("a", "b")
+    val reps = Centrality.centralRepresentatives(df, "a", "b", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // two components: {1,2,3,4} (min-label 1) and {5,6} (min-label 5)
+    assert(reps.length == 2)
+    val byComp = reps.map(r => r._1 -> r).toMap
+    assert(byComp(1L)._2 == 1L) // star center is the representative
+    // 5 and 6 tie on pr -> min doc_id wins
+    assert(byComp(5L)._2 == 5L)
+    val pr = localPr(pairs, 5)
+    assert(byComp(1L)._3 == pr(1L) && byComp(5L)._3 == pr(5L))
+  }
+
+  test("random graph differential") {
+    val rnd = new scala.util.Random(42)
+    val es = (0 until 60).map { _ =>
+      val a = rnd.nextInt(30).toLong
+      val b = rnd.nextInt(30).toLong
+      (math.min(a, b), math.max(a, b))
+    }.filter { case (a, b) => a != b }.distinct
+    val got = Centrality.pageRankInt(es.toDF("a", "b"), "a", "b", 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == localPr(es, 4))
+  }
+}

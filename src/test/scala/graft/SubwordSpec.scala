@@ -112,4 +112,68 @@ class SubwordSpec extends SparkTestBase {
       id => id >= 0 && id < e.model.vocab - 1))
     assert(e.model.vocab == EncoderFixture.VocabSize + 1)
   }
+
+  // ------------------------------------------------------------------
+  // BPE (merge-trained subword tier)
+  // ------------------------------------------------------------------
+
+  private val bpeTexts = Seq(
+    "low lower lowest low low",
+    "new newer newest new newer",
+    "wider wide wide widest",
+    "low new wide lower")
+
+  test("bpeTrain and bpeLocal learn identical merges") {
+    val df = bpeTexts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val engine = Subword.bpeTrain(df, "text", 6)
+    val (local, _) = Subword.bpeLocal(bpeTexts, 6)
+    assert(engine == local)
+  }
+
+  test("bpeEncode matches the local twin's piece sequences") {
+    val df = bpeTexts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val merges = Subword.bpeTrain(df, "text", 6)
+    val (_, localPieces) = Subword.bpeLocal(bpeTexts, 6)
+    val rows = Subword.bpeEncode(df, "doc_id", "text", merges)
+      .collect()
+      .groupBy(r => (r.getLong(0), r.getLong(1)))
+      .map { case (key, rs) =>
+        key -> rs.sortBy(_.getLong(2)).map(_.getString(3)).toSeq
+      }
+    bpeTexts.zipWithIndex.foreach { case (t, i) =>
+      t.split(" ", -1).zipWithIndex.foreach { case (w, wpos) =>
+        assert(rows((i.toLong, wpos.toLong)) == localPieces(w),
+          s"doc $i word '$w' pieces drifted")
+      }
+    }
+  }
+
+  test("bpe merges overlapping pairs left-to-right non-overlapping") {
+    // 'aaaa' under merge (a,a): [aa, aa]; 'aaa': [aa, a] — the wrapped
+    // replace semantics both engines share
+    val (merges, pieces) = Subword.bpeLocal(Seq("aaaa aaa aaaa"), 1)
+    assert(merges.head.left == "a" && merges.head.right == "a")
+    assert(pieces("aaaa") == Seq("aa", "aa"))
+    assert(pieces("aaa") == Seq("aa", "a"))
+  }
+
+  test("bpe pieces always reassemble the word; filter drops unsafe words") {
+    val df = Seq((0L, "hello WORLD x9 a|b high-five ok"))
+      .toDF("doc_id", "text")
+    val merges = Subword.bpeTrain(df, "text", 2)
+    val enc = Subword.bpeEncode(df, "doc_id", "text", merges).collect()
+    // only lowercase-alnum words survive: hello(0), x9(2), ok(5)
+    assert(enc.map(_.getLong(1)).toSet == Set(0L, 2L, 5L))
+    val byWord = enc.groupBy(_.getLong(1))
+      .map { case (w, rs) => w -> rs.sortBy(_.getLong(2)).map(_.getString(3)).mkString }
+    assert(byWord(0L) == "hello" && byWord(2L) == "x9" && byWord(5L) == "ok")
+  }
+
+  test("bpeTrain argmax tie-break is (cnt desc, lhs asc, rhs asc)") {
+    // 'ab' and 'ba' pair counts tie at 2; 'ab' (lhs 'a') must win round 1
+    val (merges, _) = Subword.bpeLocal(Seq("ab ab ba ba"), 1)
+    assert(merges.head == Subword.BpeMerge(1, "a", "b", 2))
+  }
 }
