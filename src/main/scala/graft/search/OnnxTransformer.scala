@@ -19,12 +19,13 @@ import graft.util.Hashing.splitmix64
   * name (ONNX requires topological node order, so file order is execution
   * order), which is what attention needs — Q/K/V branch from one input,
   * residual adds join values from non-adjacent nodes. The executable op
-  * set is {Gather, Gemm(transB), MatMul, Transpose, Add, Div, Softmax,
-  * Relu, LayerNormalization, ReduceMean} over 2-D float tensors — enough
-  * for `ids → Gather(E) [+ Gather(P, positions) — learned positional
-  * embeddings, runtime-fed positions input] → [Q=XWq K=XWk V=XWv →
-  * softmax(QKᵀ/√d)V → Wo → +residual → LayerNorm → FFN(Relu) →
-  * +residual → LayerNorm] → mean-pool`.
+  * set is {Gather, Gemm(transB), MatMul, Transpose, Add, Mul, Div,
+  * Softmax, Relu, Tanh, Sigmoid, Erf, LayerNormalization, ReduceMean}
+  * over 2-D float tensors — enough for `ids → Gather(E) [+ Gather(P,
+  * positions) — learned positional embeddings, runtime-fed positions
+  * input] → [Q=XWq K=XWk V=XWv → softmax(QKᵀ/√d)V → Wo → +residual →
+  * LayerNorm → FFN(Relu | Tanh | decomposed Gelu) → +residual →
+  * LayerNorm] → mean-pool`.
   * Anything outside the set fails loudly. All arithmetic is float32 with a
   * fixed accumulation order, `StrictMath.exp` in softmax — bit-identical
   * across JVMs and spec-replayable.
@@ -138,23 +139,7 @@ object OnnxTransformer {
             }
             Mat(x.cols, x.rows, out)
           case "Add" =>
-            val x = in(node, 0); val y = in(node, 1)
-            if (x.rows == y.rows && x.cols == y.cols) {
-              val out = new Array[Float](x.a.length)
-              var i = 0
-              while (i < out.length) { out(i) = x.a(i) + y.a(i); i += 1 }
-              Mat(x.rows, x.cols, out)
-            } else if (y.rows == 1 && y.cols == x.cols) { // row broadcast
-              val out = new Array[Float](x.a.length)
-              var r = 0
-              while (r < x.rows) {
-                var c = 0
-                while (c < x.cols) { out(r * x.cols + c) = x(r, c) + y.a(c); c += 1 }
-                r += 1
-              }
-              Mat(x.rows, x.cols, out)
-            } else throw new IllegalArgumentException(
-              s"onnx: Add shapes ${x.rows}x${x.cols} vs ${y.rows}x${y.cols}")
+            broadcastBinary(node.op, in(node, 0), in(node, 1))(_ + _)
           case "Div" =>
             val x = in(node, 0); val s = in(node, 1)
             require(s.rows == 1 && s.cols == 1, "onnx: Div divisor must be scalar")
@@ -192,6 +177,15 @@ object OnnxTransformer {
             var i = 0
             while (i < out.length) { out(i) = if (x.a(i) < 0f) 0f else x.a(i); i += 1 }
             Mat(x.rows, x.cols, out)
+          case "Tanh" =>
+            elementwise(in(node, 0))(v => StrictMath.tanh(v.toDouble).toFloat)
+          case "Sigmoid" =>
+            elementwise(in(node, 0))(v =>
+              (1.0 / (1.0 + StrictMath.exp(-v.toDouble))).toFloat)
+          case "Erf" =>
+            elementwise(in(node, 0))(v => erfAS(v.toDouble).toFloat)
+          case "Mul" =>
+            broadcastBinary(node.op, in(node, 0), in(node, 1))(_ * _)
           case "Concat" =>
             require(node.attrI.getOrElse("axis", 0L) == 1L, "onnx: Concat axis != 1")
             val parts = node.inputs.indices.map(in(node, _))
@@ -264,6 +258,58 @@ object OnnxTransformer {
         s"onnx: output ${y.rows}x${y.cols} != declared 1x$outputDim")
       y.a
     }
+  }
+
+  /** Elementwise unary op, row-major order preserved. */
+  private def elementwise(x: Mat)(f: Float => Float): Mat = {
+    val out = new Array[Float](x.a.length)
+    var i = 0
+    while (i < out.length) { out(i) = f(x.a(i)); i += 1 }
+    Mat(x.rows, x.cols, out)
+  }
+
+  /** Elementwise binary op with the exporter-standard broadcasts: same
+    * shape, scalar (1x1) second operand, or row (1xC) second operand.
+    */
+  private def broadcastBinary(op: String, x: Mat, y: Mat)
+      (f: (Float, Float) => Float): Mat = {
+    if (x.rows == y.rows && x.cols == y.cols) {
+      val out = new Array[Float](x.a.length)
+      var i = 0
+      while (i < out.length) { out(i) = f(x.a(i), y.a(i)); i += 1 }
+      Mat(x.rows, x.cols, out)
+    } else if (y.rows == 1 && y.cols == 1) { // scalar broadcast
+      val s = y.a(0)
+      val out = new Array[Float](x.a.length)
+      var i = 0
+      while (i < out.length) { out(i) = f(x.a(i), s); i += 1 }
+      Mat(x.rows, x.cols, out)
+    } else if (y.rows == 1 && y.cols == x.cols) { // row broadcast
+      val out = new Array[Float](x.a.length)
+      var r = 0
+      while (r < x.rows) {
+        var c = 0
+        while (c < x.cols) { out(r * x.cols + c) = f(x(r, c), y.a(c)); c += 1 }
+        r += 1
+      }
+      Mat(x.rows, x.cols, out)
+    } else throw new IllegalArgumentException(
+      s"onnx: $op shapes ${x.rows}x${x.cols} vs ${y.rows}x${y.cols}")
+  }
+
+  /** erf via the Abramowitz–Stegun 7.1.26 rational approximation (max abs
+    * error 1.5e-7 — below float32 resolution for the GELU use) computed
+    * with a FIXED operation order and StrictMath.exp, so results are
+    * bit-identical across JVMs (the Softmax determinism rule). The JDK has
+    * no Math.erf; pinning our own polynomial is what makes the op
+    * reproducible at all.
+    */
+  private def erfAS(x: Double): Double = {
+    val t = 1.0 / (1.0 + 0.3275911 * Math.abs(x))
+    val poly = ((((1.061405429 * t - 1.453152027) * t + 1.421413741) * t
+      - 0.284496736) * t + 0.254829592) * t
+    val y = 1.0 - poly * StrictMath.exp(-x * x)
+    if (x >= 0.0) y else -y
   }
 
   /** `A · op(B) (+ bias row-broadcast)` — float accumulation, k ascending
@@ -562,12 +608,46 @@ object OnnxTransformer {
       w2: Array[Float], b2: Array[Float],               // [d, hidden], [d]
       ln2g: Array[Float], ln2b: Array[Float],
       eps: Float = 1e-5f,
-      pos: Array[Float] = Array.empty) {                // [maxSeq, d] (optional)
+      pos: Array[Float] = Array.empty,                  // [maxSeq, d] (optional)
+      activation: String = "Relu") {                    // FFN nonlinearity
     require(e.length == vocab * d && wq.length == d * d && w1.length == hidden * d
       && w2.length == d * hidden, "transformer weight shapes inconsistent")
     require(pos.isEmpty || pos.length % d == 0,
       s"positional table ${pos.length} not a multiple of d=$d")
+    require(Set("Relu", "Gelu", "Tanh")(activation),
+      s"unsupported FFN activation '$activation' (Relu | Gelu | Tanh)")
   }
+
+  /** FFN activation subgraph for the writers. Relu/Tanh are one node;
+    * Gelu is the exporter-standard opset<20 decomposition
+    * `x·0.5·(1+erf(x/√2))` over Div/Erf/Add/Mul with scalar-constant
+    * initializers (see [[activationInits]]). `nm` prefixes node/tensor
+    * names for per-layer uniqueness in stacked graphs. Relu emits the
+    * byte-identical node the pre-activation writers emitted, so existing
+    * fixtures stay byte-reproducible.
+    */
+  private def activationNodes(activation: String, nm: String => String,
+      inN: String, outN: String): Seq[Array[Byte]] = activation match {
+    case "Relu" => Seq(node("Relu", nm("ffn_act"), Seq(inN), outN))
+    case "Tanh" => Seq(node("Tanh", nm("ffn_act"), Seq(inN), outN))
+    case "Gelu" => Seq(
+      node("Div", nm("gelu_div"), Seq(inN, "gelu_sqrt2"), nm("g0")),
+      node("Erf", nm("gelu_erf"), Seq(nm("g0")), nm("g1")),
+      node("Add", nm("gelu_add1"), Seq(nm("g1"), "gelu_one"), nm("g2")),
+      node("Mul", nm("gelu_mulx"), Seq(inN, nm("g2")), nm("g3")),
+      node("Mul", nm("gelu_half"), Seq(nm("g3"), "gelu_halfc"), outN))
+    case a => throw new IllegalArgumentException(s"unsupported activation $a")
+  }
+
+  /** Scalar-constant initializers the Gelu decomposition reads (emitted
+    * once per graph, shared by all layers).
+    */
+  private def activationInits(g: Writer, activation: String): Unit =
+    if (activation == "Gelu") {
+      g.bytes(5, floatTensor("gelu_sqrt2", Seq(1L), Array(Math.sqrt(2.0).toFloat)))
+      g.bytes(5, floatTensor("gelu_one", Seq(1L), Array(1f)))
+      g.bytes(5, floatTensor("gelu_halfc", Seq(1L), Array(0.5f)))
+    }
 
   private def floatAttr(name: String, v: Float): Array[Byte] =
     new Writer().str(1, name)
@@ -630,8 +710,8 @@ object OnnxTransformer {
       node("Add", "residual1", Seq("o", "x"), "r1"),
       node("LayerNormalization", "ln1", Seq("r1", "ln1g", "ln1b"), "n1",
         Seq(intAttr("axis", -1L), floatAttr("epsilon", m.eps))),
-      node("Gemm", "ffn1", Seq("n1", "W1", "b1"), "f1", Seq(tB)),
-      node("Relu", "ffn_act", Seq("f1"), "f1r"),
+      node("Gemm", "ffn1", Seq("n1", "W1", "b1"), "f1", Seq(tB))) ++
+      activationNodes(m.activation, identity, "f1", "f1r") ++ Seq(
       node("Gemm", "ffn2", Seq("f1r", "W2", "b2"), "f2", Seq(tB)),
       node("Add", "residual2", Seq("f2", "n1"), "r2"),
       node("LayerNormalization", "ln2", Seq("r2", "ln2g", "ln2b"), "n2",
@@ -640,6 +720,7 @@ object OnnxTransformer {
         Seq(intsAttr("axes", Seq(0L)), intAttr("keepdims", 1L)))
     )).foreach(g.bytes(1, _))
     g.str(2, "graft_attention")
+    activationInits(g, m.activation)
     g.bytes(5, floatTensor("E", Seq(m.vocab.toLong, d), m.e))
     if (positional)
       g.bytes(5, floatTensor("P", Seq((m.pos.length / m.d).toLong, d), m.pos))
@@ -709,8 +790,8 @@ object OnnxTransformer {
       node("Add", "residual1", Seq("o", "x"), "r1"),
       node("LayerNormalization", "ln1", Seq("r1", "ln1g", "ln1b"), "n1",
         Seq(intAttr("axis", -1L), floatAttr("epsilon", m.eps))),
-      node("Gemm", "ffn1", Seq("n1", "W1", "b1"), "f1", Seq(tB)),
-      node("Relu", "ffn_act", Seq("f1"), "f1r"),
+      node("Gemm", "ffn1", Seq("n1", "W1", "b1"), "f1", Seq(tB))) ++
+      activationNodes(m.activation, identity, "f1", "f1r") ++ Seq(
       node("Gemm", "ffn2", Seq("f1r", "W2", "b2"), "f2", Seq(tB)),
       node("Add", "residual2", Seq("f2", "n1"), "r2"),
       node("LayerNormalization", "ln2", Seq("r2", "ln2g", "ln2b"), "n2",
@@ -719,6 +800,7 @@ object OnnxTransformer {
         Seq(intsAttr("axes", Seq(0L)), intAttr("keepdims", 1L)))
     )).foreach(g.bytes(1, _))
     g.str(2, "graft_attention_mh")
+    activationInits(g, m.activation)
     g.bytes(5, floatTensor("E", Seq(m.vocab.toLong, d), m.e))
     if (positional)
       g.bytes(5, floatTensor("P", Seq((m.pos.length / m.d).toLong, d), m.pos))
@@ -766,8 +848,9 @@ object OnnxTransformer {
       heads: Int = 1): Array[Byte] = {
     require(blocks.nonEmpty, "at least one encoder block")
     val head = blocks.head
-    require(blocks.forall(b => b.d == head.d && b.hidden == head.hidden),
-      "all blocks must share (d, hidden)")
+    require(blocks.forall(b => b.d == head.d && b.hidden == head.hidden &&
+        b.activation == head.activation),
+      "all blocks must share (d, hidden, activation)")
     require(heads >= 1 && head.d % heads == 0,
       s"heads $heads must divide model dim ${head.d}")
     val d = head.d.toLong
@@ -805,8 +888,8 @@ object OnnxTransformer {
         node("Add", t("residual1"), Seq(t("o"), in), t("r1")),
         node("LayerNormalization", t("ln1"), Seq(t("r1"), t("ln1g"), t("ln1b")),
           t("n1"), Seq(intAttr("axis", -1L), floatAttr("epsilon", head.eps))),
-        node("Gemm", t("ffn1"), Seq(t("n1"), t("W1"), t("b1")), t("f1"), Seq(tB)),
-        node("Relu", t("ffn_act"), Seq(t("f1")), t("f1r")),
+        node("Gemm", t("ffn1"), Seq(t("n1"), t("W1"), t("b1")), t("f1"), Seq(tB))) ++
+        activationNodes(head.activation, t, t("f1"), t("f1r")) ++ Seq(
         node("Gemm", t("ffn2"), Seq(t("f1r"), t("W2"), t("b2")), t("f2"), Seq(tB)),
         node("Add", t("residual2"), Seq(t("f2"), t("n1")), t("r2")),
         node("LayerNormalization", t("ln2"), Seq(t("r2"), t("ln2g"), t("ln2b")),
@@ -817,6 +900,7 @@ object OnnxTransformer {
         Seq(intsAttr("axes", Seq(0L)), intAttr("keepdims", 1L))))
       .foreach(g.bytes(1, _))
     g.str(2, "graft_attention_stack")
+    activationInits(g, head.activation)
     g.bytes(5, floatTensor("E", Seq(head.vocab.toLong, d), head.e))
     if (positional)
       g.bytes(5, floatTensor("P", Seq((head.pos.length / head.d).toLong, d), head.pos))

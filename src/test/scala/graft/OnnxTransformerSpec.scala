@@ -75,8 +75,34 @@ class OnnxTransformerSpec extends SparkTestBase {
       }
     }
     val n1 = layernorm(addRows(lin(ctx, m.wo, m.bo, d), x), m.ln1g, m.ln1b)
-    val f1 = lin(n1, m.w1, m.b1, m.hidden).map(_.map(v => if (v < 0f) 0f else v))
+    val f1 = lin(n1, m.w1, m.b1, m.hidden).map(_.map(v => ffnAct(m, v)))
     layernorm(addRows(lin(f1, m.w2, m.b2, d), n1), m.ln2g, m.ln2b)
+  }
+
+  /** Independent erf: Abramowitz–Stegun 7.1.26, written from the handbook
+    * formula (same polynomial the executor pins, implemented separately).
+    */
+  private def erfRef(x: Double): Double = {
+    val a1 = 0.254829592; val a2 = -0.284496736; val a3 = 1.421413741
+    val a4 = -1.453152027; val a5 = 1.061405429; val p = 0.3275911
+    val t = 1.0 / (1.0 + p * Math.abs(x))
+    // Horner order — part of the determinism contract the executor pins
+    val y = 1.0 -
+      ((((a5 * t + a4) * t + a3) * t + a2) * t + a1) * t * StrictMath.exp(-x * x)
+    if (x >= 0.0) y else -y
+  }
+
+  /** FFN activation replay: node-boundary float32 rounding, exactly the
+    * per-node sequence the executor's decomposed graphs produce.
+    */
+  private def ffnAct(m: TransformerWeights, v: Float): Float = m.activation match {
+    case "Relu" => if (v < 0f) 0f else v
+    case "Tanh" => StrictMath.tanh(v.toDouble).toFloat
+    case "Gelu" =>
+      val g0 = v / Math.sqrt(2.0).toFloat
+      val g1 = erfRef(g0.toDouble).toFloat
+      val g2 = g1 + 1f
+      v * g2 * 0.5f
   }
 
   private def embedRows(m: TransformerWeights, ids: Array[Int]): Array[Array[Float]] = {
@@ -241,6 +267,56 @@ class OnnxTransformerSpec extends SparkTestBase {
     assert(e1 eq e2)
     assert(ModelRegistry.loadCount(key) == 1)
     assert(e1.embedBatch(Seq("tokyo tower")).head.length == w.d)
+  }
+
+  test("gelu FFN: decomposed Div/Erf/Add/Mul graph bit-identical to replay") {
+    val wg = OnnxTransformer.seededWeights(42L).copy(activation = "Gelu")
+    val bytes = OnnxTransformer.toBytes(wg)
+    val g = OnnxTransformer.parse(bytes)
+    // writer emitted the decomposition, not a fused op
+    assert(g.nodes.map(_.op).containsSlice(
+      Seq("Div", "Erf", "Add", "Mul", "Mul")))
+    assert(g.inits.contains("gelu_sqrt2") && g.inits.contains("gelu_halfc"))
+    for (ids <- Seq(Array(3), Array(0, 7, 31), Array.tabulate(12)(i => (i * 5) % 32))) {
+      val got = g.run(ids)
+      val want = replay(wg, ids)
+      got.indices.foreach { i =>
+        assert(java.lang.Float.floatToIntBits(got(i)) ==
+          java.lang.Float.floatToIntBits(want(i)),
+          s"gelu ids=${ids.mkString(",")} component $i: ${got(i)} != ${want(i)}")
+      }
+    }
+    // the activation genuinely changes the function (negative FFN inputs
+    // pass scaled instead of clamping to zero)
+    val relu = OnnxTransformer.parse(OnnxTransformer.toBytes(w)).run(Array(0, 7, 31))
+    assert(!g.run(Array(0, 7, 31)).sameElements(relu))
+  }
+
+  test("tanh FFN: bit-identical to replay; stacked blocks share activation") {
+    val wt = OnnxTransformer.seededWeights(42L).copy(activation = "Tanh")
+    val g = OnnxTransformer.parse(OnnxTransformer.toBytes(wt))
+    val ids = Array(1, 8, 17)
+    assert(g.run(ids).sameElements(replay(wt, ids)))
+    // stacked writer threads the activation through every layer
+    val b2 = OnnxTransformer.seededWeights(99L).copy(activation = "Tanh")
+    val stacked = OnnxTransformer.parse(OnnxTransformer.toStackedBytes(Seq(wt, b2)))
+    val x1 = replayBlock(wt, embedRows(wt, ids), 1)
+    val want = meanPool(replayBlock(b2, x1, 1))
+    assert(stacked.run(ids).sameElements(want))
+    // mixed activations are rejected
+    val ex = intercept[IllegalArgumentException] {
+      OnnxTransformer.toStackedBytes(Seq(wt, OnnxTransformer.seededWeights(99L)))
+    }
+    assert(ex.getMessage.contains("activation"))
+  }
+
+  test("relu fixture bytes are unchanged by the activation plumbing") {
+    // guards the byte-reproducibility contract: activation="Relu" must
+    // write the exact pre-activation-support bytes
+    val bytes = OnnxTransformer.toBytes(OnnxTransformer.seededWeights(42L))
+    val fixture = getClass.getResourceAsStream("/fixtures/tiny_attention.onnx")
+    val checked = try fixture.readAllBytes() finally fixture.close()
+    assert(bytes.sameElements(checked))
   }
 
   test("graphs outside the subset fail loudly") {
