@@ -70,9 +70,12 @@ object Centrality {
   def centralRepresentatives(pairs: DataFrame, aCol: String, bCol: String,
       iters: Int, unit: Long = 1000000L, dampNum: Long = 85,
       dampDen: Long = 100): DataFrame = {
-    val comp = Dedup.components(pairs.select(col(aCol).as("a"), col(bCol).as("b")),
-      "doc_id")
-    val pr = pageRankInt(pairs, aCol, bCol, iters, unit, dampNum, dampDen)
+    // both consumers below iterate over the pair graph; evaluate the
+    // (typically expensive — e.g. a shingle join) pair input ONCE
+    val p = pairs.select(col(aCol).as("a"), col(bCol).as("b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val comp = Dedup.components(p, "doc_id")
+    val pr = pageRankInt(p, "a", "b", iters, unit, dampNum, dampDen)
     val w = Window.partitionBy(col("component"))
       .orderBy(col("pr").desc, col("doc_id").asc)
     comp.join(pr, comp("doc_id") === pr("id"))
