@@ -84,4 +84,26 @@ object Centrality {
       .where(col("rn") === 1)
       .drop("rn")
   }
+
+  /** Centrality-policy dedup: from `universe`, keep every doc that is in
+    * no near-dup pair (singletons, via anti-join — never materializing
+    * the complement) plus the ONE most central doc of each cluster.
+    * This is `Dedup.survivors` with "keep the canonical copy" in place of
+    * "keep the min id". Output: `idCol` only.
+    */
+  def survivorsByCentrality(universe: DataFrame, idCol: String,
+      pairs: DataFrame, aCol: String, bCol: String, iters: Int,
+      unit: Long = 1000000L, dampNum: Long = 85, dampDen: Long = 100)
+      : DataFrame = {
+    val p = pairs.select(col(aCol).as("a"), col(bCol).as("b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val reps = centralRepresentatives(p, "a", "b", iters, unit, dampNum, dampDen)
+      .select(col("doc_id").as(idCol))
+    val members = p.select(col("a").as(idCol))
+      .union(p.select(col("b").as(idCol)))
+      .distinct()
+    universe.select(col(idCol))
+      .join(members, Seq(idCol), "left_anti")
+      .unionAll(reps)
+  }
 }

@@ -310,6 +310,19 @@ object NorthStarQueries {
         .transform(sortedSingle(_, col("component")))
     },
 
+    // centrality-policy dedup end product: keep every singleton (anti-join,
+    // the complement never materializes) plus the most CENTRAL doc of each
+    // near-dup cluster — Dedup.survivors with "keep the canonical copy"
+    // instead of "keep the min id".
+    "central_dedup_survivors" -> { (s, dir) =>
+      val pairs = Dedup.jaccardJoin(docsWithShingles(s, dir), "doc_id", "sh", JaccardTau)
+        .select("a", "b")
+      graft.ops.Centrality.survivorsByCentrality(
+          t(s, dir, "documents").select("doc_id"), "doc_id", pairs, "a", "b",
+          PrIters, PrUnit, PrDampNum, PrDampDen)
+        .transform(sortedSingle(_, col("doc_id")))
+    },
+
     // incremental dedup: new batch (odd doc ids) deduped AGAINST the
     // existing corpus (even ids) — cross-side inverted-index Jaccard join,
     // never a corpus self-join. The shape of "dedup today's crawl against
@@ -2049,6 +2062,30 @@ object NorthStarQueries {
          |                            ORDER BY p.pr DESC, p.id ASC) AS rn
          |  FROM r$PrIters p JOIN comp c ON c.id = p.id)
          |WHERE rn = 1 ORDER BY component""".stripMargin,
+    // singletons (docs in no pair) + the per-cluster centrality argmax —
+    // the composed dedup policy replayed end to end
+    "central_dedup_survivors" ->
+      s"""WITH RECURSIVE pairs AS ($JaccardPairsSql),
+         |${pageRankCtes(PrIters)},
+         |nodes AS (SELECT DISTINCT src AS id FROM edges),
+         |reach(id, r) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT e.dst AS id, reach.r AS r
+         |  FROM reach JOIN edges e ON e.src = reach.id),
+         |comp AS (SELECT id, CAST(min(r) AS BIGINT) AS component FROM reach GROUP BY id),
+         |reps AS (
+         |  SELECT doc_id FROM (
+         |    SELECT c.component, p.id AS doc_id,
+         |           row_number() OVER (PARTITION BY c.component
+         |                              ORDER BY p.pr DESC, p.id ASC) AS rn
+         |    FROM r$PrIters p JOIN comp c ON c.id = p.id)
+         |  WHERE rn = 1)
+         |SELECT doc_id FROM (
+         |  SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT id FROM nodes)
+         |  UNION ALL
+         |  SELECT doc_id FROM reps)
+         |ORDER BY doc_id""".stripMargin,
     "simhash_pairs" -> simhashOracle,
     "media_pipeline" -> mediaPipelineOracle,
     "image_dhash" -> dhashOracle,

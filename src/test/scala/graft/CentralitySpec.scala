@@ -72,6 +72,15 @@ class CentralitySpec extends SparkTestBase {
     assert(byComp(1L)._3 == pr(1L) && byComp(5L)._3 == pr(5L))
   }
 
+  test("survivorsByCentrality keeps singletons plus one representative per cluster") {
+    val df = pairs.toDF("a", "b")
+    val universe = (1L to 9L).toDF("doc_id") // 7,8,9 appear in no pair
+    val got = Centrality.survivorsByCentrality(universe, "doc_id", df, "a", "b", 5)
+      .collect().map(_.getLong(0)).sorted
+    // singletons 7,8,9 + star center 1 + pair representative 5
+    assert(got.toSeq == Seq(1L, 5L, 7L, 8L, 9L))
+  }
+
   test("random graph differential") {
     val rnd = new scala.util.Random(42)
     val es = (0 until 60).map { _ =>

@@ -102,6 +102,20 @@ object ScaleSmoke {
           .select(countDistinct(col("component"))).head().getLong(0)
       }
 
+      // integer PageRank over the verified near-dup pair graph: one
+      // shuffle per iteration, state |V| longs — wall should track |E|
+      timed("pagerank", k, nRows) {
+        graft.ops.Centrality.pageRankInt(lshPairs.select(col("a"), col("b")),
+          "a", "b", 5).count()
+      }
+
+      // BPE training: 8 argmax rounds over the DISTINCT word table (the
+      // salted recode grows the vocabulary ~linearly with k — the claim
+      // under test is that rounds cost vocab-, not corpus-, sized work)
+      timed("bpe_train", k, nRows) {
+        graft.ops.Subword.bpeTrain(docs, "text", 8).length.toLong
+      }
+
       timed("substring", k, nRows) {
         graft.ops.Dedup.substringDupStats(docs, "doc_id", "text", 6).count()
       }
