@@ -591,6 +591,56 @@ object Dedup {
         coalesce(col("__isdup"), lit(false)).as("is_dup"))
   }
 
+  /** C4/CCNet-style cross-document SEGMENT dedup (Raffel et al. 2020 §2.2
+    * dedup "three-sentence spans"; CCNet's paragraph-level hash dedup): the
+    * text is cut into fixed non-overlapping `window`-token segments, any
+    * segment whose hash occurs in >= `minDocs` DISTINCT documents is dropped
+    * from every document carrying it, and each document is reassembled from
+    * its surviving segments in order. This removes boilerplate (headers,
+    * license blocks, navigation chrome) that exact/minhash DOC-level dedup
+    * cannot touch because the carrying documents differ elsewhere.
+    *
+    * Output: (idCol, n_segments, n_dropped, clean_text).
+    *
+    * Scale shape: explode is scan-parallel; the duplicated-hash set is ONE
+    * hash-aggregate shuffle on the segment hash (count(DISTINCT doc) is
+    * hash-partial per segment); marking is an equi-join on that hash (the
+    * dup side is the duplicated subset — AQE broadcasts it when small); the
+    * reassembly is one groupBy-doc shuffle carrying each segment once.
+    * Nothing is ever pairwise in the number of documents.
+    */
+  def segmentDedup(df: DataFrame, idCol: String, textCol: String,
+      window: Int, minDocs: Int = 2): DataFrame = {
+    require(window > 0, s"window must be positive, got $window")
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val toks = split(col(textCol), " ")
+    val nSegs = ((size(toks) + lit(window - 1)) / lit(window)).cast("long")
+    val segs = df.where(col(textCol).isNotNull)
+      .select(col(idCol),
+        posexplode(transform(sequence(lit(0L), nSegs - 1), i =>
+          concat_ws(" ",
+            slice(toks, (i * window).cast("int") + lit(1), lit(window))))))
+      .select(col(idCol), col("pos").cast("long").as("__seg_id"),
+        col("col").as("__seg"), md5(col("col")).as("__h"))
+      .persist(StorageLevel.MEMORY_AND_DISK) // consumed by dup + the mark join
+    val dup = segs.groupBy(col("__h"))
+      .agg(countDistinct(col(idCol)).as("__nd"))
+      .where(col("__nd") >= minDocs)
+      .select(col("__h"), lit(true).as("__dup"))
+    segs.join(dup, Seq("__h"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_segments"),
+        sum(when(col("__dup"), 1L).otherwise(0L)).as("n_dropped"),
+        // collect_list skips the nulled (dropped) segments; the struct sort
+        // restores document order before the join — deterministic because
+        // __seg_id is unique within a doc
+        concat_ws(" ", transform(
+          array_sort(collect_list(when(col("__dup").isNull,
+            struct(col("__seg_id"), col("__seg"))))),
+          x => x.getField("__seg"))).as("clean_text"))
+  }
+
   /** Bloom filter over the corpus's dedup keys, built in one aggregate pass
     * (`stat.bloomFilter` — order-independent bit ORs, fixed seed, so the
     * filter is deterministic for a given key set). The returned filter is a

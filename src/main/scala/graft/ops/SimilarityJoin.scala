@@ -37,6 +37,62 @@ object SimilarityJoin {
   val DefaultBands: Int = 4
   val DefaultSeed: Long = 42L
 
+  /** Batched EXACT brute-force top-k: the ground truth for ANN recall
+    * ([[AnnIndex.recallAtK]]) and the scoring substrate for contrastive-pair
+    * mining ([[hardNegatives]]). ONE corpus scan serves the whole broadcast
+    * query table; per-query top-k runs through the bounded-heap aggregate
+    * ([[graft.functions.TopKByScore]]) so each partition ships at most k
+    * rows per query to the shuffle — never the (query x corpus) distance
+    * table. Output `(qidCol, rank, idCol, cos_dist)`, rank 1-based by
+    * (dist asc, id asc). `excludeSelf` drops the corpus row whose id equals
+    * the query id — for mining, where every query is a corpus member and
+    * would otherwise be its own nearest neighbor.
+    *
+    * Like probeTopKBatch, the query table is broadcast (a day's query batch,
+    * 10^4-10^6 vectors); shard and union beyond that. Exhaustive scan cost
+    * is the point here — this is the eval/mining tier, not the serving tier.
+    */
+  def bruteForceTopKBatch(corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qidCol: String, qvecCol: String, k: Int,
+      excludeSelf: Boolean = false): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val q = broadcast(queries.select(col(qidCol).cast("long").as("__qid"),
+      col(qvecCol).as("__qvec")))
+    val joined =
+      if (excludeSelf) corpus.join(q, col(idCol).cast("long") =!= col("__qid"))
+      else corpus.crossJoin(q)
+    joined
+      .select(col("__qid"), struct(
+        array_cosine_distance(col(vecCol), col("__qvec")).as("score"),
+        col(idCol).cast("long").as("id")).as("__sv"))
+      .groupBy(col("__qid"))
+      .agg(graft.functions.topk_by_score(col("__sv"), k).as("__hits"))
+      .select(col("__qid"), posexplode(col("__hits")))
+      .select(col("__qid").as(qidCol), (col("pos") + 1).cast("long").as("rank"),
+        col("col.id").as(idCol), col("col.score").as("cos_dist"))
+  }
+
+  /** Hard-negative mining for contrastive training (DPR, Karpukhin et al.
+    * 2020; SimCSE): for each query, emit its nearest non-self neighbor as
+    * the `positive` and the rank-[negFrom, negTo] band as `hard_negative`s —
+    * close enough to be informative, far enough to be (presumed) wrong.
+    * One bounded-heap pass ([[bruteForceTopKBatch]] with k = negTo); the
+    * role split is a projection. Output
+    * `(qidCol, rank, idCol, cos_dist, role)`.
+    */
+  def hardNegatives(corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qidCol: String, qvecCol: String,
+      negFrom: Int, negTo: Int, posK: Int = 1): DataFrame = {
+    require(posK >= 1 && negFrom > posK && negTo >= negFrom,
+      s"need 1 <= posK < negFrom <= negTo, got posK=$posK " +
+        s"negFrom=$negFrom negTo=$negTo")
+    bruteForceTopKBatch(corpus, idCol, vecCol, queries, qidCol, qvecCol,
+        k = negTo, excludeSelf = true)
+      .where(col("rank") <= posK || col("rank").between(negFrom, negTo))
+      .withColumn("role",
+        when(col("rank") <= posK, lit("positive")).otherwise(lit("hard_negative")))
+  }
+
   /** Exact cosine-threshold self-join: pairs (a, b), a < b, with
     * cosine distance <= tau. The right side is broadcast — exact and
     * shuffle-free, intended for sides that fit in an executor.
@@ -268,6 +324,31 @@ final class AnnIndex private (
       .select(col("__qid"), posexplode(col("__hits")))
       .select(col("__qid").as(qidCol), (col("pos") + 1).cast("long").as("rank"),
         col("col.id").as(idCol), col("col.score").as("cos_dist"))
+  }
+
+  /** Recall@k of the IVF probe against exact brute force, per query: the
+    * standard ANN quality gauge (how many of the true top-k the nprobe-bucket
+    * scan recovered). Both sides run batched — the probe through
+    * [[probeTopKBatch]], the truth through
+    * [[SimilarityJoin.bruteForceTopKBatch]] (one exhaustive scan for the
+    * whole query table; eval-tier cost by design — run it on a SAMPLED query
+    * set to tune nprobe, not on production traffic). Output
+    * `(qidCol, n_hits, recall)`, recall = |probe ∩ truth| / k, one row per
+    * query even at zero hits.
+    */
+  def recallAtK(queries: DataFrame, qidCol: String, qvecCol: String,
+      k: Int, nprobe: Int = 4): DataFrame = {
+    val probe = probeTopKBatch(queries, qidCol, qvecCol, k, nprobe)
+      .select(col(qidCol), col(idCol))
+    val truth = SimilarityJoin.bruteForceTopKBatch(
+        assigned, idCol, vecCol, queries, qidCol, qvecCol, k)
+      .select(col(qidCol), col(idCol))
+    val hits = probe.join(truth, Seq(qidCol, idCol))
+      .groupBy(col(qidCol)).agg(count(lit(1)).as("n_hits"))
+    queries.select(col(qidCol).cast("long").as(qidCol)).distinct()
+      .join(hits, Seq(qidCol), "left")
+      .select(col(qidCol), coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)) / lit(k.toDouble)).as("recall"))
   }
 }
 

@@ -54,6 +54,16 @@ object NorthStarQueries {
   /** BPE gate geometry: merge rounds replayed by the oracle CTE chain. */
   private val BpeRounds = 8
 
+  // Segment-dedup gate geometry: 3-token segments duplicate when shared by
+  // >= 2 distinct docs (~1/3 of sf0.01 segments — a real kept/dropped mix).
+  private val SegWindow = 3
+  private val SegMinDocs = 2
+
+  // Hard-negative mining band: rank 1 = positive, ranks [11, 15] = hard
+  // negatives (just past the top-10 "relevant" zone).
+  private val NegFrom = 11
+  private val NegTo = 15
+
   // Integer-exact PageRank gate geometry (ops/Centrality.scala): ranks in
   // micro-units, 85/100 damping, 5 iterations — all interpolated into the
   // oracle so the two engines can never drift.
@@ -1435,6 +1445,49 @@ object NorthStarQueries {
           col("col.n_chunk_tokens").as("n_chunk_tokens"),
           col("col.chunk_fp").as("chunk_fp"))
         .transform(sortedSingle(_, col("doc_id"), col("chunk_id")))
+    },
+
+    // C4/CCNet-style cross-document SEGMENT dedup (Dedup.segmentDedup):
+    // 3-token segments occurring in >= 2 distinct docs are dropped from
+    // EVERY doc carrying them, docs reassembled from the survivors in
+    // order — the boilerplate-removal tier doc-level dedup can't reach.
+    // The oracle replays segmentation, the distinct-doc dup census and the
+    // ordered reassembly; clean_fp proves the rebuilt text byte-for-byte.
+    "segment_dedup_clean" -> { (s, dir) =>
+      Dedup.segmentDedup(docs(s, dir), "doc_id", "text",
+          window = SegWindow, minDocs = SegMinDocs)
+        .select(col("doc_id"), col("n_segments"), col("n_dropped"),
+          md5(col("clean_text")).as("clean_fp"))
+        .transform(sortedSingle(_, col("doc_id")))
+    },
+
+    // contrastive-pair mining (SimilarityJoin.hardNegatives): per query,
+    // nearest non-self neighbor = positive, ranks 11-15 = hard negatives —
+    // one bounded-heap corpus scan (TopKByScore), never a query x corpus
+    // distance table. The oracle re-ranks with a window over the same
+    // cosine distances and applies the identical band split.
+    "hard_negatives" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.where(col("vec_id").isin(1L, 2L, 3L))
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      SimilarityJoin.hardNegatives(emb, "vec_id", "embedding",
+          queries, "qid", "qvec", negFrom = NegFrom, negTo = NegTo)
+        .transform(sortedSingle(_, col("qid"), col("rank")))
+    },
+
+    // ANN quality measurement (AnnIndex.recallAtK): recall@10 of the
+    // nprobe=4 IVF probe vs exact brute force, per query — both sides
+    // batched (probe via probeTopKBatch, truth via bruteForceTopKBatch).
+    // The oracle independently replays BOTH pipelines and intersects, so
+    // the gate proves the probe, the ground truth, and the recall
+    // arithmetic agree across engines.
+    "ann_recall" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.where(col("vec_id").isin(1L, 2L, 3L))
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      AnnIndex.build(emb, "vec_id", "embedding", stride = 64)
+        .recallAtK(queries, "qid", "qvec", k = 10, nprobe = 4)
+        .transform(sortedSingle(_, col("qid")))
     },
   )
 
@@ -2942,6 +2995,108 @@ object NorthStarQueries {
     // assignment of materializing the full corpus (centroids are the same
     // stride sample either way), so the incremental path shares the oracle
     "ann_incremental_topk" -> annIvfOracle,
+    // segmentation -> distinct-doc dup census -> ordered reassembly, all
+    // replayed: clean_fp only matches if the surviving segments AND their
+    // order are byte-identical to the engine's rebuilt text
+    "segment_dedup_clean" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, string_split(text, ' ') AS t
+         |  FROM documents WHERE text IS NOT NULL),
+         |seg AS (
+         |  SELECT doc_id,
+         |         unnest(range(0, (len(t) + ${SegWindow - 1}) // $SegWindow)) AS seg_id,
+         |         t
+         |  FROM tok),
+         |s2 AS (
+         |  SELECT doc_id, seg_id,
+         |         array_to_string(
+         |           t[(seg_id*$SegWindow+1):(seg_id*$SegWindow+$SegWindow)], ' ') AS seg
+         |  FROM seg),
+         |dup AS (
+         |  SELECT md5(seg) AS h FROM s2
+         |  GROUP BY md5(seg) HAVING count(DISTINCT doc_id) >= $SegMinDocs),
+         |m AS (
+         |  SELECT doc_id, seg_id, seg,
+         |         md5(seg) IN (SELECT h FROM dup) AS isdup
+         |  FROM s2)
+         |SELECT doc_id,
+         |       count(*) AS n_segments,
+         |       CAST(sum(CASE WHEN isdup THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+         |       md5(coalesce(
+         |         string_agg(CASE WHEN NOT isdup THEN seg END, ' ' ORDER BY seg_id),
+         |         '')) AS clean_fp
+         |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // the full ranking re-derived with a window over the same cosine
+    // distances (self excluded), then the identical positive/negative band
+    // split — role, rank, id and distance must all agree
+    "hard_negatives" ->
+      s"""WITH q AS (
+         |  SELECT vec_id AS qid, embedding::DOUBLE[64] AS v
+         |  FROM embeddings WHERE vec_id IN (1, 2, 3)),
+         |scored AS (
+         |  SELECT q.qid, e.vec_id,
+         |         1 - array_cosine_similarity(e.embedding::DOUBLE[64], q.v) AS cos_dist,
+         |         row_number() OVER (PARTITION BY q.qid ORDER BY
+         |           1 - array_cosine_similarity(e.embedding::DOUBLE[64], q.v)
+         |             ASC NULLS LAST,
+         |           e.vec_id ASC) AS rnk
+         |  FROM embeddings e JOIN q ON e.vec_id <> q.qid)
+         |SELECT qid, CAST(rnk AS BIGINT) AS rank, vec_id, cos_dist,
+         |       CASE WHEN rnk <= 1 THEN 'positive' ELSE 'hard_negative' END AS role
+         |FROM scored WHERE rnk <= 1 OR rnk BETWEEN $NegFrom AND $NegTo
+         |ORDER BY qid, rank""".stripMargin,
+    // both pipelines replayed independently — the IVF probe (shared CTE
+    // shape with ann_batch_topk) and the exact brute-force truth — then
+    // intersected per query; recall only matches if probe, truth and the
+    // arithmetic all agree
+    "ann_recall" ->
+      """WITH cents AS (
+        |  SELECT vec_id AS cid, embedding FROM embeddings WHERE vec_id % 64 = 0),
+        |q AS (SELECT vec_id AS qid, embedding::DOUBLE[64] AS v
+        |      FROM embeddings WHERE vec_id IN (1, 2, 3)),
+        |probed AS (
+        |  SELECT qid, cid FROM (
+        |    SELECT q.qid, c.cid,
+        |           row_number() OVER (PARTITION BY q.qid ORDER BY
+        |             1 - array_cosine_similarity(c.embedding::DOUBLE[64], q.v)
+        |               ASC NULLS LAST,
+        |             c.cid ASC) AS rn
+        |    FROM cents c CROSS JOIN q) WHERE rn <= 4),
+        |assign AS (
+        |  SELECT vec_id, centroid FROM (
+        |    SELECT e.vec_id, c.cid AS centroid,
+        |           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |             1 - array_cosine_similarity(e.embedding::DOUBLE[64],
+        |                 c.embedding::DOUBLE[64]) ASC,
+        |             c.cid ASC) AS rn
+        |    FROM embeddings e CROSS JOIN cents c) WHERE rn = 1),
+        |probe AS (
+        |  SELECT qid, vec_id FROM (
+        |    SELECT q.qid, e.vec_id,
+        |           row_number() OVER (PARTITION BY q.qid ORDER BY
+        |             1 - array_cosine_similarity(e.embedding::DOUBLE[64], q.v)
+        |               ASC NULLS LAST,
+        |             e.vec_id ASC) AS rnk
+        |    FROM embeddings e
+        |    JOIN assign a ON e.vec_id = a.vec_id
+        |    JOIN probed p ON a.centroid = p.cid
+        |    JOIN q ON q.qid = p.qid) WHERE rnk <= 10),
+        |truth AS (
+        |  SELECT qid, vec_id FROM (
+        |    SELECT q.qid, e.vec_id,
+        |           row_number() OVER (PARTITION BY q.qid ORDER BY
+        |             1 - array_cosine_similarity(e.embedding::DOUBLE[64], q.v)
+        |               ASC NULLS LAST,
+        |             e.vec_id ASC) AS rnk
+        |    FROM embeddings e CROSS JOIN q) WHERE rnk <= 10),
+        |hits AS (
+        |  SELECT p.qid, count(*) AS n_hits
+        |  FROM probe p JOIN truth t ON p.qid = t.qid AND p.vec_id = t.vec_id
+        |  GROUP BY p.qid)
+        |SELECT qs.qid, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+        |       coalesce(h.n_hits, 0) / 10.0 AS recall
+        |FROM (SELECT DISTINCT qid FROM q) qs LEFT JOIN hits h USING (qid)
+        |ORDER BY qs.qid""".stripMargin,
   )
 
   private val annIvfOracle: String =
