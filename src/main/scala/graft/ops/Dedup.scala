@@ -301,6 +301,42 @@ object Dedup {
       .select("a", "b", "jaccard")
   }
 
+  /** MinHash estimator calibration — the dedup-QA view that tells you
+    * whether your (k, bands) geometry is trustworthy before you delete data
+    * with it: for every LSH candidate pair, the k-component minhash
+    * agreement fraction (the unbiased Jaccard estimator j-hat = |{j :
+    * h_j(a) = h_j(b)}| / k) next to the EXACT shingle-set Jaccard, plus the
+    * absolute error. Aggregate the output (mean abs error, error quantiles)
+    * to pick k; every number here is a ratio of small integers, so the gate
+    * can hold it hash-exact.
+    *
+    * Scale shape: signatures are the one existing minhash pass (distinct-
+    * shingle dictionary, k mins per doc); candidates come from the banded
+    * equi-join (never all-pairs); the estimator is a projection over the
+    * two signature rows joined per candidate; the exact side reuses
+    * [[verifyJaccard]] at tau=0 over the SAME candidate set — the exact
+    * Jaccard is only ever computed for pairs LSH already surfaced.
+    * Output: (a, b, est_jaccard, jaccard, abs_err).
+    */
+  def minhashCalibration(sh: DataFrame, idCol: String, shingleCol: String,
+      k: Int = 16, bands: Int = 4): DataFrame = {
+    val sigs = minhashSignatures(sh, idCol, shingleCol, k)
+      .persist(StorageLevel.MEMORY_AND_DISK) // feeds bands AND both pair sides
+    val cands = lshCandidatePairs(lshBands(sigs, idCol, k, bands), idCol)
+    val a = sigs.select(col(idCol).as("a") +:
+      (0 until k).map(j => col(s"h$j").as(s"__a$j")): _*)
+    val b = sigs.select(col(idCol).as("b") +:
+      (0 until k).map(j => col(s"h$j").as(s"__b$j")): _*)
+    val matches = (0 until k)
+      .map(j => when(col(s"__a$j") === col(s"__b$j"), 1).otherwise(0))
+      .reduce(_ + _)
+    val est = cands.join(a, "a").join(b, "b")
+      .select(col("a"), col("b"),
+        (matches.cast("double") / lit(k.toDouble)).as("est_jaccard"))
+    est.join(verifyJaccard(cands, sh, idCol, shingleCol, tau = 0.0), Seq("a", "b"))
+      .withColumn("abs_err", abs(col("est_jaccard") - col("jaccard")))
+  }
+
   /** Greedy survivor set from near-dup pairs: drop any doc that appears as
     * the larger id in a matched pair (keep-first semantics; not transitive
     * clustering — for that, see [[components]]).

@@ -93,6 +93,43 @@ object SimilarityJoin {
         when(col("rank") <= posK, lit("positive")).otherwise(lit("hard_negative")))
   }
 
+  /** Labelled retrieval evaluation — precision@k and reciprocal rank per
+    * query, relevance = label agreement (the standard proxy when no human
+    * judgments exist: a hit is "relevant" iff it carries the query's own
+    * class label). One bounded-heap exact top-k pass
+    * ([[bruteForceTopKBatch]], self excluded — a query finding itself is
+    * not retrieval quality), then two broadcast label joins and one
+    * per-query aggregate. Every metric is a ratio of small integers
+    * (n_rel/k, 1/rank), so the gate holds it hash-exact.
+    *
+    * Output: (qidCol, n_rel, precision_at_k, first_rel_rank — NULL when no
+    * relevant hit ranks — and reciprocal_rank, 0.0 when none), one row per
+    * query.
+    */
+  def retrievalEval(corpus: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, queries: DataFrame, qidCol: String, qvecCol: String,
+      k: Int): DataFrame = {
+    val hits = bruteForceTopKBatch(corpus, idCol, vecCol, queries, qidCol,
+      qvecCol, k, excludeSelf = true)
+    val corpusLabels = corpus.select(col(idCol),
+      col(labelCol).cast("long").as("__hit_label"))
+    // query labels come from the corpus row sharing the query's id — the
+    // mining setup where every query is a corpus member
+    val queryLabels = broadcast(queries.select(col(qidCol)).join(
+      corpus.select(col(idCol).cast("long").as(qidCol),
+        col(labelCol).cast("long").as("__q_label")), qidCol))
+    hits.join(corpusLabels, idCol).join(queryLabels, qidCol)
+      .withColumn("__rel", col("__hit_label") === col("__q_label"))
+      .groupBy(col(qidCol))
+      .agg(
+        sum(when(col("__rel"), 1L).otherwise(0L)).as("n_rel"),
+        (sum(when(col("__rel"), 1L).otherwise(0L)).cast("double") /
+          lit(k.toDouble)).as("precision_at_k"),
+        min(when(col("__rel"), col("rank"))).as("first_rel_rank"))
+      .withColumn("reciprocal_rank",
+        coalesce(lit(1.0) / col("first_rel_rank"), lit(0.0)))
+  }
+
   /** Exact cosine-threshold self-join: pairs (a, b), a < b, with
     * cosine distance <= tau. The right side is broadcast — exact and
     * shuffle-free, intended for sides that fit in an executor.

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ops.{AnnIndex, Dedup, GraphAnn, LanguageModel, PipelineMetrics, ProductQuantizer, Redact, SimilarityJoin, TextOps, Vocab}
+import graft.ops.{AnnIndex, Dedup, GraphAnn, LanguageModel, PipelineMetrics, ProductQuantizer, Redact, SimilarityJoin, SnapshotDelta, TextOps, Vocab}
 
 /** North-star operator queries (LLM-data-pipeline surface): dedup tiers,
   * similarity joins, ANN, text analysis. Each Spark query exercises the
@@ -1489,6 +1489,46 @@ object NorthStarQueries {
         .recallAtK(queries, "qid", "qvec", k = 10, nprobe = 4)
         .transform(sortedSingle(_, col("qid")))
     },
+
+    // dedup-QA calibration (Dedup.minhashCalibration): for every LSH
+    // candidate pair, the 16-component minhash agreement estimator next to
+    // the EXACT shingle Jaccard and the absolute error — the view that
+    // tells you whether the (k, bands) geometry is trustworthy before you
+    // delete data with it. All ratios of small integers -> hash-exact.
+    "minhash_calibration" -> { (s, dir) =>
+      Dedup.minhashCalibration(docsWithShingles(s, dir), "doc_id", "sh", 16, 4)
+        .transform(sortedSingle(_, col("a"), col("b")))
+    },
+
+    // recrawl snapshot diff (SnapshotDelta.delta): two snapshots derived
+    // deterministically from documents (drops on each side simulate
+    // adds/removes; a ' rev2' suffix on doc_id%9==2 simulates edits),
+    // classified added/removed/changed/unchanged by ONE full-outer id join
+    // over scan-side fingerprints. The incremental-ingest front door: at
+    // 100 TB downstream curation touches only the changed subset.
+    "corpus_delta" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val old = d.where(col("doc_id") % 11 =!= 3)
+      val neu = d.where(col("doc_id") % 13 =!= 5)
+        .withColumn("text", when(col("doc_id") % 9 === 2,
+          concat(col("text"), lit(" rev2"))).otherwise(col("text")))
+      SnapshotDelta.delta(old, neu, "doc_id", "text")
+        .transform(sortedSingle(_, col("doc_id")))
+    },
+
+    // labelled retrieval eval (SimilarityJoin.retrievalEval): precision@10
+    // and reciprocal rank per query, relevance = label agreement — the
+    // search-QA metric pass over the same bounded-heap exact top-k
+    // substrate as hard_negatives. The oracle re-ranks with a window and
+    // recomputes both metrics from the same integers.
+    "retrieval_eval" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.where(col("vec_id").isin(1L, 2L, 3L, 4L, 5L))
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      SimilarityJoin.retrievalEval(emb, "vec_id", "embedding", "label",
+          queries, "qid", "qvec", k = 10)
+        .transform(sortedSingle(_, col("qid")))
+    },
   )
 
   // ---- media pipeline constants (shared by the Spark query and oracle) ----
@@ -1631,6 +1671,44 @@ object NorthStarQueries {
        |SELECT a, b, inter::DOUBLE / (sza + szb - inter) AS jaccard
        |FROM v WHERE inter::DOUBLE / (sza + szb - inter) >= $JaccardTau
        |ORDER BY a, b""".stripMargin
+  }
+
+  /** Calibration oracle: the minhash pipeline replay (same sig/bands/cand
+    * CTEs as [[minhashPairsOracle]]) extended with the 16-component
+    * agreement estimator and the untruncated exact Jaccard per candidate.
+    */
+  private def minhashCalibrationOracle: String = {
+    val mins = (0 until 16).map { j =>
+      s"min(('0x' || substr(md5('$j|' || sh), 1, 15))::BIGINT) AS h$j"
+    }.mkString(", ")
+    val bandRows = (0 until 4).map { b =>
+      val cols = (b * 4 until b * 4 + 4).map(j => s"h$j::VARCHAR").mkString(" || '|' || ")
+      s"SELECT doc_id, $b AS band, md5($cols) AS key FROM sig"
+    }.mkString("\n  UNION ALL ")
+    val agree = (0 until 16)
+      .map(j => s"CASE WHEN sa.h$j = sb.h$j THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH $ShCte,
+       |sig AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
+       |bands AS (
+       |  $bandRows),
+       |cand AS (
+       |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+       |  FROM bands l JOIN bands r
+       |    ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id),
+       |est AS (
+       |  SELECT c.a, c.b, CAST($agree AS DOUBLE) / 16.0 AS est_jaccard
+       |  FROM cand c JOIN sig sa ON c.a = sa.doc_id JOIN sig sb ON c.b = sb.doc_id),
+       |sets AS (SELECT doc_id, $ShinglesSql AS s FROM documents),
+       |v AS (
+       |  SELECT e.a, e.b, e.est_jaccard,
+       |         CAST(len(list_intersect(sa.s, sb.s)) AS BIGINT) AS inter,
+       |         len(sa.s) AS sza, len(sb.s) AS szb
+       |  FROM est e JOIN sets sa ON e.a = sa.doc_id JOIN sets sb ON e.b = sb.doc_id)
+       |SELECT a, b, est_jaccard,
+       |       inter::DOUBLE / (sza + szb - inter) AS jaccard,
+       |       abs(est_jaccard - inter::DOUBLE / (sza + szb - inter)) AS abs_err
+       |FROM v ORDER BY a, b""".stripMargin
   }
 
   private def simhashOracle: String =
@@ -3097,6 +3175,52 @@ object NorthStarQueries {
         |       coalesce(h.n_hits, 0) / 10.0 AS recall
         |FROM (SELECT DISTINCT qid FROM q) qs LEFT JOIN hits h USING (qid)
         |ORDER BY qs.qid""".stripMargin,
+    // the full minhash pipeline replayed (signatures, bands, candidates)
+    // plus BOTH sides of the calibration: the 16-component agreement
+    // estimator and the exact shingle Jaccard — est, truth and the error
+    // must all agree bit-for-bit
+    "minhash_calibration" -> minhashCalibrationOracle,
+    // both snapshot derivations replayed (the %11/%13 drops, the %9 edit
+    // suffix), then the same full-outer id join and IS NOT DISTINCT FROM
+    // fingerprint classification
+    "corpus_delta" ->
+      """WITH oldsnap AS (
+        |  SELECT doc_id, md5(text) AS old_fp FROM documents WHERE doc_id % 11 <> 3),
+        |newsnap AS (
+        |  SELECT doc_id,
+        |         md5(CASE WHEN doc_id % 9 = 2 THEN text || ' rev2' ELSE text END) AS new_fp
+        |  FROM documents WHERE doc_id % 13 <> 5)
+        |SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+        |       CASE WHEN o.doc_id IS NULL THEN 'added'
+        |            WHEN n.doc_id IS NULL THEN 'removed'
+        |            WHEN o.old_fp IS NOT DISTINCT FROM n.new_fp THEN 'unchanged'
+        |            ELSE 'changed' END AS status,
+        |       o.old_fp AS old_fp, n.new_fp AS new_fp
+        |FROM oldsnap o FULL OUTER JOIN newsnap n ON o.doc_id = n.doc_id
+        |ORDER BY doc_id""".stripMargin,
+    // the ranking re-derived with a window (self excluded), labels joined
+    // from the corpus rows, and both metrics recomputed from the same
+    // integers — n_rel/k and 1/rank are exact rationals, so this holds
+    // under the hash gate
+    "retrieval_eval" ->
+      """WITH q AS (
+        |  SELECT vec_id AS qid, embedding::DOUBLE[64] AS v, label AS ql
+        |  FROM embeddings WHERE vec_id IN (1, 2, 3, 4, 5)),
+        |scored AS (
+        |  SELECT q.qid, q.ql, e.label AS hl,
+        |         row_number() OVER (PARTITION BY q.qid ORDER BY
+        |           1 - array_cosine_similarity(e.embedding::DOUBLE[64], q.v)
+        |             ASC NULLS LAST,
+        |           e.vec_id ASC) AS rnk
+        |  FROM embeddings e JOIN q ON e.vec_id <> q.qid)
+        |SELECT qid,
+        |       CAST(sum(CASE WHEN hl = ql THEN 1 ELSE 0 END) AS BIGINT) AS n_rel,
+        |       CAST(sum(CASE WHEN hl = ql THEN 1 ELSE 0 END) AS DOUBLE) / 10.0
+        |         AS precision_at_k,
+        |       CAST(min(CASE WHEN hl = ql THEN rnk END) AS BIGINT) AS first_rel_rank,
+        |       coalesce(1.0 / min(CASE WHEN hl = ql THEN rnk END), 0.0)
+        |         AS reciprocal_rank
+        |FROM scored WHERE rnk <= 10 GROUP BY qid ORDER BY qid""".stripMargin,
   )
 
   private val annIvfOracle: String =
