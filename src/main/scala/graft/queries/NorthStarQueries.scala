@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ops.{AnnIndex, Dedup, GraphAnn, LanguageModel, PipelineMetrics, ProductQuantizer, Redact, SimilarityJoin, SnapshotDelta, TextOps, Vocab}
+import graft.ops.{AnnIndex, Dedup, GraphAnn, HashedClassifier, LanguageModel, PipelineMetrics, ProductQuantizer, Redact, SimilarityJoin, SnapshotDelta, TextOps, Vocab}
 
 /** North-star operator queries (LLM-data-pipeline surface): dedup tiers,
   * similarity joins, ANN, text analysis. Each Spark query exercises the
@@ -63,6 +63,10 @@ object NorthStarQueries {
   // negatives (just past the top-10 "relevant" zone).
   private val NegFrom = 11
   private val NegTo = 15
+
+  // Hashed-classifier gate geometry: 256 feature buckets — small enough
+  // that distinct tokens collide (the hashing-trick regime under test).
+  private val ClfBuckets = 256
 
   // Integer-exact PageRank gate geometry (ops/Centrality.scala): ranks in
   // micro-units, 85/100 damping, 5 iterations — all interpolated into the
@@ -1528,6 +1532,22 @@ object NorthStarQueries {
       SimilarityJoin.retrievalEval(emb, "vec_id", "embedding", "label",
           queries, "qid", "qvec", k = 10)
         .transform(sortedSingle(_, col("qid")))
+    },
+
+    // supervised quality-filter tier (ops/HashedClassifier): fastText-shape
+    // hashed bag-of-words linear classifier, INTEGER-EXACT train + score —
+    // trained on doc_id%3!=0 to predict lang='en', scored on the held-out
+    // third. The oracle replays the feature hash, the full training
+    // aggregate and the scoring sum, so "trained" is hash-gated.
+    "classifier_quality" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val w = HashedClassifier.train(d.where(col("doc_id") % 3 =!= 0),
+        "text", col("lang") === "en", ClfBuckets)
+      val eval = d.where(col("doc_id") % 3 === 0)
+      HashedClassifier.score(eval, "doc_id", "text", w, ClfBuckets)
+        .join(eval.select(col("doc_id"), (col("lang") === "en").as("actual")),
+          "doc_id")
+        .transform(sortedSingle(_, col("doc_id")))
     },
   )
 
@@ -3221,6 +3241,37 @@ object NorthStarQueries {
         |       coalesce(1.0 / min(CASE WHEN hl = ql THEN rnk END), 0.0)
         |         AS reciprocal_rank
         |FROM scored WHERE rnk <= 10 GROUP BY qid ORDER BY qid""".stripMargin,
+    // the feature hash, the training aggregate (+1/-1 per token instance)
+    // and the scoring sum all replayed — integer arithmetic end to end, so
+    // the trained model itself is under the hash gate
+    "classifier_quality" ->
+      s"""WITH tr AS (
+         |  SELECT lang = 'en' AS pos, unnest(string_split(text, ' ')) AS tok
+         |  FROM documents WHERE doc_id % 3 <> 0),
+         |cnt AS (
+         |  SELECT ('0x' || substr(md5(tok), 1, 15))::BIGINT % $ClfBuckets AS bucket,
+         |         CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS np,
+         |         CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS nn
+         |  FROM tr GROUP BY 1),
+         |tot AS (
+         |  SELECT CAST(sum(np) AS BIGINT) AS tp, CAST(sum(nn) AS BIGINT) AS tn
+         |  FROM cnt),
+         |w AS (
+         |  SELECT bucket,
+         |         CAST(np * 1000000 // tp - nn * 1000000 // tn AS BIGINT) AS w
+         |  FROM cnt, tot),
+         |ev AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+         |  FROM documents WHERE doc_id % 3 = 0),
+         |sc AS (
+         |  SELECT e.doc_id, CAST(coalesce(sum(w.w), 0) AS BIGINT) AS score
+         |  FROM ev e LEFT JOIN w
+         |    ON ('0x' || substr(md5(e.tok), 1, 15))::BIGINT % $ClfBuckets = w.bucket
+         |  GROUP BY e.doc_id)
+         |SELECT s.doc_id, s.score, s.score > 0 AS predicted,
+         |       d.lang = 'en' AS actual
+         |FROM sc s JOIN documents d USING (doc_id)
+         |ORDER BY s.doc_id""".stripMargin,
   )
 
   private val annIvfOracle: String =
