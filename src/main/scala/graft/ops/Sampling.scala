@@ -94,4 +94,34 @@ object Sampling {
       .where(col("__graft_rank") <= k)
       .drop("__graft_rank")
   }
+
+  /** Per-group ADAPTIVE quantile filter — RefinedWeb/CCNet-style curation
+    * where the cutoff is derived from each group's own distribution (a fixed
+    * global threshold over- or under-filters whichever domains differ from
+    * the corpus average): keep rows whose `metric` is >= their group's
+    * exact `q`-quantile. The appended `cutoff` column makes the decision
+    * auditable downstream.
+    *
+    * Exact (interpolating) percentile, not approx: both Spark's
+    * `percentile` and DuckDB's `quantile_cont` compute the same
+    * index = q·(n-1) linear interpolation over the sorted values, so on
+    * integer metrics the cutoff is engine-exact (the midpoint of two longs
+    * is exactly representable) and this op can sit under the hash gate.
+    *
+    * Scale shape: one aggregate keyed by group (groups = sources/domains —
+    * thousands at most; the per-group exact percentile sorts only that
+    * group's metric values inside the aggregate buffer), then a broadcast
+    * join back. The corpus is scanned twice but never shuffled on the row
+    * key. For metrics with billions of rows per group, swap in
+    * `percentile_approx` at the call site — the shape is identical.
+    */
+  def adaptiveQuantileFilter(df: DataFrame, groupCol: Column, metric: Column,
+      q: Double): DataFrame = {
+    require(q > 0.0 && q < 1.0, s"q must be in (0, 1), got $q")
+    val cuts = df.groupBy(groupCol.as("__grp"))
+      .agg(percentile(metric, lit(q)).as("cutoff"))
+    df.join(broadcast(cuts), groupCol === col("__grp"))
+      .where(metric.cast("double") >= col("cutoff"))
+      .drop("__grp")
+  }
 }

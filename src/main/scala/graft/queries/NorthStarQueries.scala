@@ -1534,6 +1534,19 @@ object NorthStarQueries {
         .transform(sortedSingle(_, col("qid")))
     },
 
+    // per-group ADAPTIVE quantile filter (Sampling.adaptiveQuantileFilter):
+    // keep docs at or above their own source's median length — the
+    // RefinedWeb-style per-domain cutoff. Exact interpolating percentile on
+    // an integer metric, so Spark's `percentile` and DuckDB's
+    // `quantile_cont` agree bit-for-bit and the cutoff itself is gated.
+    "adaptive_filter" -> { (s, dir) =>
+      graft.ops.Sampling.adaptiveQuantileFilter(
+          docs(s, dir).select("doc_id", "source", "n_chars"),
+          col("source"), col("n_chars"), 0.5)
+        .select(col("doc_id"), col("source"), col("n_chars"), col("cutoff"))
+        .transform(sortedSingle(_, col("doc_id")))
+    },
+
     // supervised quality-filter tier (ops/HashedClassifier): fastText-shape
     // hashed bag-of-words linear classifier, INTEGER-EXACT train + score —
     // trained on doc_id%3!=0 to predict lang='en', scored on the held-out
@@ -3241,6 +3254,17 @@ object NorthStarQueries {
         |       coalesce(1.0 / min(CASE WHEN hl = ql THEN rnk END), 0.0)
         |         AS reciprocal_rank
         |FROM scored WHERE rnk <= 10 GROUP BY qid ORDER BY qid""".stripMargin,
+    // the per-source exact median replayed with quantile_cont — the same
+    // q*(n-1) interpolation Spark's percentile computes, bit-equal on the
+    // integer metric — then the same keep-filter
+    "adaptive_filter" ->
+      """WITH cut AS (
+        |  SELECT source, quantile_cont(n_chars, 0.5) AS cutoff
+        |  FROM documents GROUP BY source)
+        |SELECT d.doc_id, d.source, d.n_chars, c.cutoff
+        |FROM documents d JOIN cut c USING (source)
+        |WHERE d.n_chars >= c.cutoff
+        |ORDER BY d.doc_id""".stripMargin,
     // the feature hash, the training aggregate (+1/-1 per token instance)
     // and the scoring sum all replayed — integer arithmetic end to end, so
     // the trained model itself is under the hash gate

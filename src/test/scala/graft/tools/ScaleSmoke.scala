@@ -125,6 +125,33 @@ object ScaleSmoke {
           size(split(col("text"), " ")), 512).count()
       }
 
+      // segment-level dedup: explode is scan-parallel, the dup census is
+      // one segment-hash aggregate, reassembly one doc-keyed shuffle —
+      // wall and shuffle should both track corpus size ~linearly (the
+      // salted recode keeps cross-copy segment collisions at zero)
+      timed("segment_dedup", k, nRows) {
+        graft.ops.Dedup.segmentDedup(docs, "doc_id", "text", 3).count()
+      }
+
+      // snapshot delta: two scans + ONE full-outer id join; the 'new'
+      // snapshot perturbs 1/9 of docs — linear in corpus size
+      timed("snapshot_delta", k, nRows) {
+        graft.ops.SnapshotDelta.delta(
+          docs,
+          docs.withColumn("text", when(col("doc_id") % 9 === 2,
+            concat(col("text"), lit(" rev2"))).otherwise(col("text"))),
+          "doc_id", "text").count()
+      }
+
+      // hashed classifier train+score: both sides are explode + one
+      // aggregate; the weight table stays 4096 rows at every k
+      timed("classifier", k, nRows) {
+        val w = graft.ops.HashedClassifier.train(docs, "text",
+          col("doc_id") % 2 === 0, 4096)
+        graft.ops.HashedClassifier.score(docs, "doc_id", "text", w, 4096)
+          .count()
+      }
+
       spark.catalog.clearCache()
       docs.unpersist(blocking = true)
     }
@@ -172,6 +199,16 @@ object ScaleSmoke {
               typedLit(qvec.toSeq)).as("d"))
           .orderBy(col("d").asc_nulls_last, col("vec_id").asc)
           .limit(10).collect().length.toLong
+      }
+      // batched exact top-k, 100 queries in ONE corpus scan — wall should
+      // scale with corpus size but NOT with query count (the whole batch
+      // rides the same scan; each partition ships <= k rows per query)
+      timed("brute_batch100", k, nVec) {
+        val queries = emb.where(pmod(col("vec_id"), lit(97)) === lit(1))
+          .limit(100)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        graft.ops.SimilarityJoin.bruteForceTopKBatch(
+          emb, "vec_id", "embedding", queries, "qid", "qvec", 10).count()
       }
       // graph tier: edge build is Σ bucket² (bucket count grows with k,
       // bucket size constant -> ~linear); the point probe touches
