@@ -78,4 +78,51 @@ object Mixture {
         explode(sequence(lit(0L), col("__n") - 1L)))
       .drop("__n")
   }
+
+  /** Temperature-balanced mixture shares at alpha = 1/2 — the multilingual
+    * "temperature sampling" recipe (mT5 / UniMax / XLM-R): stratum i's
+    * share of the budget is proportional to sqrt(size_i), flattening the
+    * head sources without drowning the tail the way uniform shares would.
+    *
+    * Engine-exact despite the sqrt: IEEE-754 sqrt is correctly rounded in
+    * every engine (JVM Math.sqrt == libm == DuckDB), so
+    * `floor(sqrt(tot))` is bit-identical cross-engine, and everything
+    * after it is integer fixed-point (parts-per-million floor division —
+    * the same trick as [[toTokenBudget]]). Other temperatures don't get
+    * this guarantee (`pow` is not correctly rounded); alpha = 1/2 is the
+    * standard choice and the one this engine gates.
+    *
+    * Output, one row per stratum: (stratum, tot, w = floor(sqrt(tot)),
+    * ppm = w·10^6 div sum(w), alloc = budget·ppm div 10^6). One aggregate
+    * over the corpus + one re-aggregate of the strata table (strata are
+    * source/language-bounded — never corpus-sized).
+    */
+  def temperatureShares(df: DataFrame, stratum: Column, sizeCol: Column,
+      budget: Long): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0: $budget")
+    val t = df.groupBy(stratum.as("stratum")).agg(sum(sizeCol).as("tot"))
+      .withColumn("w", floor(sqrt(col("tot").cast("double"))).cast("long"))
+    t.crossJoin(broadcast(t.agg(sum(col("w")).as("__sw"))))
+      .select(col("stratum"), col("tot"), col("w"),
+        expr("w * 1000000 div __sw").as("ppm"),
+        expr(s"$budget * (w * 1000000 div __sw) div 1000000").as("alloc"))
+  }
+
+  /** Apply [[temperatureShares]] as a deterministic sample: stratum i
+    * keeps `least(buckets, buckets·alloc_i div tot_i)` of its hash
+    * buckets — the same stable hash-bucket filter as [[toTokenBudget]],
+    * with the per-stratum target coming from the temperature shares
+    * instead of a flat cap. One scan + a broadcast share join.
+    */
+  def sampleTemperature(df: DataFrame, stratum: Column, key: Column,
+      sizeCol: Column, budget: Long, buckets: Int = 1000): DataFrame = {
+    require(buckets > 0, s"buckets must be positive: $buckets")
+    val shares = temperatureShares(df, stratum, sizeCol, budget)
+      .select(col("stratum"),
+        least(lit(buckets.toLong),
+          expr(s"$buckets * alloc div tot")).as("__keep"))
+    df.join(broadcast(shares), stratum <=> col("stratum"))
+      .where(Sampling.hashBucket(key, buckets) < col("__keep"))
+      .drop("stratum", "__keep")
+  }
 }

@@ -1534,6 +1534,20 @@ object NorthStarQueries {
         .transform(sortedSingle(_, col("qid")))
     },
 
+    // temperature sampling at alpha=1/2 (Mixture.sampleTemperature):
+    // per-source budget share proportional to sqrt(source token count) —
+    // the mT5/UniMax multilingual balancing recipe. floor(sqrt) is
+    // IEEE-correctly-rounded in both engines; everything after is ppm
+    // fixed-point integer, so the whole share derivation AND the sampled
+    // row set sit under the hash gate.
+    "temperature_mixture" -> { (s, dir) =>
+      graft.ops.Mixture.sampleTemperature(docs(s, dir), col("source"),
+          col("doc_id"), size(split(col("text"), " ")).cast("long"),
+          budget = 8000L)
+        .select(col("doc_id"), col("source"))
+        .transform(sortedSingle(_, col("doc_id")))
+    },
+
     // per-group ADAPTIVE quantile filter (Sampling.adaptiveQuantileFilter):
     // keep docs at or above their own source's median length — the
     // RefinedWeb-style per-domain cutoff. Exact interpolating percentile on
@@ -3254,6 +3268,25 @@ object NorthStarQueries {
         |       coalesce(1.0 / min(CASE WHEN hl = ql THEN rnk END), 0.0)
         |         AS reciprocal_rank
         |FROM scored WHERE rnk <= 10 GROUP BY qid ORDER BY qid""".stripMargin,
+    // the sqrt-share derivation and the hash-bucket keep filter replayed:
+    // floor(sqrt) agrees bit-for-bit (correctly-rounded IEEE sqrt both
+    // engines), the ppm/alloc/keep chain is pure integer floor division
+    "temperature_mixture" ->
+      """WITH t AS (
+        |  SELECT source, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tot
+        |  FROM documents GROUP BY source),
+        |w AS (SELECT source, tot, CAST(floor(sqrt(tot::DOUBLE)) AS BIGINT) AS w FROM t),
+        |s AS (SELECT CAST(sum(w) AS BIGINT) AS sw FROM w),
+        |k AS (
+        |  SELECT source,
+        |         least(1000, 1000 * (8000 * (w * 1000000 // sw) // 1000000) // tot)
+        |           AS keep
+        |  FROM w, s)
+        |SELECT d.doc_id, d.source FROM documents d
+        |JOIN k ON d.source IS NOT DISTINCT FROM k.source
+        |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000
+        |      < k.keep
+        |ORDER BY doc_id""".stripMargin,
     // the per-source exact median replayed with quantile_cont — the same
     // q*(n-1) interpolation Spark's percentile computes, bit-equal on the
     // integer metric — then the same keep-filter
