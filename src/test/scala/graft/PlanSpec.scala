@@ -138,4 +138,46 @@ class PlanSpec extends SparkTestBase {
     assert(nHash == 1, s"expected exactly 1 data exchange, found $nHash:\n$plan")
     assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"), plan)
   }
+
+  test("batched brute-force top-k: broadcast queries, bounded-heap agg, no cartesian shuffle") {
+    // the (query x corpus) distance table must NEVER be shuffled: the
+    // query side broadcasts into a nested-loop/cross join and the ONLY
+    // hash exchange is the k-bounded per-query heap aggregate
+    val queries = emb.where(col("vec_id").isin(1L, 2L))
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val plan = graft.ops.SimilarityJoin.bruteForceTopKBatch(
+        emb, "vec_id", "embedding", queries, "qid", "qvec", 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"), plan)
+    assert(plan.contains("ObjectHashAggregate"), plan) // TopKByScore heap
+    val nHash = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(nHash <= 2, s"expected <= 2 hash exchanges (partial/final agg), found $nHash:\n$plan")
+  }
+
+  test("segment dedup: scan-side explode, dup census + reassembly are the only wide ops") {
+    val plan = graft.ops.Dedup.segmentDedup(docs, "doc_id", "text", 3)
+      .queryExecution.executedPlan.toString
+    // no pairwise anything: the duplicated-hash side joins back on the
+    // segment-hash equi-key (broadcast or hash — never nested loop)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("Generate posexplode"), plan) // segmentation is scan-side
+  }
+
+  test("snapshot delta plans one full-outer equi-join on the id") {
+    val plan = graft.ops.SnapshotDelta.delta(docs, docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("FullOuter"), plan)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("classifier scoring joins the broadcast weight table — corpus never shuffles on token") {
+    val w = graft.ops.HashedClassifier.train(docs, "text",
+      col("doc_id") % 2 === 0, 256)
+    val plan = graft.ops.HashedClassifier.score(docs, "doc_id", "text", w, 256)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    // the only hash exchanges aggregate on bucket (weights) and doc id
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
 }
