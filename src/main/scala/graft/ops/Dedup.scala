@@ -337,6 +337,34 @@ object Dedup {
       .withColumn("abs_err", abs(col("est_jaccard") - col("jaccard")))
   }
 
+  /** SOFT dedup — duplicate-aware loss weighting instead of deletion: keep
+    * every near-dup but weight it by the inverse of its cluster size, so a
+    * 40-copy boilerplate family contributes ~one document's worth of
+    * training signal while unique text keeps full weight (the
+    * delete-nothing alternative the data-weighting literature prefers when
+    * duplicates carry slight variation worth keeping). Weights are
+    * fixed-point millionths (10^6 div cluster_size — integer, so the gate
+    * holds them exact). Docs in no pair are singletons at weight 10^6.
+    *
+    * Output: (idCol, component, cluster_size, weight_ppm), one row per
+    * input row. Scale shape: [[components]] is the already-gated O(log n)
+    * label propagation; sizes are one count aggregate on compact longs;
+    * the weight join is against a cluster-count-sized table.
+    */
+  def softDedupWeights(df: DataFrame, idCol: String,
+      pairs: DataFrame): DataFrame = {
+    val comp = components(pairs, idCol)
+    val sizes = comp.groupBy(col("component"))
+      .agg(count(lit(1)).as("cluster_size"))
+    df.select(col(idCol))
+      .join(comp, Seq(idCol), "left")
+      .join(sizes, Seq("component"), "left")
+      .select(col(idCol),
+        coalesce(col("component"), col(idCol)).as("component"),
+        coalesce(col("cluster_size"), lit(1L)).as("cluster_size"))
+      .withColumn("weight_ppm", expr("1000000 div cluster_size"))
+  }
+
   /** Greedy survivor set from near-dup pairs: drop any doc that appears as
     * the larger id in a matched pair (keep-first semantics; not transitive
     * clustering — for that, see [[components]]).

@@ -1534,6 +1534,33 @@ object NorthStarQueries {
         .transform(sortedSingle(_, col("qid")))
     },
 
+    // SOFT dedup (Dedup.softDedupWeights): duplicate-aware loss weighting
+    // instead of deletion — every doc keeps a weight of 10^6 div its
+    // near-dup cluster size (singletons at 10^6). Integer fixed-point, so
+    // the whole components -> sizes -> weights chain is hash-exact.
+    "soft_dedup_weights" -> { (s, dir) =>
+      val pairs = Dedup.jaccardJoin(docsWithShingles(s, dir), "doc_id", "sh",
+        JaccardTau).select("a", "b")
+      Dedup.softDedupWeights(t(s, dir, "documents"), "doc_id", pairs)
+        .transform(sortedSingle(_, col("doc_id")))
+    },
+
+    // diversity keep (components + Sampling.kPerGroup composed): at most 2
+    // deterministic representatives per near-dup cluster — the
+    // SemDeDup-style "keep a few per family" policy, built from two
+    // already-gated ops with no new machinery.
+    "diversity_keep" -> { (s, dir) =>
+      val pairs = Dedup.jaccardJoin(docsWithShingles(s, dir), "doc_id", "sh",
+        JaccardTau).select("a", "b")
+      val comp = Dedup.components(pairs, "doc_id")
+      val full = t(s, dir, "documents").select("doc_id")
+        .join(comp, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("component"), col("doc_id")).as("component"))
+      graft.ops.Sampling.kPerGroup(full, col("component"), col("doc_id"), 2)
+        .transform(sortedSingle(_, col("doc_id")))
+    },
+
     // temperature sampling at alpha=1/2 (Mixture.sampleTemperature):
     // per-source budget share proportional to sqrt(source token count) —
     // the mT5/UniMax multilingual balancing recipe. floor(sqrt) is
@@ -3268,6 +3295,54 @@ object NorthStarQueries {
         |       coalesce(1.0 / min(CASE WHEN hl = ql THEN rnk END), 0.0)
         |         AS reciprocal_rank
         |FROM scored WHERE rnk <= 10 GROUP BY qid ORDER BY qid""".stripMargin,
+    // the recursive-CTE components replay extended with sizes and the
+    // integer inverse-size weight — singletons fall out of the left joins
+    "soft_dedup_weights" ->
+      s"""WITH RECURSIVE pairs AS ($JaccardPairsSql),
+         |edges AS (
+         |  SELECT a AS src, b AS dst FROM pairs
+         |  UNION
+         |  SELECT b AS src, a AS dst FROM pairs),
+         |nodes AS (SELECT DISTINCT src AS id FROM edges),
+         |reach(id, r) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT e.dst AS id, reach.r AS r
+         |  FROM reach JOIN edges e ON e.src = reach.id),
+         |comp AS (SELECT id, CAST(min(r) AS BIGINT) AS component FROM reach GROUP BY id),
+         |sizes AS (SELECT component, count(*)::BIGINT AS cluster_size
+         |          FROM comp GROUP BY component)
+         |SELECT d.doc_id,
+         |       coalesce(c.component, d.doc_id) AS component,
+         |       coalesce(s.cluster_size, 1) AS cluster_size,
+         |       CAST(1000000 // coalesce(s.cluster_size, 1) AS BIGINT) AS weight_ppm
+         |FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+         |LEFT JOIN sizes s ON c.component = s.component
+         |ORDER BY d.doc_id""".stripMargin,
+    // components replay + the kPerGroup determinism contract (md5 of the
+    // decimal id, then id) — at most 2 rows per cluster survive
+    "diversity_keep" ->
+      s"""WITH RECURSIVE pairs AS ($JaccardPairsSql),
+         |edges AS (
+         |  SELECT a AS src, b AS dst FROM pairs
+         |  UNION
+         |  SELECT b AS src, a AS dst FROM pairs),
+         |nodes AS (SELECT DISTINCT src AS id FROM edges),
+         |reach(id, r) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT e.dst AS id, reach.r AS r
+         |  FROM reach JOIN edges e ON e.src = reach.id),
+         |comp AS (SELECT id, CAST(min(r) AS BIGINT) AS component FROM reach GROUP BY id),
+         |withcomp AS (
+         |  SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component
+         |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.id)
+         |SELECT doc_id, component FROM (
+         |  SELECT doc_id, component,
+         |         row_number() OVER (PARTITION BY component
+         |           ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS rn
+         |  FROM withcomp) WHERE rn <= 2
+         |ORDER BY doc_id""".stripMargin,
     // the sqrt-share derivation and the hash-bucket keep filter replayed:
     // floor(sqrt) agrees bit-for-bit (correctly-rounded IEEE sqrt both
     // engines), the ppm/alloc/keep chain is pure integer floor division

@@ -72,6 +72,25 @@ class MaintenanceEvalSpec extends SparkTestBase {
     }
   }
 
+  // ---- softDedupWeights ---------------------------------------------------
+
+  test("soft dedup: inverse-cluster-size ppm weights, singletons at 10^6") {
+    val sp = spark
+    import sp.implicits._
+    val docs = (0L to 5L).map(i => Tuple1(i)).toDF("doc_id")
+    // cluster {0,1,2} via chain 0-1, 1-2; pair {3,4}; 5 singleton
+    val pairs = Seq((0L, 1L), (1L, 2L), (3L, 4L)).toDF("a", "b")
+    val got = Dedup.softDedupWeights(docs, "doc_id", pairs)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got(0L) == ((3L, 333333L)) && got(1L) == ((3L, 333333L)) &&
+      got(2L) == ((3L, 333333L)), got)
+    assert(got(3L) == ((2L, 500000L)) && got(4L) == ((2L, 500000L)), got)
+    assert(got(5L) == ((1L, 1000000L)), got)
+    // total weight ~= number of effective documents: 3 clusters worth
+    val total = got.values.map(_._2).sum
+    assert(total == 3 * 333333L + 2 * 500000L + 1000000L, total)
+  }
+
   // ---- retrievalEval ------------------------------------------------------
 
   test("retrievalEval: label-based precision@k and reciprocal rank") {
