@@ -58,6 +58,29 @@ object CorpusIngest {
       }
       .start()
 
+  /** Continuous QUALITY-GATED ingest — the streaming twin of the
+    * `classifier_quality` batch tier: every arriving micro-batch is scored
+    * with the (pre-trained, broadcast) hashed-classifier weight table and
+    * routed keep/drop at the door, so low-quality text never reaches the
+    * corpus store. Stateless across batches by construction (the model is
+    * a fixed table; each doc scores independently), so stream == batch is
+    * exact: the same [[graft.ops.HashedClassifier.score]] runs in both.
+    * `sink` receives (scored batch incl. `score` and `predicted`, epochId);
+    * route on `predicted` (or a caller-chosen score threshold) inside the
+    * sink to keep both the kept and the quarantined stream auditable.
+    */
+  def scoredIngest(newDocs: DataFrame, idCol: String, textCol: String,
+      weights: DataFrame, buckets: Int)
+      (sink: (DataFrame, Long) => Unit): StreamingQuery =
+    newDocs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        sink(batch.join(
+          graft.ops.HashedClassifier.score(batch, idCol, textCol, weights,
+            buckets), Seq(idCol)), epochId)
+      }
+      .start()
+
   // ---- streaming ANN index maintenance -----------------------------------
 
   private val EpochMarker = "_graft_ingest_epoch"

@@ -80,6 +80,42 @@ class CorpusIngestSpec extends SparkTestBase {
     assert(surviving == manual1 ++ manual2)
   }
 
+  test("quality-gated ingest: streamed scores == batch scores, routing by predicted") {
+    val sp = spark
+    import sp.implicits._
+    // model trained once, offline, on a separable corpus
+    val train = Seq(
+      (100L, "good clean prose", true), (101L, "spam junk noise", false),
+      (102L, "clean good text", true), (103L, "junk spam junk", false)
+    ).toDF("doc_id", "text", "label")
+    val w = graft.ops.HashedClassifier.train(train, "text", col("label"), 512)
+      .persist()
+    w.count()
+
+    val epoch1 = Seq(1L -> "good clean prose arrives", 2L -> "spam junk spam")
+    val epoch2 = Seq(3L -> "clean text good prose")
+    val stream = MemoryStream[(Long, String)](sp)
+    val got = mutable.Map[Long, (Long, Boolean)]()
+    val q = CorpusIngest.scoredIngest(stream.toDF().toDF("doc_id", "text"),
+        "doc_id", "text", w, 512) { (scored, _) =>
+      scored.select("doc_id", "score", "predicted").collect().foreach { r =>
+        got.synchronized { got(r.getLong(0)) = (r.getLong(1), r.getBoolean(2)) }
+      }
+    }
+    stream.addData(epoch1)
+    q.processAllAvailable()
+    stream.addData(epoch2)
+    q.processAllAvailable()
+    q.stop()
+
+    assert(got(1L)._2 && !got(2L)._2 && got(3L)._2, got)
+    // bit-identical to scoring the union as one batch
+    val batch = graft.ops.HashedClassifier.score(
+        (epoch1 ++ epoch2).toDF("doc_id", "text"), "doc_id", "text", w, 512)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(got.toMap == batch, s"stream $got vs batch $batch")
+  }
+
   test("stateless media pipeline runs unchanged on a stream (audio stats, stream == batch)") {
     val sp = spark
     import sp.implicits._
