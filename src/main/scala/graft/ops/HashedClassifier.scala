@@ -62,10 +62,16 @@ object HashedClassifier {
     val totals = counts.agg(sum(col("__np")).as("__tp"),
       sum(col("__nn")).as("__tn"))
     // `div` (not `/`): long integer division, truncating — identical to
-    // DuckDB's `//` floor division because every operand is non-negative
+    // DuckDB's `//` floor division because every operand is non-negative.
+    // A single-class training set has one total at 0 (div -> NULL); that
+    // class's rate term is defined as 0 so the op degrades to the other
+    // class's rates instead of emitting NULL weights (and instead of
+    // diverging from SQL engines that error on integer division by zero).
     counts.crossJoin(broadcast(totals))
       .select(col("bucket"),
-        expr(s"__np * $RateScale div __tp - __nn * $RateScale div __tn").as("w"))
+        (coalesce(expr(s"__np * $RateScale div nullif(__tp, 0)"), lit(0L)) -
+          coalesce(expr(s"__nn * $RateScale div nullif(__tn, 0)"), lit(0L)))
+          .as("w"))
   }
 
   /** Score docs with a trained weight table: score = integer sum of bucket

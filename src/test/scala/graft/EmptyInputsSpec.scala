@@ -156,4 +156,41 @@ class EmptyInputsSpec extends SparkTestBase {
       Seq.empty[(Long, Long)].toDF("id", "n"), "id", col("n"), binSize = 8)
     assert(Packing.packTokens(noToks, "id", 8, noOffs).count() == 0)
   }
+
+  test("round-10 mining/maintenance ops on empty and degenerate input") {
+    assert(Dedup.segmentDedup(emptyDocs, "doc_id", "text", 3).count() == 0)
+    assert(Dedup.minhashCalibration(emptySh, "doc_id", "sh").count() == 0)
+    assert(Dedup.softDedupWeights(emptyDocs, "doc_id", emptyPairs).count() == 0)
+    assert(SnapshotDelta.delta(emptyDocs, emptyDocs, "doc_id", "text").count() == 0)
+    // one empty side: everything classifies to the other side's status
+    val some = Seq((1L, "x")).toDF("doc_id", "text")
+    assert(SnapshotDelta.delta(emptyDocs, some, "doc_id", "text")
+      .head.getString(1) == "added")
+    assert(SnapshotDelta.delta(some, emptyDocs, "doc_id", "text")
+      .head.getString(1) == "removed")
+
+    val someVecs2 = (0L to 3L).map(i => (i, Seq(i.toDouble, 1.0)))
+      .toDF("id", "vec")
+    val noQ = Seq.empty[(Long, Seq[Double])].toDF("qid", "qvec")
+    assert(SimilarityJoin.bruteForceTopKBatch(
+      someVecs2, "id", "vec", noQ, "qid", "qvec", 3).count() == 0)
+    assert(SimilarityJoin.hardNegatives(
+      someVecs2, "id", "vec", noQ, "qid", "qvec", 2, 3).count() == 0)
+
+    // single-class training: the absent class's rate term is defined 0 —
+    // weights stay non-NULL and scoring still runs (all-positive corpus
+    // scores positive)
+    val onlyPos = Seq((1L, "aa bb", true), (2L, "aa cc", true))
+      .toDF("doc_id", "text", "label")
+    val w = HashedClassifier.train(onlyPos, "text", col("label"), 64)
+    assert(w.where(col("w").isNull).count() == 0)
+    val scored = HashedClassifier.score(onlyPos, "doc_id", "text", w, 64)
+    assert(scored.where(col("score").isNull).count() == 0)
+    assert(scored.where(!col("predicted")).count() == 0)
+
+    assert(Mixture.temperatureShares(emptyDocs, col("text"), col("doc_id"),
+      100L).count() == 0)
+    assert(Sampling.adaptiveQuantileFilter(emptyDocs, col("text"),
+      col("doc_id"), 0.5).count() == 0)
+  }
 }
