@@ -130,6 +130,36 @@ object SimilarityJoin {
         coalesce(lit(1.0) / col("first_rel_rank"), lit(0.0)))
   }
 
+  /** Reciprocal-rank fusion (Cormack & Clarke 2009) — the standard way to
+    * combine a lexical ranking (BM25) with a vector ranking into one hybrid
+    * result without score normalization: fused score = sum over systems of
+    * 1/(c + rank), items absent from a list contribute 0 for it. Scores are
+    * per-row scalar arithmetic on small integers — deterministic doubles,
+    * so the fusion sits under the hash gate.
+    *
+    * Inputs are two ranked lists (idCol, rankCol) — both already top-m
+    * bounded by their producers. One full-outer equi-join on the id (each
+    * side is m rows — broadcastable by size), a TakeOrdered top-k cut, and
+    * a final row_number over the k survivors (k-bounded single partition by
+    * construction). Output: (rank, idCol, rrf_score).
+    */
+  def rrfFuse(a: DataFrame, b: DataFrame, idCol: String, rankCol: String,
+      k: Int, c: Int = 60): DataFrame = {
+    require(k > 0 && c >= 0, s"need k > 0 and c >= 0, got k=$k c=$c")
+    val fa = a.select(col(idCol), col(rankCol).cast("long").as("__ra"))
+    val fb = b.select(col(idCol), col(rankCol).cast("long").as("__rb"))
+    fa.join(fb, Seq(idCol), "full_outer")
+      .select(col(idCol),
+        (coalesce(lit(1.0) / (lit(c.toLong) + col("__ra")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(c.toLong) + col("__rb")), lit(0.0)))
+          .as("rrf_score"))
+      .orderBy(col("rrf_score").desc, col(idCol).asc)
+      .limit(k)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("rrf_score").desc, col(idCol).asc)).cast("long"))
+      .select(col("rank"), col(idCol), col("rrf_score"))
+  }
+
   /** Exact cosine-threshold self-join: pairs (a, b), a < b, with
     * cosine distance <= tau. The right side is broadcast — exact and
     * shuffle-free, intended for sides that fit in an executor.

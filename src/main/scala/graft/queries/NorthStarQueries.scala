@@ -1534,6 +1534,35 @@ object NorthStarQueries {
         .transform(sortedSingle(_, col("qid")))
     },
 
+    // hybrid retrieval (SimilarityJoin.rrfFuse): BM25 top-20 fused with
+    // vector top-20 by reciprocal-rank fusion — the production default for
+    // lexical+semantic search. Both input rankings reuse already-gated
+    // scoring (BM25 with the shared terms; cosine to the vec_id=0 query);
+    // the fusion is 1/(60+rank) sums — deterministic doubles.
+    "hybrid_rrf_topk" -> { (s, dir) =>
+      val bmRanked = TextOps.bm25(docs(s, dir), "doc_id",
+          TextOps.tokens(col("text")), Bm25Terms)
+        .select(col("doc_id"), round(col("score"), 6).as("score"))
+        .orderBy(col("score").desc, col("doc_id").asc)
+        .limit(20)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("score").desc, col("doc_id").asc)))
+        .select("doc_id", "rank")
+      val emb = t(s, dir, "embeddings")
+      val qv = emb.where(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
+      val vecRanked = emb
+        .select(col("vec_id").as("doc_id"),
+          graft.functions.array_cosine_distance(
+            col("embedding").cast("array<double>"), typedLit(qv)).as("d"))
+        .orderBy(col("d").asc_nulls_last, col("doc_id").asc)
+        .limit(20)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("d").asc_nulls_last, col("doc_id").asc)))
+        .select("doc_id", "rank")
+      SimilarityJoin.rrfFuse(bmRanked, vecRanked, "doc_id", "rank", k = 10)
+    },
+
     // SOFT dedup (Dedup.softDedupWeights): duplicate-aware loss weighting
     // instead of deletion — every doc keeps a weight of 10^6 div its
     // near-dup cluster size (singletons at 10^6). Integer fixed-point, so
@@ -3295,6 +3324,44 @@ object NorthStarQueries {
         |       coalesce(1.0 / min(CASE WHEN hl = ql THEN rnk END), 0.0)
         |         AS reciprocal_rank
         |FROM scored WHERE rnk <= 10 GROUP BY qid ORDER BY qid""".stripMargin,
+    // both rankings replayed (the BM25 CTE chain with the shared terms;
+    // the cosine window with the vec_id=0 query), then the same
+    // 1/(60+rank) fusion, full-outer join and top-10 cut
+    "hybrid_rrf_topk" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tk FROM documents),
+         |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+         |stats AS (SELECT avg(dl) AS avgdl, count(*) AS n FROM dl),
+         |tf AS (SELECT doc_id, tk, count(*) AS tf FROM tok
+         |       WHERE tk IN (${Bm25Terms.map(t => s"'$t'").mkString(", ")}) GROUP BY doc_id, tk),
+         |dfreq AS (SELECT tk, count(*) AS df FROM tf GROUP BY tk),
+         |bm AS (
+         |  SELECT doc_id,
+         |         round(sum(
+         |           ln(1.0 + ((SELECT n FROM stats) - df + 0.5) / (df + 0.5))
+         |           * (tf * (1.2 + 1.0))
+         |           / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / (SELECT avgdl FROM stats)))), 6) AS score
+         |  FROM tf JOIN dfreq USING (tk) JOIN dl USING (doc_id)
+         |  GROUP BY doc_id),
+         |bmr AS (SELECT doc_id, ra FROM (
+         |  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS ra
+         |  FROM bm) WHERE ra <= 20),
+         |q AS (SELECT embedding::DOUBLE[64] AS v FROM embeddings WHERE vec_id = 0),
+         |vr AS (SELECT doc_id, rb FROM (
+         |  SELECT e.vec_id AS doc_id,
+         |         row_number() OVER (ORDER BY
+         |           1 - array_cosine_similarity(e.embedding::DOUBLE[64], q.v)
+         |             ASC NULLS LAST,
+         |           e.vec_id ASC) AS rb
+         |  FROM embeddings e CROSS JOIN q) WHERE rb <= 20),
+         |fused AS (
+         |  SELECT coalesce(b.doc_id, v.doc_id) AS doc_id,
+         |         coalesce(1.0 / (60 + b.ra), 0) + coalesce(1.0 / (60 + v.rb), 0)
+         |           AS rrf_score
+         |  FROM bmr b FULL OUTER JOIN vr v ON b.doc_id = v.doc_id)
+         |SELECT CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id ASC) AS BIGINT)
+         |         AS rank,
+         |       doc_id, rrf_score
+         |FROM fused ORDER BY rrf_score DESC, doc_id ASC LIMIT 10""".stripMargin,
     // the recursive-CTE components replay extended with sizes and the
     // integer inverse-size weight — singletons fall out of the left joins
     "soft_dedup_weights" ->

@@ -96,6 +96,27 @@ class SegmentMiningSpec extends SparkTestBase {
     assert(got == expected)
   }
 
+  // ---- reciprocal-rank fusion ---------------------------------------------
+
+  test("rrfFuse: both-list items outrank single-list, absences contribute 0") {
+    val sp = spark
+    import sp.implicits._
+    // doc 10 is rank 3 lexically AND rank 2 semantically; doc 1 tops the
+    // lexical list only; doc 20 tops the vector list only
+    val lex = Seq((1L, 1L), (2L, 2L), (10L, 3L)).toDF("doc_id", "rank")
+    val vec = Seq((20L, 1L), (10L, 2L), (30L, 3L)).toDF("doc_id", "rank")
+    val got = SimilarityJoin.rrfFuse(lex, vec, "doc_id", "rank", k = 5, c = 60)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.head._2 == 10L, got.toSeq) // the only both-list doc wins
+    assert(got.head._3 == 1.0 / 63 + 1.0 / 62, got.head)
+    // single-list docs score exactly their one reciprocal term
+    val m = got.map(r => r._2 -> r._3).toMap
+    assert(m(1L) == 1.0 / 61 && m(20L) == 1.0 / 61, m)
+    assert(m(2L) == 1.0 / 62 && m(30L) == 1.0 / 63, m)
+    // ties (1 vs 20, both 1/61) break by id: 1 ranks above 20
+    assert(got.map(_._2).toSeq == Seq(10L, 1L, 20L, 2L, 30L), got.toSeq)
+  }
+
   // ---- ANN recall ---------------------------------------------------------
 
   test("recallAtK agrees with the probe/truth intersection, one row per query") {
