@@ -1534,6 +1534,21 @@ object NorthStarQueries {
         .transform(sortedSingle(_, col("qid")))
     },
 
+    // metadata-FILTERED vector search: the production "where label = X"
+    // pre-filter composed with batched exact top-k — the filter lands in
+    // the corpus scan (PushedFilters), so the heap only ever sees the
+    // qualifying subset. Exact tier shown; the same predicate composes
+    // onto the IVF bucket scan for the approximate tier.
+    "ann_filtered_topk" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.where(col("vec_id").isin(1L, 2L, 3L))
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      SimilarityJoin.bruteForceTopKBatch(
+          emb.where(col("label") === 3), "vec_id", "embedding",
+          queries, "qid", "qvec", k = 10)
+        .transform(sortedSingle(_, col("qid"), col("rank")))
+    },
+
     // hybrid retrieval (SimilarityJoin.rrfFuse): BM25 top-20 fused with
     // vector top-20 by reciprocal-rank fusion — the production default for
     // lexical+semantic search. Both input rankings reuse already-gated
@@ -3324,6 +3339,22 @@ object NorthStarQueries {
         |       coalesce(1.0 / min(CASE WHEN hl = ql THEN rnk END), 0.0)
         |         AS reciprocal_rank
         |FROM scored WHERE rnk <= 10 GROUP BY qid ORDER BY qid""".stripMargin,
+    // the label filter + window ranking replayed — the filtered subset is
+    // the ranking universe, so ranks and distances must agree end to end
+    "ann_filtered_topk" ->
+      """WITH q AS (
+        |  SELECT vec_id AS qid, embedding::DOUBLE[64] AS v
+        |  FROM embeddings WHERE vec_id IN (1, 2, 3))
+        |SELECT qid, CAST(rnk AS BIGINT) AS rank, vec_id, cos_dist FROM (
+        |  SELECT q.qid, e.vec_id,
+        |         1 - array_cosine_similarity(e.embedding::DOUBLE[64], q.v) AS cos_dist,
+        |         row_number() OVER (PARTITION BY q.qid ORDER BY
+        |           1 - array_cosine_similarity(e.embedding::DOUBLE[64], q.v)
+        |             ASC NULLS LAST,
+        |           e.vec_id ASC) AS rnk
+        |  FROM embeddings e CROSS JOIN q
+        |  WHERE e.label = 3)
+        |WHERE rnk <= 10 ORDER BY qid, rank""".stripMargin,
     // both rankings replayed (the BM25 CTE chain with the shared terms;
     // the cosine window with the vec_id=0 query), then the same
     // 1/(60+rank) fusion, full-outer join and top-10 cut

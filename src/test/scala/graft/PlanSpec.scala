@@ -154,6 +154,16 @@ class PlanSpec extends SparkTestBase {
     assert(nHash <= 2, s"expected <= 2 hash exchanges (partial/final agg), found $nHash:\n$plan")
   }
 
+  test("filtered vector search pushes the label predicate into the parquet scan") {
+    val queries = emb.where(col("vec_id") === 1)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val plan = graft.ops.SimilarityJoin.bruteForceTopKBatch(
+        emb.where(col("label") === 3), "vec_id", "embedding",
+        queries, "qid", "qvec", 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("EqualTo(label,3)"), plan) // in PushedFilters
+  }
+
   test("segment dedup: scan-side explode, dup census + reassembly are the only wide ops") {
     val plan = graft.ops.Dedup.segmentDedup(docs, "doc_id", "text", 3)
       .queryExecution.executedPlan.toString
