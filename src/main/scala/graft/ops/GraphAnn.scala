@@ -392,11 +392,19 @@ object GraphAnn {
     // parallelism comes from the file splits, not this conf.
     val spark = df.sparkSession
     val spKey = "spark.sql.shuffle.partitions"
+    val aqeKey = "spark.sql.adaptive.enabled"
     val prevSp = spark.conf.get(spKey)
+    val prevAqe = spark.conf.get(aqeKey)
     val clamped = math.min(prevSp.toInt, 8).toString
     var round = 0
     try {
       spark.conf.set(spKey, clamped)
+      // AQE off for the loop: every round's state frames are already
+      // (queries x beam)-bounded with a clamped partition count, so AQE
+      // can only re-plan trivial shuffles — but each re-plan is an extra
+      // driver round-trip of query-stage jobs PER ROUND, and the loop's
+      // wall-clock is pure scheduling at gate size. Restored in finally.
+      spark.conf.set(aqeKey, "false")
       // entry: per query, the beam nearest centroids (the cross product is
       // (n/stride × queries) rows against the broadcast query table)
       var visited = df.where(pmod(col(idCol), lit(stride)) === 0)
@@ -468,7 +476,10 @@ object GraphAnn {
         // the caller consumes this OUTSIDE the conf clamp — pin the final
         // ranked frame so its window also runs on the clamped state size
         .localCheckpoint()
-    } finally spark.conf.set(spKey, prevSp)
+    } finally {
+      spark.conf.set(spKey, prevSp)
+      spark.conf.set(aqeKey, prevAqe)
+    }
   }
 
   /** Single-query point probe — row-identical to [[beamSearchTopK]]
