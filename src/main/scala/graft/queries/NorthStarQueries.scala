@@ -1534,6 +1534,18 @@ object NorthStarQueries {
         .transform(sortedSingle(_, col("qid")))
     },
 
+    // training-ready sharded export (CorpusIO.writeSharded): the corpus
+    // actually lands on disk as 8 hash-partitioned shard dirs, and the
+    // gate checks the returned MANIFEST — per-shard row count + the
+    // order-independent bit_xor id checksum a data loader verifies before
+    // reading. Shard assignment is the standard md5 bucket, replayed.
+    "sharded_export" -> { (s, dir) =>
+      val out = graft.util.TempDirs.create("sharded_export")
+      graft.sources.CorpusIO.writeSharded(t(s, dir, "documents"), "doc_id",
+          8, out)
+        .transform(sortedSingle(_, col("shard")))
+    },
+
     // metadata-FILTERED vector search: the production "where label = X"
     // pre-filter composed with batched exact top-k — the filter lands in
     // the corpus scan (PushedFilters), so the heap only ever sees the
@@ -3339,6 +3351,17 @@ object NorthStarQueries {
         |       coalesce(1.0 / min(CASE WHEN hl = ql THEN rnk END), 0.0)
         |         AS reciprocal_rank
         |FROM scored WHERE rnk <= 10 GROUP BY qid ORDER BY qid""".stripMargin,
+    // the md5 shard assignment and both manifest columns replayed —
+    // bit_xor is order-independent in both engines, so neither side
+    // depends on scan order
+    "sharded_export" ->
+      """WITH h AS (
+        |  SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 8
+        |           AS shard,
+        |         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS hh
+        |  FROM documents)
+        |SELECT shard, count(*)::BIGINT AS n_rows, bit_xor(hh) AS id_checksum
+        |FROM h GROUP BY shard ORDER BY shard""".stripMargin,
     // the label filter + window ranking replayed — the filtered subset is
     // the ranking universe, so ranks and distances must agree end to end
     "ann_filtered_topk" ->

@@ -133,6 +133,37 @@ object CorpusIO {
     n
   }
 
+  /** Training-ready SHARDED export — the last step of a curation pipeline:
+    * write the corpus as `nShards` deterministic hash shards (partitioned
+    * parquet, `shard=NNN` directories a data loader can range-assign to
+    * workers) and return the per-shard MANIFEST the training job checks
+    * before reading: (shard, n_rows, id_checksum). Shard assignment is the
+    * engine's standard md5 bucket of the id — stable under retry,
+    * speculative execution and engine swap, and replayable in SQL, so the
+    * manifest itself can sit under the hash gate. The checksum is the
+    * BIT_XOR of the ids' 60-bit md5 longs — order-independent (any read
+    * order verifies) and overflow-free at any shard size (a wrapping SUM
+    * would trip ANSI overflow checking on big shards).
+    *
+    * Scale shape: one scan, one partitioned write (the writer hash-
+    * distributes by the shard column — no pre-repartition needed at
+    * `nShards` ≪ tasks), and the manifest is one `nShards`-row aggregate.
+    */
+  def writeSharded(df: DataFrame, idCol: String, nShards: Int,
+      path: String): DataFrame = {
+    require(nShards > 0, s"nShards must be positive: $nShards")
+    val sharded = df.withColumn("shard",
+      graft.ops.Sampling.hashBucket(col(idCol), nShards))
+    sharded.write.mode("overwrite").partitionBy("shard").parquet(path)
+    sharded
+      .withColumn("__h",
+        conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10)
+          .cast("long"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_rows"),
+        expr("bit_xor(__h)").as("id_checksum"))
+  }
+
   /** S7 — cache-or-fetch: the reference's write-through corpus cache.
     * `fetch` runs only on cache miss (or refetch=true), its result is
     * persisted to `cachePath` and read back so downstream always consumes
