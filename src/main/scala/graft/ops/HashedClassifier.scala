@@ -76,15 +76,24 @@ object HashedClassifier {
 
   /** Score docs with a trained weight table: score = integer sum of bucket
     * weights over the doc's token instances (unseen buckets contribute 0);
-    * predicted = score > 0. Output: (idCol, score: long, predicted).
-    * The weight table is broadcast — it is `buckets`-bounded by design.
+    * predicted = score > 0. Output: (idCol, score: long, predicted) —
+    * ONE ROW PER INPUT DOC: a doc whose text is NULL has no tokens to
+    * explode, so it is left-joined back with score 0 / predicted false
+    * rather than silently vanishing (callers route keep/quarantine on
+    * `predicted`; a missing row would be neither). The weight table is
+    * broadcast — it is `buckets`-bounded by design.
     */
   def score(docs: DataFrame, idCol: String, textCol: String,
-      weights: DataFrame, buckets: Int): DataFrame =
-    docs.select(col(idCol), explode(split(col(textCol), " ")).as("__tok"))
+      weights: DataFrame, buckets: Int): DataFrame = {
+    val summed = docs
+      .select(col(idCol), explode(split(col(textCol), " ")).as("__tok"))
       .withColumn("bucket", bucketOf(col("__tok"), buckets))
       .join(broadcast(weights), Seq("bucket"), "left")
       .groupBy(col(idCol))
-      .agg(sum(coalesce(col("w"), lit(0L))).as("score"))
+      .agg(sum(coalesce(col("w"), lit(0L))).as("__s"))
+    docs.select(col(idCol))
+      .join(summed, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("__s"), lit(0L)).as("score"))
       .withColumn("predicted", col("score") > 0)
+  }
 }

@@ -102,10 +102,16 @@ object Mixture {
     require(budget >= 0, s"budget must be >= 0: $budget")
     val t = df.groupBy(stratum.as("stratum")).agg(sum(sizeCol).as("tot"))
       .withColumn("w", floor(sqrt(col("tot").cast("double"))).cast("long"))
+    // nullif guards: a corpus where every stratum weight is 0 (all-empty
+    // strata) makes __sw = 0; under Spark 4's ANSI mode a bare integer
+    // `div` would throw DIVIDE_BY_ZERO at runtime instead of degrading.
+    // Define the share of a weightless corpus as 0 — the same guard
+    // HashedClassifier.train uses for a single-class training set.
     t.crossJoin(broadcast(t.agg(sum(col("w")).as("__sw"))))
       .select(col("stratum"), col("tot"), col("w"),
-        expr("w * 1000000 div __sw").as("ppm"),
-        expr(s"$budget * (w * 1000000 div __sw) div 1000000").as("alloc"))
+        coalesce(expr("w * 1000000 div nullif(__sw, 0)"), lit(0L)).as("ppm"),
+        coalesce(expr(s"$budget * (w * 1000000 div nullif(__sw, 0)) div 1000000"),
+          lit(0L)).as("alloc"))
   }
 
   /** Apply [[temperatureShares]] as a deterministic sample: stratum i
@@ -117,10 +123,14 @@ object Mixture {
   def sampleTemperature(df: DataFrame, stratum: Column, key: Column,
       sizeCol: Column, budget: Long, buckets: Int = 1000): DataFrame = {
     require(buckets > 0, s"buckets must be positive: $buckets")
+    // nullif: `tot` is a per-stratum sum of caller sizes — 0 (or a 0-sum
+    // stratum) must degrade to keeping nothing, not throw ANSI
+    // DIVIDE_BY_ZERO (same guard as temperatureShares' __sw).
     val shares = temperatureShares(df, stratum, sizeCol, budget)
       .select(col("stratum"),
         least(lit(buckets.toLong),
-          expr(s"$buckets * alloc div tot")).as("__keep"))
+          coalesce(expr(s"$buckets * alloc div nullif(tot, 0)"), lit(0L)))
+          .as("__keep"))
     df.join(broadcast(shares), stratum <=> col("stratum"))
       .where(Sampling.hashBucket(key, buckets) < col("__keep"))
       .drop("stratum", "__keep")

@@ -3521,10 +3521,12 @@ object NorthStarQueries {
          |  FROM ev e LEFT JOIN w
          |    ON ('0x' || substr(md5(e.tok), 1, 15))::BIGINT % $ClfBuckets = w.bucket
          |  GROUP BY e.doc_id)
-         |SELECT s.doc_id, s.score, s.score > 0 AS predicted,
+         |SELECT d.doc_id, CAST(coalesce(s.score, 0) AS BIGINT) AS score,
+         |       coalesce(s.score, 0) > 0 AS predicted,
          |       d.lang = 'en' AS actual
-         |FROM sc s JOIN documents d USING (doc_id)
-         |ORDER BY s.doc_id""".stripMargin,
+         |FROM documents d LEFT JOIN sc s USING (doc_id)
+         |WHERE d.doc_id % 3 = 0
+         |ORDER BY d.doc_id""".stripMargin,
   )
 
   private val annIvfOracle: String =

@@ -155,10 +155,17 @@ object CorpusIO {
     val sharded = df.withColumn("shard",
       graft.ops.Sampling.hashBucket(col(idCol), nShards))
     sharded.write.mode("overwrite").partitionBy("shard").parquet(path)
-    sharded
-      .withColumn("__h",
+    // The manifest aggregates the FILES JUST WRITTEN, not the logical plan
+    // that produced them: re-running the input plan for the manifest pass
+    // could disagree with the on-disk shards it claims to verify if the
+    // source mutated (or any upstream nondeterminism fired) between the
+    // two executions — and the read-back doubles as a write verification.
+    // `shard` comes back as a partition directory column (inferred int) —
+    // cast to long to keep the manifest schema identical to the write side.
+    df.sparkSession.read.parquet(path)
+      .select(col("shard").cast("long").as("shard"),
         conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10)
-          .cast("long"))
+          .cast("long").as("__h"))
       .groupBy(col("shard"))
       .agg(count(lit(1)).as("n_rows"),
         expr("bit_xor(__h)").as("id_checksum"))

@@ -68,6 +68,10 @@ object CorpusIngest {
     * `sink` receives (scored batch incl. `score` and `predicted`, epochId);
     * route on `predicted` (or a caller-chosen score threshold) inside the
     * sink to keep both the kept and the quarantined stream auditable.
+    * Every batch row reaches the sink: [[graft.ops.HashedClassifier.score]]
+    * emits one row per input doc (NULL-text docs score 0 / predicted
+    * false), so the scoring join below cannot drop rows — a doc is always
+    * either kept or quarantined, never silently absent.
     */
   def scoredIngest(newDocs: DataFrame, idCol: String, textCol: String,
       weights: DataFrame, buckets: Int)

@@ -68,4 +68,21 @@ class HashedClassifierSpec extends SparkTestBase {
     assert(w(bucket("b")) == 1000000L / 3L)
     assert(w(bucket("c")) == -(1000000L / 2L))
   }
+
+  test("score emits one row per input doc: NULL-text docs score 0, not vanish") {
+    val sp = spark
+    import sp.implicits._
+    val train = corpus.where(col("doc_id") < 10)
+    val w = HashedClassifier.train(train, "text", col("label"), 1024)
+    val evalDocs = Seq(
+      (20L, "good prose"),
+      (21L, null.asInstanceOf[String]), // no tokens to explode
+      (22L, "junk noise")
+    ).toDF("doc_id", "text")
+    val got = HashedClassifier.score(evalDocs, "doc_id", "text", w, 1024)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(got.keySet == Set(20L, 21L, 22L), got)
+    assert(got(21L) == ((0L, false)), got(21L))
+    assert(got(20L)._2 && !got(22L)._2, got)
+  }
 }

@@ -66,6 +66,20 @@ class MixtureSpec extends SparkTestBase {
     assert(out.count() == 3)
   }
 
+  test("all-zero weights degrade to zero shares, not ANSI divide-by-zero") {
+    val sp = spark
+    import sp.implicits._
+    // every stratum total is 0 -> w = floor(sqrt(0)) = 0 -> sum(w) = 0:
+    // the ppm/alloc divisors are all zero and must coalesce to 0
+    val d = Seq((1L, "en", 0L), (2L, "ja", 0L)).toDF("doc_id", "lang", "sz")
+    val shares = Mixture.temperatureShares(d, col("lang"), col("sz"), 100L)
+      .collect().map(r => (r.getLong(3), r.getLong(4)))
+    assert(shares.forall(_ == ((0L, 0L))), shares.toSeq)
+    val kept = Mixture.sampleTemperature(d, col("lang"), col("doc_id"),
+      col("sz"), 100L, buckets = 10)
+    assert(kept.count() == 0)
+  }
+
   test("mixture filter stays a scan-side predicate (broadcast, no extra shuffle of the corpus)") {
     val d = docs
     val plan = Mixture.toTokenBudget(d, col("lang"), col("doc_id"),
