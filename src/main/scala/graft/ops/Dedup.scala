@@ -169,11 +169,16 @@ object Dedup {
       maxDocFrac: Double): DataFrame = {
     require(maxDocFrac > 0.0 && maxDocFrac <= 1.0,
       s"maxDocFrac must be in (0, 1]: $maxDocFrac")
-    val nDocs = df.count().toDouble
+    // The doc total stays IN the plan (broadcast 1-row aggregate) instead
+    // of an eager driver-side count(): composing the guard into a query
+    // must not fire a job at construction time, and one plan means the
+    // engine can share the scan between the frequency pass and the rejoin.
+    val nDocs = df.agg(count(lit(1)).cast("double").as("__ndocs"))
     val hot = df
       .select(col(idCol), explode(array_distinct(col(shingleCol))).as("__sh"))
       .groupBy("__sh").agg(count(lit(1)).as("__df"))
-      .where(col("__df") > nDocs * maxDocFrac)
+      .crossJoin(broadcast(nDocs))
+      .where(col("__df") > col("__ndocs") * maxDocFrac)
       .select(col("__sh").as("__hot"))
     val hotList = broadcast(hot.agg(collect_set(col("__hot")).as("__hots")))
     df.crossJoin(hotList)

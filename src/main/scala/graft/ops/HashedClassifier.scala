@@ -77,23 +77,21 @@ object HashedClassifier {
   /** Score docs with a trained weight table: score = integer sum of bucket
     * weights over the doc's token instances (unseen buckets contribute 0);
     * predicted = score > 0. Output: (idCol, score: long, predicted) —
-    * ONE ROW PER INPUT DOC: a doc whose text is NULL has no tokens to
-    * explode, so it is left-joined back with score 0 / predicted false
-    * rather than silently vanishing (callers route keep/quarantine on
-    * `predicted`; a missing row would be neither). The weight table is
-    * broadcast — it is `buckets`-bounded by design.
+    * ONE ROW PER INPUT DOC: a doc whose text is NULL still gets a row
+    * with score 0 / predicted false rather than silently vanishing
+    * (callers route keep/quarantine on `predicted`; a missing row would
+    * be neither). The weight table is broadcast — it is `buckets`-bounded
+    * by design.
     */
   def score(docs: DataFrame, idCol: String, textCol: String,
-      weights: DataFrame, buckets: Int): DataFrame = {
-    val summed = docs
-      .select(col(idCol), explode(split(col(textCol), " ")).as("__tok"))
+      weights: DataFrame, buckets: Int): DataFrame =
+    // explode_outer (not explode): a NULL-text doc keeps one row with a
+    // NULL token, whose NULL bucket matches no weight -> score 0 — one
+    // output row per input doc with NO extra join or shuffle.
+    docs.select(col(idCol), explode_outer(split(col(textCol), " ")).as("__tok"))
       .withColumn("bucket", bucketOf(col("__tok"), buckets))
       .join(broadcast(weights), Seq("bucket"), "left")
       .groupBy(col(idCol))
-      .agg(sum(coalesce(col("w"), lit(0L))).as("__s"))
-    docs.select(col(idCol))
-      .join(summed, Seq(idCol), "left")
-      .select(col(idCol), coalesce(col("__s"), lit(0L)).as("score"))
+      .agg(sum(coalesce(col("w"), lit(0L))).as("score"))
       .withColumn("predicted", col("score") > 0)
-  }
 }

@@ -38,9 +38,25 @@ object NorthStarQueries {
     s.read.parquet(path)
   }
 
+  /** Document-frequency cap for the boilerplate guard composed into every
+    * jaccard-family gate below (same threshold as the dedicated
+    * `boilerplate_filtered_pairs` gate).
+    */
+  private val HotShingleFrac = 0.25
+
+  /** Shared pair-building input: 3-word shingles WITH the hot-shingle
+    * guard composed by default (Dedup.dropHotShingles — one boilerplate
+    * shingle shared by 10% of a web corpus makes the banded join bucket²,
+    * so the 100 TB posture depends on every jaccard-derived pipeline
+    * carrying the guard, not just the dedicated boilerplate gate). The
+    * fixture has no hot shingles, so gate hashes are guard-invariant; the
+    * guard's presence in each gate's plan is PlanSpec-asserted.
+    */
   private def docsWithShingles(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir)
-      .select(col("doc_id"), TextOps.wordNGrams(col("text"), 3).as("sh"))
+    Dedup.dropHotShingles(
+      docs(s, dir)
+        .select(col("doc_id"), TextOps.wordNGrams(col("text"), 3).as("sh")),
+      "doc_id", "sh", HotShingleFrac)
 
   private val JaccardTau = 0.5
   private val CosineTau = 0.55

@@ -181,6 +181,21 @@ class PlanSpec extends SparkTestBase {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("jaccard-family gates compose the hot-shingle guard by default") {
+    // The 100 TB posture depends on every jaccard-derived pipeline carrying
+    // Dedup.dropHotShingles (one boilerplate shingle makes the banded join
+    // bucket²) — assert the guard's hot-list filter is IN the gate plans,
+    // not just available as a separate op.
+    // (components/centrality gates checkpoint away their lineage, so the
+    // guard can only be asserted on gates whose final plan keeps the join)
+    for (gate <- Seq("minhash_lsh_pairs", "near_dedup_survivors",
+        "ngram_jaccard_join", "minhash_calibration")) {
+      val plan = graft.SparkEntry.queries(gate)(spark, "/root/testdata/sf0.001")
+        .queryExecution.optimizedPlan.toString
+      assert(plan.contains("__hots"), s"$gate plan lacks hot-shingle guard:\n$plan")
+    }
+  }
+
   test("classifier scoring joins the broadcast weight table — corpus never shuffles on token") {
     val w = graft.ops.HashedClassifier.train(docs, "text",
       col("doc_id") % 2 === 0, 256)
