@@ -190,16 +190,33 @@ object GraphAnn {
 
   private val SpecMarker = "_graft_graph_spec"
 
+  /** Neighbor-vector column of a VECTOR-ADJACENT materialized edge table
+    * (see [[materialize]]); probes route on its presence.
+    */
+  private[graft] val DstVecCol = "__dstv"
+
   /** Materialize the edge table as parquet (build once / probe many), with
     * a geometry marker so a reopen with different (stride, degree) fails
-    * fast. The edge table is the whole index: two longs per edge,
-    * ≤ degree·(n + n/stride) rows.
+    * fast. Edges are stored VECTOR-ADJACENT — each (src, dst) row carries
+    * dst's vector, the classic HNSW memory layout (neighbor vectors live
+    * with the links): a probe round is then ONE `src IN (frontier)` scan
+    * of the edge artifact that yields the reached neighbors AND their
+    * query distances, never touching the corpus table. Storage is
+    * degree·(n + n/stride) rows × (2 longs + one vector) — the index
+    * artifact trades `degree` copies of each vector for rounds that are
+    * point reads into a single table, exactly as an in-process HNSW
+    * trades memory for locality.
     */
   def materialize(df: DataFrame, idCol: String, vecCol: String,
       stride: Int, degree: Int, path: String, superStride: Int = 0): Unit = {
     require(!df.where(pmod(col(idCol), lit(stride)) === 0).isEmpty,
       s"no centroids: no $idCol divisible by stride $stride")
+    // one build-time shuffle to attach dst vectors; every dst is a corpus
+    // row by construction, so the join cannot drop edges
     buildEdges(df, idCol, vecCol, stride, degree, superStride)
+      .join(df.select(col(idCol).cast("long").as("dst"),
+        col(vecCol).as(DstVecCol)), Seq("dst"), "left")
+      .select(col("src"), col("dst"), col(DstVecCol))
       .write.mode("overwrite").parquet(s"$path/edges")
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(path, SpecMarker),
@@ -367,6 +384,39 @@ object GraphAnn {
       rounds: Int = DefaultRounds): DataFrame = {
     require(k > 0 && beam > 0 && rounds >= 0,
       s"invalid probe: k=$k beam=$beam rounds=$rounds")
+    // Route GATE-SIZED batches (≤ beam queries, double vectors) through the
+    // multi-query point-probe: the join shape's per-round wall at tiny
+    // batch sizes is FIXED driver scheduling (checkpoint + window + dedup
+    // jobs per round), not data — measured 2.24 s for 3 queries where the
+    // driver loop's 2 single-stage jobs per round land well under 1 s. The
+    // two shapes are row-identical (spec-asserted); beyond `beam` queries
+    // the join shape's amortization wins and driver maps stop being the
+    // model-artifact cost class.
+    if (queries.schema(queries.schema.fieldIndex(qvecCol)).dataType ==
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType, true) ||
+        queries.schema(queries.schema.fieldIndex(qvecCol)).dataType ==
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType, false)) {
+      val head = queries
+        .select(col(qidCol).cast("long"), col(qvecCol)).limit(beam + 1).collect()
+      if (head.length <= beam && head.forall(!_.isNullAt(1)))
+        return pointProbeTopKBatch(df, idCol, vecCol, edges,
+          head.map(r => (r.getLong(0), r.getSeq[Double](1).toIndexedSeq)).toSeq,
+          qidCol, k, stride, beam, rounds)
+    }
+    beamSearchTopKBatchJoin(df, idCol, vecCol, edges, queries, qidCol,
+      qvecCol, k, stride, beam, rounds)
+  }
+
+  /** The join-shape batch probe — all per-round state in (queries × beam)-
+    * bounded engine frames; the scale path for large query tables (see
+    * [[beamSearchTopKBatch]], which routes here beyond `beam` queries).
+    */
+  private[graft] def beamSearchTopKBatchJoin(df: DataFrame, idCol: String,
+      vecCol: String, edges: DataFrame, queries: DataFrame, qidCol: String,
+      qvecCol: String, k: Int, stride: Int, beam: Int = DefaultBeam,
+      rounds: Int = DefaultRounds): DataFrame = {
     val q = broadcast(queries.select(col(qidCol).cast("long").as("__qid"),
       col(qvecCol).as("__qv")))
     val vecs = df.select(col(idCol).cast("long").as("__nid"), col(vecCol).as("__nv"))
@@ -542,18 +592,29 @@ object GraphAnn {
     while (round < rounds && !(round > 0 && convergedNow)
         && { frontier = nextFrontier(); frontier.nonEmpty }) {
       expanded ++= frontier
-      val reached = edges.where(col("src").isin(frontier: _*))
-        .select(col("dst").cast("long"))
-        .collect().map(_.getLong(0)).distinct
       // tabu on scoring: a node's distance is a pure function of its id,
-      // so re-scoring already-visited ids is identical to the join shape's
-      // union + min-groupBy dedup — skip it
-      val newIds = reached.filterNot(visited.contains)
-      if (newIds.nonEmpty)
-        collectScored(vecs.where(col("__nid").isin(newIds.toSeq: _*))
-            .select(col("__nid"),
-              array_cosine_distance(col("__nv"), q).as("__d")))
-          .foreach { case (id, d) => visited(id) = d }
+      // so skipping already-visited ids is identical to the join shape's
+      // union + min-groupBy dedup
+      if (edges.columns.contains(DstVecCol)) {
+        // vector-adjacent artifact: ONE src-pushdown edge scan per round
+        // yields neighbors and their distances (see materialize)
+        collectScored(edges.where(col("src").isin(frontier: _*))
+            .select(col("dst").cast("long"),
+              array_cosine_distance(col(DstVecCol), q).as("__d")))
+          .foreach { case (id, d) =>
+            if (!visited.contains(id)) visited(id) = d
+          }
+      } else {
+        val reached = edges.where(col("src").isin(frontier: _*))
+          .select(col("dst").cast("long"))
+          .collect().map(_.getLong(0)).distinct
+        val newIds = reached.filterNot(visited.contains)
+        if (newIds.nonEmpty)
+          collectScored(vecs.where(col("__nid").isin(newIds.toSeq: _*))
+              .select(col("__nid"),
+                array_cosine_distance(col("__nv"), q).as("__d")))
+            .foreach { case (id, d) => visited(id) = d }
+      }
       round += 1
     }
     probeRounds.set(round)
@@ -563,6 +624,184 @@ object GraphAnn {
     import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
     import scala.jdk.CollectionConverters._
     spark.createDataFrame(top.asJava, StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField("cos_dist", DoubleType, nullable = true))))
+  }
+
+  /** Multi-query point probe — [[pointProbeTopK]]'s driver-loop shape
+    * amortized across a SMALL query batch (≤ beam; [[beamSearchTopKBatch]]
+    * routes here). Per-query state is the same bounded
+    * ≤ beam + beam·degree·rounds (id, distance) map as the single-query
+    * path — Q of them, still the model-artifact cost class — and each
+    * round costs exactly TWO single-stage engine jobs REGARDLESS of query
+    * count: one `src IN (all frontiers)` edge scan and one
+    * `id IN (all new)` corpus scan that computes one engine-codegen'd
+    * distance column per active query (so distances stay engine-computed —
+    * the driver only routes and orders them, and the probe shapes cannot
+    * drift). The entry beam is one bounded-heap
+    * [[SimilarityJoin.bruteForceTopKBatch]] job over the centroid subset;
+    * the heap drops NULL distances, so any query left short of `beam`
+    * entries re-runs the exact single-query entry (NULLS LAST) — the
+    * degenerate-vector path, never taken on healthy data. Row-identical
+    * per query to [[pointProbeTopK]] and the join shape (spec-asserted).
+    */
+  private[graft] def pointProbeTopKBatch(df: DataFrame, idCol: String,
+      vecCol: String, edges: DataFrame, qRows: Seq[(Long, Seq[Double])],
+      qidCol: String, k: Int, stride: Int, beam: Int,
+      rounds: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    // Whole-stage codegen + AQE OFF for the loop's micro-jobs: every round's
+    // isin list and query-vector literals differ, so each ≤400-row collect
+    // would pay a fresh janino compilation (the dominant fixed cost at gate
+    // size — measured ~100 ms/job), and AQE adds a query-stage job to the
+    // entry aggregate. Interpreted eval of the SAME expressions is
+    // bit-identical (ExpressionEvalSpec-class guarantee) and instant on
+    // frontier-sized inputs. Restored in finally — corpus-sized work never
+    // runs inside this path.
+    val wscgKey = "spark.sql.codegen.wholeStage"
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val prevWscg = spark.conf.get(wscgKey)
+    val prevAqe = spark.conf.get(aqeKey)
+    spark.conf.set(wscgKey, "false")
+    spark.conf.set(aqeKey, "false")
+    try pointProbeTopKBatchLoop(df, idCol, vecCol, edges, qRows, qidCol,
+      k, stride, beam, rounds)
+    finally {
+      spark.conf.set(wscgKey, prevWscg)
+      spark.conf.set(aqeKey, prevAqe)
+    }
+  }
+
+  private def pointProbeTopKBatchLoop(df: DataFrame, idCol: String,
+      vecCol: String, edges: DataFrame, qRows: Seq[(Long, Seq[Double])],
+      qidCol: String, k: Int, stride: Int, beam: Int,
+      rounds: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vecs = df.select(col(idCol).cast("long").as("__nid"), col(vecCol).as("__nv"))
+    // (distance asc NULLS LAST, id asc) — see pointProbeTopK's note on why
+    // exact double comparison of engine-computed values is drift-free
+    val sortKey: ((Long, java.lang.Double)) => (Boolean, Double, Long) = {
+      case (id, d) => (d == null, if (d == null) 0d else d.doubleValue, id)
+    }
+    val qids = qRows.map(_._1).distinct
+    val qv = qRows.toMap
+    val visited = qids.map(_ ->
+      scala.collection.mutable.HashMap.empty[Long, java.lang.Double]).toMap
+    val expanded = qids.map(_ ->
+      scala.collection.mutable.HashSet.empty[Long]).toMap
+    if (qids.nonEmpty) {
+      val qDf = qids.map(q => (q, qv(q))).toDF("__bqid", "__bqv")
+      SimilarityJoin.bruteForceTopKBatch(
+          df.where(pmod(col(idCol), lit(stride)) === 0), idCol, vecCol,
+          qDf, "__bqid", "__bqv", k = beam)
+        .select(col("__bqid"), col(idCol).cast("long"), col("cos_dist"))
+        .collect()
+        .foreach { r =>
+          visited(r.getLong(0))(r.getLong(1)) =
+            if (r.isNullAt(2)) null else java.lang.Double.valueOf(r.getDouble(2))
+        }
+    }
+    for (qid <- qids if visited(qid).size < beam) {
+      // short entry: either fewer centroids than `beam` (tiny corpus) or
+      // NULL distances the heap dropped — replay the exact per-query entry
+      visited(qid).clear()
+      df.where(pmod(col(idCol), lit(stride)) === 0)
+        .select(col(idCol).cast("long").as("__nid"),
+          array_cosine_distance(col(vecCol), typedLit(qv(qid))).as("__d"))
+        .orderBy(col("__d").asc_nulls_last, col("__nid").asc)
+        .limit(beam).collect()
+        .foreach(r => visited(qid)(r.getLong(0)) =
+          if (r.isNullAt(1)) null else java.lang.Double.valueOf(r.getDouble(1)))
+    }
+    var round = 0
+    var continue = rounds > 0 && qids.nonEmpty
+    while (continue) {
+      // per-query frontier under the shared HNSW convergence rule: a
+      // converged query contributes no frontier rows while the rest walk
+      val frontiers: Map[Long, Seq[Long]] = qids.iterator.map { qid =>
+        val conv = round > 0 && converged(
+          visited(qid).iterator.map { case (i, d) => (i, d) }.toSeq
+            .sortBy(sortKey).take(k).map(_._1),
+          expanded(qid))
+        val f =
+          if (conv) Seq.empty[Long]
+          else visited(qid).iterator.filterNot(kv => expanded(qid)(kv._1))
+            .map { case (i, d) => (i, d) }.toSeq.sortBy(sortKey)
+            .take(beam).map(_._1)
+        qid -> f
+      }.toMap
+      val allFront = frontiers.valuesIterator.flatten.toSeq.distinct
+      if (allFront.isEmpty) continue = false
+      else {
+        round += 1
+        frontiers.foreach { case (qid, f) => expanded(qid) ++= f }
+        val fsets = frontiers.map { case (qid, f) => qid -> f.toSet }
+        val live = qids.filter(fsets(_).nonEmpty)
+        // tabu on scoring: a node's distance is a pure function of
+        // (query, id), so skipping already-visited ids is identical to the
+        // join shape's union + min-groupBy dedup
+        if (edges.columns.contains(DstVecCol)) {
+          // vector-adjacent artifact: the round is ONE src-pushdown scan
+          // yielding neighbors AND their per-query distances — the corpus
+          // table is never touched after the entry beam
+          val cols = Seq(col("src").cast("long"), col("dst").cast("long")) ++
+            live.map(qid =>
+              array_cosine_distance(col(DstVecCol), typedLit(qv(qid)))
+                .as(s"__d_$qid"))
+          edges.where(col("src").isin(allFront: _*)).select(cols: _*)
+            .collect().foreach { r =>
+              val src = r.getLong(0); val dst = r.getLong(1)
+              live.zipWithIndex.foreach { case (qid, i) =>
+                if (fsets(qid)(src) && !visited(qid).contains(dst))
+                  visited(qid)(dst) =
+                    if (r.isNullAt(i + 2)) null
+                    else java.lang.Double.valueOf(r.getDouble(i + 2))
+              }
+            }
+        } else {
+          // plain (src, dst) edges: expand then score in two point-read jobs
+          val es = edges.where(col("src").isin(allFront: _*))
+            .select(col("src").cast("long"), col("dst").cast("long"))
+            .collect().map(r => (r.getLong(0), r.getLong(1)))
+          val newIds: Map[Long, Set[Long]] = qids.iterator.map { qid =>
+            qid -> es.iterator.filter(e => fsets(qid)(e._1)).map(_._2)
+              .filterNot(visited(qid).contains).toSet
+          }.toMap
+          val active = qids.filter(q => newIds(q).nonEmpty)
+          val allNew = active.iterator.flatMap(newIds(_)).toSeq.distinct
+          if (allNew.nonEmpty) {
+            val cols = col("__nid") +: active.map(qid =>
+              array_cosine_distance(col("__nv"), typedLit(qv(qid)))
+                .as(s"__d_$qid"))
+            vecs.where(col("__nid").isin(allNew: _*)).select(cols: _*)
+              .collect().foreach { r =>
+                val nid = r.getLong(0)
+                active.zipWithIndex.foreach { case (qid, i) =>
+                  if (newIds(qid)(nid))
+                    visited(qid)(nid) =
+                      if (r.isNullAt(i + 1)) null
+                      else java.lang.Double.valueOf(r.getDouble(i + 1))
+                }
+              }
+          }
+        }
+        if (round >= rounds) continue = false
+      }
+    }
+    probeRounds.set(round)
+    val out = qids.flatMap { qid =>
+      visited(qid).iterator.map { case (i, d) => (i, d) }.toSeq
+        .sortBy(sortKey).take(k).zipWithIndex
+        .map { case ((nid, d), i) =>
+          org.apache.spark.sql.Row(qid, (i + 1).toLong, nid, d) }
+    }
+    import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(out.asJava, StructType(Seq(
+      StructField(qidCol, LongType, nullable = false),
+      StructField("rank", LongType, nullable = false),
       StructField(idCol, LongType, nullable = false),
       StructField("cos_dist", DoubleType, nullable = true))))
   }

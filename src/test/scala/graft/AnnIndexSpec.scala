@@ -537,6 +537,18 @@ class GraphAnnSpec extends SparkTestBase {
         .collect().map(r => (id, r.getLong(0), r.getDouble(1))).toSeq
       assert(batch2(id).toSeq == single)
     }
+    // the router sends gate-sized batches down the driver point-probe path;
+    // the engine-side JOIN shape (the >beam scale path) must stay
+    // row-identical to it on the same queries
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    val joinShape = GraphAnn.beamSearchTopKBatchJoin(emb, "vec_id",
+      "embedding", edges, queries, "qid", "qv", k = 10, stride = 64)
+    assert(rows(joinShape) ==
+      rows(GraphAnn.beamSearchTopKBatch(emb, "vec_id", "embedding", edges,
+        queries, "qid", "qv", k = 10, stride = 64)),
+      "driver-routed batch diverged from the join shape")
   }
 
   test("tiered centroid layer: parity-class recall, bounded degree, geometry guard") {
