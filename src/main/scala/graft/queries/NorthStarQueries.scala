@@ -1691,6 +1691,41 @@ object NorthStarQueries {
           "doc_id")
         .transform(sortedSingle(_, col("doc_id")))
     },
+
+    // the STREAMING ingest tier under the hash gate: two crawl epochs (odd
+    // docs split by doc_id%4) flow through a real MemoryStream into
+    // CorpusIngest.dedupedIngest — within-epoch near-dup dedup, then dedup
+    // against the static even-id corpus, survivors appended per epoch with
+    // foreachBatch's epoch semantics. The oracle replays BOTH epochs'
+    // jaccard chains (within-pairs drop-b, then cross-pairs drop-a) in SQL,
+    // so stream==batch is oracle-proven, not just spec-claimed. The
+    // MemoryStream feed is the standard deterministic streaming harness —
+    // production sources (files/Kafka) deliver the same micro-batch frames.
+    "streamed_ingest_survivors" -> { (s, dir) =>
+      import s.implicits._
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      def shingle(f: DataFrame): DataFrame =
+        f.select(col("doc_id"), TextOps.wordNGrams(col("text"), 3).as("sh"))
+      // the static side is prepared ONCE, as at 100 TB (the corpus is
+      // shingled at ingest and reused across epochs)
+      val corpus = shingle(d.where(pmod(col("doc_id"), lit(2)) === 0))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val epochs = Seq(1L, 3L).map(m =>
+        d.where(pmod(col("doc_id"), lit(4)) === m)
+          .as[(Long, String)].collect().toSeq)
+      val stream = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String)](s)
+      val out = graft.util.TempDirs.create("streamed_ingest")
+      val q = graft.streaming.CorpusIngest.dedupedIngest(
+          shingle(stream.toDF().toDF("doc_id", "text")), corpus,
+          "doc_id", "sh", JaccardTau) { (survivors, _) =>
+        survivors.select("doc_id").write.mode("append").parquet(out)
+      }
+      try epochs.foreach { e => stream.addData(e); q.processAllAvailable() }
+      finally q.stop()
+      corpus.unpersist(blocking = false)
+      s.read.parquet(out).transform(sortedSingle(_, col("doc_id")))
+    },
   )
 
   // ---- media pipeline constants (shared by the Spark query and oracle) ----
@@ -1789,6 +1824,39 @@ object NorthStarQueries {
 
   private val ShCte =
     s"sh AS (SELECT doc_id, unnest($ShinglesSql) AS sh FROM documents)"
+
+  /** One streamed-ingest epoch replayed in SQL (batch = docs with
+    * doc_id % 4 == `mod`): within-batch jaccard pairs drop the b side
+    * (Dedup.survivors), the within-survivors then dedup against the
+    * even-id corpus dropping the a side (Dedup.incrementalSurvivors) —
+    * CorpusIngest.processBatch's exact chain. CTE names carry `sfx` so two
+    * epochs share one WITH (and the shared sh/sizes CTEs).
+    */
+  private def streamedEpochSql(mod: Int, sfx: String): String =
+    s"""w$sfx AS (
+       |  SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS inter
+       |  FROM sh l JOIN sh r ON l.sh = r.sh AND l.doc_id < r.doc_id
+       |  WHERE l.doc_id % 4 = $mod AND r.doc_id % 4 = $mod
+       |  GROUP BY 1, 2),
+       |wd$sfx AS (
+       |  SELECT DISTINCT b FROM w$sfx
+       |  JOIN sizes sa ON a = sa.doc_id JOIN sizes sb ON b = sb.doc_id
+       |  WHERE inter::DOUBLE / (sa.sz + sb.sz - inter) >= $JaccardTau),
+       |ws$sfx AS (
+       |  SELECT doc_id FROM documents
+       |  WHERE doc_id % 4 = $mod AND doc_id NOT IN (SELECT b FROM wd$sfx)),
+       |x$sfx AS (
+       |  SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS inter
+       |  FROM sh l JOIN sh r ON l.sh = r.sh
+       |  WHERE l.doc_id IN (SELECT doc_id FROM ws$sfx) AND r.doc_id % 2 = 0
+       |  GROUP BY 1, 2),
+       |xd$sfx AS (
+       |  SELECT DISTINCT a FROM x$sfx
+       |  JOIN sizes sa ON a = sa.doc_id JOIN sizes sb ON b = sb.doc_id
+       |  WHERE inter::DOUBLE / (sa.sz + sb.sz - inter) >= $JaccardTau),
+       |s$sfx AS (
+       |  SELECT doc_id FROM ws$sfx WHERE doc_id NOT IN (SELECT a FROM xd$sfx))"""
+      .stripMargin
 
   private val JaccardPairsSql =
     s"""WITH $ShCte,
@@ -2406,6 +2474,16 @@ object NorthStarQueries {
         |WHERE doc_id % 2 = 1
         |  AND fp NOT IN (SELECT fp FROM fp WHERE doc_id % 2 = 0)
         |ORDER BY doc_id""".stripMargin,
+    // both streamed epochs' full dedup chains replayed — the engine's
+    // MemoryStream run must land on exactly this set
+    "streamed_ingest_survivors" ->
+      s"""WITH $ShCte,
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+         |${streamedEpochSql(1, "e1")},
+         |${streamedEpochSql(3, "e2")}
+         |SELECT doc_id FROM (
+         |  SELECT doc_id FROM se1 UNION ALL SELECT doc_id FROM se2)
+         |ORDER BY doc_id""".stripMargin,
     "incremental_dedup" ->
       s"""WITH $ShCte,
          |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
