@@ -47,8 +47,28 @@ if [ "${1:-}" = "--bench" ]; then
   if python3 -c "import sys; sys.exit(0 if float('$load') < 1.0 else 1)"; then
     echo "== preflight: Bench at sf0.1 (loadavg $load) =="
     SPARK_GRAFT_SF_DIR=${BENCH_SF:-/root/testdata/sf0.1} \
+      SPARK_GRAFT_BENCH_OUT=/tmp/preflight_bench_sidecar.json \
       sbt -batch "runMain graft.Bench" 2>&1 | grep '"metric"' \
       | tee /tmp/preflight_bench.json
+    # The driver's fixed-size stdout tail has truncated the committed bench
+    # line three rounds running; the sidecar (SPARK_GRAFT_BENCH_OUT) is the
+    # authoritative mitigation — assert here that sidecar and stdout agree
+    # so a future divergence (partial write, stale sidecar) is caught while
+    # both records still exist.
+    if ! python3 - <<'PY'
+import json, sys
+try:
+    tail = json.load(open("/tmp/preflight_bench.json"))
+    side = json.load(open("/tmp/preflight_bench_sidecar.json"))
+except Exception as e:
+    print(f"PREFLIGHT FAIL: bench tail/sidecar unreadable: {e}"); sys.exit(1)
+if tail != side:
+    keys = {k for k in set(tail) | set(side) if tail.get(k) != side.get(k)}
+    print(f"PREFLIGHT FAIL: bench stdout and sidecar diverge on {sorted(keys)}")
+    sys.exit(1)
+print(f"bench tail/sidecar consistent ({len(side.get('queries', {}))} queries)")
+PY
+    then fail=1; fi
   else
     echo "PREFLIGHT FAIL: refusing to bench, 1-min loadavg $load >= 1.0"
     fail=1
