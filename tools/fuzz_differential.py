@@ -24,6 +24,7 @@ Usage: python3 tools/fuzz_differential.py [n_queries] [seed] [sfdir]
 import json
 import math
 import random
+import re
 import subprocess
 import sys
 import tempfile
@@ -103,12 +104,20 @@ JOINS = [
 DUCK_REWRITES = [
     ("get_json_object(props, '$.k')", "json_extract_string(props, '$.k')"),
     ("explode(split(text, ' '))", "unnest(string_split(text, ' '))"),
+    # the gate-proven cosine pair (SparkEntry search_topk_sql + its oracle):
+    # graft's codegen'd expression accumulates in double, bit-identical to
+    # DuckDB's array_cosine_similarity over DOUBLE[64]
+    ("array_cosine_distance(embedding, (SELECT embedding FROM q))",
+     "1 - array_cosine_similarity(embedding::DOUBLE[64], "
+     "(SELECT embedding FROM q)::DOUBLE[64])"),
 ]
 
 
 def to_duck(sql):
     for spark_form, duck_form in DUCK_REWRITES:
         sql = sql.replace(spark_form, duck_form)
+    # Spark element_at(arr, i) is 1-based like DuckDB's arr[i]
+    sql = re.sub(r"element_at\(embedding, (\d+)\)", r"embedding[\1]", sql)
     return sql
 
 
@@ -117,7 +126,42 @@ def gen_query():
     cols = TABLES[t]
     shape = rng.choice(["agg", "agg", "filter_topk", "distinct", "join_agg",
                         "window", "window_frame", "setop", "json",
-                        "having", "subquery", "rollup", "tokens"])
+                        "having", "subquery", "rollup", "tokens",
+                        "vector_topk", "lsh_bands"])
+    if shape == "vector_topk":
+        # brute-force cosine top-k over a random corpus query vector, with
+        # the total (distance, id) tie-break and an optional metadata
+        # filter — the vector surface the gates prove bit-identical, here
+        # exercised across random query points / k / predicates
+        qid = rng.randint(0, 400)
+        k = rng.randint(3, 40)
+        where = ""
+        pick = rng.random()
+        if pick < 0.35:
+            where = f" WHERE label = {rng.randint(0, 9)}"
+        elif pick < 0.55:
+            m = rng.randint(2, 5)
+            where = f" WHERE vec_id % {m} = {rng.randint(0, m - 1)}"
+        return (f"WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = {qid}) "
+                f"SELECT vec_id, array_cosine_distance(embedding, "
+                f"(SELECT embedding FROM q)) AS d FROM embeddings{where} "
+                f"ORDER BY d ASC NULLS LAST, vec_id ASC LIMIT {k}")
+    if shape == "lsh_bands":
+        # sign-LSH band over random dimensions: bucket by the concatenated
+        # sign bits, then either the banded a<b candidate pair join (the
+        # dedup-tier join shape) or the bucket histogram
+        dims = rng.sample(range(1, 65), k=rng.randint(3, 6))
+        bits = ", ".join(
+            f"CASE WHEN element_at(embedding, {i}) > 0 THEN '1' ELSE '0' END"
+            for i in dims)
+        s_cte = f"WITH s AS (SELECT vec_id, concat({bits}) AS band FROM embeddings)"
+        if rng.random() < 0.5:
+            return (f"{s_cte} SELECT band, count(*) AS n FROM s "
+                    f"GROUP BY band ORDER BY band")
+        lim = rng.randint(50, 400)
+        return (f"{s_cte} SELECT l.vec_id AS a, r.vec_id AS b, l.band AS band "
+                f"FROM s l JOIN s r ON l.band = r.band AND l.vec_id < r.vec_id "
+                f"ORDER BY a, b LIMIT {lim}")
     if shape == "rollup":
         # grouping sets over string keys; int sums stay exact. NULLS FIRST
         # is explicit: Spark defaults asc-nulls-first, DuckDB asc-nulls-last.
