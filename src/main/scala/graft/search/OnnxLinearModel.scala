@@ -63,13 +63,19 @@ object OnnxLinearModel {
   }
 
   private[search] final case class Tensor(name: String, dims: Seq[Long],
-      dataType: Long, floats: Array[Float])
+      dataType: Long, floats: Array[Float],
+      ints: Array[Long] = Array.empty[Long])
 
   private[search] def parseTensor(r: Reader): Tensor = {
     var name = ""
     var dims = Vector.empty[Long]
     var dataType = 0L
     var floats = Array.empty[Float]
+    var ints = Array.empty[Long]
+    // raw_data decodes by dataType, which proto field order does not
+    // guarantee precedes it — remember the span and decode at the end
+    var rawOff = -1
+    var rawLen = 0
     while (r.hasNext) {
       val key = r.varint()
       val field = (key >>> 3).toInt
@@ -87,16 +93,34 @@ object OnnxLinearModel {
         case (4, 5) => // unpacked float_data element
           floats :+= java.lang.Float.intBitsToFloat(readIntLE(r.bytes, r.pos))
           r.pos += 4
+        case (7, 2) => // packed int64_data (Reshape/Expand shape tensors)
+          val (off, len) = r.lenDelimited()
+          val pr = new Reader(r.bytes, off, off + len)
+          var acc = Vector.empty[Long]
+          while (pr.hasNext) acc :+= pr.varint()
+          ints = acc.toArray
+        case (7, 0) => ints :+= r.varint() // unpacked int64_data element
         case (8, 2) =>
           val (off, len) = r.lenDelimited()
           name = new String(r.bytes, off, len, StandardCharsets.UTF_8)
         case (9, 2) => // raw_data: little-endian per ONNX spec
           val (off, len) = r.lenDelimited()
-          floats = readFloatsLE(r.bytes, off, len / 4)
+          rawOff = off; rawLen = len
         case (_, w) => r.skip(w)
       }
     }
-    Tensor(name, dims, dataType, floats)
+    if (rawOff >= 0) {
+      if (dataType == 7L) { // INT64 raw payload: 8-byte LE
+        ints = Array.tabulate(rawLen / 8) { i =>
+          var v = 0L
+          var b = 0
+          while (b < 8) { v |= (r.bytes(rawOff + i * 8 + b) & 0xffL) << (8 * b); b += 1 }
+          v
+        }
+      } else floats = readFloatsLE(r.bytes, rawOff, rawLen / 4)
+    }
+    // ONNX int64 varints are two's-complement 64-bit — already exact longs
+    Tensor(name, dims, dataType, floats, ints)
   }
 
   // (op_type, inputs, float attrs, int attrs) — attrs matter for Gemm:

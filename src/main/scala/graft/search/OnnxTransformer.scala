@@ -64,13 +64,21 @@ object OnnxTransformer {
       attrF: Map[String, Float], attrI: Map[String, Long],
       attrInts: Map[String, Seq[Long]])
 
-  /** A parsed executable graph: initializers, topologically ordered nodes,
-    * the INT64 graph inputs — token ids, plus an optional second input fed
-    * the positions `0..n-1` at run time (the positional-embedding Gather;
-    * real exporters emit the same shape) — and the declared output.
+  /** A parsed executable graph: initializers (float Mats plus INT64 shape
+    * tensors — Reshape/Expand/Unsqueeze-13 read their shapes from these),
+    * topologically ordered nodes, the INT64 graph inputs — token ids, plus
+    * an optional positions input (fed `0..n-1` at run time — the
+    * positional-embedding Gather) and an optional ATTENTION-MASK input
+    * (fed all-ones by default — the standard sentence-transformer export
+    * declares one even though a batch-1 embedder never pads; padded runs
+    * feed a real 0/1 mask) — and the declared output. Inputs classify
+    * structurally: an extra input consumed as Gather indices is positions,
+    * any other extra input is the mask.
     */
-  final case class GraphModel(inits: Map[String, Mat], nodes: Seq[Node],
+  final case class GraphModel(inits: Map[String, Mat],
+      intInits: Map[String, Array[Long]], nodes: Seq[Node],
       inputName: String, posInputName: Option[String],
+      maskInputName: Option[String],
       outputName: String, outputDim: Int) {
     /** Vocabulary = row count of the table the TOKEN-id Gather reads. */
     val vocab: Int = nodes
@@ -85,16 +93,62 @@ object OnnxTransformer {
         .flatMap(n => inits.get(n.inputs.head)).map(_.rows))
       .getOrElse(Int.MaxValue)
 
-    /** Execute the graph on one token-id sequence (float32 throughout). */
-    def run(ids: Array[Int]): Array[Float] = {
+    /** Execute the graph on one token-id sequence (float32 throughout),
+      * with the attention mask defaulted to all-ones — the batch-1 no-pad
+      * case every Embedder here runs.
+      */
+    def run(ids: Array[Int]): Array[Float] = run(ids, null)
+
+    /** Execute with an explicit 0/1 attention mask (length = ids.length) —
+      * the padded-batch contract a standard exporter compiles in: masked
+      * keys get the additive -10^4 before softmax, masked rows drop out of
+      * the masked mean-pool.
+      */
+    def run(ids: Array[Int], mask: Array[Float]): Array[Float] = {
       require(ids.nonEmpty, "onnx: empty id sequence")
       require(ids.length <= seqLimit,
         s"onnx: ${ids.length} tokens exceed the positional table ($seqLimit rows)")
+      require(mask == null || mask.length == ids.length,
+        s"onnx: mask length ${if (mask == null) -1 else mask.length} != ${ids.length}")
       val env = scala.collection.mutable.HashMap.empty[String, Mat]
+      maskInputName.foreach { mn =>
+        val m = if (mask != null) mask else Array.fill(ids.length)(1f)
+        env(mn) = Mat(1, ids.length, m.clone())
+      }
       def in(node: Node, i: Int): Mat = {
         val n = node.inputs(i)
         env.getOrElse(n, inits.getOrElse(n,
           throw new IllegalArgumentException(s"onnx: ${node.op} input '$n' undefined")))
+      }
+      /** INT64 shape operand (Reshape/Expand/Unsqueeze-13 second input). */
+      def shapeIn(node: Node, i: Int): Array[Long] =
+        intInits.getOrElse(node.inputs(i),
+          throw new IllegalArgumentException(
+            s"onnx: ${node.op} shape input '${node.inputs(i)}' must be an INT64 initializer"))
+      /** Collapse an ONNX target shape to the 2-D executor world: resolve
+        * one -1 from the element count, then require at most two non-1
+        * dims (real exporters' [1,1,n,m]-style shapes collapse cleanly).
+        */
+      def collapse2D(shape: Array[Long], n: Int, op: String): (Int, Int) = {
+        val known = shape.filter(_ != -1L).product
+        val resolved: Array[Int] = shape.map(d => if (d == -1L) {
+          require(known > 0 && n % known == 0, s"onnx: $op cannot infer -1 in ${shape.mkString("[", ",", "]")} for $n elems")
+          (n / known).toInt
+        } else d.toInt)
+        val real = resolved.filter(_ != 1)
+        require(real.length <= 2,
+          s"onnx: $op shape ${shape.mkString("[", ",", "]")} has >2 non-1 dims — outside the 2-D executor")
+        val (r, c) = real.length match {
+          case 0 => (1, 1)
+          case 1 =>
+            // a single real dim: row vector unless the trailing dims are
+            // all 1 (… ,k,1] → column vector)
+            if (resolved.nonEmpty && resolved.last == 1 && real.head != 1)
+              (real.head, 1) else (1, real.head)
+          case _ => (real(0), real(1))
+        }
+        require(r * c == n, s"onnx: $op shape ${shape.mkString("[", ",", "]")} != $n elems")
+        (r, c)
       }
       nodes.foreach { node =>
         val out: Mat = node.op match {
@@ -186,6 +240,87 @@ object OnnxTransformer {
             elementwise(in(node, 0))(v => erfAS(v.toDouble).toFloat)
           case "Mul" =>
             broadcastBinary(node.op, in(node, 0), in(node, 1))(_ * _)
+          case "Sub" =>
+            broadcastBinary(node.op, in(node, 0), in(node, 1))(_ - _)
+          case "Cast" =>
+            // all runtime values are float32 here; the exporter's
+            // int64-mask -> float cast (and any float -> float) is an
+            // identity on the stored values. Disallow narrowing targets
+            // that would change values.
+            val to = node.attrI.getOrElse("to", 1L)
+            require(Set(1L, 6L, 7L, 9L, 10L, 11L)(to),
+              s"onnx: Cast to=$to outside the executor subset")
+            in(node, 0)
+          case "Unsqueeze" | "Squeeze" =>
+            // 2-D executor: inserting/removing size-1 dims never changes
+            // the row-major payload, and every downstream op here consumes
+            // the collapsed 2-D view — identity. (opset 13+ passes axes as
+            // an input; <13 as an attribute; both are shape bookkeeping.)
+            in(node, 0)
+          case "Reshape" =>
+            val x = in(node, 0)
+            val (r2, c2) = collapse2D(shapeIn(node, 1), x.a.length, "Reshape")
+            Mat(r2, c2, x.a)
+          case "Expand" =>
+            val x = in(node, 0)
+            val shape = shapeIn(node, 1)
+            require(shape.forall(_ > 0L), s"onnx: Expand shape must be static")
+            val real = shape.filter(_ != 1).map(_.toInt)
+            require(real.length <= 2,
+              "onnx: Expand shape has >2 non-1 dims — outside the 2-D executor")
+            val (tr, tc) = real.length match {
+              case 0 => (1, 1)
+              case 1 => if (shape.last == 1L) (real.head, 1) else (1, real.head)
+              case _ => (real(0), real(1))
+            }
+            require((tr == x.rows || x.rows == 1) && (tc == x.cols || x.cols == 1),
+              s"onnx: Expand ${x.rows}x${x.cols} -> ${tr}x$tc not broadcastable")
+            val out = new Array[Float](tr * tc)
+            var r = 0
+            while (r < tr) {
+              var c = 0
+              while (c < tc) {
+                out(r * tc + c) = x(if (x.rows == 1) 0 else r, if (x.cols == 1) 0 else c)
+                c += 1
+              }
+              r += 1
+            }
+            Mat(tr, tc, out)
+          case "ReduceSum" =>
+            // axes from the <13 attribute or the 13+ INT64 input; last-dim
+            // (per-row) and first-dim (per-column) reductions cover the
+            // exporter's masked-pooling shapes (mask count, pooled sums)
+            val axes: Seq[Long] = node.attrInts.get("axes")
+              .orElse(if (node.inputs.length >= 2) Some(shapeIn(node, 1).toSeq) else None)
+              .getOrElse(Seq(-1L))
+            require(axes.length == 1, s"onnx: ReduceSum multi-axis $axes unsupported")
+            val x = in(node, 0)
+            axes.head match {
+              case -1L | 1L =>
+                val out = new Array[Float](x.rows)
+                var r = 0
+                while (r < x.rows) {
+                  var sum = 0f
+                  var c = 0
+                  while (c < x.cols) { sum += x(r, c); c += 1 }
+                  out(r) = sum
+                  r += 1
+                }
+                Mat(x.rows, 1, out)
+              case 0L =>
+                val out = new Array[Float](x.cols)
+                var c = 0
+                while (c < x.cols) {
+                  var sum = 0f
+                  var r = 0
+                  while (r < x.rows) { sum += x(r, c); r += 1 }
+                  out(c) = sum
+                  c += 1
+                }
+                Mat(1, x.cols, out)
+              case a => throw new IllegalArgumentException(
+                s"onnx: ReduceSum axis $a outside {0, 1, -1}")
+            }
           case "Concat" =>
             require(node.attrI.getOrElse("axis", 0L) == 1L, "onnx: Concat axis != 1")
             val parts = node.inputs.indices.map(in(node, _))
@@ -269,7 +404,9 @@ object OnnxTransformer {
   }
 
   /** Elementwise binary op with the exporter-standard broadcasts: same
-    * shape, scalar (1x1) second operand, or row (1xC) second operand.
+    * shape, scalar (1x1) operand on either side, or row (1xC) second
+    * operand. A non-commutative op (Sub) keeps argument order — only the
+    * SHAPE broadcasts, never the operand roles.
     */
   private def broadcastBinary(op: String, x: Mat, y: Mat)
       (f: (Float, Float) => Float): Mat = {
@@ -278,12 +415,18 @@ object OnnxTransformer {
       var i = 0
       while (i < out.length) { out(i) = f(x.a(i), y.a(i)); i += 1 }
       Mat(x.rows, x.cols, out)
-    } else if (y.rows == 1 && y.cols == 1) { // scalar broadcast
+    } else if (y.rows == 1 && y.cols == 1) { // scalar broadcast (rhs)
       val s = y.a(0)
       val out = new Array[Float](x.a.length)
       var i = 0
       while (i < out.length) { out(i) = f(x.a(i), s); i += 1 }
       Mat(x.rows, x.cols, out)
+    } else if (x.rows == 1 && x.cols == 1) { // scalar broadcast (lhs)
+      val s = x.a(0)
+      val out = new Array[Float](y.a.length)
+      var i = 0
+      while (i < out.length) { out(i) = f(s, y.a(i)); i += 1 }
+      Mat(y.rows, y.cols, out)
     } else if (y.rows == 1 && y.cols == x.cols) { // row broadcast
       val out = new Array[Float](x.a.length)
       var r = 0
@@ -480,13 +623,25 @@ object OnnxTransformer {
         }
       } else m.skip((key & 7).toInt)
     }
-    require(gInputs.length == 1 || gInputs.length == 2,
-      s"onnx: expected 1-2 graph inputs (ids[, positions]), got ${gInputs.length}")
+    require(gInputs.length >= 1 && gInputs.length <= 3,
+      s"onnx: expected 1-3 graph inputs (ids[, positions][, mask]), got ${gInputs.length}")
     require(gOutputs.length == 1, s"onnx: expected 1 graph output, got ${gOutputs.length}")
     val outDims = gOutputs.head._2.filter(_ > 0L)
     require(outDims.nonEmpty, "onnx: graph output has no static dim")
-    GraphModel(tensors.map(t => t.name -> toMat(t)).toMap, nodes,
-      gInputs.head._1, gInputs.lift(1).map(_._1),
+    // structural input classification (exporter-order-independent): the
+    // first input is the token ids; any further input consumed as Gather
+    // indices is the positions input, any other is the attention mask
+    val extra = gInputs.tail.map(_._1)
+    val gatherIdx = nodes.filter(_.op == "Gather").flatMap(_.inputs.lift(1)).toSet
+    val (posIns, maskIns) = extra.partition(gatherIdx)
+    require(posIns.length <= 1, s"onnx: multiple positions inputs $posIns")
+    require(maskIns.length <= 1, s"onnx: multiple mask inputs $maskIns")
+    // INT64 initializers (shape tensors) execute as shape operands, not
+    // float Mats; everything else must be a float tensor
+    val (intTs, floatTs) = tensors.partition(_.dataType == 7L)
+    GraphModel(floatTs.map(t => t.name -> toMat(t)).toMap,
+      intTs.map(t => t.name -> t.ints).toMap, nodes,
+      gInputs.head._1, posIns.headOption, maskIns.headOption,
       gOutputs.head._1, outDims.last.toInt)
   }
 
@@ -827,6 +982,129 @@ object OnnxTransformer {
       Seq(1L), Array(Math.sqrt(dh.toDouble).toFloat)))
     g.bytes(11, int64VectorInfo("ids", "seq"))
     if (positional) g.bytes(11, int64VectorInfo("pos", "seq"))
+    g.bytes(12, valueInfo("y", Seq(1L, d)))
+    val opset = new Writer().str(1, "").int(2, 17L)
+    new Writer()
+      .int(1, 8L) // ir_version
+      .bytes(7, g.toByteArray)
+      .bytes(8, opset.toByteArray)
+      .toByteArray
+  }
+
+  /** INT64 tensor initializer (shape/axes operands — raw_data 8-byte LE). */
+  private def int64Tensor(name: String, dims: Seq[Long],
+      vs: Array[Long]): Array[Byte] = {
+    val raw = java.nio.ByteBuffer.allocate(vs.length * 8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    vs.foreach(raw.putLong)
+    val w = new Writer()
+    dims.foreach(d => w.int(1, d))
+    w.int(2, 7L) // data_type INT64
+      .str(8, name)
+      .bytes(9, raw.array())
+      .toByteArray
+  }
+
+  /** Encode the MASKED encoder block — the standard sentence-transformer
+    * export shape: a third graph input `attention_mask: INT64[seq]` flows
+    * through the exporter's mask chain (Cast→float, Unsqueeze with the
+    * opset-13 axes INPUT, `(1 - mask)·(-10⁴)`), the additive mask lands on
+    * every head's scaled scores BEFORE softmax, and pooling is the masked
+    * mean (`mask·H / Σmask` via MatMul + ReduceSum-13 + Div) instead of
+    * ReduceMean — so padded positions influence nothing: an all-ones mask
+    * reproduces the unmasked graph bit-exactly, and a padded run
+    * reproduces the unpadded run bit-exactly (both spec-asserted).
+    */
+  def toMaskedBytes(m: TransformerWeights, heads: Int = 1): Array[Byte] = {
+    require(heads >= 1 && m.d % heads == 0,
+      s"heads $heads must divide model dim ${m.d}")
+    val d = m.d.toLong
+    val dh = m.d / heads
+    val tB = intAttr("transB", 1L)
+    val g = new Writer()
+    val positional = m.pos.nonEmpty
+    val embedNodes =
+      if (positional) Seq(
+        node("Gather", "embed", Seq("E", "ids"), "x0"),
+        node("Gather", "pos_embed", Seq("P", "pos"), "px"),
+        node("Add", "add_pos", Seq("x0", "px"), "x"))
+      else Seq(node("Gather", "embed", Seq("E", "ids"), "x"))
+    val maskNodes = Seq(
+      node("Cast", "mask_cast", Seq("attention_mask"), "mf0",
+        Seq(intAttr("to", 1L))),
+      node("Unsqueeze", "mask_unsq", Seq("mf0", "unsq_axes"), "mf"),
+      node("Sub", "mask_inv", Seq("one_c", "mf"), "minv"),
+      node("Mul", "mask_add", Seq("minv", "neg_c"), "madd"))
+    val headNodes = (0 until heads).flatMap { h =>
+      Seq(
+        node("Gemm", s"q_proj_$h", Seq("x", s"Wq_$h", s"bq_$h"), s"q$h", Seq(tB)),
+        node("Gemm", s"k_proj_$h", Seq("x", s"Wk_$h", s"bk_$h"), s"k$h", Seq(tB)),
+        node("Gemm", s"v_proj_$h", Seq("x", s"Wv_$h", s"bv_$h"), s"v$h", Seq(tB)),
+        node("Transpose", s"k_t_$h", Seq(s"k$h"), s"kt$h",
+          Seq(intsAttr("perm", Seq(1L, 0L)))),
+        node("MatMul", s"scores_$h", Seq(s"q$h", s"kt$h"), s"s$h"),
+        node("Div", s"scale_$h", Seq(s"s$h", "sqrt_dh"), s"ss$h"),
+        node("Add", s"mask_scores_$h", Seq(s"ss$h", "madd"), s"sm$h"),
+        node("Softmax", s"attn_$h", Seq(s"sm$h"), s"a$h", Seq(intAttr("axis", -1L))),
+        node("MatMul", s"context_$h", Seq(s"a$h", s"v$h"), s"ctx$h"))
+    }
+    val mergeNodes =
+      if (heads == 1) Seq(
+        node("Gemm", "o_proj", Seq("ctx0", "Wo", "bo"), "o", Seq(tB)))
+      else Seq(
+        node("Concat", "merge_heads", (0 until heads).map(h => s"ctx$h"), "ctx",
+          Seq(intAttr("axis", 1L))),
+        node("Gemm", "o_proj", Seq("ctx", "Wo", "bo"), "o", Seq(tB)))
+    (embedNodes ++ maskNodes ++ headNodes ++ mergeNodes ++ Seq(
+      node("Add", "residual1", Seq("o", "x"), "r1"),
+      node("LayerNormalization", "ln1", Seq("r1", "ln1g", "ln1b"), "n1",
+        Seq(intAttr("axis", -1L), floatAttr("epsilon", m.eps))),
+      node("Gemm", "ffn1", Seq("n1", "W1", "b1"), "f1", Seq(tB))) ++
+      activationNodes(m.activation, identity, "f1", "f1r") ++ Seq(
+      node("Gemm", "ffn2", Seq("f1r", "W2", "b2"), "f2", Seq(tB)),
+      node("Add", "residual2", Seq("f2", "n1"), "r2"),
+      node("LayerNormalization", "ln2", Seq("r2", "ln2g", "ln2b"), "n2",
+        Seq(intAttr("axis", -1L), floatAttr("epsilon", m.eps))),
+      // masked mean-pool: Σ_i mask_i·h_i / Σ_i mask_i — the
+      // sentence-transformer pooling layer compiled to MatMul/ReduceSum/Div
+      node("MatMul", "pool_sum", Seq("mf", "n2"), "psum"),
+      node("ReduceSum", "pool_cnt", Seq("mf", "rs_axes"), "pcnt",
+        Seq(intAttr("keepdims", 1L))),
+      node("Div", "pool", Seq("psum", "pcnt"), "y")
+    )).foreach(g.bytes(1, _))
+    g.str(2, "graft_attention_masked")
+    activationInits(g, m.activation)
+    g.bytes(5, floatTensor("E", Seq(m.vocab.toLong, d), m.e))
+    if (positional)
+      g.bytes(5, floatTensor("P", Seq((m.pos.length / m.d).toLong, d), m.pos))
+    (0 until heads).foreach { h =>
+      def rowSlice(w: Array[Float]): Array[Float] =
+        w.slice(h * dh * m.d, (h + 1) * dh * m.d)
+      def bSlice(b: Array[Float]): Array[Float] = b.slice(h * dh, (h + 1) * dh)
+      g.bytes(5, floatTensor(s"Wq_$h", Seq(dh.toLong, d), rowSlice(m.wq)))
+      g.bytes(5, floatTensor(s"bq_$h", Seq(dh.toLong), bSlice(m.bq)))
+      g.bytes(5, floatTensor(s"Wk_$h", Seq(dh.toLong, d), rowSlice(m.wk)))
+      g.bytes(5, floatTensor(s"bk_$h", Seq(dh.toLong), bSlice(m.bk)))
+      g.bytes(5, floatTensor(s"Wv_$h", Seq(dh.toLong, d), rowSlice(m.wv)))
+      g.bytes(5, floatTensor(s"bv_$h", Seq(dh.toLong), bSlice(m.bv)))
+    }
+    g.bytes(5, floatTensor("Wo", Seq(d, d), m.wo))
+    Seq(("bo", m.bo), ("ln1g", m.ln1g), ("ln1b", m.ln1b),
+      ("ln2g", m.ln2g), ("ln2b", m.ln2b))
+      .foreach { case (n, b) => g.bytes(5, floatTensor(n, Seq(d), b)) }
+    g.bytes(5, floatTensor("W1", Seq(m.hidden.toLong, d), m.w1))
+    g.bytes(5, floatTensor("b1", Seq(m.hidden.toLong), m.b1))
+    g.bytes(5, floatTensor("W2", Seq(d, m.hidden.toLong), m.w2))
+    g.bytes(5, floatTensor("b2", Seq(d), m.b2))
+    g.bytes(5, floatTensor("sqrt_dh",
+      Seq(1L), Array(Math.sqrt(dh.toDouble).toFloat)))
+    g.bytes(5, floatTensor("one_c", Seq(1L), Array(1f)))
+    g.bytes(5, floatTensor("neg_c", Seq(1L), Array(-10000f)))
+    g.bytes(5, int64Tensor("unsq_axes", Seq(1L), Array(0L)))
+    g.bytes(5, int64Tensor("rs_axes", Seq(1L), Array(-1L)))
+    g.bytes(11, int64VectorInfo("ids", "seq"))
+    if (positional) g.bytes(11, int64VectorInfo("pos", "seq"))
+    g.bytes(11, int64VectorInfo("attention_mask", "seq"))
     g.bytes(12, valueInfo("y", Seq(1L, d)))
     val opset = new Writer().str(1, "").int(2, 17L)
     new Writer()

@@ -331,6 +331,114 @@ class OnnxTransformerSpec extends SparkTestBase {
     assert(ex.getMessage.contains("Gather"))
   }
 
+  test("masked export shape: all-ones mask reproduces the unmasked graph bit-exactly") {
+    // the standard sentence-transformer export declares attention_mask and
+    // compiles the Cast/Unsqueeze/(1-m)·(-1e4)/masked-mean chain; with the
+    // batch-1 all-ones mask it must be a bit-exact no-op vs the unmasked
+    // graph (whose execution is replay-proven above) — adding -0.0 to the
+    // scores and pooling via Σ(1·h)/n instead of ReduceMean are exact
+    for (heads <- Seq(1, 4)) {
+      val gm = OnnxTransformer.parse(OnnxTransformer.toMaskedBytes(w, heads))
+      assert(gm.maskInputName.contains("attention_mask"))
+      assert(gm.intInits.keySet == Set("unsq_axes", "rs_axes"),
+        gm.intInits.keySet)
+      assert(gm.intInits("rs_axes").toSeq == Seq(-1L))
+      val gu = OnnxTransformer.parse(
+        if (heads == 1) OnnxTransformer.toBytes(w)
+        else OnnxTransformer.toMultiHeadBytes(w, heads))
+      for (ids <- Seq(Array(3), Array(0, 7, 31), Array(5, 1, 5, 2, 30))) {
+        val got = gm.run(ids) // mask defaults to all ones
+        val want = gu.run(ids)
+        got.indices.foreach { i =>
+          assert(java.lang.Float.floatToIntBits(got(i)) ==
+            java.lang.Float.floatToIntBits(want(i)),
+            s"heads=$heads ids=${ids.mkString(",")} component $i: " +
+              s"${got(i)} != ${want(i)}")
+        }
+      }
+    }
+  }
+
+  test("masked export shape: a padded run is bit-identical to the unpadded run") {
+    // the mask's semantic contract: padded key columns get -1e4 before
+    // softmax (exp underflows to exactly 0), padded rows drop out of the
+    // masked mean — so appending pad tokens under a 0-mask must change
+    // NOTHING, bitwise. This is the masked-specific replay: the unpadded
+    // run (equal to the replay-proven unmasked graph) is the oracle.
+    val gm = OnnxTransformer.parse(OnnxTransformer.toMaskedBytes(w, heads = 4))
+    for (ids <- Seq(Array(3), Array(0, 7, 31), Array(5, 1, 5, 2, 30))) {
+      for (pad <- Seq(1, 3)) {
+        val padded = ids ++ Array.fill(pad)(0)
+        val mask = Array.fill(ids.length)(1f) ++ Array.fill(pad)(0f)
+        val got = gm.run(padded, mask)
+        val want = gm.run(ids)
+        got.indices.foreach { i =>
+          assert(java.lang.Float.floatToIntBits(got(i)) ==
+            java.lang.Float.floatToIntBits(want(i)),
+            s"ids=${ids.mkString(",")} pad=$pad component $i: " +
+              s"${got(i)} != ${want(i)}")
+        }
+      }
+    }
+    intercept[IllegalArgumentException] {
+      gm.run(Array(1, 2, 3), Array(1f, 1f)) // mask length mismatch
+    }
+  }
+
+  test("Reshape/Expand/ReduceSum execute on INT64 shape operands; bad shapes fail loudly") {
+    import OnnxTransformer.{GraphModel, Mat, Node}
+    val d = 2
+    val e = Mat(4, d, Array.tabulate(4 * d)(i => 0.25f * (i + 1)))
+    def g(nodes: Seq[Node], intInits: Map[String, Array[Long]],
+        extraInits: Map[String, Mat] = Map.empty, outDim: Int = d) =
+      GraphModel(Map("E" -> e) ++ extraInits, intInits, nodes,
+        "ids", None, None, "y", outDim)
+    // Reshape [n,d] -> [1, n·d] (with -1 inference) then per-row sum -> 1x1
+    val rs = g(Seq(
+      Node("Gather", Seq("E", "ids"), Seq("x"), Map.empty, Map.empty, Map.empty),
+      Node("Reshape", Seq("x", "shp"), Seq("xr"), Map.empty, Map.empty, Map.empty),
+      Node("ReduceSum", Seq("xr"), Seq("y"), Map.empty, Map.empty,
+        Map("axes" -> Seq(-1L)))),
+      Map("shp" -> Array(1L, -1L)), outDim = 1)
+    val ids = Array(0, 2, 1)
+    val want = ids.map(id => (0 until d).map(c => e(id, c)).sum).sum
+    assert(math.abs(rs.run(ids)(0) - want) < 1e-5)
+    // Expand a 1xd row to n x d, add to the gathered rows, column-sum
+    val ex = g(Seq(
+      Node("Gather", Seq("E", "ids"), Seq("x"), Map.empty, Map.empty, Map.empty),
+      Node("Expand", Seq("c", "shp3"), Seq("cx"), Map.empty, Map.empty, Map.empty),
+      Node("Add", Seq("x", "cx"), Seq("xa"), Map.empty, Map.empty, Map.empty),
+      Node("ReduceSum", Seq("xa"), Seq("y"), Map.empty, Map.empty,
+        Map("axes" -> Seq(0L)))),
+      Map("shp3" -> Array(3L, d.toLong)),
+      Map("c" -> Mat(1, d, Array(10f, 20f))))
+    val got = ex.run(ids)
+    (0 until d).foreach { c =>
+      val want = ids.map(id => e(id, c)).sum + 3 * (if (c == 0) 10f else 20f)
+      assert(math.abs(got(c) - want) < 1e-4, s"col $c: ${got(c)} != $want")
+    }
+    // out-of-subset still loud: >2 real dims, element-count mismatch,
+    // narrowing Cast
+    intercept[IllegalArgumentException] {
+      g(Seq(
+        Node("Gather", Seq("E", "ids"), Seq("x"), Map.empty, Map.empty, Map.empty),
+        Node("Reshape", Seq("x", "bad"), Seq("y"), Map.empty, Map.empty, Map.empty)),
+        Map("bad" -> Array(2L, 3L, 4L))).run(ids)
+    }
+    intercept[IllegalArgumentException] {
+      g(Seq(
+        Node("Gather", Seq("E", "ids"), Seq("x"), Map.empty, Map.empty, Map.empty),
+        Node("Reshape", Seq("x", "bad2"), Seq("y"), Map.empty, Map.empty, Map.empty)),
+        Map("bad2" -> Array(5L, 7L))).run(ids)
+    }
+    intercept[IllegalArgumentException] {
+      g(Seq(
+        Node("Gather", Seq("E", "ids"), Seq("x"), Map.empty, Map.empty, Map.empty),
+        Node("Cast", Seq("x"), Seq("y"), Map.empty, Map("to" -> 3L), Map.empty)),
+        Map.empty).run(ids)
+    }
+  }
+
   test("embeds run distributed through mapPartitions (plumbing, not collect)") {
     import org.apache.spark.sql.functions._
     val emb = TransformerEmbedder(OnnxTransformer.parse(OnnxTransformer.toBytes(w)))
