@@ -156,6 +156,76 @@ object ScaleSmoke {
       docs.unpersist(blocking = true)
     }
 
+    // ---- streaming-tier rungs: per-EPOCH wall vs batch size at FIXED
+    // corpus size — the "per-epoch work scales with the batch, not the
+    // corpus" claim in CorpusIngest measured instead of asserted in prose.
+    // The corpus side is prepared ONCE off the per-epoch clock (shingled +
+    // persisted; classifier weights trained + persisted), exactly as a
+    // production ingest holds its at-rest artifacts; each epoch runs the
+    // foreachBatch body (processBatch / score) on a fresh id-shifted batch
+    // drawn from the corpus text (real near-dup matches, realistic join
+    // volume). `k` column = epoch batch rows.
+    {
+      val docs = scaledDocs(1)
+      val n = docs.count()
+      val corpusSh = docs.select(col("doc_id"),
+          graft.ops.TextOps.wordNGrams(col("text"), 3).as("sh"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      corpusSh.count()
+      val wts = graft.ops.HashedClassifier.train(docs, "text",
+          col("doc_id") % 2 === 0, 4096)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      wts.count()
+      for (b <- Seq(50, 500, 5000)) {
+        val batch = docs.orderBy("doc_id").limit(b)
+          .select((col("doc_id") + lit(10000000L)).as("doc_id"), col("text"))
+          .select(col("doc_id"),
+            graft.ops.TextOps.wordNGrams(col("text"), 3).as("sh"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        batch.count()
+        timed("ingest_epoch", b, n) {
+          graft.streaming.CorpusIngest.processBatch(
+            batch, corpusSh, "doc_id", "sh", 0.5).count()
+        }
+        batch.unpersist(blocking = false)
+        val sbatch = docs.orderBy("doc_id").limit(b)
+          .select((col("doc_id") + lit(20000000L)).as("doc_id"), col("text"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        sbatch.count()
+        timed("scored_epoch", b, n) {
+          graft.ops.HashedClassifier.score(
+            sbatch, "doc_id", "text", wts, 4096).count()
+        }
+        sbatch.unpersist(blocking = false)
+      }
+      spark.catalog.clearCache()
+      docs.unpersist(blocking = true)
+    }
+
+    // ANN-maintenance epochs: appendVectorEpoch against a FIXED
+    // materialized index — per-epoch wall should track the batch (only
+    // affected bucket dirs grow; assignment joins the batch against the
+    // broadcast centroids, never the corpus)
+    {
+      val base = spark.read.parquet(s"$dir/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nV = base.count()
+      val apath = graft.util.TempDirs.create("scale_ann_ingest")
+      graft.ops.AnnIndex.materialize(base, "vec_id", "embedding", 64, apath)
+      for (b <- Seq(50, 500, 2000)) { // ascending = valid epoch ids
+        val batch = base.orderBy("vec_id").limit(b)
+          .select((col("vec_id") + lit(b * 100000000L)).as("vec_id"),
+            col("embedding"))
+        timed("ann_epoch", b, nV) {
+          graft.streaming.CorpusIngest.appendVectorEpoch(batch, base,
+            "vec_id", "embedding", 64, apath, None, epochId = b)
+          b.toLong
+        }
+      }
+      base.unpersist(blocking = true)
+    }
+
     // materialized-ANN probe: bucket count grows with k, bucket size is
     // constant -> build cost should scale ~linearly, probe cost ~flat.
     // Copies must DIFFER geometrically (deterministic per-copy offset per
