@@ -1218,6 +1218,127 @@ object OnnxTransformer {
       .toByteArray
   }
 
+  /** Encode the MASKED L-layer encoder STACK — [[toMaskedBytes]]'s mask
+    * chain and masked mean-pool around [[toStackedBytes]]'s chained
+    * blocks: the full standard sentence-transformer export shape
+    * (attention_mask flows into every layer's every head's scores; the
+    * pool is the masked mean). Same bit-exactness contracts as the
+    * one-block masked writer (spec-asserted through the stacked replay).
+    */
+  def toMaskedStackedBytes(blocks: Seq[TransformerWeights],
+      heads: Int = 1): Array[Byte] = {
+    require(blocks.nonEmpty, "at least one encoder block")
+    val head = blocks.head
+    require(blocks.forall(b => b.d == head.d && b.hidden == head.hidden &&
+        b.activation == head.activation),
+      "all blocks must share (d, hidden, activation)")
+    require(heads >= 1 && head.d % heads == 0,
+      s"heads $heads must divide model dim ${head.d}")
+    val d = head.d.toLong
+    val dh = head.d / heads
+    val tB = intAttr("transB", 1L)
+    val g = new Writer()
+    val positional = head.pos.nonEmpty
+    val embedNodes =
+      if (positional) Seq(
+        node("Gather", "embed", Seq("E", "ids"), "x0"),
+        node("Gather", "pos_embed", Seq("P", "pos"), "px"),
+        node("Add", "add_pos", Seq("x0", "px"), "x"))
+      else Seq(node("Gather", "embed", Seq("E", "ids"), "x"))
+    val maskNodes = Seq(
+      node("Cast", "mask_cast", Seq("attention_mask"), "mf0",
+        Seq(intAttr("to", 1L))),
+      node("Unsqueeze", "mask_unsq", Seq("mf0", "unsq_axes"), "mf"),
+      node("Sub", "mask_inv", Seq("one_c", "mf"), "minv"),
+      node("Mul", "mask_add", Seq("minv", "neg_c"), "madd"))
+    val layerNodes = blocks.indices.flatMap { l =>
+      val in = if (l == 0) "x" else s"n2_L${l - 1}"
+      val out = s"n2_L$l"
+      def t(n: String) = s"${n}_L$l"
+      val headNodes = (0 until heads).flatMap { h =>
+        Seq(
+          node("Gemm", t(s"q_proj_$h"), Seq(in, t(s"Wq_$h"), t(s"bq_$h")), t(s"q$h"), Seq(tB)),
+          node("Gemm", t(s"k_proj_$h"), Seq(in, t(s"Wk_$h"), t(s"bk_$h")), t(s"k$h"), Seq(tB)),
+          node("Gemm", t(s"v_proj_$h"), Seq(in, t(s"Wv_$h"), t(s"bv_$h")), t(s"v$h"), Seq(tB)),
+          node("Transpose", t(s"k_t_$h"), Seq(t(s"k$h")), t(s"kt$h"),
+            Seq(intsAttr("perm", Seq(1L, 0L)))),
+          node("MatMul", t(s"scores_$h"), Seq(t(s"q$h"), t(s"kt$h")), t(s"s$h")),
+          node("Div", t(s"scale_$h"), Seq(t(s"s$h"), "sqrt_dh"), t(s"ss$h")),
+          node("Add", t(s"mask_scores_$h"), Seq(t(s"ss$h"), "madd"), t(s"sm$h")),
+          node("Softmax", t(s"attn_$h"), Seq(t(s"sm$h")), t(s"a$h"),
+            Seq(intAttr("axis", -1L))),
+          node("MatMul", t(s"context_$h"), Seq(t(s"a$h"), t(s"v$h")), t(s"ctx$h")))
+      }
+      val merge =
+        if (heads == 1) Seq(
+          node("Gemm", t("o_proj"), Seq(t("ctx0"), t("Wo"), t("bo")), t("o"), Seq(tB)))
+        else Seq(
+          node("Concat", t("merge_heads"), (0 until heads).map(h => t(s"ctx$h")),
+            t("ctx"), Seq(intAttr("axis", 1L))),
+          node("Gemm", t("o_proj"), Seq(t("ctx"), t("Wo"), t("bo")), t("o"), Seq(tB)))
+      headNodes ++ merge ++ Seq(
+        node("Add", t("residual1"), Seq(t("o"), in), t("r1")),
+        node("LayerNormalization", t("ln1"), Seq(t("r1"), t("ln1g"), t("ln1b")),
+          t("n1"), Seq(intAttr("axis", -1L), floatAttr("epsilon", head.eps))),
+        node("Gemm", t("ffn1"), Seq(t("n1"), t("W1"), t("b1")), t("f1"), Seq(tB))) ++
+        activationNodes(head.activation, t, t("f1"), t("f1r")) ++ Seq(
+        node("Gemm", t("ffn2"), Seq(t("f1r"), t("W2"), t("b2")), t("f2"), Seq(tB)),
+        node("Add", t("residual2"), Seq(t("f2"), t("n1")), t("r2")),
+        node("LayerNormalization", t("ln2"), Seq(t("r2"), t("ln2g"), t("ln2b")),
+          out, Seq(intAttr("axis", -1L), floatAttr("epsilon", head.eps))))
+    }
+    (embedNodes ++ maskNodes ++ layerNodes ++ Seq(
+      node("MatMul", "pool_sum", Seq("mf", s"n2_L${blocks.length - 1}"), "psum"),
+      node("ReduceSum", "pool_cnt", Seq("mf", "rs_axes"), "pcnt",
+        Seq(intAttr("keepdims", 1L))),
+      node("Div", "pool", Seq("psum", "pcnt"), "y")))
+      .foreach(g.bytes(1, _))
+    g.str(2, "graft_attention_masked_stack")
+    activationInits(g, head.activation)
+    g.bytes(5, floatTensor("E", Seq(head.vocab.toLong, d), head.e))
+    if (positional)
+      g.bytes(5, floatTensor("P", Seq((head.pos.length / head.d).toLong, d), head.pos))
+    blocks.zipWithIndex.foreach { case (m, l) =>
+      def t(n: String) = s"${n}_L$l"
+      def rowSlice(w: Array[Float], h: Int): Array[Float] =
+        w.slice(h * dh * m.d, (h + 1) * dh * m.d)
+      def bSlice(b: Array[Float], h: Int): Array[Float] =
+        b.slice(h * dh, (h + 1) * dh)
+      (0 until heads).foreach { h =>
+        g.bytes(5, floatTensor(t(s"Wq_$h"), Seq(dh.toLong, d), rowSlice(m.wq, h)))
+        g.bytes(5, floatTensor(t(s"bq_$h"), Seq(dh.toLong), bSlice(m.bq, h)))
+        g.bytes(5, floatTensor(t(s"Wk_$h"), Seq(dh.toLong, d), rowSlice(m.wk, h)))
+        g.bytes(5, floatTensor(t(s"bk_$h"), Seq(dh.toLong), bSlice(m.bk, h)))
+        g.bytes(5, floatTensor(t(s"Wv_$h"), Seq(dh.toLong, d), rowSlice(m.wv, h)))
+        g.bytes(5, floatTensor(t(s"bv_$h"), Seq(dh.toLong), bSlice(m.bv, h)))
+      }
+      g.bytes(5, floatTensor(t("Wo"), Seq(d, d), m.wo))
+      Seq((t("bo"), m.bo), (t("ln1g"), m.ln1g), (t("ln1b"), m.ln1b),
+        (t("ln2g"), m.ln2g), (t("ln2b"), m.ln2b))
+        .foreach { case (n, b) => g.bytes(5, floatTensor(n, Seq(d), b)) }
+      g.bytes(5, floatTensor(t("W1"), Seq(m.hidden.toLong, d), m.w1))
+      g.bytes(5, floatTensor(t("b1"), Seq(m.hidden.toLong), m.b1))
+      g.bytes(5, floatTensor(t("W2"), Seq(d, m.hidden.toLong), m.w2))
+      g.bytes(5, floatTensor(t("b2"), Seq(d), m.b2))
+    }
+    g.bytes(5, floatTensor("sqrt_dh",
+      Seq(1L), Array(Math.sqrt(dh.toDouble).toFloat)))
+    g.bytes(5, floatTensor("one_c", Seq(1L), Array(1f)))
+    g.bytes(5, floatTensor("neg_c", Seq(1L), Array(-10000f)))
+    g.bytes(5, int64Tensor("unsq_axes", Seq(1L), Array(0L)))
+    g.bytes(5, int64Tensor("rs_axes", Seq(1L), Array(-1L)))
+    g.bytes(11, int64VectorInfo("ids", "seq"))
+    if (positional) g.bytes(11, int64VectorInfo("pos", "seq"))
+    g.bytes(11, int64VectorInfo("attention_mask", "seq"))
+    g.bytes(12, valueInfo("y", Seq(1L, d)))
+    val opset = new Writer().str(1, "").int(2, 17L)
+    new Writer()
+      .int(1, 8L) // ir_version
+      .bytes(7, g.toByteArray)
+      .bytes(8, opset.toByteArray)
+      .toByteArray
+  }
+
   /** Deterministic small weights from a seed (fixture generation — the
     * checked-in artifact is byte-reproducible from this).
     */

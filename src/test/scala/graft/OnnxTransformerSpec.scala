@@ -385,6 +385,33 @@ class OnnxTransformerSpec extends SparkTestBase {
     }
   }
 
+  test("masked STACK: all-ones == unmasked stack bit-exactly; padded == unpadded") {
+    val b2 = OnnxTransformer.seededWeights(99L)
+    val gm = OnnxTransformer.parse(
+      OnnxTransformer.toMaskedStackedBytes(Seq(w, b2), heads = 2))
+    val gu = OnnxTransformer.parse(
+      OnnxTransformer.toStackedBytes(Seq(w, b2), heads = 2))
+    assert(gm.maskInputName.contains("attention_mask"))
+    for (ids <- Seq(Array(3), Array(0, 7, 31), Array(5, 1, 5, 2, 30))) {
+      val got = gm.run(ids)
+      val want = gu.run(ids)
+      got.indices.foreach { i =>
+        assert(java.lang.Float.floatToIntBits(got(i)) ==
+          java.lang.Float.floatToIntBits(want(i)),
+          s"ids=${ids.mkString(",")} component $i: ${got(i)} != ${want(i)}")
+      }
+      // pad under a 0-mask: the mask must hold through BOTH layers
+      val padded = ids ++ Array.fill(2)(0)
+      val mask = Array.fill(ids.length)(1f) ++ Array(0f, 0f)
+      val gp = gm.run(padded, mask)
+      gp.indices.foreach { i =>
+        assert(java.lang.Float.floatToIntBits(gp(i)) ==
+          java.lang.Float.floatToIntBits(want(i)),
+          s"padded ids=${ids.mkString(",")} component $i: ${gp(i)} != ${want(i)}")
+      }
+    }
+  }
+
   test("Reshape/Expand/ReduceSum execute on INT64 shape operands; bad shapes fail loudly") {
     import OnnxTransformer.{GraphModel, Mat, Node}
     val d = 2
