@@ -165,6 +165,30 @@ object Dedup {
     * shingle was hot (empty array), so downstream survivors logic still
     * sees the doc.
     */
+  /** The hot-shingle LIST itself — shingles in more than `maxDocFrac` of
+    * docs, collected to the driver (sorted for determinism). Bounded by
+    * construction: a shingle must appear in > frac·N docs, so at most
+    * (avg shingles per doc) / frac distinct shingles qualify — ~10³
+    * strings at any corpus size, the model-artifact cost class. This is
+    * the ingest-time document-frequency statistic: compute it ONCE per
+    * corpus snapshot and compose it into every shingle pipeline as a
+    * codegen'd `array_except(sh, lit(hot))` (set semantics — every
+    * consumer in this repo treats the shingle column as a set), instead
+    * of re-aggregating document frequencies per query.
+    */
+  def hotShingles(df: DataFrame, idCol: String, shingleCol: String,
+      maxDocFrac: Double): Array[String] = {
+    require(maxDocFrac > 0.0 && maxDocFrac <= 1.0,
+      s"maxDocFrac must be in (0, 1]: $maxDocFrac")
+    val nDocs = df.agg(count(lit(1)).cast("double").as("__n"))
+    df.select(col(idCol), explode(array_distinct(col(shingleCol))).as("__sh"))
+      .groupBy("__sh").agg(count(lit(1)).as("__df"))
+      .crossJoin(broadcast(nDocs))
+      .where(col("__df") > col("__n") * maxDocFrac)
+      .select(col("__sh"))
+      .collect().map(_.getString(0)).sorted
+  }
+
   def dropHotShingles(df: DataFrame, idCol: String, shingleCol: String,
       maxDocFrac: Double): DataFrame = {
     require(maxDocFrac > 0.0 && maxDocFrac <= 1.0,

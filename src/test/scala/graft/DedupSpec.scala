@@ -160,6 +160,16 @@ class DedupSpec extends SparkTestBase {
     val loose = graft.ops.Dedup.dropHotShingles(docs, "doc_id", "sh", 1.0)
       .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
     assert(loose(0L).contains("BOILER"))
+    // the collected hot LIST (the once-per-corpus composition form) agrees
+    // with the in-plan op: same threshold semantics, sorted, and applying
+    // it as the codegen'd set-subtract removes exactly the hot shingles
+    val hot = graft.ops.Dedup.hotShingles(docs, "doc_id", "sh", 0.5)
+    assert(hot.toSeq == Seq("BOILER"), hot.toSeq)
+    assert(graft.ops.Dedup.hotShingles(docs, "doc_id", "sh", 1.0).isEmpty)
+    import org.apache.spark.sql.functions.{array_except, col, typedLit}
+    val viaList = docs.withColumn("sh", array_except(col("sh"), typedLit(hot.toSeq)))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    assert(viaList == got, viaList)
   }
 
   test("incremental dedup: batch-vs-corpus only, differential vs driver all-pairs") {

@@ -186,13 +186,16 @@ class PlanSpec extends SparkTestBase {
     // Dedup.dropHotShingles (one boilerplate shingle makes the banded join
     // bucket²) — assert the guard's hot-list filter is IN the gate plans,
     // not just available as a separate op.
-    // (components/centrality gates checkpoint away their lineage, so the
-    // guard can only be asserted on gates whose final plan keeps the join)
+    // The guard composes as a codegen'd array_except against the
+    // once-per-corpus hot list literal (an in-plan HOF filter measured
+    // 3-10× gate wall). Components/centrality gates checkpoint away their
+    // lineage, so assert on gates whose final plan keeps the scan side.
     for (gate <- Seq("minhash_lsh_pairs", "near_dedup_survivors",
         "ngram_jaccard_join", "minhash_calibration")) {
       val plan = graft.SparkEntry.queries(gate)(spark, "/root/testdata/sf0.001")
         .queryExecution.optimizedPlan.toString
-      assert(plan.contains("__hots"), s"$gate plan lacks hot-shingle guard:\n$plan")
+      assert(plan.contains("array_except"),
+        s"$gate plan lacks the hot-shingle set-subtract:\n$plan")
     }
   }
 
