@@ -400,7 +400,9 @@ object GraphAnn {
           org.apache.spark.sql.types.DoubleType, false)) {
       val head = queries
         .select(col(qidCol).cast("long"), col(qvecCol)).limit(beam + 1).collect()
-      if (head.length <= beam && head.forall(!_.isNullAt(1)))
+      // NULL ids/vectors stay on the join shape: getLong would silently
+      // read a NULL id as 0 and alias it with a real query 0
+      if (head.length <= beam && head.forall(r => !r.isNullAt(0) && !r.isNullAt(1)))
         return pointProbeTopKBatch(df, idCol, vecCol, edges,
           head.map(r => (r.getLong(0), r.getSeq[Double](1).toIndexedSeq)).toSeq,
           qidCol, k, stride, beam, rounds)

@@ -549,6 +549,20 @@ class GraphAnnSpec extends SparkTestBase {
       rows(GraphAnn.beamSearchTopKBatch(emb, "vec_id", "embedding", edges,
         queries, "qid", "qv", k = 10, stride = 64)),
       "driver-routed batch diverged from the join shape")
+    // a NULL query id must NOT be read as long 0 on the driver route (it
+    // would alias with a real query 0) — the router stays on the join shape
+    val withNull = queries
+      .select(when(col("qid") === 7L, lit(null).cast("long"))
+        .otherwise(col("qid")).as("qid"), col("qv"))
+    def rowsN(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (if (r.isNullAt(0)) -1L else r.getLong(0),
+        r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(rowsN(GraphAnn.beamSearchTopKBatch(emb, "vec_id", "embedding",
+        edges, withNull, "qid", "qv", k = 10, stride = 64)) ==
+      rowsN(GraphAnn.beamSearchTopKBatchJoin(emb, "vec_id", "embedding",
+        edges, withNull, "qid", "qv", k = 10, stride = 64)),
+      "NULL-qid batch diverged from the join shape")
   }
 
   test("tiered centroid layer: parity-class recall, bounded degree, geometry guard") {
