@@ -45,4 +45,52 @@ object Decontaminate {
       contaminatedIds(corpus, idCol, textCol, benchmark, benchTextCol, n)
         .select(idCol),
       Seq(idCol), "left_anti")
+
+  /** FUZZY contamination: corpus docs whose n-gram Jaccard similarity vs
+    * ANY benchmark doc reaches `tau` — the near-duplicate decontamination
+    * tier (GPT-3-style fuzzy eval-overlap removal: a test item paraphrased
+    * or lightly edited into a training page shares most of its n-grams
+    * without necessarily sharing a long exact one, so the containment tier
+    * above under-flags and a similarity tier is run alongside it).
+    *
+    * Output: (idCol, n_bench_matches: long, max_jaccard: double) for
+    * flagged corpus docs only. max_jaccard is one IEEE division per pair
+    * then a max — order-free, bit-exact cross-engine.
+    *
+    * Scale shape: the corpus side explodes its distinct shingles ONCE; the
+    * benchmark postings (benchmark-sized, i.e. small) are explicitly
+    * BROADCAST into the shingle equi-join, so the corpus never shuffles on
+    * shingle and is never self-joined; the per-pair aggregate then keys on
+    * (corpus doc, bench doc) — bounded by the docs that actually share
+    * shingles. The [[Dedup.jaccardJoin]] size prefilter applies before the
+    * aggregate. Hot boilerplate shingles in the BENCHMARK would fan out the
+    * broadcast join; compose [[Dedup.dropHotShingles]] over the shingled
+    * sides first if your benchmark has any.
+    */
+  def fuzzyContaminatedIds(corpus: DataFrame, idCol: String, textCol: Column,
+      benchmark: DataFrame, benchIdCol: String, benchTextCol: Column,
+      n: Int, tau: Double): DataFrame = {
+    val c = corpus.select(col(idCol), TextOps.wordNGrams(textCol, n).as("__sh"))
+    val b = benchmark.select(col(benchIdCol).as("__bid"),
+      TextOps.wordNGrams(benchTextCol, n).as("__sh"))
+    Dedup.againstCore(
+        Dedup.explodedPostings(c, idCol, "__sh", "a", "size_a"),
+        broadcast(Dedup.explodedPostings(b, "__bid", "__sh", "b", "size_b")),
+        tau)
+      .groupBy(col("a").as(idCol))
+      .agg(count(lit(1)).as("n_bench_matches"),
+        max(col("jaccard")).as("max_jaccard"))
+  }
+
+  /** The fuzzy-clean corpus: rows below `tau` Jaccard vs every benchmark
+    * doc. Run IN ADDITION to [[decontaminate]], not instead of it — the two
+    * tiers flag different overlap shapes.
+    */
+  def fuzzyDecontaminate(corpus: DataFrame, idCol: String, textCol: Column,
+      benchmark: DataFrame, benchIdCol: String, benchTextCol: Column,
+      n: Int, tau: Double): DataFrame =
+    corpus.join(
+      fuzzyContaminatedIds(corpus, idCol, textCol, benchmark, benchIdCol,
+        benchTextCol, n, tau).select(idCol),
+      Seq(idCol), "left_anti")
 }

@@ -230,7 +230,7 @@ object Dedup {
     * index representation every against-join consumes (zero-shingle docs
     * drop out; they can't near-dup).
     */
-  private def explodedPostings(df: DataFrame, idCol: String,
+  private[ops] def explodedPostings(df: DataFrame, idCol: String,
       shingleCol: String, idAs: String, sizeAs: String): DataFrame = df
     .select(col(idCol).as("__id"), array_distinct(col(shingleCol)).as("__arr"))
     .withColumn("__sz", size(col("__arr")).cast("long"))
@@ -238,7 +238,7 @@ object Dedup {
     .select(col("__id").as(idAs), col("__sz").as(sizeAs),
       explode(col("__arr")).as("__sh"))
 
-  private def againstCore(l: DataFrame, r: DataFrame, tau: Double): DataFrame =
+  private[ops] def againstCore(l: DataFrame, r: DataFrame, tau: Double): DataFrame =
     l.join(r, "__sh")
       .where(col("size_b") >= ceil(lit(tau) * col("size_a")) &&
         col("size_a") >= ceil(lit(tau) * col("size_b")))

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ops.{AnnIndex, Dedup, GraphAnn, HashedClassifier, LanguageModel, PipelineMetrics, ProductQuantizer, Redact, SimilarityJoin, SnapshotDelta, TextOps, Vocab}
+import graft.ops.{AnnIndex, Decontaminate, Dedup, Dsir, GraphAnn, HashedClassifier, LanguageModel, PipelineMetrics, ProductQuantizer, Redact, SimilarityJoin, SnapshotDelta, TextOps, Vocab}
 
 /** North-star operator queries (LLM-data-pipeline surface): dedup tiers,
   * similarity joins, ANN, text analysis. Each Spark query exercises the
@@ -99,6 +99,11 @@ object NorthStarQueries {
   // Hashed-classifier gate geometry: 256 feature buckets — small enough
   // that distinct tokens collide (the hashing-trick regime under test).
   private val ClfBuckets = 256
+
+  // DSIR gate geometry: 64 hashed unigram+bigram feature buckets, top-50
+  // selection — both interpolated into the oracle.
+  private val DsirBuckets = 64
+  private val DsirTopN = 50
 
   // Integer-exact PageRank gate geometry (ops/Centrality.scala): ranks in
   // micro-units, 85/100 damping, 5 iterations — all interpolated into the
@@ -1742,6 +1747,52 @@ object NorthStarQueries {
       corpus.unpersist(blocking = false)
       s.read.parquet(out).transform(sortedSingle(_, col("doc_id")))
     },
+
+    // DSIR-style importance fitting (ops/Dsir — Xie et al. 2023): hashed
+    // unigram+bigram features, target sample = doc_id % 7 == 0, raw = the
+    // rest; per-bucket weight = fixed-point smoothed probability RATIO
+    // p_t(b)/p_r(b) in millionths, over the FULL 64-bucket range. The whole
+    // fit (both count passes, both totals, the ratio arithmetic) replays in
+    // SQL, so "fitted" is hash-gated like the classifier's training.
+    "dsir_weights" -> { (s, dir) =>
+      val d = docs(s, dir)
+      Dsir.importanceWeights(
+          d.where(pmod(col("doc_id"), lit(7)) === 0), col("text"),
+          d.where(pmod(col("doc_id"), lit(7)) =!= 0), col("text"),
+          DsirBuckets)
+        .transform(sortedSingle(_, col("bucket")))
+    },
+
+    // ...and the selection half: score every raw doc with the fitted
+    // weights (one explode + broadcast weight join + per-doc average — the
+    // classifier's scoring shape) and keep the top 50 most target-like by
+    // (score desc, doc_id asc) — a TakeOrderedAndProject cut, never a
+    // global window.
+    "dsir_select" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val raw = d.where(pmod(col("doc_id"), lit(7)) =!= 0)
+      val w = Dsir.importanceWeights(
+        d.where(pmod(col("doc_id"), lit(7)) === 0), col("text"),
+        raw, col("text"), DsirBuckets)
+      Dsir.selectTop(
+          Dsir.scoreDocs(raw, "doc_id", col("text"), w, DsirBuckets),
+          "doc_id", DsirTopN)
+        .transform(sortedSingle(_, col("doc_id")))
+    },
+
+    // FUZZY benchmark decontamination (Decontaminate.fuzzyContaminatedIds):
+    // corpus docs near-duplicating ANY eval doc (3-gram Jaccard >= tau) —
+    // the GPT-3-style similarity tier run alongside the exact-containment
+    // `decontaminate_docs` gate. Benchmark postings broadcast; the corpus
+    // explodes once and never self-joins.
+    "fuzzy_decontaminate" -> { (s, dir) =>
+      val d = docs(s, dir)
+      Decontaminate.fuzzyContaminatedIds(
+          d.filter(pmod(col("doc_id"), lit(10)) =!= 0), "doc_id", col("text"),
+          d.filter(pmod(col("doc_id"), lit(10)) === 0), "doc_id", col("text"),
+          n = 3, tau = JaccardTau)
+        .transform(sortedSingle(_, col("doc_id")))
+    },
   )
 
   // ---- media pipeline constants (shared by the Spark query and oracle) ----
@@ -1840,6 +1891,41 @@ object NorthStarQueries {
 
   private val ShCte =
     s"sh AS (SELECT doc_id, unnest($ShinglesSql) AS sh FROM documents)"
+
+  /** DSIR feature instances, DuckDB-side (mirrors Dsir.features: word
+    * unigrams + bigrams per instance; NULL text contributes no rows).
+    */
+  private val DsirFtCte =
+    "ft AS (SELECT doc_id, unnest(list_concat(string_split(text, ' '), " +
+      "list_transform(range(0, greatest(len(string_split(text, ' ')) - 1, 0)), " +
+      "i -> array_to_string(string_split(text, ' ')[i+1:i+2], ' ')))) AS f " +
+      "FROM documents)"
+
+  /** The DSIR fit replay (consumes `ft`): target/raw bucket counts, totals,
+    * and the fixed-point smoothed-ratio weight over the FULL bucket range —
+    * Dsir.importanceWeights' exact integer arithmetic (`//` = Spark's `div`
+    * on these non-negative operands).
+    */
+  private val DsirWCtes =
+    s"""tc AS (
+       |  SELECT ('0x' || substr(md5(f), 1, 15))::BIGINT % $DsirBuckets AS bucket,
+       |         count(*)::BIGINT AS nt
+       |  FROM ft WHERE doc_id % 7 = 0 GROUP BY 1),
+       |rc AS (
+       |  SELECT ('0x' || substr(md5(f), 1, 15))::BIGINT % $DsirBuckets AS bucket,
+       |         count(*)::BIGINT AS nr
+       |  FROM ft WHERE doc_id % 7 <> 0 GROUP BY 1),
+       |tot AS (
+       |  SELECT (SELECT coalesce(sum(nt), 0) FROM tc) AS tt,
+       |         (SELECT coalesce(sum(nr), 0) FROM rc) AS tr),
+       |w AS (
+       |  SELECT b.bucket,
+       |         ((coalesce(tc.nt, 0) + 1) * 1000000 // (tot.tt + $DsirBuckets))
+       |           * 1000000
+       |           // greatest((coalesce(rc.nr, 0) + 1) * 1000000
+       |                      // (tot.tr + $DsirBuckets), 1) AS w
+       |  FROM (SELECT unnest(range($DsirBuckets))::BIGINT AS bucket) b
+       |  LEFT JOIN tc USING (bucket) LEFT JOIN rc USING (bucket), tot)""".stripMargin
 
   /** One streamed-ingest epoch replayed in SQL (batch = docs with
     * doc_id % 4 == `mod`): within-batch jaccard pairs drop the b side
@@ -3653,6 +3739,52 @@ object NorthStarQueries {
          |FROM documents d LEFT JOIN sc s USING (doc_id)
          |WHERE d.doc_id % 3 = 0
          |ORDER BY d.doc_id""".stripMargin,
+    // the full DSIR fit replayed: both hashed-feature count passes, both
+    // totals, and the fixed-point smoothed-ratio arithmetic over the full
+    // bucket range — integer end to end
+    "dsir_weights" ->
+      s"""WITH $DsirFtCte,
+         |$DsirWCtes
+         |SELECT bucket, CAST(w AS BIGINT) AS w FROM w ORDER BY bucket""".stripMargin,
+    // fit + score + top-n selection replayed; docs with NULL text keep a
+    // 0-score row via the LEFT JOIN (the engine's explode_outer contract)
+    "dsir_select" ->
+      s"""WITH $DsirFtCte,
+         |$DsirWCtes,
+         |sc AS (
+         |  SELECT ft.doc_id,
+         |         CAST(sum(w.w) // greatest(count(*), 1) AS BIGINT) AS score
+         |  FROM ft JOIN w
+         |    ON ('0x' || substr(md5(ft.f), 1, 15))::BIGINT % $DsirBuckets = w.bucket
+         |  WHERE ft.doc_id % 7 <> 0 GROUP BY 1),
+         |scored AS (
+         |  SELECT d.doc_id, CAST(coalesce(s.score, 0) AS BIGINT) AS score
+         |  FROM documents d LEFT JOIN sc s USING (doc_id)
+         |  WHERE d.doc_id % 7 <> 0),
+         |top AS (
+         |  SELECT doc_id, score FROM scored
+         |  ORDER BY score DESC, doc_id ASC LIMIT $DsirTopN)
+         |SELECT doc_id, score FROM top ORDER BY doc_id""".stripMargin,
+    // the fuzzy tier's full jaccard chain replayed across the bench split:
+    // per-pair intersection over distinct 3-gram shingles, the size-exact
+    // jaccard (one IEEE division per pair), tau cut, then per-corpus-doc
+    // match count + max
+    "fuzzy_decontaminate" ->
+      s"""WITH $ShCte,
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+         |pairs AS (
+         |  SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS inter
+         |  FROM sh l JOIN sh r ON l.sh = r.sh
+         |  WHERE l.doc_id % 10 <> 0 AND r.doc_id % 10 = 0
+         |  GROUP BY 1, 2),
+         |j AS (
+         |  SELECT a, inter::DOUBLE / (sa.sz + sb.sz - inter) AS jac
+         |  FROM pairs
+         |  JOIN sizes sa ON a = sa.doc_id JOIN sizes sb ON b = sb.doc_id
+         |  WHERE inter::DOUBLE / (sa.sz + sb.sz - inter) >= $JaccardTau)
+         |SELECT a AS doc_id, count(*)::BIGINT AS n_bench_matches,
+         |       max(jac) AS max_jaccard
+         |FROM j GROUP BY a ORDER BY doc_id""".stripMargin,
   )
 
   private val annIvfOracle: String =

@@ -49,4 +49,42 @@ class DecontaminateSpec extends SparkTestBase {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
+
+  test("fuzzy tier: a paraphrased eval doc is flagged by jaccard, survivors stay") {
+    // doc 1 shares most 3-grams with bench 900 (one word appended);
+    // doc 2 is unrelated; doc 3 shares exactly one 3-gram (containment
+    // would flag it, similarity at tau=0.5 must NOT)
+    val corpus = df(
+      1L -> "what is the capital of france paris obviously indeed",
+      2L -> "totally unrelated prose about spark shuffles and joins",
+      3L -> "what is the capital question unlike anything else written here today")
+    val flagged = Decontaminate.fuzzyContaminatedIds(
+        corpus, "doc_id", col("text"), bench, "doc_id", col("text"),
+        n = 3, tau = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(flagged.map(_._1).toSet == Set(1L), flagged.mkString(","))
+    val (_, nMatches, maxJ) = flagged.head
+    assert(nMatches == 1L && maxJ >= 0.5 && maxJ < 1.0)
+    // local replay of the jaccard for the flagged pair
+    def grams(t: String) = t.split(" ").sliding(3).map(_.mkString(" ")).toSet
+    val (a, b) = (grams("what is the capital of france paris obviously indeed"),
+      grams("what is the capital of france paris obviously"))
+    val expected = a.intersect(b).size.toDouble / a.union(b).size
+    assert(math.abs(maxJ - expected) < 1e-12)
+    val clean = Decontaminate.fuzzyDecontaminate(
+        corpus, "doc_id", col("text"), bench, "doc_id", col("text"),
+        n = 3, tau = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(clean == Set(2L, 3L))
+  }
+
+  test("fuzzy tier broadcasts the benchmark postings side") {
+    val corpus = df((1L to 50L).map(i =>
+      i -> s"document number $i with some words repeated $i times"): _*)
+    val plan = Decontaminate.fuzzyContaminatedIds(
+        corpus, "doc_id", col("text"), bench, "doc_id", col("text"),
+        n = 3, tau = 0.5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
 }
