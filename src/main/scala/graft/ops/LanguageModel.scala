@@ -109,4 +109,47 @@ object LanguageModel {
       .select(col(idCol))
     docs.join(scores, Seq(idCol), "left_semi")
   }
+
+  /** CCNet-style corpus-fit tertile bucketing: label every doc `head` /
+    * `middle` / `tail` by where its fit score falls within its GROUP
+    * (CCNet buckets per language on KenLM perplexity, then trains on head
+    * +middle and usually drops tail). The per-doc metric is the
+    * fixed-point fit average `fit_sum·10^6 div n_bigrams` (integer — the
+    * same exact tier [[scoreDocs]] gates; zero-bigram docs score 0 and
+    * land in `tail`); the per-group cutoffs are the exact interpolated
+    * 1/3 and 2/3 percentiles of that integer metric, which both engines
+    * compute from the identical `q·(n-1)` definition (the
+    * `adaptive_filter` precedent). Output: (idCol, groupCol, fit1e6,
+    * c33, c67, bucket) — the cutoffs ride along so any cross-engine
+    * percentile drift is a visible hash break, not a silent label flip.
+    *
+    * Scale shape: scoring is the [[scoreDocs]] explode + count-join +
+    * per-doc aggregate; the cutoff pass is ONE aggregate whose output is
+    * #groups rows, broadcast back. The exact percentile buffers each
+    * group's values ([[Percentiles]] exact tier) — fine for bounded
+    * groups like languages at gate scale; at 100 TB swap the cutoff
+    * aggregate for `Percentiles.approx` (bounded-memory GK sketch) and
+    * accept rank-error-bounded cutoffs, or sample the cutoff pass as
+    * CCNet itself does.
+    */
+  def fitBuckets(docs: DataFrame, idCol: String, textCol: String,
+      groupCol: String, bigrams: DataFrame): DataFrame = {
+    val fit = scoreDocs(docs, idCol, textCol, bigrams)
+      .join(docs.select(col(idCol), col(groupCol)), Seq(idCol))
+      .withColumn("fit1e6",
+        coalesce(expr("fit_sum * 1000000L div nullif(n_bigrams, 0L)"),
+          lit(0L)))
+      .select(col(idCol), col(groupCol), col("fit1e6"))
+    val cuts = fit.groupBy(col(groupCol)).agg(
+        expr(s"percentile(fit1e6, ${1.0 / 3})").as("c33"),
+        expr(s"percentile(fit1e6, ${2.0 / 3})").as("c67"))
+      .withColumnRenamed(groupCol, "__g")
+    fit.join(broadcast(cuts), col(groupCol) <=> col("__g"))
+      .withColumn("bucket",
+        when(col("fit1e6") >= col("c67"), lit("head"))
+          .when(col("fit1e6") >= col("c33"), lit("middle"))
+          .otherwise(lit("tail")))
+      .select(col(idCol), col(groupCol), col("fit1e6"),
+        col("c33"), col("c67"), col("bucket"))
+  }
 }

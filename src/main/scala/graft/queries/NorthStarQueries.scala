@@ -1780,6 +1780,18 @@ object NorthStarQueries {
         .transform(sortedSingle(_, col("doc_id")))
     },
 
+    // CCNet-style per-language corpus-fit TERTILE bucketing
+    // (LanguageModel.fitBuckets): head/middle/tail labels from the
+    // fixed-point fit metric and exact per-lang 1/3 / 2/3 percentile
+    // cutoffs — the cutoffs ride along in the output so cross-engine
+    // percentile drift would break the hash, not silently flip labels.
+    "ppl_buckets" -> { (s, dir) =>
+      val d = docs(s, dir).filter(col("text").isNotNull)
+      LanguageModel.fitBuckets(d, "doc_id", "text", "lang",
+          LanguageModel.trainBigrams(d, "text"))
+        .transform(sortedSingle(_, col("doc_id")))
+    },
+
     // FUZZY benchmark decontamination (Decontaminate.fuzzyContaminatedIds):
     // corpus docs near-duplicating ANY eval doc (3-gram Jaccard >= tau) —
     // the GPT-3-style similarity tier run alongside the exact-containment
@@ -3765,6 +3777,36 @@ object NorthStarQueries {
          |  SELECT doc_id, score FROM scored
          |  ORDER BY score DESC, doc_id ASC LIMIT $DsirTopN)
          |SELECT doc_id, score FROM top ORDER BY doc_id""".stripMargin,
+    // the whole bucketing chain replayed: bigram training, the integer
+    // fit metric, per-lang quantile_cont cutoffs (same q·(n-1) definition
+    // as Spark's percentile on this integer metric) and the label rules
+    "ppl_buckets" ->
+      """WITH g2 AS (
+        |  SELECT doc_id, unnest(list_transform(
+        |    range(0, greatest(len(string_split(text, ' ')) - 1, 0)),
+        |    i -> array_to_string(string_split(text, ' ')[i+1:i+2], ' '))) AS gram
+        |  FROM documents WHERE text IS NOT NULL),
+        |cnt AS (SELECT gram, count(*)::BIGINT AS gram_cnt FROM g2 GROUP BY gram),
+        |per AS (SELECT g.doc_id, count(*)::BIGINT AS n_bigrams,
+        |               sum(coalesce(c.gram_cnt, 0))::BIGINT AS fit_sum
+        |        FROM g2 g LEFT JOIN cnt c USING (gram) GROUP BY g.doc_id),
+        |fit AS (
+        |  SELECT d.doc_id, d.lang,
+        |         coalesce(p.fit_sum * 1000000 // nullif(p.n_bigrams, 0), 0)
+        |           AS fit1e6
+        |  FROM documents d LEFT JOIN per p USING (doc_id)
+        |  WHERE d.text IS NOT NULL),
+        |cut AS (
+        |  SELECT lang, quantile_cont(fit1e6, 1.0/3) AS c33,
+        |         quantile_cont(fit1e6, 2.0/3) AS c67
+        |  FROM fit GROUP BY lang)
+        |SELECT f.doc_id, f.lang, CAST(f.fit1e6 AS BIGINT) AS fit1e6,
+        |       c.c33, c.c67,
+        |       CASE WHEN f.fit1e6 >= c.c67 THEN 'head'
+        |            WHEN f.fit1e6 >= c.c33 THEN 'middle'
+        |            ELSE 'tail' END AS bucket
+        |FROM fit f JOIN cut c ON f.lang IS NOT DISTINCT FROM c.lang
+        |ORDER BY f.doc_id""".stripMargin,
     // the fuzzy tier's full jaccard chain replayed across the bench split:
     // per-pair intersection over distinct 3-gram shingles, the size-exact
     // jaccard (one IEEE division per pair), tau cut, then per-corpus-doc

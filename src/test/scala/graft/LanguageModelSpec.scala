@@ -126,6 +126,33 @@ class LanguageModelSpec extends SparkTestBase {
     }
   }
 
+  test("fitBuckets labels per-group tertiles; zero-bigram docs land in tail; NULL group kept") {
+    // group g: fits 2500000 (doc0: (3+2)*1e6/2), 2000000 (doc1), 2500000
+    // (doc2), 0 (doc3 — no bigrams); group NULL: doc4 alone
+    val grouped = corpus.withColumn("grp",
+      when(col("doc_id") === 4, lit(null).cast("string")).otherwise(lit("g")))
+    val got = LanguageModel.fitBuckets(grouped, "doc_id", "text", "grp",
+        LanguageModel.trainBigrams(corpus, "text"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4), r.getString(5))).toMap
+    assert(got.keySet == Set(0L, 1L, 2L, 3L, 4L), "one row per doc, NULL group included")
+    assert(got(3L)._1 == 0L && got(3L)._4 == "tail",
+      "zero-bigram doc scores 0 and lands in tail")
+    assert(got(0L)._4 == "head" && got(2L)._4 == "head")
+    // local replay of the group-g cutoffs: sorted fits (0, 2000000,
+    // 2500000, 2500000), q*(n-1) interpolation
+    def pct(v: Seq[Long], q: Double): Double = {
+      val s = v.sorted; val pos = q * (s.size - 1)
+      val (lo, hi) = (s(pos.toInt), s(math.ceil(pos).toInt))
+      lo + (hi - lo) * (pos - math.floor(pos))
+    }
+    val fits = Seq(0L, 2000000L, 2500000L, 2500000L)
+    assert(got(0L)._2 == pct(fits, 1.0 / 3) && got(0L)._3 == pct(fits, 2.0 / 3),
+      s"cutoffs must equal the q*(n-1) replay: ${got(0L)}")
+    // the single-doc NULL group is its own head (fit == both cutoffs)
+    assert(got(4L)._4 == "head")
+  }
+
   test("unseen bigrams score low but finite (smoothing floor)") {
     val bi = LanguageModel.trainBigrams(corpus, "text")
     val uni = LanguageModel.trainUnigrams(corpus, "text")

@@ -152,6 +152,27 @@ object ScaleSmoke {
           .count()
       }
 
+      // DSIR fit + full-corpus score: two fit count passes + a broadcast
+      // 4096-row weight table + one per-doc aggregate — wall should track
+      // the corpus linearly (the ~0.5%-sample fit sides are noise)
+      timed("dsir", k, nRows) {
+        val w = graft.ops.Dsir.importanceWeights(
+          docs.where(col("doc_id") % 199 === 0), col("text"),
+          docs.where(col("doc_id") % 199 =!= 0), col("text"), 4096)
+        graft.ops.Dsir.scoreDocs(docs, "doc_id", col("text"), w, 4096)
+          .count()
+      }
+
+      // fuzzy decontamination vs a FIXED benchmark (the k=1 slice's
+      // doc_id%50 docs): bench postings broadcast, corpus explodes once —
+      // linear in corpus size at constant benchmark size
+      timed("fuzzy_decon", k, nRows) {
+        graft.ops.Decontaminate.fuzzyContaminatedIds(
+          docs, "doc_id", col("text"),
+          docs.where(col("doc_id") < 1000000L && col("doc_id") % 50 === 0),
+          "doc_id", col("text"), n = 3, tau = 0.5).count()
+      }
+
       spark.catalog.clearCache()
       docs.unpersist(blocking = true)
     }
