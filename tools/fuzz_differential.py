@@ -17,7 +17,8 @@ Generator constraints keep the dialect common and deterministic:
 
 Shapes: agg, filter_topk, distinct, join_agg, window (row_number top-k),
 window_frame (running/banded frames, lag), setop (INTERSECT/EXCEPT/UNION),
-json (events props extraction).
+json (events props extraction), tokens, vector_topk, lsh_bands,
+percentile (exact interpolated quantiles at random q).
 
 Usage: python3 tools/fuzz_differential.py [n_queries] [seed] [sfdir]
 """
@@ -118,6 +119,8 @@ def to_duck(sql):
         sql = sql.replace(spark_form, duck_form)
     # Spark element_at(arr, i) is 1-based like DuckDB's arr[i]
     sql = re.sub(r"element_at\(embedding, (\d+)\)", r"embedding[\1]", sql)
+    # Spark exact interpolated percentile == DuckDB quantile_cont
+    sql = re.sub(r"\bpercentile\(", "quantile_cont(", sql)
     return sql
 
 
@@ -127,7 +130,20 @@ def gen_query():
     shape = rng.choice(["agg", "agg", "filter_topk", "distinct", "join_agg",
                         "window", "window_frame", "setop", "json",
                         "having", "subquery", "rollup", "tokens",
-                        "vector_topk", "lsh_bands"])
+                        "vector_topk", "lsh_bands", "percentile"])
+    if shape == "percentile":
+        # exact interpolated percentile over INT columns at random q — the
+        # q*(n-1) definition the ppl_buckets/adaptive_filter gates rely on
+        # (Spark `percentile` vs DuckDB `quantile_cont`; the rewrite is in
+        # to_duck). Int inputs convert to double exactly, so any
+        # formula-level divergence (nearest-rank, off-by-one position)
+        # surfaces past the comparator's epsilon.
+        g = rng.choice(cols["str"])
+        ic = rng.choice(cols["int"])
+        q = rng.choice([0.1, 0.25, 1 / 3, 0.5, 2 / 3, 0.75, 0.9, 0.95])
+        where = f" WHERE {predicate(t)}" if rng.random() < 0.5 else ""
+        return (f"SELECT {g}, count(*) AS n, percentile({ic}, {q!r}) AS p "
+                f"FROM {t}{where} GROUP BY {g} ORDER BY {g}")
     if shape == "vector_topk":
         # brute-force cosine top-k over a random corpus query vector, with
         # the total (distance, id) tie-break and an optional metadata
