@@ -151,6 +151,13 @@ class LanguageModelSpec extends SparkTestBase {
       s"cutoffs must equal the q*(n-1) replay: ${got(0L)}")
     // the single-doc NULL group is its own head (fit == both cutoffs)
     assert(got(4L)._4 == "head")
+    // the cutoff table (#groups rows) must come back as a broadcast join,
+    // never a shuffled one
+    val plan = LanguageModel.fitBuckets(grouped, "doc_id", "text", "grp",
+        LanguageModel.trainBigrams(corpus, "text"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
   test("unseen bigrams score low but finite (smoothing floor)") {
