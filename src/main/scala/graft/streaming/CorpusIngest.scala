@@ -85,6 +85,30 @@ object CorpusIngest {
       }
       .start()
 
+  /** Continuous DISTRIBUTION-MATCHED ingest — the streaming twin of the
+    * `dsir_select` batch tier: every arriving micro-batch is scored with
+    * the (pre-fitted, broadcast) DSIR importance-weight table, so the sink
+    * can keep the most target-like docs (a score threshold, or a
+    * top-fraction per epoch) at the door. Stateless across batches by the
+    * same argument as [[scoredIngest]] (fixed weight table, independent
+    * per-doc scores), so stream == batch is exact — the same
+    * [[graft.ops.Dsir.scoreDocs]] runs in both — and every batch row
+    * reaches the sink (`scoreDocs` is one-row-per-doc; NULL-text docs
+    * score 0, never vanish).
+    */
+  def dsirIngest(newDocs: DataFrame, idCol: String, textCol: String,
+      weights: DataFrame, buckets: Int)
+      (sink: (DataFrame, Long) => Unit): StreamingQuery =
+    newDocs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        sink(batch.join(
+          graft.ops.Dsir.scoreDocs(batch, idCol,
+            org.apache.spark.sql.functions.col(textCol), weights, buckets),
+          Seq(idCol)), epochId)
+      }
+      .start()
+
   // ---- streaming ANN index maintenance -----------------------------------
 
   private val EpochMarker = "_graft_ingest_epoch"

@@ -116,6 +116,46 @@ class CorpusIngestSpec extends SparkTestBase {
     assert(got.toMap == batch, s"stream $got vs batch $batch")
   }
 
+  test("dsir ingest: streamed importance scores == batch scores, NULL text kept at 0") {
+    val sp = spark
+    import sp.implicits._
+    // weights fitted once, offline: target = science-like prose
+    val target = Seq((200L, "the theory of relativity explains gravity"),
+      (201L, "quantum mechanics describes particles")).toDF("doc_id", "text")
+    val rawFit = Seq((210L, "click here to win a prize"),
+      (211L, "buy cheap pills online now")).toDF("doc_id", "text")
+    val w = graft.ops.Dsir.importanceWeights(
+        target, col("text"), rawFit, col("text"), 256).persist()
+    w.count()
+
+    val epoch1 = Seq(1L -> "the theory of relativity explains more",
+      2L -> "click here to win")
+    val epoch2 = Seq(3L -> null.asInstanceOf[String])
+    val stream = MemoryStream[(Long, String)](sp)
+    val got = mutable.Map[Long, Long]()
+    val q = CorpusIngest.dsirIngest(stream.toDF().toDF("doc_id", "text"),
+        "doc_id", "text", w, 256) { (scored, _) =>
+      scored.select("doc_id", "score").collect().foreach { r =>
+        got.synchronized { got(r.getLong(0)) = r.getLong(1) }
+      }
+    }
+    stream.addData(epoch1)
+    q.processAllAvailable()
+    stream.addData(epoch2)
+    q.processAllAvailable()
+    q.stop()
+
+    assert(got.keySet == Set(1L, 2L, 3L), "every row reaches the sink")
+    assert(got(3L) == 0L, "NULL-text doc scores 0, never vanishes")
+    assert(got(1L) > got(2L), s"target-like doc must outscore spam: $got")
+    // bit-identical to scoring the union as one batch
+    val batch = graft.ops.Dsir.scoreDocs(
+        (epoch1 ++ epoch2).toDF("doc_id", "text"), "doc_id", col("text"),
+        w, 256)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.toMap == batch, s"stream $got vs batch $batch")
+  }
+
   test("stateless media pipeline runs unchanged on a stream (audio stats, stream == batch)") {
     val sp = spark
     import sp.implicits._
