@@ -193,4 +193,30 @@ class EmptyInputsSpec extends SparkTestBase {
     assert(Sampling.adaptiveQuantileFilter(emptyDocs, col("text"),
       col("doc_id"), 0.5).count() == 0)
   }
+
+  test("round-11 ops (DSIR, fuzzy decontamination, fit buckets) on empty input") {
+    val some = Seq((1L, "aa bb cc")).toDF("doc_id", "text")
+    // empty fit sides: weights stay defined over the full bucket range
+    val w = Dsir.importanceWeights(emptyDocs, col("text"),
+      emptyDocs, col("text"), 16)
+    assert(w.count() == 16 && w.where(col("w").isNull).count() == 0)
+    // empty scoring input -> empty; non-empty input with empty-fit weights
+    // still scores (one row per doc)
+    assert(Dsir.scoreDocs(emptyDocs, "doc_id", col("text"), w, 16).count() == 0)
+    assert(Dsir.scoreDocs(some, "doc_id", col("text"), w, 16).count() == 1)
+    assert(Dsir.selectTop(
+      Dsir.scoreDocs(emptyDocs, "doc_id", col("text"), w, 16),
+      "doc_id", 5).count() == 0)
+    // fuzzy decontamination: empty corpus, empty benchmark, both
+    assert(Decontaminate.fuzzyContaminatedIds(emptyDocs, "doc_id",
+      col("text"), some, "doc_id", col("text"), 2, 0.5).count() == 0)
+    assert(Decontaminate.fuzzyContaminatedIds(some, "doc_id", col("text"),
+      emptyDocs, "doc_id", col("text"), 2, 0.5).count() == 0)
+    assert(Decontaminate.fuzzyDecontaminate(some, "doc_id", col("text"),
+      emptyDocs, "doc_id", col("text"), 2, 0.5).count() == 1)
+    // fit buckets: empty corpus -> empty; the percentile aggregate must
+    // not throw on zero groups
+    assert(LanguageModel.fitBuckets(emptyDocs, "doc_id", "text", "text",
+      LanguageModel.trainBigrams(emptyDocs, "text")).count() == 0)
+  }
 }
