@@ -88,6 +88,48 @@ object TextOps {
         regexp_replace(text, "[\\x00-\\x1f\\x7f]", " "))),
       " +", " "))
 
+  /** Control characters that signal encoding damage (C0 minus \t\n\r, plus
+    * DEL) — shared between [[encodingStats]] and its oracle replay.
+    */
+  val ControlCharClass = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]"
+
+  /** Encoding-damage QA per document — the web-crawl cleaning signal run
+    * BEFORE tokenization (a page decoded with the wrong charset litters
+    * U+FFFD replacement characters and stray control bytes; such text
+    * poisons every downstream n-gram/embedding stage, so it is filtered at
+    * the door). Output: (idCol, n_chars, n_replacement, n_control,
+    * bad_ppm) — ONE ROW PER INPUT DOC (NULL text → all zeros), where
+    * `bad_ppm` = (n_replacement + n_control)·10^6 div max(n_chars, 1),
+    * integer fixed-point so the whole statistic replays bit-exact in SQL.
+    *
+    * Counting is by LENGTH DIFFERENCE under a remove-all regexp_replace:
+    * every match is a single character, so removed length == match count —
+    * engine-portable without a regexp_count dependency. A pure scan
+    * projection: zero shuffles, stays in codegen.
+    */
+  def encodingStats(docs: DataFrame, idCol: String, text: Column): DataFrame = {
+    def cnt(pat: String): Column =
+      (length(text) - length(regexp_replace(text, pat, ""))).cast("long")
+    docs.select(col(idCol),
+        coalesce(length(text).cast("long"), lit(0L)).as("n_chars"),
+        coalesce(cnt("�"), lit(0L)).as("n_replacement"),
+        coalesce(cnt(ControlCharClass), lit(0L)).as("n_control"))
+      .withColumn("bad_ppm",
+        expr("(n_replacement + n_control) * 1000000L div greatest(n_chars, 1L)"))
+  }
+
+  /** Keep documents whose encoding damage stays under `maxBadPpm`
+    * (NULL-text docs score 0 and survive — emptiness is a different
+    * filter's job). Left-semi on the scan-side stats, no extra shuffle
+    * beyond the semi-join itself.
+    */
+  def encodingFilter(docs: DataFrame, idCol: String, text: Column,
+      maxBadPpm: Long): DataFrame =
+    docs.join(
+      encodingStats(docs, idCol, text)
+        .where(col("bad_ppm") <= maxBadPpm).select(idCol),
+      Seq(idCol), "left_semi")
+
   /** BPE-ish sub-word token estimate: alphanumeric runs + individual
     * non-space symbol characters (lookaround-free so the DuckDB/RE2 oracle
     * can replicate it exactly).

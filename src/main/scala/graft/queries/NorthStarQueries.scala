@@ -228,6 +228,25 @@ object NorthStarQueries {
       " || repeat(' node 10.2.33.4', CAST(doc_id % 3 AS INTEGER))" +
       " || CASE WHEN doc_id % 5 = 0 THEN ' id 123-45-6789' ELSE '' END"
 
+  /** Deterministic encoding-damage injection shared by the
+    * `encoding_quality` query and its oracle (the synthetic corpus is
+    * clean UTF-8, so U+FFFD replacement chars, C0 controls and DEL are
+    * salted in-query; counts vary with doc_id so no column is constant).
+    */
+  private def encSalted(text: org.apache.spark.sql.Column,
+      docId: org.apache.spark.sql.Column) =
+    concat(text,
+      when(docId % 3 === 0, lit(" b�d")).otherwise(lit("")),
+      repeat(lit("\u0001"), (docId % 4).cast("int")),
+      when(docId % 7 === 0, lit(" \u007f")).otherwise(lit("")))
+
+  // single-line (stripMargin rule above); control chars via chr() so no
+  // raw control byte rides inside the SQL text
+  private val encSaltedSql =
+    "text || CASE WHEN doc_id % 3 = 0 THEN ' b' || chr(65533) || 'd' ELSE '' END" +
+      " || repeat(chr(1), CAST(doc_id % 4 AS INTEGER))" +
+      " || CASE WHEN doc_id % 7 = 0 THEN ' ' || chr(127) ELSE '' END"
+
   /** The redaction chain as DuckDB SQL, generated from [[Redact.PiiPatterns]]
     * so query and oracle can never drift (cf. the sim_join_lsh shared-constant
     * rule).
@@ -1777,6 +1796,17 @@ object NorthStarQueries {
       Dsir.selectTop(
           Dsir.scoreDocs(raw, "doc_id", col("text"), w, DsirBuckets),
           "doc_id", DsirTopN)
+        .transform(sortedSingle(_, col("doc_id")))
+    },
+
+    // Encoding-damage QA (TextOps.encodingStats): U+FFFD replacement-char
+    // and stray-control-byte counts + fixed-point bad_ppm per doc — the
+    // pre-tokenization charset screen. Counting is length-difference under
+    // remove-all regexp_replace (single-char matches), a pure scan
+    // projection; damage is salted in-query (the fixture is clean UTF-8).
+    "encoding_quality" -> { (s, dir) =>
+      val d = docs(s, dir)
+      TextOps.encodingStats(d, "doc_id", encSalted(col("text"), col("doc_id")))
         .transform(sortedSingle(_, col("doc_id")))
     },
 
@@ -3777,6 +3807,23 @@ object NorthStarQueries {
          |  SELECT doc_id, score FROM scored
          |  ORDER BY score DESC, doc_id ASC LIMIT $DsirTopN)
          |SELECT doc_id, score FROM top ORDER BY doc_id""".stripMargin,
+    // the salt, both length-difference counts and the fixed-point ppm all
+    // replayed (chr(65533) = U+FFFD; the control class is the shared
+    // TextOps.ControlCharClass constant)
+    "encoding_quality" ->
+      s"""WITH enc AS (SELECT doc_id, $encSaltedSql AS t FROM documents),
+         |st AS (
+         |  SELECT doc_id,
+         |    coalesce(length(t), 0)::BIGINT AS n_chars,
+         |    coalesce(length(t) - length(regexp_replace(t, chr(65533), '', 'g')), 0)::BIGINT
+         |      AS n_replacement,
+         |    coalesce(length(t) - length(regexp_replace(t, '${TextOps.ControlCharClass}', '', 'g')), 0)::BIGINT
+         |      AS n_control
+         |  FROM enc)
+         |SELECT doc_id, n_chars, n_replacement, n_control,
+         |       (n_replacement + n_control) * 1000000 // greatest(n_chars, 1)
+         |         AS bad_ppm
+         |FROM st ORDER BY doc_id""".stripMargin,
     // the whole bucketing chain replayed: bigram training, the integer
     // fit metric, per-lang quantile_cont cutoffs (same q·(n-1) definition
     // as Spark's percentile on this integer metric) and the label rules

@@ -149,6 +149,33 @@ class TextOpsSpec extends SparkTestBase {
     assert(t.tokenize("a") == "")
   }
 
+  test("encodingStats counts replacement chars and controls; filter keeps clean docs") {
+    val sp = spark
+    import sp.implicits._
+    val docs = Seq(
+      (1L, "clean plain text"),
+      (2L, "bro�en te�t here"),          // 2 replacement chars
+      (3L, "ctl\u0001\u0002 and del\u007f"),       // 3 controls
+      (4L, "tabs\tand\nnewlines are fine"),        // \t \n NOT flagged
+      (5L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val st = TextOps.encodingStats(docs, "doc_id", col("text"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(st(1L) == (16L, 0L, 0L, 0L))
+    assert(st(2L)._2 == 2L && st(2L)._3 == 0L)
+    assert(st(3L)._2 == 0L && st(3L)._3 == 3L)
+    assert(st(4L) ==
+      ("tabs\tand\nnewlines are fine".length.toLong, 0L, 0L, 0L),
+      "tab/newline are not damage")
+    assert(st(5L) == (0L, 0L, 0L, 0L), "NULL text keeps its zero row")
+    // ppm replay: doc 2 = 2*1e6 div 17 chars
+    assert(st(2L)._4 == 2L * 1000000L / st(2L)._1)
+    val kept = TextOps.encodingFilter(docs, "doc_id", col("text"), 0L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 4L, 5L))
+  }
+
   test("Japanese tokenizer: dictionary longest-match with char-class fallback") {
     import graft.ops.{JapaneseTokenizer, Tokenizer}
     val t = new JapaneseTokenizer()
