@@ -716,9 +716,19 @@ object Dedup {
       .select(col(idCol), col("pos").cast("long").as("__seg_id"),
         col("col").as("__seg"), md5(col("col")).as("__h"))
       .persist(StorageLevel.MEMORY_AND_DISK) // consumed by dup + the mark join
-    val dup = segs.groupBy(col("__h"))
-      .agg(countDistinct(col(idCol)).as("__nd"))
-      .where(col("__nd") >= minDocs)
+    // minDocs == 2 (the default, and the C4 semantics): "appears in >= 2
+    // distinct docs" == min(doc) != max(doc) — ONE hash-aggregate exchange
+    // on the segment hash, where count(DISTINCT doc) plans as an Expand
+    // with a second corpus-segments-sized shuffle. Same dup set by
+    // construction; the general tier keeps the exact distinct count.
+    val dup = (if (minDocs == 2)
+        segs.groupBy(col("__h"))
+          .agg(min(col(idCol)).as("__mn"), max(col(idCol)).as("__mx"))
+          .where(col("__mn") =!= col("__mx"))
+      else
+        segs.groupBy(col("__h"))
+          .agg(countDistinct(col(idCol)).as("__nd"))
+          .where(col("__nd") >= minDocs))
       .select(col("__h"), lit(true).as("__dup"))
     segs.join(dup, Seq("__h"), "left")
       .groupBy(col(idCol))
