@@ -960,6 +960,31 @@ object NorthStarQueries {
         .transform(sortedSingle(_, col("doc_id")))
     },
 
+    // Tokenizer FERTILITY per language (pieces-per-word + UNK rate under
+    // the corpus-induced WordPiece vocab) — the standard multilingual
+    // tokenizer-QA view (a vocab fitted on majority-language text
+    // over-fragments the rest; fertility quantifies that). Composes the
+    // gated induce+encode, then ONE per-lang aggregate; ppm fixed-point so
+    // the whole chain (induction, the greedy walk, the ratios) replays in
+    // SQL.
+    "token_fertility" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val vmap = graft.ops.Subword.collectVocab(
+        graft.ops.Subword.induce(d, "text", WpVocabSize, WpMaxPieceLen))
+      graft.ops.Subword.encode(d, "doc_id", "text", vmap, WpMaxPieceLen)
+        .join(d.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .groupBy(col("lang"))
+        .agg(
+          sum(when(col("k") === 0, 1L).otherwise(0L)).as("n_words"),
+          count(lit(1)).as("n_pieces"),
+          sum(when(col("piece_id") === -1L, 1L).otherwise(0L)).as("n_unk"))
+        .withColumn("fertility_ppm",
+          expr("n_pieces * 1000000L div greatest(n_words, 1L)"))
+        .withColumn("unk_ppm",
+          expr("n_unk * 1000000L div greatest(n_words, 1L)"))
+        .transform(sortedSingle(_, col("lang")))
+    },
+
     // Byte-pair-encoding MERGE TRAINING under the gate (Sennrich et al.
     // 2016 — the GPT-family tokenizer trainer; WordPiece above is the
     // one-aggregate frequency variant, this is the real iterative
@@ -2823,6 +2848,74 @@ object NorthStarQueries {
          |       count(*) FILTER (piece_id = -1)::BIGINT AS n_unk,
          |       md5(string_agg(CAST(piece_id AS VARCHAR), ',' ORDER BY wpos, k)) AS seq_md5
          |FROM enc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // the same induction + greedy-walk chain, aggregated per LANGUAGE:
+    // words = k=0 rows, pieces = all rows, fixed-point ratios
+    "token_fertility" ->
+      s"""WITH RECURSIVE wc AS (
+         |  SELECT word, count(*) AS c FROM (
+         |    SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+         |  GROUP BY word),
+         |subs AS (
+         |  SELECT substr(wc.word, s.s, l.l) AS piece, s.s > 1 AS is_cont,
+         |         CAST(sum(c) AS BIGINT) AS cnt
+         |  FROM wc
+         |  JOIN (SELECT unnest(range(1, (SELECT max(length(word)) FROM wc) + 1)) AS s) s
+         |    ON s.s <= length(wc.word)
+         |  JOIN (SELECT unnest(range(1, ${WpMaxPieceLen + 1})) AS l) l
+         |    ON s.s + l.l - 1 <= length(wc.word)
+         |  GROUP BY 1, 2),
+         |vocab AS (
+         |  SELECT piece, is_cont,
+         |         CAST(row_number() OVER (ORDER BY cnt DESC, piece ASC, is_cont ASC) - 1
+         |              AS BIGINT) AS piece_id
+         |  FROM (SELECT * FROM subs
+         |        ORDER BY cnt DESC, piece ASC, is_cont ASC LIMIT $WpVocabSize)),
+         |words AS (
+         |  SELECT doc_id, CAST(wpos - 1 AS BIGINT) AS wpos, word
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+         |               generate_subscripts(string_split(text, ' '), 1) AS wpos
+         |        FROM documents)),
+         |dwords AS (SELECT DISTINCT word FROM words),
+         |steps AS (
+         |  SELECT word, p, piece_id, plen FROM (
+         |    SELECT d.word, s.s AS p, v.piece_id, length(v.piece) AS plen,
+         |           row_number() OVER (PARTITION BY d.word, s.s
+         |                              ORDER BY length(v.piece) DESC) AS rn
+         |    FROM dwords d
+         |    JOIN (SELECT unnest(range(1, (SELECT max(length(word)) FROM dwords) + 1)) AS s) s
+         |      ON s.s <= length(d.word)
+         |    JOIN vocab v
+         |      ON v.is_cont = (s.s > 1)
+         |     AND v.piece = substr(d.word, s.s, length(v.piece))
+         |  ) WHERE rn = 1),
+         |walk(word, p, k, piece_id) AS (
+         |  SELECT word, 1 AS p, CAST(0 AS BIGINT) AS k, CAST(NULL AS BIGINT) AS piece_id
+         |  FROM dwords
+         |  UNION ALL
+         |  SELECT w.word, w.p + s.plen, w.k + 1, s.piece_id
+         |  FROM walk w JOIN steps s ON s.word = w.word AND s.p = w.p),
+         |wend AS (SELECT word, max(p) AS pend FROM walk GROUP BY word),
+         |wpieces AS (
+         |  SELECT w.word, w.k - 1 AS k, w.piece_id
+         |  FROM walk w JOIN wend e ON w.word = e.word
+         |  WHERE w.k >= 1 AND e.pend = length(w.word) + 1
+         |  UNION ALL
+         |  SELECT e.word, CAST(0 AS BIGINT) AS k, CAST(-1 AS BIGINT) AS piece_id
+         |  FROM wend e WHERE e.pend <= length(e.word)),
+         |enc AS (
+         |  SELECT wo.doc_id, wo.wpos, wp.k, wp.piece_id
+         |  FROM words wo JOIN wpieces wp ON wo.word = wp.word),
+         |st AS (
+         |  SELECT d.lang,
+         |         count(*) FILTER (e.k = 0)::BIGINT AS n_words,
+         |         count(*)::BIGINT AS n_pieces,
+         |         count(*) FILTER (e.piece_id = -1)::BIGINT AS n_unk
+         |  FROM enc e JOIN documents d USING (doc_id)
+         |  GROUP BY d.lang)
+         |SELECT lang, n_words, n_pieces, n_unk,
+         |       n_pieces * 1000000 // greatest(n_words, 1) AS fertility_ppm,
+         |       n_unk * 1000000 // greatest(n_words, 1) AS unk_ppm
+         |FROM st ORDER BY lang""".stripMargin,
     // BPE merge training replayed exactly: R materialized rounds of
     // adjacent-pair count -> (cnt desc, lhs asc, rhs asc) argmax ->
     // wrapped-pair replace (see bpeTrainCtes)

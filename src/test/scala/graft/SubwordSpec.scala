@@ -72,6 +72,26 @@ class SubwordSpec extends SparkTestBase {
       (1L, 2L, 0L, -1L)))                 // dog -> [UNK]
   }
 
+  test("per-lang fertility composition: pieces per word and unk rate replay locally") {
+    val vdf = Seq(("cat", false, 0L), ("s", true, 1L), ("mat", false, 2L))
+      .toDF("piece", "is_cont", "piece_id")
+    val vmap = Subword.collectVocab(vdf)
+    // en: "cats mat" = 3 pieces / 2 words; xx: "dog dog cats" = 2 unk +
+    // 2 pieces = 4 rows / 3 words
+    val docs = Seq((1L, "cats mat", "en"), (2L, "dog dog cats", "xx"))
+      .toDF("doc_id", "text", "lang")
+    val got = Subword.encode(docs, "doc_id", "text", vmap, 3)
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .groupBy(col("lang"))
+      .agg(sum(when(col("k") === 0, 1L).otherwise(0L)).as("n_words"),
+        count(org.apache.spark.sql.functions.lit(1)).as("n_pieces"),
+        sum(when(col("piece_id") === -1L, 1L).otherwise(0L)).as("n_unk"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got("en") == (2L, 3L, 0L))
+    assert(got("xx") == (3L, 4L, 2L), "each [UNK] word is exactly one piece row")
+  }
+
   test("subword encoder embedder is deterministic and null-safe") {
     val e = EncoderFixture.buildEmbedder()
     val t = VectorSearchClient.DocPrefix + EncoderFixture.Sentences.head
