@@ -744,6 +744,55 @@ object Dedup {
           x => x.getField("__seg"))).as("clean_text"))
   }
 
+  /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken 2003 — the MOSS
+    * local document fingerprinting scheme): hash every k-token shingle,
+    * slide a w-hash window, keep each window's MINIMUM hash. Any shared
+    * token run of length >= k + w - 1 is GUARANTEED to contribute a shared
+    * fingerprint (the winnowing coverage theorem), while only ~2/(w+1) of
+    * positions are kept — an inverted index ~w/2× SMALLER than full
+    * shingle postings for substring-overlap detection, which is exactly
+    * what the 100 TB tier wants between the exact-substring pass (heavy)
+    * and MinHash (whole-document only). The gated contract keeps the
+    * DISTINCT selected hash VALUES per doc (position-free — the value set
+    * is what the candidate join consumes).
+    *
+    * Scale shape: hashing + window minima are one scan-side array
+    * projection (codegen); the only shuffle is the per-doc distinct.
+    * Output: (idCol, fp: long) — distinct fingerprints per doc.
+    */
+  def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
+      k: Int, w: Int): DataFrame = {
+    require(k > 0 && w > 0, s"k and w must be positive: k=$k w=$w")
+    val grams = TextOps.wordNGrams(col(textCol), k)
+    // the 60-bit md5 long convention shared with MinHash and the oracle
+    val hashes = transform(grams, g =>
+      conv(substring(md5(g), 1, 15), 16, 10).cast("long"))
+    val nWin = size(hashes) - lit(w - 1)
+    // guard: sequence(1, 0) DESCENDS in Spark — short/NULL docs must yield
+    // an empty window list, not a phantom one
+    val mins = when(nWin >= 1,
+        transform(sequence(lit(1), nWin),
+          i => array_min(slice(hashes, i, lit(w)))))
+      .otherwise(array().cast("array<long>"))
+    df.select(col(idCol), explode(array_distinct(mins)).as("fp"))
+  }
+
+  /** Candidate pairs (a < b) sharing >= `minShared` winnowing fingerprints
+    * — the sparse-index near-dup/plagiarism join. Same inverted-index
+    * equi-join discipline as [[jaccardJoin]]: join volume is per-fingerprint
+    * postings products, never all-pairs.
+    */
+  def winnowPairs(fps: DataFrame, idCol: String,
+      minShared: Long = 2L): DataFrame = {
+    val l = fps.select(col("fp"), col(idCol).as("a"))
+    val r = fps.select(col("fp"), col(idCol).as("b"))
+    l.join(r, "fp")
+      .where(col("a") < col("b"))
+      .groupBy("a", "b")
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+  }
+
   /** Bloom filter over the corpus's dedup keys, built in one aggregate pass
     * (`stat.bloomFilter` — order-independent bit ORs, fixed seed, so the
     * filter is deterministic for a given key set). The returned filter is a

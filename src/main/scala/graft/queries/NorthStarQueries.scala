@@ -105,6 +105,11 @@ object NorthStarQueries {
   private val DsirBuckets = 64
   private val DsirTopN = 50
 
+  // Winnowing gate geometry (Schleimer et al. 2003): 3-token shingles,
+  // 4-hash windows — guarantee threshold = k + w - 1 = 6 shared tokens.
+  private val WinnowK = 3
+  private val WinnowW = 4
+
   // Integer-exact PageRank gate geometry (ops/Centrality.scala): ranks in
   // micro-units, 85/100 damping, 5 iterations — all interpolated into the
   // oracle so the two engines can never drift.
@@ -1824,6 +1829,33 @@ object NorthStarQueries {
         .transform(sortedSingle(_, col("doc_id")))
     },
 
+    // Winnowing fingerprints (Dedup.winnowFingerprints — MOSS): per-window
+    // minimum shingle hashes, ~2/(w+1) selection density, shared-run
+    // coverage guaranteed at k+w-1 tokens. Per-doc digest pins the exact
+    // fingerprint SET (count + md5 of the sorted values) without
+    // corpus-sized gate rows; hashing + winnowing are one scan projection.
+    "winnow_fingerprints" -> { (s, dir) =>
+      Dedup.winnowFingerprints(docs(s, dir), "doc_id", "text",
+          WinnowK, WinnowW)
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_fp"),
+          md5(concat_ws(",",
+            sort_array(collect_list(col("fp"))).cast("array<string>")))
+            .as("fps_md5"))
+        .transform(sortedSingle(_, col("doc_id")))
+    },
+
+    // ...and the sparse-index candidate join over those fingerprints:
+    // pairs sharing >= 2 window minima (the substring-overlap near-dup
+    // tier between exact-substring and MinHash).
+    "winnow_pairs" -> { (s, dir) =>
+      Dedup.winnowPairs(
+          Dedup.winnowFingerprints(docs(s, dir), "doc_id", "text",
+            WinnowK, WinnowW),
+          "doc_id", minShared = 2L)
+        .transform(sortedSingle(_, col("a"), col("b")))
+    },
+
     // Encoding-damage QA (TextOps.encodingStats): U+FFFD replacement-char
     // and stray-control-byte counts + fixed-point bad_ppm per doc — the
     // pre-tokenization charset screen. Counting is length-difference under
@@ -1958,6 +1990,25 @@ object NorthStarQueries {
 
   private val ShCte =
     s"sh AS (SELECT doc_id, unnest($ShinglesSql) AS sh FROM documents)"
+
+  /** Winnowing fingerprint CTE chain, DuckDB-side (mirrors
+    * Dedup.winnowFingerprints at k=3, w=4: ordered gram list, 60-bit md5
+    * hashes, per-window list_min over 1-based inclusive slices, distinct
+    * values per doc).
+    */
+  private val WinnowFpCte =
+    s"""h AS (
+       |  SELECT doc_id, list_transform(
+       |    list_transform(range(0, greatest(len(string_split(text, ' ')) - ${WinnowK - 1}, 0)),
+       |      i -> array_to_string(string_split(text, ' ')[i+1:i+$WinnowK], ' ')),
+       |    g -> ('0x' || substr(md5(g), 1, 15))::BIGINT) AS hs
+       |  FROM documents),
+       |m AS (
+       |  SELECT doc_id, list_transform(
+       |    range(1, greatest(len(hs) - ${WinnowW - 1}, 0) + 1),
+       |    i -> list_min(hs[i:i+${WinnowW - 1}])) AS mins
+       |  FROM h),
+       |f AS (SELECT doc_id, unnest(list_distinct(mins)) AS fp FROM m)""".stripMargin
 
   /** DSIR feature instances, DuckDB-side (mirrors Dsir.features: word
     * unigrams + bigrams per instance; NULL text contributes no rows).
@@ -3900,6 +3951,20 @@ object NorthStarQueries {
          |  SELECT doc_id, score FROM scored
          |  ORDER BY score DESC, doc_id ASC LIMIT $DsirTopN)
          |SELECT doc_id, score FROM top ORDER BY doc_id""".stripMargin,
+    // the full winnowing chain replayed: ordered (non-distinct) 3-gram
+    // list, the 60-bit md5 hash convention, per-window list_min, distinct
+    // selection, and the sorted-set digest
+    "winnow_fingerprints" ->
+      s"""WITH $WinnowFpCte
+         |SELECT doc_id, count(*)::BIGINT AS n_fp,
+         |       md5(string_agg(CAST(fp AS VARCHAR), ',' ORDER BY fp)) AS fps_md5
+         |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "winnow_pairs" ->
+      s"""WITH $WinnowFpCte
+         |SELECT l.doc_id AS a, r.doc_id AS b, count(*)::BIGINT AS n_shared
+         |FROM f l JOIN f r ON l.fp = r.fp AND l.doc_id < r.doc_id
+         |GROUP BY 1, 2 HAVING count(*) >= 2
+         |ORDER BY a, b""".stripMargin,
     // the salt, both length-difference counts and the fixed-point ppm all
     // replayed (chr(65533) = U+FFFD; the control class is the shared
     // TextOps.ControlCharClass constant)

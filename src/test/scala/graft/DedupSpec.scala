@@ -295,6 +295,48 @@ class DedupSpec extends SparkTestBase {
       .select("doc_id").collect().map(_.getLong(0)).sorted
     assert(out.toSeq == Seq(0L, 2L, 4L))
   }
+
+  test("winnowing: coverage guarantee, density, local window-min replay, short docs") {
+    val sp = spark
+    import sp.implicits._
+    val (k, w) = (3, 4)
+    val shared = "the quick brown fox jumps over the lazy dog tonight"  // 10 tokens >= k+w-1
+    val docs = Seq(
+      (1L, s"prefix words here $shared and a unique ending one"),
+      (2L, s"$shared with a totally different continuation after it"),
+      (3L, "no overlap with anything else in this tiny corpus at all"),
+      (4L, "too short"),                          // < k tokens for any window
+      (5L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val fps = Dedup.winnowFingerprints(docs, "doc_id", "text", k, w)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val byDoc = fps.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // short/NULL docs yield no fingerprints
+    assert(!byDoc.contains(4L) && !byDoc.contains(5L))
+    // coverage: docs 1 and 2 share a >= k+w-1 token run -> MUST share a fp
+    assert(byDoc(1L).intersect(byDoc(2L)).nonEmpty,
+      "winnowing coverage guarantee violated")
+    // density: selection is far sparser than the gram count
+    val grams1 = docs.where(col("doc_id") === 1)
+      .select(TextOps.wordNGrams(col("text"), k)).head().getSeq[String](0)
+    assert(byDoc(1L).size < grams1.size,
+      s"selected ${byDoc(1L).size} of ${grams1.size} positions")
+    // local replay of the full window-min rule for doc 3
+    def h(g: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(g.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(md.take(15), 16)
+    }
+    val t3 = "no overlap with anything else in this tiny corpus at all".split(" ")
+    val hs = t3.sliding(k).map(_.mkString(" ")).map(h).toSeq
+    val expect = hs.sliding(w).map(_.min).toSet
+    assert(byDoc(3L) == expect, "window minima must replay exactly")
+    // pairs: only (1,2) share >= 2 fingerprints here
+    val pairs = Dedup.winnowPairs(
+        Dedup.winnowFingerprints(docs, "doc_id", "text", k, w), "doc_id", 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq((1L, 2L)), pairs.mkString(","))
+  }
 }
 
 /** Connected components: transitivity, differential vs union-find, and the
