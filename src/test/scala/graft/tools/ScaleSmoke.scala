@@ -173,6 +173,13 @@ object ScaleSmoke {
           "doc_id", col("text"), n = 3, tau = 0.5).count()
       }
 
+      // winnowing: exchange-free scan projection + one distinct — wall
+      // should track the scan; selected rows ~2/(w+1) of gram positions
+      timed("winnow", k, nRows) {
+        graft.ops.Dedup.winnowFingerprints(docs, "doc_id", "text", 3, 4)
+          .count()
+      }
+
       spark.catalog.clearCache()
       docs.unpersist(blocking = true)
     }
