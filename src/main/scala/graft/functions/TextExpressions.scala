@@ -181,6 +181,70 @@ object MaxEqualRun {
   }
 }
 
+/** Sliding-window minimum over a long array — the winnowing selection step
+  * ([[graft.ops.Dedup.winnowFingerprints]]): out(i) = min(arr(i..i+w-1)),
+  * length max(n-w+1, 0). The HOF encoding it replaces
+  * (`transform(sequence(...), i -> array_min(slice(arr, i, w)))`) stays
+  * interpreted and allocates a sliced array per window; this compiles into
+  * the stage and runs the O(n) monotonic-deque algorithm (amortized one
+  * push/pop per element, no per-window allocation). NULL elements are
+  * treated as absent from their windows (parity with `list_min`/`array_min`
+  * null-skipping); a window with no non-null values yields Long.MaxValue —
+  * unreachable from the shingle-hash producer, but pinned for determinism.
+  * NULL array -> NULL (null-safe).
+  */
+case class WindowMin(child: Expression, w: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(w >= 1, s"window_min: w must be >= 1, got $w")
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "window_min"
+
+  override def nullSafeEval(v: Any): Any =
+    WindowMin.compute(v.asInstanceOf[ArrayData], w)
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.WindowMin.compute($c, $w)")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object WindowMin {
+  /** Shared by interpreted eval and generated code. Monotonic deque of
+    * candidate indices, values strictly increasing front→back, so the
+    * front is always the current window's minimum; null slots never enter
+    * the deque.
+    */
+  def compute(arr: ArrayData, w: Int): ArrayData = {
+    val n = arr.numElements()
+    if (n < w)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.empty[Any])
+    val out = new Array[Any](n - w + 1)
+    val deque = new Array[Int](n) // candidate indices, values increasing
+    var head = 0; var tail = 0    // [head, tail)
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val v = arr.getLong(i)
+        while (tail > head && arr.getLong(deque(tail - 1)) >= v) tail -= 1
+        deque(tail) = i; tail += 1
+      }
+      if (head < tail && deque(head) <= i - w) head += 1
+      if (i >= w - 1)
+        out(i - w + 1) =
+          if (head < tail) arr.getLong(deque(head)) else Long.MaxValue
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
 /** Unicode NFC normalization — the canonicalization step of corpus text
   * cleaning (decomposed e + U+0301 and precomposed é must dedup, tokenize,
   * and fingerprint identically). Spark has no built-in; this wraps the

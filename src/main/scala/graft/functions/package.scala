@@ -50,6 +50,11 @@ package object functions {
   /** Codegen'd most-frequent-element count (sorts internally). */
   def max_equal_run(arr: Column): Column = col(MaxEqualRun(ex(arr)))
 
+  /** Codegen'd O(n) sliding-window minimum over a long array (the
+    * winnowing selection step); see [[WindowMin]].
+    */
+  def window_min(arr: Column, w: Int): Column = col(WindowMin(ex(arr), w))
+
   /** Unicode NFC normalization (JDK Normalizer); see [[NfcNormalize]]. */
   def nfc_normalize(text: Column): Column = col(NfcNormalize(ex(text)))
 

@@ -767,13 +767,11 @@ object Dedup {
     // the 60-bit md5 long convention shared with MinHash and the oracle
     val hashes = transform(grams, g =>
       conv(substring(md5(g), 1, 15), 16, 10).cast("long"))
-    val nWin = size(hashes) - lit(w - 1)
-    // guard: sequence(1, 0) DESCENDS in Spark — short/NULL docs must yield
-    // an empty window list, not a phantom one
-    val mins = when(nWin >= 1,
-        transform(sequence(lit(1), nWin),
-          i => array_min(slice(hashes, i, lit(w)))))
-      .otherwise(array().cast("array<long>"))
+    // codegen'd O(n) monotonic-deque window minimum — the HOF encoding
+    // (transform(sequence) + array_min(slice)) stayed interpreted and
+    // allocated a slice per window, measured ~6x this wall at the 50x
+    // ScaleSmoke rung; short/NULL docs yield an empty window list
+    val mins = graft.functions.window_min(hashes, w)
     df.select(col(idCol), explode(array_distinct(mins)).as("fp"))
   }
 

@@ -149,6 +149,44 @@ class TextOpsSpec extends SparkTestBase {
     assert(t.tokenize("a") == "")
   }
 
+  test("window_min: deque == naive on random arrays, codegen path, null semantics") {
+    val sp = spark
+    import sp.implicits._
+    val rng = new scala.util.Random(17)
+    val arrays: Seq[Seq[java.lang.Long]] = Seq.fill(150) {
+      Seq.fill(rng.nextInt(20))(
+        if (rng.nextInt(10) == 0) null
+        else java.lang.Long.valueOf(rng.nextInt(100).toLong))
+    } :+ Seq.empty[java.lang.Long] :+ Seq[java.lang.Long](null, null, null)
+    // parquet-backed so the doGenCode path executes (verify-skill note)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_wmin_spec").toString
+    arrays.map(a => Tuple1(a)).toDF("a").write.mode("overwrite").parquet(tmp)
+    val df = sp.read.parquet(tmp)
+    for (w <- 1 to 5) {
+      val got = df.select(col("a"), graft.functions.window_min(col("a"), w).as("m"))
+        .collect()
+        .map(r => r.getSeq[java.lang.Long](0).toSeq -> r.getSeq[Long](1).toSeq)
+        .toMap
+      arrays.distinct.foreach { a =>
+        val naive =
+          if (a.size < w) Seq.empty[Long]
+          else a.map(Option(_).map(_.toLong)).sliding(w)
+            .map(win => win.flatten match {
+              case Nil => Long.MaxValue
+              case vs => vs.min
+            }).toSeq
+        assert(got(a) == naive, s"w=$w a=$a")
+      }
+    }
+    // NULL array -> NULL; codegen span present
+    val nul = Seq[(Seq[java.lang.Long], Int)]((null, 0)).toDF("a", "x")
+      .select(graft.functions.window_min(col("a"), 3)).head()
+    assert(nul.isNullAt(0))
+    val plan = df.select(graft.functions.window_min(col("a"), 3))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1)"), plan)
+  }
+
   test("encodingStats counts replacement chars and controls; filter keeps clean docs") {
     val sp = spark
     import sp.implicits._
