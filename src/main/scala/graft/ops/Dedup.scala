@@ -791,6 +791,34 @@ object Dedup {
       .where(col("n_shared") >= minShared)
   }
 
+  /** Materialize a corpus's winnowing fingerprints as a BUCKETED (and
+    * sorted) catalog table keyed by fp — the at-rest artifact for
+    * INCREMENTAL winnow matching, exactly the [[materializePostings]]
+    * posture: the corpus is fingerprinted and shuffled ONCE at ingest;
+    * per crawl batch only the (much smaller) batch side exchanges, the
+    * corpus buckets join in place. The winnowing index is additionally
+    * ~w/2× smaller than full shingle postings — the cheapest at-rest
+    * overlap index of the dedup family.
+    */
+  def materializeWinnow(corpus: DataFrame, idCol: String, textCol: String,
+      k: Int, w: Int, table: String, buckets: Int = 32): Unit =
+    graft.sources.Bucketing.writeBucketed(
+      winnowFingerprints(corpus, idCol, textCol, k, w)
+        .withColumnRenamed(idCol, "b"),
+      table, "fp", buckets)
+
+  /** Cross-corpus winnow candidates: batch fingerprints against an at-rest
+    * [[materializeWinnow]] table — (a = batch id, b = corpus id, n_shared).
+    * The corpus side is never recomputed, re-exploded or re-shuffled.
+    */
+  def winnowPairsAgainst(batchFps: DataFrame, corpusFps: DataFrame,
+      idCol: String, minShared: Long = 2L): DataFrame =
+    batchFps.select(col("fp"), col(idCol).as("a"))
+      .join(corpusFps.select(col("fp"), col("b")), "fp")
+      .groupBy("a", "b")
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+
   /** Bloom filter over the corpus's dedup keys, built in one aggregate pass
     * (`stat.bloomFilter` — order-independent bit ORs, fixed seed, so the
     * filter is deterministic for a given key set). The returned filter is a

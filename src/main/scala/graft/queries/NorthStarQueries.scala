@@ -283,6 +283,9 @@ object NorthStarQueries {
     */
   private val postingsSpool = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** incremental_winnow_pairs' at-rest bucketed fingerprint table per dir. */
+  private val winnowSpool = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** Tiered (superStride) graph-ANN edge table per dir. */
   private val graphTierSpool = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -1853,6 +1856,27 @@ object NorthStarQueries {
           Dedup.winnowFingerprints(docs(s, dir), "doc_id", "text",
             WinnowK, WinnowW),
           "doc_id", minShared = 2L)
+        .transform(sortedSingle(_, col("a"), col("b")))
+    },
+
+    // INCREMENTAL winnow matching through the AT-REST artifact
+    // (Dedup.materializeWinnow: corpus fingerprints bucketed+sorted by fp
+    // ONCE at ingest) — per crawl batch only the batch side shuffles; the
+    // ~w/2x-sparser-than-postings corpus index joins from its buckets in
+    // place. Batch = odd ids vs corpus = even ids.
+    "incremental_winnow_pairs" -> { (s, dir) =>
+      val table = winnowSpool.computeIfAbsent(dir, d => {
+        val nm = s"graft_winnow_${java.lang.Long.toHexString(d.hashCode.toLong & 0xffffffffL)}"
+        Dedup.materializeWinnow(
+          docs(s, d).where(pmod(col("doc_id"), lit(2)) === 0),
+          "doc_id", "text", WinnowK, WinnowW, nm, buckets = 8)
+        nm
+      })
+      Dedup.winnowPairsAgainst(
+          Dedup.winnowFingerprints(
+            docs(s, dir).where(pmod(col("doc_id"), lit(2)) === 1),
+            "doc_id", "text", WinnowK, WinnowW),
+          s.table(table), "doc_id", minShared = 2L)
         .transform(sortedSingle(_, col("a"), col("b")))
     },
 
@@ -3963,6 +3987,15 @@ object NorthStarQueries {
       s"""WITH $WinnowFpCte
          |SELECT l.doc_id AS a, r.doc_id AS b, count(*)::BIGINT AS n_shared
          |FROM f l JOIN f r ON l.fp = r.fp AND l.doc_id < r.doc_id
+         |GROUP BY 1, 2 HAVING count(*) >= 2
+         |ORDER BY a, b""".stripMargin,
+    // same chain, split batch (odd) vs corpus (even) — the at-rest
+    // bucketed layout must not change a single row
+    "incremental_winnow_pairs" ->
+      s"""WITH $WinnowFpCte
+         |SELECT l.doc_id AS a, r.doc_id AS b, count(*)::BIGINT AS n_shared
+         |FROM f l JOIN f r ON l.fp = r.fp
+         |WHERE l.doc_id % 2 = 1 AND r.doc_id % 2 = 0
          |GROUP BY 1, 2 HAVING count(*) >= 2
          |ORDER BY a, b""".stripMargin,
     // the salt, both length-difference counts and the fixed-point ppm all

@@ -296,6 +296,44 @@ class DedupSpec extends SparkTestBase {
     assert(out.toSeq == Seq(0L, 2L, 4L))
   }
 
+  test("at-rest winnow index: cross-split parity and batch-side-only exchange") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val batch = d.where(col("doc_id") % 2 === 1)
+    val corpus = d.where(col("doc_id") % 2 === 0)
+    val table = "graft_test_winnow"
+    Dedup.materializeWinnow(corpus, "doc_id", "text", 3, 4, table, buckets = 8)
+    try {
+      val batchFps = Dedup.winnowFingerprints(batch, "doc_id", "text", 3, 4)
+      val atRest = Dedup.winnowPairsAgainst(
+        batchFps, spark.table(table), "doc_id", 2L)
+      // parity: the at-rest pairs equal the inline cross-split computation
+      val inline = Dedup.winnowFingerprints(d, "doc_id", "text", 3, 4)
+      val expect = inline.select(col("fp"), col("doc_id").as("a"))
+        .where(col("a") % 2 === 1)
+        .join(inline.select(col("fp"), col("doc_id").as("b"))
+          .where(col("b") % 2 === 0), "fp")
+        .groupBy("a", "b").agg(count(lit(1)).as("n_shared"))
+        .where(col("n_shared") >= 2)
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(rows(atRest) == rows(expect))
+      assert(atRest.queryExecution.executedPlan.toString.contains("Bucketed: true"),
+        atRest.queryExecution.executedPlan.toString)
+      // under the sort-merge regime the at-rest shape exchanges ONLY the
+      // batch fingerprints (the corpus buckets join in place)
+      val key = "spark.sql.autoBroadcastJoinThreshold"
+      val prev = spark.conf.get(key)
+      try {
+        spark.conf.set(key, "-1")
+        val plan = Dedup.winnowPairsAgainst(
+            batchFps, spark.table(table), "doc_id", 2L)
+          .queryExecution.executedPlan.toString
+        val nEx = "Exchange hashpartitioning\\(fp".r.findAllIn(plan).size
+        assert(nEx == 1, s"expected one fp exchange (batch side), got $nEx:\n$plan")
+      } finally spark.conf.set(key, prev)
+    } finally graft.sources.Bucketing.drop(spark, table)
+  }
+
   test("winnowing: coverage guarantee, density, local window-min replay, short docs") {
     val sp = spark
     import sp.implicits._
