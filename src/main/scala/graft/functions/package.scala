@@ -168,6 +168,16 @@ package object functions {
       (FunctionIdentifier("word_ngrams"),
         new ExpressionInfo("graft.functions", "word_ngrams"), builder)
     },
+    {
+      val builder: Seq[Expression] => Expression = {
+        case Seq(arr, org.apache.spark.sql.catalyst.expressions.Literal(w: Int, _)) =>
+          WindowMin(arr, w)
+        case other => throw new IllegalArgumentException(
+          s"window_min expects (array<long>, int literal w), got ${other.size} args")
+      }
+      (FunctionIdentifier("window_min"),
+        new ExpressionInfo("graft.functions", "window_min"), builder)
+    },
   )
 
   /** Register graft SQL functions on an existing session (idempotent). */

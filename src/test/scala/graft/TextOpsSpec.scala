@@ -78,7 +78,7 @@ class TextOpsSpec extends SparkTestBase {
     assert(plan.contains("*(1)"), plan)
   }
 
-  test("word_ngrams is SQL-callable") {
+  test("word_ngrams and window_min are SQL-callable") {
     val sp = spark
     import sp.implicits._
     graft.functions.registerAll(sp)
@@ -87,6 +87,10 @@ class TextOpsSpec extends SparkTestBase {
       "SELECT word_ngrams(split(text, ' '), 2) AS g FROM ngram_sql_t")
       .head().getSeq[String](0)
     assert(out == Seq("x y", "y z", "z w"))
+    val mins = sp.sql(
+      "SELECT window_min(array(5L, 3L, 7L, 1L, 9L), 3) AS m")
+      .head().getSeq[Long](0)
+    assert(mins == Seq(3L, 1L, 1L))
   }
 
   test("tokenCount counts single-space tokens including empties (DuckDB parity)") {

@@ -121,6 +121,22 @@ def to_duck(sql):
     sql = re.sub(r"element_at\(embedding, (\d+)\)", r"embedding[\1]", sql)
     # Spark exact interpolated percentile == DuckDB quantile_cont
     sql = re.sub(r"\bpercentile\(", "quantile_cont(", sql)
+    # the window_min shape's md5-derived long array and the winnowing
+    # selection itself, replayed with list_transform / list_min
+    sql = re.sub(
+        r"transform\(sequence\(1, (\d+)\), i -> CAST\(conv\(substring\("
+        r"md5\(concat\(CAST\(vec_id AS STRING\), '\|', CAST\(i AS STRING\)\)\)"
+        r", 1, 15\), 16, 10\) AS BIGINT\)\)",
+        lambda m: f"list_transform(range(1, {int(m.group(1)) + 1}), "
+                  f"i -> ('0x' || substr(md5(CAST(vec_id AS VARCHAR) || '|' || "
+                  f"CAST(i AS VARCHAR)), 1, 15))::BIGINT)",
+        sql)
+    sql = re.sub(
+        r"explode\(window_min\(hs, (\d+)\)\)",
+        lambda m: f"unnest(list_transform(range(1, greatest(len(hs)-"
+                  f"{int(m.group(1)) - 1}, 0)+1), "
+                  f"i -> list_min(hs[i:i+{int(m.group(1)) - 1}])))",
+        sql)
     return sql
 
 
@@ -130,7 +146,24 @@ def gen_query():
     shape = rng.choice(["agg", "agg", "filter_topk", "distinct", "join_agg",
                         "window", "window_frame", "setop", "json",
                         "having", "subquery", "rollup", "tokens",
-                        "vector_topk", "lsh_bands", "percentile"])
+                        "vector_topk", "lsh_bands", "percentile",
+                        "window_min"])
+    if shape == "window_min":
+        # the codegen'd winnowing selection expression vs a DuckDB
+        # list_transform/list_min replay, over deterministic md5-derived
+        # long arrays at random lengths and window widths (incl. n < w ->
+        # empty); the gate proves one (k, w) — this sweeps the geometry
+        n = rng.randint(5, 40)
+        w = rng.randint(2, 6)
+        lim = rng.randint(50, 400)
+        return (f"WITH h AS (SELECT vec_id, transform(sequence(1, {n}), "
+                f"i -> CAST(conv(substring(md5(concat(CAST(vec_id AS STRING), "
+                f"'|', CAST(i AS STRING))), 1, 15), 16, 10) AS BIGINT)) AS hs "
+                f"FROM embeddings), "
+                f"m AS (SELECT vec_id, explode(window_min(hs, {w})) AS fp FROM h) "
+                f"SELECT vec_id, count(*) AS n, min(fp) AS mn, max(fp) AS mx, "
+                f"count(DISTINCT fp) AS nd FROM m GROUP BY vec_id "
+                f"ORDER BY vec_id LIMIT {lim}")
     if shape == "percentile":
         # exact interpolated percentile over INT columns at random q — the
         # q*(n-1) definition the ppl_buckets/adaptive_filter gates rely on
