@@ -181,6 +181,62 @@ object MaxEqualRun {
   }
 }
 
+/** NON-OVERLAPPING n-token chunks of a token array, space-joined — the
+  * segment constructor of [[graft.ops.Dedup.segmentDedup]] (C4-style
+  * fixed-window segments; [[WordNGrams]] is the OVERLAPPING sibling). The
+  * tail chunk keeps the remaining < n tokens. The HOF encoding it replaces
+  * (`transform(sequence(...), i -> concat_ws(" ", slice(t, i*n+1, n)))`)
+  * stays interpreted and allocates a slice per segment. Empty array ->
+  * empty array; NULL array -> NULL (null-safe); null elements are skipped
+  * by concatWs (parity with concat_ws).
+  */
+case class WordChunks(child: Expression, n: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(n >= 1, s"word_chunks: n must be >= 1, got $n")
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "word_chunks"
+
+  override def nullSafeEval(v: Any): Any =
+    WordChunks.compute(v.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.WordChunks.compute($c, $n)")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object WordChunks {
+  private val Space = UTF8String.fromString(" ")
+
+  /** Shared by interpreted eval and generated code. */
+  def compute(arr: ArrayData, n: Int): ArrayData = {
+    val sz = arr.numElements()
+    val nSegs = (sz + n - 1) / n
+    val out = new Array[Any](nSegs)
+    var i = 0
+    while (i < nSegs) {
+      val start = i * n
+      val len = math.min(n, sz - start)
+      val parts = new Array[UTF8String](len)
+      var j = 0
+      while (j < len) {
+        parts(j) = if (arr.isNullAt(start + j)) null
+          else arr.getUTF8String(start + j)
+        j += 1
+      }
+      out(i) = UTF8String.concatWs(Space, parts: _*)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
 /** Sliding-window minimum over a long array — the winnowing selection step
   * ([[graft.ops.Dedup.winnowFingerprints]]): out(i) = min(arr(i..i+w-1)),
   * length max(n-w+1, 0). The HOF encoding it replaces

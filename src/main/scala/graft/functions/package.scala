@@ -55,6 +55,11 @@ package object functions {
     */
   def window_min(arr: Column, w: Int): Column = col(WindowMin(ex(arr), w))
 
+  /** Codegen'd non-overlapping n-token chunks (segment constructor); see
+    * [[WordChunks]].
+    */
+  def word_chunks(tokens: Column, n: Int): Column = col(WordChunks(ex(tokens), n))
+
   /** Unicode NFC normalization (JDK Normalizer); see [[NfcNormalize]]. */
   def nfc_normalize(text: Column): Column = col(NfcNormalize(ex(text)))
 

@@ -706,13 +706,12 @@ object Dedup {
       window: Int, minDocs: Int = 2): DataFrame = {
     require(window > 0, s"window must be positive, got $window")
     require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
-    val toks = split(col(textCol), " ")
-    val nSegs = ((size(toks) + lit(window - 1)) / lit(window)).cast("long")
+    // codegen'd segment constructor (graft.functions.WordChunks) — the
+    // slice-per-segment HOF it replaces stayed interpreted (same class of
+    // win as the winnowing window_min rewrite)
     val segs = df.where(col(textCol).isNotNull)
       .select(col(idCol),
-        posexplode(transform(sequence(lit(0L), nSegs - 1), i =>
-          concat_ws(" ",
-            slice(toks, (i * window).cast("int") + lit(1), lit(window))))))
+        posexplode(graft.functions.word_chunks(split(col(textCol), " "), window)))
       .select(col(idCol), col("pos").cast("long").as("__seg_id"),
         col("col").as("__seg"), md5(col("col")).as("__h"))
       .persist(StorageLevel.MEMORY_AND_DISK) // consumed by dup + the mark join

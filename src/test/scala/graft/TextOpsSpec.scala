@@ -153,6 +153,33 @@ class TextOpsSpec extends SparkTestBase {
     assert(t.tokenize("a") == "")
   }
 
+  test("word_chunks == the slice HOF it replaced, incl. tails and codegen") {
+    val sp = spark
+    import sp.implicits._
+    def hof(text: org.apache.spark.sql.Column, n: Int) = {
+      val t = split(text, " ")
+      val nSegs = ((size(t) + lit(n - 1)) / lit(n)).cast("long")
+      transform(sequence(lit(0L), nSegs - 1), i =>
+        concat_ws(" ", slice(t, (i * n).cast("int") + lit(1), lit(n))))
+    }
+    val rng = new scala.util.Random(23)
+    val texts = Seq.fill(150) {
+      (0 until (1 + rng.nextInt(14))).map(_ => s"t${rng.nextInt(9)}").mkString(" ")
+    } :+ "one" :+ "a b c d e f g"
+    val tmp = java.nio.file.Files.createTempDirectory("graft_chunks_spec").toString
+    texts.toDF("text").write.mode("overwrite").parquet(tmp)
+    val df = sp.read.parquet(tmp)
+    for (n <- 1 to 4) {
+      df.select(graft.functions.word_chunks(split(col("text"), " "), n).as("c"),
+          hof(col("text"), n).as("r"))
+        .collect()
+        .foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1), s"n=$n"))
+    }
+    val plan = df.select(graft.functions.word_chunks(split(col("text"), " "), 3))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1)"), plan)
+  }
+
   test("window_min: deque == naive on random arrays, codegen path, null semantics") {
     val sp = spark
     import sp.implicits._
