@@ -75,9 +75,15 @@ object Bench {
       catch { case scala.util.control.NonFatal(_) => "unavailable" }
     val loadBefore = loadavg()
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      name -> timed(name, fn)
-    }
+    // SPARK_GRAFT_ONLY=q1,q2: iterate on a subset locally; unset (the
+    // driver's path) runs the full catalog
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
+        name -> timed(name, fn)
+      }
     // Locale.ROOT: the default-locale f-interpolator would emit comma
     // decimal separators (invalid JSON) on e.g. de_DE JVMs
     def num(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))

@@ -695,41 +695,47 @@ object Dedup {
     *
     * Output: (idCol, n_segments, n_dropped, clean_text).
     *
-    * Scale shape: explode is scan-parallel; the duplicated-hash set is ONE
-    * hash-aggregate shuffle on the segment hash (count(DISTINCT doc) is
-    * hash-partial per segment); marking is an equi-join on that hash (the
-    * dup side is the duplicated subset — AQE broadcasts it when small); the
-    * reassembly is one groupBy-doc shuffle carrying each segment once.
+    * Scale shape (minDocs == 2, the default and the C4 semantics): explode
+    * is scan-parallel; "appears in >= 2 distinct docs" == min(doc) !=
+    * max(doc) OVER the segment hash — a single window marks every segment
+    * row in place with ONE exchange on `__h` (no persist, no census
+    * aggregate, no mark join), then the groupBy-doc reassembly is the only
+    * other shuffle: 2 exchanges total. The general minDocs tier keeps the
+    * exact distinct-doc census (aggregate + equi-join on the hash — the dup
+    * side is the duplicated subset, AQE broadcasts it when small).
     * Nothing is ever pairwise in the number of documents.
     */
   def segmentDedup(df: DataFrame, idCol: String, textCol: String,
       window: Int, minDocs: Int = 2): DataFrame = {
     require(window > 0, s"window must be positive, got $window")
     require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    import org.apache.spark.sql.expressions.Window
     // codegen'd segment constructor (graft.functions.WordChunks) — the
     // slice-per-segment HOF it replaces stayed interpreted (same class of
     // win as the winnowing window_min rewrite)
-    val segs = df.where(col(textCol).isNotNull)
+    def segments(d: DataFrame) = d.where(col(textCol).isNotNull)
       .select(col(idCol),
         posexplode(graft.functions.word_chunks(split(col(textCol), " "), window)))
       .select(col(idCol), col("pos").cast("long").as("__seg_id"),
         col("col").as("__seg"), md5(col("col")).as("__h"))
-      .persist(StorageLevel.MEMORY_AND_DISK) // consumed by dup + the mark join
-    // minDocs == 2 (the default, and the C4 semantics): "appears in >= 2
-    // distinct docs" == min(doc) != max(doc) — ONE hash-aggregate exchange
-    // on the segment hash, where count(DISTINCT doc) plans as an Expand
-    // with a second corpus-segments-sized shuffle. Same dup set by
-    // construction; the general tier keeps the exact distinct count.
-    val dup = (if (minDocs == 2)
-        segs.groupBy(col("__h"))
-          .agg(min(col(idCol)).as("__mn"), max(col(idCol)).as("__mx"))
-          .where(col("__mn") =!= col("__mx"))
-      else
-        segs.groupBy(col("__h"))
-          .agg(countDistinct(col(idCol)).as("__nd"))
-          .where(col("__nd") >= minDocs))
-      .select(col("__h"), lit(true).as("__dup"))
-    segs.join(dup, Seq("__h"), "left")
+    // `__dup` is true-or-NULL on both branches so the reassembly aggregate
+    // below is branch-agnostic (NULL == survivor).
+    val marked = if (minDocs == 2) {
+      val byHash = Window.partitionBy(col("__h"))
+      segments(df).withColumn("__dup",
+        when(min(col(idCol)).over(byHash) =!= max(col(idCol)).over(byHash),
+          lit(true)))
+    } else {
+      // exact distinct-doc census (count(DISTINCT doc) is hash-partial per
+      // segment); two consumers -> persist the exploded segments once
+      val segs = segments(df).persist(StorageLevel.MEMORY_AND_DISK)
+      val dup = segs.groupBy(col("__h"))
+        .agg(countDistinct(col(idCol)).as("__nd"))
+        .where(col("__nd") >= minDocs)
+        .select(col("__h"), lit(true).as("__dup"))
+      segs.join(dup, Seq("__h"), "left")
+    }
+    marked
       .groupBy(col(idCol))
       .agg(
         count(lit(1)).as("n_segments"),
