@@ -76,9 +76,19 @@ object Bench {
     val loadBefore = loadavg()
 
     // SPARK_GRAFT_ONLY=q1,q2: iterate on a subset locally; unset (the
-    // driver's path) runs the full catalog
+    // driver's path) runs the full catalog. A subset run must be
+    // self-identifying in the emitted JSON (same principle as the loadavg
+    // snapshots): it reports metric "subset" plus the requested list, so a
+    // leaked env var can never make a partial total masquerade as a
+    // full-catalog speedup. Unknown names fail fast — a typo would
+    // otherwise silently shrink the run.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { names =>
+      val unknown = names.diff(SparkEntry.queries.keySet)
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_ONLY names not in SparkEntry.queries: ${unknown.toSeq.sorted.mkString(", ")}")
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
@@ -92,7 +102,11 @@ object Bench {
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
     val total = results.map(_._2).filter(_ >= 0).sum
-    val line = s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir","runs":$runs,"agg":"min","loadavg_before":"$loadBefore","loadavg_after":"${loadavg()}"}"""
+    val metric = if (only.isDefined) "subset" else "total"
+    val onlyField = only.map(names =>
+      names.toSeq.sorted.map("\"" + _ + "\"").mkString(""","only":[""", ",", "]")
+    ).getOrElse("")
+    val line = s"""{"metric":"$metric","value":${num(total)},"unit":"sec"$onlyField,"queries":$qs,"failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir","runs":$runs,"agg":"min","loadavg_before":"$loadBefore","loadavg_after":"${loadavg()}"}"""
     println(line)
     // The driver's stdout capture has truncated the head of this line two
     // rounds running (fixed-size tail), dropping the ann_* family from the

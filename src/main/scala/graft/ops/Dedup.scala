@@ -695,18 +695,42 @@ object Dedup {
     *
     * Output: (idCol, n_segments, n_dropped, clean_text).
     *
-    * Scale shape (minDocs == 2, the default and the C4 semantics): explode
-    * is scan-parallel; "appears in >= 2 distinct docs" == min(doc) !=
-    * max(doc) OVER the segment hash — a single window marks every segment
-    * row in place with ONE exchange on `__h` (no persist, no census
-    * aggregate, no mark join), then the groupBy-doc reassembly is the only
-    * other shuffle: 2 exchanges total. The general minDocs tier keeps the
-    * exact distinct-doc census (aggregate + equi-join on the hash — the dup
-    * side is the duplicated subset, AQE broadcasts it when small).
-    * Nothing is ever pairwise in the number of documents.
+    * Scale shape (minDocs == 2, the default and the C4 semantics),
+    * SIZE-ROUTED because the two candidate plans fail in opposite regimes:
+    *
+    *  - small inputs (<= `windowMaxBytes` by Catalyst's plan-time size
+    *    estimate): "appears in >= 2 distinct docs" == min(doc) != max(doc)
+    *    OVER the segment hash — a single window marks every segment row in
+    *    place with ONE exchange on `__h` (no census aggregate, no mark
+    *    join), then the groupBy-doc reassembly is the only other shuffle:
+    *    2 exchanges total. BUT a window exchange moves the FULL exploded
+    *    rows (including segment text) with no map-side reduction, and
+    *    WindowExec buffers each `__h` group in one task with no AQE skew
+    *    mitigation (skew splitting applies to joins, not window
+    *    exchanges) — one boilerplate segment shared by millions of docs
+    *    (the exact payload this operator targets) pins its whole group on
+    *    one straggler. Fine at gate scale; a skew/spill risk at corpus
+    *    scale.
+    *  - large inputs: min/max(doc) census per hash — a partial-aggregating
+    *    groupBy that compacts each map task's rows to one (h, min, max)
+    *    triple per local hash BEFORE the shuffle (skew-immune: the hot
+    *    hash contributes one row per map task, not one row per
+    *    occurrence), then the duplicated-hash subset joins back on the
+    *    equi-key where AQE CAN skew-split and broadcast. The census branch
+    *    reads only (id, hash) — Catalyst prunes `__seg` from its side —
+    *    and the segments recompute beats persisting a corpus-sized
+    *    explode.
+    *
+    * The general minDocs tier keeps the exact distinct-doc census
+    * (aggregate + equi-join on the hash). Nothing is ever pairwise in the
+    * number of documents.
+    *
+    * @param windowMaxBytes plan-time input-size bound for the minDocs=2
+    *   window fast path; above it the skew-immune census+join plan runs.
     */
   def segmentDedup(df: DataFrame, idCol: String, textCol: String,
-      window: Int, minDocs: Int = 2): DataFrame = {
+      window: Int, minDocs: Int = 2,
+      windowMaxBytes: Long = 1L << 30): DataFrame = {
     require(window > 0, s"window must be positive, got $window")
     require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
     import org.apache.spark.sql.expressions.Window
@@ -718,13 +742,28 @@ object Dedup {
         posexplode(graft.functions.word_chunks(split(col(textCol), " "), window)))
       .select(col(idCol), col("pos").cast("long").as("__seg_id"),
         col("col").as("__seg"), md5(col("col")).as("__h"))
+    // Catalyst's plan-time size estimate (file length for scans, object
+    // size for local relations) — no job fires here.
+    def inputBytes: BigInt = df.queryExecution.optimizedPlan.stats.sizeInBytes
     // `__dup` is true-or-NULL on both branches so the reassembly aggregate
     // below is branch-agnostic (NULL == survivor).
-    val marked = if (minDocs == 2) {
+    val marked = if (minDocs == 2 && inputBytes <= windowMaxBytes) {
       val byHash = Window.partitionBy(col("__h"))
       segments(df).withColumn("__dup",
         when(min(col(idCol)).over(byHash) =!= max(col(idCol)).over(byHash),
           lit(true)))
+    } else if (minDocs == 2) {
+      // skew-immune census: min/max partial-aggregates map-side (compact
+      // (h, min, max) partials shuffle, never the segment text); the dup
+      // side is the duplicated subset, AQE broadcasts/skew-splits the
+      // rejoin. The census side's segments recompute is pruned to
+      // (id, hash) — no persist of a corpus-sized explode.
+      val dup = segments(df)
+        .groupBy(col("__h"))
+        .agg(min(col(idCol)).as("__mn"), max(col(idCol)).as("__mx"))
+        .where(col("__mn") =!= col("__mx"))
+        .select(col("__h"), lit(true).as("__dup"))
+      segments(df).join(dup, Seq("__h"), "left")
     } else {
       // exact distinct-doc census (count(DISTINCT doc) is hash-partial per
       // segment); two consumers -> persist the exploded segments once

@@ -62,8 +62,11 @@ object NorthStarQueries {
     * higher-order filter here measured 3-10× gate wall: the lambda
     * evaluates interpreted per shingle element and breaks downstream
     * codegen — the literal set-subtract is the scale-sane composition.)
-    * The fixture has no hot shingles, so gate hashes are guard-invariant;
-    * the guard's presence in each gate's plan is PlanSpec-asserted.
+    * The oracle side REPLAYS the guard ([[GuardedShCte]] document-
+    * frequency chain), so the cross-engine hash is exact on any fixture —
+    * hot shingles present or not — instead of silently depending on the
+    * fixture being boilerplate-free; the guard's presence in each gate's
+    * plan is PlanSpec-asserted.
     */
   private def docsWithShingles(s: SparkSession, dir: String): DataFrame = {
     val shingled = docs(s, dir)
@@ -2015,6 +2018,35 @@ object NorthStarQueries {
   private val ShCte =
     s"sh AS (SELECT doc_id, unnest($ShinglesSql) AS sh FROM documents)"
 
+  /** Guarded shingle CTE chain: replays Dedup.hotShingles + the
+    * `array_except(sh, lit(hot))` guard that [[docsWithShingles]] composes
+    * into every jaccard-family gate — a shingle in MORE than
+    * HotShingleFrac of docs is removed from every doc before any pair
+    * math. With the raw [[ShCte]] the cross-engine hash silently depended
+    * on the fixture having no hot shingles; with this chain the oracle is
+    * exact on ANY fixture, boilerplate or not (the strict `>` hot bar ==
+    * the `df <= n*frac` keep filter here). Docs whose every shingle is hot
+    * simply have no `sh` rows — same as the Spark side, whose signature /
+    * postings pipelines all start from an explode.
+    */
+  private val GuardedShCte =
+    s"""sh0 AS (SELECT doc_id, unnest($ShinglesSql) AS sh FROM documents),
+       |shtot AS (SELECT count(*) AS n FROM documents),
+       |shdf AS (SELECT sh, count(*) AS df FROM sh0 GROUP BY sh),
+       |sh AS (SELECT s.doc_id, s.sh FROM sh0 s JOIN shdf d USING (sh)
+       |       CROSS JOIN shtot WHERE d.df <= shtot.n * $HotShingleFrac)""".stripMargin
+
+  /** Guarded per-doc shingle SET (list form) — the guarded counterpart of
+    * the inline `sets AS (SELECT doc_id, $ShinglesSql AS s ...)` used by
+    * the minhash verify/calibration oracles. Built from the guarded `sh`
+    * rows, so it must appear after [[GuardedShCte]] in the WITH chain;
+    * only docs with >= 1 surviving shingle appear, which matches the
+    * candidate side (a doc with no shingles signs no bands in either
+    * engine).
+    */
+  private val GuardedSetsCte =
+    "sets AS (SELECT doc_id, list(sh) AS s FROM sh GROUP BY doc_id)"
+
   /** Winnowing fingerprint CTE chain, DuckDB-side (mirrors
     * Dedup.winnowFingerprints at k=3, w=4: ordered gram list, 60-bit md5
     * hashes, per-window list_min over 1-based inclusive slices, distinct
@@ -2103,7 +2135,7 @@ object NorthStarQueries {
       .stripMargin
 
   private val JaccardPairsSql =
-    s"""WITH $ShCte,
+    s"""WITH $GuardedShCte,
        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
        |inter AS (
        |  SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS inter
@@ -2130,14 +2162,14 @@ object NorthStarQueries {
       val cols = (b * 4 until b * 4 + 4).map(j => s"h$j::VARCHAR").mkString(" || '|' || ")
       s"SELECT doc_id, $b AS band, md5($cols) AS key FROM sig"
     }.mkString("\n  UNION ALL ")
-    s"""WITH $ShCte,
+    s"""WITH $GuardedShCte,
        |sig AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
        |bands AS (
        |  $bandRows),
        |cand AS (
        |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
        |  FROM bands l JOIN bands r ON l.band = r.band AND l.key = r.key AND $candPredicate),
-       |sets AS (SELECT doc_id, $ShinglesSql AS s FROM documents),
+       |$GuardedSetsCte,
        |v AS (
        |  SELECT a, b, CAST(len(list_intersect(sa.s, sb.s)) AS BIGINT) AS inter,
        |         len(sa.s) AS sza, len(sb.s) AS szb
@@ -2162,7 +2194,7 @@ object NorthStarQueries {
     val agree = (0 until 16)
       .map(j => s"CASE WHEN sa.h$j = sb.h$j THEN 1 ELSE 0 END")
       .mkString(" + ")
-    s"""WITH $ShCte,
+    s"""WITH $GuardedShCte,
        |sig AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
        |bands AS (
        |  $bandRows),
@@ -2173,7 +2205,7 @@ object NorthStarQueries {
        |est AS (
        |  SELECT c.a, c.b, CAST($agree AS DOUBLE) / 16.0 AS est_jaccard
        |  FROM cand c JOIN sig sa ON c.a = sa.doc_id JOIN sig sb ON c.b = sb.doc_id),
-       |sets AS (SELECT doc_id, $ShinglesSql AS s FROM documents),
+       |$GuardedSetsCte,
        |v AS (
        |  SELECT e.a, e.b, e.est_jaccard,
        |         CAST(len(list_intersect(sa.s, sb.s)) AS BIGINT) AS inter,
@@ -2729,7 +2761,7 @@ object NorthStarQueries {
          |  SELECT doc_id FROM se1 UNION ALL SELECT doc_id FROM se2)
          |ORDER BY doc_id""".stripMargin,
     "incremental_dedup" ->
-      s"""WITH $ShCte,
+      s"""WITH $GuardedShCte,
          |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
          |inter AS (
          |  SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS inter
@@ -2746,7 +2778,7 @@ object NorthStarQueries {
     // identical semantics to incremental_dedup — the at-rest bucketed
     // postings layout must not change a single row
     "incremental_postings_dedup" ->
-      s"""WITH $ShCte,
+      s"""WITH $GuardedShCte,
          |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
          |inter AS (
          |  SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS inter

@@ -38,6 +38,39 @@ class SegmentMiningSpec extends SparkTestBase {
     assert(got(5L) == ((2L, 0L, "m n o m n o")), got(5L))
   }
 
+  test("segmentDedup: census route (windowMaxBytes=0) matches the window route") {
+    // windowMaxBytes = 0 forces the skew-immune min/max-census+join plan
+    // that the size router picks above the plan-time byte bound; both
+    // routes must be row-identical on the same corpus.
+    val windowed = Dedup.segmentDedup(segCorpus, "doc_id", "text", window = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .sortBy(_._1)
+    val census = Dedup.segmentDedup(segCorpus, "doc_id", "text", window = 3,
+        windowMaxBytes = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .sortBy(_._1)
+    assert(census.sameElements(windowed), census.mkString(";"))
+  }
+
+  test("segmentDedup census route: one ultra-hot segment shared by every doc") {
+    // The skew case the router exists for: a boilerplate segment carried by
+    // ALL docs. The census plan must drop it from every doc and keep each
+    // doc's unique tail — with the hot hash shuffling as one compact
+    // partial per map task, never one row per occurrence.
+    val sp = spark
+    import sp.implicits._
+    val docs = (0L until 200L).map(i => (i, s"the same header here tail$i"))
+      .toDF("doc_id", "text")
+    val got = Dedup.segmentDedup(docs, "doc_id", "text", window = 4,
+        windowMaxBytes = 0L)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(got.size == 200)
+    (0L until 200L).foreach { i =>
+      assert(got(i) == ((2L, 1L, s"tail$i")), s"doc $i -> ${got(i)}")
+    }
+  }
+
   test("segmentDedup minDocs raises the census bar") {
     // "a b c" lives in docs 0, 1, 4 (3 distinct docs); "x y z" only in 0, 3
     val got = Dedup.segmentDedup(segCorpus, "doc_id", "text",

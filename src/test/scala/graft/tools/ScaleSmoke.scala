@@ -44,7 +44,15 @@ object ScaleSmoke {
     val tally = new ShuffleTally
     spark.sparkContext.addSparkListener(tally)
 
+    // SCALE_FAMILIES=a,b: measure a subset of rungs (iteration aid; unset
+    // runs every family — the committed SCALING.md path). Producer rungs
+    // (index builds, the LSH pair table) still EXECUTE unreported when a
+    // selected family consumes their side effects — see timedOrRun.
+    val famOnly = sys.env.get("SCALE_FAMILIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    def on(family: String): Boolean = famOnly.forall(_.contains(family))
     def timed(family: String, k: Int, rows: Long)(body: => Long): Unit = {
+      if (!on(family)) return
       val heap0 = usedHeapMb
       tally.reset()
       val t0 = System.nanoTime()
@@ -87,7 +95,7 @@ object ScaleSmoke {
 
       val sh2 = shingled.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       var lshPairs: DataFrame = null
-      timed("minhash_lsh", k, nRows) {
+      def buildLshPairs(): Long = {
         val sigs = graft.ops.Dedup.minhashSignatures(sh2, "doc_id", "sh", 16)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val cands = graft.ops.Dedup.lshCandidatePairs(
@@ -96,6 +104,10 @@ object ScaleSmoke {
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         lshPairs.count()
       }
+      // components/pagerank consume the pair table: build it unreported
+      // when only they are selected
+      if (on("minhash_lsh")) timed("minhash_lsh", k, nRows)(buildLshPairs())
+      else if (on("components") || on("pagerank")) buildLshPairs()
 
       timed("components", k, nRows) {
         graft.ops.Dedup.components(lshPairs.select(col("a"), col("b")))
@@ -129,9 +141,28 @@ object ScaleSmoke {
       // one segment-hash aggregate, reassembly one doc-keyed shuffle —
       // wall and shuffle should both track corpus size ~linearly (the
       // salted recode keeps cross-copy segment collisions at zero)
-      timed("segment_dedup", k, nRows) {
-        graft.ops.Dedup.segmentDedup(docs, "doc_id", "text", 3).count()
-      }
+      // force the FULL output (count() alone lets Catalyst prune the dup
+      // marking and the text reassembly — measured 1.5 shuffle-MB at 250k
+      // docs, i.e. a hollowed-out rung)
+      def segAll(d: DataFrame, maxBytes: Long): Long =
+        graft.ops.Dedup.segmentDedup(d, "doc_id", "text", 3,
+            windowMaxBytes = maxBytes)
+          .agg(count(lit(1)), sum(col("n_dropped")),
+            sum(length(col("clean_text"))))
+          .head().getLong(0)
+      timed("segment_dedup", k, nRows) { segAll(docs, 1L << 30) }
+
+      // the SKEW case the size router exists for: one boilerplate segment
+      // (6-token header = 2 aligned window-3 segments) carried by EVERY
+      // doc. The census route partial-aggregates the hot hash map-side
+      // (compact (h,min,max) partials shuffle) and its wall must stay
+      // within ~2x the window route's at the same k, with no straggler
+      // blow-up as k grows; the window route ships every hot row to one
+      // WindowExec task and is expected to degrade first.
+      val hotDocs = docs.withColumn("text",
+        concat(lit("the same boilerplate header goes here "), col("text")))
+      timed("seg_hot_wind", k, nRows) { segAll(hotDocs, Long.MaxValue) }
+      timed("seg_hot_cens", k, nRows) { segAll(hotDocs, 0L) }
 
       // snapshot delta: two scans + ONE full-outer id join; the 'new'
       // snapshot perturbs 1/9 of docs — linear in corpus size
@@ -193,7 +224,7 @@ object ScaleSmoke {
     // foreachBatch body (processBatch / score) on a fresh id-shifted batch
     // drawn from the corpus text (real near-dup matches, realistic join
     // volume). `k` column = epoch batch rows.
-    {
+    if (on("ingest_epoch") || on("scored_epoch")) {
       val docs = scaledDocs(1)
       val n = docs.count()
       val corpusSh = docs.select(col("doc_id"),
@@ -234,7 +265,7 @@ object ScaleSmoke {
     // materialized index — per-epoch wall should track the batch (only
     // affected bucket dirs grow; assignment joins the batch against the
     // broadcast centroids, never the corpus)
-    {
+    if (on("ann_epoch")) {
       val base = spark.read.parquet(s"$dir/embeddings.parquet")
         .select("vec_id", "embedding")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -279,11 +310,15 @@ object ScaleSmoke {
       val qvec = base.where(col("vec_id") === 1).select(col("embedding"))
         .head().getSeq[Float](0).map(_.toDouble).toArray
       val path = graft.util.TempDirs.create(s"scale_ann_$k")
-      timed("ann_build", k, nVec) {
+      def buildAnn(): Long = {
         graft.ops.AnnIndex.materialize(emb, "vec_id", "embedding", 64, path)
         nVec
       }
-      val idx = graft.ops.AnnIndex.fromMaterialized(emb, "vec_id", "embedding", 64, path)
+      // ann_probe reads the materialized index: build it unreported when
+      // only the probe is selected
+      if (on("ann_build")) timed("ann_build", k, nVec)(buildAnn())
+      else if (on("ann_probe")) buildAnn()
+      lazy val idx = graft.ops.AnnIndex.fromMaterialized(emb, "vec_id", "embedding", 64, path)
       timed("ann_probe", k, nVec) { // best of 3
         (1 to 3).map { _ =>
           val t0 = System.nanoTime()
@@ -312,12 +347,14 @@ object ScaleSmoke {
       // bucket size constant -> ~linear); the point probe touches
       // O(beam·degree·rounds) rows regardless of corpus size -> ~flat
       val gpath = graft.util.TempDirs.create(s"scale_graph_$k")
-      timed("graph_build", k, nVec) {
+      def buildGraph(): Long = {
         graft.ops.GraphAnn.materialize(emb, "vec_id", "embedding", 64,
           graft.ops.GraphAnn.DefaultDegree, gpath)
         nVec
       }
-      val edges = graft.ops.GraphAnn.fromMaterialized(spark, gpath, 64,
+      if (on("graph_build")) timed("graph_build", k, nVec)(buildGraph())
+      else if (on("graph_probe") || on("graph_batch100")) buildGraph()
+      lazy val edges = graft.ops.GraphAnn.fromMaterialized(spark, gpath, 64,
         graft.ops.GraphAnn.DefaultDegree)
       timed("graph_probe", k, nVec) { // best of 3, min millis as `out`
         (1 to 3).map { _ =>
@@ -345,12 +382,14 @@ object ScaleSmoke {
       // centroid level becomes Σ bucket² under superStride, only the
       // ~n/superStride supers pay the exact kNN
       val g2path = graft.util.TempDirs.create(s"scale_graph2_$k")
-      timed("graph_tiered", k, nVec) {
+      def buildTiered(): Long = {
         graft.ops.GraphAnn.materialize(emb, "vec_id", "embedding", 64,
           graft.ops.GraphAnn.DefaultDegree, g2path, superStride = 4096)
         nVec
       }
-      val tiered = graft.ops.GraphAnn.fromMaterialized(spark, g2path, 64,
+      if (on("graph_tiered")) timed("graph_tiered", k, nVec)(buildTiered())
+      else if (on("graph_probe2")) buildTiered()
+      lazy val tiered = graft.ops.GraphAnn.fromMaterialized(spark, g2path, 64,
         graft.ops.GraphAnn.DefaultDegree, superStride = 4096)
       timed("graph_probe2", k, nVec) { // best of 3, min millis as `out`
         (1 to 3).map { _ =>

@@ -18,6 +18,9 @@ import duckdb
 
 SFDIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 OUT = Path(sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_verify")
+# optional trailing query names: check only that subset (pairs with
+# `runMain graft.Verify <sfdir> <outdir> <names...>` for targeted fixtures)
+ONLY = set(sys.argv[3:])
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -54,6 +57,8 @@ def main():
     n_pass = n_fail = 0
     eps_only = []
     for name, sql in sorted(oracle.items()):
+        if ONLY and name not in ONLY:
+            continue
         pdir = OUT / name
         if not pdir.exists():
             print(f"FAIL {name}: no spark output at {pdir}")
