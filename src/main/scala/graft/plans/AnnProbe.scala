@@ -35,8 +35,13 @@ import graft.ops.AnnIndex
   */
 object AnnCatalog {
 
+  /** A registered substitution: when the brute-force shape matches `plan`,
+    * `probe(qvec, k)` supplies the replacement frame — any index tier
+    * whose probe returns `(idCol, cos_dist)` rows plugs in (IVF
+    * [[AnnIndex.probeTopK]], at-rest PQ ADC rerank, graph beam probe).
+    */
   final case class Entry(plan: LogicalPlan, idCol: String, vecCol: String,
-      index: AnnIndex, nprobe: Int)
+      probe: (Array[Double], Int) => DataFrame)
 
   private val entries = new CopyOnWriteArrayList[Entry]()
 
@@ -46,8 +51,18 @@ object AnnCatalog {
     */
   def register(df: DataFrame, idCol: String, vecCol: String, index: AnnIndex,
       nprobe: Int = 4): Unit =
+    registerProbe(df, idCol, vecCol, (q, k) => index.probeTopK(q, k, nprobe))
+
+  /** Register an arbitrary probe tier for `df`: `probe(qvec, k)` must
+    * return a `(idCol, cos_dist)` frame ordered (dist asc nulls-last, id
+    * asc) and limited to k — the contract every probe in graft.ops
+    * already satisfies. This is how the at-rest PQ and graph-index tiers
+    * ride the same brute-force-shaped query substitution as IVF.
+    */
+  def registerProbe(df: DataFrame, idCol: String, vecCol: String,
+      probe: (Array[Double], Int) => DataFrame): Unit =
     entries.add(Entry(df.queryExecution.analyzed.canonicalized, idCol, vecCol,
-      index, nprobe))
+      probe))
 
   def clear(): Unit = entries.clear()
 
@@ -123,7 +138,7 @@ case class AnnProbeRule(spark: SparkSession) extends Rule[LogicalPlan] {
         case _ => None
       }
     } yield {
-      val probe = entry.index.probeTopK(qvec, k, entry.nprobe)
+      val probe = entry.probe(qvec, k)
       val probePlan = probe.queryExecution.optimizedPlan
       val idOut = probePlan.output.find(_.name == entry.idCol).get
       val distOut = probePlan.output.find(_.name == "cos_dist").get

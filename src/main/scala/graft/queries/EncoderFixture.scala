@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.ops.Subword
 import graft.search.{Embedder, OnnxTransformer, SingletonEmbedder, VectorSearchClient}
-import graft.search.OnnxTransformer.SubwordTransformerEmbedder
+import graft.search.OnnxTransformer.{PaddedSubwordTransformerEmbedder, SubwordTransformerEmbedder}
 
 /** Shared fixture for `encoder_search_topk` — the gate query where the
   * ENGINE computes the embeddings (the reference's full embed dataflow,
@@ -78,6 +78,49 @@ object EncoderFixture {
   }
 
   val ModelName = "graft-subword-encoder"
+
+  /** The MASKED export of the SAME seeded weights (the standard
+    * sentence-transformer export shape: attention_mask input, additive
+    * `(1-mask)·(-10^4)` masked softmax, masked mean-pool), wrapped in the
+    * padded-batch embedder — the dataflow the reference's batch encode()
+    * runs (model/search/vector.py:64-78). Per embedBatch call every
+    * sequence pads to the batch max with a real 0/1 mask, so the
+    * executor-side pass exercises the mask arithmetic on genuinely
+    * variable-length fixture sentences.
+    */
+  def buildMaskedEmbedder(): PaddedSubwordTransformerEmbedder = {
+    val w = OnnxTransformer.seededWeights(Seed, vocab = VocabSize + 1,
+      d = Dim, hidden = Hidden, posRows = SeqCap)
+    val bytes = OnnxTransformer.toMaskedBytes(w, Heads)
+    PaddedSubwordTransformerEmbedder(OnnxTransformer.parse(bytes), vocab,
+      MaxPieceLen, SeqCap)
+  }
+
+  val MaskedModelName = "graft-subword-encoder-masked"
+
+  def maskedEmbedder: Embedder =
+    SingletonEmbedder(MaskedModelName, Dim, (_, _) => buildMaskedEmbedder())
+
+  /** Driver-side masked-path literals: ALL prefixed sentences embedded in
+    * ONE padded batch (lengths differ, so most rows really are padded+
+    * masked). The masked graph's padding-invariance makes these equal to
+    * each sentence embedded alone — which is exactly the property the
+    * `encoder_search_masked_topk` hash gate verifies end-to-end against
+    * the executor-side partition-dependent batches.
+    */
+  lazy val maskedDocVectors: Seq[Array[Float]] =
+    buildMaskedEmbedder().embedBatch(
+      Sentences.map(VectorSearchClient.DocPrefix + _))
+
+  lazy val maskedQueryVector: Array[Float] =
+    buildMaskedEmbedder()
+      .embedBatch(Seq(VectorSearchClient.QueryPrefix + QueryText)).head
+
+  /** `(i, txt, v)` VALUES rows for the masked-path oracle table. */
+  def maskedSentencesValuesSql: String =
+    Sentences.zipWithIndex.map { case (s, i) =>
+      s"($i, '$s', ${vecSql(maskedDocVectors(i))})"
+    }.mkString(", ")
 
   /** What ships to executors: (name, dim, loader) — the model itself
     * materializes once per JVM via the registry, like every model artifact

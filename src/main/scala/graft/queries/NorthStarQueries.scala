@@ -870,6 +870,77 @@ object NorthStarQueries {
       df
     },
 
+    // the SAME brute-force-shaped query answered by the at-rest TRAINED
+    // PQ index (AnnCatalog.registerProbe — the generalized substitution):
+    // the splice swaps the corpus scan + sort for the ADC broadcast-join
+    // rerank over the materialized (codebooks, codes) artifact, and the
+    // oracle is the trained-PQ probe replica, NOT brute force. Splice
+    // require()-asserted via the rerank's LeftSemi candidate join.
+    "ann_autoprobe_pq_topk" -> { (s, dir) =>
+      import graft.plans.AnnCatalog
+      graft.GraftSession.attachAnnProbeRule(s)
+      val emb = t(s, dir, "embeddings")
+      val spec = ProductQuantizer.PqSpec(m = 8, dsub = 8, stride = 64)
+      val qvec = emb.where(col("vec_id") === 1).select(col("embedding"))
+        .head().getSeq[Float](0).map(_.toDouble).toArray
+      val path = pqTrainedSpool.computeIfAbsent(dir, d => {
+        val p = graft.util.TempDirs.create("graft_pq_trained_spool")
+        ProductQuantizer.materialize(t(s, d, "embeddings"), "vec_id",
+          "embedding", spec, p, trainedIters = 2)
+        p
+      })
+      val (_, precomputed) = ProductQuantizer.fromMaterialized(s, path, Some(spec))
+      AnnCatalog.clear()
+      AnnCatalog.registerProbe(emb, "vec_id", "embedding", (q, k) =>
+        ProductQuantizer.adcRerankTopK(emb, "vec_id", "embedding", q,
+          k, spec, overfetch = 100, precomputed = Some(precomputed)))
+      s.conf.set("spark.graft.ann.autoProbe", "true")
+      val df = emb.select(col("vec_id"),
+          graft.functions.array_cosine_distance(
+            col("embedding"), typedLit(qvec.toSeq)).as("cos_dist"))
+        .orderBy(col("cos_dist").asc_nulls_last, col("vec_id").asc)
+        .limit(10)
+      val plan = df.queryExecution.optimizedPlan.toString
+      require(plan.contains("LeftSemi"),
+        s"AnnProbeRule did not splice the PQ probe:\n$plan")
+      df
+    },
+
+    // ...and by the materialized GRAPH index: the registered probe is the
+    // driver-beam point probe (vector-adjacent edge artifact), whose
+    // result frame is a bounded LocalRelation — so the spliced optimized
+    // plan contains NO corpus relation at all, which is exactly what the
+    // require() asserts (a brute-force fallback would keep the parquet
+    // scan + Sort). Oracle = the graph probe's unrolled-rounds replica.
+    "ann_autoprobe_graph_topk" -> { (s, dir) =>
+      import graft.plans.AnnCatalog
+      graft.GraftSession.attachAnnProbeRule(s)
+      val emb = t(s, dir, "embeddings")
+      val path = graphSpool.computeIfAbsent(dir, d => {
+        val p = graft.util.TempDirs.create("graft_graph_spool")
+        GraphAnn.materialize(t(s, d, "embeddings"), "vec_id", "embedding",
+          64, GraphAnn.DefaultDegree, p)
+        p
+      })
+      val edges = GraphAnn.fromMaterialized(s, path, 64, GraphAnn.DefaultDegree)
+      val qvec = emb.where(col("vec_id") === 1).select(col("embedding"))
+        .head().getSeq[Float](0).map(_.toDouble).toArray
+      AnnCatalog.clear()
+      AnnCatalog.registerProbe(emb, "vec_id", "embedding", (q, k) =>
+        GraphAnn.pointProbeTopK(emb, "vec_id", "embedding", edges, q,
+          k, stride = 64))
+      s.conf.set("spark.graft.ann.autoProbe", "true")
+      val df = emb.select(col("vec_id"),
+          graft.functions.array_cosine_distance(
+            col("embedding"), typedLit(qvec.toSeq)).as("cos_dist"))
+        .orderBy(col("cos_dist").asc_nulls_last, col("vec_id").asc)
+        .limit(10)
+      val plan = df.queryExecution.optimizedPlan.toString
+      require(plan.contains("LocalRelation") && !plan.contains("Sort"),
+        s"AnnProbeRule did not splice the graph probe:\n$plan")
+      df
+    },
+
     // language-ID heuristic: marker-word argmax, computed INLINE in the scan
     // projection (TextOps.langGuess) — zero shuffles before the output sort,
     // where the explode->broadcast-join->window formulation shuffled the
@@ -1060,6 +1131,26 @@ object NorthStarQueries {
           pmod(col("doc_id"), lit(n)).cast("int") + 1).as("text"))
       val client = graft.search.VectorSearchClient.fromCorpus(
         corpus, "text", "doc_id", EncoderFixture.embedder)
+      client.search(EncoderFixture.QueryText, 10)
+        .select(col("rank"), col("doc_id"), col("text"), col("score"))
+    },
+
+    // the PADDED/MASKED encoder path under the hash gate — the reference's
+    // batch encode() dataflow (model/search/vector.py:64-78: variable-
+    // length inputs pad to the batch max and flow through the masked
+    // export with a 0/1 attention_mask). Executor batches are
+    // partition-dependent (mapPartitions grouped(1024)), so the gate
+    // hash-verifies the masked graph's padding-invariance END TO END: if
+    // a pad row leaked into any head's softmax or the mean-pool, results
+    // would depend on batch composition and diverge from the oracle's
+    // one-batch driver literals.
+    "encoder_search_masked_topk" -> { (s, dir) =>
+      val n = EncoderFixture.Sentences.length
+      val corpus = docs(s, dir).select(col("doc_id"),
+        element_at(typedLit(EncoderFixture.Sentences),
+          pmod(col("doc_id"), lit(n)).cast("int") + 1).as("text"))
+      val client = graft.search.VectorSearchClient.fromCorpus(
+        corpus, "text", "doc_id", EncoderFixture.maskedEmbedder)
       client.search(EncoderFixture.QueryText, 10)
         .select(col("rank"), col("doc_id"), col("text"), col("score"))
     },
@@ -1803,6 +1894,50 @@ object NorthStarQueries {
       s.read.parquet(out).transform(sortedSingle(_, col("doc_id")))
     },
 
+    // the WATERMARKED EventStreams tier under the hash gate: the whole
+    // events fixture replayed through a real MemoryStream into the native
+    // session_window aggregation (EventStreams.sessionize, 30-min gap,
+    // 2-h watermark), append mode — each session emits exactly once when
+    // the watermark passes its end. A sentinel event 10 days past the
+    // fixture advances the watermark so every fixture session closes (the
+    // sentinel's own session stays open and is never emitted — nothing to
+    // filter). `value` pre-casts to DECIMAL(18,2) so the session sum is
+    // order-free exact (the events_salted_rollup recipe); the oracle is
+    // the classic gaps-and-islands replay of session_window semantics
+    // (new session iff ts >= previous ts + gap; end = last ts + gap), so
+    // stream output == batch SQL under the hash.
+    "streamed_sessions" -> { (s, dir) =>
+      import s.implicits._
+      val rows = graft.SparkEntry.eventsTable(s, dir)
+        .select(col("ts"), col("user_id"), col("value"))
+        .as[(java.sql.Timestamp, Long, Double)].collect().toSeq
+      val maxTs = rows.iterator.map(_._1.getTime).max
+      val stream = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(java.sql.Timestamp, Long, Double)](s)
+      val out = graft.util.TempDirs.create("streamed_sessions")
+      val sessions = graft.streaming.EventStreams.sessionize(
+        stream.toDF().toDF("ts", "user_id", "value")
+          .withColumn("value", col("value").cast("decimal(18,2)")))
+      val q = sessions.writeStream.outputMode("append")
+        .option("checkpointLocation",
+          graft.util.TempDirs.create("streamed_sessions_ckpt"))
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          b.write.mode("append").parquet(out)
+        }
+        .start()
+      try {
+        stream.addData(rows)
+        q.processAllAvailable()
+        stream.addData(Seq((new java.sql.Timestamp(
+          maxTs + 10L * 86400L * 1000L), -1L, 0.0)))
+        q.processAllAvailable()
+      } finally q.stop()
+      s.read.parquet(out)
+        .select(col("session_start"), col("session_end"), col("user_id"),
+          col("n_events"), col("session_value").cast("double").as("session_value"))
+        .transform(sortedSingle(_, col("user_id"), col("session_start")))
+    },
+
     // DSIR-style importance fitting (ops/Dsir — Xie et al. 2023): hashed
     // unigram+bigram features, target sample = doc_id % 7 == 0, raw = the
     // rest; per-bucket weight = fixed-point smoothed probability RATIO
@@ -2329,6 +2464,43 @@ object NorthStarQueries {
        |    FROM n$n$sfx n JOIN e ON e.vec_id = n.id) GROUP BY id)""".stripMargin
   }
 
+  /** The trained-codebook PQ probe replayed end to end (stride init, two
+    * Lloyd rounds, assignment / ADC / rerank against the trained cb2) —
+    * shared by `ann_pq_trained_topk` and its autoprobe-substitution twin.
+    */
+  private def annPqTrainedOracle: String =
+    s"""WITH sub AS (
+       |  SELECT vec_id, m,
+       |         list_transform(embedding[m*8+1:m*8+8],
+       |                        x -> CAST(x AS DOUBLE))::DOUBLE[8] AS sv
+       |  FROM embeddings CROSS JOIN (SELECT unnest(range(0, 8)) AS m)),
+       |cb0 AS (SELECT vec_id // 64 AS j, m, sv AS cv FROM sub WHERE vec_id % 64 = 0),
+       |${pqTrainIterSql("cb0", 1)},
+       |${pqTrainIterSql("cb1", 2)},
+       |code AS (
+       |  SELECT s.vec_id, s.m,
+       |         min(CAST(floor(least(array_distance(s.sv, c.cv), 2000.0)
+       |             * 1000000000000.0) AS BIGINT) * 4096 + c.j) % 4096 AS j
+       |  FROM sub s JOIN cb2 c ON s.m = c.m
+       |  GROUP BY s.vec_id, s.m),
+       |q AS (SELECT m, sv AS qv FROM sub WHERE vec_id = 1),
+       |dt AS (
+       |  SELECT c.m, c.j,
+       |         CAST(floor(array_distance(c.cv, q.qv) * array_distance(c.cv, q.qv)
+       |              * 1000000.0) AS BIGINT) AS dq
+       |  FROM cb2 c JOIN q ON c.m = q.m),
+       |adc AS (
+       |  SELECT co.vec_id, CAST(sum(dt.dq) AS BIGINT) AS adc
+       |  FROM code co JOIN dt ON co.m = dt.m AND co.j = dt.j
+       |  GROUP BY co.vec_id),
+       |cand AS (SELECT vec_id FROM adc ORDER BY adc ASC, vec_id ASC LIMIT 100),
+       |fq AS (SELECT embedding FROM embeddings WHERE vec_id = 1)
+       |SELECT e.vec_id,
+       |       1 - array_cosine_similarity(e.embedding::DOUBLE[64],
+       |           (SELECT embedding FROM fq)::DOUBLE[64]) AS cos_dist
+       |FROM embeddings e JOIN cand USING (vec_id)
+       |ORDER BY cos_dist ASC NULLS LAST, vec_id ASC LIMIT 10""".stripMargin
+
   /** The graph-ANN build + probe replayed end to end: stride-centroid
     * assignment, per-bucket kNN edges + centroid kNN edges (both
     * (dist asc, id asc)-ranked, degree-bounded), then `DefaultRounds`
@@ -2760,6 +2932,28 @@ object NorthStarQueries {
          |SELECT doc_id FROM (
          |  SELECT doc_id FROM se1 UNION ALL SELECT doc_id FROM se2)
          |ORDER BY doc_id""".stripMargin,
+    // session_window replayed as gaps-and-islands: a new session starts
+    // iff the event is >= gap past the previous event (Spark's session
+    // end is last-event + gap, half-open); DECIMAL session sums keep the
+    // aggregate order-free so stream == batch bit-for-bit
+    "streamed_sessions" ->
+      """WITH e AS (SELECT ts, user_id, CAST(value AS DECIMAL(18,2)) AS value
+        |           FROM events),
+        |m AS (SELECT user_id, ts, value,
+        |        CASE WHEN lag(ts) OVER w IS NULL
+        |               OR ts >= lag(ts) OVER w + INTERVAL 30 MINUTE
+        |             THEN 1 ELSE 0 END AS new_s
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |g AS (SELECT user_id, ts, value,
+        |        sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |          ROWS UNBOUNDED PRECEDING) AS sid
+        |      FROM m)
+        |SELECT min(ts) AS session_start,
+        |       max(ts) + INTERVAL 30 MINUTE AS session_end,
+        |       user_id, count(*)::BIGINT AS n_events,
+        |       CAST(sum(value) AS DOUBLE) AS session_value
+        |FROM g GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
     "incremental_dedup" ->
       s"""WITH $GuardedShCte,
          |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
@@ -3070,6 +3264,27 @@ object NorthStarQueries {
     "encoder_search_topk" -> {
       s"""WITH sents(i, txt, v) AS (VALUES ${EncoderFixture.sentencesValuesSql}),
          |q(v) AS (VALUES (${EncoderFixture.vecSql(EncoderFixture.queryVector)})),
+         |emb AS (
+         |  SELECT d.doc_id, s.txt, s.v
+         |  FROM documents d JOIN sents s ON d.doc_id % ${EncoderFixture.Sentences.length} = s.i),
+         |scored AS (
+         |  SELECT doc_id, txt,
+         |         1 - array_cosine_similarity(v, (SELECT v FROM q)) AS score
+         |  FROM emb)
+         |SELECT CAST(row_number() OVER (ORDER BY score ASC NULLS LAST, doc_id ASC)
+         |            AS BIGINT) AS rank,
+         |       doc_id, txt AS text, score
+         |FROM scored ORDER BY score ASC NULLS LAST, doc_id ASC LIMIT 10""".stripMargin
+    },
+    // masked/padded encoder path: the literal vectors are the masked
+    // export's ONE-padded-batch driver outputs (EncoderFixture
+    // .maskedDocVectors) — the executor side re-derives them from
+    // partition-dependent padded batches, so hash equality proves the
+    // mask arithmetic (additive masked softmax + masked mean-pool) keeps
+    // pad rows out of every result bit
+    "encoder_search_masked_topk" -> {
+      s"""WITH sents(i, txt, v) AS (VALUES ${EncoderFixture.maskedSentencesValuesSql}),
+         |q(v) AS (VALUES (${EncoderFixture.vecSql(EncoderFixture.maskedQueryVector)})),
          |emb AS (
          |  SELECT d.doc_id, s.txt, s.v
          |  FROM documents d JOIN sents s ON d.doc_id % ${EncoderFixture.Sentences.length} = s.i),
@@ -3524,38 +3739,11 @@ object NorthStarQueries {
     // argmin, 1e-6-grid means, frozen empty entries), then assignment /
     // ADC / rerank against the TRAINED cb2 — identical pipeline to
     // ann_pq_topk with cb -> cb2
-    "ann_pq_trained_topk" ->
-      s"""WITH sub AS (
-         |  SELECT vec_id, m,
-         |         list_transform(embedding[m*8+1:m*8+8],
-         |                        x -> CAST(x AS DOUBLE))::DOUBLE[8] AS sv
-         |  FROM embeddings CROSS JOIN (SELECT unnest(range(0, 8)) AS m)),
-         |cb0 AS (SELECT vec_id // 64 AS j, m, sv AS cv FROM sub WHERE vec_id % 64 = 0),
-         |${pqTrainIterSql("cb0", 1)},
-         |${pqTrainIterSql("cb1", 2)},
-         |code AS (
-         |  SELECT s.vec_id, s.m,
-         |         min(CAST(floor(least(array_distance(s.sv, c.cv), 2000.0)
-         |             * 1000000000000.0) AS BIGINT) * 4096 + c.j) % 4096 AS j
-         |  FROM sub s JOIN cb2 c ON s.m = c.m
-         |  GROUP BY s.vec_id, s.m),
-         |q AS (SELECT m, sv AS qv FROM sub WHERE vec_id = 1),
-         |dt AS (
-         |  SELECT c.m, c.j,
-         |         CAST(floor(array_distance(c.cv, q.qv) * array_distance(c.cv, q.qv)
-         |              * 1000000.0) AS BIGINT) AS dq
-         |  FROM cb2 c JOIN q ON c.m = q.m),
-         |adc AS (
-         |  SELECT co.vec_id, CAST(sum(dt.dq) AS BIGINT) AS adc
-         |  FROM code co JOIN dt ON co.m = dt.m AND co.j = dt.j
-         |  GROUP BY co.vec_id),
-         |cand AS (SELECT vec_id FROM adc ORDER BY adc ASC, vec_id ASC LIMIT 100),
-         |fq AS (SELECT embedding FROM embeddings WHERE vec_id = 1)
-         |SELECT e.vec_id,
-         |       1 - array_cosine_similarity(e.embedding::DOUBLE[64],
-         |           (SELECT embedding FROM fq)::DOUBLE[64]) AS cos_dist
-         |FROM embeddings e JOIN cand USING (vec_id)
-         |ORDER BY cos_dist ASC NULLS LAST, vec_id ASC LIMIT 10""".stripMargin,
+    "ann_pq_trained_topk" -> annPqTrainedOracle,
+    // the autoprobe splice must return exactly what the directly-invoked
+    // probe tier returns — each substitution gate shares its tier's oracle
+    "ann_autoprobe_pq_topk" -> annPqTrainedOracle,
+    "ann_autoprobe_graph_topk" -> annGraphOracle,
     // IVF bucket selection (annIvfOracle's CTEs) composed with the at-rest
     // PQ replay: codebooks and codes derive from the FULL corpus (that is
     // what materializeIvfPq stores), the ADC runs only over rows in the

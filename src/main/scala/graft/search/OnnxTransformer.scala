@@ -731,6 +731,65 @@ object OnnxTransformer {
       }
   }
 
+  /** The PADDED-BATCH embedder the reference's batch encode() actually
+    * runs (model/search/vector.py:64-78: SentenceTransformer batches
+    * variable-length inputs, pads to the batch max, and feeds a 0/1
+    * attention_mask to the MASKED export): each embedBatch call pads every
+    * sequence to the batch's longest with pad-id 0 and mask 0, so the
+    * executor-side forward pass genuinely exercises the exporter's mask
+    * chain — additive `(1-mask)·(-10^4)` before every head's softmax,
+    * masked mean-pool instead of ReduceMean. The masked graph's
+    * padding-invariance (padded run == unpadded run BIT-exactly,
+    * OnnxTransformerSpec) is what makes this deterministic under Spark:
+    * batch composition depends on partitioning, but the result of each
+    * row does not depend on its batch-mates, so the gate hash cannot see
+    * the partition layout. Tokenization is the same greedy WordPiece
+    * longest-match as [[SubwordTransformerEmbedder]].
+    */
+  final case class PaddedSubwordTransformerEmbedder(model: GraphModel,
+      vocab: Map[(String, Boolean), Long], maxPieceLen: Int = 4,
+      seqCap: Int = 64) extends Embedder {
+    require(vocab.nonEmpty, "empty wordpiece vocabulary")
+    require(vocab.valuesIterator.forall(id => id >= 0 && id < model.vocab - 1),
+      s"wordpiece ids must fit below the [UNK] row ${model.vocab - 1}")
+    require(model.maskInputName.isDefined,
+      "padded-batch embedding requires a masked export (attention_mask " +
+        "input) — an unmasked graph would attend to the pad rows")
+    def dim: Int = model.outputDim
+    private val unkId: Long = model.vocab - 1L
+
+    private def ids(text: String): Array[Int] =
+      text.split("\\s+").iterator.filter(_.nonEmpty)
+        .flatMap(w => graft.ops.Subword.greedyPieces(w, vocab, maxPieceLen, unkId))
+        .take(math.min(seqCap, model.seqLimit))
+        .map(_.toInt)
+        .toArray
+
+    override def embedBatch(texts: Seq[String]): Seq[Array[Float]] = {
+      val idSeqs = texts.map(t => if (t == null) Array.empty[Int] else ids(t))
+      val maxLen = if (idSeqs.isEmpty) 0 else idSeqs.map(_.length).max
+      idSeqs.map { toks =>
+        if (toks.isEmpty) new Array[Float](dim)
+        else {
+          // pad-id 0 (any valid row — masked out of scores AND pooling)
+          val padded = java.util.Arrays.copyOf(toks, maxLen)
+          val mask = new Array[Float](maxLen)
+          java.util.Arrays.fill(mask, 0, toks.length, 1f)
+          val y = model.run(padded, mask)
+          var norm = 0.0
+          var i = 0
+          while (i < y.length) { norm += y(i).toDouble * y(i).toDouble; i += 1 }
+          if (norm > 0.0) {
+            val inv = (1.0 / math.sqrt(norm)).toFloat
+            i = 0
+            while (i < y.length) { y(i) *= inv; i += 1 }
+          }
+          y
+        }
+      }
+    }
+  }
+
   /** Loader twins of the linear/MLP loaders — same registry lifecycle. */
   def fileLoader(path: String): (String, Int) => Embedder = (_, d) => {
     val m = TransformerEmbedder(parse(Files.readAllBytes(Paths.get(path))))

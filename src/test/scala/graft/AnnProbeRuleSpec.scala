@@ -39,6 +39,29 @@ class AnnProbeRuleSpec extends SparkTestBase {
     }
   }
 
+  test("registerProbe splices an arbitrary probe tier (generalized catalog)") {
+    // the generalized entry: any (qvec, k) => (id, cos_dist) frame rides
+    // the same brute-force-shape substitution as IVF. Register a probe
+    // that tags its rows with a recognizable distance so the output
+    // provably came from the probe, not the corpus sort.
+    AnnCatalog.clear()
+    AnnCatalog.registerProbe(emb, "vec_id", "embedding", (_, k) => {
+      val sp = spark
+      import sp.implicits._
+      (0L until k.toLong).map(i => (i, 42.0 + i))
+        .toDF("vec_id", "cos_dist")
+    })
+    spark.conf.set(ConfKey, "true")
+    try {
+      val got = bruteForceShape(3).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(got == Seq((0L, 42.0), (1L, 43.0), (2L, 44.0)), got)
+    } finally {
+      spark.conf.unset(ConfKey)
+      AnnCatalog.clear()
+    }
+  }
+
   test("opt-in rewrite substitutes the probe plan (semi-join visible)") {
     withProbe {
       val df = bruteForceShape()

@@ -385,6 +385,40 @@ class OnnxTransformerSpec extends SparkTestBase {
     }
   }
 
+  test("padded-batch embedder: batch composition cannot change any result bit") {
+    // PaddedSubwordTransformerEmbedder pads each embedBatch call to the
+    // batch max — under Spark the batch is partition-dependent, so its
+    // determinism contract is exactly "a row's vector is independent of
+    // its batch-mates". Embed each fixture text alone, then in one mixed
+    // batch, then in shuffled sub-batches: all bit-identical.
+    val fx = graft.queries.EncoderFixture
+    val e = fx.buildMaskedEmbedder()
+    val texts = fx.Sentences.take(6)
+    val alone = texts.map(t => e.embedBatch(Seq(t)).head)
+    val together = e.embedBatch(texts)
+    val shuffledBack = {
+      val perm = Seq(5, 2, 0, 4, 1, 3)
+      val out = e.embedBatch(perm.map(texts))
+      perm.zip(out).sortBy(_._1).map(_._2)
+    }
+    for ((want, gots) <- alone.zip(together.zip(shuffledBack));
+         got <- Seq(gots._1, gots._2); i <- want.indices)
+      assert(java.lang.Float.floatToIntBits(want(i)) ==
+        java.lang.Float.floatToIntBits(got(i)), s"component $i drifted")
+    // empty/null rows still map to the zero vector inside a padded batch
+    val withBlank = e.embedBatch(Seq(texts.head, null, ""))
+    assert(withBlank(1).forall(_ == 0f) && withBlank(2).forall(_ == 0f))
+    // the padded embedder refuses an unmasked export: padding without a
+    // mask input would let pad rows leak into attention
+    intercept[IllegalArgumentException] {
+      OnnxTransformer.PaddedSubwordTransformerEmbedder(
+        OnnxTransformer.parse(OnnxTransformer.toMultiHeadBytes(
+          OnnxTransformer.seededWeights(fx.Seed, vocab = fx.VocabSize + 1,
+            d = fx.Dim, hidden = fx.Hidden, posRows = fx.SeqCap), fx.Heads)),
+        fx.vocab, fx.MaxPieceLen, fx.SeqCap)
+    }
+  }
+
   test("masked STACK: all-ones == unmasked stack bit-exactly; padded == unpadded") {
     val b2 = OnnxTransformer.seededWeights(99L)
     val gm = OnnxTransformer.parse(
