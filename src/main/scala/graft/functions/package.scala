@@ -183,6 +183,16 @@ package object functions {
       (FunctionIdentifier("window_min"),
         new ExpressionInfo("graft.functions", "window_min"), builder)
     },
+    {
+      val builder: Seq[Expression] => Expression = {
+        case Seq(arr, org.apache.spark.sql.catalyst.expressions.Literal(n: Int, _)) =>
+          WordChunks(arr, n)
+        case other => throw new IllegalArgumentException(
+          s"word_chunks expects (array<string>, int literal n), got ${other.size} args")
+      }
+      (FunctionIdentifier("word_chunks"),
+        new ExpressionInfo("graft.functions", "word_chunks"), builder)
+    },
   )
 
   /** Register graft SQL functions on an existing session (idempotent). */

@@ -377,6 +377,16 @@ object GraphAnn {
     * (dist asc NULLS LAST, id asc) — the [[AnnIndex.probeTopKBatch]] shape.
     * Preconditions: numeric query ids, `edges` built over the same
     * corpus/stride.
+    *
+    * EXECUTION CONTRACT: this call is EAGER, not a lazy plan builder. Both
+    * routes run Spark jobs at call time — the gate-sized double-vector
+    * route collects the query table head and drives the whole probe loop
+    * (inside a [[withSessionConfs]] override window), and the join route
+    * localCheckpoints every round — and both return a materialized
+    * (checkpointed or driver-local) frame. Callers composing the result
+    * into a larger plan get a scan of that materialized state, not a
+    * deferred probe; the probe's (queries × beam)-bounded output makes
+    * that the intended cost model at any corpus size.
     */
   def beamSearchTopKBatch(df: DataFrame, idCol: String, vecCol: String,
       edges: DataFrame, queries: DataFrame, qidCol: String, qvecCol: String,
@@ -415,6 +425,26 @@ object GraphAnn {
     * bounded engine frames; the scale path for large query tables (see
     * [[beamSearchTopKBatch]], which routes here beyond `beam` queries).
     */
+  /** Serializes every graft conf-override window on a session (probe loops
+    * clamp shuffle partitions / disable AQE+codegen for their driver-sized
+    * micro-jobs). The monitor makes overlapping graft callers impossible —
+    * without it, two concurrent probes could interleave set/restore and
+    * leave the session with the wrong persistent conf after an exception.
+    * The overrides are still SESSION-visible for the duration: a concurrent
+    * NON-graft query on the same SparkSession (parallel bench, streaming
+    * ingest) that plans inside the window runs with them; callers needing
+    * full isolation should probe on their own SparkSession. Every body run
+    * here materializes its result (localCheckpoint / driver state) before
+    * returning, so nothing escapes the window lazily.
+    */
+  private val confWindowLock = new Object
+  private def withSessionConfs[A](spark: org.apache.spark.sql.SparkSession,
+      kvs: (String, String)*)(body: => A): A = confWindowLock.synchronized {
+    val prev = kvs.map { case (key, _) => key -> spark.conf.get(key) }
+    try { kvs.foreach { case (key, v) => spark.conf.set(key, v) }; body }
+    finally prev.foreach { case (key, v) => spark.conf.set(key, v) }
+  }
+
   private[graft] def beamSearchTopKBatchJoin(df: DataFrame, idCol: String,
       vecCol: String, edges: DataFrame, queries: DataFrame, qidCol: String,
       qvecCol: String, k: Int, stride: Int, beam: Int = DefaultBeam,
@@ -443,20 +473,18 @@ object GraphAnn {
     // work (edge/vector scans) is broadcast-join probed, so its scan
     // parallelism comes from the file splits, not this conf.
     val spark = df.sparkSession
-    val spKey = "spark.sql.shuffle.partitions"
-    val aqeKey = "spark.sql.adaptive.enabled"
-    val prevSp = spark.conf.get(spKey)
-    val prevAqe = spark.conf.get(aqeKey)
-    val clamped = math.min(prevSp.toInt, 8).toString
-    var round = 0
-    try {
-      spark.conf.set(spKey, clamped)
-      // AQE off for the loop: every round's state frames are already
-      // (queries x beam)-bounded with a clamped partition count, so AQE
-      // can only re-plan trivial shuffles — but each re-plan is an extra
-      // driver round-trip of query-stage jobs PER ROUND, and the loop's
-      // wall-clock is pure scheduling at gate size. Restored in finally.
-      spark.conf.set(aqeKey, "false")
+    val clamped =
+      math.min(spark.conf.get("spark.sql.shuffle.partitions").toInt, 8).toString
+    // AQE off for the loop: every round's state frames are already
+    // (queries x beam)-bounded with a clamped partition count, so AQE
+    // can only re-plan trivial shuffles — but each re-plan is an extra
+    // driver round-trip of query-stage jobs PER ROUND, and the loop's
+    // wall-clock is pure scheduling at gate size. Restored (and serialized
+    // against concurrent graft probes) by withSessionConfs.
+    withSessionConfs(spark,
+        "spark.sql.shuffle.partitions" -> clamped,
+        "spark.sql.adaptive.enabled" -> "false") {
+      var round = 0
       // entry: per query, the beam nearest centroids (the cross product is
       // (n/stride × queries) rows against the broadcast query table)
       var visited = df.where(pmod(col(idCol), lit(stride)) === 0)
@@ -528,9 +556,6 @@ object GraphAnn {
         // the caller consumes this OUTSIDE the conf clamp — pin the final
         // ranked frame so its window also runs on the clamped state size
         .localCheckpoint()
-    } finally {
-      spark.conf.set(spKey, prevSp)
-      spark.conf.set(aqeKey, prevAqe)
     }
   }
 
@@ -659,19 +684,14 @@ object GraphAnn {
     // size — measured ~100 ms/job), and AQE adds a query-stage job to the
     // entry aggregate. Interpreted eval of the SAME expressions is
     // bit-identical (ExpressionEvalSpec-class guarantee) and instant on
-    // frontier-sized inputs. Restored in finally — corpus-sized work never
+    // frontier-sized inputs. Restored (and serialized against concurrent
+    // graft probes) by withSessionConfs — corpus-sized work never
     // runs inside this path.
-    val wscgKey = "spark.sql.codegen.wholeStage"
-    val aqeKey = "spark.sql.adaptive.enabled"
-    val prevWscg = spark.conf.get(wscgKey)
-    val prevAqe = spark.conf.get(aqeKey)
-    spark.conf.set(wscgKey, "false")
-    spark.conf.set(aqeKey, "false")
-    try pointProbeTopKBatchLoop(df, idCol, vecCol, edges, qRows, qidCol,
-      k, stride, beam, rounds)
-    finally {
-      spark.conf.set(wscgKey, prevWscg)
-      spark.conf.set(aqeKey, prevAqe)
+    withSessionConfs(spark,
+        "spark.sql.codegen.wholeStage" -> "false",
+        "spark.sql.adaptive.enabled" -> "false") {
+      pointProbeTopKBatchLoop(df, idCol, vecCol, edges, qRows, qidCol,
+        k, stride, beam, rounds)
     }
   }
 

@@ -28,8 +28,41 @@ object NorthStarQueries {
     */
   private val docsSpool = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Spool key: the source dir DECORATED with a snapshot signature (every
+    * file's relative path, length, and mtime, digested). All the per-dir
+    * spools below cache artifacts for the process lifetime; keyed on the
+    * path alone, a fixture REGENERATED in place within one JVM session
+    * would silently serve the stale hot list / winnow table / PQ codebook.
+    * The signature makes regeneration a cache miss (the stale entry is
+    * abandoned, not evicted — entries are O(path) driver strings). Listing
+    * a fixture dir is a dozen `stat`s per gate invocation — noise next to
+    * the query itself; real deployments key at-rest indexes the same way
+    * (snapshot/version id, not path).
+    */
+  private def snapKey(dir: String): String = {
+    def walk(f: java.io.File): Seq[java.io.File] = {
+      val kids = Option(f.listFiles()).map(_.toSeq.sortBy(_.getName))
+        .getOrElse(Seq.empty)
+      kids.flatMap(k => if (k.isDirectory) walk(k) else Seq(k))
+    }
+    val sig = walk(new java.io.File(dir))
+      .map(f => s"${f.getPath.stripPrefix(dir)}:${f.length}:${f.lastModified}")
+      .mkString("|")
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(sig.getBytes("UTF-8"))
+    dir + "@" + md.map("%02x".format(_)).mkString
+  }
+
+  /** `computeIfAbsent` under the snapshot key; `build` receives the PLAIN
+    * dir (never the decorated key), so every existing builder lambda reads
+    * the fixture it was written against.
+    */
+  private def spooled[V](map: java.util.concurrent.ConcurrentHashMap[String, V],
+      dir: String)(build: String => V): V =
+    map.computeIfAbsent(snapKey(dir), _ => build(dir))
+
   private def docs(s: SparkSession, dir: String): DataFrame = {
-    val path = docsSpool.computeIfAbsent(dir, d => {
+    val path = spooled(docsSpool, dir)(d => {
       val tmp = graft.util.TempDirs.create("graft_docs_spool")
       t(s, d, "documents").repartition(s.sparkContext.defaultParallelism)
         .write.mode("overwrite").parquet(tmp)
@@ -71,7 +104,7 @@ object NorthStarQueries {
   private def docsWithShingles(s: SparkSession, dir: String): DataFrame = {
     val shingled = docs(s, dir)
       .select(col("doc_id"), TextOps.wordNGrams(col("text"), 3).as("sh"))
-    val hot = hotShingleSpool.computeIfAbsent(dir, _ =>
+    val hot = spooled(hotShingleSpool, dir)(_ =>
       Dedup.hotShingles(shingled, "doc_id", "sh", HotShingleFrac))
     shingled.withColumn("sh",
       array_except(col("sh"), typedLit(hot.toSeq)))
@@ -299,8 +332,7 @@ object NorthStarQueries {
   private val bpeMergeCache =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[graft.ops.Subword.BpeMerge]]()
   private def bpeMergesFor(s: SparkSession, dir: String): Seq[graft.ops.Subword.BpeMerge] =
-    bpeMergeCache.computeIfAbsent(dir,
-      d => graft.ops.Subword.bpeTrain(docs(s, d), "text", BpeRounds))
+    spooled(bpeMergeCache, dir)(d => graft.ops.Subword.bpeTrain(docs(s, d), "text", BpeRounds))
 
   /** Embedding dim probed from data ONCE per source dir: every LSH query
     * needs it, and an unmemoized `head()` is a whole extra Spark job per
@@ -309,7 +341,7 @@ object NorthStarQueries {
     */
   private val dimCache = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
   private def embeddingDim(s: SparkSession, dir: String): Int =
-    dimCache.computeIfAbsent(dir, d => {
+    spooled(dimCache, dir)(d => {
       val dim = t(s, d, "embeddings").select(col("embedding"))
         .head().getSeq[Float](0).length
       require(dim == EmbeddingDim,
@@ -434,7 +466,7 @@ object NorthStarQueries {
     // Same oracle as incremental_dedup: the at-rest layout must not
     // change a single row.
     "incremental_postings_dedup" -> { (s, dir) =>
-      val table = postingsSpool.computeIfAbsent(dir, d => {
+      val table = spooled(postingsSpool, dir)(d => {
         val nm = s"graft_postings_${java.lang.Long.toHexString(d.hashCode.toLong & 0xffffffffL)}"
         Dedup.materializePostings(
           docsWithShingles(s, d).where(pmod(col("doc_id"), lit(2)) === 0),
@@ -615,7 +647,7 @@ object NorthStarQueries {
     // probe scans only the nprobe bucket directories via partition pruning.
     "ann_ivf_topk" -> { (s, dir) =>
       val emb = t(s, dir, "embeddings")
-      val path = annSpool.computeIfAbsent(dir, d => {
+      val path = spooled(annSpool, dir)(d => {
         val p = graft.util.TempDirs.create("graft_ann_spool")
         AnnIndex.materialize(t(s, d, "embeddings"), "vec_id", "embedding", 64, p)
         p
@@ -634,7 +666,7 @@ object NorthStarQueries {
     // with ann_ivf_topk.
     "ann_incremental_topk" -> { (s, dir) =>
       val emb = t(s, dir, "embeddings")
-      val path = annIncSpool.computeIfAbsent(dir, d => {
+      val path = spooled(annIncSpool, dir)(d => {
         val p = graft.util.TempDirs.create("graft_ann_inc_spool")
         val all = t(s, d, "embeddings")
         AnnIndex.materialize(
@@ -693,13 +725,13 @@ object NorthStarQueries {
       // probe the SAME materialized index ann_ivf_topk built (build once,
       // probe many — a fresh AnnIndex.build would re-run the corpus-wide
       // assignment argmin on every probe)
-      val path = annSpool.computeIfAbsent(dir, d => {
+      val path = spooled(annSpool, dir)(d => {
         val p = graft.util.TempDirs.create("graft_ann_spool")
         AnnIndex.materialize(t(s, d, "embeddings"), "vec_id", "embedding", 64, p)
         p
       })
       val spec = ProductQuantizer.PqSpec(m = 8, dsub = 8, stride = 64)
-      val pqPath = ivfpqSpool.computeIfAbsent(dir, d => {
+      val pqPath = spooled(ivfpqSpool, dir)(d => {
         val p = graft.util.TempDirs.create("graft_ivfpq_spool")
         ProductQuantizer.materializeIvfPq(t(s, d, "embeddings"),
           "vec_id", "embedding", s.read.parquet(path), spec, p)
@@ -721,7 +753,7 @@ object NorthStarQueries {
     // under the hash gate like every other ANN tier.
     "ann_graph_topk" -> { (s, dir) =>
       val emb = t(s, dir, "embeddings")
-      val path = graphSpool.computeIfAbsent(dir, d => {
+      val path = spooled(graphSpool, dir)(d => {
         val p = graft.util.TempDirs.create("graft_graph_spool")
         GraphAnn.materialize(t(s, d, "embeddings"), "vec_id", "embedding",
           64, GraphAnn.DefaultDegree, p)
@@ -745,7 +777,7 @@ object NorthStarQueries {
     // over the SAME shared build CTEs.
     "ann_graph_batch_topk" -> { (s, dir) =>
       val emb = t(s, dir, "embeddings")
-      val path = graphSpool.computeIfAbsent(dir, d => {
+      val path = spooled(graphSpool, dir)(d => {
         val p = graft.util.TempDirs.create("graft_graph_spool")
         GraphAnn.materialize(t(s, d, "embeddings"), "vec_id", "embedding",
           64, GraphAnn.DefaultDegree, p)
@@ -768,7 +800,7 @@ object NorthStarQueries {
     // path is oracle-proven, not just spec-parity-claimed.
     "ann_graph_tiered_topk" -> { (s, dir) =>
       val emb = t(s, dir, "embeddings")
-      val path = graphTierSpool.computeIfAbsent(dir, d => {
+      val path = spooled(graphTierSpool, dir)(d => {
         val p = graft.util.TempDirs.create("graft_graph_tier_spool")
         GraphAnn.materialize(t(s, d, "embeddings"), "vec_id", "embedding",
           64, GraphAnn.DefaultDegree, p, superStride = 128)
@@ -802,7 +834,7 @@ object NorthStarQueries {
       // probe measures the production probe path, while the ORACLE still
       // replays the full training iteration in SQL — "trained" stays under
       // the hash gate without paying Lloyd rounds on every probe.
-      val path = pqTrainedSpool.computeIfAbsent(dir, d => {
+      val path = spooled(pqTrainedSpool, dir)(d => {
         val p = graft.util.TempDirs.create("graft_pq_trained_spool")
         ProductQuantizer.materialize(t(s, d, "embeddings"), "vec_id",
           "embedding", spec, p, trainedIters = 2)
@@ -883,7 +915,7 @@ object NorthStarQueries {
       val spec = ProductQuantizer.PqSpec(m = 8, dsub = 8, stride = 64)
       val qvec = emb.where(col("vec_id") === 1).select(col("embedding"))
         .head().getSeq[Float](0).map(_.toDouble).toArray
-      val path = pqTrainedSpool.computeIfAbsent(dir, d => {
+      val path = spooled(pqTrainedSpool, dir)(d => {
         val p = graft.util.TempDirs.create("graft_pq_trained_spool")
         ProductQuantizer.materialize(t(s, d, "embeddings"), "vec_id",
           "embedding", spec, p, trainedIters = 2)
@@ -916,7 +948,7 @@ object NorthStarQueries {
       import graft.plans.AnnCatalog
       graft.GraftSession.attachAnnProbeRule(s)
       val emb = t(s, dir, "embeddings")
-      val path = graphSpool.computeIfAbsent(dir, d => {
+      val path = spooled(graphSpool, dir)(d => {
         val p = graft.util.TempDirs.create("graft_graph_spool")
         GraphAnn.materialize(t(s, d, "embeddings"), "vec_id", "embedding",
           64, GraphAnn.DefaultDegree, p)
@@ -2003,7 +2035,7 @@ object NorthStarQueries {
     // ~w/2x-sparser-than-postings corpus index joins from its buckets in
     // place. Batch = odd ids vs corpus = even ids.
     "incremental_winnow_pairs" -> { (s, dir) =>
-      val table = winnowSpool.computeIfAbsent(dir, d => {
+      val table = spooled(winnowSpool, dir)(d => {
         val nm = s"graft_winnow_${java.lang.Long.toHexString(d.hashCode.toLong & 0xffffffffL)}"
         Dedup.materializeWinnow(
           docs(s, d).where(pmod(col("doc_id"), lit(2)) === 0),

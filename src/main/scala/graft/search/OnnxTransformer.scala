@@ -111,9 +111,16 @@ object OnnxTransformer {
       require(mask == null || mask.length == ids.length,
         s"onnx: mask length ${if (mask == null) -1 else mask.length} != ${ids.length}")
       val env = scala.collection.mutable.HashMap.empty[String, Mat]
+      // Tensor names whose values are derived ONLY from the 0/1 attention
+      // mask (through constants/initializers) — the one place an exporter's
+      // int-target Cast is a true identity on the stored float payload.
+      // Propagated per node: every non-initializer input mask-derived →
+      // output mask-derived (so `scores + madd` correctly leaves the set).
+      val maskDerived = scala.collection.mutable.HashSet.empty[String]
       maskInputName.foreach { mn =>
         val m = if (mask != null) mask else Array.fill(ids.length)(1f)
         env(mn) = Mat(1, ids.length, m.clone())
+        maskDerived += mn
       }
       def in(node: Node, i: Int): Mat = {
         val n = node.inputs(i)
@@ -243,13 +250,19 @@ object OnnxTransformer {
           case "Sub" =>
             broadcastBinary(node.op, in(node, 0), in(node, 1))(_ - _)
           case "Cast" =>
-            // all runtime values are float32 here; the exporter's
-            // int64-mask -> float cast (and any float -> float) is an
-            // identity on the stored values. Disallow narrowing targets
-            // that would change values.
+            // all runtime values are float32 here, so Cast to=1 (float) is
+            // an identity on the stored payload. Int/bool targets (6/7/9)
+            // are identities ONLY on the 0/1 mask chain (maskDerived) —
+            // the form real exporters emit; off-chain they would need
+            // trunc/floor semantics, and value-changing targets (e.g.
+            // to=10 float16 rounding) are never emitted by the supported
+            // export shapes. Everything else fails loudly like any other
+            // out-of-subset op.
             val to = node.attrI.getOrElse("to", 1L)
-            require(Set(1L, 6L, 7L, 9L, 10L, 11L)(to),
-              s"onnx: Cast to=$to outside the executor subset")
+            val onMask = node.inputs.headOption.exists(maskDerived)
+            require(to == 1L || (onMask && Set(6L, 7L, 9L)(to)),
+              s"onnx: Cast to=$to${if (onMask) " (mask chain)" else ""} " +
+                "outside the executor subset")
             in(node, 0)
           case "Unsqueeze" | "Squeeze" =>
             // 2-D executor: inserting/removing size-1 dims never changes
@@ -386,6 +399,11 @@ object OnnxTransformer {
             s"onnx: op '$op' outside the attention executor subset")
         }
         env(node.outputs.head) = out
+        val dataIns = node.inputs.filter(n =>
+          !inits.contains(n) && !intInits.contains(n))
+        if (dataIns.nonEmpty && dataIns.forall(maskDerived)) {
+          maskDerived += node.outputs.head
+        }
       }
       val y = env.getOrElse(outputName,
         throw new IllegalArgumentException(s"onnx: graph output '$outputName' never produced"))

@@ -500,6 +500,38 @@ class OnnxTransformerSpec extends SparkTestBase {
     }
   }
 
+  test("Cast int targets are identities ONLY on the mask chain; value-changing targets throw") {
+    import OnnxTransformer.{GraphModel, Mat, Node}
+    val d = 2
+    val e = Mat(4, d, Array.tabulate(4 * d)(i => 0.25f * (i + 1)))
+    val ids = Array(0, 2, 1)
+    // int64 round-trip on the mask chain (the exporter's
+    // attention_mask.unsqueeze(...).to(...) form): 0/1 values, identity
+    val mg = GraphModel(Map("E" -> e), Map.empty, Seq(
+      Node("Gather", Seq("E", "ids"), Seq("x"), Map.empty, Map.empty, Map.empty),
+      Node("Cast", Seq("attention_mask"), Seq("m7"), Map.empty,
+        Map("to" -> 7L), Map.empty),
+      Node("Cast", Seq("m7"), Seq("y"), Map.empty, Map("to" -> 1L), Map.empty)),
+      "ids", None, Some("attention_mask"), "y", ids.length)
+    assert(mg.run(ids, Array(1f, 0f, 1f)).toSeq == Seq(1f, 0f, 1f))
+    // the SAME to=7 off the mask chain would need trunc semantics -> loud
+    intercept[IllegalArgumentException] {
+      GraphModel(Map("E" -> e), Map.empty, Seq(
+        Node("Gather", Seq("E", "ids"), Seq("x"), Map.empty, Map.empty, Map.empty),
+        Node("Cast", Seq("x"), Seq("y"), Map.empty, Map("to" -> 7L), Map.empty)),
+        "ids", None, Some("attention_mask"), "y", d).run(ids, Array(1f, 1f, 1f))
+    }
+    // float16 (to=10) rounds stored values — never an identity, anywhere
+    intercept[IllegalArgumentException] {
+      GraphModel(Map("E" -> e), Map.empty, Seq(
+        Node("Gather", Seq("E", "ids"), Seq("x"), Map.empty, Map.empty, Map.empty),
+        Node("Cast", Seq("attention_mask"), Seq("y"), Map.empty,
+          Map("to" -> 10L), Map.empty)),
+        "ids", None, Some("attention_mask"), "y", ids.length)
+        .run(ids, Array(1f, 0f, 1f))
+    }
+  }
+
   test("embeds run distributed through mapPartitions (plumbing, not collect)") {
     import org.apache.spark.sql.functions._
     val emb = TransformerEmbedder(OnnxTransformer.parse(OnnxTransformer.toBytes(w)))

@@ -114,9 +114,25 @@ DUCK_REWRITES = [
 ]
 
 
+def duck_chunks(w):
+    """DuckDB list-slice replay of graft's codegen'd word_chunks(split(text,' '), w):
+    non-overlapping w-token segments, partial tail kept."""
+    return (f"list_transform(range(0, (len(string_split(text, ' ')) + {w - 1}) // {w}), "
+            f"i -> array_to_string(string_split(text, ' ')[i*{w}+1:i*{w}+{w}], ' '))")
+
+
 def to_duck(sql):
     for spark_form, duck_form in DUCK_REWRITES:
         sql = sql.replace(spark_form, duck_form)
+    # the segment shape: word_chunks explode + per-doc chunk digest
+    sql = re.sub(
+        r"explode\(word_chunks\(split\(text, ' '\), (\d+)\)\)",
+        lambda m: f"unnest({duck_chunks(int(m.group(1)))})",
+        sql)
+    sql = re.sub(
+        r"concat_ws\('\|', word_chunks\(split\(text, ' '\), (\d+)\)\)",
+        lambda m: f"array_to_string({duck_chunks(int(m.group(1)))}, '|')",
+        sql)
     # Spark element_at(arr, i) is 1-based like DuckDB's arr[i]
     sql = re.sub(r"element_at\(embedding, (\d+)\)", r"embedding[\1]", sql)
     # Spark exact interpolated percentile == DuckDB quantile_cont
@@ -143,11 +159,49 @@ def to_duck(sql):
 def gen_query():
     t = rng.choice(list(TABLES))
     cols = TABLES[t]
-    shape = rng.choice(["agg", "agg", "filter_topk", "distinct", "join_agg",
-                        "window", "window_frame", "setop", "json",
-                        "having", "subquery", "rollup", "tokens",
-                        "vector_topk", "lsh_bands", "percentile",
-                        "window_min"])
+    all_shapes = ["agg", "agg", "filter_topk", "distinct", "join_agg",
+                  "window", "window_frame", "setop", "json",
+                  "having", "subquery", "rollup", "tokens",
+                  "vector_topk", "lsh_bands", "percentile",
+                  "window_min", "segment"]
+    # FUZZ_SHAPES=a,b focuses a run on one family (geometry sweeps);
+    # unset = the full mixed sweep
+    import os
+    only = os.environ.get("FUZZ_SHAPES")
+    if only:
+        wanted = {s.strip() for s in only.split(",") if s.strip()}
+        unknown = wanted - set(all_shapes)
+        if unknown:
+            raise SystemExit(f"FUZZ_SHAPES unknown: {sorted(unknown)}")
+        all_shapes = [s for s in all_shapes if s in wanted]
+    shape = rng.choice(all_shapes)
+    if shape == "segment":
+        # segmentDedup's chunk constructor + census geometry vs the DuckDB
+        # list-slice replay: random window sizes (incl. window >> doc
+        # length -> one partial segment), minDocs 2 vs 3, with and without
+        # the null-text filter. The gate proves one (window, minDocs);
+        # this sweeps the geometry of the codegen'd WordChunks expression
+        # and the distinct-doc census it feeds.
+        w = rng.choice([1, 2, 3, 4, 5, 7, 11, 23, 60, 200])
+        pick = rng.random()
+        if pick < 0.35:
+            # per-doc segmentation digest: pins chunk CONTENT, order, and
+            # the partial tail exactly (md5 of the '|'-joined chunk list)
+            lim = rng.randint(50, 400)
+            return (f"SELECT doc_id, md5(concat_ws('|', word_chunks(split(text, ' '), {w}))) AS dg "
+                    f"FROM documents WHERE text IS NOT NULL "
+                    f"ORDER BY doc_id LIMIT {lim}")
+        md = rng.choice([2, 2, 3])
+        nullf = " WHERE text IS NOT NULL" if rng.random() < 0.7 else ""
+        # census: distinct-doc count per segment hash, joined back per doc
+        return (f"WITH segs AS (SELECT doc_id, explode(word_chunks(split(text, ' '), {w})) AS seg "
+                f"FROM documents{nullf}), "
+                f"c AS (SELECT seg, count(DISTINCT doc_id) AS nd FROM segs GROUP BY seg), "
+                f"j AS (SELECT s.doc_id, CASE WHEN c.nd >= {md} THEN 1 ELSE 0 END AS isdup "
+                f"FROM segs s JOIN c ON s.seg = c.seg) "
+                f"SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segments, "
+                f"CAST(sum(isdup) AS BIGINT) AS n_dup "
+                f"FROM j GROUP BY doc_id ORDER BY doc_id")
     if shape == "window_min":
         # the codegen'd winnowing selection expression vs a DuckDB
         # list_transform/list_min replay, over deterministic md5-derived
