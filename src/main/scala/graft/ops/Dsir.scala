@@ -122,4 +122,60 @@ object Dsir {
     require(n > 0, s"n must be positive, got $n")
     scored.orderBy(col("score").desc, col(idCol).asc).limit(n)
   }
+
+  /** Quantization of the seeded-Gumbel draw: the per-doc uniform is the
+    * 60-bit md5 convention mod this many levels.
+    */
+  val GumbelBuckets: Int = 1024
+
+  /** Fixed-point Gumbel quantile table: entry b holds
+    * round(10⁶ · −ln(−ln((b+0.5)/N))) — the standard-Gumbel quantile at
+    * the b-th mid-bucket uniform, in micro-units. Computed ONCE here with
+    * StrictMath (platform-pinned) and embedded as a literal in BOTH the
+    * Spark plan and the SQL oracle, so query time is pure integer
+    * arithmetic — no engine evaluates a transcendental, and no libm
+    * rounding difference can change a draw. Range ≈ [−2.03·10⁶, 7.62·10⁶].
+    */
+  lazy val gumbelTableMicro: Seq[Long] =
+    (0 until GumbelBuckets).map { b =>
+      val u = (b + 0.5) / GumbelBuckets
+      math.round(-StrictMath.log(-StrictMath.log(u)) * Scale)
+    }
+
+  /** Seeded Gumbel-top-n selection — the paper's ACTUAL resampling step
+    * (draw docs with probability ∝ exp(score/τ)) made deterministic and
+    * engine-exact via the Gumbel-top-k identity: add standard-Gumbel noise
+    * to score/τ and take the n largest. Per-doc noise is
+    * [[gumbelTableMicro]] indexed by md5("seed|id") mod [[GumbelBuckets]];
+    * the integer key is score·10⁶ + τ·g_micro (≡ score/τ + g up to the
+    * positive factor τ·10⁶), top-n by (key desc, id asc). τ is in score
+    * units: larger τ → noisier, more exploratory draw; τ=0 degrades to
+    * [[selectTop]] with a hash tie-break. Seeded: a retry, a re-run, or
+    * another engine draws the SAME sample.
+    *
+    * Scale shape: one codegen'd per-row projection (md5 + a literal-array
+    * lookup — no join, no transcendental) over the scored frame, then a
+    * TakeOrderedAndProject cut: identical cost class to [[selectTop]] at
+    * any corpus size. Overflow: |score|·10⁶ ≤ 10¹⁸ needs |score| ≤ 10¹²
+    * (true by the weight bound above); τ·g ≤ τ·7.7·10⁶ — keep τ under
+    * ~10¹⁰.
+    *
+    * Output: (idCol, score, gkey) — gkey rides along so the oracle gate
+    * pins the draw arithmetic itself, not just the chosen set.
+    */
+  def selectGumbelTop(scored: DataFrame, idCol: String, n: Int,
+      seed: Long, tau: Long): DataFrame = {
+    require(n > 0, s"n must be positive, got $n")
+    require(tau >= 0, s"tau must be non-negative, got $tau")
+    val bucket = pmod(
+      conv(substring(md5(concat(lit(s"$seed|"), col(idCol).cast("string"))),
+        1, 15), 16, 10).cast("long"),
+      lit(GumbelBuckets.toLong))
+    scored
+      .withColumn("gkey",
+        col("score") * lit(Scale) + lit(tau) *
+          element_at(typedLit(gumbelTableMicro), (bucket + lit(1L)).cast("int")))
+      .orderBy(col("gkey").desc, col(idCol).asc)
+      .limit(n)
+  }
 }

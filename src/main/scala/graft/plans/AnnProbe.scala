@@ -75,6 +75,19 @@ object AnnProbeRule {
     * after a probe-substituted frame is materialized.
     */
   val ConfKey = "spark.graft.ann.autoProbe"
+
+  /** Re-entrancy guard: while `entry.probe` runs (on the planning thread),
+    * every micro-plan the probe itself builds — the graph walk's per-round
+    * point reads, the PQ rerank join — passes back through this rule.
+    * None of them can match (their shapes aren't a registered brute-force
+    * scan), but each GlobalLimit+Sort+Project candidate would still pay a
+    * catalog lookup with a plan CANONICALIZATION — measured ~0.5 s of pure
+    * rule overhead inside one graph probe. Probes are driver-side and
+    * planned on the calling thread, so a thread-local flag is exact.
+    */
+  private[plans] val inProbe = new ThreadLocal[java.lang.Boolean] {
+    override def initialValue: java.lang.Boolean = java.lang.Boolean.FALSE
+  }
 }
 
 case class AnnProbeRule(spark: SparkSession) extends Rule[LogicalPlan] {
@@ -93,7 +106,7 @@ case class AnnProbeRule(spark: SparkSession) extends Rule[LogicalPlan] {
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
-    if (!enabled) return plan
+    if (!enabled || AnnProbeRule.inProbe.get) return plan
     plan.transformDown {
       case gl @ GlobalLimit(Literal(k: Int, IntegerType),
           LocalLimit(_, Sort(orders, true,
@@ -138,8 +151,10 @@ case class AnnProbeRule(spark: SparkSession) extends Rule[LogicalPlan] {
         case _ => None
       }
     } yield {
-      val probe = entry.probe(qvec, k)
-      val probePlan = probe.queryExecution.optimizedPlan
+      AnnProbeRule.inProbe.set(true)
+      val probePlan = try {
+        entry.probe(qvec, k).queryExecution.optimizedPlan
+      } finally AnnProbeRule.inProbe.set(false)
       val idOut = probePlan.output.find(_.name == entry.idCol).get
       val distOut = probePlan.output.find(_.name == "cos_dist").get
       // preserve the original output attributes (names AND exprIds) so

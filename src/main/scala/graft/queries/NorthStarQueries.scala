@@ -140,6 +140,8 @@ object NorthStarQueries {
   // selection — both interpolated into the oracle.
   private val DsirBuckets = 64
   private val DsirTopN = 50
+  private val GumbelSeed = 17L
+  private val GumbelTau = 250000L
 
   // Winnowing gate geometry (Schleimer et al. 2003): 3-token shingles,
   // 4-hash windows — guarantee threshold = k + w - 1 = 6 shared tokens.
@@ -2002,6 +2004,26 @@ object NorthStarQueries {
         .transform(sortedSingle(_, col("doc_id")))
     },
 
+    // ...and the paper's ACTUAL selection rule: seeded Gumbel-top-n
+    // resampling (draw ∝ exp(score/τ) via the Gumbel-top-k identity) made
+    // engine-exact — per-doc uniform from the 60-bit md5 convention on
+    // "seed|doc_id", the Gumbel quantile −ln(−ln u) PRE-QUANTIZED to a
+    // 1024-entry fixed-point table embedded as a literal in both engines
+    // (query time is pure integer arithmetic; no libm call can diverge),
+    // key = score·10⁶ + τ·g_micro, top-n. The gated gkey column pins the
+    // draw arithmetic itself, not just the chosen ids.
+    "dsir_gumbel_select" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val raw = d.where(pmod(col("doc_id"), lit(7)) =!= 0)
+      val w = Dsir.importanceWeights(
+        d.where(pmod(col("doc_id"), lit(7)) === 0), col("text"),
+        raw, col("text"), DsirBuckets)
+      Dsir.selectGumbelTop(
+          Dsir.scoreDocs(raw, "doc_id", col("text"), w, DsirBuckets),
+          "doc_id", DsirTopN, GumbelSeed, GumbelTau)
+        .transform(sortedSingle(_, col("doc_id")))
+    },
+
     // Winnowing fingerprints (Dedup.winnowFingerprints — MOSS): per-window
     // minimum shingle hashes, ~2/(w+1) selection density, shared-run
     // coverage guaranteed at k+w-1 tokens. Per-doc digest pins the exact
@@ -2236,6 +2258,12 @@ object NorthStarQueries {
   /** DSIR feature instances, DuckDB-side (mirrors Dsir.features: word
     * unigrams + bigrams per instance; NULL text contributes no rows).
     */
+  /** The embedded Gumbel quantile table as a SQL list literal (the same
+    * integers [[Dsir.gumbelTableMicro]] puts in the Spark plan).
+    */
+  private lazy val GumbelTableSql: String =
+    Dsir.gumbelTableMicro.mkString("[", ", ", "]")
+
   private val DsirFtCte =
     "ft AS (SELECT doc_id, unnest(list_concat(string_split(text, ' '), " +
       "list_transform(range(0, greatest(len(string_split(text, ' ')) - 1, 0)), " +
@@ -4227,6 +4255,36 @@ object NorthStarQueries {
          |  SELECT doc_id, score FROM scored
          |  ORDER BY score DESC, doc_id ASC LIMIT $DsirTopN)
          |SELECT doc_id, score FROM top ORDER BY doc_id""".stripMargin,
+    // the Gumbel draw replayed with the SAME embedded quantile table (a
+    // literal list — both engines do only md5 + integer arithmetic at
+    // query time, so the sampled set and the key values are bit-equal)
+    "dsir_gumbel_select" ->
+      s"""WITH $DsirFtCte,
+         |$DsirWCtes,
+         |sc AS (
+         |  SELECT ft.doc_id,
+         |         CAST(sum(w.w) // greatest(count(*), 1) AS BIGINT) AS score
+         |  FROM ft JOIN w
+         |    ON ('0x' || substr(md5(ft.f), 1, 15))::BIGINT % $DsirBuckets = w.bucket
+         |  WHERE ft.doc_id % 7 <> 0 GROUP BY 1),
+         |scored AS (
+         |  SELECT d.doc_id, CAST(coalesce(s.score, 0) AS BIGINT) AS score
+         |  FROM documents d LEFT JOIN sc s USING (doc_id)
+         |  WHERE d.doc_id % 7 <> 0),
+         |g AS (
+         |  SELECT doc_id, score,
+         |         CAST(($GumbelTableSql)[
+         |           CAST(('0x' || substr(md5('$GumbelSeed|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+         |                % ${Dsir.GumbelBuckets} AS INT) + 1] AS BIGINT) AS gm
+         |  FROM scored),
+         |gk AS (
+         |  SELECT doc_id, score,
+         |         CAST(score * 1000000 + $GumbelTau * gm AS BIGINT) AS gkey
+         |  FROM g),
+         |top AS (
+         |  SELECT doc_id, score, gkey FROM gk
+         |  ORDER BY gkey DESC, doc_id ASC LIMIT $DsirTopN)
+         |SELECT doc_id, score, gkey FROM top ORDER BY doc_id""".stripMargin,
     // the full winnowing chain replayed: ordered (non-distinct) 3-gram
     // list, the 60-bit md5 hash convention, per-window list_min, distinct
     // selection, and the sorted-set digest

@@ -94,6 +94,41 @@ class DsirSpec extends SparkTestBase {
       .contains("TakeOrderedAndProject"))
   }
 
+  test("selectGumbelTop: deterministic per seed, distribution-shifting, TakeOrdered cut") {
+    val sp = spark
+    import sp.implicits._
+    val scored = (1L to 200L).map(i => (i, i * 10000L)).toDF("doc_id", "score")
+    val a = Dsir.selectGumbelTop(scored, "doc_id", 20, seed = 17L, tau = 250000L)
+    // a TakeOrderedAndProject cut (never a global window), same as selectTop
+    assert(a.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"))
+    val rows = a.collect()
+    assert(rows.length == 20)
+    // same seed → the SAME draw on re-evaluation; different seed → a
+    // different one (the noise actually participates)
+    val a2 = Dsir.selectGumbelTop(scored, "doc_id", 20, seed = 17L, tau = 250000L)
+      .collect().map(_.getLong(0)).toSet
+    val b = Dsir.selectGumbelTop(scored, "doc_id", 20, seed = 18L, tau = 250000L)
+      .collect().map(_.getLong(0)).toSet
+    val aIds = rows.map(_.getLong(0)).toSet
+    assert(a2 == aIds, "same seed must redraw the same sample")
+    assert(b != aIds, "a different seed should perturb the draw")
+    // the draw leans target-like (top-half scores dominate) but is NOT the
+    // deterministic top-20 — the noise explores below the hard cut
+    assert(aIds.count(_ > 100L) >= 14, s"draw ignores scores: $aIds")
+    assert(aIds != (181L to 200L).toSet, "tau=250000 should not degrade to selectTop")
+    // gkey replays the table arithmetic: score·10⁶ + τ·g_micro
+    val g = Dsir.gumbelTableMicro
+    rows.foreach { r =>
+      val id = r.getLong(0); val score = r.getLong(1); val gkey = r.getLong(2)
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"17|$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      val bucket = (java.lang.Long.parseLong(hex, 16) % Dsir.GumbelBuckets).toInt
+      assert(gkey == score * 1000000L + 250000L * g(bucket),
+        s"doc $id: gkey $gkey != replay")
+    }
+  }
+
   test("degenerate fits stay defined: empty target gives uniform-numerator weights") {
     val w = Dsir.importanceWeights(
         target.where(lit(false)), col("text"), raw, col("text"), B)
