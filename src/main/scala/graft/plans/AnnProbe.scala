@@ -41,7 +41,23 @@ object AnnCatalog {
     * [[AnnIndex.probeTopK]], at-rest PQ ADC rerank, graph beam probe).
     */
   final case class Entry(plan: LogicalPlan, idCol: String, vecCol: String,
-      probe: (Array[Double], Int) => DataFrame)
+      probe: (Array[Double], Int) => DataFrame) {
+    /** Spliced-plan memo per (query vector, k): the SAME logical query is
+      * optimized more than once per materialization (`.explain` /
+      * plan-assertion then execution each build a fresh QueryExecution,
+      * and every `df.write`/`df.count` re-optimizes from the logical
+      * plan), and without this memo each pass re-RUNS the probe — for the
+      * driver-beam graph tier that doubled the gate's wall (measured
+      * 0.98 s → the probe itself is ~0.3-0.4 s per execution). The
+      * registered relation is immutable for the registration's lifetime
+      * (the index was built over it; a re-registration is a new Entry, so
+      * a new memo), which makes the cached plan safe to re-splice. The
+      * memo holds bounded k-row LocalRelations / probe join plans, not
+      * data-scale state.
+      */
+    private[plans] val memo =
+      new scala.collection.concurrent.TrieMap[(Seq[Double], Int), LogicalPlan]
+  }
 
   private val entries = new CopyOnWriteArrayList[Entry]()
 
@@ -151,10 +167,11 @@ case class AnnProbeRule(spark: SparkSession) extends Rule[LogicalPlan] {
         case _ => None
       }
     } yield {
-      AnnProbeRule.inProbe.set(true)
-      val probePlan = try {
-        entry.probe(qvec, k).queryExecution.optimizedPlan
-      } finally AnnProbeRule.inProbe.set(false)
+      val probePlan = entry.memo.getOrElseUpdate((qvec.toSeq, k), {
+        AnnProbeRule.inProbe.set(true)
+        try entry.probe(qvec, k).queryExecution.optimizedPlan
+        finally AnnProbeRule.inProbe.set(false)
+      })
       val idOut = probePlan.output.find(_.name == entry.idCol).get
       val distOut = probePlan.output.find(_.name == "cos_dist").get
       // preserve the original output attributes (names AND exprIds) so

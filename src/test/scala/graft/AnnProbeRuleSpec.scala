@@ -62,6 +62,49 @@ class AnnProbeRuleSpec extends SparkTestBase {
     }
   }
 
+  test("probe runs ONCE per (entry, qvec, k) across re-optimizations") {
+    // the same logical query is optimized more than once per
+    // materialization (plan assertion, then df.write builds a fresh
+    // QueryExecution) — the entry memo must serve the second pass without
+    // re-running the probe, or an expensive driver-beam probe doubles
+    val calls = new java.util.concurrent.atomic.AtomicInteger(0)
+    AnnCatalog.clear()
+    AnnCatalog.registerProbe(emb, "vec_id", "embedding", (_, k) => {
+      calls.incrementAndGet()
+      val sp = spark
+      import sp.implicits._
+      (0L until k.toLong).map(i => (i, 42.0 + i)).toDF("vec_id", "cos_dist")
+    })
+    spark.conf.set(ConfKey, "true")
+    try {
+      val df = bruteForceShape(3)
+      val p1 = df.queryExecution.optimizedPlan.toString // optimization #1
+      assert(calls.get == 1, s"probe calls after first optimize: ${calls.get}")
+      val got = bruteForceShape(3).collect() // fresh frame: optimization #2
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(calls.get == 1,
+        s"probe re-ran on re-optimization: ${calls.get} calls")
+      assert(got == Seq((0L, 42.0), (1L, 43.0), (2L, 44.0)), got)
+      assert(p1.nonEmpty)
+      // a DIFFERENT k is a different probe answer — must miss the memo
+      bruteForceShape(2).collect()
+      assert(calls.get == 2, s"distinct k served from memo: ${calls.get}")
+      // re-registration (new Entry) starts a fresh memo
+      AnnCatalog.clear()
+      AnnCatalog.registerProbe(emb, "vec_id", "embedding", (_, k) => {
+        calls.incrementAndGet()
+        val sp = spark
+        import sp.implicits._
+        (0L until k.toLong).map(i => (i, 42.0 + i)).toDF("vec_id", "cos_dist")
+      })
+      bruteForceShape(3).collect()
+      assert(calls.get == 3, s"stale memo across re-registration: ${calls.get}")
+    } finally {
+      spark.conf.unset(ConfKey)
+      AnnCatalog.clear()
+    }
+  }
+
   test("opt-in rewrite substitutes the probe plan (semi-join visible)") {
     withProbe {
       val df = bruteForceShape()
