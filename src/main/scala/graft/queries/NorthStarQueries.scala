@@ -1917,10 +1917,17 @@ object NorthStarQueries {
       val stream = org.apache.spark.sql.execution.streaming.runtime
         .MemoryStream[(Long, String)](s)
       val out = graft.util.TempDirs.create("streamed_ingest")
-      val q = graft.streaming.CorpusIngest.dedupedIngest(
-          shingle(stream.toDF().toDF("doc_id", "text")), corpus,
-          "doc_id", "sh", JaccardTau) { (survivors, _) =>
-        survivors.select("doc_id").write.mode("append").parquet(out)
+      // per-query sizing: the foreachBatch jaccard chain shuffles EPOCH
+      // volumes (~1/4 of the corpus here), not corpus volumes — the
+      // session default (sized for batch-tier shuffles) over-partitions
+      // every per-batch exchange. Production sizes this to the micro-batch
+      // volume the same way (StreamSizing scaladoc).
+      val q = graft.streaming.StreamSizing.withStatePartitions(s, 8) {
+        graft.streaming.CorpusIngest.dedupedIngest(
+            shingle(stream.toDF().toDF("doc_id", "text")), corpus,
+            "doc_id", "sh", JaccardTau) { (survivors, _) =>
+          survivors.select("doc_id").write.mode("append").parquet(out)
+        }
       }
       try epochs.foreach { e => stream.addData(e); q.processAllAvailable() }
       finally q.stop()
@@ -1952,13 +1959,20 @@ object NorthStarQueries {
       val sessions = graft.streaming.EventStreams.sessionize(
         stream.toDF().toDF("ts", "user_id", "value")
           .withColumn("value", col("value").cast("decimal(18,2)")))
-      val q = sessions.writeStream.outputMode("append")
-        .option("checkpointLocation",
-          graft.util.TempDirs.create("streamed_sessions_ckpt"))
-        .foreachBatch { (b: DataFrame, _: Long) =>
-          b.write.mode("append").parquet(out)
-        }
-        .start()
+      // state partitions sized to the query, not the session default: the
+      // fixture has ~2k session keys, and each of the 32 default partitions
+      // pays a state-store instance + per-batch checkpoint file ops —
+      // measured 5.1 s at 32 vs the data work itself. Production sizes
+      // this per stream the same way (StreamSizing scaladoc).
+      val q = graft.streaming.StreamSizing.withStatePartitions(s, 8) {
+        sessions.writeStream.outputMode("append")
+          .option("checkpointLocation",
+            graft.util.TempDirs.create("streamed_sessions_ckpt"))
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            b.write.mode("append").parquet(out)
+          }
+          .start()
+      }
       try {
         stream.addData(rows)
         q.processAllAvailable()

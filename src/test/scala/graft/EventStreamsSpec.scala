@@ -55,6 +55,31 @@ class EventStreamsSpec extends SparkTestBase {
     assert(streamed == batch)
   }
 
+  test("withStatePartitions sizes the query, restores the session") {
+    val key = "spark.sql.shuffle.partitions"
+    val before = sp.conf.get(key)
+    val data = (1L to 40L).map(i => (i, ts(i.toInt), i % 4, "c", 1.0, "{}"))
+    val stream = MemoryStream[(Long, Timestamp, Long, String, Double, String)](sp)
+    val sdf = stream.toDF().toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val q = graft.streaming.StreamSizing.withStatePartitions(sp, 3) {
+      EventStreams.hourlyRollup(sdf).writeStream
+        .format("memory").queryName("sized_test")
+        .outputMode(OutputMode.Append()).start()
+    }
+    // restore happens at start(), BEFORE any batch runs — the clone must
+    // still carry n for every batch of the query's lifetime
+    assert(sp.conf.get(key) == before, "session conf not restored")
+    stream.addData(data)
+    q.processAllAvailable()
+    stream.addData(Seq((99L, ts(600), 9L, "sentinel", 0.0, "{}")))
+    q.processAllAvailable()
+    val parts = q.lastProgress.stateOperators
+      .map(_.numShufflePartitions).distinct.toSeq
+    q.stop()
+    assert(parts == Seq(3L), s"state partitions: $parts")
+    assert(sp.table("sized_test").count() > 0)
+  }
+
   test("sessionize groups by inactivity gap") {
     val out = EventStreams.sessionize(eventsDf(
       (1L, 0, 1L, "a", 1.0), (2L, 10, 1L, "a", 1.0),   // session 1
