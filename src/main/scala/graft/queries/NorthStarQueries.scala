@@ -975,6 +975,47 @@ object NorthStarQueries {
       df
     },
 
+    // ...and by the at-rest IVF-PQ composition, completing the autoprobe
+    // matrix over all four index tiers (IVF / trained PQ / IVF-PQ / graph):
+    // the splice swaps the corpus scan + sort for the partition-pruned
+    // code scan + ADC + pruned-bucket rerank over the artifacts
+    // ann_ivfpq_topk materialized. Splice require()-asserted via the
+    // bucket-prune LeftSemi.
+    "ann_autoprobe_ivfpq_topk" -> { (s, dir) =>
+      import graft.plans.AnnCatalog
+      graft.GraftSession.attachAnnProbeRule(s)
+      val emb = t(s, dir, "embeddings")
+      val path = spooled(annSpool, dir)(d => {
+        val p = graft.util.TempDirs.create("graft_ann_spool")
+        AnnIndex.materialize(t(s, d, "embeddings"), "vec_id", "embedding", 64, p)
+        p
+      })
+      val spec = ProductQuantizer.PqSpec(m = 8, dsub = 8, stride = 64)
+      val pqPath = spooled(ivfpqSpool, dir)(d => {
+        val p = graft.util.TempDirs.create("graft_ivfpq_spool")
+        ProductQuantizer.materializeIvfPq(t(s, d, "embeddings"),
+          "vec_id", "embedding", s.read.parquet(path), spec, p)
+        p
+      })
+      val idx = AnnIndex.fromMaterialized(emb, "vec_id", "embedding", 64, path)
+      val qvec = emb.where(col("vec_id") === 1).select(col("embedding"))
+        .head().getSeq[Float](0).map(_.toDouble).toArray
+      AnnCatalog.clear()
+      AnnCatalog.registerProbe(emb, "vec_id", "embedding", (q, k) =>
+        ProductQuantizer.probeIvfPqTopK(idx, "vec_id", "embedding", pqPath,
+          q, k, nprobe = 4, overfetch = 50, spark = Some(s)))
+      s.conf.set("spark.graft.ann.autoProbe", "true")
+      val df = emb.select(col("vec_id"),
+          graft.functions.array_cosine_distance(
+            col("embedding"), typedLit(qvec.toSeq)).as("cos_dist"))
+        .orderBy(col("cos_dist").asc_nulls_last, col("vec_id").asc)
+        .limit(10)
+      val plan = df.queryExecution.optimizedPlan.toString
+      require(plan.contains("LeftSemi"),
+        s"AnnProbeRule did not splice the IVF-PQ probe:\n$plan")
+      df
+    },
+
     // language-ID heuristic: marker-word argmax, computed INLINE in the scan
     // projection (TextOps.langGuess) — zero shuffles before the output sort,
     // where the explode->broadcast-join->window formulation shuffled the
@@ -2861,7 +2902,13 @@ object NorthStarQueries {
       " / greatest(len(string_split(text, ' ')), 1) BETWEEN 0.05 AND 0.6" +
       " THEN 1.0 ELSE 0.5 END) * 0.25, 6)"
 
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = oracleSqlBase +
+    // the IVF-PQ tier under plan substitution answers with the SAME probe
+    // as ann_ivfpq_topk, so its oracle is the same replica (aliased after
+    // construction — a literal self-reference inside the Map can't see it)
+    ("ann_autoprobe_ivfpq_topk" -> oracleSqlBase("ann_ivfpq_topk"))
+
+  private lazy val oracleSqlBase: Map[String, String] = Map(
     "ngram_jaccard_join" -> (JaccardPairsSql + "\nORDER BY a, b"),
     "minhash_lsh_pairs" -> minhashOracle,
     "incremental_lsh_pairs" ->
