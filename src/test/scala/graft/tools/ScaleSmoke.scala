@@ -300,6 +300,53 @@ object ScaleSmoke {
       docs.unpersist(blocking = true)
     }
 
+    // streaming state sizing: the SAME sessionize query at varying state
+    // partition counts and event volumes. The claim under measurement
+    // (StreamSizing scaladoc): per-micro-batch cost = state-store fixed
+    // cost × partitions + data work / parallelism, so at gate-scale key
+    // counts fewer partitions win (the fixed term dominates) while the
+    // data-work term — what a 1000-executor ingest sizes FOR — grows with
+    // rows, not partitions. `k` column = state partitions; rows = events.
+    if (on("stream_state")) {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import spark.implicits._
+      val baseEv = spark.read.parquet(s"$dir/events.parquet")
+        .select(col("ts"), col("user_id"), col("value"))
+        .as[(java.sql.Timestamp, Long, Double)].collect().toSeq
+      for (copies <- Seq(1, 10)) {
+        // copies shift user_id — keys (and sessions) grow with volume,
+        // the realistic direction for an event stream
+        val rows = (0 until copies).flatMap(c =>
+          baseEv.map { case (ts0, u, v) => (ts0, u + c * 1000000000L, v) })
+        val maxTs = baseEv.iterator.map(_._1.getTime).max
+        for (n <- Seq(4, 8, 32)) {
+          timed("stream_state", n, rows.length.toLong) {
+            val stream = MemoryStream[(java.sql.Timestamp, Long, Double)](spark)
+            val emitted = new java.util.concurrent.atomic.LongAdder
+            val q = graft.streaming.StreamSizing.withStatePartitions(spark, n) {
+              graft.streaming.EventStreams.sessionize(
+                  stream.toDF().toDF("ts", "user_id", "value"))
+                .writeStream.outputMode("append")
+                .option("checkpointLocation",
+                  graft.util.TempDirs.create(s"scale_stream_state_${copies}_$n"))
+                .foreachBatch { (b: DataFrame, _: Long) =>
+                  emitted.add(b.count())
+                }
+                .start()
+            }
+            try {
+              stream.addData(rows)
+              q.processAllAvailable()
+              stream.addData(Seq((new java.sql.Timestamp(
+                maxTs + 10L * 86400L * 1000L), -1L, 0.0)))
+              q.processAllAvailable()
+            } finally q.stop()
+            emitted.sum()
+          }
+        }
+      }
+    }
+
     // ANN-maintenance epochs: appendVectorEpoch against a FIXED
     // materialized index — per-epoch wall should track the batch (only
     // affected bucket dirs grow; assignment joins the batch against the
