@@ -437,13 +437,26 @@ object Dedup {
         df => df.checkpoint()
       case None => df => df.localCheckpoint()
     }
+    // pre-partition the (large) edge side on the per-round join key: the
+    // cached exchange satisfies every iteration's join distribution, so
+    // only the (node-sized) label side shuffles per round — without this,
+    // |E| re-shuffles diameter-many times
     val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
       .unionAll(pairs.select(col("b").as("src"), col("a").as("dst")))
       .distinct()
+      .repartition(col("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     var labels = checkpoint(
       edges.select(col("src").as("__id")).distinct()
         .withColumn("__label", col("__id")))
+    // labels only ever DECREASE (per-node min over a growing reachable
+    // set), so fixpoint == the label sum is unchanged — one node-sized
+    // aggregate per round instead of a labels⋈labels change-detection
+    // join. DECIMAL(38,0): exact at any node count × id magnitude.
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("__label").cast("decimal(38,0)"))).head()
+        .getDecimal(0)
+    var prevSum = labelSum(labels)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIters) {
@@ -453,10 +466,9 @@ object Dedup {
       val next = checkpoint(
         labels.unionAll(prop)
           .groupBy("__id").agg(min("__label").as("__label")))
-      converged = next.as("n")
-        .join(labels.as("o"), col("n.__id") === col("o.__id"))
-        .where(col("n.__label") =!= col("o.__label"))
-        .isEmpty
+      val nextSum = labelSum(next)
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
       labels = next
       iter += 1
     }
