@@ -48,8 +48,12 @@ object Centrality {
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    // adjacency with out-degree attached: read `iters` times — persist once
+    // adjacency with out-degree attached: read `iters` times — persist
+    // once, PRE-PARTITIONED on the per-iteration join key so the cached
+    // exchange satisfies every round's join and only the node-sized rank
+    // side shuffles per iteration
     val adj = edges.join(deg, "src")
+      .repartition(col("src"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var ranks = deg.select(col("src").as("id"), lit(unit).as("pr"))
     (1 to iters).foreach { _ =>
