@@ -453,9 +453,9 @@ object Dedup {
     // set), so fixpoint == the label sum is unchanged — one node-sized
     // aggregate per round instead of a labels⋈labels change-detection
     // join. DECIMAL(38,0): exact at any node count × id magnitude.
-    def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("__label").cast("decimal(38,0)"))).head()
-        .getDecimal(0)
+    def labelSum(df: DataFrame): Option[java.math.BigDecimal] =
+      Option(df.agg(sum(col("__label").cast("decimal(38,0)"))).head()
+        .getDecimal(0)) // None on an empty graph — equal across rounds
     var prevSum = labelSum(labels)
     var iter = 0
     var converged = false
@@ -467,7 +467,7 @@ object Dedup {
         labels.unionAll(prop)
           .groupBy("__id").agg(min("__label").as("__label")))
       val nextSum = labelSum(next)
-      converged = nextSum.compareTo(prevSum) == 0
+      converged = nextSum == prevSum
       prevSum = nextSum
       labels = next
       iter += 1
@@ -477,6 +477,58 @@ object Dedup {
       s"components did not converge in $maxIters rounds — raise maxIters " +
         "or use componentsStar for adversarially deep graphs")
     labels.select(col("__id").as(idCol), col("__label").as("component"))
+  }
+
+  /** Merge a batch of NEW near-dup pairs into AT-REST component labels —
+    * the cluster-maintenance analogue of [[jaccardJoinAgainst]]: today's
+    * crawl connects new docs to each other and to the corpus, and the
+    * at-rest labeling must absorb those edges WITHOUT recomputing the
+    * corpus graph (at 100 TB the full pair set is not re-derivable per
+    * batch).
+    *
+    * The merge is exact because a cluster's canonical label IS its minimum
+    * member id: every old cluster enters the fixpoint through a single
+    * `member — canonical` anchor edge per TOUCHED member, so the micro
+    * graph (new pairs + anchors) is batch-sized, its per-family minimum
+    * over {touched ids, old canonical ids} equals the true minimum over
+    * every member of every merged cluster, and untouched clusters never
+    * enter the computation at all. The only corpus-sized step is the final
+    * one-pass relabel join against `labels` — the unavoidable state write,
+    * with an affected-clusters-sized (AQE-broadcastable) relabel map.
+    *
+    * Output: `(idCol, component)` for every node in `labels` or
+    * `newPairs`, identical row-for-row to [[components]] over the union of
+    * the old and new pair sets (DedupSpec asserts equality on randomized
+    * merge topologies).
+    */
+  def incrementalComponents(labels: DataFrame, idCol: String,
+      newPairs: DataFrame, maxIters: Int = 25,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val lab = labels.select(col(idCol).as("__oid"), col("component").as("__ocomp"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val np = newPairs.select(col("a"), col("b"))
+    val touched = np.select(col("a").as("__oid"))
+      .unionAll(np.select(col("b").as("__oid"))).distinct()
+    // old state enters ONLY through touched members: one anchor edge to
+    // the cluster's canonical node stands in for the whole old cluster
+    val anchors = lab.join(touched, Seq("__oid"))
+      .where(col("__oid") =!= col("__ocomp"))
+      .select(col("__oid").as("a"), col("__ocomp").as("b"))
+    val micro = components(np.unionAll(anchors), "__mid", maxIters,
+        checkpointDir)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // affected old clusters: canonical id -> merged (global-min) label
+    val relabel = micro.join(
+        lab.select(col("__ocomp").as("__mid")).distinct(), Seq("__mid"))
+      .select(col("__mid").as("__ocomp"), col("component").as("__merged"))
+    val updatedOld = lab.join(relabel, Seq("__ocomp"), "left")
+      .select(col("__oid").as(idCol),
+        coalesce(col("__merged"), col("__ocomp")).as("component"))
+    // nodes the batch introduced (not in the at-rest labeling)
+    val fresh = micro
+      .join(lab.select(col("__oid").as("__mid")), Seq("__mid"), "left_anti")
+      .select(col("__mid").as(idCol), col("component"))
+    updatedOld.unionAll(fresh)
   }
 
   /** Connected components by alternating large-star/small-star contraction

@@ -391,6 +391,32 @@ object NorthStarQueries {
         .transform(sortedSingle(_, col("doc_id")))
     },
 
+    // cluster MAINTENANCE: merge a crawl batch's near-dup pairs into
+    // at-rest component labels (Dedup.incrementalComponents) — the corpus
+    // graph is never recomputed; old clusters enter through one anchor
+    // edge per touched member and the micro fixpoint is batch-sized. The
+    // batch (doc_id%4==3) pairs with itself and cross-joins the corpus, so
+    // old ∪ new pairs == the full jaccard pair set — the oracle is the
+    // SAME full recursive-CTE replay as dedup_components, proving the
+    // incremental merge equals the from-scratch clustering row for row.
+    "incremental_components" -> { (s, dir) =>
+      val sh = docsWithShingles(s, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val corpus = sh.where(pmod(col("doc_id"), lit(4)) =!= 3)
+      val batch = sh.where(pmod(col("doc_id"), lit(4)) === 3)
+      val oldPairs = Dedup.jaccardJoin(corpus, "doc_id", "sh", JaccardTau)
+        .select("a", "b")
+      val atRest = Dedup.components(oldPairs, "doc_id")
+      val newPairs = Dedup.jaccardJoin(batch, "doc_id", "sh", JaccardTau)
+        .select("a", "b")
+        .unionAll(Dedup.jaccardJoinAgainst(batch, corpus, "doc_id", "sh",
+          JaccardTau).select("a", "b"))
+      // no unpersist here: the returned frame is lazy (the harness clears
+      // the cache between queries — the incremental_dedup precedent)
+      Dedup.incrementalComponents(atRest, "doc_id", newPairs)
+        .transform(sortedSingle(_, col("doc_id")))
+    },
+
     // cluster-size distribution — the dedup QA view ("how big are my
     // near-dup families?"): components -> per-cluster count -> size
     // histogram. Two tiny aggregates after the (already-gated) clustering;
@@ -2937,6 +2963,23 @@ object NorthStarQueries {
          |WHERE doc_id NOT IN (SELECT b FROM pairs)
          |ORDER BY doc_id""".stripMargin,
     "dedup_components" ->
+      s"""WITH RECURSIVE pairs AS ($JaccardPairsSql),
+         |edges AS (
+         |  SELECT a AS src, b AS dst FROM pairs
+         |  UNION
+         |  SELECT b AS src, a AS dst FROM pairs),
+         |nodes AS (SELECT DISTINCT src AS id FROM edges),
+         |reach(id, r) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT e.dst AS id, reach.r AS r
+         |  FROM reach JOIN edges e ON e.src = reach.id)
+         |SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS component
+         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+    // the incremental merge must equal the from-scratch clustering: the
+    // engine's old ∪ batch pair sets union to the full jaccard pair set,
+    // so the oracle is dedup_components' full recursive-CTE replay
+    "incremental_components" ->
       s"""WITH RECURSIVE pairs AS ($JaccardPairsSql),
          |edges AS (
          |  SELECT a AS src, b AS dst FROM pairs

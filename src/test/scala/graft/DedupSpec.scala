@@ -429,6 +429,54 @@ class ComponentsSpec extends SparkTestBase {
     assert(new java.io.File(dir).listFiles().nonEmpty)
   }
 
+  test("incrementalComponents: planted merge topologies match a full recompute") {
+    // old clusters {1,2,3} (canonical 1) and {10,11} (canonical 10)
+    val oldPairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")
+    val labels = graft.ops.Dedup.components(oldPairs, "doc_id")
+    // batch: bridges both old clusters (11-2), adds a fresh pair (20-21)
+    // and a cross edge from a fresh node into an old cluster (21-3)
+    val newPairs = Seq((11L, 2L), (20L, 21L), (21L, 3L)).toDF("a", "b")
+    val got = graft.ops.Dedup.incrementalComponents(labels, "doc_id", newPairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = graft.ops.Dedup.components(oldPairs.unionAll(newPairs), "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want)
+    assert(got.values.toSet == Set(1L)) // everything merged to global min
+  }
+
+  test("incrementalComponents: randomized merges equal components over the union") {
+    for (seed <- Seq(11L, 12L, 13L)) {
+      val rnd = new scala.util.Random(seed)
+      val oldRows = (1 to 80).map(_ =>
+        (rnd.nextInt(40).toLong, 40L + rnd.nextInt(40)))
+      val newRows = (1 to 30).map(_ =>
+        (rnd.nextInt(100).toLong, rnd.nextInt(100).toLong))
+        .filter { case (a, b) => a != b }
+      val labels = graft.ops.Dedup.components(oldRows.toDF("a", "b"), "doc_id")
+      val got = graft.ops.Dedup.incrementalComponents(
+          labels, "doc_id", newRows.toDF("a", "b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val want = graft.ops.Dedup.components(
+          oldRows.toDF("a", "b").unionAll(newRows.toDF("a", "b")), "doc_id")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want, s"seed $seed")
+    }
+  }
+
+  test("incrementalComponents: empty batch and empty at-rest state") {
+    val oldPairs = Seq((1L, 2L), (5L, 6L)).toDF("a", "b")
+    val labels = graft.ops.Dedup.components(oldPairs, "doc_id")
+    val none = Seq.empty[(Long, Long)].toDF("a", "b")
+    val unchanged = graft.ops.Dedup.incrementalComponents(labels, "doc_id", none)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(unchanged == Map(1L -> 1L, 2L -> 1L, 5L -> 5L, 6L -> 5L))
+    // first batch ever: no at-rest labels
+    val empty = labels.where(lit(false))
+    val first = graft.ops.Dedup.incrementalComponents(empty, "doc_id", oldPairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(first == unchanged)
+  }
+
   test("componentsStar: path graph converges in O(log n) rounds, not diameter") {
     // a 64-node path has diameter 63: min-label propagation needs 63 rounds,
     // star contraction must finish well under this budget
