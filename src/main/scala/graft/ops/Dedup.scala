@@ -503,7 +503,8 @@ object Dedup {
     */
   def incrementalComponents(labels: DataFrame, idCol: String,
       newPairs: DataFrame, maxIters: Int = 25,
-      checkpointDir: Option[String] = None): DataFrame = {
+      checkpointDir: Option[String] = None,
+      driverMaxEdges: Long = 1L << 22): DataFrame = {
     val lab = labels.select(col(idCol).as("__oid"), col("component").as("__ocomp"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val np = newPairs.select(col("a"), col("b"))
@@ -514,8 +515,50 @@ object Dedup {
     val anchors = lab.join(touched, Seq("__oid"))
       .where(col("__oid") =!= col("__ocomp"))
       .select(col("__oid").as("a"), col("__ocomp").as("b"))
-    val micro = components(np.unionAll(anchors), "__mid", maxIters,
-        checkpointDir)
+    // The micro edge set is checkpointed first: it is consumed more than
+    // once below (don't re-pay the anchor join), and the truncation keeps
+    // the fixpoint's nested self-joins off the composite upstream lineage.
+    val microEdges = checkpointDir match {
+      case Some(dir) =>
+        lab.sparkSession.sparkContext.setCheckpointDir(dir)
+        np.unionAll(anchors).checkpoint()
+      case None => np.unionAll(anchors).localCheckpoint()
+    }
+    // The micro graph is batch-sized BY CONSTRUCTION (new pairs + one
+    // anchor per touched member — never corpus-sized), so route it by
+    // size: below `driverMaxEdges`, a driver union-find labels it in one
+    // collect (a distributed fixpoint pays ~4 driver-blocking jobs PER
+    // ROUND for work that fits in memory — measured ~7 s of pure round
+    // overhead on a 500-edge graph); above, distributed star contraction
+    // (O(log n) rounds — a batch that bridges many clusters daisy-chains
+    // their canonicals into one long path, adversarial for plain label
+    // propagation even when the batch is small). Identical min-id
+    // labeling either way.
+    val longIds = microEdges.schema.fields.forall(
+      _.dataType == org.apache.spark.sql.types.LongType)
+    val micro = (if (longIds && microEdges.count() <= driverMaxEdges) {
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrDefault(r, r) != r) r = parent.getOrDefault(r, r)
+        var c = x // path compression
+        while (parent.getOrDefault(c, c) != c) {
+          val nxt = parent.getOrDefault(c, c); parent.put(c, r); c = nxt
+        }
+        parent.putIfAbsent(r, r)
+        r
+      }
+      microEdges.collect().foreach { row =>
+        val (ra, rb) = (find(row.getLong(0)), find(row.getLong(1)))
+        if (ra != rb) parent.put(math.max(ra, rb), math.min(ra, rb))
+      }
+      import scala.jdk.CollectionConverters._
+      // snapshot before mapping: find() path-compresses (value writes on
+      // existing keys only — roots were inserted during edge processing)
+      val keys = parent.keySet().asScala.toVector
+      val rows = keys.map(x => (x, find(x)))
+      lab.sparkSession.createDataFrame(rows).toDF("__mid", "component")
+    } else componentsStar(microEdges, "__mid", maxIters, checkpointDir))
       .persist(StorageLevel.MEMORY_AND_DISK)
     // affected old clusters: canonical id -> merged (global-min) label
     val relabel = micro.join(

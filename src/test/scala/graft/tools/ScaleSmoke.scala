@@ -164,6 +164,41 @@ object ScaleSmoke {
       timed("seg_hot_wind", k, nRows) { segAll(hotDocs, Long.MaxValue) }
       timed("seg_hot_cens", k, nRows) { segAll(hotDocs, 0L) }
 
+      // incremental components: a FIXED batch of new pairs merged into a
+      // k×-scaled at-rest labeling. The micro fixpoint is batch-sized by
+      // construction; the only corpus-sized term is the final one-pass
+      // relabel join over the labels — wall should grow far slower than
+      // k and shuffle should be labels-join-sized, never edge-sized.
+      timed("inc_components", k, nRows) {
+        val pairs = graft.ops.Dedup.jaccardJoin(shingled, "doc_id", "sh", 0.5)
+          .select(col("a"), col("b"))
+        // star contraction for the at-rest build: the τ=0.5 recoded-shingle
+        // graph has adversarially deep chains (label propagation hits the
+        // round guard); identical labeling, off the probe clock either way
+        val atRest = graft.ops.Dedup.componentsStar(pairs, "doc_id")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        atRest.count() // at-rest state built off the probe clock
+        tally.reset()
+        val t0 = System.nanoTime()
+        // batch: 200 bridging pairs between existing cluster members plus
+        // 100 fresh-node pairs — the merge/insert mix of a real crawl
+        val members = atRest.orderBy("doc_id").limit(400)
+          .select(col("doc_id")).collect().map(_.getLong(0))
+        val bridge = members.sliding(2, 2).take(200)
+          .map(w => (w(0), w(w.length - 1))).toSeq
+        val freshPairs = (0 until 100).map(i =>
+          (5000000000L + i * 2, 5000000000L + i * 2 + 1))
+        val sp2 = spark
+        import sp2.implicits._
+        val newPairs = (bridge ++ freshPairs).toDF("a", "b")
+        val n = graft.ops.Dedup.incrementalComponents(atRest, "doc_id",
+          newPairs).count()
+        println(f"SCALE family=inc_probe_ms k=$k%3d probe=" +
+          ((System.nanoTime() - t0) / 1000000L))
+        atRest.unpersist(blocking = false)
+        n
+      }
+
       // snapshot delta: two scans + ONE full-outer id join; the 'new'
       // snapshot perturbs 1/9 of docs — linear in corpus size
       timed("snapshot_delta", k, nRows) {
