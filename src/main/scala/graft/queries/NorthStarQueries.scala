@@ -2002,6 +2002,38 @@ object NorthStarQueries {
       s.read.parquet(out).transform(sortedSingle(_, col("doc_id")))
     },
 
+    // streaming CLUSTER MAINTENANCE under the hash gate: two crawl epochs
+    // replayed through a real MemoryStream into
+    // CorpusIngest.clusteredIngest — each micro-batch's pairs (batch-self
+    // + batch-vs-ingested-so-far) merge into the at-rest labels via
+    // incrementalComponents, and the batch folds into the at-rest side
+    // for later epochs. corpus-self ∪ e1-self ∪ e1×corpus ∪ e2-self ∪
+    // e2×(corpus∪e1) == the FULL pair set, so the oracle is the
+    // from-scratch recursive-CTE clustering — stream == batch identity
+    // for the maintained labeling, not just per-epoch outputs.
+    "streamed_components" -> { (s, dir) =>
+      import s.implicits._
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      def shingle(f: DataFrame): DataFrame =
+        f.select(col("doc_id"), TextOps.wordNGrams(col("text"), 3).as("sh"))
+      val state = graft.streaming.CorpusIngest.clusterState(
+        shingle(d.where(pmod(col("doc_id"), lit(2)) === 0)),
+        "doc_id", "sh", JaccardTau)
+      val epochs = Seq(1L, 3L).map(m =>
+        d.where(pmod(col("doc_id"), lit(4)) === m)
+          .as[(Long, String)].collect().toSeq)
+      val stream = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String)](s)
+      val q = graft.streaming.StreamSizing.withStatePartitions(s, 8) {
+        graft.streaming.CorpusIngest.clusteredIngest(
+          shingle(stream.toDF().toDF("doc_id", "text")), state,
+          "doc_id", "sh", JaccardTau)((_, _) => ())
+      }
+      try epochs.foreach { e => stream.addData(e); q.processAllAvailable() }
+      finally q.stop()
+      state.currentLabels.transform(sortedSingle(_, col("doc_id")))
+    },
+
     // the WATERMARKED EventStreams tier under the hash gate: the whole
     // events fixture replayed through a real MemoryStream into the native
     // session_window aggregation (EventStreams.sessionize, 30-min gap,
@@ -2963,6 +2995,23 @@ object NorthStarQueries {
          |WHERE doc_id NOT IN (SELECT b FROM pairs)
          |ORDER BY doc_id""".stripMargin,
     "dedup_components" ->
+      s"""WITH RECURSIVE pairs AS ($JaccardPairsSql),
+         |edges AS (
+         |  SELECT a AS src, b AS dst FROM pairs
+         |  UNION
+         |  SELECT b AS src, a AS dst FROM pairs),
+         |nodes AS (SELECT DISTINCT src AS id FROM edges),
+         |reach(id, r) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT e.dst AS id, reach.r AS r
+         |  FROM reach JOIN edges e ON e.src = reach.id)
+         |SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS component
+         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+    // the streamed maintenance must ALSO equal from-scratch clustering:
+    // the per-epoch pair sets union to the full jaccard pair set (gate
+    // comment lays out the cover), same replica as dedup_components
+    "streamed_components" ->
       s"""WITH RECURSIVE pairs AS ($JaccardPairsSql),
          |edges AS (
          |  SELECT a AS src, b AS dst FROM pairs

@@ -85,6 +85,71 @@ object CorpusIngest {
       }
       .start()
 
+  /** Mutable cluster-maintenance state for [[clusteredIngest]]: the
+    * at-rest shingled corpus and its component labels. Both frames are
+    * MATERIALIZED (localCheckpoint / persist) at every transition — a
+    * micro-batch frame is only valid during its own epoch, so anything
+    * folded into cross-epoch state must be pinned eagerly.
+    */
+  final class ClusterState private[streaming] (
+      @volatile private[streaming] var ingested: DataFrame,
+      @volatile private[streaming] var labels: DataFrame) {
+    /** The labeling as of the last completed epoch: (idCol, component). */
+    def currentLabels: DataFrame = labels
+  }
+
+  /** Build the at-rest state once from the already-ingested corpus
+    * (shingled form): pair it with itself, label the components, pin both.
+    */
+  def clusterState(corpusShingled: DataFrame, idCol: String,
+      shingleCol: String, tau: Double): ClusterState = {
+    val sh = corpusShingled.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs = Dedup.jaccardJoin(sh, idCol, shingleCol, tau)
+      .select("a", "b")
+    new ClusterState(sh, Dedup.components(pairs, idCol).localCheckpoint())
+  }
+
+  /** One cluster-maintenance epoch (pure batch function — the streaming
+    * entrypoint below delegates here): the batch pairs with itself and
+    * with everything ingested so far, the pairs merge into the labels via
+    * [[graft.ops.Dedup.incrementalComponents]] (batch-sized micro graph,
+    * one at-rest relabel pass — the corpus graph is never recomputed),
+    * and the batch folds into the at-rest side for later epochs. Returns
+    * the merged labeling (also the new `state.currentLabels`).
+    */
+  def clusterBatch(batch: DataFrame, state: ClusterState, idCol: String,
+      shingleCol: String, tau: Double): DataFrame = {
+    val bsh = batch.select(idCol, shingleCol).localCheckpoint()
+    val newPairs = Dedup.jaccardJoin(bsh, idCol, shingleCol, tau)
+      .select("a", "b")
+      .unionAll(Dedup.jaccardJoinAgainst(bsh, state.ingested, idCol,
+        shingleCol, tau).select("a", "b"))
+    val merged = Dedup.incrementalComponents(state.labels, idCol, newPairs)
+      .localCheckpoint()
+    state.labels = merged
+    state.ingested = state.ingested.unionAll(bsh)
+      .localCheckpoint() // pin: the union chain must not re-read old epochs
+    merged
+  }
+
+  /** Continuous CLUSTER MAINTENANCE — the streaming twin of the
+    * `incremental_components` batch tier: every arriving (pre-shingled)
+    * micro-batch is folded into the at-rest near-dup clustering at the
+    * door. Per-epoch work scales with the batch (micro fixpoint) plus one
+    * pass over the label state (the relabel join) — never with the
+    * accumulated pair graph. `sink` receives (merged labels, epochId).
+    */
+  def clusteredIngest(newDocs: DataFrame, state: ClusterState, idCol: String,
+      shingleCol: String, tau: Double)
+      (sink: (DataFrame, Long) => Unit): StreamingQuery =
+    newDocs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        sink(clusterBatch(batch, state, idCol, shingleCol, tau), epochId)
+      }
+      .start()
+
   /** Continuous DISTRIBUTION-MATCHED ingest — the streaming twin of the
     * `dsir_select` batch tier: every arriving micro-batch is scored with
     * the (pre-fitted, broadcast) DSIR importance-weight table, so the sink

@@ -80,6 +80,48 @@ class CorpusIngestSpec extends SparkTestBase {
     assert(surviving == manual1 ++ manual2)
   }
 
+  test("clustered ingest: streamed label maintenance == from-scratch clustering") {
+    val sp = spark
+    import sp.implicits._
+    // corpus: docs 100/101 near-dup each other; 102 is a singleton pair-wise
+    val baseDocs = Seq(
+      100L -> "the quick brown fox jumps over the lazy dog today",
+      101L -> "the quick brown fox jumps over the lazy dog tonight",
+      102L -> "completely different corpus text about spark and scala engines")
+    // epoch 1: 5 dups the 100-cluster; 6 is fresh. epoch 2: 7 dups 6
+    // (cross-EPOCH — only visible if the batch folded into the at-rest
+    // side), 8 bridges nothing.
+    val epoch1 = Seq(
+      5L -> "the quick brown fox jumps over the lazy dog today",
+      6L -> "an entirely new document with its own novel wording here")
+    val epoch2 = Seq(
+      7L -> "an entirely new document with its own novel wording here",
+      8L -> "unrelated fresh content mentioning neither foxes nor engines")
+    def sh(rows: Seq[(Long, String)]) =
+      rows.toDF("doc_id", "text").select(col("doc_id"),
+        TextOps.wordNGrams(col("text"), 3).as("sh"))
+    val state = CorpusIngest.clusterState(sh(baseDocs), "doc_id", "sh", Tau)
+    val stream = MemoryStream[(Long, String)](sp)
+    val sdf = stream.toDF().toDF("doc_id", "text").select(col("doc_id"),
+      TextOps.wordNGrams(col("text"), 3).as("sh"))
+    val q = CorpusIngest.clusteredIngest(sdf, state, "doc_id", "sh", Tau)(
+      (_, _) => ())
+    stream.addData(epoch1); q.processAllAvailable()
+    stream.addData(epoch2); q.processAllAvailable()
+    q.stop()
+    val got = state.currentLabels.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // from-scratch clustering over ALL docs' pairs
+    val all = sh(baseDocs ++ epoch1 ++ epoch2)
+    val want = graft.ops.Dedup.components(
+        graft.ops.Dedup.jaccardJoin(all, "doc_id", "sh", Tau).select("a", "b"),
+        "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want)
+    // the cross-epoch dup 6-7 MUST be one cluster (proves the fold-in)
+    assert(got(7L) == got(6L))
+  }
+
   test("quality-gated ingest: streamed scores == batch scores, routing by predicted") {
     val sp = spark
     import sp.implicits._
