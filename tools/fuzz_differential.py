@@ -163,7 +163,7 @@ def gen_query():
                   "window", "window_frame", "setop", "json",
                   "having", "subquery", "rollup", "tokens",
                   "vector_topk", "lsh_bands", "percentile",
-                  "window_min", "segment"]
+                  "window_min", "segment", "sessions"]
     # FUZZ_SHAPES=a,b focuses a run on one family (geometry sweeps);
     # unset = the full mixed sweep
     import os
@@ -202,6 +202,31 @@ def gen_query():
                 f"SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segments, "
                 f"CAST(sum(isdup) AS BIGINT) AS n_dup "
                 f"FROM j GROUP BY doc_id ORDER BY doc_id")
+    if shape == "sessions":
+        # gaps-and-islands sessionization over events with a RANDOM gap —
+        # the geometry sweep behind the events_sessions/streamed_sessions
+        # gates (which prove one 30-minute gap). New session iff
+        # ts >= prev + gap (the session_window close rule); value sums in
+        # DECIMAL so aggregation order can't drift; both engines parse the
+        # ANSI INTERVAL '<n>' MINUTE literal. Timestamps ARE compared
+        # (Spark's parquet output and DuckDB's computation both surface as
+        # naive-UTC datetimes).
+        g = rng.choice([1, 5, 15, 30, 60, 240, 1440])
+        where = f" WHERE {predicate('events')}" if rng.random() < 0.4 else ""
+        return (
+            "WITH o AS ("
+            "SELECT user_id, event_id, ts, CAST(value AS DECIMAL(18,2)) AS v, "
+            "lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts "
+            f"FROM events{where}), "
+            "m AS (SELECT user_id, event_id, ts, v, "
+            f"CASE WHEN pts IS NULL OR ts >= pts + INTERVAL '{g}' MINUTE "
+            "THEN 1 ELSE 0 END AS brk FROM o), "
+            "s AS (SELECT user_id, ts, v, sum(brk) OVER ("
+            "PARTITION BY user_id ORDER BY ts, event_id) AS sid FROM m) "
+            "SELECT user_id, sid, count(*) AS n_events, "
+            "min(ts) AS session_start, max(ts) AS session_end, "
+            "sum(v) AS session_value "
+            "FROM s GROUP BY user_id, sid ORDER BY user_id, sid")
     if shape == "window_min":
         # the codegen'd winnowing selection expression vs a DuckDB
         # list_transform/list_min replay, over deterministic md5-derived
