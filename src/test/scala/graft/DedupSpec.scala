@@ -463,6 +463,29 @@ class ComponentsSpec extends SparkTestBase {
     }
   }
 
+  test("incrementalComponents: sequential batches equal full recompute at every step") {
+    // the production life of the operator: labels absorb batch after
+    // batch, each merge exact against from-scratch clustering over
+    // everything ingested so far
+    val rnd = new scala.util.Random(99L)
+    var labels = graft.ops.Dedup.components(
+      Seq.empty[(Long, Long)].toDF("a", "b"), "doc_id")
+    var allPairs = Seq.empty[(Long, Long)]
+    for (epoch <- 1 to 4) {
+      val batch = (1 to 25).map(_ =>
+        (rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+        .filter { case (a, b) => a != b }
+      allPairs ++= batch
+      labels = graft.ops.Dedup.incrementalComponents(
+          labels, "doc_id", batch.toDF("a", "b"))
+        .localCheckpoint() // pin: the next merge reads this as at-rest state
+      val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val want = graft.ops.Dedup.components(allPairs.toDF("a", "b"), "doc_id")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want, s"diverged after epoch $epoch")
+    }
+  }
+
   test("incrementalComponents: empty batch and empty at-rest state") {
     val oldPairs = Seq((1L, 2L), (5L, 6L)).toDF("a", "b")
     val labels = graft.ops.Dedup.components(oldPairs, "doc_id")
