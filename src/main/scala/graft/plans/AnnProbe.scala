@@ -53,11 +53,30 @@ object AnnCatalog {
       * (the index was built over it; a re-registration is a new Entry, so
       * a new memo), which makes the cached plan safe to re-splice. The
       * memo holds bounded k-row LocalRelations / probe join plans, not
-      * data-scale state.
+      * data-scale state — but a long-lived registration serving many
+      * DISTINCT query vectors would still grow it without bound, so it is
+      * size-capped: past [[AnnCatalog.MemoMaxEntries]] new (qvec, k) pairs
+      * run uncached (the cache exists to dedup re-optimizations of the
+      * SAME query, which land immediately after the first pass).
       */
     private[plans] val memo =
       new scala.collection.concurrent.TrieMap[(Seq[Double], Int), LogicalPlan]
+
+    private[plans] def memoized(qvec: Array[Double], k: Int)
+        (run: => LogicalPlan): LogicalPlan = {
+      val key = (qvec.toSeq, k)
+      memo.get(key) match {
+        case Some(p) => p
+        case None =>
+          val p = run
+          if (memo.size < AnnCatalog.MemoMaxEntries) memo.putIfAbsent(key, p)
+          p
+      }
+    }
   }
+
+  /** Per-entry probe-plan memo cap (distinct (qvec, k) pairs). */
+  private[plans] val MemoMaxEntries = 256
 
   private val entries = new CopyOnWriteArrayList[Entry]()
 
@@ -167,11 +186,11 @@ case class AnnProbeRule(spark: SparkSession) extends Rule[LogicalPlan] {
         case _ => None
       }
     } yield {
-      val probePlan = entry.memo.getOrElseUpdate((qvec.toSeq, k), {
+      val probePlan = entry.memoized(qvec, k) {
         AnnProbeRule.inProbe.set(true)
         try entry.probe(qvec, k).queryExecution.optimizedPlan
         finally AnnProbeRule.inProbe.set(false)
-      })
+      }
       val idOut = probePlan.output.find(_.name == entry.idCol).get
       val distOut = probePlan.output.find(_.name == "cos_dist").get
       // preserve the original output attributes (names AND exprIds) so
