@@ -199,6 +199,26 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("incremental components: micro result is a LocalRelation, relabel join is the only label-state pass") {
+    val sp = spark
+    import sp.implicits._
+    val labels = graft.ops.Dedup.components(
+      Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b"), "doc_id")
+      .localCheckpoint()
+    val out = graft.ops.Dedup.incrementalComponents(labels, "doc_id",
+      Seq((11L, 2L), (20L, 21L)).toDF("a", "b"))
+    val plan = out.queryExecution.optimizedPlan.toString
+    // the batch-sized micro fixpoint resolved driver-side: its labeling
+    // enters the plan as a bounded LocalRelation, so the only remaining
+    // joins are the relabel/fresh passes over the label state — a scan of
+    // the at-rest labels, never of any edge set
+    assert(plan.contains("LocalTableScan"), plan) // cached driver result
+    assert(!plan.toLowerCase.contains("cartesian"), plan)
+    // correctness of the planted merge rides along
+    val got = out.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(11L) == 1L && got(3L) == 1L && got(20L) == 20L, got)
+  }
+
   test("classifier scoring joins the broadcast weight table — corpus never shuffles on token") {
     val w = graft.ops.HashedClassifier.train(docs, "text",
       col("doc_id") % 2 === 0, 256)
