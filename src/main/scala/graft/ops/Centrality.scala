@@ -45,16 +45,30 @@ object Centrality {
     require((unit * (dampDen - dampNum)) % dampDen == 0,
       s"teleport base must be integer-exact: $unit * ($dampDen - $dampNum) / $dampDen")
     val base = unit * (dampDen - dampNum) / dampDen
-    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
-    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     // adjacency with out-degree attached: read `iters` times — persist
     // once, PRE-PARTITIONED on the per-iteration join key so the cached
     // exchange satisfies every round's join and only the node-sized rank
-    // side shuffles per iteration
-    val adj = edges.join(deg, "src")
+    // side shuffles per iteration. The repartition comes FIRST and both
+    // the degree aggregate and the join derive from it: hash(src)
+    // satisfies the aggregate's distribution AND the join's, and the two
+    // scans of the repartitioned subtree are one ReusedExchange — so the
+    // build pays exactly ONE |E| exchange in every regime. The r13 shape
+    // (join THEN repartition) paid a redundant second |E| exchange
+    // whenever deg was too big to broadcast (the measured 23.2→33.0 s
+    // regression at the 50× ScaleSmoke rung), while dropping the
+    // repartition entirely (the r10 shape) left the cache unpartitioned
+    // whenever deg DID broadcast — |E| re-shuffled every round at the
+    // small rungs. This shape is the best of both, unconditionally.
+    // localCheckpoint, not persist: the cached adjacency must also TRUNCATE
+    // the caller's lineage (pair tables arrive off deep shingle-join
+    // pipelines — under a plain persist that whole lineage rides inside
+    // every downstream task binary and re-serializes per stage, ~10 stages
+    // per run; the LogicalRDD keeps the hash(src) partitioning info)
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .repartition(col("src"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val adj = edges.join(deg, "src").localCheckpoint()
     var ranks = deg.select(col("src").as("id"), lit(unit).as("pr"))
     (1 to iters).foreach { _ =>
       val inflow = adj.join(ranks, adj("src") === ranks("id"))

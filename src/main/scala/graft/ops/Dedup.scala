@@ -440,22 +440,42 @@ object Dedup {
     // pre-partition the (large) edge side on the per-round join key: the
     // cached exchange satisfies every iteration's join distribution, so
     // only the (node-sized) label side shuffles per round — without this,
-    // |E| re-shuffles diameter-many times
+    // |E| re-shuffles diameter-many times. Repartition BEFORE the
+    // distinct: hash(dst) satisfies the distinct's clustered distribution
+    // on (src, dst) (same (src,dst) ⇒ same dst ⇒ same partition), so the
+    // build pays exactly ONE |E| exchange — distinct-then-repartition
+    // paid two (the r13 pagerank ladder measured the redundant second
+    // exchange as a regression at the 50× rung)
+    // localCheckpoint, not persist: pins the blocks AND truncates the
+    // caller's lineage (pair tables arrive off deep shingle-join
+    // pipelines; under a plain persist that lineage re-serializes into
+    // every round's task binaries — the pagerank ladder measured it as
+    // 33→6 s at the 50× rung). The LogicalRDD keeps hash(dst).
     val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
       .unionAll(pairs.select(col("b").as("src"), col("a").as("dst")))
-      .distinct()
       .repartition(col("dst"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .distinct()
+      .localCheckpoint()
     var labels = checkpoint(
       edges.select(col("src").as("__id")).distinct()
         .withColumn("__label", col("__id")))
     // labels only ever DECREASE (per-node min over a growing reachable
     // set), so fixpoint == the label sum is unchanged — one node-sized
     // aggregate per round instead of a labels⋈labels change-detection
-    // join. DECIMAL(38,0): exact at any node count × id magnitude.
-    def labelSum(df: DataFrame): Option[java.math.BigDecimal] =
-      Option(df.agg(sum(col("__label").cast("decimal(38,0)"))).head()
-        .getDecimal(0)) // None on an empty graph — equal across rounds
+    // join. DECIMAL(38,0): exact at any node count × id magnitude. A
+    // decimal overflow returns NULL under non-ANSI mode, and two
+    // consecutive NULL sums would compare equal — converged would go true
+    // on UNCONVERGED labels. Unreachable headroom (sum < |V|·2^63 needs
+    // |V| > 10^19 to overflow 38 digits), but fail LOUDLY, not silently:
+    def labelSum(df: DataFrame): Option[java.math.BigDecimal] = {
+      val row = df.agg(sum(col("__label").cast("decimal(38,0)")),
+        count(lit(1))).head()
+      val s = row.getDecimal(0)
+      require(row.getLong(1) == 0L || s != null,
+        "components label-sum overflowed decimal(38,0) — convergence " +
+          "detection would be silently wrong")
+      Option(s) // None only on an empty graph — equal across rounds
+    }
     var prevSum = labelSum(labels)
     var iter = 0
     var converged = false
@@ -472,7 +492,8 @@ object Dedup {
       labels = next
       iter += 1
     }
-    edges.unpersist()
+    // edge blocks are checkpoint-pinned; ContextCleaner frees them when
+    // the RDD is GC'd (same lifecycle as every per-round label checkpoint)
     require(converged,
       s"components did not converge in $maxIters rounds — raise maxIters " +
         "or use componentsStar for adversarially deep graphs")
@@ -499,12 +520,35 @@ object Dedup {
     * Output: `(idCol, component)` for every node in `labels` or
     * `newPairs`, identical row-for-row to [[components]] over the union of
     * the old and new pair sets (DedupSpec asserts equality on randomized
-    * merge topologies).
+    * merge topologies). The returned frame is EAGERLY materialized
+    * (localCheckpoint) so every internal cache is released before return —
+    * the continuous `clusteredIngest` path calls this once per micro-batch
+    * and a per-epoch CacheManager leak would grow for the process
+    * lifetime. Callers therefore need no checkpoint of their own.
     */
   def incrementalComponents(labels: DataFrame, idCol: String,
       newPairs: DataFrame, maxIters: Int = 25,
       checkpointDir: Option[String] = None,
       driverMaxEdges: Long = 1L << 22): DataFrame = {
+    val (plan, caches) = incrementalComponentsPlan(labels, idCol, newPairs,
+      maxIters, checkpointDir, driverMaxEdges)
+    // pin the output, then release every internal cache (scoped cleanup —
+    // nothing this function persisted outlives it)
+    val out = plan.localCheckpoint()
+    caches.foreach(_.unpersist())
+    out
+  }
+
+  /** The lazy merge plan plus the internal caches backing it — the public
+    * entrypoint materializes the plan and releases the caches; PlanSpec
+    * asserts the plan SHAPE here (micro labeling enters as a bounded
+    * LocalRelation; the relabel/fresh joins are the only label-state
+    * passes). Callers of this variant own the returned caches.
+    */
+  private[graft] def incrementalComponentsPlan(labels: DataFrame, idCol: String,
+      newPairs: DataFrame, maxIters: Int = 25,
+      checkpointDir: Option[String] = None,
+      driverMaxEdges: Long = 1L << 22): (DataFrame, Seq[DataFrame]) = {
     val lab = labels.select(col(idCol).as("__oid"), col("component").as("__ocomp"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val np = newPairs.select(col("a"), col("b"))
@@ -515,15 +559,23 @@ object Dedup {
     val anchors = lab.join(touched, Seq("__oid"))
       .where(col("__oid") =!= col("__ocomp"))
       .select(col("__oid").as("a"), col("__ocomp").as("b"))
-    // The micro edge set is checkpointed first: it is consumed more than
-    // once below (don't re-pay the anchor join), and the truncation keeps
-    // the fixpoint's nested self-joins off the composite upstream lineage.
+    // The micro edge set is pinned first: it is consumed more than once
+    // below (size routing + the fixpoint — don't re-pay the anchor join),
+    // and the truncation keeps the fixpoint's nested self-joins off the
+    // composite upstream lineage. The local branch persists-then-counts
+    // so ONE job both materializes the cache and sizes the route (a
+    // localCheckpoint would spend a separate job on materialization
+    // before the count — one extra driver-blocking job per streaming
+    // epoch); the reliable branch keeps checkpoint() for executor-loss
+    // tolerance on long cluster jobs.
+    val microPlan = np.unionAll(anchors)
     val microEdges = checkpointDir match {
       case Some(dir) =>
         lab.sparkSession.sparkContext.setCheckpointDir(dir)
-        np.unionAll(anchors).checkpoint()
-      case None => np.unionAll(anchors).localCheckpoint()
+        microPlan.checkpoint()
+      case None => microPlan.persist(StorageLevel.MEMORY_AND_DISK)
     }
+    val microCount = microEdges.count()
     // The micro graph is batch-sized BY CONSTRUCTION (new pairs + one
     // anchor per touched member — never corpus-sized), so route it by
     // size: below `driverMaxEdges`, a driver union-find labels it in one
@@ -536,7 +588,10 @@ object Dedup {
     // labeling either way.
     val longIds = microEdges.schema.fields.forall(
       _.dataType == org.apache.spark.sql.types.LongType)
-    val micro = (if (longIds && microEdges.count() <= driverMaxEdges) {
+    // no persist on micro: the driver branch is a LocalRelation and the
+    // star branch's labels sit on the fixpoint's final checkpoint — both
+    // of its two consumers below re-derive from pinned blocks
+    val micro = if (longIds && microCount <= driverMaxEdges) {
       val parent = new java.util.HashMap[Long, Long]()
       def find(x: Long): Long = {
         var r = x
@@ -558,8 +613,7 @@ object Dedup {
       val keys = parent.keySet().asScala.toVector
       val rows = keys.map(x => (x, find(x)))
       lab.sparkSession.createDataFrame(rows).toDF("__mid", "component")
-    } else componentsStar(microEdges, "__mid", maxIters, checkpointDir))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    } else componentsStar(microEdges, "__mid", maxIters, checkpointDir)
     // affected old clusters: canonical id -> merged (global-min) label
     val relabel = micro.join(
         lab.select(col("__ocomp").as("__mid")).distinct(), Seq("__mid"))
@@ -571,7 +625,7 @@ object Dedup {
     val fresh = micro
       .join(lab.select(col("__oid").as("__mid")), Seq("__mid"), "left_anti")
       .select(col("__mid").as(idCol), col("component"))
-    updatedOld.unionAll(fresh)
+    (updatedOld.unionAll(fresh), Seq(microEdges, lab))
   }
 
   /** Connected components by alternating large-star/small-star contraction
@@ -598,9 +652,10 @@ object Dedup {
         df => df.checkpoint()
       case None => df => df.localCheckpoint()
     }
+    // single consumer (the final root join) — no persist: caching it
+    // would leak a CacheManager entry per call on the streaming path
     val nodes = pairs.select(col("a").as("__id"))
       .unionAll(pairs.select(col("b").as("__id"))).distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
     // closed-neighborhood minimum per node over the symmetric edge view
     def sym(e: DataFrame): DataFrame =
       e.unionAll(e.select(col("v").as("u"), col("u").as("v")))

@@ -142,19 +142,30 @@ case class AnnProbeRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!enabled || AnnProbeRule.inProbe.get) return plan
+    // plan instances spliced into THIS traversal (identity): two matching
+    // subtrees for the same (qvec, k) in one query must not both receive
+    // the identical memoized plan instance — its internal exprIds would
+    // then appear twice in one optimized tree, risking ambiguous attribute
+    // resolution. On a collision the probe re-runs uncached (fresh
+    // exprIds), exactly the pre-memo behavior; the memo's purpose —
+    // deduping re-OPTIMIZATIONS of the same query — is unaffected, since
+    // each re-optimization is a fresh apply() with an empty set.
+    val spliced = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[LogicalPlan, java.lang.Boolean]())
     plan.transformDown {
       case gl @ GlobalLimit(Literal(k: Int, IntegerType),
           LocalLimit(_, Sort(orders, true,
             Project(projList, child), _))) if k > 0 =>
         // the spliced probe plan never re-matches: its Sort+Limit sits over
         // a semi-join, not a registered relation
-        rewrite(k, orders, projList, child).getOrElse(gl)
+        rewrite(k, orders, projList, child, spliced).getOrElse(gl)
     }
   }
 
   /** The narrow match + splice; None leaves the plan untouched. */
   private def rewrite(k: Int, orders: Seq[SortOrder],
-      projList: Seq[NamedExpression], child: LogicalPlan): Option[LogicalPlan] = {
+      projList: Seq[NamedExpression], child: LogicalPlan,
+      spliced: java.util.Set[LogicalPlan]): Option[LogicalPlan] = {
     val resolver = spark.sessionState.conf.resolver
     for {
       entry <- AnnCatalog.lookup(child)
@@ -186,11 +197,14 @@ case class AnnProbeRule(spark: SparkSession) extends Rule[LogicalPlan] {
         case _ => None
       }
     } yield {
-      val probePlan = entry.memoized(qvec, k) {
+      def runProbe: LogicalPlan = {
         AnnProbeRule.inProbe.set(true)
         try entry.probe(qvec, k).queryExecution.optimizedPlan
         finally AnnProbeRule.inProbe.set(false)
       }
+      val memoPlan = entry.memoized(qvec, k)(runProbe)
+      // intra-plan duplicate of the same memoized instance → fresh probe
+      val probePlan = if (spliced.add(memoPlan)) memoPlan else runProbe
       val idOut = probePlan.output.find(_.name == entry.idCol).get
       val distOut = probePlan.output.find(_.name == "cos_dist").get
       // preserve the original output attributes (names AND exprIds) so

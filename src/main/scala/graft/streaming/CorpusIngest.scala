@@ -94,9 +94,19 @@ object CorpusIngest {
   final class ClusterState private[streaming] (
       @volatile private[streaming] var ingested: DataFrame,
       @volatile private[streaming] var labels: DataFrame) {
+    /** Epochs folded in since `ingested` was last re-pinned as one frame —
+      * see [[clusterBatch]]'s plan-depth collapse. */
+    private[streaming] var epochsSinceCollapse: Int = 0
     /** The labeling as of the last completed epoch: (idCol, component). */
     def currentLabels: DataFrame = labels
   }
+
+  /** Collapse the lazily-unioned per-epoch ingest state into one pinned
+    * frame every this many epochs: each epoch frame is individually
+    * checkpointed so the union never recomputes data, but the union PLAN
+    * grows one node per epoch and analysis cost would creep unboundedly
+    * on a long-lived stream. */
+  private val IngestCollapseEvery = 32
 
   /** Build the at-rest state once from the already-ingested corpus
     * (shingled form): pair it with itself, label the components, pin both.
@@ -125,11 +135,22 @@ object CorpusIngest {
       .select("a", "b")
       .unionAll(Dedup.jaccardJoinAgainst(bsh, state.ingested, idCol,
         shingleCol, tau).select("a", "b"))
+    // incrementalComponents returns an eagerly pinned (localCheckpoint)
+    // frame with its internal caches already released — no second pin here
     val merged = Dedup.incrementalComponents(state.labels, idCol, newPairs)
-      .localCheckpoint()
     state.labels = merged
+    // fold the batch in LAZILY: bsh is already checkpointed, so the union
+    // re-reads pinned epoch blocks — re-checkpointing the whole union
+    // would COPY the entire accumulated corpus every epoch (per-epoch work
+    // must scale with the batch, not the corpus). Only the union PLAN
+    // grows per epoch; collapse it into one pinned frame every
+    // [[IngestCollapseEvery]] epochs to bound analysis cost.
     state.ingested = state.ingested.unionAll(bsh)
-      .localCheckpoint() // pin: the union chain must not re-read old epochs
+    state.epochsSinceCollapse += 1
+    if (state.epochsSinceCollapse >= IngestCollapseEvery) {
+      state.ingested = state.ingested.localCheckpoint()
+      state.epochsSinceCollapse = 0
+    }
     merged
   }
 

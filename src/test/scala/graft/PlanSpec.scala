@@ -205,18 +205,22 @@ class PlanSpec extends SparkTestBase {
     val labels = graft.ops.Dedup.components(
       Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b"), "doc_id")
       .localCheckpoint()
-    val out = graft.ops.Dedup.incrementalComponents(labels, "doc_id",
-      Seq((11L, 2L), (20L, 21L)).toDF("a", "b"))
+    // the public entrypoint pins its output (localCheckpoint) and releases
+    // its caches, which hides the plan behind a LogicalRDD — assert the
+    // shape on the lazy builder it wraps
+    val (out, caches) = graft.ops.Dedup.incrementalComponentsPlan(labels,
+      "doc_id", Seq((11L, 2L), (20L, 21L)).toDF("a", "b"))
     val plan = out.queryExecution.optimizedPlan.toString
     // the batch-sized micro fixpoint resolved driver-side: its labeling
     // enters the plan as a bounded LocalRelation, so the only remaining
     // joins are the relabel/fresh passes over the label state — a scan of
     // the at-rest labels, never of any edge set
-    assert(plan.contains("LocalTableScan"), plan) // cached driver result
+    assert(plan.contains("LocalRelation"), plan) // bounded driver result
     assert(!plan.toLowerCase.contains("cartesian"), plan)
     // correctness of the planted merge rides along
     val got = out.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got(11L) == 1L && got(3L) == 1L && got(20L) == 20L, got)
+    caches.foreach(_.unpersist())
   }
 
   test("classifier scoring joins the broadcast weight table — corpus never shuffles on token") {

@@ -169,7 +169,12 @@ object ScaleSmoke {
       // construction; the only corpus-sized term is the final one-pass
       // relabel join over the labels — wall should grow far slower than
       // k and shuffle should be labels-join-sized, never edge-sized.
-      timed("inc_components", k, nRows) {
+      // at-rest state built OUTSIDE the timed block (the producer-rung
+      // pattern, same as the postings/ann builds): wall AND shuffle below
+      // cover only the merge — previously the wall included the
+      // corpus-sized build while the shuffle tally excluded it, so the
+      // family's two columns measured different spans
+      if (on("inc_components")) {
         val pairs = graft.ops.Dedup.jaccardJoin(shingled, "doc_id", "sh", 0.5)
           .select(col("a"), col("b"))
         // star contraction for the at-rest build: the τ=0.5 recoded-shingle
@@ -178,8 +183,6 @@ object ScaleSmoke {
         val atRest = graft.ops.Dedup.componentsStar(pairs, "doc_id")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         atRest.count() // at-rest state built off the probe clock
-        tally.reset()
-        val t0 = System.nanoTime()
         // batch: 200 bridging pairs between existing cluster members plus
         // 100 fresh-node pairs — the merge/insert mix of a real crawl
         val members = atRest.orderBy("doc_id").limit(400)
@@ -191,12 +194,11 @@ object ScaleSmoke {
         val sp2 = spark
         import sp2.implicits._
         val newPairs = (bridge ++ freshPairs).toDF("a", "b")
-        val n = graft.ops.Dedup.incrementalComponents(atRest, "doc_id",
-          newPairs).count()
-        println(f"SCALE family=inc_probe_ms k=$k%3d probe=" +
-          ((System.nanoTime() - t0) / 1000000L))
+        timed("inc_components", k, nRows) {
+          graft.ops.Dedup.incrementalComponents(atRest, "doc_id",
+            newPairs).count()
+        }
         atRest.unpersist(blocking = false)
-        n
       }
 
       // snapshot delta: two scans + ONE full-outer id join; the 'new'
