@@ -55,9 +55,18 @@ object GraphAnn {
   val DefaultRounds = 4
 
   private def assignedOf(df: DataFrame, idCol: String, vecCol: String,
-      stride: Int): DataFrame = {
-    val cents = df.where(pmod(col(idCol), lit(stride)) === 0)
-      .select(col(idCol).cast("long").as("__cid"), col(vecCol).as("__cvec"))
+      stride: Int): DataFrame =
+    assignedTo(df, idCol, vecCol,
+      df.where(pmod(col(idCol), lit(stride)) === 0)
+        .select(col(idCol).cast("long").as("__cid"), col(vecCol).as("__cvec")))
+
+  /** Assignment against an EXPLICIT (broadcastable) centroid frame
+    * `(__cid, __cvec)` — the seam [[appendToMaterialized]] needs: an
+    * appended batch must score the same centroid set the at-rest index was
+    * built over, not centroids derived from the batch itself.
+    */
+  private def assignedTo(df: DataFrame, idCol: String, vecCol: String,
+      cents: DataFrame): DataFrame =
     df.select(col(idCol).cast("long").as("__nid"), col(vecCol).as("__nv"))
       .crossJoin(broadcast(cents))
       .select(col("__nid"), col("__nv"),
@@ -66,13 +75,20 @@ object GraphAnn {
       .groupBy(col("__nid"))
       .agg(first(col("__nv")).as("__nv"),
         min(col("__dc")).getField("cid").as("__centroid"))
-  }
 
   /** degree-NN edges within each bucket of an [[assignedOf]] frame (ties →
     * lowest dst id) — Σ bucket² distance evaluations, the same cost class
     * as every banded/bucketed join in this repo, never n².
     */
-  private def bucketKnnEdges(assigned: DataFrame, degree: Int): DataFrame = {
+  private def bucketKnnEdges(assigned: DataFrame, degree: Int): DataFrame =
+    bucketKnnEdgesWithBucket(assigned, degree).select(col("src"), col("dst"))
+
+  /** [[bucketKnnEdges]] keeping src's bucket (= the join key) — the
+    * materialized layout partitions member-level edges by it so an
+    * incremental insert can replace ONLY touched bucket partitions.
+    */
+  private def bucketKnnEdgesWithBucket(assigned: DataFrame,
+      degree: Int): DataFrame = {
     val l = assigned.select(col("__centroid"), col("__nid").as("src"),
       col("__nv").as("__vl"))
     val r = assigned.select(col("__centroid"), col("__nid").as("dst"),
@@ -82,10 +98,11 @@ object GraphAnn {
     l.join(r, Seq("__centroid"))
       .where(col("src") =!= col("dst"))
       .select(col("src"), col("dst"),
-        array_cosine_distance(col("__vl"), col("__vr")).as("__d"))
+        array_cosine_distance(col("__vl"), col("__vr")).as("__d"),
+        col("__centroid").as("__bucket"))
       .withColumn("__rn", row_number().over(w))
       .where(col("__rn") <= degree)
-      .select(col("src"), col("dst"))
+      .select(col("src"), col("dst"), col("__bucket"))
   }
 
   /** Exact degree-NN among a (small, broadcastable) node set — the top
@@ -134,12 +151,25 @@ object GraphAnn {
   def buildEdges(df: DataFrame, idCol: String, vecCol: String,
       stride: Int, degree: Int = DefaultDegree,
       superStride: Int = 0): DataFrame = {
+    val (member, upper, _) = levels(df, idCol, vecCol, stride, degree, superStride)
+    member.select(col("src"), col("dst")).union(upper)
+  }
+
+  /** The build decomposed by level — member edges WITH their bucket key,
+    * the upper (centroid/super) levels, and the member assignment — so
+    * [[materialize]] can lay the artifact out for incremental maintenance
+    * while [[buildEdges]] keeps its flat union shape.
+    */
+  private def levels(df: DataFrame, idCol: String, vecCol: String,
+      stride: Int, degree: Int,
+      superStride: Int): (DataFrame, DataFrame, DataFrame) = {
     val centDf = df.where(pmod(col(idCol), lit(stride)) === 0)
     if (superStride <= 0) {
       val assigned = assignedOf(df, idCol, vecCol, stride)
-      bucketKnnEdges(assigned, degree)
-        .union(exactKnnEdges(centDf.select(col(idCol).cast("long").as("__cid"),
-          col(vecCol).as("__cvec")), degree))
+      (bucketKnnEdgesWithBucket(assigned, degree),
+        exactKnnEdges(centDf.select(col(idCol).cast("long").as("__cid"),
+          col(vecCol).as("__cvec")), degree),
+        assigned)
     } else {
       require(superStride > stride && superStride % stride == 0,
         s"superStride $superStride must be a multiple of stride $stride above it")
@@ -179,12 +209,13 @@ object GraphAnn {
       // the families are disjoint (a node of each level is its own
       // bucket's centroid at that level), so plain unions need no
       // distinct() exchange
-      bucketKnnEdges(assigned, degree)
-        .union(bucketKnnEdges(centAssigned, degree))
-        .union(exactKnnEdges(
-          df.where(pmod(col(idCol), lit(superStride)) === 0)
-            .select(col(idCol).cast("long").as("__cid"),
-              col(vecCol).as("__cvec")), degree))
+      (bucketKnnEdgesWithBucket(assigned, degree),
+        bucketKnnEdges(centAssigned, degree)
+          .union(exactKnnEdges(
+            df.where(pmod(col(idCol), lit(superStride)) === 0)
+              .select(col(idCol).cast("long").as("__cid"),
+                col(vecCol).as("__cvec")), degree)),
+        assigned)
     }
   }
 
@@ -211,13 +242,38 @@ object GraphAnn {
       stride: Int, degree: Int, path: String, superStride: Int = 0): Unit = {
     require(!df.where(pmod(col(idCol), lit(stride)) === 0).isEmpty,
       s"no centroids: no $idCol divisible by stride $stride")
+    val dstVecs = df.select(col(idCol).cast("long").as("dst"),
+      col(vecCol).as(DstVecCol))
+    val (member, upper, assigned) =
+      levels(df, idCol, vecCol, stride, degree, superStride)
     // one build-time shuffle to attach dst vectors; every dst is a corpus
-    // row by construction, so the join cannot drop edges
-    buildEdges(df, idCol, vecCol, stride, degree, superStride)
-      .join(df.select(col(idCol).cast("long").as("dst"),
-        col(vecCol).as(DstVecCol)), Seq("dst"), "left")
+    // row by construction, so the join cannot drop edges.
+    // Member-level edges are PARTITIONED BY SRC'S BUCKET: an incremental
+    // insert ([[appendToMaterialized]]) touches only the buckets the batch
+    // lands in, so it can replace exactly those partitions (dynamic
+    // partition overwrite) and never rewrite the at-rest remainder. The
+    // upper (centroid/super) levels change only on a re-materialize —
+    // they live in their own small table.
+    // repartition on the partition key before the partitioned writes: one
+    // task owns each bucket, so a bucket directory holds ONE file instead
+    // of one per writing task — the listing/footer cost of every later
+    // bucket-pruned read (and of the probes) stays proportional to bucket
+    // count, not bucket count × build parallelism
+    member.join(dstVecs, Seq("dst"), "left")
+      .select(col("src"), col("dst"), col(DstVecCol), col("__bucket"))
+      .repartition(col("__bucket"))
+      .write.mode("overwrite").partitionBy("__bucket")
+      .parquet(s"$path/edges")
+    upper.join(dstVecs, Seq("dst"), "left")
       .select(col("src"), col("dst"), col(DstVecCol))
-      .write.mode("overwrite").parquet(s"$path/edges")
+      .write.mode("overwrite").parquet(s"$path/cedges")
+    // the member ASSIGNMENT rides along, bucket-partitioned (the IVF
+    // layout): an insert must see a touched bucket's existing members
+    // (vectors included) without scanning the corpus — a bucket-pruned
+    // read of this table is exactly that
+    assigned.repartition(col("__centroid"))
+      .write.mode("overwrite").partitionBy("__centroid")
+      .parquet(s"$path/assign")
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(path, SpecMarker),
       if (superStride > 0) s"$stride $degree $superStride"
@@ -225,7 +281,9 @@ object GraphAnn {
   }
 
   /** Open a [[materialize]]d edge table; the stored geometry is
-    * authoritative and checked against the caller's expectation.
+    * authoritative and checked against the caller's expectation. Probes
+    * see one `(src, dst, __dstv)` frame — the bucket partitioning is a
+    * storage detail.
     */
   def fromMaterialized(spark: org.apache.spark.sql.SparkSession, path: String,
       stride: Int, degree: Int, superStride: Int = 0): DataFrame = {
@@ -238,6 +296,122 @@ object GraphAnn {
         s"(${parts(0)}, ${parts(1)}, $storedSuper), opened expecting " +
         s"($stride, $degree, $superStride)")
     spark.read.parquet(s"$path/edges")
+      .select(col("src"), col("dst"), col(DstVecCol))
+      .unionAll(spark.read.parquet(s"$path/cedges")
+        .select(col("src"), col("dst"), col(DstVecCol)))
+  }
+
+  /** Batch INSERT into a materialized graph — the incremental-maintenance
+    * tier (the IVF index has had `annIngest`/`appendToMaterialized` since
+    * r8; without this, a crawl batch forced a full bounded-degree edge
+    * rebuild). EXACT: the updated artifact is row-identical to
+    * re-materializing over the union corpus, because
+    *
+    *  - the batch is assigned against the centroids of `base` (the same
+    *    frozen-centroid contract as [[AnnIndex.appendToMaterialized]] —
+    *    and the batch must not itself contain centroid-level ids, checked
+    *    below), so assignments match the full rebuild's;
+    *  - a full rebuild changes member edges ONLY inside buckets the batch
+    *    lands in, and within a touched bucket an old node's new top-degree
+    *    neighbors are a subset of {its stored top-degree neighbors} ∪
+    *    {the bucket's new members} — any old candidate outside the stored
+    *    top-degree already had `degree` closer old neighbors, which a
+    *    superset cannot undo. So per touched bucket the insert ranks
+    *    stored-edges ∪ (old member × new member) ∪ (new member × all
+    *    members) candidates — batch×bucket work, never corpus×corpus —
+    *    under the build's exact (distance, dst) tie-break;
+    *  - the centroid-level table and untouched bucket partitions are not
+    *    read or written at all.
+    *
+    * Storage mutation is two bucket-pruned writes: the batch's assignment
+    * rows APPEND to `assign/`, and the recomputed touched-bucket edges
+    * replace exactly those partitions of `edges/` (dynamic partition
+    * overwrite). Single-writer per artifact, like every materialized-index
+    * mutation here. Flat geometry only (the tiered hierarchy re-materializes;
+    * its upper levels are centroid-set-dependent).
+    */
+  def appendToMaterialized(batch: DataFrame, base: DataFrame, idCol: String,
+      vecCol: String, stride: Int, degree: Int, path: String): Unit = {
+    val spark = batch.sparkSession
+    val parts = java.nio.file.Files
+      .readString(java.nio.file.Paths.get(path, SpecMarker)).trim.split(" ")
+    require(parts.length == 2,
+      s"graph at $path is tiered (superStride=${parts.lift(2).getOrElse("?")}) — " +
+        "incremental insert supports the flat geometry; re-materialize tiered builds")
+    require(parts(0).toInt == stride && parts(1).toInt == degree,
+      s"graph at $path was materialized with (stride, degree) = " +
+        s"(${parts(0)}, ${parts(1)}), append expects ($stride, $degree)")
+    require(batch.where(pmod(col(idCol), lit(stride)) === 0).isEmpty,
+      s"batch contains centroid-level ids ($idCol divisible by $stride): " +
+        "inserting centroids changes the bucket geometry — re-materialize instead")
+    val cents = base.where(pmod(col(idCol), lit(stride)) === 0)
+      .select(col(idCol).cast("long").as("__cid"), col(vecCol).as("__cvec"))
+    // batch-sized; pinned — consumed by the touched-list collect, both
+    // candidate joins, and the assign append
+    val newMembers = assignedTo(batch, idCol, vecCol, cents).localCheckpoint()
+    val touched = newMembers.select(col("__centroid")).distinct()
+      .collect().map(_.getLong(0)) // bounded by the batch size
+    if (touched.isEmpty) return
+    // The partition-column literals must MATCH the column's inferred type
+    // (small ids infer int, large infer long): an isin against mismatched
+    // literals wraps the partition column in a cast, which defeats
+    // partition pruning — the read silently degrades to a corpus scan
+    // (measured: the graph_insert ScaleSmoke rung's shuffle grew with the
+    // corpus until this fix).
+    def prunedOn(df: DataFrame, c: String): DataFrame = {
+      val vals: Seq[Any] = df.schema(c).dataType match {
+        case org.apache.spark.sql.types.IntegerType => touched.map(_.toInt).toSeq
+        case _ => touched.toSeq
+      }
+      df.where(col(c).isin(vals: _*))
+    }
+    // old members of touched buckets only: a bucket-PRUNED read of the
+    // assignment table (partition filter), never a corpus scan
+    val oldTouched = prunedOn(spark.read.parquet(s"$path/assign"), "__centroid")
+      .select(col("__nid"), col("__nv"), col("__centroid").cast("long"))
+      .localCheckpoint()
+    val newSide = newMembers.select(col("__centroid"),
+      col("__nid").as("dst"), col("__nv").as("__vr"))
+    // NEW srcs score every bucket-mate (old + new)
+    val newSrcCand = newMembers.select(col("__centroid"),
+        col("__nid").as("src"), col("__nv").as("__vl"))
+      .join(oldTouched.select(col("__centroid"), col("__nid").as("dst"),
+          col("__nv").as("__vr"))
+        .unionAll(newSide), Seq("__centroid"))
+      .where(col("src") =!= col("dst"))
+    // OLD srcs in touched buckets score only the NEW bucket-mates ...
+    val oldSrc = oldTouched.select(col("__centroid"),
+      col("__nid").as("src"), col("__nv").as("__vl"))
+    val oldNewCand = oldSrc.join(newSide, Seq("__centroid"))
+      .where(col("src") =!= col("dst"))
+    val fresh = newSrcCand.unionAll(oldNewCand)
+      .select(col("src"), col("dst"),
+        array_cosine_distance(col("__vl"), col("__vr")).as("__d"),
+        col("__centroid").as("__bucket"), col("__vr").as(DstVecCol))
+    // ... merged with their STORED top-degree edges (bucket-pruned read;
+    // the stored __dstv recomputes the identical distance expression)
+    val storedCand = prunedOn(spark.read.parquet(s"$path/edges"), "__bucket")
+      .select(col("src"), col("dst"), col(DstVecCol),
+        col("__bucket").cast("long"))
+      .join(oldSrc.select(col("src"), col("__vl")), Seq("src"))
+      .select(col("src"), col("dst"),
+        array_cosine_distance(col("__vl"), col(DstVecCol)).as("__d"),
+        col("__bucket"), col(DstVecCol))
+    val w = Window.partitionBy(col("src"))
+      .orderBy(col("__d").asc_nulls_last, col("dst").asc)
+    val updated = fresh.unionAll(storedCand)
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= degree)
+      .select(col("src"), col("dst"), col(DstVecCol), col("__bucket"))
+    // replace exactly the touched bucket partitions; append the batch's
+    // assignment rows (existing assignment rows never change). Same
+    // one-file-per-bucket repartition discipline as the build.
+    updated.repartition(col("__bucket")).write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("__bucket").parquet(s"$path/edges")
+    newMembers.repartition(col("__centroid"))
+      .write.mode("append").partitionBy("__centroid")
+      .parquet(s"$path/assign")
   }
 
   /** Executed-round observability for the convergence specs: how many

@@ -327,6 +327,10 @@ object NorthStarQueries {
   /** Tiered (superStride) graph-ANN edge table per dir. */
   private val graphTierSpool = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Incrementally-grown graph edge table (materialize even half + append
+    * the odd batch) per dir. */
+  private val graphIncSpool = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** BPE merges learned ONCE per source dir (train-once/encode-many — the
     * tokenizer lifecycle; the TRAINING cost itself stays benched in
     * `bpe_merges`, which always retrains).
@@ -793,6 +797,34 @@ object NorthStarQueries {
       // single-query probe → the point-probe shape (bounded driver beam
       // state, IN-pushdown point reads per round); row-identical to the
       // batch join shape by GraphAnnSpec
+      GraphAnn.pointProbeTopK(emb, "vec_id", "embedding", edges, qvec,
+        k = 10, stride = 64)
+    },
+
+    // INCREMENTAL graph growth (GraphAnn.appendToMaterialized): materialize
+    // the even-id half, insert the odd-id batch against the SAME frozen
+    // centroid set (every id divisible by stride 64 is even, so the two
+    // centroid sets coincide), probe sees old + new. The insert replaces
+    // only the touched bucket partitions (batch×bucket candidate work,
+    // dynamic partition overwrite) and is row-identical to rebuilding over
+    // the union corpus BY CONSTRUCTION — which is why the oracle is shared
+    // with ann_graph_topk: the full-build replay only hash-matches if the
+    // spliced artifact equals the rebuilt one.
+    "ann_graph_incremental_topk" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val path = spooled(graphIncSpool, dir)(d => {
+        val p = graft.util.TempDirs.create("graft_graph_inc_spool")
+        val all = t(s, d, "embeddings")
+        GraphAnn.materialize(all.where(pmod(col("vec_id"), lit(2)) === 0),
+          "vec_id", "embedding", 64, GraphAnn.DefaultDegree, p)
+        GraphAnn.appendToMaterialized(
+          all.where(pmod(col("vec_id"), lit(2)) === 1), all,
+          "vec_id", "embedding", 64, GraphAnn.DefaultDegree, p)
+        p
+      })
+      val qvec = emb.where(col("vec_id") === 1).select(col("embedding"))
+        .head().getSeq[Float](0).map(_.toDouble).toArray
+      val edges = GraphAnn.fromMaterialized(s, path, 64, GraphAnn.DefaultDegree)
       GraphAnn.pointProbeTopK(emb, "vec_id", "embedding", edges, qvec,
         k = 10, stride = 64)
     },
@@ -3219,6 +3251,10 @@ object NorthStarQueries {
     "ann_kmeans_topk" -> annKmeansOracle,
     "semantic_dedup" -> semanticDedupOracle,
     "ann_graph_topk" -> annGraphOracle,
+    // append == rebuild by construction, so the incremental gate replays
+    // the FULL build (the strongest form: the splice only hash-matches if
+    // the spliced artifact equals a from-scratch one)
+    "ann_graph_incremental_topk" -> annGraphOracle,
     "ann_graph_batch_topk" -> annGraphBatchOracle,
     "ann_graph_tiered_topk" -> annGraphTieredOracle,
     "sim_join_cosine" ->

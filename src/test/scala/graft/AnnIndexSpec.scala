@@ -661,6 +661,48 @@ class GraphAnnSpec extends SparkTestBase {
       GraphAnn.fromMaterialized(spark, path, 64, 16)
     }
   }
+
+  test("graph incremental insert: half materialize + half append == full materialize") {
+    val half = java.nio.file.Files.createTempDirectory("graph_inc").toString
+    val full = java.nio.file.Files.createTempDirectory("graph_full").toString
+    // even half first (every id divisible by stride 64 is even, so the
+    // half-build's centroid set == the full build's), then the odd batch
+    GraphAnn.materialize(emb.where(pmod(col("vec_id"), lit(2)) === 0),
+      "vec_id", "embedding", 64, GraphAnn.DefaultDegree, half)
+    GraphAnn.appendToMaterialized(emb.where(pmod(col("vec_id"), lit(2)) === 1),
+      emb, "vec_id", "embedding", 64, GraphAnn.DefaultDegree, half)
+    GraphAnn.materialize(emb, "vec_id", "embedding", 64,
+      GraphAnn.DefaultDegree, full)
+    def edgeSet(p: String): Set[(Long, Long)] =
+      GraphAnn.fromMaterialized(spark, p, 64, GraphAnn.DefaultDegree)
+        .select("src", "dst").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // row-identical artifact — the append IS the rebuild for touched buckets
+    assert(edgeSet(half) == edgeSet(full))
+    // and the probe over the appended artifact matches the full one exactly
+    val gotP = GraphAnn.pointProbeTopK(emb, "vec_id", "embedding",
+        GraphAnn.fromMaterialized(spark, half, 64, GraphAnn.DefaultDegree),
+        qvec(5), k = 10, stride = 64)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val wantP = GraphAnn.pointProbeTopK(emb, "vec_id", "embedding",
+        GraphAnn.fromMaterialized(spark, full, 64, GraphAnn.DefaultDegree),
+        qvec(5), k = 10, stride = 64)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(gotP == wantP)
+    // a batch that would add a centroid is rejected (bucket geometry frozen)
+    intercept[IllegalArgumentException] {
+      GraphAnn.appendToMaterialized(emb.where(col("vec_id") === 128),
+        emb, "vec_id", "embedding", 64, GraphAnn.DefaultDegree, half)
+    }
+    // tiered artifacts re-materialize — incremental insert refuses them
+    val tiered = java.nio.file.Files.createTempDirectory("graph_tier_inc").toString
+    GraphAnn.materialize(emb, "vec_id", "embedding", 64,
+      GraphAnn.DefaultDegree, tiered, superStride = 128)
+    intercept[IllegalArgumentException] {
+      GraphAnn.appendToMaterialized(emb.where(col("vec_id") === 1),
+        emb, "vec_id", "embedding", 64, GraphAnn.DefaultDegree, tiered)
+    }
+  }
 }
 
 /** sim_join_lsh's documented check (it has no SQL oracle: the hyperplane

@@ -476,7 +476,8 @@ object ScaleSmoke {
         nVec
       }
       if (on("graph_build")) timed("graph_build", k, nVec)(buildGraph())
-      else if (on("graph_probe") || on("graph_batch100")) buildGraph()
+      else if (on("graph_probe") || on("graph_batch100") ||
+        on("graph_insert")) buildGraph()
       lazy val edges = graft.ops.GraphAnn.fromMaterialized(spark, gpath, 64,
         graft.ops.GraphAnn.DefaultDegree)
       timed("graph_probe", k, nVec) { // best of 3, min millis as `out`
@@ -500,6 +501,24 @@ object ScaleSmoke {
         graft.ops.GraphAnn.beamSearchTopKBatch(emb, "vec_id", "embedding",
           edges, queries, "qid", "qv", k = 10, stride = 64).count()
         (System.nanoTime() - t0) / 1000000L
+      }
+      // incremental graph insert: a FIXED 200-vector batch spliced into
+      // the k×-scaled at-rest graph. The batch is drawn from the SCALED
+      // corpus (a crawl batch resembles the corpus distribution — drawing
+      // it from copy 0 alone would pile every insert into copy-0's
+      // buckets, whose population grows with k in this fixture), so
+      // candidate work is touched-buckets × constant bucket size and the
+      // storage mutation replaces only touched partitions — wall and
+      // shuffle should flatten once touched-bucket count saturates at the
+      // batch size. Runs AFTER the probe families (it mutates gpath).
+      timed("graph_insert", k, nVec) {
+        // ids ≡ 1 (mod 64): never centroid-level, never colliding
+        val batch = emb.where(pmod(col("vec_id"), lit(389)) === 7).limit(200)
+          .select((lit(900000001L) + col("vec_id") * lit(64)).as("vec_id"),
+            col("embedding"))
+        graft.ops.GraphAnn.appendToMaterialized(batch, emb,
+          "vec_id", "embedding", 64, graft.ops.GraphAnn.DefaultDegree, gpath)
+        200L
       }
       // tiered centroid layer: the fixed-stride centroid² remedy — the
       // centroid level becomes Σ bucket² under superStride, only the
