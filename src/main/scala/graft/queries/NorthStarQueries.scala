@@ -28,6 +28,9 @@ object NorthStarQueries {
     */
   private val docsSpool = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** cache_or_fetch's write-through CSV cache path per dir. */
+  private val cacheSpool = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** Spool key: the source dir DECORATED with a snapshot signature (every
     * file's relative path, length, and mtime, digested). All the per-dir
     * spools below cache artifacts for the process lifetime; keyed on the
@@ -356,6 +359,31 @@ object NorthStarQueries {
     }).intValue
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // S7 cache-or-fetch (CorpusIO.cacheOrFetch — the reference's
+    // write-through corpus cache, notion_db.py:175-211) under the hash
+    // gate: the first call MISSES (fetch runs, result persists as the CSV
+    // cache), the second call HITS with a poisoned fetch that would throw
+    // if invoked — so the gated rows prove both the write-through AND that
+    // a hit never refetches. The cache path is keyed on (dir, snapshot
+    // signature): regenerating the fixture in place is a miss, not a stale
+    // serve. The md5-prefix fingerprint sums prove the CSV roundtrip was
+    // byte-exact on every row, not just row-count-preserving.
+    "cache_or_fetch" -> { (s, dir) =>
+      val cache = spooled(cacheSpool, dir)(_ =>
+        graft.util.TempDirs.create("graft_corpus_cache") + "/corpus")
+      val fetchable = t(s, dir, "documents")
+        .select(concat(lit("doc-"), col("doc_id")).as("title"),
+          col("text").as("content"))
+      graft.sources.CorpusIO.cacheOrFetch(s, cache)(fetchable) // miss path
+      val cached = graft.sources.CorpusIO.cacheOrFetch(s, cache)(
+        sys.error("S7 contract violated: fetch ran on a cache hit"))
+      cached.agg(count(lit(1)).as("n"),
+        sum(conv(substring(md5(col("title")), 1, 8), 16, 10).cast("long"))
+          .as("title_fp_sum"),
+        sum(conv(substring(md5(col("content")), 1, 8), 16, 10).cast("long"))
+          .as("content_fp_sum"))
+    },
+
     // exact n-gram Jaccard similarity join — inverted index, no cartesian
     "ngram_jaccard_join" -> { (s, dir) =>
       Dedup.jaccardJoin(docsWithShingles(s, dir), "doc_id", "sh", JaccardTau)
@@ -3004,6 +3032,14 @@ object NorthStarQueries {
     "incremental_lsh_pairs" ->
       minhashPairsOracle("l.doc_id % 2 = 1 AND r.doc_id % 2 = 0"),
     // the salted CTE aliases `text`, so ShinglesSql resolves against the
+    // the cache is a byte-exact write-through copy of the fetch result, so
+    // the oracle computes the same fingerprints from the source directly —
+    // the hash matches iff the CSV cache roundtrip was the identity
+    "cache_or_fetch" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(('0x' || substr(md5('doc-' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT) AS BIGINT) AS title_fp_sum,
+        |  CAST(sum(('0x' || substr(md5(text), 1, 8))::BIGINT) AS BIGINT) AS content_fp_sum
+        |FROM documents""".stripMargin,
     // boilerplate-salted text without parameterization
     "boilerplate_filtered_pairs" ->
       s"""WITH salted AS (SELECT doc_id, text || '$BoilerplateSalt' AS text FROM documents),

@@ -93,31 +93,35 @@ object CorpusIngest {
     */
   final class ClusterState private[streaming] (
       @volatile private[streaming] var ingested: DataFrame,
-      @volatile private[streaming] var labels: DataFrame) {
+      @volatile private[streaming] var labels: DataFrame,
+      private[streaming] val collapseEvery: Int) {
     /** Epochs folded in since `ingested` was last re-pinned as one frame —
       * see [[clusterBatch]]'s plan-depth collapse. */
     private[streaming] var epochsSinceCollapse: Int = 0
     /** The labeling as of the last completed epoch: (idCol, component). */
     def currentLabels: DataFrame = labels
+    /** The accumulated shingled corpus as of the last completed epoch. */
+    def currentIngested: DataFrame = ingested
   }
-
-  /** Collapse the lazily-unioned per-epoch ingest state into one pinned
-    * frame every this many epochs: each epoch frame is individually
-    * checkpointed so the union never recomputes data, but the union PLAN
-    * grows one node per epoch and analysis cost would creep unboundedly
-    * on a long-lived stream. */
-  private val IngestCollapseEvery = 32
 
   /** Build the at-rest state once from the already-ingested corpus
     * (shingled form): pair it with itself, label the components, pin both.
+    *
+    * @param collapseEvery re-pin the lazily-unioned per-epoch ingest state
+    *   as ONE frame every this many epochs: each epoch frame is
+    *   individually checkpointed so the union never recomputes data, but
+    *   the union PLAN grows one node per epoch and analysis cost would
+    *   creep unboundedly on a long-lived stream.
     */
   def clusterState(corpusShingled: DataFrame, idCol: String,
-      shingleCol: String, tau: Double): ClusterState = {
+      shingleCol: String, tau: Double, collapseEvery: Int = 32): ClusterState = {
+    require(collapseEvery >= 1, s"collapseEvery must be positive: $collapseEvery")
     val sh = corpusShingled.persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pairs = Dedup.jaccardJoin(sh, idCol, shingleCol, tau)
       .select("a", "b")
-    new ClusterState(sh, Dedup.components(pairs, idCol).localCheckpoint())
+    new ClusterState(sh, Dedup.components(pairs, idCol).localCheckpoint(),
+      collapseEvery)
   }
 
   /** One cluster-maintenance epoch (pure batch function — the streaming
@@ -144,10 +148,10 @@ object CorpusIngest {
     // would COPY the entire accumulated corpus every epoch (per-epoch work
     // must scale with the batch, not the corpus). Only the union PLAN
     // grows per epoch; collapse it into one pinned frame every
-    // [[IngestCollapseEvery]] epochs to bound analysis cost.
+    // `state.collapseEvery` epochs to bound analysis cost.
     state.ingested = state.ingested.unionAll(bsh)
     state.epochsSinceCollapse += 1
-    if (state.epochsSinceCollapse >= IngestCollapseEvery) {
+    if (state.epochsSinceCollapse >= state.collapseEvery) {
       state.ingested = state.ingested.localCheckpoint()
       state.epochsSinceCollapse = 0
     }

@@ -122,6 +122,50 @@ class CorpusIngestSpec extends SparkTestBase {
     assert(got(7L) == got(6L))
   }
 
+  test("clustered ingest: the plan-depth collapse re-pins the ingest union without changing results") {
+    val sp = spark
+    import sp.implicits._
+    val baseDocs = Seq(
+      100L -> "the quick brown fox jumps over the lazy dog today",
+      102L -> "completely different corpus text about spark and scala engines")
+    def sh(rows: Seq[(Long, String)]) =
+      rows.toDF("doc_id", "text").select(col("doc_id"),
+        TextOps.wordNGrams(col("text"), 3).as("sh"))
+    // collapseEvery = 2: three epochs force one collapse mid-stream and
+    // leave one epoch folded lazily after it
+    val state = CorpusIngest.clusterState(sh(baseDocs), "doc_id", "sh", Tau,
+      collapseEvery = 2)
+    val epochs = Seq(
+      Seq(5L -> "the quick brown fox jumps over the lazy dog today"),
+      Seq(6L -> "an entirely new document with its own novel wording here"),
+      // cross-epoch dup of 6 AND a dup of the base corpus — correctness
+      // after the collapse requires the collapsed frame to hold all
+      // prior epochs
+      Seq(7L -> "an entirely new document with its own novel wording here",
+        8L -> "completely different corpus text about spark and scala engines"))
+    epochs.foreach(ep =>
+      CorpusIngest.clusterBatch(sh(ep), state, "doc_id", "sh", Tau))
+    // collapsed after epoch 2, one epoch folded lazily since: the ingest
+    // plan is union(collapsed LogicalRDD, epoch-3) — arity 2, where an
+    // uncollapsed chain would flatten to one union of 4 children
+    val unionArity = state.currentIngested.queryExecution.optimizedPlan
+      .collect { case u: org.apache.spark.sql.catalyst.plans.logical.Union =>
+        u.children.size }
+    assert(unionArity.forall(_ <= 2), s"ingest union not collapsed: $unionArity")
+    // the collapsed+lazy ingest state holds every doc exactly once
+    assert(state.currentIngested.count() ==
+      (baseDocs.size + epochs.flatten.size).toLong)
+    val got = state.currentLabels.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val all = sh(baseDocs ++ epochs.flatten)
+    val want = graft.ops.Dedup.components(
+        graft.ops.Dedup.jaccardJoin(all, "doc_id", "sh", Tau).select("a", "b"),
+        "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want)
+    assert(got(7L) == got(6L) && got(8L) == got(102L))
+  }
+
   test("quality-gated ingest: streamed scores == batch scores, routing by predicted") {
     val sp = spark
     import sp.implicits._

@@ -337,6 +337,71 @@ object ScaleSmoke {
       docs.unpersist(blocking = true)
     }
 
+    // streamed_sessions DECOMPOSED (the bench row's explicit judging rule,
+    // r13 VERDICT #3): the gate's wall = state-store/checkpoint FIXED cost
+    // + data work, and comparing the whole wall against one batch SQL
+    // hides that decomposition behind the bench's 0.3 s oracle-exclusion
+    // threshold. This family measures the gate pipeline (identical shape:
+    // MemoryStream → watermarked session_window → 8 state partitions →
+    // foreachBatch parquet sink, two epochs) best-of-3 at THREE inputs:
+    // 1 event (pure fixed cost F), the sf0.1 events fixture (the bench
+    // row's wall W), and the fixture ×4 (the data-term slope). Rule: the
+    // row is judged by its DATA TERM — strong iff (W − F) ≤ 2 × the
+    // DuckDB oracle wall; the fixed term is the price of a checkpointed,
+    // recoverable streaming query and amortizes per-batch in production,
+    // not per-query. `out` = emitted sessions, k = input events.
+    if (on("sessions_decomp")) {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import spark.implicits._
+      val baseEv = spark.read.parquet(s"$dir/events.parquet")
+        .select(col("ts"), col("user_id"), col("value"))
+        .as[(java.sql.Timestamp, Long, Double)].collect().toSeq
+      val maxTs = baseEv.iterator.map(_._1.getTime).max
+      def runOnce(rows: Seq[(java.sql.Timestamp, Long, Double)]): Long = {
+        val stream = MemoryStream[(java.sql.Timestamp, Long, Double)](spark)
+        val out = graft.util.TempDirs.create("sessions_decomp_out")
+        val sessions = graft.streaming.EventStreams.sessionize(
+          stream.toDF().toDF("ts", "user_id", "value")
+            .withColumn("value", col("value").cast("decimal(18,2)")))
+        val q = graft.streaming.StreamSizing.withStatePartitions(spark, 8) {
+          sessions.writeStream.outputMode("append")
+            .option("checkpointLocation",
+              graft.util.TempDirs.create("sessions_decomp_ckpt"))
+            .foreachBatch { (b: DataFrame, _: Long) =>
+              b.write.mode("append").parquet(out)
+            }
+            .start()
+        }
+        try {
+          stream.addData(rows)
+          q.processAllAvailable()
+          stream.addData(Seq((new java.sql.Timestamp(
+            maxTs + 10L * 86400L * 1000L), -1L, 0.0)))
+          q.processAllAvailable()
+        } finally q.stop()
+        spark.read.parquet(out).count()
+      }
+      val variants = Seq(
+        ("fixed", baseEv.take(1)),
+        ("full", baseEv),
+        ("x4", (0 until 4).flatMap(c =>
+          baseEv.map { case (t0, u, v) => (t0, u + c * 1000000000L, v) })))
+      for ((_, rows) <- variants) { // warm codegen/state-store classes
+        runOnce(rows.take(1))
+      }
+      for ((name, rows) <- variants) {
+        var best = Long.MaxValue
+        var emitted = 0L
+        (0 until 3).foreach { _ =>
+          val t0 = System.nanoTime()
+          emitted = runOnce(rows)
+          best = math.min(best, (System.nanoTime() - t0) / 1000000L)
+        }
+        println(f"SCALE family=sessions_decomp variant=$name%-5s " +
+          f"events=${rows.length}%7d sessions=$emitted%7d bestMs=$best%7d")
+      }
+    }
+
     // streaming state sizing: the SAME sessionize query at varying state
     // partition counts and event volumes. The claim under measurement
     // (StreamSizing scaladoc): per-micro-batch cost = state-store fixed
