@@ -179,47 +179,131 @@ object GraphAnn {
       // degenerate index, not an error (r8 ADVICE)
       require(!df.where(pmod(col(idCol), lit(superStride)) === 0).isEmpty,
         s"no super-centroids: no $idCol divisible by superStride $superStride")
+      val supers = df.where(pmod(col(idCol), lit(superStride)) === 0)
+        .select(col(idCol).cast("long").as("__cid"), col(vecCol).as("__cvec"))
       // centroids carry their super assignment (centroids × supers — the
       // small side of the hierarchy)
-      val centAssigned = assignedOf(centDf, idCol, vecCol, superStride)
-      // hierarchical member assignment: nearest super (n × supers,
-      // broadcast), then argmin over that super bucket's centroids only.
-      // The bucket's centroids ride as TWO index-aligned array columns in
-      // ONE row per super (two collect_lists in one aggregate — same row
-      // stream, same order), so the join never explodes members ×
-      // candidates, and the codegen'd `cosine_argmin` replaces both the
-      // SortAggregate-over-wide-rows shape (min(struct) after explosion)
-      // and the interpreted higher-order array_min(transform(...)) — each
-      // measured ~4× the FLAT build's cost at the 50× ScaleSmoke rung
-      val candArrs = centAssigned
-        .groupBy(col("__centroid").as("__s"))
-        .agg(collect_list(col("__nid")).as("__cids"),
-          collect_list(col("__nv")).as("__cvecs"))
-      // broadcast is load-bearing: candArrs' post-aggregation size estimate
-      // is unknown to the planner, and a sort-merge fallback would route
-      // every member of a super bucket into ONE task's argmin loop. Its
-      // real size is all centroid vectors — the same payload the flat
-      // path already broadcasts as `cents`
-      val assigned = assignedOf(df, idCol, vecCol, superStride)
-        .select(col("__nid"), col("__nv"), col("__centroid").as("__s"))
-        .join(broadcast(candArrs), Seq("__s"))
-        .select(col("__nid"), col("__nv"),
-          graft.functions.cosine_argmin(col("__nv"), col("__cids"),
-            col("__cvecs")).as("__centroid"))
+      val centAssigned = assignedTo(centDf, idCol, vecCol, supers)
+      val assigned = hierarchicalAssign(df, idCol, vecCol, supers, centAssigned)
       // the families are disjoint (a node of each level is its own
       // bucket's centroid at that level), so plain unions need no
       // distinct() exchange
       (bucketKnnEdgesWithBucket(assigned, degree),
         bucketKnnEdges(centAssigned, degree)
-          .union(exactKnnEdges(
-            df.where(pmod(col(idCol), lit(superStride)) === 0)
-              .select(col(idCol).cast("long").as("__cid"),
-                col(vecCol).as("__cvec")), degree)),
+          .union(exactKnnEdges(supers, degree)),
         assigned)
     }
   }
 
+  /** The tiered build's MEMBER assignment rule against EXPLICIT frozen
+    * frames: nearest super (n × supers, broadcast), then argmin over only
+    * that super bucket's centroids. Factored out so
+    * [[appendToMaterialized]] replays the exact build rule for a batch
+    * against the at-rest geometry (frozen `supers` + the centroid→super
+    * map `centAssigned`).
+    *
+    * The bucket's centroids ride as TWO index-aligned array columns in
+    * ONE row per super (two collect_lists in one aggregate — same row
+    * stream, same order), so the join never explodes members ×
+    * candidates, and the codegen'd `cosine_argmin` replaces both the
+    * SortAggregate-over-wide-rows shape (min(struct) after explosion)
+    * and the interpreted higher-order array_min(transform(...)) — each
+    * measured ~4× the FLAT build's cost at the 50× ScaleSmoke rung.
+    * `cosine_argmin` tie-breaks on the lowest cid independent of array
+    * order, so the collect_list row order is immaterial to the result.
+    */
+  private def hierarchicalAssign(df: DataFrame, idCol: String, vecCol: String,
+      supers: DataFrame, centAssigned: DataFrame): DataFrame = {
+    val candArrs = centAssigned
+      .groupBy(col("__centroid").as("__s"))
+      .agg(collect_list(col("__nid")).as("__cids"),
+        collect_list(col("__nv")).as("__cvecs"))
+    // broadcast is load-bearing: candArrs' post-aggregation size estimate
+    // is unknown to the planner, and a sort-merge fallback would route
+    // every member of a super bucket into ONE task's argmin loop. Its
+    // real size is all centroid vectors — the same payload the flat
+    // path already broadcasts as `cents`
+    assignedTo(df, idCol, vecCol, supers)
+      .select(col("__nid"), col("__nv"), col("__centroid").as("__s"))
+      .join(broadcast(candArrs), Seq("__s"))
+      .select(col("__nid"), col("__nv"),
+        graft.functions.cosine_argmin(col("__nv"), col("__cids"),
+          col("__cvecs")).as("__centroid"))
+  }
+
   private val SpecMarker = "_graft_graph_spec"
+
+  /** Bucket-directory manifest of a partitioned index table (one bucket id
+    * per line, sorted; the leading underscore keeps it invisible to parquet
+    * reads). With it, a bucket-pruned read lists ONLY the wanted bucket
+    * directories — on an object store the recursive listing of a
+    * many-thousand-bucket table is otherwise paid on EVERY pruned read and
+    * grows with corpus size, while the manifest keeps it ∝ touched buckets.
+    * Written once per mutation (build or append) from one single-level
+    * `listStatus` of the table root — the authoritative directory truth,
+    * immune to empty-bucket bookkeeping drift.
+    */
+  private val BucketManifest = "_graft_buckets"
+
+  private def writeBucketManifest(spark: org.apache.spark.sql.SparkSession,
+      table: String, partCol: String): Unit = {
+    val root = new org.apache.hadoop.fs.Path(table)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val buckets = fs.listStatus(root).iterator
+      .filter(_.isDirectory).map(_.getPath.getName)
+      .filter(_.startsWith(partCol + "="))
+      .map(_.substring(partCol.length + 1).toLong).toSeq.sorted
+    val out = fs.create(new org.apache.hadoop.fs.Path(root, BucketManifest), true)
+    try out.write((buckets.mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  private def readBucketManifest(spark: org.apache.spark.sql.SparkSession,
+      table: String): Option[Seq[Long]] = {
+    val p = new org.apache.hadoop.fs.Path(table, BucketManifest)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val txt = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+      Some(txt.split("\n").iterator.map(_.trim).filter(_.nonEmpty)
+        .map(_.toLong).toSeq)
+    }
+  }
+
+  /** Bucket-pruned read of a partitioned index table. With a manifest the
+    * read passes the wanted bucket directories as EXPLICIT paths (plus
+    * `basePath`, so the partition column still materializes) — listing
+    * cost ∝ wanted buckets. Without one (legacy artifact) it falls back to
+    * an `isin` partition filter whose literals MUST match the column's
+    * inferred type (small ids infer int, large infer long): a mismatched
+    * isin wraps the partition column in a cast, which defeats partition
+    * pruning — the read silently degrades to a corpus scan (measured: the
+    * graph_insert ScaleSmoke rung's shuffle grew with the corpus until
+    * this fix).
+    */
+  private def readBuckets(spark: org.apache.spark.sql.SparkSession,
+      table: String, partCol: String, wanted: Seq[Long]): DataFrame =
+    readBucketManifest(spark, table) match {
+      case Some(all) =>
+        val have = all.toSet
+        val hit = wanted.filter(have)
+        if (hit.isEmpty)
+          // none of the wanted buckets exist yet (an all-fresh batch) —
+          // empty frame of the table's schema; only this rare shape pays
+          // a full-table listing
+          spark.read.parquet(table).where(lit(false))
+        else
+          spark.read.option("basePath", table)
+            .parquet(hit.map(b => s"$table/$partCol=$b"): _*)
+      case None =>
+        val df = spark.read.parquet(table)
+        val vals: Seq[Any] = df.schema(partCol).dataType match {
+          case org.apache.spark.sql.types.IntegerType => wanted.map(_.toInt)
+          case _ => wanted
+        }
+        df.where(col(partCol).isin(vals: _*))
+    }
 
   /** Neighbor-vector column of a VECTOR-ADJACENT materialized edge table
     * (see [[materialize]]); probes route on its presence.
@@ -274,6 +358,8 @@ object GraphAnn {
     assigned.repartition(col("__centroid"))
       .write.mode("overwrite").partitionBy("__centroid")
       .parquet(s"$path/assign")
+    writeBucketManifest(df.sparkSession, s"$path/edges", "__bucket")
+    writeBucketManifest(df.sparkSession, s"$path/assign", "__centroid")
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(path, SpecMarker),
       if (superStride > 0) s"$stride $degree $superStride"
@@ -327,20 +413,32 @@ object GraphAnn {
     * rows APPEND to `assign/`, and the recomputed touched-bucket edges
     * replace exactly those partitions of `edges/` (dynamic partition
     * overwrite). Single-writer per artifact, like every materialized-index
-    * mutation here. Flat geometry only (the tiered hierarchy re-materializes;
-    * its upper levels are centroid-set-dependent).
+    * mutation here.
+    *
+    * TIERED geometry (`superStride > 0`, matching the stored spec) splices
+    * the same way: the upper (centroid-within-super + super-exact) levels
+    * depend only on the centroid and super sets — both frozen, since the
+    * batch may not contain ids divisible by `stride` (which covers
+    * `superStride` multiples) — so `cedges/` is untouched, and the batch's
+    * member assignment replays the build's exact hierarchical rule
+    * ([[hierarchicalAssign]]: nearest frozen super, then `cosine_argmin`
+    * over that super bucket's frozen centroids). A full tiered rebuild
+    * over the union corpus computes the identical assignment for every old
+    * row (frozen sets + order-independent argmin tie-break), so the
+    * per-touched-bucket subset argument above carries over verbatim.
     */
   def appendToMaterialized(batch: DataFrame, base: DataFrame, idCol: String,
-      vecCol: String, stride: Int, degree: Int, path: String): Unit = {
+      vecCol: String, stride: Int, degree: Int, path: String,
+      superStride: Int = 0): Unit = {
     val spark = batch.sparkSession
     val parts = java.nio.file.Files
       .readString(java.nio.file.Paths.get(path, SpecMarker)).trim.split(" ")
-    require(parts.length == 2,
-      s"graph at $path is tiered (superStride=${parts.lift(2).getOrElse("?")}) — " +
-        "incremental insert supports the flat geometry; re-materialize tiered builds")
-    require(parts(0).toInt == stride && parts(1).toInt == degree,
-      s"graph at $path was materialized with (stride, degree) = " +
-        s"(${parts(0)}, ${parts(1)}), append expects ($stride, $degree)")
+    val storedSuper = if (parts.length > 2) parts(2).toInt else 0
+    require(parts(0).toInt == stride && parts(1).toInt == degree
+        && storedSuper == superStride,
+      s"graph at $path was materialized with (stride, degree, superStride) = " +
+        s"(${parts(0)}, ${parts(1)}, $storedSuper), append expects " +
+        s"($stride, $degree, $superStride)")
     require(batch.where(pmod(col(idCol), lit(stride)) === 0).isEmpty,
       s"batch contains centroid-level ids ($idCol divisible by $stride): " +
         "inserting centroids changes the bucket geometry — re-materialize instead")
@@ -348,26 +446,18 @@ object GraphAnn {
       .select(col(idCol).cast("long").as("__cid"), col(vecCol).as("__cvec"))
     // batch-sized; pinned — consumed by the touched-list collect, both
     // candidate joins, and the assign append
-    val newMembers = assignedTo(batch, idCol, vecCol, cents).localCheckpoint()
+    val newMembers = (if (superStride > 0) {
+      val supers = base.where(pmod(col(idCol), lit(superStride)) === 0)
+        .select(col(idCol).cast("long").as("__cid"), col(vecCol).as("__cvec"))
+      hierarchicalAssign(batch, idCol, vecCol, supers,
+        assignedTo(cents, "__cid", "__cvec", supers))
+    } else assignedTo(batch, idCol, vecCol, cents)).localCheckpoint()
     val touched = newMembers.select(col("__centroid")).distinct()
       .collect().map(_.getLong(0)) // bounded by the batch size
     if (touched.isEmpty) return
-    // The partition-column literals must MATCH the column's inferred type
-    // (small ids infer int, large infer long): an isin against mismatched
-    // literals wraps the partition column in a cast, which defeats
-    // partition pruning — the read silently degrades to a corpus scan
-    // (measured: the graph_insert ScaleSmoke rung's shuffle grew with the
-    // corpus until this fix).
-    def prunedOn(df: DataFrame, c: String): DataFrame = {
-      val vals: Seq[Any] = df.schema(c).dataType match {
-        case org.apache.spark.sql.types.IntegerType => touched.map(_.toInt).toSeq
-        case _ => touched.toSeq
-      }
-      df.where(col(c).isin(vals: _*))
-    }
     // old members of touched buckets only: a bucket-PRUNED read of the
-    // assignment table (partition filter), never a corpus scan
-    val oldTouched = prunedOn(spark.read.parquet(s"$path/assign"), "__centroid")
+    // assignment table (manifest-listed directories), never a corpus scan
+    val oldTouched = readBuckets(spark, s"$path/assign", "__centroid", touched)
       .select(col("__nid"), col("__nv"), col("__centroid").cast("long"))
       .localCheckpoint()
     val newSide = newMembers.select(col("__centroid"),
@@ -390,7 +480,7 @@ object GraphAnn {
         col("__centroid").as("__bucket"), col("__vr").as(DstVecCol))
     // ... merged with their STORED top-degree edges (bucket-pruned read;
     // the stored __dstv recomputes the identical distance expression)
-    val storedCand = prunedOn(spark.read.parquet(s"$path/edges"), "__bucket")
+    val storedCand = readBuckets(spark, s"$path/edges", "__bucket", touched)
       .select(col("src"), col("dst"), col(DstVecCol),
         col("__bucket").cast("long"))
       .join(oldSrc.select(col("src"), col("__vl")), Seq("src"))
@@ -412,6 +502,11 @@ object GraphAnn {
     newMembers.repartition(col("__centroid"))
       .write.mode("append").partitionBy("__centroid")
       .parquet(s"$path/assign")
+    // refresh both manifests (one single-level listStatus each) so the
+    // NEXT mutation's pruned reads see any bucket directory this one
+    // created
+    writeBucketManifest(spark, s"$path/edges", "__bucket")
+    writeBucketManifest(spark, s"$path/assign", "__centroid")
   }
 
   /** Executed-round observability for the convergence specs: how many

@@ -334,6 +334,9 @@ object NorthStarQueries {
     * the odd batch) per dir. */
   private val graphIncSpool = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Tiered twin of [[graphIncSpool]] (superStride=128 build + append). */
+  private val graphTierIncSpool = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** BPE merges learned ONCE per source dir (train-once/encode-many — the
     * tokenizer lifecycle; the TRAINING cost itself stays benched in
     * `bpe_merges`, which always retrains).
@@ -892,6 +895,35 @@ object NorthStarQueries {
         val p = graft.util.TempDirs.create("graft_graph_tier_spool")
         GraphAnn.materialize(t(s, d, "embeddings"), "vec_id", "embedding",
           64, GraphAnn.DefaultDegree, p, superStride = 128)
+        p
+      })
+      val qvec = emb.where(col("vec_id") === 1).select(col("embedding"))
+        .head().getSeq[Float](0).map(_.toDouble).toArray
+      val edges = GraphAnn.fromMaterialized(s, path, 64,
+        GraphAnn.DefaultDegree, superStride = 128)
+      GraphAnn.pointProbeTopK(emb, "vec_id", "embedding", edges, qvec,
+        k = 10, stride = 64)
+    },
+
+    // TIERED incremental growth: the member level splices exactly like the
+    // flat one — the upper levels depend only on the centroid/super sets
+    // (both frozen: the batch contains no ids divisible by stride, which
+    // covers superStride multiples) and the batch replays the build's
+    // hierarchical assignment rule against those frozen sets. The oracle
+    // is SHARED with ann_graph_tiered_topk: the full tiered-build replay
+    // only hash-matches if the spliced artifact equals the rebuilt one.
+    "ann_graph_tiered_incremental_topk" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val path = spooled(graphTierIncSpool, dir)(d => {
+        val p = graft.util.TempDirs.create("graft_graph_tier_inc_spool")
+        val all = t(s, d, "embeddings")
+        GraphAnn.materialize(all.where(pmod(col("vec_id"), lit(2)) === 0),
+          "vec_id", "embedding", 64, GraphAnn.DefaultDegree, p,
+          superStride = 128)
+        GraphAnn.appendToMaterialized(
+          all.where(pmod(col("vec_id"), lit(2)) === 1), all,
+          "vec_id", "embedding", 64, GraphAnn.DefaultDegree, p,
+          superStride = 128)
         p
       })
       val qvec = emb.where(col("vec_id") === 1).select(col("embedding"))
@@ -3293,6 +3325,10 @@ object NorthStarQueries {
     "ann_graph_incremental_topk" -> annGraphOracle,
     "ann_graph_batch_topk" -> annGraphBatchOracle,
     "ann_graph_tiered_topk" -> annGraphTieredOracle,
+    // same append == rebuild construction, tiered geometry: the full
+    // hierarchical-build replay only matches if the member-level splice
+    // (frozen upper levels) equals a from-scratch tiered build
+    "ann_graph_tiered_incremental_topk" -> annGraphTieredOracle,
     "sim_join_cosine" ->
       s"""SELECT l.vec_id AS a, r.vec_id AS b,
          |       1 - array_cosine_similarity(l.embedding::DOUBLE[64], r.embedding::DOUBLE[64]) AS cos_dist

@@ -694,7 +694,8 @@ class GraphAnnSpec extends SparkTestBase {
       GraphAnn.appendToMaterialized(emb.where(col("vec_id") === 128),
         emb, "vec_id", "embedding", 64, GraphAnn.DefaultDegree, half)
     }
-    // tiered artifacts re-materialize — incremental insert refuses them
+    // opening a tiered artifact for append with the wrong superStride
+    // (here: the flat default) is refused — geometry is authoritative
     val tiered = java.nio.file.Files.createTempDirectory("graph_tier_inc").toString
     GraphAnn.materialize(emb, "vec_id", "embedding", 64,
       GraphAnn.DefaultDegree, tiered, superStride = 128)
@@ -702,6 +703,55 @@ class GraphAnnSpec extends SparkTestBase {
       GraphAnn.appendToMaterialized(emb.where(col("vec_id") === 1),
         emb, "vec_id", "embedding", 64, GraphAnn.DefaultDegree, tiered)
     }
+    // the bucket manifests exist and list exactly the partition dirs
+    def manifest(table: String): Seq[Long] =
+      java.nio.file.Files.readString(
+          java.nio.file.Paths.get(table, "_graft_buckets"))
+        .split("\n").iterator.map(_.trim).filter(_.nonEmpty)
+        .map(_.toLong).toSeq
+    def dirs(table: String, partCol: String): Seq[Long] = {
+      val d = new java.io.File(table).listFiles().toSeq
+      d.filter(_.isDirectory).map(_.getName)
+        .filter(_.startsWith(partCol + "="))
+        .map(_.substring(partCol.length + 1).toLong).sorted
+    }
+    assert(manifest(s"$half/edges") == dirs(s"$half/edges", "__bucket"))
+    assert(manifest(s"$half/assign") == dirs(s"$half/assign", "__centroid"))
+  }
+
+  test("tiered graph incremental insert: half + append == full tiered build") {
+    val half = java.nio.file.Files.createTempDirectory("graph_tinc").toString
+    val full = java.nio.file.Files.createTempDirectory("graph_tfull").toString
+    // even half first: ids divisible by stride 64 (and so by superStride
+    // 128) are all even — the half build's centroid AND super sets equal
+    // the full build's, the frozen-geometry contract
+    GraphAnn.materialize(emb.where(pmod(col("vec_id"), lit(2)) === 0),
+      "vec_id", "embedding", 64, GraphAnn.DefaultDegree, half,
+      superStride = 128)
+    GraphAnn.appendToMaterialized(emb.where(pmod(col("vec_id"), lit(2)) === 1),
+      emb, "vec_id", "embedding", 64, GraphAnn.DefaultDegree, half,
+      superStride = 128)
+    GraphAnn.materialize(emb, "vec_id", "embedding", 64,
+      GraphAnn.DefaultDegree, full, superStride = 128)
+    def edgeSet(p: String): Set[(Long, Long)] =
+      GraphAnn.fromMaterialized(spark, p, 64, GraphAnn.DefaultDegree,
+          superStride = 128)
+        .select("src", "dst").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // row-identical artifact: upper levels frozen by construction, member
+    // level spliced under the build's exact hierarchical assignment rule
+    assert(edgeSet(half) == edgeSet(full))
+    val gotP = GraphAnn.pointProbeTopK(emb, "vec_id", "embedding",
+        GraphAnn.fromMaterialized(spark, half, 64, GraphAnn.DefaultDegree,
+          superStride = 128),
+        qvec(5), k = 10, stride = 64)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val wantP = GraphAnn.pointProbeTopK(emb, "vec_id", "embedding",
+        GraphAnn.fromMaterialized(spark, full, 64, GraphAnn.DefaultDegree,
+          superStride = 128),
+        qvec(5), k = 10, stride = 64)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(gotP == wantP)
   }
 }
 
