@@ -2177,6 +2177,104 @@ object NorthStarQueries {
         .transform(sortedSingle(_, col("user_id"), col("session_start")))
     },
 
+    // STREAM-STREAM interval join under the hash gate
+    // (EventStreams.attributionJoin): purchases and views replayed through
+    // two real MemoryStreams in two TIME-SPLIT epochs (all epoch-1 ts <
+    // all epoch-2 ts), inner-joined on user within the preceding 30
+    // minutes, append mode. The split makes cross-epoch state retention
+    // load-bearing — an epoch-1 view must still be in join state when its
+    // epoch-2 purchase arrives — while watermark eviction provably cannot
+    // drop a matchable row: an evicted view has v_ts + gap < watermark,
+    // and every non-late purchase has p_ts >= watermark, so v_ts >=
+    // p_ts - gap >= watermark - gap keeps it. Inner-join matches emit as
+    // found, so no sentinel flush is needed; the oracle is the plain batch
+    // range join — stream == batch under the hash.
+    "streamed_attribution" -> { (s, dir) =>
+      import s.implicits._
+      val ev = graft.SparkEntry.eventsTable(s, dir)
+      val pRows = ev.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("ts"), col("user_id"))
+        .as[(Long, java.sql.Timestamp, Long)].collect().toSeq
+      val vRows = ev.where(col("event_type") === "view")
+        .select(col("ts"), col("user_id"))
+        .as[(java.sql.Timestamp, Long)].collect().toSeq
+      val times = (pRows.iterator.map(_._2.getTime) ++
+        vRows.iterator.map(_._1.getTime)).toSeq
+      val mid = times.min + (times.max - times.min) / 2
+      val pStream = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, java.sql.Timestamp, Long)](s)
+      val vStream = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(java.sql.Timestamp, Long)](s)
+      val joined = graft.streaming.EventStreams.attributionJoin(
+        pStream.toDF().toDF("event_id", "ts", "user_id"),
+        vStream.toDF().toDF("ts", "user_id"))
+      val out = graft.util.TempDirs.create("streamed_attribution")
+      val q = graft.streaming.StreamSizing.withStatePartitions(s, 4) {
+        joined.writeStream.outputMode("append")
+          .option("checkpointLocation",
+            graft.util.TempDirs.create("streamed_attribution_ckpt"))
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            b.write.mode("append").parquet(out)
+          }
+          .start()
+      }
+      try Seq[Long => Boolean](_ < mid, _ >= mid).foreach { epoch =>
+        pStream.addData(pRows.filter(r => epoch(r._2.getTime)))
+        vStream.addData(vRows.filter(r => epoch(r._1.getTime)))
+        q.processAllAvailable()
+      } finally q.stop()
+      s.read.parquet(out)
+        .select(col("event_id"), col("user_id"), col("p_ts"), col("v_ts"))
+        .transform(sortedSingle(_, col("event_id"), col("v_ts")))
+    },
+
+    // ARBITRARY-STATE streaming under the hash gate
+    // (EventStreams.userProfiles, the mapGroupsWithState tier): per-user
+    // running profiles over two time-split MemoryStream epochs, update
+    // mode — each touched user re-emits its snapshot per micro-batch, and
+    // the FINAL snapshot per user (max n_events: strictly increasing
+    // whenever the user appears) must equal the batch groupBy. Values ride
+    // as exact integer cents (floor(v*100 + 0.5), replayed verbatim in the
+    // oracle) so the running double sum is order-free exact — the
+    // streamed_sessions DECIMAL recipe, driver-state flavor.
+    "streamed_profiles" -> { (s, dir) =>
+      import s.implicits._
+      val rows = graft.SparkEntry.eventsTable(s, dir)
+        .select(col("user_id"), col("ts"), col("value"))
+        .as[(Long, java.sql.Timestamp, Double)].collect().toSeq
+        .map(r => (r._1, r._2, math.floor(r._3 * 100.0 + 0.5)))
+      val mid = {
+        val ts = rows.map(_._2.getTime)
+        ts.min + (ts.max - ts.min) / 2
+      }
+      val stream = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, java.sql.Timestamp, Double)](s)
+      val profiles = graft.streaming.EventStreams.userProfiles(
+        stream.toDF().toDF("user_id", "ts", "value")
+          .as[graft.streaming.EventStreams.UserEvent])
+      val out = graft.util.TempDirs.create("streamed_profiles")
+      val q = graft.streaming.StreamSizing.withStatePartitions(s, 4) {
+        profiles.toDF().writeStream.outputMode("update")
+          .option("checkpointLocation",
+            graft.util.TempDirs.create("streamed_profiles_ckpt"))
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            b.write.mode("append").parquet(out)
+          }
+          .start()
+      }
+      try Seq[Long => Boolean](_ < mid, _ >= mid).foreach { epoch =>
+        stream.addData(rows.filter(r => epoch(r._2.getTime)))
+        q.processAllAvailable()
+      } finally q.stop()
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("n_events").desc)
+      s.read.parquet(out)
+        .withColumn("__rn", row_number().over(w)).where(col("__rn") === 1)
+        .select(col("user_id"), col("n_events"),
+          col("total_value").cast("long").as("total_cents"), col("last_seen"))
+        .transform(sortedSingle(_, col("user_id")))
+    },
+
     // DSIR-style importance fitting (ops/Dsir — Xie et al. 2023): hashed
     // unigram+bigram features, target sample = doc_id % 7 == 0, raw = the
     // rest; per-bucket weight = fixed-point smoothed probability RATIO
@@ -3267,6 +3365,24 @@ object NorthStarQueries {
         |       CAST(sum(value) AS DOUBLE) AS session_value
         |FROM g GROUP BY user_id, sid
         |ORDER BY user_id, session_start""".stripMargin,
+    // the stream-stream interval join replays as the plain batch range
+    // join: every (purchase, view-in-preceding-30min) pair of the same
+    // user, boundary-inclusive on both ends exactly as the stream side
+    "streamed_attribution" ->
+      """SELECT p.event_id, p.user_id, p.ts AS p_ts, v.ts AS v_ts
+        |FROM events p JOIN events v ON p.user_id = v.user_id
+        |  AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 1800 SECONDS
+        |WHERE p.event_type = 'purchase' AND v.event_type = 'view'
+        |ORDER BY p.event_id, v.ts""".stripMargin,
+    // the final mapGroupsWithState snapshot per user == the batch groupBy;
+    // cents = floor(value*100 + 0.5) replays the gate's exact-integer
+    // arithmetic (identical double ops on both engines)
+    "streamed_profiles" ->
+      """SELECT user_id, count(*)::BIGINT AS n_events,
+        |       CAST(sum(CAST(floor(value*100 + 0.5) AS BIGINT)) AS BIGINT)
+        |         AS total_cents,
+        |       max(ts) AS last_seen
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "incremental_dedup" ->
       s"""WITH $GuardedShCte,
          |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),

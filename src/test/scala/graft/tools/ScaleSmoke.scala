@@ -402,6 +402,159 @@ object ScaleSmoke {
       }
     }
 
+    // streamed_attribution DECOMPOSED — same judging rule as
+    // sessions_decomp for the stream-stream join gate: wall = two-sided
+    // join-state fixed cost F (1 purchase + 1 view) + a data term
+    // (fixture W, fixture ×4 user-shifted for the slope). Strong iff
+    // (W − F) ≤ 2 × the DuckDB range-join oracle wall.
+    if (on("attribution_decomp")) {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import spark.implicits._
+      val ev = spark.read.parquet(s"$dir/events.parquet")
+      val pBase = ev.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("ts"), col("user_id"))
+        .as[(Long, java.sql.Timestamp, Long)].collect().toSeq
+      val vBase = ev.where(col("event_type") === "view")
+        .select(col("ts"), col("user_id"))
+        .as[(java.sql.Timestamp, Long)].collect().toSeq
+      // gate-shaped run: TWO time-split epochs, exactly like the
+      // streamed_attribution registration. Inputs arrive as thunks so the
+      // `full` variant can replay the fixture COLLECT inside the wall,
+      // exactly as the registered gate does — D = W − F then covers both
+      // the pipeline and the driver fixture-replay linear terms.
+      def runOnce(mkP: () => Seq[(Long, java.sql.Timestamp, Long)],
+          mkV: () => Seq[(java.sql.Timestamp, Long)]): Long = {
+        val p = mkP(); val v = mkV()
+        val times = (p.iterator.map(_._2.getTime) ++
+          v.iterator.map(_._1.getTime)).toSeq
+        val mid = times.min + (times.max - times.min) / 2
+        val pStream = MemoryStream[(Long, java.sql.Timestamp, Long)](spark)
+        val vStream = MemoryStream[(java.sql.Timestamp, Long)](spark)
+        val out = graft.util.TempDirs.create("attr_decomp_out")
+        val joined = graft.streaming.EventStreams.attributionJoin(
+          pStream.toDF().toDF("event_id", "ts", "user_id"),
+          vStream.toDF().toDF("ts", "user_id"))
+        val q = graft.streaming.StreamSizing.withStatePartitions(spark, 4) {
+          joined.writeStream.outputMode("append")
+            .option("checkpointLocation",
+              graft.util.TempDirs.create("attr_decomp_ckpt"))
+            .foreachBatch { (b: DataFrame, _: Long) =>
+              b.write.mode("append").parquet(out)
+            }
+            .start()
+        }
+        try Seq[Long => Boolean](_ < mid, _ >= mid).foreach { epoch =>
+          pStream.addData(p.filter(r => epoch(r._2.getTime)))
+          vStream.addData(v.filter(r => epoch(r._1.getTime)))
+          q.processAllAvailable()
+        } finally q.stop()
+        spark.read.parquet(out).count()
+      }
+      // fixed = earliest + latest row per side, so BOTH epochs fire and F
+      // measures the gate's full two-batch fixed cost
+      def ends[A](rows: Seq[A], t: A => Long): Seq[A] =
+        Seq(rows.minBy(t), rows.maxBy(t))
+      val pFixed = ends[(Long, java.sql.Timestamp, Long)](pBase, _._2.getTime)
+      val vFixed = ends[(java.sql.Timestamp, Long)](vBase, _._1.getTime)
+      val pX4 = (0 until 4).flatMap(c => pBase.map { case (e, t0, u) =>
+        (e, t0, u + c * 1000000000L) })
+      val vX4 = (0 until 4).flatMap(c => vBase.map { case (t0, u) =>
+        (t0, u + c * 1000000000L) })
+      // `full` re-collects from parquet inside the wall (the gate's exact
+      // shape); x4 is a prebuilt synthetic, so its rung isolates the
+      // PIPELINE slope
+      val variants = Seq[(String, () => Seq[(Long, java.sql.Timestamp, Long)],
+          () => Seq[(java.sql.Timestamp, Long)])](
+        ("fixed", () => pFixed, () => vFixed),
+        ("full",
+          () => ev.where(col("event_type") === "purchase")
+            .select(col("event_id"), col("ts"), col("user_id"))
+            .as[(Long, java.sql.Timestamp, Long)].collect().toSeq,
+          () => ev.where(col("event_type") === "view")
+            .select(col("ts"), col("user_id"))
+            .as[(java.sql.Timestamp, Long)].collect().toSeq),
+        ("x4", () => pX4, () => vX4))
+      runOnce(() => pFixed, () => vFixed) // warm
+      for ((name, p, v) <- variants) {
+        var best = Long.MaxValue
+        var emitted = 0L
+        var n = 0
+        (0 until 3).foreach { _ =>
+          val t0 = System.nanoTime()
+          emitted = runOnce(p, v)
+          n = p().length + v().length
+          best = math.min(best, (System.nanoTime() - t0) / 1000000L)
+        }
+        println(f"SCALE family=attribution_decomp variant=$name%-5s " +
+          f"events=$n%7d pairs=$emitted%7d bestMs=$best%7d")
+      }
+    }
+
+    // streamed_profiles DECOMPOSED — mapGroupsWithState fixed cost vs the
+    // per-event/per-key data term (fixture, then ×4 user-shifted). Strong
+    // iff (W − F) ≤ 2 × the DuckDB groupBy oracle wall.
+    if (on("profiles_decomp")) {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import spark.implicits._
+      val baseEv = spark.read.parquet(s"$dir/events.parquet")
+        .select(col("user_id"), col("ts"), col("value"))
+        .as[(Long, java.sql.Timestamp, Double)].collect().toSeq
+      // gate-shaped run: TWO time-split epochs, exactly like the
+      // streamed_profiles registration; thunked input for the same
+      // replay-inside-the-wall reason as attribution_decomp
+      def runOnce(mkRows: () => Seq[(Long, java.sql.Timestamp, Double)]): Long = {
+        val rows = mkRows()
+        val ts = rows.map(_._2.getTime)
+        val mid = ts.min + (ts.max - ts.min) / 2
+        val stream = MemoryStream[(Long, java.sql.Timestamp, Double)](spark)
+        val out = graft.util.TempDirs.create("prof_decomp_out")
+        val profiles = graft.streaming.EventStreams.userProfiles(
+          stream.toDF().toDF("user_id", "ts", "value")
+            .as[graft.streaming.EventStreams.UserEvent])
+        val q = graft.streaming.StreamSizing.withStatePartitions(spark, 4) {
+          profiles.toDF().writeStream.outputMode("update")
+            .option("checkpointLocation",
+              graft.util.TempDirs.create("prof_decomp_ckpt"))
+            .foreachBatch { (b: DataFrame, _: Long) =>
+              b.write.mode("append").parquet(out)
+            }
+            .start()
+        }
+        try Seq[Long => Boolean](_ < mid, _ >= mid).foreach { epoch =>
+          stream.addData(rows.filter(r => epoch(r._2.getTime)))
+          q.processAllAvailable()
+        } finally q.stop()
+        spark.read.parquet(out).count()
+      }
+      // fixed = earliest + latest event so both epochs fire (the gate's
+      // full two-batch fixed cost)
+      val fixedRows = Seq(baseEv.minBy(_._2.getTime), baseEv.maxBy(_._2.getTime))
+      val x4Rows = (0 until 4).flatMap(c =>
+        baseEv.map { case (u, t0, v) => (u + c * 1000000000L, t0, v) })
+      val variants = Seq[(String, () => Seq[(Long, java.sql.Timestamp, Double)])](
+        ("fixed", () => fixedRows),
+        // the gate's exact replay: re-collect + cents map inside the wall
+        ("full", () => spark.read.parquet(s"$dir/events.parquet")
+          .select(col("user_id"), col("ts"), col("value"))
+          .as[(Long, java.sql.Timestamp, Double)].collect().toSeq
+          .map(r => (r._1, r._2, math.floor(r._3 * 100.0 + 0.5)))),
+        ("x4", () => x4Rows))
+      runOnce(() => fixedRows) // warm
+      for ((name, rows) <- variants) {
+        var best = Long.MaxValue
+        var emitted = 0L
+        var n = 0
+        (0 until 3).foreach { _ =>
+          val t0 = System.nanoTime()
+          emitted = runOnce(rows)
+          n = rows().length
+          best = math.min(best, (System.nanoTime() - t0) / 1000000L)
+        }
+        println(f"SCALE family=profiles_decomp variant=$name%-5s " +
+          f"events=$n%7d profiles=$emitted%7d bestMs=$best%7d")
+      }
+    }
+
     // streaming state sizing: the SAME sessionize query at varying state
     // partition counts and event volumes. The claim under measurement
     // (StreamSizing scaladoc): per-micro-batch cost = state-store fixed
