@@ -509,6 +509,106 @@ object GraphAnn {
     writeBucketManifest(spark, s"$path/assign", "__centroid")
   }
 
+  /** Batch DELETE from a materialized graph — the other half of index
+    * maintenance (takedowns, dedup removals; without it any deletion
+    * forced a full rebuild). `batch` holds the rows being removed (id +
+    * vector — the caller has them: they are corpus rows). EXACT: the
+    * updated artifact is row-identical to re-materializing over the
+    * reduced corpus, because
+    *
+    *  - deleting a member cannot change any assignment (centroids are
+    *    frozen: deleting centroid-level ids is refused below, same as
+    *    insert), so a full rebuild differs only inside the buckets the
+    *    deleted rows lived in;
+    *  - a deleted node's every member-edge occurrence — as src AND as dst
+    *    — lies inside its own bucket (bucket-kNN edges connect bucket-mates
+    *    only), and removal can PROMOTE new edges for surviving bucket-mates
+    *    (their stored top-degree was ranked including the deleted node), so
+    *    the touched buckets' member edges are recomputed FROM SCRATCH over
+    *    the surviving members — the same inputs and ranking rule as the
+    *    reduced-corpus rebuild, Σ touched-bucket² work, never corpus-sized;
+    *  - the upper levels contain no deleted ids (not centroids) and are
+    *    untouched.
+    *
+    * The deleted rows' buckets are recovered by REPLAYING the (frozen,
+    * deterministic) assignment rule on the batch — no corpus-sized lookup
+    * of the assignment table by a non-partition key. Storage mutation is
+    * two dynamic partition overwrites plus explicit directory removal for
+    * touched buckets whose edge/member sets become empty (a dynamic
+    * overwrite only replaces partitions it has rows for). Deleting an id
+    * that was never inserted is a harmless no-op (its bucket recomputes to
+    * its current state). Works on both geometries like the insert.
+    */
+  def deleteFromMaterialized(batch: DataFrame, base: DataFrame, idCol: String,
+      vecCol: String, stride: Int, degree: Int, path: String,
+      superStride: Int = 0): Unit = {
+    val spark = batch.sparkSession
+    val parts = java.nio.file.Files
+      .readString(java.nio.file.Paths.get(path, SpecMarker)).trim.split(" ")
+    val storedSuper = if (parts.length > 2) parts(2).toInt else 0
+    require(parts(0).toInt == stride && parts(1).toInt == degree
+        && storedSuper == superStride,
+      s"graph at $path was materialized with (stride, degree, superStride) = " +
+        s"(${parts(0)}, ${parts(1)}, $storedSuper), delete expects " +
+        s"($stride, $degree, $superStride)")
+    require(batch.where(pmod(col(idCol), lit(stride)) === 0).isEmpty,
+      s"batch contains centroid-level ids ($idCol divisible by $stride): " +
+        "deleting centroids changes the bucket geometry — re-materialize instead")
+    val cents = base.where(pmod(col(idCol), lit(stride)) === 0)
+      .select(col(idCol).cast("long").as("__cid"), col(vecCol).as("__cvec"))
+    // replay the build's assignment rule on the deleted rows — recovers
+    // their stored buckets exactly (frozen sets, deterministic tie-break)
+    val delAssigned = (if (superStride > 0) {
+      val supers = base.where(pmod(col(idCol), lit(superStride)) === 0)
+        .select(col(idCol).cast("long").as("__cid"), col(vecCol).as("__cvec"))
+      hierarchicalAssign(batch, idCol, vecCol, supers,
+        assignedTo(cents, "__cid", "__cvec", supers))
+    } else assignedTo(batch, idCol, vecCol, cents)).localCheckpoint()
+    val touched = delAssigned.select(col("__centroid")).distinct()
+      .collect().map(_.getLong(0)) // bounded by the batch size
+    if (touched.isEmpty) return
+    // surviving members of touched buckets: bucket-pruned read minus the
+    // batch (anti-join, batch-sized broadcast side — no id-list literals)
+    val remaining = readBuckets(spark, s"$path/assign", "__centroid", touched)
+      .select(col("__nid"), col("__nv"), col("__centroid").cast("long"))
+      .join(broadcast(delAssigned.select(col("__nid"))), Seq("__nid"),
+        "left_anti")
+      .localCheckpoint()
+    // recompute the touched buckets' member edges from scratch over the
+    // survivors (exactly the build's rule), re-attaching dst vectors from
+    // the survivors themselves (a dst is a surviving bucket-mate)
+    val newEdges = bucketKnnEdgesWithBucket(remaining, degree)
+      .join(remaining.select(col("__nid").as("dst"),
+        col("__nv").as(DstVecCol)), Seq("dst"))
+      .select(col("src"), col("dst"), col(DstVecCol), col("__bucket"))
+      .localCheckpoint()
+    newEdges.repartition(col("__bucket")).write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("__bucket").parquet(s"$path/edges")
+    remaining
+      .repartition(col("__centroid")).write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("__centroid").parquet(s"$path/assign")
+    // dynamic overwrite cannot CLEAR a partition it has no rows for:
+    // explicitly remove touched bucket directories that became empty
+    // (edge-less single-member buckets; fully-emptied memberships)
+    def dropEmptied(table: String, partCol: String, live: Set[Long]): Unit = {
+      val fs = new org.apache.hadoop.fs.Path(table)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      touched.filterNot(live).foreach { b =>
+        fs.delete(new org.apache.hadoop.fs.Path(table, s"$partCol=$b"), true)
+      }
+    }
+    dropEmptied(s"$path/edges", "__bucket",
+      newEdges.select(col("__bucket")).distinct()
+        .collect().map(_.getLong(0)).toSet)
+    dropEmptied(s"$path/assign", "__centroid",
+      remaining.select(col("__centroid")).distinct()
+        .collect().map(_.getLong(0)).toSet)
+    writeBucketManifest(spark, s"$path/edges", "__bucket")
+    writeBucketManifest(spark, s"$path/assign", "__centroid")
+  }
+
   /** Executed-round observability for the convergence specs: how many
     * rounds the most recent probe on this thread actually expanded (the
     * early-exit's measurable effect). Thread-local because probes are

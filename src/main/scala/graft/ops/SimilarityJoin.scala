@@ -482,6 +482,64 @@ object AnnIndex {
       .write.mode("append").partitionBy("__centroid").parquet(path)
   }
 
+  /** Batch DELETE from a [[materialize]]d index — the removal half of the
+    * maintenance trio (append grows, compact re-files, this removes;
+    * takedowns and dedup removals otherwise force a re-materialize).
+    * EXACT, and trivially so for IVF: the index stores only assigned rows,
+    * so deletion = rewriting the touched bucket partitions without the
+    * deleted ids — row-identical to materializing over the reduced corpus.
+    * The deleted rows' buckets are recovered by REPLAYING the frozen
+    * deterministic assignment on the batch (no corpus-sized lookup by a
+    * non-partition key); untouched buckets are never read or written
+    * (partition-pruned read + dynamic partition overwrite). Deleting
+    * centroid-level ids is refused: the centroid table re-derives from the
+    * caller's frame at open time, so removing one changes bucket geometry —
+    * re-materialize instead. Same single-writer contract as every
+    * materialized-index mutation.
+    */
+  def deleteFromMaterialized(batch: DataFrame, base: DataFrame, idCol: String,
+      vecCol: String, stride: Int, path: String): Unit = {
+    val spark = batch.sparkSession
+    val marker = java.nio.file.Paths.get(path, StrideMarker)
+    if (java.nio.file.Files.isReadable(marker)) {
+      val written = java.nio.file.Files.readString(marker).trim
+      require(written == stride.toString,
+        s"index at $path was materialized with stride $written, deleting with $stride")
+    }
+    require(batch.where(pmod(col(idCol), lit(stride)) === 0).isEmpty,
+      s"batch contains centroid-level ids ($idCol divisible by $stride): " +
+        "deleting centroids changes the bucket geometry — re-materialize instead")
+    val delAssigned = buildWith(batch, idCol, vecCol,
+      centroidsOf(base, idCol, vecCol, stride)).assigned.localCheckpoint()
+    val touched = delAssigned.select(col("__centroid")).distinct()
+      .collect().map(_.getLong(0)) // bounded by the batch size
+    if (touched.isEmpty) return
+    val stored = spark.read.parquet(path)
+    // typed partition literals (the graph-tier lesson): mismatched types
+    // wrap the partition column in a cast and silently defeat pruning
+    val vals: Seq[Any] = stored.schema("__centroid").dataType match {
+      case org.apache.spark.sql.types.IntegerType => touched.map(_.toInt).toSeq
+      case _ => touched.toSeq
+    }
+    val remaining = stored.where(col("__centroid").isin(vals: _*))
+      .join(broadcast(delAssigned.select(col(idCol))), Seq(idCol), "left_anti")
+      .localCheckpoint()
+    remaining.repartition(col("__centroid"))
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("__centroid").parquet(path)
+    // a dynamic overwrite cannot CLEAR partitions it has no rows for —
+    // explicitly drop touched buckets whose membership emptied (only
+    // possible when a bucket's centroid row itself lives elsewhere, a
+    // duplicate-vector corner; cheap to handle exactly)
+    val live = remaining.select(col("__centroid").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    touched.filterNot(live).foreach { b =>
+      fs.delete(new org.apache.hadoop.fs.Path(path, s"__centroid=$b"), true)
+    }
+  }
+
   /** Compact a [[materialize]]d index's over-fragmented buckets — the
     * maintenance half of [[appendToMaterialized]], which grows each
     * affected bucket directory by one file per ingest batch forever

@@ -337,6 +337,12 @@ object NorthStarQueries {
   /** Tiered twin of [[graphIncSpool]] (superStride=128 build + append). */
   private val graphTierIncSpool = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Full build + batch delete of the vec_id % 4 == 3 rows, per dir. */
+  private val graphDelSpool = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** IVF twin of [[graphDelSpool]]. */
+  private val annDelSpool = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** BPE merges learned ONCE per source dir (train-once/encode-many — the
     * tokenizer lifecycle; the TRAINING cost itself stays benched in
     * `bpe_merges`, which always retrains).
@@ -745,6 +751,30 @@ object NorthStarQueries {
         .probeTopK(qvec, 10, nprobe = 4)
     },
 
+    // IVF batch DELETE (AnnIndex.deleteFromMaterialized — the removal half
+    // of the maintenance trio): materialize full, delete the vec_id % 4 ==
+    // 3 rows (never centroid-level), probe over the survivors. Touched
+    // bucket partitions are rewritten without the deleted ids — trivially
+    // row-identical to a reduced-corpus materialize — and the oracle
+    // replays the build+probe over `embeddings WHERE vec_id % 4 <> 3`.
+    "ann_ivf_delete_topk" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val path = spooled(annDelSpool, dir)(d => {
+        val p = graft.util.TempDirs.create("graft_ann_del_spool")
+        val all = t(s, d, "embeddings")
+        AnnIndex.materialize(all, "vec_id", "embedding", 64, p)
+        AnnIndex.deleteFromMaterialized(
+          all.where(pmod(col("vec_id"), lit(4)) === 3), all,
+          "vec_id", "embedding", 64, p)
+        p
+      })
+      val reduced = emb.where(pmod(col("vec_id"), lit(4)) =!= 3)
+      val qvec = emb.where(col("vec_id") === 1).select(col("embedding"))
+        .head().getSeq[Float](0).map(_.toDouble).toArray
+      AnnIndex.fromMaterialized(reduced, "vec_id", "embedding", 64, path)
+        .probeTopK(qvec, 10, nprobe = 4)
+    },
+
     // IVF over Lloyd-refined centroids (AnnIndex.buildKMeans): stride-sample
     // init + 2 deterministic k-means rounds (means rounded to a 1e-6 grid so
     // cross-engine accumulation drift can't flip an argmin) — the oracle
@@ -902,6 +932,35 @@ object NorthStarQueries {
       val edges = GraphAnn.fromMaterialized(s, path, 64,
         GraphAnn.DefaultDegree, superStride = 128)
       GraphAnn.pointProbeTopK(emb, "vec_id", "embedding", edges, qvec,
+        k = 10, stride = 64)
+    },
+
+    // Batch DELETE (GraphAnn.deleteFromMaterialized — the other half of
+    // index maintenance): materialize the FULL corpus, delete the
+    // vec_id % 4 == 3 rows (never centroid-level: those are % 64 == 0),
+    // probe over the survivors. Touched buckets' member edges are
+    // recomputed from scratch over the surviving members — deletion can
+    // PROMOTE edges the stored top-degree ranked out — so the artifact is
+    // row-identical to a reduced-corpus rebuild BY CONSTRUCTION, and the
+    // oracle replays exactly that: the full build chain over
+    // `embeddings WHERE vec_id % 4 <> 3`.
+    "ann_graph_delete_topk" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val path = spooled(graphDelSpool, dir)(d => {
+        val p = graft.util.TempDirs.create("graft_graph_del_spool")
+        val all = t(s, d, "embeddings")
+        GraphAnn.materialize(all, "vec_id", "embedding",
+          64, GraphAnn.DefaultDegree, p)
+        GraphAnn.deleteFromMaterialized(
+          all.where(pmod(col("vec_id"), lit(4)) === 3), all,
+          "vec_id", "embedding", 64, GraphAnn.DefaultDegree, p)
+        p
+      })
+      val reduced = emb.where(pmod(col("vec_id"), lit(4)) =!= 3)
+      val qvec = emb.where(col("vec_id") === 1).select(col("embedding"))
+        .head().getSeq[Float](0).map(_.toDouble).toArray
+      val edges = GraphAnn.fromMaterialized(s, path, 64, GraphAnn.DefaultDegree)
+      GraphAnn.pointProbeTopK(reduced, "vec_id", "embedding", edges, qvec,
         k = 10, stride = 64)
     },
 
@@ -2869,12 +2928,18 @@ object NorthStarQueries {
     * (dist asc, id asc)-ranked, degree-bounded), then `DefaultRounds`
     * unrolled beam-search rounds.
     */
-  private def annGraphOracle: String = {
+  private def annGraphOracle: String = annGraphOracle("")
+
+  /** The flat-build replay over an optionally REDUCED corpus (`ePred`, a
+    * `WHERE ...` tail on the base CTE) — the delete gate replays the
+    * rebuild over exactly the surviving rows.
+    */
+  private def annGraphOracle(ePred: String): String = {
     val degree = GraphAnn.DefaultDegree
     val beam = GraphAnn.DefaultBeam
     val rounds = (1 to GraphAnn.DefaultRounds)
       .map(graphRoundSql(_, beam, 10)).mkString(",\n")
-    s"""WITH e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[64] AS v FROM embeddings),
+    s"""WITH e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[64] AS v FROM embeddings$ePred),
        |q AS MATERIALIZED (SELECT v FROM e WHERE vec_id = 1),
        |cents AS MATERIALIZED (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 64 = 0),
        |assign AS MATERIALIZED (
@@ -3439,6 +3504,9 @@ object NorthStarQueries {
     // the FULL build (the strongest form: the splice only hash-matches if
     // the spliced artifact equals a from-scratch one)
     "ann_graph_incremental_topk" -> annGraphOracle,
+    // delete == reduced-corpus rebuild by construction: the oracle replays
+    // the full build chain over exactly the surviving rows
+    "ann_graph_delete_topk" -> annGraphOracle(" WHERE vec_id % 4 <> 3"),
     "ann_graph_batch_topk" -> annGraphBatchOracle,
     "ann_graph_tiered_topk" -> annGraphTieredOracle,
     // same append == rebuild construction, tiered geometry: the full
@@ -4282,6 +4350,9 @@ object NorthStarQueries {
     // assignment of materializing the full corpus (centroids are the same
     // stride sample either way), so the incremental path shares the oracle
     "ann_incremental_topk" -> annIvfOracle,
+    // delete == reduced-corpus rebuild: the oracle replays build+probe
+    // over exactly the surviving rows
+    "ann_ivf_delete_topk" -> annIvfOracleWhere(" WHERE vec_id % 4 <> 3"),
     // segmentation -> distinct-doc dup census -> ordered reassembly, all
     // replayed: clean_fp only matches if the surviving segments AND their
     // order are byte-identical to the engine's rebuilt text
@@ -4754,10 +4825,17 @@ object NorthStarQueries {
          |FROM j GROUP BY a ORDER BY doc_id""".stripMargin,
   )
 
-  private val annIvfOracle: String =
-    """WITH cents AS (
-      |  SELECT vec_id AS cid, embedding FROM embeddings WHERE vec_id % 64 = 0),
-      |q AS (SELECT embedding::DOUBLE[64] AS v FROM embeddings WHERE vec_id = 1),
+  private val annIvfOracle: String = annIvfOracleWhere("")
+
+  /** The IVF build+probe replay over an optionally REDUCED corpus
+    * (`ePred`, a `WHERE ...` tail on the base CTE) — the delete gate
+    * replays the rebuild over exactly the surviving rows.
+    */
+  private def annIvfOracleWhere(ePred: String): String =
+    s"""WITH eb AS (SELECT vec_id, embedding FROM embeddings$ePred),
+      |cents AS (
+      |  SELECT vec_id AS cid, embedding FROM eb WHERE vec_id % 64 = 0),
+      |q AS (SELECT embedding::DOUBLE[64] AS v FROM eb WHERE vec_id = 1),
       |probed AS (
       |  SELECT cid FROM (
       |    SELECT cid,
@@ -4771,10 +4849,10 @@ object NorthStarQueries {
       |             1 - array_cosine_similarity(e.embedding::DOUBLE[64],
       |                 c.embedding::DOUBLE[64]) ASC,
       |             c.cid ASC) AS rn
-      |    FROM embeddings e CROSS JOIN cents c) WHERE rn = 1)
+      |    FROM eb e CROSS JOIN cents c) WHERE rn = 1)
       |SELECT e.vec_id,
       |       1 - array_cosine_similarity(e.embedding::DOUBLE[64], (SELECT v FROM q)) AS cos_dist
-      |FROM embeddings e JOIN assign a ON e.vec_id = a.vec_id
+      |FROM eb e JOIN assign a ON e.vec_id = a.vec_id
       |WHERE a.centroid IN (SELECT cid FROM probed)
       |ORDER BY cos_dist ASC NULLS LAST, e.vec_id ASC LIMIT 10""".stripMargin
 }

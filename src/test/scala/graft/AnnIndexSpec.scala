@@ -87,6 +87,41 @@ class AnnIndexSpec extends SparkTestBase {
     }
   }
 
+  test("deleteFromMaterialized: delete equals a reduced-corpus materialize") {
+    import org.apache.spark.sql.functions.{col, pmod, lit}
+    val path = java.nio.file.Files.createTempDirectory("ann_del_test").toString
+    AnnIndex.materialize(emb, "vec_id", "embedding", 64, path)
+    AnnIndex.deleteFromMaterialized(emb.where(pmod(col("vec_id"), lit(4)) === 3),
+      emb, "vec_id", "embedding", 64, path)
+    val reduced = emb.where(pmod(col("vec_id"), lit(4)) =!= 3)
+    // the stored artifact is row-identical to a reduced-corpus build:
+    // same (id, bucket) set, no deleted id survives
+    val stored = spark.read.parquet(path)
+      .select(col("vec_id"), col("__centroid").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val redPath = java.nio.file.Files.createTempDirectory("ann_red_test").toString
+    AnnIndex.materialize(reduced, "vec_id", "embedding", 64, redPath)
+    val want = spark.read.parquet(redPath)
+      .select(col("vec_id"), col("__centroid").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(stored == want)
+    // and probes over the deleted artifact match the reduced build
+    val del = AnnIndex.fromMaterialized(reduced, "vec_id", "embedding", 64, path)
+    val full = AnnIndex.fromMaterialized(reduced, "vec_id", "embedding", 64, redPath)
+    for (nprobe <- Seq(2, 8)) {
+      val got = del.probeTopK(qvec(5), 10, nprobe)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val want2 = full.probeTopK(qvec(5), 10, nprobe)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(got == want2, s"nprobe=$nprobe")
+    }
+    // deleting a centroid-level id is refused (geometry frozen)
+    intercept[IllegalArgumentException] {
+      AnnIndex.deleteFromMaterialized(emb.where(col("vec_id") === 128),
+        emb, "vec_id", "embedding", 64, path)
+    }
+  }
+
   test("kmeans refinement keeps centroid count, lowers inertia, preserves exactness") {
     val init = graft.ops.AnnIndex.kmeansCentroids(emb, "vec_id", "embedding",
       stride = 64, iters = 0)
@@ -717,6 +752,77 @@ class GraphAnnSpec extends SparkTestBase {
     }
     assert(manifest(s"$half/edges") == dirs(s"$half/edges", "__bucket"))
     assert(manifest(s"$half/assign") == dirs(s"$half/assign", "__centroid"))
+  }
+
+  test("graph delete: full build + batch delete == reduced-corpus build") {
+    val del = java.nio.file.Files.createTempDirectory("graph_del").toString
+    val red = java.nio.file.Files.createTempDirectory("graph_red").toString
+    GraphAnn.materialize(emb, "vec_id", "embedding", 64,
+      GraphAnn.DefaultDegree, del)
+    GraphAnn.deleteFromMaterialized(emb.where(pmod(col("vec_id"), lit(4)) === 3),
+      emb, "vec_id", "embedding", 64, GraphAnn.DefaultDegree, del)
+    val reduced = emb.where(pmod(col("vec_id"), lit(4)) =!= 3)
+    GraphAnn.materialize(reduced, "vec_id", "embedding", 64,
+      GraphAnn.DefaultDegree, red)
+    def edgeSet(p: String): Set[(Long, Long)] =
+      GraphAnn.fromMaterialized(spark, p, 64, GraphAnn.DefaultDegree)
+        .select("src", "dst").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // row-identical artifact: deletion may PROMOTE edges the stored
+    // top-degree ranked out — the from-scratch touched-bucket recompute
+    // must capture them (a filter of the stored edges would not)
+    assert(edgeSet(del) == edgeSet(red))
+    val gotP = GraphAnn.pointProbeTopK(reduced, "vec_id", "embedding",
+        GraphAnn.fromMaterialized(spark, del, 64, GraphAnn.DefaultDegree),
+        qvec(5), k = 10, stride = 64)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val wantP = GraphAnn.pointProbeTopK(reduced, "vec_id", "embedding",
+        GraphAnn.fromMaterialized(spark, red, 64, GraphAnn.DefaultDegree),
+        qvec(5), k = 10, stride = 64)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(gotP == wantP)
+    // no deleted id survives anywhere in the artifact (src or dst)
+    val ids = GraphAnn.fromMaterialized(spark, del, 64, GraphAnn.DefaultDegree)
+      .select(explode(array(col("src"), col("dst"))).as("id"))
+      .where(pmod(col("id"), lit(4)) === 3)
+    assert(ids.isEmpty)
+    // deleting a centroid-level id is refused (geometry frozen)
+    intercept[IllegalArgumentException] {
+      GraphAnn.deleteFromMaterialized(emb.where(col("vec_id") === 128),
+        emb, "vec_id", "embedding", 64, GraphAnn.DefaultDegree, del)
+    }
+  }
+
+  test("graph delete clears emptied bucket partitions") {
+    val sp = spark
+    import sp.implicits._
+    // two buckets: centroid 0 with one member 1 (nearby), centroid 64
+    // with members 65, 66; deleting id 1 empties bucket 0's edge set
+    def v(x: Double): Array[Float] =
+      Array.tabulate(4)(i => if (i == 0) 1f else (x * (i + 1)).toFloat)
+    val tiny = Seq(
+      (0L, v(0.0)), (1L, v(0.01)),
+      (64L, v(5.0)), (65L, v(5.01)), (66L, v(5.02))
+    ).toDF("vec_id", "embedding")
+    val p = java.nio.file.Files.createTempDirectory("graph_del_tiny").toString
+    GraphAnn.materialize(tiny, "vec_id", "embedding", 64, 2, p)
+    GraphAnn.deleteFromMaterialized(tiny.where(col("vec_id") === 1),
+      tiny, "vec_id", "embedding", 64, 2, p)
+    val red = java.nio.file.Files.createTempDirectory("graph_red_tiny").toString
+    GraphAnn.materialize(tiny.where(col("vec_id") =!= 1),
+      "vec_id", "embedding", 64, 2, red)
+    def edgeSet(path: String): Set[(Long, Long)] =
+      GraphAnn.fromMaterialized(spark, path, 64, 2)
+        .select("src", "dst").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(edgeSet(p) == edgeSet(red))
+    // the emptied bucket's edge directory is gone and the manifest agrees
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$p/edges", "__bucket=0")))
+    val manifest = java.nio.file.Files.readString(
+        java.nio.file.Paths.get(s"$p/edges", "_graft_buckets"))
+      .split("\n").iterator.map(_.trim).filter(_.nonEmpty).map(_.toLong).toSet
+    assert(!manifest.contains(0L))
   }
 
   test("tiered graph incremental insert: half + append == full tiered build") {

@@ -695,7 +695,7 @@ object ScaleSmoke {
       }
       if (on("graph_build")) timed("graph_build", k, nVec)(buildGraph())
       else if (on("graph_probe") || on("graph_batch100") ||
-        on("graph_insert")) buildGraph()
+        on("graph_insert") || on("graph_delete")) buildGraph()
       lazy val edges = graft.ops.GraphAnn.fromMaterialized(spark, gpath, 64,
         graft.ops.GraphAnn.DefaultDegree)
       timed("graph_probe", k, nVec) { // best of 3, min millis as `out`
@@ -735,6 +735,20 @@ object ScaleSmoke {
           .select((lit(900000001L) + col("vec_id") * lit(64)).as("vec_id"),
             col("embedding"))
         graft.ops.GraphAnn.appendToMaterialized(batch, emb,
+          "vec_id", "embedding", 64, graft.ops.GraphAnn.DefaultDegree, gpath)
+        200L
+      }
+      // incremental graph DELETE: a FIXED 200-vector batch removed from
+      // the k×-scaled at-rest graph (same distribution-drawn batch logic
+      // as graph_insert). Work = touched buckets recomputed from scratch
+      // over SURVIVORS — Σ touched-bucket² grows with bucket population
+      // (∝ k at fixed stride), so per-touched-bucket cost tracks bucket
+      // size, never the corpus. Runs after the probe families (mutates
+      // gpath; insert ran first, so the inserted ids are at rest too).
+      timed("graph_delete", k, nVec) {
+        val batch = emb.where(pmod(col("vec_id"), lit(389)) === 11)
+          .where(pmod(col("vec_id"), lit(64)) =!= 0).limit(200)
+        graft.ops.GraphAnn.deleteFromMaterialized(batch, emb,
           "vec_id", "embedding", 64, graft.ops.GraphAnn.DefaultDegree, gpath)
         200L
       }
