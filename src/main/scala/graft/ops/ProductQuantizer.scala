@@ -376,6 +376,79 @@ object ProductQuantizer {
       .write.mode("append").parquet(s"$path/codes")
   }
 
+  /** Batch DELETE from a [[materialize]]d or [[materializeIvfPq]]'d index —
+    * the removal half of the maintenance trio (append grows, compact
+    * re-files, this removes), twin of `AnnIndex.deleteFromMaterialized`.
+    * Codes encode per-row against FROZEN codebooks, so the deleted
+    * artifact is trivially row-identical to re-encoding the reduced
+    * corpus; deleting codebook-entry rows (ids divisible by the stored
+    * stride) is refused — every code references their entries.
+    *
+    * Layouts: the IVF-PQ code table is partitioned by bucket, so the
+    * caller passes the deleted rows' IVF `assignment` (any
+    * `(idCol, __centroid)` frame covering the batch — e.g. the companion
+    * index read back BEFORE its own delete) and only the touched bucket
+    * partitions rewrite (partition-pruned read + dynamic overwrite + an
+    * explicit drop of emptied directories). The FLAT layout has no
+    * partition structure: deletion is one rewrite-and-swap of `codes/`
+    * (the [[compactCodes]] staging mechanism) — code rows are M bytes, the
+    * cheapest full-table rewrite in the store; at scale prefer the IVF-PQ
+    * layout, whose delete is bucket-pruned.
+    */
+  def deleteFromMaterialized(ids: DataFrame, idCol: String, path: String,
+      assignment: Option[DataFrame] = None): Unit = {
+    import java.nio.file.{Files => JF, Paths => JP, StandardCopyOption}
+    val spark = ids.sparkSession
+    val (spec, (_, codes)) = fromMaterialized(spark, path)
+    val delIds = ids.select(col(idCol).cast("long").as("__id")).distinct()
+      .localCheckpoint() // batch-sized; feeds a require + the anti-joins
+    require(delIds.where(pmod(col("__id"), lit(spec.stride)) === 0).isEmpty,
+      s"batch contains codebook-entry ids ($idCol divisible by " +
+        s"${spec.stride}): deleting them orphans every code that references " +
+        "their entries — re-materialize instead")
+    if (codes.columns.contains("__centroid")) {
+      val asg = assignment.getOrElse(throw new IllegalArgumentException(
+        "IVF-PQ layout: pass the deleted rows' IVF assignment " +
+          s"(($idCol, __centroid) frame covering the batch)"))
+      val touched = asg
+        .select(col(idCol).cast("long").as("__id"),
+          col("__centroid").cast("long").as("__c"))
+        .join(broadcast(delIds), Seq("__id"), "left_semi")
+        .select(col("__c")).distinct()
+        .collect().map(_.getLong(0)) // bounded by the batch size
+      if (touched.isEmpty) return
+      val vals: Seq[Any] = codes.schema("__centroid").dataType match {
+        case org.apache.spark.sql.types.IntegerType => touched.map(_.toInt).toSeq
+        case _ => touched.toSeq
+      }
+      val remaining = codes.where(col("__centroid").isin(vals: _*))
+        .join(broadcast(delIds), Seq("__id"), "left_anti")
+        .localCheckpoint()
+      remaining.repartition(col("__centroid"))
+        .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+        .partitionBy("__centroid").parquet(s"$path/codes")
+      val live = remaining.select(col("__centroid").cast("long")).distinct()
+        .collect().map(_.getLong(0)).toSet
+      val fs = new org.apache.hadoop.fs.Path(s"$path/codes")
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      touched.filterNot(live).foreach { b =>
+        fs.delete(
+          new org.apache.hadoop.fs.Path(s"$path/codes", s"__centroid=$b"), true)
+      }
+    } else {
+      val staging = JP.get(path, "codes_deleting")
+      codes.join(broadcast(delIds), Seq("__id"), "left_anti")
+        .write.mode("overwrite").parquet(staging.toString)
+      val codesDir = JP.get(path, "codes")
+      val retired = JP.get(path, "codes_retired")
+      JF.move(codesDir, retired, StandardCopyOption.ATOMIC_MOVE)
+      JF.move(staging, codesDir, StandardCopyOption.ATOMIC_MOVE)
+      import scala.jdk.CollectionConverters._
+      JF.walk(retired).iterator().asScala.toSeq.reverse
+        .foreach(p => JF.deleteIfExists(p))
+    }
+  }
+
   /** Compact a [[materialize]]d index's flat `codes/` directory — the
     * maintenance half of [[appendToMaterialized]], which grows it by one+
     * file per ingest batch forever (the same small-files risk

@@ -343,6 +343,9 @@ object NorthStarQueries {
   /** IVF twin of [[graphDelSpool]]. */
   private val annDelSpool = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** PQ twin of [[graphDelSpool]] (flat code-table layout). */
+  private val pqDelSpool = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** BPE merges learned ONCE per source dir (train-once/encode-many — the
     * tokenizer lifecycle; the TRAINING cost itself stays benched in
     * `bpe_merges`, which always retrains).
@@ -803,6 +806,32 @@ object NorthStarQueries {
       ProductQuantizer.adcRerankTopK(emb, "vec_id", "embedding", qvec,
         k = 10, ProductQuantizer.PqSpec(m = 8, dsub = 8, stride = 64),
         overfetch = 100)
+    },
+
+    // PQ batch DELETE (ProductQuantizer.deleteFromMaterialized, flat
+    // layout): materialize the full code table, delete the vec_id % 4 == 3
+    // rows (one rewrite-and-swap of the M-byte code rows; the IVF-PQ
+    // layout's bucket-pruned path is spec-covered), probe with the stored
+    // artifact over the survivors. Codes encode per-row against frozen
+    // codebooks, so delete == reduced-corpus re-encode — the oracle
+    // replays the whole PQ pipeline over exactly the surviving rows.
+    "ann_pq_delete_topk" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val spec = ProductQuantizer.PqSpec(m = 8, dsub = 8, stride = 64)
+      val path = spooled(pqDelSpool, dir)(d => {
+        val p = graft.util.TempDirs.create("graft_pq_del_spool")
+        val all = t(s, d, "embeddings")
+        ProductQuantizer.materialize(all, "vec_id", "embedding", spec, p)
+        ProductQuantizer.deleteFromMaterialized(
+          all.where(pmod(col("vec_id"), lit(4)) === 3), "vec_id", p)
+        p
+      })
+      val reduced = emb.where(pmod(col("vec_id"), lit(4)) =!= 3)
+      val qvec = emb.where(col("vec_id") === 1).select(col("embedding"))
+        .head().getSeq[Float](0).map(_.toDouble).toArray
+      val (_, precomputed) = ProductQuantizer.fromMaterialized(s, path, Some(spec))
+      ProductQuantizer.adcRerankTopK(reduced, "vec_id", "embedding", qvec,
+        k = 10, spec, overfetch = 100, precomputed = Some(precomputed))
     },
 
     // the full IVF-PQ composition under the gate, probe-many shape: the
@@ -4200,45 +4229,11 @@ object NorthStarQueries {
     // bit-identical per entry, order-free in the sum), exact cosine rerank
     // of the 100 survivors. array_distance argument order matches the
     // engine's (subvector, codebook) / (codebook, query) exactly.
-    "ann_pq_topk" ->
-      """WITH sub AS (
-        |  -- list_transform materializes the slice before the ARRAY cast:
-        |  -- DuckDB 1.0.0 casts a sliced list to DOUBLE[n] with the slice
-        |  -- OFFSET ignored (reads the wrong 8 floats / garbage). The
-        |  -- lambda forces fresh storage; values are the same float->double
-        |  -- conversion Spark's cast applies.
-        |  SELECT vec_id, m,
-        |         list_transform(embedding[m*8+1:m*8+8],
-        |                        x -> CAST(x AS DOUBLE))::DOUBLE[8] AS sv
-        |  FROM embeddings CROSS JOIN (SELECT unnest(range(0, 8)) AS m)),
-        |cb AS (SELECT vec_id // 64 AS j, m, sv AS cv FROM sub WHERE vec_id % 64 = 0),
-        |-- assignment replays the engine's packed-long argmin exactly:
-        |-- floor(least(d, 2000)*1e12)*4096 + j, min, then % 4096 recovers j
-        |-- (the 1e-12 quantization AND the packedKey overflow clamp are part
-        |-- of the algorithm, identical both sides)
-        |code AS (
-        |  SELECT s.vec_id, s.m,
-        |         min(CAST(floor(least(array_distance(s.sv, c.cv), 2000.0)
-        |             * 1000000000000.0) AS BIGINT) * 4096 + c.j) % 4096 AS j
-        |  FROM sub s JOIN cb c ON s.m = c.m
-        |  GROUP BY s.vec_id, s.m),
-        |q AS (SELECT m, sv AS qv FROM sub WHERE vec_id = 1),
-        |dt AS (
-        |  SELECT c.m, c.j,
-        |         CAST(floor(array_distance(c.cv, q.qv) * array_distance(c.cv, q.qv)
-        |              * 1000000.0) AS BIGINT) AS dq
-        |  FROM cb c JOIN q ON c.m = q.m),
-        |adc AS (
-        |  SELECT co.vec_id, CAST(sum(dt.dq) AS BIGINT) AS adc
-        |  FROM code co JOIN dt ON co.m = dt.m AND co.j = dt.j
-        |  GROUP BY co.vec_id),
-        |cand AS (SELECT vec_id FROM adc ORDER BY adc ASC, vec_id ASC LIMIT 100),
-        |fq AS (SELECT embedding FROM embeddings WHERE vec_id = 1)
-        |SELECT e.vec_id,
-        |       1 - array_cosine_similarity(e.embedding::DOUBLE[64],
-        |           (SELECT embedding FROM fq)::DOUBLE[64]) AS cos_dist
-        |FROM embeddings e JOIN cand USING (vec_id)
-        |ORDER BY cos_dist ASC NULLS LAST, vec_id ASC LIMIT 10""".stripMargin,
+    "ann_pq_topk" -> annPqOracleWhere(""),
+    // delete == reduced-corpus re-encode (frozen codebooks; entry rows are
+    // never deletable): the oracle replays the full PQ pipeline over
+    // exactly the surviving rows
+    "ann_pq_delete_topk" -> annPqOracleWhere(" WHERE vec_id % 4 <> 3"),
     // the trained-codebook PQ replayed END TO END: stride init, two
     // per-subspace Lloyd rounds (pqTrainIterSql — the engine's packed-long
     // argmin, 1e-6-grid means, frozen empty entries), then assignment /
@@ -4826,6 +4821,52 @@ object NorthStarQueries {
   )
 
   private val annIvfOracle: String = annIvfOracleWhere("")
+
+  /** The flat-PQ pipeline replay (codebooks, packed-argmin assignment,
+    * integer ADC, full-precision rerank) over an optionally REDUCED corpus
+    * (`ePred`, a `WHERE ...` tail on the base CTE) — the delete gate
+    * replays the re-encode over exactly the surviving rows.
+    */
+  private def annPqOracleWhere(ePred: String): String =
+    s"""WITH eb AS (SELECT vec_id, embedding FROM embeddings$ePred),
+      |sub AS (
+      |  -- list_transform materializes the slice before the ARRAY cast:
+      |  -- DuckDB 1.0.0 casts a sliced list to DOUBLE[n] with the slice
+      |  -- OFFSET ignored (reads the wrong 8 floats / garbage). The
+      |  -- lambda forces fresh storage; values are the same float->double
+      |  -- conversion Spark's cast applies.
+      |  SELECT vec_id, m,
+      |         list_transform(embedding[m*8+1:m*8+8],
+      |                        x -> CAST(x AS DOUBLE))::DOUBLE[8] AS sv
+      |  FROM eb CROSS JOIN (SELECT unnest(range(0, 8)) AS m)),
+      |cb AS (SELECT vec_id // 64 AS j, m, sv AS cv FROM sub WHERE vec_id % 64 = 0),
+      |-- assignment replays the engine's packed-long argmin exactly:
+      |-- floor(least(d, 2000)*1e12)*4096 + j, min, then % 4096 recovers j
+      |-- (the 1e-12 quantization AND the packedKey overflow clamp are part
+      |-- of the algorithm, identical both sides)
+      |code AS (
+      |  SELECT s.vec_id, s.m,
+      |         min(CAST(floor(least(array_distance(s.sv, c.cv), 2000.0)
+      |             * 1000000000000.0) AS BIGINT) * 4096 + c.j) % 4096 AS j
+      |  FROM sub s JOIN cb c ON s.m = c.m
+      |  GROUP BY s.vec_id, s.m),
+      |q AS (SELECT m, sv AS qv FROM sub WHERE vec_id = 1),
+      |dt AS (
+      |  SELECT c.m, c.j,
+      |         CAST(floor(array_distance(c.cv, q.qv) * array_distance(c.cv, q.qv)
+      |              * 1000000.0) AS BIGINT) AS dq
+      |  FROM cb c JOIN q ON c.m = q.m),
+      |adc AS (
+      |  SELECT co.vec_id, CAST(sum(dt.dq) AS BIGINT) AS adc
+      |  FROM code co JOIN dt ON co.m = dt.m AND co.j = dt.j
+      |  GROUP BY co.vec_id),
+      |cand AS (SELECT vec_id FROM adc ORDER BY adc ASC, vec_id ASC LIMIT 100),
+      |fq AS (SELECT embedding FROM eb WHERE vec_id = 1)
+      |SELECT e.vec_id,
+      |       1 - array_cosine_similarity(e.embedding::DOUBLE[64],
+      |           (SELECT embedding FROM fq)::DOUBLE[64]) AS cos_dist
+      |FROM eb e JOIN cand USING (vec_id)
+      |ORDER BY cos_dist ASC NULLS LAST, vec_id ASC LIMIT 10""".stripMargin
 
   /** The IVF build+probe replay over an optionally REDUCED corpus
     * (`ePred`, a `WHERE ...` tail on the base CTE) — the delete gate

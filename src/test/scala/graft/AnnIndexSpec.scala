@@ -284,6 +284,53 @@ class ProductQuantizerSpec extends SparkTestBase {
     assert(viaHalf == viaFull)
   }
 
+  test("PQ delete equals a reduced-corpus materialize (both layouts)") {
+    import org.apache.spark.sql.functions.{col, pmod, lit}
+    def codesOf(p: String): Set[(Long, Int, Long)] =
+      spark.read.parquet(s"$p/codes")
+        .select(col("__id"), col("__m"), col("__code"))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val reduced = emb.where(pmod(col("vec_id"), lit(4)) =!= 3)
+    // FLAT layout: one rewrite-and-swap of codes/
+    val flat = java.nio.file.Files.createTempDirectory("pq_del_flat").toString
+    ProductQuantizer.materialize(emb, "vec_id", "embedding", spec, flat)
+    ProductQuantizer.deleteFromMaterialized(
+      emb.where(pmod(col("vec_id"), lit(4)) === 3), "vec_id", flat)
+    val flatRed = java.nio.file.Files.createTempDirectory("pq_del_flat_red").toString
+    ProductQuantizer.materialize(reduced, "vec_id", "embedding", spec, flatRed)
+    assert(codesOf(flat) == codesOf(flatRed))
+    // deleting a codebook-entry id is refused (entries are referenced)
+    intercept[IllegalArgumentException] {
+      ProductQuantizer.deleteFromMaterialized(
+        emb.where(col("vec_id") === 64), "vec_id", flat)
+    }
+    // IVF-PQ layout: bucket-pruned rewrite, assignment required
+    val ivf = java.nio.file.Files.createTempDirectory("pq_del_ivf").toString
+    AnnIndex.materialize(emb, "vec_id", "embedding", 64, ivf)
+    val comp = java.nio.file.Files.createTempDirectory("pq_del_comp").toString
+    ProductQuantizer.materializeIvfPq(emb, "vec_id", "embedding",
+      spark.read.parquet(ivf), spec, comp)
+    intercept[IllegalArgumentException] { // partitioned layout needs the map
+      ProductQuantizer.deleteFromMaterialized(
+        emb.where(pmod(col("vec_id"), lit(4)) === 3), "vec_id", comp)
+    }
+    ProductQuantizer.deleteFromMaterialized(
+      emb.where(pmod(col("vec_id"), lit(4)) === 3), "vec_id", comp,
+      assignment = Some(spark.read.parquet(ivf)))
+    val ivfRed = java.nio.file.Files.createTempDirectory("pq_del_ivf_red").toString
+    AnnIndex.materialize(reduced, "vec_id", "embedding", 64, ivfRed)
+    val compRed = java.nio.file.Files.createTempDirectory("pq_del_comp_red").toString
+    ProductQuantizer.materializeIvfPq(reduced, "vec_id", "embedding",
+      spark.read.parquet(ivfRed), spec, compRed)
+    def bucketedCodesOf(p: String): Set[(Long, Int, Long, Long)] =
+      spark.read.parquet(s"$p/codes")
+        .select(col("__id"), col("__m"), col("__code"),
+          col("__centroid").cast("long"))
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    assert(bucketedCodesOf(comp) == bucketedCodesOf(compRed))
+  }
+
   test("precomputed (codebooks, codes) probes equal the inline path") {
     val cb = ProductQuantizer.codebooks(emb, "vec_id", "embedding", spec)
     val codes = ProductQuantizer.encode(emb, "vec_id", "embedding", cb, spec)
@@ -858,6 +905,17 @@ class GraphAnnSpec extends SparkTestBase {
         qvec(5), k = 10, stride = 64)
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     assert(gotP == wantP)
+    // and the tiered DELETE path: removing the 4k+3 rows from the spliced
+    // artifact equals a reduced-corpus tiered build (same frozen-geometry
+    // replay, survivors-only bucket recompute)
+    GraphAnn.deleteFromMaterialized(emb.where(pmod(col("vec_id"), lit(4)) === 3),
+      emb, "vec_id", "embedding", 64, GraphAnn.DefaultDegree, half,
+      superStride = 128)
+    val redT = java.nio.file.Files.createTempDirectory("graph_tred").toString
+    GraphAnn.materialize(emb.where(pmod(col("vec_id"), lit(4)) =!= 3),
+      "vec_id", "embedding", 64, GraphAnn.DefaultDegree, redT,
+      superStride = 128)
+    assert(edgeSet(half) == edgeSet(redT))
   }
 }
 
