@@ -2363,6 +2363,57 @@ object NorthStarQueries {
         .transform(sortedSingle(_, col("user_id")))
     },
 
+    // The SAME semantics on the state API v2 (EventStreams.userProfilesV2,
+    // `transformWithState` + typed ValueState on the RocksDB provider —
+    // Spark 4's arbitrary-state surface). Sharing streamed_profiles'
+    // oracle pins v1 == v2 == batch under the hash, not just in a spec.
+    "streamed_profiles_v2" -> { (s, dir) =>
+      import s.implicits._
+      val rows = graft.SparkEntry.eventsTable(s, dir)
+        .select(col("user_id"), col("ts"), col("value"))
+        .as[(Long, java.sql.Timestamp, Double)].collect().toSeq
+        .map(r => (r._1, r._2, math.floor(r._3 * 100.0 + 0.5)))
+      val mid = {
+        val ts = rows.map(_._2.getTime)
+        ts.min + (ts.max - ts.min) / 2
+      }
+      val providerKey = "spark.sql.streaming.stateStore.providerClass"
+      val prevProvider = s.conf.getOption(providerKey)
+      s.conf.set(providerKey,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val out = graft.util.TempDirs.create("streamed_profiles_v2")
+      try {
+        val stream = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(Long, java.sql.Timestamp, Double)](s)
+        val profiles = graft.streaming.EventStreams.userProfilesV2(
+          stream.toDF().toDF("user_id", "ts", "value")
+            .as[graft.streaming.EventStreams.UserEvent])
+        val q = graft.streaming.StreamSizing.withStatePartitions(s, 4) {
+          profiles.toDF().writeStream.outputMode("update")
+            .option("checkpointLocation",
+              graft.util.TempDirs.create("streamed_profiles_v2_ckpt"))
+            .foreachBatch { (b: DataFrame, _: Long) =>
+              b.write.mode("append").parquet(out)
+            }
+            .start()
+        }
+        try Seq[Long => Boolean](_ < mid, _ >= mid).foreach { epoch =>
+          stream.addData(rows.filter(r => epoch(r._2.getTime)))
+          q.processAllAvailable()
+        } finally q.stop()
+      } finally prevProvider match {
+        case Some(v) => s.conf.set(providerKey, v)
+        case None => s.conf.unset(providerKey)
+      }
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("n_events").desc)
+      s.read.parquet(out)
+        .withColumn("__rn", row_number().over(w)).where(col("__rn") === 1)
+        .select(col("user_id"), col("n_events"),
+          col("total_value").cast("long").as("total_cents"), col("last_seen"))
+        .transform(sortedSingle(_, col("user_id")))
+    },
+
     // DSIR-style importance fitting (ops/Dsir — Xie et al. 2023): hashed
     // unigram+bigram features, target sample = doc_id % 7 == 0, raw = the
     // rest; per-bucket weight = fixed-point smoothed probability RATIO
@@ -3471,12 +3522,9 @@ object NorthStarQueries {
     // the final mapGroupsWithState snapshot per user == the batch groupBy;
     // cents = floor(value*100 + 0.5) replays the gate's exact-integer
     // arithmetic (identical double ops on both engines)
-    "streamed_profiles" ->
-      """SELECT user_id, count(*)::BIGINT AS n_events,
-        |       CAST(sum(CAST(floor(value*100 + 0.5) AS BIGINT)) AS BIGINT)
-        |         AS total_cents,
-        |       max(ts) AS last_seen
-        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "streamed_profiles" -> streamedProfilesOracle,
+    // the v2 state API must land on the identical batch truth
+    "streamed_profiles_v2" -> streamedProfilesOracle,
     "incremental_dedup" ->
       s"""WITH $GuardedShCte,
          |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
@@ -4821,6 +4869,18 @@ object NorthStarQueries {
   )
 
   private val annIvfOracle: String = annIvfOracleWhere("")
+
+  /** The final per-user profile snapshot == the batch groupBy; cents =
+    * floor(value·100 + 0.5) replays the gates' exact-integer arithmetic
+    * (identical double ops on both engines). Shared by the v1
+    * (mapGroupsWithState) and v2 (transformWithState) gates.
+    */
+  private val streamedProfilesOracle: String =
+    """SELECT user_id, count(*)::BIGINT AS n_events,
+      |       CAST(sum(CAST(floor(value*100 + 0.5) AS BIGINT)) AS BIGINT)
+      |         AS total_cents,
+      |       max(ts) AS last_seen
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 
   /** The flat-PQ pipeline replay (codebooks, packed-argmin assignment,
     * integer ADC, full-precision rerank) over an optionally REDUCED corpus

@@ -501,16 +501,26 @@ object ScaleSmoke {
         .as[(Long, java.sql.Timestamp, Double)].collect().toSeq
       // gate-shaped run: TWO time-split epochs, exactly like the
       // streamed_profiles registration; thunked input for the same
-      // replay-inside-the-wall reason as attribution_decomp
-      def runOnce(mkRows: () => Seq[(Long, java.sql.Timestamp, Double)]): Long = {
+      // replay-inside-the-wall reason as attribution_decomp. `v2` swaps in
+      // userProfilesV2 (transformWithState + RocksDB provider) so the v2
+      // gate's fixed-cost premium is measured, not guessed.
+      def runOnce(mkRows: () => Seq[(Long, java.sql.Timestamp, Double)],
+          v2: Boolean = false): Long = {
         val rows = mkRows()
         val ts = rows.map(_._2.getTime)
         val mid = ts.min + (ts.max - ts.min) / 2
         val stream = MemoryStream[(Long, java.sql.Timestamp, Double)](spark)
         val out = graft.util.TempDirs.create("prof_decomp_out")
-        val profiles = graft.streaming.EventStreams.userProfiles(
-          stream.toDF().toDF("user_id", "ts", "value")
-            .as[graft.streaming.EventStreams.UserEvent])
+        val events = stream.toDF().toDF("user_id", "ts", "value")
+          .as[graft.streaming.EventStreams.UserEvent]
+        val providerKey = "spark.sql.streaming.stateStore.providerClass"
+        val prevProvider = spark.conf.getOption(providerKey)
+        if (v2) spark.conf.set(providerKey,
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        try {
+        val profiles =
+          if (v2) graft.streaming.EventStreams.userProfilesV2(events)
+          else graft.streaming.EventStreams.userProfiles(events)
         val q = graft.streaming.StreamSizing.withStatePartitions(spark, 4) {
           profiles.toDF().writeStream.outputMode("update")
             .option("checkpointLocation",
@@ -524,6 +534,10 @@ object ScaleSmoke {
           stream.addData(rows.filter(r => epoch(r._2.getTime)))
           q.processAllAvailable()
         } finally q.stop()
+        } finally prevProvider match {
+          case Some(v) => spark.conf.set(providerKey, v)
+          case None => spark.conf.unset(providerKey)
+        }
         spark.read.parquet(out).count()
       }
       // fixed = earliest + latest event so both epochs fire (the gate's
@@ -531,22 +545,28 @@ object ScaleSmoke {
       val fixedRows = Seq(baseEv.minBy(_._2.getTime), baseEv.maxBy(_._2.getTime))
       val x4Rows = (0 until 4).flatMap(c =>
         baseEv.map { case (u, t0, v) => (u + c * 1000000000L, t0, v) })
-      val variants = Seq[(String, () => Seq[(Long, java.sql.Timestamp, Double)])](
-        ("fixed", () => fixedRows),
-        // the gate's exact replay: re-collect + cents map inside the wall
-        ("full", () => spark.read.parquet(s"$dir/events.parquet")
-          .select(col("user_id"), col("ts"), col("value"))
-          .as[(Long, java.sql.Timestamp, Double)].collect().toSeq
-          .map(r => (r._1, r._2, math.floor(r._3 * 100.0 + 0.5)))),
-        ("x4", () => x4Rows))
+      val fullThunk = () => spark.read.parquet(s"$dir/events.parquet")
+        .select(col("user_id"), col("ts"), col("value"))
+        .as[(Long, java.sql.Timestamp, Double)].collect().toSeq
+        .map(r => (r._1, r._2, math.floor(r._3 * 100.0 + 0.5)))
+      val variants =
+        Seq[(String, () => Seq[(Long, java.sql.Timestamp, Double)], Boolean)](
+          ("fixed", () => fixedRows, false),
+          // the gate's exact replay: re-collect + cents map inside the wall
+          ("full", fullThunk, false),
+          ("x4", () => x4Rows, false),
+          // the v2 gate's fixed cost and fixture wall (transformWithState
+          // on RocksDB): the data term is shared, the fixed premium is not
+          ("v2fix", () => fixedRows, true),
+          ("v2ful", fullThunk, true))
       runOnce(() => fixedRows) // warm
-      for ((name, rows) <- variants) {
+      for ((name, rows, v2) <- variants) {
         var best = Long.MaxValue
         var emitted = 0L
         var n = 0
         (0 until 3).foreach { _ =>
           val t0 = System.nanoTime()
-          emitted = runOnce(rows)
+          emitted = runOnce(rows, v2)
           n = rows().length
           best = math.min(best, (System.nanoTime() - t0) / 1000000L)
         }
