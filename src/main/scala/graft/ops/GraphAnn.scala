@@ -233,77 +233,15 @@ object GraphAnn {
 
   private val SpecMarker = "_graft_graph_spec"
 
-  /** Bucket-directory manifest of a partitioned index table (one bucket id
-    * per line, sorted; the leading underscore keeps it invisible to parquet
-    * reads). With it, a bucket-pruned read lists ONLY the wanted bucket
-    * directories — on an object store the recursive listing of a
-    * many-thousand-bucket table is otherwise paid on EVERY pruned read and
-    * grows with corpus size, while the manifest keeps it ∝ touched buckets.
-    * Written once per mutation (build or append) from one single-level
-    * `listStatus` of the table root — the authoritative directory truth,
-    * immune to empty-bucket bookkeeping drift.
-    */
-  private val BucketManifest = "_graft_buckets"
-
+  // bucket manifests + manifest-driven pruned reads live in
+  // [[IndexManifests]] (shared with the IVF store)
   private def writeBucketManifest(spark: org.apache.spark.sql.SparkSession,
-      table: String, partCol: String): Unit = {
-    val root = new org.apache.hadoop.fs.Path(table)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val buckets = fs.listStatus(root).iterator
-      .filter(_.isDirectory).map(_.getPath.getName)
-      .filter(_.startsWith(partCol + "="))
-      .map(_.substring(partCol.length + 1).toLong).toSeq.sorted
-    val out = fs.create(new org.apache.hadoop.fs.Path(root, BucketManifest), true)
-    try out.write((buckets.mkString("\n") + "\n").getBytes("UTF-8"))
-    finally out.close()
-  }
+      table: String, partCol: String): Unit =
+    IndexManifests.write(spark, table, partCol)
 
-  private def readBucketManifest(spark: org.apache.spark.sql.SparkSession,
-      table: String): Option[Seq[Long]] = {
-    val p = new org.apache.hadoop.fs.Path(table, BucketManifest)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
-      val txt = try new String(in.readAllBytes(), "UTF-8") finally in.close()
-      Some(txt.split("\n").iterator.map(_.trim).filter(_.nonEmpty)
-        .map(_.toLong).toSeq)
-    }
-  }
-
-  /** Bucket-pruned read of a partitioned index table. With a manifest the
-    * read passes the wanted bucket directories as EXPLICIT paths (plus
-    * `basePath`, so the partition column still materializes) — listing
-    * cost ∝ wanted buckets. Without one (legacy artifact) it falls back to
-    * an `isin` partition filter whose literals MUST match the column's
-    * inferred type (small ids infer int, large infer long): a mismatched
-    * isin wraps the partition column in a cast, which defeats partition
-    * pruning — the read silently degrades to a corpus scan (measured: the
-    * graph_insert ScaleSmoke rung's shuffle grew with the corpus until
-    * this fix).
-    */
   private def readBuckets(spark: org.apache.spark.sql.SparkSession,
       table: String, partCol: String, wanted: Seq[Long]): DataFrame =
-    readBucketManifest(spark, table) match {
-      case Some(all) =>
-        val have = all.toSet
-        val hit = wanted.filter(have)
-        if (hit.isEmpty)
-          // none of the wanted buckets exist yet (an all-fresh batch) —
-          // empty frame of the table's schema; only this rare shape pays
-          // a full-table listing
-          spark.read.parquet(table).where(lit(false))
-        else
-          spark.read.option("basePath", table)
-            .parquet(hit.map(b => s"$table/$partCol=$b"): _*)
-      case None =>
-        val df = spark.read.parquet(table)
-        val vals: Seq[Any] = df.schema(partCol).dataType match {
-          case org.apache.spark.sql.types.IntegerType => wanted.map(_.toInt)
-          case _ => wanted
-        }
-        df.where(col(partCol).isin(vals: _*))
-    }
+    IndexManifests.readBuckets(spark, table, partCol, wanted)
 
   /** Neighbor-vector column of a VECTOR-ADJACENT materialized edge table
     * (see [[materialize]]); probes route on its presence.

@@ -334,6 +334,7 @@ object ProductQuantizer {
         col("__centroid")), Seq("__id"))
       .write.mode("overwrite").partitionBy("__centroid")
       .parquet(s"$path/codes")
+    IndexManifests.write(df.sparkSession, s"$path/codes", "__centroid")
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(path, SpecMarker),
       s"${spec.m} ${spec.dsub} ${spec.stride}")
@@ -417,11 +418,10 @@ object ProductQuantizer {
         .select(col("__c")).distinct()
         .collect().map(_.getLong(0)) // bounded by the batch size
       if (touched.isEmpty) return
-      val vals: Seq[Any] = codes.schema("__centroid").dataType match {
-        case org.apache.spark.sql.types.IntegerType => touched.map(_.toInt).toSeq
-        case _ => touched.toSeq
-      }
-      val remaining = codes.where(col("__centroid").isin(vals: _*))
+      // manifest-listed bucket-pruned read (typed-isin legacy fallback
+      // inside; IndexManifests is the graph/IVF tiers' shared mechanism)
+      val remaining = IndexManifests
+        .readBuckets(spark, s"$path/codes", "__centroid", touched.toSeq)
         .join(broadcast(delIds), Seq("__id"), "left_anti")
         .localCheckpoint()
       remaining.repartition(col("__centroid"))
@@ -435,6 +435,7 @@ object ProductQuantizer {
         fs.delete(
           new org.apache.hadoop.fs.Path(s"$path/codes", s"__centroid=$b"), true)
       }
+      IndexManifests.write(spark, s"$path/codes", "__centroid")
     } else {
       val staging = JP.get(path, "codes_deleting")
       codes.join(broadcast(delIds), Seq("__id"), "left_anti")

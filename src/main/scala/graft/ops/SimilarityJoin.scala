@@ -438,6 +438,7 @@ object AnnIndex {
       s"no centroids: no $idCol divisible by stride $stride")
     build(df, idCol, vecCol, stride).assigned
       .write.mode("overwrite").partitionBy("__centroid").parquet(path)
+    IndexManifests.write(df.sparkSession, path, "__centroid")
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(path, StrideMarker), stride.toString)
   }
@@ -480,6 +481,9 @@ object AnnIndex {
     buildWith(batch, idCol, vecCol, centroidsOf(base, idCol, vecCol, stride))
       .assigned
       .write.mode("append").partitionBy("__centroid").parquet(path)
+    // refresh so the next maintenance read's manifest sees any bucket
+    // directory this batch created
+    IndexManifests.write(batch.sparkSession, path, "__centroid")
   }
 
   /** Batch DELETE from a [[materialize]]d index — the removal half of the
@@ -514,14 +518,10 @@ object AnnIndex {
     val touched = delAssigned.select(col("__centroid")).distinct()
       .collect().map(_.getLong(0)) // bounded by the batch size
     if (touched.isEmpty) return
-    val stored = spark.read.parquet(path)
-    // typed partition literals (the graph-tier lesson): mismatched types
-    // wrap the partition column in a cast and silently defeat pruning
-    val vals: Seq[Any] = stored.schema("__centroid").dataType match {
-      case org.apache.spark.sql.types.IntegerType => touched.map(_.toInt).toSeq
-      case _ => touched.toSeq
-    }
-    val remaining = stored.where(col("__centroid").isin(vals: _*))
+    // manifest-listed bucket-pruned read (typed-isin legacy fallback
+    // inside) — the graph tier's mechanism, shared via IndexManifests
+    val remaining = IndexManifests
+      .readBuckets(spark, path, "__centroid", touched.toSeq)
       .join(broadcast(delAssigned.select(col(idCol))), Seq(idCol), "left_anti")
       .localCheckpoint()
     remaining.repartition(col("__centroid"))
@@ -538,6 +538,7 @@ object AnnIndex {
     touched.filterNot(live).foreach { b =>
       fs.delete(new org.apache.hadoop.fs.Path(path, s"__centroid=$b"), true)
     }
+    IndexManifests.write(spark, path, "__centroid")
   }
 
   /** Compact a [[materialize]]d index's over-fragmented buckets — the
@@ -607,6 +608,10 @@ object AnnIndex {
         case None => spark.conf.unset(confKey)
       }
     }
+    // a compaction only rewrites files within existing bucket dirs, but
+    // refresh anyway so the manifest is re-derived from directory truth
+    // after any mutation
+    IndexManifests.write(spark, path, "__centroid")
     over
   }
 

@@ -120,6 +120,17 @@ class AnnIndexSpec extends SparkTestBase {
       AnnIndex.deleteFromMaterialized(emb.where(col("vec_id") === 128),
         emb, "vec_id", "embedding", 64, path)
     }
+    // the IVF store's bucket manifest tracks the directory truth through
+    // materialize + delete (IndexManifests, shared with the graph tier)
+    val manifest = java.nio.file.Files.readString(
+        java.nio.file.Paths.get(path, "_graft_buckets"))
+      .split("\n").iterator.map(_.trim).filter(_.nonEmpty)
+      .map(_.toLong).toSeq
+    val dirs = new java.io.File(path).listFiles().toSeq
+      .filter(_.isDirectory).map(_.getName)
+      .filter(_.startsWith("__centroid="))
+      .map(_.substring("__centroid=".length).toLong).sorted
+    assert(manifest == dirs)
   }
 
   test("kmeans refinement keeps centroid count, lowers inertia, preserves exactness") {
@@ -329,6 +340,17 @@ class ProductQuantizerSpec extends SparkTestBase {
         .collect()
         .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
     assert(bucketedCodesOf(comp) == bucketedCodesOf(compRed))
+    // the IVF-PQ code table's bucket manifest tracks the directory truth
+    // through materializeIvfPq + delete
+    val manifest = java.nio.file.Files.readString(
+        java.nio.file.Paths.get(s"$comp/codes", "_graft_buckets"))
+      .split("\n").iterator.map(_.trim).filter(_.nonEmpty)
+      .map(_.toLong).toSeq
+    val dirs = new java.io.File(s"$comp/codes").listFiles().toSeq
+      .filter(_.isDirectory).map(_.getName)
+      .filter(_.startsWith("__centroid="))
+      .map(_.substring("__centroid=".length).toLong).sorted
+    assert(manifest == dirs)
   }
 
   test("precomputed (codebooks, codes) probes equal the inline path") {
