@@ -59,16 +59,20 @@ object Centrality {
     // repartition entirely (the r10 shape) left the cache unpartitioned
     // whenever deg DID broadcast — |E| re-shuffled every round at the
     // small rungs. This shape is the best of both, unconditionally.
-    // localCheckpoint, not persist: the cached adjacency must also TRUNCATE
-    // the caller's lineage (pair tables arrive off deep shingle-join
-    // pipelines — under a plain persist that whole lineage rides inside
-    // every downstream task binary and re-serializes per stage, ~10 stages
-    // per run; the LogicalRDD keeps the hash(src) partitioning info)
+    // The pin is SIZE-ROUTED (FixpointPin): persist when the caller
+    // lineage is shallow (lazy + cached stats — the gate-scale winner by
+    // ~1.3 s), localCheckpoint when it is deep (truncation keeps a deep
+    // shingle-pipeline lineage out of every round's task binaries — the
+    // 50×-ladder winner by ~25 s; the LogicalRDD keeps hash(src)). The
+    // persist branch stays pinned for the caller's execution (the returned
+    // plan reads `adj` in every iteration — an unpersist here would
+    // recompute the adjacency `iters` times); callers clear it with the
+    // session cache, as with every multi-consumer pipeline in Dedup.
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .repartition(col("src"))
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    val adj = edges.join(deg, "src").localCheckpoint()
+    val adj = FixpointPin.pin(edges.join(deg, "src"))
     var ranks = deg.select(col("src").as("id"), lit(unit).as("pr"))
     (1 to iters).foreach { _ =>
       val inflow = adj.join(ranks, adj("src") === ranks("id"))

@@ -446,16 +446,17 @@ object Dedup {
     // build pays exactly ONE |E| exchange — distinct-then-repartition
     // paid two (the r13 pagerank ladder measured the redundant second
     // exchange as a regression at the 50× rung)
-    // localCheckpoint, not persist: pins the blocks AND truncates the
-    // caller's lineage (pair tables arrive off deep shingle-join
-    // pipelines; under a plain persist that lineage re-serializes into
+    // The pin is SIZE-ROUTED (FixpointPin): persist when the caller
+    // lineage is shallow (lazy, no extra materialization job, cached
+    // stats — the gate-scale winner), localCheckpoint when deep (under a
+    // plain persist a deep shingle-pipeline lineage re-serializes into
     // every round's task binaries — the pagerank ladder measured it as
-    // 33→6 s at the 50× rung). The LogicalRDD keeps hash(dst).
-    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
-      .unionAll(pairs.select(col("b").as("src"), col("a").as("dst")))
-      .repartition(col("dst"))
-      .distinct()
-      .localCheckpoint()
+    // 33→6 s at the 50× rung; the LogicalRDD keeps hash(dst)).
+    val edges = FixpointPin.pin(
+      pairs.select(col("a").as("src"), col("b").as("dst"))
+        .unionAll(pairs.select(col("b").as("src"), col("a").as("dst")))
+        .repartition(col("dst"))
+        .distinct())
     var labels = checkpoint(
       edges.select(col("src").as("__id")).distinct()
         .withColumn("__label", col("__id")))
@@ -492,8 +493,13 @@ object Dedup {
       labels = next
       iter += 1
     }
-    // edge blocks are checkpoint-pinned; ContextCleaner frees them when
-    // the RDD is GC'd (same lifecycle as every per-round label checkpoint)
+    // the final labels sit on their own eager checkpoint, so the edge pin
+    // can be released here: unpersist drops the persist branch's cache
+    // entry (scoped cleanup — streaming callers invoke this per epoch and
+    // a leaked CacheManager entry per call would grow for the process
+    // lifetime); the checkpoint branch is a no-op unpersist and the
+    // ContextCleaner frees its blocks when the RDD is GC'd
+    edges.unpersist()
     require(converged,
       s"components did not converge in $maxIters rounds — raise maxIters " +
         "or use componentsStar for adversarially deep graphs")

@@ -1,0 +1,58 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.storage.StorageLevel
+
+/** Pin strategy for the graph-fixpoint edge/adjacency tables
+  * ([[Dedup.components]], [[Centrality.pageRankInt]]) — SIZE-ROUTED between
+  * the two materialization primitives because each is catastrophic in the
+  * other's regime (both measured, SCALING.md `fixpoint_pin`):
+  *
+  *  - `persist(MEMORY_AND_DISK)`: lazy (materialization folds into the
+  *    first consuming job — no extra driver-blocking job) and the cached
+  *    relation keeps column stats, so per-round join strategies stay
+  *    optimal. BUT the cached blocks keep the CALLER'S full RDD lineage,
+  *    which re-serializes into every downstream round's task binaries —
+  *    off a deep pipeline (e.g. a 50-copy corpus blow-up's shingle-join
+  *    union) that is ~3 MB × tasks × ~10 stages and ~250 MB of
+  *    accumulated driver plan state (the r13 33 s PageRank rung).
+  *
+  *  - `localCheckpoint()`: truncates lineage to a LogicalRDD (keeps the
+  *    hash partitioning), so round tasks are lineage-free. BUT it is
+  *    EAGER — one extra driver-blocking materialization job — and the
+  *    LogicalRDD has no stats, which costs ~1.3–1.5 s per gate-scale
+  *    fixpoint query (the r14 `pagerank_centrality` 2.1→3.4 s regression).
+  *
+  * The route key is the ANALYZED-plan node count, not the optimized plan:
+  * when the caller hands in an already-persisted frame, the optimizer
+  * replaces its subtree with a ~flat InMemoryRelation, while the RDD
+  * lineage that persist would drag into round tasks is still the full
+  * original DAG — which only the analyzed plan reflects (measured: 50×
+  * ladder input = 19 optimized vs 3867 analyzed nodes; gate-scale input =
+  * 67 vs 115). Shallow lineage (≤ [[MaxPersistNodes]]) → persist; deep →
+  * localCheckpoint.
+  */
+private[graft] object FixpointPin {
+
+  /** Gate-scale pipelines measure ~100–200 analyzed nodes; the adversarial
+    * blown-up-union regime measures thousands. The boundary is wide — any
+    * value in [300, 1000] routes both measured regimes correctly.
+    */
+  val MaxPersistNodes = 400
+
+  /** True if `df`'s lineage is shallow enough that a persist's per-task
+    * lineage re-serialization is cheaper than an eager checkpoint job.
+    */
+  def shallow(df: DataFrame): Boolean =
+    df.queryExecution.analyzed.collect { case p => p }.size <= MaxPersistNodes
+
+  /** Pin `df` for repeated per-round consumption: persist when the caller
+    * lineage is shallow, localCheckpoint when deep. The persist branch is
+    * LAZY — callers that can drop the pin after their fixpoint converges
+    * should unpersist via the returned frame; the checkpoint branch's
+    * blocks are freed by the ContextCleaner when the RDD is GC'd.
+    */
+  def pin(df: DataFrame): DataFrame =
+    if (shallow(df)) df.persist(StorageLevel.MEMORY_AND_DISK)
+    else df.localCheckpoint()
+}
