@@ -592,12 +592,45 @@ object Dedup {
     // their canonicals into one long path, adversarial for plain label
     // propagation even when the batch is small). Identical min-id
     // labeling either way.
-    val longIds = microEdges.schema.fields.forall(
-      _.dataType == org.apache.spark.sql.types.LongType)
     // no persist on micro: the driver branch is a LocalRelation and the
     // star branch's labels sit on the fixpoint's final checkpoint — both
     // of its two consumers below re-derive from pinned blocks
-    val micro = if (longIds && microCount <= driverMaxEdges) {
+    val micro = labelMicroGraph(microEdges, microCount, maxIters,
+      checkpointDir, driverMaxEdges)
+    // affected old clusters: canonical id -> merged (global-min) label
+    val relabel = micro.join(
+        lab.select(col("__ocomp").as("__mid")).distinct(), Seq("__mid"))
+      .select(col("__mid").as("__ocomp"), col("component").as("__merged"))
+    val updatedOld = lab.join(relabel, Seq("__ocomp"), "left")
+      .select(col("__oid").as(idCol),
+        coalesce(col("__merged"), col("__ocomp")).as("component"))
+    // nodes the batch introduced (not in the at-rest labeling)
+    val fresh = micro
+      .join(lab.select(col("__oid").as("__mid")), Seq("__mid"), "left_anti")
+      .select(col("__mid").as(idCol), col("component"))
+    (updatedOld.unionAll(fresh), Seq(microEdges, lab))
+  }
+
+  /** Size-routed labeling of a BOUNDED (batch-neighborhood-sized) micro
+    * pair graph — the shared engine under [[incrementalComponents]]'
+    * merge and [[deleteFromComponents]]' split recompute. Below
+    * `driverMaxEdges` a driver union-find labels the graph in one collect
+    * (a distributed fixpoint pays ~4 driver-blocking jobs PER ROUND for
+    * work that fits in memory — measured ~7 s of pure round overhead on a
+    * 500-edge graph); above, distributed star contraction (O(log n)
+    * rounds — bridge batches daisy-chain canonicals into long paths,
+    * adversarial for plain label propagation even when the batch is
+    * small). Identical min-id labeling either way. `microEdges` must be
+    * two same-typed columns and already PINNED (persist/checkpoint) with
+    * `microCount` its row count. Output: (__mid, component) for every
+    * node appearing in an edge.
+    */
+  private[graft] def labelMicroGraph(microEdges: DataFrame, microCount: Long,
+      maxIters: Int, checkpointDir: Option[String],
+      driverMaxEdges: Long): DataFrame = {
+    val longIds = microEdges.schema.fields.forall(
+      _.dataType == org.apache.spark.sql.types.LongType)
+    if (longIds && microCount <= driverMaxEdges) {
       val parent = new java.util.HashMap[Long, Long]()
       def find(x: Long): Long = {
         var r = x
@@ -618,20 +651,82 @@ object Dedup {
       // existing keys only — roots were inserted during edge processing)
       val keys = parent.keySet().asScala.toVector
       val rows = keys.map(x => (x, find(x)))
-      lab.sparkSession.createDataFrame(rows).toDF("__mid", "component")
+      microEdges.sparkSession.createDataFrame(rows).toDF("__mid", "component")
     } else componentsStar(microEdges, "__mid", maxIters, checkpointDir)
-    // affected old clusters: canonical id -> merged (global-min) label
-    val relabel = micro.join(
-        lab.select(col("__ocomp").as("__mid")).distinct(), Seq("__mid"))
-      .select(col("__mid").as("__ocomp"), col("component").as("__merged"))
-    val updatedOld = lab.join(relabel, Seq("__ocomp"), "left")
-      .select(col("__oid").as(idCol),
-        coalesce(col("__merged"), col("__ocomp")).as("component"))
-    // nodes the batch introduced (not in the at-rest labeling)
-    val fresh = micro
-      .join(lab.select(col("__oid").as("__mid")), Seq("__mid"), "left_anti")
-      .select(col("__mid").as(idCol), col("component"))
-    (updatedOld.unionAll(fresh), Seq(microEdges, lab))
+  }
+
+  /** Remove `delIds` from an at-rest component labeling — the DELETE twin
+    * of [[incrementalComponents]], for takedowns/redactions folded into a
+    * maintained clustering: deleting a doc removes every pair incident to
+    * it, which can SPLIT its component (the doc was a bridge) or change
+    * the component's canonical label (the doc was the min member), so
+    * stored labels cannot be patched in place — but only the TOUCHED
+    * components (those containing a deleted doc) can change, and their
+    * surviving pair set is closed within them (a qualifying pair between
+    * two docs puts them in the same component by definition, so no
+    * surviving pair can leave a touched component). The recompute is
+    * therefore exact and delete-neighborhood-sized:
+    *
+    *  1. touched components = labels ⋈ delIds (batch-sized);
+    *  2. affected survivors = members of touched components minus delIds;
+    *  3. `pairsAmong(affectedSurvivorIds)` re-derives the induced pair set
+    *     among them — the caller replays the SAME pair rule the labeling
+    *     was built with (e.g. a Jaccard join over the survivors' stored
+    *     shingles); work scales with the touched clusters, not the corpus;
+    *  4. the micro graph labels via the size-routed
+    *     [[labelMicroGraph]] (driver union-find / star contraction);
+    *  5. untouched labels pass through; touched components are replaced
+    *     wholesale by the recomputed labels.
+    *
+    * Affected survivors left with NO qualifying pair drop out of the
+    * labeling — exactly [[components]]' contract (only nodes appearing in
+    * ≥ 1 pair are labeled), so the result is row-identical to a
+    * from-scratch [[components]] over the surviving pair set.
+    *
+    * The returned frame is EAGERLY materialized (localCheckpoint) with
+    * every internal cache released before return — the streaming
+    * [[graft.streaming.CorpusIngest]] path calls this once per takedown
+    * epoch (same scoped-cleanup contract as [[incrementalComponents]]).
+    *
+    * Output: `(idCol, component)`.
+    */
+  def deleteFromComponents(labels: DataFrame, idCol: String,
+      delIds: DataFrame, pairsAmong: DataFrame => DataFrame,
+      maxIters: Int = 25, checkpointDir: Option[String] = None,
+      driverMaxEdges: Long = 1L << 22): DataFrame = {
+    val lab = labels.select(col(idCol).as("__oid"), col("component").as("__ocomp"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val del = delIds.select(col(idCol).as("__oid")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // components that contain at least one deleted member — everything
+    // else is provably unaffected and passes through below
+    val touched = lab.join(del, Seq("__oid"))
+      .select(col("__ocomp")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val affected = lab.join(touched, Seq("__ocomp"), "left_semi")
+      .join(del, Seq("__oid"), "left_anti")
+      .select(col("__oid").as(idCol))
+    // the induced pair set among affected survivors, re-derived under the
+    // caller's pair rule (deletion can PROMOTE a split, so neither stored
+    // labels nor any stored pair subset can stand in for the recompute)
+    val microPlan = pairsAmong(affected).select(col("a"), col("b"))
+    val microEdges = checkpointDir match {
+      case Some(dir) =>
+        lab.sparkSession.sparkContext.setCheckpointDir(dir)
+        microPlan.checkpoint()
+      case None => microPlan.persist(StorageLevel.MEMORY_AND_DISK)
+    }
+    val microCount = microEdges.count()
+    val micro = labelMicroGraph(microEdges, microCount, maxIters,
+      checkpointDir, driverMaxEdges)
+    // survivors with no remaining pair drop out (components' node
+    // contract); everyone micro labeled is an affected survivor
+    val relabeled = micro.select(col("__mid").as(idCol), col("component"))
+    val untouched = lab.join(touched, Seq("__ocomp"), "left_anti")
+      .select(col("__oid").as(idCol), col("__ocomp").as("component"))
+    val out = untouched.unionAll(relabeled).localCheckpoint()
+    Seq(lab, del, touched, microEdges).foreach(_.unpersist())
+    out
   }
 
   /** Connected components by alternating large-star/small-star contraction

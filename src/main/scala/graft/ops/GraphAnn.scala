@@ -240,8 +240,34 @@ object GraphAnn {
     IndexManifests.write(spark, table, partCol)
 
   private def readBuckets(spark: org.apache.spark.sql.SparkSession,
-      table: String, partCol: String, wanted: Seq[Long]): DataFrame =
-    IndexManifests.readBuckets(spark, table, partCol, wanted)
+      table: String, partCol: String, wanted: Seq[Long],
+      emptySchema: Option[org.apache.spark.sql.types.StructType] = None)
+      : DataFrame =
+    IndexManifests.readBuckets(spark, table, partCol, wanted, emptySchema)
+
+  /** Expected stored shapes for the fileless-table read fallback (a table
+    * whose every bucket was dropped or never written holds zero parquet
+    * files — nothing to infer a schema from). `vecType` is the corpus
+    * vector column's type, which the stored `__nv`/`__dstv` columns carry
+    * verbatim.
+    */
+  private def assignSchema(vecType: org.apache.spark.sql.types.DataType) =
+    Some(org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("__nid",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("__nv", vecType),
+      org.apache.spark.sql.types.StructField("__centroid",
+        org.apache.spark.sql.types.LongType))))
+
+  private def edgesSchema(vecType: org.apache.spark.sql.types.DataType) =
+    Some(org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("src",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("dst",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField(DstVecCol, vecType),
+      org.apache.spark.sql.types.StructField("__bucket",
+        org.apache.spark.sql.types.LongType))))
 
   /** Neighbor-vector column of a VECTOR-ADJACENT materialized edge table
     * (see [[materialize]]); probes route on its presence.
@@ -377,6 +403,13 @@ object GraphAnn {
       s"graph at $path was materialized with (stride, degree, superStride) = " +
         s"(${parts(0)}, ${parts(1)}, $storedSuper), append expects " +
         s"($stride, $degree, $superStride)")
+    // the frozen-supers argument below relies on supers ⊆ centroids: the
+    // no-centroid batch check covers superStride multiples ONLY because
+    // superStride is a multiple of stride. levels() enforces that at build
+    // time; re-assert it here so the invariant is locally checkable rather
+    // than enforced at a distance.
+    require(superStride <= 0 || superStride % stride == 0,
+      s"superStride $superStride must be a multiple of stride $stride")
     require(batch.where(pmod(col(idCol), lit(stride)) === 0).isEmpty,
       s"batch contains centroid-level ids ($idCol divisible by $stride): " +
         "inserting centroids changes the bucket geometry — re-materialize instead")
@@ -395,7 +428,9 @@ object GraphAnn {
     if (touched.isEmpty) return
     // old members of touched buckets only: a bucket-PRUNED read of the
     // assignment table (manifest-listed directories), never a corpus scan
-    val oldTouched = readBuckets(spark, s"$path/assign", "__centroid", touched)
+    val vecType = base.schema(vecCol).dataType
+    val oldTouched = readBuckets(spark, s"$path/assign", "__centroid", touched,
+        assignSchema(vecType))
       .select(col("__nid"), col("__nv"), col("__centroid").cast("long"))
       .localCheckpoint()
     val newSide = newMembers.select(col("__centroid"),
@@ -418,7 +453,8 @@ object GraphAnn {
         col("__centroid").as("__bucket"), col("__vr").as(DstVecCol))
     // ... merged with their STORED top-degree edges (bucket-pruned read;
     // the stored __dstv recomputes the identical distance expression)
-    val storedCand = readBuckets(spark, s"$path/edges", "__bucket", touched)
+    val storedCand = readBuckets(spark, s"$path/edges", "__bucket", touched,
+        edgesSchema(vecType))
       .select(col("src"), col("dst"), col(DstVecCol),
         col("__bucket").cast("long"))
       .join(oldSrc.select(col("src"), col("__vl")), Seq("src"))
@@ -489,6 +525,9 @@ object GraphAnn {
       s"graph at $path was materialized with (stride, degree, superStride) = " +
         s"(${parts(0)}, ${parts(1)}, $storedSuper), delete expects " +
         s"($stride, $degree, $superStride)")
+    // same locally-checkable frozen-supers invariant as the append path
+    require(superStride <= 0 || superStride % stride == 0,
+      s"superStride $superStride must be a multiple of stride $stride")
     require(batch.where(pmod(col(idCol), lit(stride)) === 0).isEmpty,
       s"batch contains centroid-level ids ($idCol divisible by $stride): " +
         "deleting centroids changes the bucket geometry — re-materialize instead")
@@ -507,7 +546,8 @@ object GraphAnn {
     if (touched.isEmpty) return
     // surviving members of touched buckets: bucket-pruned read minus the
     // batch (anti-join, batch-sized broadcast side — no id-list literals)
-    val remaining = readBuckets(spark, s"$path/assign", "__centroid", touched)
+    val remaining = readBuckets(spark, s"$path/assign", "__centroid", touched,
+        assignSchema(base.schema(vecCol).dataType))
       .select(col("__nid"), col("__nv"), col("__centroid").cast("long"))
       .join(broadcast(delAssigned.select(col("__nid"))), Seq("__nid"),
         "left_anti")

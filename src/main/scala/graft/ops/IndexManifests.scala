@@ -1,7 +1,8 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
 
 /** Bucket-directory manifests for partitioned index tables (one bucket id
   * per line, sorted; the leading underscore keeps the file invisible to
@@ -15,7 +16,8 @@ import org.apache.spark.sql.functions._
   * Written once per mutation (build / append / delete / compact) from one
   * single-level `listStatus` of the table root — the authoritative
   * directory truth, immune to empty-bucket bookkeeping drift. Shared by
-  * [[GraphAnn]] (edges/assign) and [[AnnIndex]] (the IVF store).
+  * [[GraphAnn]] (edges/assign), [[AnnIndex]] (the IVF store) and
+  * [[ProductQuantizer]] (the IVF-PQ code table).
   */
 private[graft] object IndexManifests {
 
@@ -28,9 +30,22 @@ private[graft] object IndexManifests {
       .filter(_.isDirectory).map(_.getPath.getName)
       .filter(_.startsWith(partCol + "="))
       .map(_.substring(partCol.length + 1).toLong).toSeq.sorted
-    val out = fs.create(new org.apache.hadoop.fs.Path(root, FileName), true)
+    // write-to-temp + rename, never an in-place overwrite: a crash mid-
+    // write must not leave a truncated-but-parsable manifest that later
+    // maintenance reads trust as authoritative (a silently shortened
+    // bucket list would make the next append/delete rewrite touched
+    // buckets WITHOUT their stored members/edges). The rename is atomic
+    // on HDFS/local; on stores where it is copy+delete the window is a
+    // missing manifest, which readers treat as "no manifest" and fall
+    // back to the (slower, correct) isin route — never a torn one.
+    val tmp = new org.apache.hadoop.fs.Path(root, FileName + ".tmp")
+    val out = fs.create(tmp, true)
     try out.write((buckets.mkString("\n") + "\n").getBytes("UTF-8"))
     finally out.close()
+    val dst = new org.apache.hadoop.fs.Path(root, FileName)
+    fs.delete(dst, false)
+    require(fs.rename(tmp, dst),
+      s"manifest rename failed: $tmp -> $dst")
   }
 
   def read(spark: SparkSession, table: String): Option[Seq[Long]] = {
@@ -55,21 +70,38 @@ private[graft] object IndexManifests {
     * pruning — the read silently degrades to a corpus scan (measured: the
     * graph_insert ScaleSmoke rung's shuffle grew with the corpus until
     * this fix).
+    *
+    * When none of the wanted buckets exist (an all-fresh batch) the read
+    * is empty by construction: schema comes from ONE existing bucket
+    * directory when the table has any, else from `emptySchema` — the
+    * caller's expected shape, required because a table with zero bucket
+    * directories holds zero parquet files and schema inference over it
+    * throws (reachable: a graph `edges/` table whose buckets were all
+    * single-member at build time, or a delete that emptied every bucket).
     */
   def readBuckets(spark: SparkSession, table: String, partCol: String,
-      wanted: Seq[Long]): DataFrame =
+      wanted: Seq[Long], emptySchema: Option[StructType] = None): DataFrame =
     read(spark, table) match {
       case Some(all) =>
         val have = all.toSet
         val hit = wanted.filter(have)
-        if (hit.isEmpty)
-          // none of the wanted buckets exist yet (an all-fresh batch) —
-          // empty frame of the table's schema; only this rare shape pays
-          // a full-table listing
-          spark.read.parquet(table).where(lit(false))
-        else
+        if (hit.nonEmpty)
           spark.read.option("basePath", table)
             .parquet(hit.map(b => s"$table/$partCol=$b"): _*)
+        else if (all.nonEmpty)
+          // none of the wanted buckets exist, but the table has data:
+          // empty frame with the stored schema, read off ONE bucket dir
+          // (still ∝ one bucket, never a full-table listing)
+          spark.read.option("basePath", table)
+            .parquet(s"$table/$partCol=${all.head}")
+            .where(lit(false))
+        else emptySchema match {
+          // zero bucket directories -> zero parquet files: nothing to
+          // infer from, so the caller's expected shape is authoritative
+          case Some(schema) => spark.createDataFrame(
+            spark.sparkContext.emptyRDD[Row], schema)
+          case None => spark.read.parquet(table).where(lit(false))
+        }
       case None =>
         val df = spark.read.parquet(table)
         val vals: Seq[Any] = df.schema(partCol).dataType match {

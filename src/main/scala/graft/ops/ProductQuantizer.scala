@@ -297,9 +297,29 @@ object ProductQuantizer {
       s"${spec.m} ${spec.dsub} ${spec.stride}")
   }
 
+  /** Flat-layout delete sidecar: deleted ids parquet-appended here instead
+    * of rewriting the whole code table per batch (see
+    * [[deleteFromMaterialized]]). Reads anti-join it; [[compactCodes]]
+    * folds it into the files and clears it.
+    */
+  private val TombstoneDir = "tombstones"
+
+  private def tombstones(spark: org.apache.spark.sql.SparkSession,
+      path: String): Option[DataFrame] = {
+    val dir = java.nio.file.Paths.get(path, TombstoneDir)
+    if (java.nio.file.Files.isDirectory(dir)) Some(
+      spark.read.parquet(dir.toString).select(col("__id")).distinct())
+    else None
+  }
+
   /** Open a [[materialize]]d index: `(spec, (codebooks, codes))`, shaped
     * for [[adcRerankTopK]]'s `precomputed` parameter. The stored geometry
     * is authoritative; pass `expect` to assert the caller's assumption.
+    * Tombstoned rows (flat-layout deletes not yet folded by
+    * [[compactCodes]]) are filtered out here — the single choke point
+    * every probe/read path goes through, so a tombstone-deleted id is
+    * invisible everywhere at the cost of one broadcast anti-join against
+    * the (batch-sized) sidecar.
     */
   def fromMaterialized(spark: org.apache.spark.sql.SparkSession, path: String,
       expect: Option[PqSpec] = None): (PqSpec, (DataFrame, DataFrame)) = {
@@ -308,8 +328,12 @@ object ProductQuantizer {
     val spec = PqSpec(parts(0).toInt, parts(1).toInt, parts(2).toInt)
     expect.foreach(e => require(e == spec,
       s"index at $path was materialized with $spec, opened expecting $e"))
-    (spec, (spark.read.parquet(s"$path/codebooks"),
-      spark.read.parquet(s"$path/codes")))
+    val stored = spark.read.parquet(s"$path/codes")
+    val codes = tombstones(spark, path) match {
+      case Some(ts) => stored.join(broadcast(ts), Seq("__id"), "left_anti")
+      case None => stored
+    }
+    (spec, (spark.read.parquet(s"$path/codebooks"), codes))
   }
 
   /** Materialize the full IVF-PQ composition: full-corpus codebooks plus
@@ -372,9 +396,77 @@ object ProductQuantizer {
     */
   def appendToMaterialized(batch: DataFrame, idCol: String, vecCol: String,
       path: String, expect: Option[PqSpec] = None): Unit = {
-    val (spec, (cb, _)) = fromMaterialized(batch.sparkSession, path, expect)
+    val spark = batch.sparkSession
+    val (spec, (cb, codes)) = fromMaterialized(spark, path, expect)
+    // this writes FLAT (unpartitioned) code rows: on an IVF-PQ store they
+    // would land outside every bucket directory — corrupting the layout
+    // and staying invisible to manifest-pruned reads — so refuse, same
+    // layout dispatch as the delete
+    require(!codes.columns.contains("__centroid"),
+      s"index at $path is the bucket-partitioned IVF-PQ layout: use " +
+        "appendToIvfPq (partition-aware append) instead of the flat append")
     encode(batch, idCol, vecCol, cb, spec)
       .write.mode("append").parquet(s"$path/codes")
+    // a re-inserted id must be visible again: clear it from the tombstone
+    // sidecar (batch-sized rewrite-and-swap; rare path — only after a
+    // flat delete that has not yet been compacted away)
+    tombstones(spark, path).foreach { ts =>
+      import java.nio.file.{Files => JF, Paths => JP, StandardCopyOption}
+      val kept = ts.join(
+        broadcast(batch.select(col(idCol).cast("long").as("__id")).distinct()),
+        Seq("__id"), "left_anti").localCheckpoint()
+      val tsDir = JP.get(path, TombstoneDir)
+      if (kept.isEmpty) {
+        import scala.jdk.CollectionConverters._
+        JF.walk(tsDir).iterator().asScala.toSeq.reverse
+          .foreach(p => JF.deleteIfExists(p))
+      } else {
+        val staging = JP.get(path, TombstoneDir + "_rewriting")
+        kept.coalesce(1).write.mode("overwrite").parquet(staging.toString)
+        val retired = JP.get(path, TombstoneDir + "_retired")
+        JF.move(tsDir, retired, StandardCopyOption.ATOMIC_MOVE)
+        JF.move(staging, tsDir, StandardCopyOption.ATOMIC_MOVE)
+        import scala.jdk.CollectionConverters._
+        JF.walk(retired).iterator().asScala.toSeq.reverse
+          .foreach(p => JF.deleteIfExists(p))
+      }
+    }
+  }
+
+  /** Append a NEW vector batch to a [[materializeIvfPq]]'d (bucket-
+    * partitioned) store: the batch encodes against the STORED codebooks
+    * and lands in its buckets under the REPLAYED IVF assignment rule
+    * against `base`'s frozen stride centroids
+    * ([[AnnIndex.replayedAssignment]] — the same frozen-centroid contract
+    * as `AnnIndex.appendToMaterialized`, so the code table and the
+    * companion float index stay bucket-consistent by construction). Only
+    * the batch's rows write (parquet append into their partition
+    * directories); the manifest refreshes so the next pruned read sees
+    * any bucket this append created.
+    */
+  def appendToIvfPq(batch: DataFrame, idCol: String, vecCol: String,
+      base: DataFrame, stride: Int, path: String,
+      expect: Option[PqSpec] = None): Unit = {
+    val spark = batch.sparkSession
+    val (spec, (cb, codes)) = fromMaterialized(spark, path, expect)
+    require(codes.columns.contains("__centroid"),
+      s"index at $path is the flat layout: use appendToMaterialized")
+    // a rebuild over the union corpus would promote these ids into the
+    // codebook / centroid sets, changing entry meanings or the bucket
+    // geometry — the append==rebuild contract needs both sets frozen
+    require(batch.where(pmod(col(idCol), lit(spec.stride)) === 0).isEmpty,
+      s"batch contains codebook-entry ids ($idCol divisible by " +
+        s"${spec.stride}) — re-materialize instead")
+    require(batch.where(pmod(col(idCol), lit(stride)) === 0).isEmpty,
+      s"batch contains IVF centroid-level ids ($idCol divisible by " +
+        s"$stride) — re-materialize instead")
+    encode(batch, idCol, vecCol, cb, spec)
+      .join(AnnIndex.replayedAssignment(batch, idCol, vecCol, base, stride)
+        .select(col(idCol).cast("long").as("__id"), col("__centroid")),
+        Seq("__id"))
+      .write.mode("append").partitionBy("__centroid")
+      .parquet(s"$path/codes")
+    IndexManifests.write(spark, s"$path/codes", "__centroid")
   }
 
   /** Batch DELETE from a [[materialize]]d or [[materializeIvfPq]]'d index —
@@ -388,17 +480,20 @@ object ProductQuantizer {
     * Layouts: the IVF-PQ code table is partitioned by bucket, so the
     * caller passes the deleted rows' IVF `assignment` (any
     * `(idCol, __centroid)` frame covering the batch — e.g. the companion
-    * index read back BEFORE its own delete) and only the touched bucket
-    * partitions rewrite (partition-pruned read + dynamic overwrite + an
-    * explicit drop of emptied directories). The FLAT layout has no
-    * partition structure: deletion is one rewrite-and-swap of `codes/`
-    * (the [[compactCodes]] staging mechanism) — code rows are M bytes, the
-    * cheapest full-table rewrite in the store; at scale prefer the IVF-PQ
-    * layout, whose delete is bucket-pruned.
+    * index read back BEFORE its own delete; prefer [[deleteFromIvfPq]],
+    * which replays the assignment rule instead of trusting a frame) and
+    * only the touched bucket partitions rewrite (partition-pruned read +
+    * dynamic overwrite + an explicit drop of emptied directories). The
+    * assignment must COVER every deleted id — validated, because the
+    * documented footgun (the companion index read back AFTER its own
+    * delete) no longer contains the ids and would silently turn the
+    * delete into a partial no-op. The FLAT layout has no partition
+    * structure: deletion appends the ids to a TOMBSTONE sidecar — cost ∝
+    * batch, never the corpus — which every read path anti-joins
+    * ([[fromMaterialized]]) and [[compactCodes]] folds into the files.
     */
   def deleteFromMaterialized(ids: DataFrame, idCol: String, path: String,
       assignment: Option[DataFrame] = None): Unit = {
-    import java.nio.file.{Files => JF, Paths => JP, StandardCopyOption}
     val spark = ids.sparkSession
     val (spec, (_, codes)) = fromMaterialized(spark, path)
     val delIds = ids.select(col(idCol).cast("long").as("__id")).distinct()
@@ -410,10 +505,19 @@ object ProductQuantizer {
     if (codes.columns.contains("__centroid")) {
       val asg = assignment.getOrElse(throw new IllegalArgumentException(
         "IVF-PQ layout: pass the deleted rows' IVF assignment " +
-          s"(($idCol, __centroid) frame covering the batch)"))
-      val touched = asg
-        .select(col(idCol).cast("long").as("__id"),
-          col("__centroid").cast("long").as("__c"))
+          s"(($idCol, __centroid) frame covering the batch), or use " +
+          "deleteFromIvfPq to replay the assignment rule"))
+      val asgIds = asg.select(col(idCol).cast("long").as("__id"),
+        col("__centroid").cast("long").as("__c"))
+      // coverage check: an id missing from the frame would silently keep
+      // its code rows (the post-delete-read-back ordering footgun)
+      val uncovered = delIds.join(asgIds, Seq("__id"), "left_anti")
+      require(uncovered.isEmpty,
+        "IVF-PQ delete: the assignment frame does not cover every deleted " +
+          s"id (e.g. ${uncovered.limit(3).collect().map(_.getLong(0)).mkString(", ")}) — " +
+          "pass an assignment taken BEFORE the companion index's own " +
+          "delete, or use deleteFromIvfPq")
+      val touched = asgIds
         .join(broadcast(delIds), Seq("__id"), "left_semi")
         .select(col("__c")).distinct()
         .collect().map(_.getLong(0)) // bounded by the batch size
@@ -437,18 +541,31 @@ object ProductQuantizer {
       }
       IndexManifests.write(spark, s"$path/codes", "__centroid")
     } else {
-      val staging = JP.get(path, "codes_deleting")
-      codes.join(broadcast(delIds), Seq("__id"), "left_anti")
-        .write.mode("overwrite").parquet(staging.toString)
-      val codesDir = JP.get(path, "codes")
-      val retired = JP.get(path, "codes_retired")
-      JF.move(codesDir, retired, StandardCopyOption.ATOMIC_MOVE)
-      JF.move(staging, codesDir, StandardCopyOption.ATOMIC_MOVE)
-      import scala.jdk.CollectionConverters._
-      JF.walk(retired).iterator().asScala.toSeq.reverse
-        .foreach(p => JF.deleteIfExists(p))
+      // TOMBSTONE delete: append the ids to the sidecar and stop — one
+      // batch-sized parquet write, never a corpus-sized codes rewrite
+      // (the r14 shape rewrote all M-byte code rows per delete batch).
+      // Every read path anti-joins the sidecar (fromMaterialized), and
+      // compactCodes folds it into the files under the store's
+      // single-writer contract. coalesce(1): the sidecar is batch-sized,
+      // one file per delete epoch keeps its own listing trivial.
+      delIds.select(col("__id")).coalesce(1)
+        .write.mode("append").parquet(s"$path/$TombstoneDir")
     }
   }
+
+  /** [[deleteFromMaterialized]] for the IVF-PQ layout with the assignment
+    * REPLAYED from `base`'s frozen stride centroids instead of trusted
+    * from a caller frame (`batch` carries the deleted rows' vectors — the
+    * caller has them: they are corpus rows). Exactly the stored buckets by
+    * the frozen-centroid argument ([[AnnIndex.replayedAssignment]]), so a
+    * stale or partial frame can never turn the delete into a silent
+    * partial no-op — the same contract as `AnnIndex.deleteFromMaterialized`
+    * and `GraphAnn.deleteFromMaterialized`.
+    */
+  def deleteFromIvfPq(batch: DataFrame, idCol: String, vecCol: String,
+      base: DataFrame, stride: Int, path: String): Unit =
+    deleteFromMaterialized(batch, idCol, path, assignment = Some(
+      AnnIndex.replayedAssignment(batch, idCol, vecCol, base, stride)))
 
   /** Compact a [[materialize]]d index's flat `codes/` directory — the
     * maintenance half of [[appendToMaterialized]], which grows it by one+
@@ -470,18 +587,32 @@ object ProductQuantizer {
     val codesDir = JP.get(path, "codes")
     val parts = JF.list(codesDir).iterator().asScala
       .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
-    if (parts.length <= maxFiles) return false
+    // a pending tombstone sidecar always triggers the rewrite (folding
+    // deletes into the files is this method's other job); otherwise only
+    // past the small-files threshold
+    val ts = tombstones(spark, path)
+    if (parts.length <= maxFiles && ts.isEmpty) return false
     val bytes = parts.map(JF.size(_)).sum
     val nOut = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
     val staging = JP.get(path, "codes_compacting")
-    spark.read.parquet(codesDir.toString)
-      .coalesce(nOut)
+    val live = ts match {
+      case Some(t) => spark.read.parquet(codesDir.toString)
+        .join(broadcast(t), Seq("__id"), "left_anti")
+      case None => spark.read.parquet(codesDir.toString)
+    }
+    live.coalesce(nOut)
       .write.mode("overwrite").parquet(staging.toString)
     val retired = JP.get(path, "codes_retired")
     JF.move(codesDir, retired, StandardCopyOption.ATOMIC_MOVE)
     JF.move(staging, codesDir, StandardCopyOption.ATOMIC_MOVE)
     JF.walk(retired).iterator().asScala.toSeq.reverse
       .foreach(p => JF.deleteIfExists(p))
+    // folded: clear the sidecar LAST — a crash before this point leaves
+    // the tombstones filtering already-purged ids, a harmless no-op
+    val tsDir = JP.get(path, TombstoneDir)
+    if (JF.isDirectory(tsDir))
+      JF.walk(tsDir).iterator().asScala.toSeq.reverse
+        .foreach(p => JF.deleteIfExists(p))
     true
   }
 }

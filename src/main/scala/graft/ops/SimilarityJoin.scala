@@ -684,6 +684,19 @@ object AnnIndex {
     // <= max id, or validate eagerly at the call site if that risk is live.
     buildWith(df, idCol, vecCol, centroidsOf(df, idCol, vecCol, stride))
 
+  /** Replay the IVF assignment rule for a batch against `base`'s frozen
+    * stride centroids — `(idCol, __centroid)`, exactly the rows
+    * [[materialize]] stored for those ids (deterministic argmin + tie-break,
+    * frozen centroid set). The delete/append paths of the composed IVF-PQ
+    * store use this instead of trusting a caller-supplied assignment frame
+    * (whose staleness — e.g. the companion index read back AFTER its own
+    * delete — would silently skip rows).
+    */
+  private[graft] def replayedAssignment(batch: DataFrame, idCol: String,
+      vecCol: String, base: DataFrame, stride: Int): DataFrame =
+    buildWith(batch, idCol, vecCol, centroidsOf(base, idCol, vecCol, stride))
+      .assigned.select(col(idCol), col("__centroid"))
+
   private def buildWith(df: DataFrame, idCol: String, vecCol: String,
       centroids: DataFrame): AnnIndex = {
     // nearest centroid per vector: broadcast the centroid table into the

@@ -810,11 +810,13 @@ object NorthStarQueries {
 
     // PQ batch DELETE (ProductQuantizer.deleteFromMaterialized, flat
     // layout): materialize the full code table, delete the vec_id % 4 == 3
-    // rows (one rewrite-and-swap of the M-byte code rows; the IVF-PQ
+    // rows — a TOMBSTONE-sidecar append (cost ∝ batch; the code files are
+    // NOT rewritten — r15; compactCodes folds the sidecar; the IVF-PQ
     // layout's bucket-pruned path is spec-covered), probe with the stored
-    // artifact over the survivors. Codes encode per-row against frozen
-    // codebooks, so delete == reduced-corpus re-encode — the oracle
-    // replays the whole PQ pipeline over exactly the surviving rows.
+    // artifact over the survivors (fromMaterialized anti-joins the
+    // sidecar). Codes encode per-row against frozen codebooks, so delete
+    // == reduced-corpus re-encode — the oracle replays the whole PQ
+    // pipeline over exactly the surviving rows.
     "ann_pq_delete_topk" -> { (s, dir) =>
       val emb = t(s, dir, "embeddings")
       val spec = ProductQuantizer.PqSpec(m = 8, dsub = 8, stride = 64)
@@ -2214,6 +2216,57 @@ object NorthStarQueries {
       state.currentLabels.transform(sortedSingle(_, col("doc_id")))
     },
 
+    // streaming cluster DELETE under the hash gate — the takedown twin of
+    // streamed_components: the same two crawl epochs fold into the
+    // maintained labeling, then a THIRD (delete) epoch replays every
+    // doc_id%5==0 takedown through CorpusIngest.clusterDeletes — touched
+    // components' surviving pair sets are re-derived from the stored
+    // shingles and relabeled (a delete can split a component or move its
+    // canonical min-id label; this fixture's dup families are near-cliques
+    // so the observable effects here are canonical moves and pairless
+    // survivors dropping out — planted SPLIT topologies are spec/fuzz
+    // covered in ComponentsSpec and ClusterFuzz). The oracle is the
+    // from-scratch recursive-CTE clustering of the pair set RESTRICTED to
+    // surviving endpoints (pairwise Jaccard is independent of other docs,
+    // so the surviving pair set IS the full pair set minus deleted
+    // endpoints) — maintained-after-delete == from-scratch, under the hash.
+    "streamed_cluster_delete" -> { (s, dir) =>
+      import s.implicits._
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      def shingle(f: DataFrame): DataFrame =
+        f.select(col("doc_id"), TextOps.wordNGrams(col("text"), 3).as("sh"))
+      val state = graft.streaming.CorpusIngest.clusterState(
+        shingle(d.where(pmod(col("doc_id"), lit(2)) === 0)),
+        "doc_id", "sh", JaccardTau)
+      val epochs = Seq(1L, 3L).map(m =>
+        d.where(pmod(col("doc_id"), lit(4)) === m)
+          .as[(Long, String)].collect().toSeq)
+      val stream = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String)](s)
+      val q = graft.streaming.StreamSizing.withStatePartitions(s, 8) {
+        graft.streaming.CorpusIngest.clusteredIngest(
+          shingle(stream.toDF().toDF("doc_id", "text")), state,
+          "doc_id", "sh", JaccardTau)((_, _) => ())
+      }
+      try epochs.foreach { e => stream.addData(e); q.processAllAvailable() }
+      finally q.stop()
+      // the takedown epoch: ids arrive as their own stream (removal
+      // requests), sequential with the ingest writer per the single-writer
+      // state contract
+      val delIds = d.where(pmod(col("doc_id"), lit(5)) === 0)
+        .select("doc_id").as[Long].collect().toSeq
+      val delStream = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[Long](s)
+      val qd = graft.streaming.StreamSizing.withStatePartitions(s, 8) {
+        graft.streaming.CorpusIngest.clusterDeletes(
+          delStream.toDF().toDF("doc_id"), state,
+          "doc_id", "sh", JaccardTau)((_, _) => ())
+      }
+      try { delStream.addData(delIds); qd.processAllAvailable() }
+      finally qd.stop()
+      state.currentLabels.transform(sortedSingle(_, col("doc_id")))
+    },
+
     // the WATERMARKED EventStreams tier under the hash gate: the whole
     // events fixture replayed through a real MemoryStream into the native
     // session_window aggregation (EventStreams.sessionize, 30-min gap,
@@ -3360,6 +3413,26 @@ object NorthStarQueries {
          |  SELECT a AS src, b AS dst FROM pairs
          |  UNION
          |  SELECT b AS src, a AS dst FROM pairs),
+         |nodes AS (SELECT DISTINCT src AS id FROM edges),
+         |reach(id, r) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT e.dst AS id, reach.r AS r
+         |  FROM reach JOIN edges e ON e.src = reach.id)
+         |SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS component
+         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+    // the maintained labeling after the takedown epoch must equal the
+    // from-scratch clustering of the SURVIVING pair set: pairwise Jaccard
+    // is independent of other docs, so restricting the full pair set to
+    // surviving endpoints IS the survivors' pair set — same recursive-CTE
+    // replay over that restriction
+    "streamed_cluster_delete" ->
+      s"""WITH RECURSIVE pairs AS ($JaccardPairsSql),
+         |surv AS (SELECT a, b FROM pairs WHERE a % 5 <> 0 AND b % 5 <> 0),
+         |edges AS (
+         |  SELECT a AS src, b AS dst FROM surv
+         |  UNION
+         |  SELECT b AS src, a AS dst FROM surv),
          |nodes AS (SELECT DISTINCT src AS id FROM edges),
          |reach(id, r) AS (
          |  SELECT id, id FROM nodes

@@ -175,6 +175,62 @@ object CorpusIngest {
       }
       .start()
 
+  /** One cluster-maintenance DELETE epoch (pure batch function — the
+    * streaming entrypoint below delegates here): a takedown batch of doc
+    * ids leaves both sides of the state. The labels route through
+    * [[graft.ops.Dedup.deleteFromComponents]] — a deleted doc's pairs
+    * vanish, which can SPLIT its component or move its canonical label,
+    * so the touched components' induced pair set is re-derived from the
+    * survivors' stored shingles (the same jaccard rule that built the
+    * labeling) and relabeled; untouched components pass through. The
+    * at-rest shingle side drops the deleted rows via an anti-join
+    * (lazy, over pinned epoch blocks — the same per-epoch plan-growth
+    * budget as [[clusterBatch]]'s fold-in, counted against the same
+    * collapse cadence). Per-epoch work scales with the touched clusters
+    * plus one pass over the label state — never with the corpus graph.
+    * Returns the post-delete labeling (also the new
+    * `state.currentLabels`).
+    */
+  def deleteBatch(delIds: DataFrame, state: ClusterState, idCol: String,
+      shingleCol: String, tau: Double): DataFrame = {
+    // pin the takedown set: it gates BOTH state transitions, and a
+    // micro-batch frame is only valid during its own epoch
+    val del = delIds.select(idCol).localCheckpoint()
+    val ingested = state.ingested
+    val relabeled = Dedup.deleteFromComponents(state.labels, idCol, del,
+      affectedIds => Dedup.jaccardJoin(
+        ingested.join(affectedIds, Seq(idCol), "left_semi"),
+        idCol, shingleCol, tau).select("a", "b"))
+    state.labels = relabeled
+    state.ingested = ingested.join(del, Seq(idCol), "left_anti")
+    state.epochsSinceCollapse += 1
+    if (state.epochsSinceCollapse >= state.collapseEvery) {
+      state.ingested = state.ingested.localCheckpoint()
+      state.epochsSinceCollapse = 0
+    }
+    relabeled
+  }
+
+  /** Continuous TAKEDOWN maintenance — the delete twin of
+    * [[clusteredIngest]]: every arriving micro-batch of doc ids (removal
+    * requests / dedup reversals) is deleted from the maintained
+    * clustering at the door, splitting components where the deleted docs
+    * were bridges. Run takedown epochs and ingest epochs against the same
+    * [[ClusterState]] from ONE writer at a time (the single-writer
+    * contract every mutable store here carries; foreachBatch already
+    * serializes epochs within a query). `sink` receives (post-delete
+    * labels, epochId).
+    */
+  def clusterDeletes(delDocs: DataFrame, state: ClusterState, idCol: String,
+      shingleCol: String, tau: Double)
+      (sink: (DataFrame, Long) => Unit): StreamingQuery =
+    delDocs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        sink(deleteBatch(batch, state, idCol, shingleCol, tau), epochId)
+      }
+      .start()
+
   /** Continuous DISTRIBUTION-MATCHED ingest — the streaming twin of the
     * `dsir_select` batch tier: every arriving micro-batch is scored with
     * the (pre-fitted, broadcast) DSIR importance-weight table, so the sink

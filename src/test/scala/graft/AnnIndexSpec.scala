@@ -302,14 +302,43 @@ class ProductQuantizerSpec extends SparkTestBase {
         .select(col("__id"), col("__m"), col("__code"))
         .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
     val reduced = emb.where(pmod(col("vec_id"), lit(4)) =!= 3)
-    // FLAT layout: one rewrite-and-swap of codes/
+    // FLAT layout: a TOMBSTONE-sidecar delete — the code files must NOT
+    // rewrite (delete cost ∝ batch, not corpus)
     val flat = java.nio.file.Files.createTempDirectory("pq_del_flat").toString
     ProductQuantizer.materialize(emb, "vec_id", "embedding", spec, flat)
+    def codeFiles(p: String): Set[String] =
+      new java.io.File(s"$p/codes").listFiles().toSeq
+        .map(_.getName).filter(_.endsWith(".parquet")).toSet
+    val filesBefore = codeFiles(flat)
     ProductQuantizer.deleteFromMaterialized(
       emb.where(pmod(col("vec_id"), lit(4)) === 3), "vec_id", flat)
+    assert(codeFiles(flat) == filesBefore,
+      "flat delete must not rewrite the code files (tombstone sidecar)")
+    assert(new java.io.File(s"$flat/tombstones").isDirectory)
     val flatRed = java.nio.file.Files.createTempDirectory("pq_del_flat_red").toString
     ProductQuantizer.materialize(reduced, "vec_id", "embedding", spec, flatRed)
+    // every read path goes through fromMaterialized, which anti-joins the
+    // sidecar: the visible code set equals the reduced rebuild already
+    def visibleCodesOf(p: String): Set[(Long, Int, Long)] = {
+      val (_, (_, codes)) = ProductQuantizer.fromMaterialized(spark, p)
+      codes.select(col("__id"), col("__m"), col("__code"))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    }
+    assert(visibleCodesOf(flat) == codesOf(flatRed))
+    // compaction folds the tombstones into the files and clears the sidecar
+    assert(ProductQuantizer.compactCodes(spark, flat))
     assert(codesOf(flat) == codesOf(flatRed))
+    assert(!new java.io.File(s"$flat/tombstones").isDirectory)
+    // a flat append after a (new) tombstone delete revives re-inserted ids
+    ProductQuantizer.deleteFromMaterialized(
+      emb.where(col("vec_id") === 2), "vec_id", flat)
+    assert(visibleCodesOf(flat) ==
+      codesOf(flatRed) -- codesOf(flatRed).filter(_._1 == 2L))
+    ProductQuantizer.appendToMaterialized(
+      emb.where(col("vec_id") === 2), "vec_id", "embedding", flat)
+    assert(visibleCodesOf(flat) == codesOf(flatRed))
+    assert(!new java.io.File(s"$flat/tombstones").isDirectory,
+      "re-inserting the only tombstoned id must clear the sidecar")
     // deleting a codebook-entry id is refused (entries are referenced)
     intercept[IllegalArgumentException] {
       ProductQuantizer.deleteFromMaterialized(
@@ -324,6 +353,19 @@ class ProductQuantizerSpec extends SparkTestBase {
     intercept[IllegalArgumentException] { // partitioned layout needs the map
       ProductQuantizer.deleteFromMaterialized(
         emb.where(pmod(col("vec_id"), lit(4)) === 3), "vec_id", comp)
+    }
+    intercept[IllegalArgumentException] { // flat append would corrupt it
+      ProductQuantizer.appendToMaterialized(
+        emb.where(col("vec_id") === 3), "vec_id", "embedding", comp)
+    }
+    // the documented footgun now fails LOUDLY instead of silently
+    // no-opping: an assignment missing the deleted ids (e.g. the
+    // companion index read back AFTER its own delete) is rejected
+    intercept[IllegalArgumentException] {
+      ProductQuantizer.deleteFromMaterialized(
+        emb.where(pmod(col("vec_id"), lit(4)) === 3), "vec_id", comp,
+        assignment = Some(spark.read.parquet(ivf)
+          .where(pmod(col("vec_id"), lit(4)) =!= 3)))
     }
     ProductQuantizer.deleteFromMaterialized(
       emb.where(pmod(col("vec_id"), lit(4)) === 3), "vec_id", comp,
@@ -351,6 +393,56 @@ class ProductQuantizerSpec extends SparkTestBase {
       .filter(_.startsWith("__centroid="))
       .map(_.substring("__centroid=".length).toLong).sorted
     assert(manifest == dirs)
+  }
+
+  test("IVF-PQ replayed-assignment maintenance: append and delete equal the trusted-frame path and a rebuild") {
+    import org.apache.spark.sql.functions.{col, pmod, lit}
+    def bucketedCodesOf(p: String): Set[(Long, Int, Long, Long)] =
+      spark.read.parquet(s"$p/codes")
+        .select(col("__id"), col("__m"), col("__code"),
+          col("__centroid").cast("long"))
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    // full-corpus reference store
+    val ivfFull = java.nio.file.Files.createTempDirectory("pq_rp_ivff").toString
+    AnnIndex.materialize(emb, "vec_id", "embedding", 64, ivfFull)
+    val compFull = java.nio.file.Files.createTempDirectory("pq_rp_compf").toString
+    ProductQuantizer.materializeIvfPq(emb, "vec_id", "embedding",
+      spark.read.parquet(ivfFull), spec, compFull)
+    // half store (evens — covers both codebook-entry and centroid ids),
+    // then APPEND the odds with the REPLAYED assignment
+    val evens = emb.where(pmod(col("vec_id"), lit(2)) === 0)
+    val odds = emb.where(pmod(col("vec_id"), lit(2)) === 1)
+    val ivfHalf = java.nio.file.Files.createTempDirectory("pq_rp_ivfh").toString
+    AnnIndex.materialize(evens, "vec_id", "embedding", 64, ivfHalf)
+    val comp = java.nio.file.Files.createTempDirectory("pq_rp_comp").toString
+    ProductQuantizer.materializeIvfPq(evens, "vec_id", "embedding",
+      spark.read.parquet(ivfHalf), spec, comp)
+    ProductQuantizer.appendToIvfPq(odds, "vec_id", "embedding",
+      base = emb, stride = 64, path = comp)
+    assert(bucketedCodesOf(comp) == bucketedCodesOf(compFull),
+      "replayed append must equal the full-corpus build")
+    // DELETE via the replayed assignment (no trusted frame anywhere)
+    ProductQuantizer.deleteFromIvfPq(
+      emb.where(pmod(col("vec_id"), lit(4)) === 3), "vec_id", "embedding",
+      base = emb, stride = 64, path = comp)
+    val reduced = emb.where(pmod(col("vec_id"), lit(4)) =!= 3)
+    val ivfRed = java.nio.file.Files.createTempDirectory("pq_rp_ivfr").toString
+    AnnIndex.materialize(reduced, "vec_id", "embedding", 64, ivfRed)
+    val compRed = java.nio.file.Files.createTempDirectory("pq_rp_compr").toString
+    ProductQuantizer.materializeIvfPq(reduced, "vec_id", "embedding",
+      spark.read.parquet(ivfRed), spec, compRed)
+    assert(bucketedCodesOf(comp) == bucketedCodesOf(compRed),
+      "replayed delete must equal the reduced-corpus build")
+    // appending codebook-entry or centroid ids is refused (frozen sets)
+    intercept[IllegalArgumentException] {
+      ProductQuantizer.appendToIvfPq(emb.where(col("vec_id") === 16),
+        "vec_id", "embedding", base = emb, stride = 64, path = comp)
+    }
+    intercept[IllegalArgumentException] {
+      ProductQuantizer.appendToIvfPq(emb.where(col("vec_id") === 64),
+        "vec_id", "embedding", base = emb, stride = 64, path = comp)
+    }
   }
 
   test("precomputed (codebooks, codes) probes equal the inline path") {

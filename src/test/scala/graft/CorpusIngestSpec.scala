@@ -166,6 +166,55 @@ class CorpusIngestSpec extends SparkTestBase {
     assert(got(7L) == got(6L) && got(8L) == got(102L))
   }
 
+  test("cluster delete epoch: a takedown SPLITS a streamed cluster; maintained == from-scratch over survivors") {
+    val sp = spark
+    import sp.implicits._
+    // shingle-level chain: 1,2 = {s1,s2} twins; 3 = {s1,s2,s3,s4} bridges
+    // both sides at J = 0.5; 4,5 = {s3,s4} twins; 9 = unrelated singleton
+    // pair partner of 8. Deleting 3 must split {1,2,3,4,5} into {1,2} and
+    // {4,5}; deleting 8 must drop 9 from the labeling (pairless).
+    val corpus = Seq(
+      1L -> Seq("s1", "s2"), 2L -> Seq("s1", "s2"),
+      8L -> Seq("x1", "x2"), 9L -> Seq("x1", "x2"))
+    val epoch1 = Seq(3L -> Seq("s1", "s2", "s3", "s4"))
+    val epoch2 = Seq(4L -> Seq("s3", "s4"), 5L -> Seq("s3", "s4"))
+    val state = CorpusIngest.clusterState(
+      corpus.toDF("doc_id", "sh"), "doc_id", "sh", Tau)
+    Seq(epoch1, epoch2).foreach(ep =>
+      CorpusIngest.clusterBatch(ep.toDF("doc_id", "sh"), state,
+        "doc_id", "sh", Tau))
+    // pre-delete: one merged cluster rooted at 1, plus {8,9}
+    val before = state.currentLabels.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(before == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      8L -> 8L, 9L -> 8L))
+    val got = CorpusIngest.deleteBatch(Seq(3L, 8L).toDF("doc_id"), state,
+        "doc_id", "sh", Tau)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 4L -> 4L, 5L -> 4L))
+    assert(state.currentLabels.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap == got)
+    // the shingle state dropped the deleted rows too (later epochs must
+    // not pair against removed docs)
+    assert(state.currentIngested.select("doc_id").collect()
+      .map(_.getLong(0)).toSet == Set(1L, 2L, 4L, 5L, 9L))
+    // from-scratch over the surviving docs agrees
+    val survivors = (corpus ++ epoch1 ++ epoch2)
+      .filterNot(d => Set(3L, 8L).contains(d._1))
+    val want = CorpusIngest.clusterState(
+        survivors.toDF("doc_id", "sh"), "doc_id", "sh", Tau)
+      .currentLabels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want)
+    // a later INGEST epoch still folds in correctly after the delete: a
+    // new twin of 9 revives it as a pair (9 re-pairs from stored shingles)
+    CorpusIngest.clusterBatch(Seq(10L -> Seq("x1", "x2"))
+        .toDF("doc_id", "sh"), state, "doc_id", "sh", Tau)
+    val after = state.currentLabels.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(after == Map(1L -> 1L, 2L -> 1L, 4L -> 4L, 5L -> 4L,
+      9L -> 9L, 10L -> 9L))
+  }
+
   test("quality-gated ingest: streamed scores == batch scores, routing by predicted") {
     val sp = spark
     import sp.implicits._

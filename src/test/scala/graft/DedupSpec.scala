@@ -500,6 +500,90 @@ class ComponentsSpec extends SparkTestBase {
     assert(first == unchanged)
   }
 
+  // the induced-subgraph pair rule for pure pair-graph delete tests: the
+  // true surviving pair set restricted to the requested ids — exactly what
+  // a production caller re-derives from stored shingles
+  private def pairsAmongFrom(all: Seq[(Long, Long)])
+      : org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame = {
+    ids =>
+      val sp = spark
+      import sp.implicits._
+      all.toDF("a", "b")
+        .join(ids.select(col("doc_id").as("a")), Seq("a"), "left_semi")
+        .join(ids.select(col("doc_id").as("b")), Seq("b"), "left_semi")
+  }
+
+  test("deleteFromComponents: a bridge delete SPLITS the component") {
+    // 1-2 == 3 == 4-5: node 3 bridges two pairs; deleting it must split
+    // the single component into {1,2} and {4,5}
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    val labels = graft.ops.Dedup.components(pairs.toDF("a", "b"), "doc_id")
+    assert(labels.collect().map(_.getLong(1)).toSet == Set(1L))
+    val got = graft.ops.Dedup.deleteFromComponents(labels, "doc_id",
+        Seq(3L).toDF("doc_id"), pairsAmongFrom(pairs))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 4L -> 4L, 5L -> 4L))
+  }
+
+  test("deleteFromComponents: deleting the canonical min re-labels the survivors") {
+    val pairs = Seq((10L, 11L), (10L, 12L), (11L, 12L), (20L, 21L))
+    val labels = graft.ops.Dedup.components(pairs.toDF("a", "b"), "doc_id")
+    val got = graft.ops.Dedup.deleteFromComponents(labels, "doc_id",
+        Seq(10L).toDF("doc_id"), pairsAmongFrom(pairs))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the untouched cluster keeps its label; the touched one re-canonicalizes
+    assert(got == Map(11L -> 11L, 12L -> 11L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("deleteFromComponents: pairless survivors drop, unknown ids are no-ops, empty delete is identity") {
+    val pairs = Seq((1L, 2L), (5L, 6L))
+    val labels = graft.ops.Dedup.components(pairs.toDF("a", "b"), "doc_id")
+    // deleting 1 leaves 2 with no pair: 2 leaves the labeling (components'
+    // node contract — only nodes in >= 1 pair are labeled)
+    val afterBridge = graft.ops.Dedup.deleteFromComponents(labels, "doc_id",
+        Seq(1L).toDF("doc_id"), pairsAmongFrom(pairs))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(afterBridge == Map(5L -> 5L, 6L -> 5L))
+    // ids never labeled (never paired / already gone) are no-ops
+    val noop = graft.ops.Dedup.deleteFromComponents(labels, "doc_id",
+        Seq(999L).toDF("doc_id"), pairsAmongFrom(pairs))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(noop == Map(1L -> 1L, 2L -> 1L, 5L -> 5L, 6L -> 5L))
+    // empty delete batch is identity
+    val empty = graft.ops.Dedup.deleteFromComponents(labels, "doc_id",
+        Seq.empty[Long].toDF("doc_id"), pairsAmongFrom(pairs))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(empty == noop)
+    // deleting a whole cluster removes every trace of it
+    val gone = graft.ops.Dedup.deleteFromComponents(labels, "doc_id",
+        Seq(5L, 6L).toDF("doc_id"), pairsAmongFrom(pairs))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gone == Map(1L -> 1L, 2L -> 1L))
+  }
+
+  test("deleteFromComponents: randomized deletes equal components over the surviving pairs") {
+    for (seed <- Seq(21L, 22L, 23L, 24L)) {
+      val rnd = new scala.util.Random(seed)
+      val pairs = (1 to 120).map(_ =>
+        (rnd.nextInt(50).toLong, rnd.nextInt(50).toLong))
+        .filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+      val labels = graft.ops.Dedup.components(pairs.toDF("a", "b"), "doc_id")
+      val dels = (0L until 50L).filter(_ => rnd.nextDouble() < 0.3)
+      // even seeds drive the driver union-find, odd the star contraction
+      val maxEdges = if (seed % 2 == 0) 1L << 22 else 0L
+      val got = graft.ops.Dedup.deleteFromComponents(labels, "doc_id",
+          dels.toDF("doc_id"), pairsAmongFrom(pairs),
+          driverMaxEdges = maxEdges)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val surviving = pairs.filter { case (a, b) =>
+        !dels.contains(a) && !dels.contains(b) }
+      val want = graft.ops.Dedup.components(surviving.toDF("a", "b"), "doc_id")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want, s"seed $seed dels=$dels")
+    }
+  }
+
   test("componentsStar: path graph converges in O(log n) rounds, not diameter") {
     // a 64-node path has diameter 63: min-label propagation needs 63 rounds,
     // star contraction must finish well under this budget

@@ -4,10 +4,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Differential fuzz of the cluster-maintenance geometry
-  * (Dedup.incrementalComponents + CorpusIngest.clusterBatch, the round-13
-  * surface): random merge scenarios checked against from-scratch
-  * clustering over the union pair set — the same contract the
-  * `incremental_components` / `streamed_components` gates prove on one
+  * (Dedup.incrementalComponents + deleteFromComponents +
+  * CorpusIngest.clusterBatch/deleteBatch): random merge AND delete
+  * scenarios checked against from-scratch clustering over the surviving
+  * pair set — the same contract the `incremental_components` /
+  * `streamed_components` / `streamed_cluster_delete` gates prove on one
   * fixture each, swept here across the adversarial geometries:
   *
   *  - random epoch counts (1–4 sequential merges into the same labels);
@@ -17,8 +18,13 @@ import org.apache.spark.sql.functions._
   *    pair set (an at-least-once re-delivery);
   *  - BOTH size routes (driver union-find and distributed star
   *    contraction, forced via driverMaxEdges = 0 on odd scenarios);
-  *  - the streaming twin (clusterState/clusterBatch over synthesized
-  *    shingle corpora, tau = 0.5) on every 5th scenario.
+  *  - DELETE epochs interleaved with merges (~every other epoch): each
+  *    seen node leaves w.p. 0.3 — bridge deletions exercise the SPLIT
+  *    path — plus a never-seen id per batch (no-op contract);
+  *  - the streaming twin (clusterState/clusterBatch/deleteBatch over
+  *    synthesized shingle corpora, tau = 0.5) on every 5th scenario,
+  *    with a takedown epoch after the merges and sometimes one more
+  *    ingest epoch AFTER the delete (post-delete re-pairing).
   *
   * Usage: sbt "Test/runMain graft.tools.ClusterFuzz [nScenarios] [seed]"
   * Prints one line per mismatch and a final `CLUSTERFUZZ` summary; exits
@@ -70,13 +76,28 @@ object ClusterFuzz {
           graft.streaming.CorpusIngest.clusterBatch(
             ep.toDF("doc_id", "sh"), state, "doc_id", "sh", 0.5)
         }
+        // takedown epoch: each ingested doc leaves w.p. 0.25, plus one id
+        // that was never ingested (must be a no-op)
+        val ingested = corpus ++ epochs.flatten
+        val dels = ingested.map(_._1).filter(_ => rng.nextDouble() < 0.25) :+
+          999999L
+        graft.streaming.CorpusIngest.deleteBatch(
+          dels.toDF("doc_id"), state, "doc_id", "sh", 0.5)
+        // interleave: sometimes one more ingest epoch AFTER the delete
+        // (new docs may re-pair with shingles of surviving docs)
+        val post = (0 until rng.nextInt(3)).map(j => doc(900L + j))
+        if (post.nonEmpty)
+          graft.streaming.CorpusIngest.clusterBatch(
+            post.toDF("doc_id", "sh"), state, "doc_id", "sh", 0.5)
+        val surviving = ingested.filterNot(d => dels.contains(d._1)) ++ post
         val full = graft.streaming.CorpusIngest.clusterState(
-          (corpus ++ epochs.flatten).toDF("doc_id", "sh"), "doc_id", "sh", 0.5)
+          surviving.toDF("doc_id", "sh"), "doc_id", "sh", 0.5)
         val got = labelMap(state.currentLabels)
         val want = labelMap(full.currentLabels)
         if (got != want) {
           bad += 1
-          println(s"MISMATCH stream scenario=$i seed=$seed got=$got want=$want")
+          println(s"MISMATCH stream scenario=$i seed=$seed dels=$dels " +
+            s"got=$got want=$want")
         }
       } else {
         // ---- incrementalComponents geometry ----
@@ -120,6 +141,21 @@ object ClusterFuzz {
           labels = graft.ops.Dedup.incrementalComponents(labels, "id",
             pairsDf(batch), driverMaxEdges = maxEdges)
           allPairs = (allPairs ++ batch).distinct
+          // delete epoch after every other merge: each seen node leaves
+          // w.p. 0.3 (bridges included — the SPLIT geometry), plus one
+          // never-seen id; pairsAmong replays the true induced pair rule
+          if (rng.nextBoolean()) {
+            val seen = allPairs.flatMap(p => Seq(p._1, p._2)).distinct
+            val dels = seen.filter(_ => rng.nextDouble() < 0.3) :+ 888888888L
+            val delSet = dels.toSet
+            labels = graft.ops.Dedup.deleteFromComponents(labels, "id",
+              dels.toDF("id"),
+              ids => pairsDf(allPairs)
+                .join(ids.select(col("id").as("a")), Seq("a"), "left_semi")
+                .join(ids.select(col("id").as("b")), Seq("b"), "left_semi"),
+              driverMaxEdges = maxEdges)
+            allPairs = allPairs.filter(p => !delSet(p._1) && !delSet(p._2))
+          }
         }
         val want = labelMap(graft.ops.Dedup.components(pairsDf(allPairs), "id"))
         val got = labelMap(labels)

@@ -772,6 +772,32 @@ object ScaleSmoke {
           "vec_id", "embedding", 64, graft.ops.GraphAnn.DefaultDegree, gpath)
         200L
       }
+      // flat-PQ tombstone DELETE: a FIXED 200-id batch tombstoned against
+      // the k×-scaled flat code table — one batch-sized sidecar write, the
+      // code files untouched, so wall should be ~FLAT across corpus growth
+      // (the r14 rewrite-and-swap paid a full codes rewrite per delete
+      // batch). The deferred corpus-sized work is the fold, measured
+      // separately as pq_fold (compactCodes — runs once per maintenance
+      // window, amortized over many delete batches).
+      val pqDelPath = graft.util.TempDirs.create(s"scale_pqdel_$k")
+      def buildPqDel(): Long = {
+        graft.ops.ProductQuantizer.materialize(emb, "vec_id", "embedding",
+          graft.ops.ProductQuantizer.PqSpec(m = 8, dsub = 8, stride = 64),
+          pqDelPath)
+        nVec
+      }
+      if (on("pq_delete") || on("pq_fold")) buildPqDel()
+      timed("pq_delete", k, nVec) {
+        val batch = emb.where(pmod(col("vec_id"), lit(389)) === 11)
+          .where(pmod(col("vec_id"), lit(64)) =!= 0).limit(200)
+        graft.ops.ProductQuantizer.deleteFromMaterialized(
+          batch, "vec_id", pqDelPath)
+        200L
+      }
+      timed("pq_fold", k, nVec) {
+        graft.ops.ProductQuantizer.compactCodes(spark, pqDelPath)
+        nVec
+      }
       // tiered centroid layer: the fixed-stride centroid² remedy — the
       // centroid level becomes Σ bucket² under superStride, only the
       // ~n/superStride supers pay the exact kNN
