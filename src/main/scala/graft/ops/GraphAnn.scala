@@ -587,6 +587,29 @@ object GraphAnn {
     writeBucketManifest(spark, s"$path/assign", "__centroid")
   }
 
+  /** Compact a materialized graph's over-fragmented bucket directories —
+    * the maintenance third of the mutation trio (append grows `assign/` by
+    * one file per batch per touched bucket and rewrites `edges/` buckets
+    * one file at a time; after many append/delete cycles a hot bucket's
+    * listing/footer cost creeps, exactly the small-files risk
+    * `AnnIndex.compactBuckets` / `ProductQuantizer.compactCodes` bound for
+    * the other tiers). Both partitioned tables compact through the shared
+    * [[IndexManifests.compactTable]] (one pruned scan + one dynamic
+    * partition overwrite each, manifests refreshed); the small `cedges/`
+    * table is a build-time artifact and never fragments. Probe results
+    * are unchanged — compaction only re-files rows. Run under the store's
+    * single-writer contract (appends paused), like every mutation here.
+    * Returns the compacted bucket ids per table (edges, assign); both
+    * empty = cheap no-op, safe on a maintenance timer.
+    */
+  def compact(spark: org.apache.spark.sql.SparkSession, path: String,
+      maxFilesPerBucket: Int = 8, targetBytes: Long = 128L << 20)
+      : (Seq[Long], Seq[Long]) =
+    (IndexManifests.compactTable(spark, s"$path/edges", "__bucket",
+        maxFilesPerBucket, targetBytes),
+      IndexManifests.compactTable(spark, s"$path/assign", "__centroid",
+        maxFilesPerBucket, targetBytes))
+
   /** Executed-round observability for the convergence specs: how many
     * rounds the most recent probe on this thread actually expanded (the
     * early-exit's measurable effect). Thread-local because probes are

@@ -110,4 +110,66 @@ private[graft] object IndexManifests {
         }
         df.where(col(partCol).isin(vals: _*))
     }
+
+  /** Compact a partitioned index table's over-fragmented bucket
+    * directories — shared by the IVF store (`AnnIndex.compactBuckets`),
+    * the IVF-PQ code table and the graph tier (`GraphAnn.compact`), whose
+    * per-mutation appends otherwise grow hot buckets by one+ file forever.
+    * Only buckets past `maxFilesPerBucket` rewrite, via ONE partition-
+    * pruned scan + ONE dynamic partition overwrite (never a per-bucket
+    * driver loop of jobs); big buckets split to ~`targetBytes` output
+    * files (the slice salt keeps a 10 GB bucket from becoming one 10 GB
+    * task), small ones collapse to a single file. Concurrent probes see
+    * either the old or new files of a bucket; run under the store's
+    * single-writer contract. Returns the compacted bucket ids (empty =
+    * cheap no-op, safe on a maintenance timer).
+    */
+  def compactTable(spark: SparkSession, table: String, partCol: String,
+      maxFilesPerBucket: Int = 8, targetBytes: Long = 128L << 20): Seq[Long] = {
+    import java.nio.file.{Files => JFiles, Paths => JPaths}
+    import scala.jdk.CollectionConverters._
+    val root = JPaths.get(table)
+    val bucketStats: Map[Long, (Int, Long)] = JFiles.list(root).iterator().asScala
+      .filter(p => JFiles.isDirectory(p) &&
+        p.getFileName.toString.startsWith(partCol + "="))
+      .map { p =>
+        val cid = p.getFileName.toString.stripPrefix(partCol + "=").toLong
+        val parts = JFiles.list(p).iterator().asScala
+          .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+        cid -> (parts.length, parts.map(JFiles.size(_)).sum)
+      }.toMap
+    val over = bucketStats.filter(_._2._1 > maxFilesPerBucket).keys.toSeq.sorted
+    if (over.isEmpty) return Seq.empty
+    val slices = over.map(c =>
+      c -> math.max(1L, (bucketStats(c)._2 + targetBytes - 1) / targetBytes)).toMap
+    val sliceLit = map(slices.toSeq.flatMap {
+      case (c, n) => Seq(lit(c), lit(n)) }: _*)
+    val confKey = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(confKey)
+    spark.conf.set(confKey, "dynamic")
+    try {
+      // manifest-listed pruned read: the read cost is ∝ over-threshold
+      // buckets even when the table holds thousands of healthy ones
+      val df = readBuckets(spark, table, partCol, over)
+      val dataCols = df.columns.filterNot(_ == partCol).map(col)
+      val nTasks = math.max(slices.values.sum,
+          spark.sparkContext.defaultParallelism.toLong)
+        .min(Int.MaxValue).toInt
+      df.withColumn("__slice",
+          pmod(hash(dataCols: _*), element_at(sliceLit, col(partCol).cast("long"))))
+        .repartition(nTasks, col(partCol), col("__slice"))
+        .drop("__slice")
+        .write.mode("overwrite").partitionBy(partCol).parquet(table)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(confKey, v)
+        case None => spark.conf.unset(confKey)
+      }
+    }
+    // a compaction only rewrites files within existing bucket dirs, but
+    // refresh anyway so the manifest is re-derived from directory truth
+    // after any mutation
+    write(spark, table, partCol)
+    over
+  }
 }

@@ -566,54 +566,9 @@ object AnnIndex {
     * threshold — the call is a cheap no-op, safe on a maintenance timer).
     */
   def compactBuckets(spark: org.apache.spark.sql.SparkSession, path: String,
-      maxFilesPerBucket: Int = 8, targetBytes: Long = 128L << 20): Seq[Long] = {
-    import java.nio.file.{Files => JFiles, Paths => JPaths}
-    import scala.jdk.CollectionConverters._
-    val root = JPaths.get(path)
-    val bucketStats: Map[Long, (Int, Long)] = JFiles.list(root).iterator().asScala
-      .filter(p => JFiles.isDirectory(p) &&
-        p.getFileName.toString.startsWith("__centroid="))
-      .map { p =>
-        val cid = p.getFileName.toString.stripPrefix("__centroid=").toLong
-        val parts = JFiles.list(p).iterator().asScala
-          .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
-        cid -> (parts.length, parts.map(JFiles.size(_)).sum)
-      }.toMap
-    val over = bucketStats.filter(_._2._1 > maxFilesPerBucket).keys.toSeq.sorted
-    if (over.isEmpty) return Seq.empty
-    // per-bucket output file count: big buckets split to ~targetBytes
-    // (slices salt the repartition hash so a 10 GB bucket doesn't become
-    // one 10 GB task/file), small ones collapse to a single file
-    val slices = over.map(c =>
-      c -> math.max(1L, (bucketStats(c)._2 + targetBytes - 1) / targetBytes)).toMap
-    val sliceLit = map(slices.toSeq.flatMap {
-      case (c, n) => Seq(lit(c), lit(n)) }: _*)
-    val confKey = "spark.sql.sources.partitionOverwriteMode"
-    val prev = spark.conf.getOption(confKey)
-    spark.conf.set(confKey, "dynamic")
-    try {
-      val df = spark.read.parquet(path)
-        .where(col("__centroid").isin(over: _*)) // partition-pruned scan
-      val dataCols = df.columns.filterNot(_ == "__centroid").map(col)
-      val nTasks = math.max(slices.values.sum, spark.sparkContext.defaultParallelism.toLong)
-        .min(Int.MaxValue).toInt
-      df.withColumn("__slice",
-          pmod(hash(dataCols: _*), element_at(sliceLit, col("__centroid").cast("long"))))
-        .repartition(nTasks, col("__centroid"), col("__slice"))
-        .drop("__slice")
-        .write.mode("overwrite").partitionBy("__centroid").parquet(path)
-    } finally {
-      prev match {
-        case Some(v) => spark.conf.set(confKey, v)
-        case None => spark.conf.unset(confKey)
-      }
-    }
-    // a compaction only rewrites files within existing bucket dirs, but
-    // refresh anyway so the manifest is re-derived from directory truth
-    // after any mutation
-    IndexManifests.write(spark, path, "__centroid")
-    over
-  }
+      maxFilesPerBucket: Int = 8, targetBytes: Long = 128L << 20): Seq[Long] =
+    IndexManifests.compactTable(spark, path, "__centroid",
+      maxFilesPerBucket, targetBytes)
 
   private val StrideMarker = "_graft_ann_stride"
 

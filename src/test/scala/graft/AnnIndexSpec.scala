@@ -858,6 +858,65 @@ class GraphAnnSpec extends SparkTestBase {
     }
   }
 
+  test("graph compact: file counts collapse after append/delete cycles, probes unchanged") {
+    val p = java.nio.file.Files.createTempDirectory("graph_compact").toString
+    // start from a third of the corpus, then append the rest in 6 small
+    // batches: assign/ gains one file per batch per touched bucket
+    GraphAnn.materialize(emb.where(pmod(col("vec_id"), lit(3)) === 0),
+      "vec_id", "embedding", 64, GraphAnn.DefaultDegree, p)
+    (0 until 6).foreach { i =>
+      GraphAnn.appendToMaterialized(
+        emb.where(pmod(col("vec_id"), lit(3)) =!= 0)
+          .where(pmod(col("vec_id"), lit(64)) =!= 0)
+          .where(pmod(col("vec_id"), lit(6)) === i),
+        emb, "vec_id", "embedding", 64, GraphAnn.DefaultDegree, p)
+    }
+    def maxFiles(table: String): Int =
+      new java.io.File(table).listFiles().toSeq.filter(_.isDirectory)
+        .map(_.listFiles().count(_.getName.endsWith(".parquet"))).max
+    assert(maxFiles(s"$p/assign") > 2,
+      "fixture must actually fragment the assignment table")
+    val edges = GraphAnn.fromMaterialized(spark, p, 64, GraphAnn.DefaultDegree)
+    val before = GraphAnn.pointProbeTopK(emb, "vec_id", "embedding", edges,
+        qvec(5), k = 10, stride = 64)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    def rowsOf(table: String, cols: Seq[String]): Set[Seq[Any]] =
+      spark.read.parquet(table).select(cols.map(col): _*).collect()
+        .map(_.toSeq.map {
+          case v: Int => v.toLong // partition col may infer int
+          case v => v
+        }).toSet
+    val assignBefore = rowsOf(s"$p/assign", Seq("__nid", "__centroid"))
+    val edgesBefore = rowsOf(s"$p/edges", Seq("src", "dst", "__bucket"))
+    val (ce, ca) = GraphAnn.compact(spark, p, maxFilesPerBucket = 2)
+    assert(ca.nonEmpty, "over-threshold assign buckets must compact")
+    assert(maxFiles(s"$p/assign") <= 2)
+    // re-filing changes NOTHING: same rows, same probe
+    assert(rowsOf(s"$p/assign", Seq("__nid", "__centroid")) == assignBefore)
+    assert(rowsOf(s"$p/edges", Seq("src", "dst", "__bucket")) == edgesBefore)
+    val after = GraphAnn.pointProbeTopK(emb, "vec_id", "embedding",
+        GraphAnn.fromMaterialized(spark, p, 64, GraphAnn.DefaultDegree),
+        qvec(5), k = 10, stride = 64)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(after == before)
+    // manifests still match directory truth on both tables
+    def manifestOf(table: String): Seq[Long] =
+      java.nio.file.Files.readString(
+          java.nio.file.Paths.get(table, "_graft_buckets"))
+        .split("\n").iterator.map(_.trim).filter(_.nonEmpty)
+        .map(_.toLong).toSeq
+    def dirsOf(table: String, partCol: String): Seq[Long] =
+      new java.io.File(table).listFiles().toSeq.filter(_.isDirectory)
+        .map(_.getName).filter(_.startsWith(partCol + "="))
+        .map(_.substring(partCol.length + 1).toLong).sorted
+    assert(manifestOf(s"$p/assign") == dirsOf(s"$p/assign", "__centroid"))
+    assert(manifestOf(s"$p/edges") == dirsOf(s"$p/edges", "__bucket"))
+    // second call is a no-op (nothing over threshold)
+    val (ce2, ca2) = GraphAnn.compact(spark, p, maxFilesPerBucket = 2)
+    assert(ce2.isEmpty && ca2.isEmpty)
+    assert(ce.isEmpty || maxFiles(s"$p/edges") <= 2)
+  }
+
   test("graph incremental insert: half materialize + half append == full materialize") {
     val half = java.nio.file.Files.createTempDirectory("graph_inc").toString
     val full = java.nio.file.Files.createTempDirectory("graph_full").toString
