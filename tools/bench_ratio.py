@@ -31,3 +31,31 @@ ts, to = sum(b[q] for q in common), sum(o[q] for q in common)
 over = sum(1 for *_, r in rows if r > 2.0)
 print(f"\n{len(common)} queries | spark {ts:.2f}s duck {to:.2f}s "
       f"total ratio {ts / to:.2f}x | {over} queries individually > 2x")
+
+# Decomposed bench rules (tools/bench_rules.json, derived in SCALING.md):
+# rule-covered queries are judged against their committed F + 2*D wall cap
+# instead of the DuckDB ratio (a checkpointed streaming query vs one
+# in-process SQL statement is structurally unfair). A violation exits
+# nonzero so a regression in a rule-covered query fails mechanically.
+import os
+
+rules_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "bench_rules.json")
+violations = 0
+if os.path.exists(rules_path):
+    with open(rules_path) as f:
+        rules = {k: v for k, v in json.load(f).items()
+                 if not k.startswith("_")}
+    covered = sorted(set(rules) & set(b))
+    if covered:
+        print(f"\nrule-covered queries ({len(covered)}):")
+        for q in covered:
+            cap = rules[q]["max_wall_sec"]
+            ok = b[q] <= cap
+            violations += 0 if ok else 1
+            print(f"  {'PASS' if ok else 'RULE FAIL':9s} {q:30s} "
+                  f"wall {b[q]:6.3f}s cap {cap:.2f}s "
+                  f"[{rules[q]['derivation']}]")
+if violations:
+    print(f"\n{violations} rule violation(s)")
+    sys.exit(1)
