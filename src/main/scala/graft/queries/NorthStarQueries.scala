@@ -2217,9 +2217,12 @@ object NorthStarQueries {
     },
 
     // streaming cluster DELETE under the hash gate — the takedown twin of
-    // streamed_components: the same two crawl epochs fold into the
-    // maintained labeling, then a THIRD (delete) epoch replays every
-    // doc_id%5==0 takedown through CorpusIngest.clusterDeletes — touched
+    // streamed_components: one crawl epoch (all odd docs — corpus-self ∪
+    // odds-self ∪ odds×corpus already covers the FULL pair set; the
+    // cross-epoch fold-in contract is streamed_components' gate, not this
+    // one's) folds into the maintained labeling, then a DELETE epoch
+    // replays every doc_id%5==0 takedown through
+    // CorpusIngest.clusterDeletes — touched
     // components' surviving pair sets are re-derived from the stored
     // shingles and relabeled (a delete can split a component or move its
     // canonical min-id label; this fixture's dup families are near-cliques
@@ -2238,8 +2241,8 @@ object NorthStarQueries {
       val state = graft.streaming.CorpusIngest.clusterState(
         shingle(d.where(pmod(col("doc_id"), lit(2)) === 0)),
         "doc_id", "sh", JaccardTau)
-      val epochs = Seq(1L, 3L).map(m =>
-        d.where(pmod(col("doc_id"), lit(4)) === m)
+      val epochs = Seq(
+        d.where(pmod(col("doc_id"), lit(2)) === 1)
           .as[(Long, String)].collect().toSeq)
       val stream = org.apache.spark.sql.execution.streaming.runtime
         .MemoryStream[(Long, String)](s)
