@@ -299,9 +299,20 @@ object CorpusIngest {
       val annDone = appendOnce(annPath, epochId) {
         AnnIndex.appendToMaterialized(rows, base, idCol, vecCol, stride, annPath)
       }
-      val pqDone = pqPath.filter(p => appendOnce(p, epochId) {
-        ProductQuantizer.appendToMaterialized(rows, idCol, vecCol, p)
-      })
+      // layout dispatch: a bucket-partitioned (IVF-PQ) code table takes the
+      // partition-aware append (replayed assignment — same frozen-centroid
+      // rule as the IVF store above, so the two stores stay
+      // bucket-consistent); the flat append would write bucket-less rows
+      // invisible to manifest-pruned reads (and now refuses to)
+      def appendPq(p: String): Unit = {
+        val partitioned = new java.io.File(s"$p/codes").listFiles() != null &&
+          new java.io.File(s"$p/codes").listFiles()
+            .exists(f => f.isDirectory && f.getName.startsWith("__centroid="))
+        if (partitioned)
+          ProductQuantizer.appendToIvfPq(rows, idCol, vecCol, base, stride, p)
+        else ProductQuantizer.appendToMaterialized(rows, idCol, vecCol, p)
+      }
+      val pqDone = pqPath.filter(p => appendOnce(p, epochId)(appendPq(p)))
       (if (annDone) Seq(annPath) else Nil) ++ pqDone
     } finally rows.unpersist()
   }
@@ -338,6 +349,41 @@ object CorpusIngest {
             ProductQuantizer.compactCodes(batch.sparkSession, p, maxFilesPerBucket))
         }
         onEpoch(epochId, absorbed)
+      }
+      .start()
+
+  /** Continuous GRAPH-index maintenance — the [[annIngest]] twin for the
+    * navigable-graph tier: every micro-batch splices into the
+    * materialized graph under the build's exact rules
+    * ([[graft.ops.GraphAnn.appendToMaterialized]] — frozen centroid/super
+    * sets, touched buckets only), epoch-guarded per store so a replayed
+    * epoch cannot double-append. `compactEvery > 0` folds the
+    * small-files maintenance in ([[graft.ops.GraphAnn.compact]] over both
+    * partitioned tables — appends grow `assign/` one file per epoch per
+    * touched bucket), inside foreachBatch so compaction and appends never
+    * race (single-writer). `onEpoch` receives (epochId, absorbed).
+    */
+  def graphIngest(newVectors: DataFrame, base: DataFrame, idCol: String,
+      vecCol: String, stride: Int, degree: Int, path: String,
+      superStride: Int = 0, compactEvery: Int = 0,
+      maxFilesPerBucket: Int = 8)
+      (onEpoch: (Long, Boolean) => Unit = (_, _) => ()): StreamingQuery =
+    newVectors.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        val rows = batch.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val absorbed = appendOnce(path, epochId) {
+            graft.ops.GraphAnn.appendToMaterialized(rows, base, idCol,
+              vecCol, stride, degree, path, superStride)
+          }
+          if (absorbed && compactEvery > 0 && epochId > 0 &&
+              epochId % compactEvery == 0)
+            graft.ops.GraphAnn.compact(batch.sparkSession, path,
+              maxFilesPerBucket)
+          onEpoch(epochId, absorbed)
+        } finally rows.unpersist()
       }
       .start()
 }

@@ -426,6 +426,89 @@ class CorpusIngestSpec extends SparkTestBase {
     assert(streamed == full, "compacted streamed index diverged from batch build")
   }
 
+  test("streaming ANN maintenance routes an IVF-PQ store through the partition-aware append") {
+    import graft.ops.{AnnIndex, ProductQuantizer}
+    import ProductQuantizer.PqSpec
+    val sp = spark
+    import sp.implicits._
+    val emb = sp.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val spec = PqSpec(m = 8, dsub = 8, stride = 16)
+    val annPath = java.nio.file.Files.createTempDirectory("ann_s2").toString
+    val compPath = java.nio.file.Files.createTempDirectory("ivfpq_s2").toString
+    val even = emb.where(pmod(col("vec_id"), lit(2)) === 0)
+    AnnIndex.materialize(even, "vec_id", "embedding", 64, annPath)
+    ProductQuantizer.materializeIvfPq(even, "vec_id", "embedding",
+      sp.read.parquet(annPath), spec, compPath)
+    val odd = emb.where(pmod(col("vec_id"), lit(2)) === 1)
+      .select(col("vec_id"), col("embedding"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val stream = MemoryStream[(Long, Seq[Float])](sp)
+    val sdf = stream.toDF().toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+    val q = graft.streaming.CorpusIngest.annIngest(sdf, emb, "vec_id",
+      "embedding", 64, annPath, Some(compPath))()
+    stream.addData(odd.toSeq); q.processAllAvailable(); q.stop()
+    // the streamed IVF-PQ store equals a full-corpus build (partitioned
+    // rows, replayed assignment — the flat append would have corrupted it)
+    val fullAnn = java.nio.file.Files.createTempDirectory("ann_s2f").toString
+    val fullComp = java.nio.file.Files.createTempDirectory("ivfpq_s2f").toString
+    AnnIndex.materialize(emb, "vec_id", "embedding", 64, fullAnn)
+    ProductQuantizer.materializeIvfPq(emb, "vec_id", "embedding",
+      sp.read.parquet(fullAnn), spec, fullComp)
+    def bucketed(p: String): Set[(Long, Int, Long, Long)] =
+      sp.read.parquet(s"$p/codes")
+        .select(col("__id"), col("__m"), col("__code"),
+          col("__centroid").cast("long"))
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    assert(bucketed(compPath) == bucketed(fullComp))
+  }
+
+  test("streaming GRAPH maintenance: streamed epochs == batch build; replay is a no-op") {
+    import graft.ops.GraphAnn
+    val sp = spark
+    import sp.implicits._
+    val emb = sp.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val path = java.nio.file.Files.createTempDirectory("graph_stream").toString
+    val even = emb.where(pmod(col("vec_id"), lit(2)) === 0)
+    GraphAnn.materialize(even, "vec_id", "embedding", 64,
+      GraphAnn.DefaultDegree, path)
+    val odd = emb.where(pmod(col("vec_id"), lit(2)) === 1)
+      .select(col("vec_id"), col("embedding"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val (e1, e2) = odd.partition(_._1 % 4 == 1)
+    val stream = MemoryStream[(Long, Seq[Float])](sp)
+    val sdf = stream.toDF().toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+    val seen = mutable.Buffer[(Long, Boolean)]()
+    val q = graft.streaming.CorpusIngest.graphIngest(sdf, emb, "vec_id",
+      "embedding", 64, GraphAnn.DefaultDegree, path,
+      compactEvery = 1, maxFilesPerBucket = 4) { (id, absorbed) =>
+      seen.synchronized { seen += ((id, absorbed)) }
+    }
+    stream.addData(e1.toSeq); q.processAllAvailable()
+    stream.addData(e2.toSeq); q.processAllAvailable()
+    q.stop()
+    assert(seen.count(_._2) == 2, s"epochs seen: $seen")
+    // streamed artifact == the full batch build, edge for edge
+    val full = java.nio.file.Files.createTempDirectory("graph_stream_f").toString
+    GraphAnn.materialize(emb, "vec_id", "embedding", 64,
+      GraphAnn.DefaultDegree, full)
+    def edgeSet(p: String): Set[(Long, Long)] =
+      GraphAnn.fromMaterialized(sp, p, 64, GraphAnn.DefaultDegree)
+        .select("src", "dst").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(edgeSet(path) == edgeSet(full))
+    // replaying the committed epochs is a no-op (epoch marker): a fresh
+    // query over the same un-checkpointed MemoryStream re-delivers both
+    // batches as epochs 0 and 1 — both at-or-below the stored marker
+    val before = sp.read.parquet(s"$path/assign").count()
+    val q2 = graft.streaming.CorpusIngest.graphIngest(sdf, emb, "vec_id",
+      "embedding", 64, GraphAnn.DefaultDegree, path)()
+    q2.processAllAvailable(); q2.stop()
+    assert(sp.read.parquet(s"$path/assign").count() == before)
+  }
+
   test("evolving corpus: folding survivors back in dedupes later epochs against them") {
     // the production loop: sink writes survivors to the corpus store, so the
     // next epoch's static frame includes them. Simulate the fold-in.
