@@ -561,6 +561,15 @@ class ComponentsSpec extends SparkTestBase {
     assert(gone == Map(1L -> 1L, 2L -> 1L))
   }
 
+  test("deleteFromComponents: empty at-rest labels are a no-op frame of the right shape") {
+    val none = Seq.empty[(Long, Long)]
+    val labels = graft.ops.Dedup.components(none.toDF("a", "b"), "doc_id")
+    val out = graft.ops.Dedup.deleteFromComponents(labels, "doc_id",
+      Seq(7L).toDF("doc_id"), pairsAmongFrom(none))
+    assert(out.columns.toSeq == Seq("doc_id", "component"))
+    assert(out.isEmpty)
+  }
+
   test("deleteFromComponents: randomized deletes equal components over the surviving pairs") {
     for (seed <- Seq(21L, 22L, 23L, 24L)) {
       val rnd = new scala.util.Random(seed)
