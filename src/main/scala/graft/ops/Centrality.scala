@@ -64,15 +64,20 @@ object Centrality {
     // ~1.3 s), localCheckpoint when it is deep (truncation keeps a deep
     // shingle-pipeline lineage out of every round's task binaries — the
     // 50×-ladder winner by ~25 s; the LogicalRDD keeps hash(src)). The
-    // persist branch stays pinned for the caller's execution (the returned
-    // plan reads `adj` in every iteration — an unpersist here would
-    // recompute the adjacency `iters` times); callers clear it with the
-    // session cache, as with every multi-consumer pipeline in Dedup.
+    // persist branch is released before return: the rank plan reads `adj`
+    // every iteration, so the result is eager-pinned (localCheckpoint)
+    // first and the adjacency cache dropped — scoped cleanup, because
+    // per-epoch callers would otherwise leak one CacheManager entry per
+    // call for the session lifetime (the Dedup.components rule; its
+    // per-round labels are already checkpointed, so it unpersists
+    // directly). The checkpoint branch stays lazy-returned: its blocks are
+    // ContextCleaner-freed on GC, and an extra eager job there would
+    // re-add the cost the size route exists to avoid.
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .repartition(col("src"))
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    val adj = FixpointPin.pin(edges.join(deg, "src"))
+    val (adj, persisted) = FixpointPin.pinScoped(edges.join(deg, "src"))
     var ranks = deg.select(col("src").as("id"), lit(unit).as("pr"))
     (1 to iters).foreach { _ =>
       val inflow = adj.join(ranks, adj("src") === ranks("id"))
@@ -81,7 +86,12 @@ object Centrality {
       ranks = inflow.select(col("dst").as("id"),
         (lit(base) + expr(s"(inflow * $dampNum) DIV $dampDen")).as("pr"))
     }
-    ranks.select(col("id"), col("pr").cast("long").as("pr"))
+    val out = ranks.select(col("id"), col("pr").cast("long").as("pr"))
+    if (persisted) {
+      val pinned = out.localCheckpoint()
+      adj.unpersist()
+      pinned
+    } else out
   }
 
   /** The most central doc of each near-dup cluster: connected components
@@ -92,10 +102,26 @@ object Centrality {
   def centralRepresentatives(pairs: DataFrame, aCol: String, bCol: String,
       iters: Int, unit: Long = 1000000L, dampNum: Long = 85,
       dampDen: Long = 100): DataFrame = {
-    // both consumers below iterate over the pair graph; evaluate the
-    // (typically expensive — e.g. a shingle join) pair input ONCE
+    // both consumers iterate over the pair graph; evaluate the (typically
+    // expensive — e.g. a shingle join) pair input ONCE, scoped: the result
+    // is one row per cluster, so eager-pinning it and releasing the pair
+    // cache before return is cheap and keeps per-epoch callers from
+    // leaking one CacheManager entry per call (the Dedup.components rule)
     val p = pairs.select(col(aCol).as("a"), col(bCol).as("b"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val out = centralRepsOn(p, iters, unit, dampNum, dampDen).localCheckpoint()
+    p.unpersist()
+    out
+  }
+
+  /** [[centralRepresentatives]] over an already-pinned `(a, b)` pair frame —
+    * both fixpoints (components + PageRank) read the SAME pinned pair set,
+    * so a composing caller ([[survivorsByCentrality]]) evaluates the pair
+    * derivation once for everything it needs. Lazy; the caller owns the
+    * pin's lifecycle.
+    */
+  private def centralRepsOn(p: DataFrame, iters: Int, unit: Long,
+      dampNum: Long, dampDen: Long): DataFrame = {
     val comp = Dedup.components(p, "doc_id")
     val pr = pageRankInt(p, "a", "b", iters, unit, dampNum, dampDen)
     val w = Window.partitionBy(col("component"))
@@ -119,11 +145,19 @@ object Centrality {
       : DataFrame = {
     val p = pairs.select(col(aCol).as("a"), col(bCol).as("b"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val reps = centralRepresentatives(p, "a", "b", iters, unit, dampNum, dampDen)
-      .select(col("doc_id").as(idCol))
+    // one pinned pair set feeds all three consumers (components fixpoint,
+    // PageRank fixpoint, member set) — before r16 this re-persisted inside
+    // centralRepresentatives, paying a second cache of the same pairs.
+    // Everything derived is eager-pinned (reps is cluster-count-sized,
+    // members node-id-sized — the same class the components fixpoint
+    // already checkpoints per round) so the pair cache releases here
+    // instead of leaking a CacheManager entry per call.
+    val reps = centralRepsOn(p, iters, unit, dampNum, dampDen)
+      .select(col("doc_id").as(idCol)).localCheckpoint()
     val members = p.select(col("a").as(idCol))
       .union(p.select(col("b").as(idCol)))
-      .distinct()
+      .distinct().localCheckpoint()
+    p.unpersist()
     universe.select(col(idCol))
       .join(members, Seq(idCol), "left_anti")
       .unionAll(reps)

@@ -52,7 +52,17 @@ private[graft] object FixpointPin {
     * should unpersist via the returned frame; the checkpoint branch's
     * blocks are freed by the ContextCleaner when the RDD is GC'd.
     */
-  def pin(df: DataFrame): DataFrame =
-    if (shallow(df)) df.persist(StorageLevel.MEMORY_AND_DISK)
-    else df.localCheckpoint()
+  def pin(df: DataFrame): DataFrame = pinScoped(df)._1
+
+  /** [[pin]] plus the route taken (true = persist): a caller whose RESULT
+    * is lazy (e.g. [[Centrality.pageRankInt]]'s rank plan, which reads the
+    * pin every iteration) cannot blindly unpersist after its loop — it must
+    * eager-pin its result first, and only the persist branch needs that
+    * scoped cleanup at all (the checkpoint branch is ContextCleaner-freed
+    * when the RDD is GC'd, and an extra eager job there would double the
+    * materialization cost the route exists to avoid).
+    */
+  def pinScoped(df: DataFrame): (DataFrame, Boolean) =
+    if (shallow(df)) (df.persist(StorageLevel.MEMORY_AND_DISK), true)
+    else (df.localCheckpoint(), false)
 }

@@ -324,10 +324,21 @@ object GraphAnn {
       .parquet(s"$path/assign")
     writeBucketManifest(df.sparkSession, s"$path/edges", "__bucket")
     writeBucketManifest(df.sparkSession, s"$path/assign", "__centroid")
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(path, SpecMarker),
+    IndexFiles.writeString(df.sparkSession, s"$path/$SpecMarker",
       if (superStride > 0) s"$stride $degree $superStride"
       else s"$stride $degree")
+  }
+
+  /** Stored geometry `(stride, degree, superStride)`, read through the
+    * store's Hadoop FileSystem (the marker lives beside the data — HDFS/S3/
+    * local alike, not only a local disk).
+    */
+  private def readSpec(spark: org.apache.spark.sql.SparkSession,
+      path: String): (Int, Int, Int) = {
+    val parts = IndexFiles.readString(spark, s"$path/$SpecMarker")
+      .trim.split(" ")
+    (parts(0).toInt, parts(1).toInt,
+      if (parts.length > 2) parts(2).toInt else 0)
   }
 
   /** Open a [[materialize]]d edge table; the stored geometry is
@@ -337,13 +348,11 @@ object GraphAnn {
     */
   def fromMaterialized(spark: org.apache.spark.sql.SparkSession, path: String,
       stride: Int, degree: Int, superStride: Int = 0): DataFrame = {
-    val parts = java.nio.file.Files
-      .readString(java.nio.file.Paths.get(path, SpecMarker)).trim.split(" ")
-    val storedSuper = if (parts.length > 2) parts(2).toInt else 0
-    require(parts(0).toInt == stride && parts(1).toInt == degree
+    val (storedStride, storedDegree, storedSuper) = readSpec(spark, path)
+    require(storedStride == stride && storedDegree == degree
         && storedSuper == superStride,
       s"graph at $path was materialized with (stride, degree, superStride) = " +
-        s"(${parts(0)}, ${parts(1)}, $storedSuper), opened expecting " +
+        s"($storedStride, $storedDegree, $storedSuper), opened expecting " +
         s"($stride, $degree, $superStride)")
     spark.read.parquet(s"$path/edges")
       .select(col("src"), col("dst"), col(DstVecCol))
@@ -395,13 +404,11 @@ object GraphAnn {
       vecCol: String, stride: Int, degree: Int, path: String,
       superStride: Int = 0): Unit = {
     val spark = batch.sparkSession
-    val parts = java.nio.file.Files
-      .readString(java.nio.file.Paths.get(path, SpecMarker)).trim.split(" ")
-    val storedSuper = if (parts.length > 2) parts(2).toInt else 0
-    require(parts(0).toInt == stride && parts(1).toInt == degree
+    val (storedStride, storedDegree, storedSuper) = readSpec(spark, path)
+    require(storedStride == stride && storedDegree == degree
         && storedSuper == superStride,
       s"graph at $path was materialized with (stride, degree, superStride) = " +
-        s"(${parts(0)}, ${parts(1)}, $storedSuper), append expects " +
+        s"($storedStride, $storedDegree, $storedSuper), append expects " +
         s"($stride, $degree, $superStride)")
     // the frozen-supers argument below relies on supers ⊆ centroids: the
     // no-centroid batch check covers superStride multiples ONLY because
@@ -517,13 +524,11 @@ object GraphAnn {
       vecCol: String, stride: Int, degree: Int, path: String,
       superStride: Int = 0): Unit = {
     val spark = batch.sparkSession
-    val parts = java.nio.file.Files
-      .readString(java.nio.file.Paths.get(path, SpecMarker)).trim.split(" ")
-    val storedSuper = if (parts.length > 2) parts(2).toInt else 0
-    require(parts(0).toInt == stride && parts(1).toInt == degree
+    val (storedStride, storedDegree, storedSuper) = readSpec(spark, path)
+    require(storedStride == stride && storedDegree == degree
         && storedSuper == superStride,
       s"graph at $path was materialized with (stride, degree, superStride) = " +
-        s"(${parts(0)}, ${parts(1)}, $storedSuper), delete expects " +
+        s"($storedStride, $storedDegree, $storedSuper), delete expects " +
         s"($stride, $degree, $superStride)")
     // same locally-checkable frozen-supers invariant as the append path
     require(superStride <= 0 || superStride % stride == 0,

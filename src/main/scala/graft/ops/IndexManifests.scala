@@ -126,17 +126,16 @@ private[graft] object IndexManifests {
     */
   def compactTable(spark: SparkSession, table: String, partCol: String,
       maxFilesPerBucket: Int = 8, targetBytes: Long = 128L << 20): Seq[Long] = {
-    import java.nio.file.{Files => JFiles, Paths => JPaths}
-    import scala.jdk.CollectionConverters._
-    val root = JPaths.get(table)
-    val bucketStats: Map[Long, (Int, Long)] = JFiles.list(root).iterator().asScala
-      .filter(p => JFiles.isDirectory(p) &&
-        p.getFileName.toString.startsWith(partCol + "="))
-      .map { p =>
-        val cid = p.getFileName.toString.stripPrefix(partCol + "=").toLong
-        val parts = JFiles.list(p).iterator().asScala
-          .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
-        cid -> (parts.length, parts.map(JFiles.size(_)).sum)
+    // bucket/file stats through the table's Hadoop FileSystem — the same
+    // resolution write() uses, so compaction runs wherever the table lives
+    // (before r16 this listed via java.nio local paths: correct in the
+    // sandbox, a silent throw on HDFS/S3 while every sibling operation
+    // worked)
+    val bucketStats: Map[Long, (Int, Long)] =
+      IndexFiles.listSubdirs(spark, table, partCol + "=").map { d =>
+        val cid = d.getPath.getName.stripPrefix(partCol + "=").toLong
+        val parts = IndexFiles.listParquet(spark, d.getPath.toString)
+        cid -> (parts.length, parts.map(_.getLen).sum)
       }.toMap
     val over = bucketStats.filter(_._2._1 > maxFilesPerBucket).keys.toSeq.sorted
     if (over.isEmpty) return Seq.empty

@@ -269,6 +269,37 @@ object ProductQuantizer {
 
   private val SpecMarker = "_graft_pq_spec"
 
+  /** Generation pointer for the FLAT code table: when present, the live
+    * codes directory is `codes_g<N>` (N = the pointer's content) and plain
+    * `codes/` is the legacy/fresh-build layout. [[compactCodes]] commits a
+    * rewrite by writing the NEXT generation directory in full and then
+    * atomically flipping this pointer (temp + rename via [[IndexFiles]]) —
+    * so a crash at ANY point leaves a complete, readable generation: before
+    * the flip the old directory is still live (the new one is an invisible
+    * orphan the next compaction overwrites), after it the new one is. This
+    * replaces the r15 two-directory-rename swap, whose mid-swap crash left
+    * NO codes directory at all.
+    */
+  private val CodesGenMarker = "_graft_codes_gen"
+
+  /** The committed codes generation: 0 = no pointer (legacy `codes/`). */
+  private def currentCodesGen(spark: org.apache.spark.sql.SparkSession,
+      path: String): Long =
+    IndexFiles.readStringOpt(spark, s"$path/$CodesGenMarker")
+      .map(_.trim.toLong).getOrElse(0L)
+
+  /** The LIVE codes directory — every read, append and compaction resolves
+    * through here (the single choke point that makes the generation flip
+    * safe). Generation pointers only ever exist on the flat layout; the
+    * bucket-partitioned IVF-PQ table compacts in place (dynamic partition
+    * overwrite) and always resolves to `codes/`.
+    */
+  private[graft] def resolveCodesDir(spark: org.apache.spark.sql.SparkSession,
+      path: String): String = {
+    val gen = currentCodesGen(spark, path)
+    if (gen == 0L) s"$path/codes" else s"$path/codes_g$gen"
+  }
+
   /** Materialize the compressed index as parquet: `codes/` (the at-rest
     * table every ADC probe scans — M bytes of information per vector) and
     * `codebooks/` beside it (codes are meaningless without their
@@ -292,9 +323,27 @@ object ProductQuantizer {
     cb.write.mode("overwrite").parquet(s"$path/codebooks")
     encode(df, idCol, vecCol, cb, spec)
       .write.mode("overwrite").parquet(s"$path/codes")
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(path, SpecMarker),
+    // a re-materialize over an existing store is a full rebuild (single-
+    // writer, probes quiesced — the same contract compaction carries):
+    // drop any generation pointer, stale generation dirs and pending
+    // tombstones so readers resolve to the fresh `codes/`
+    resetCodesState(df.sparkSession, path)
+    IndexFiles.writeString(df.sparkSession, s"$path/$SpecMarker",
       s"${spec.m} ${spec.dsub} ${spec.stride}")
+  }
+
+  /** Drop generation/tombstone state after a full rebuild: the pointer
+    * first (readers immediately fall back to the just-written `codes/`),
+    * then the now-unreachable generation dirs and the sidecar.
+    */
+  private def resetCodesState(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    val gen = currentCodesGen(spark, path)
+    if (gen > 0L) IndexFiles.deleteRecursive(spark, s"$path/$CodesGenMarker")
+    // gen+1 covers a crash-orphaned uncommitted generation
+    (1L to gen + 1).foreach(g =>
+      IndexFiles.deleteRecursive(spark, s"$path/codes_g$g"))
+    IndexFiles.deleteRecursive(spark, s"$path/$TombstoneDir")
   }
 
   /** Flat-layout delete sidecar: deleted ids parquet-appended here instead
@@ -306,9 +355,21 @@ object ProductQuantizer {
 
   private def tombstones(spark: org.apache.spark.sql.SparkSession,
       path: String): Option[DataFrame] = {
-    val dir = java.nio.file.Paths.get(path, TombstoneDir)
-    if (java.nio.file.Files.isDirectory(dir)) Some(
-      spark.read.parquet(dir.toString).select(col("__id")).distinct())
+    // pre-r16 stores rewrote the sidecar through a two-rename swap; a crash
+    // mid-swap left only `_rewriting`/`_retired` dirs, which the old reader
+    // silently treated as "no tombstones" — resurrecting every pending
+    // delete. The rewrite path no longer exists (revives fold through
+    // compactCodes), but an interrupted OLD artifact must fail loudly, not
+    // read as empty.
+    Seq("_rewriting", "_retired").foreach { sfx =>
+      require(!IndexFiles.exists(spark, s"$path/$TombstoneDir$sfx"),
+        s"leftover $TombstoneDir$sfx at $path — an interrupted pre-r16 " +
+          "sidecar rewrite; recover the last complete tombstone set " +
+          "manually before reading (an empty read here would silently " +
+          "resurrect pending deletes)")
+    }
+    if (IndexFiles.isDirectory(spark, s"$path/$TombstoneDir")) Some(
+      spark.read.parquet(s"$path/$TombstoneDir").select(col("__id")).distinct())
     else None
   }
 
@@ -323,18 +384,28 @@ object ProductQuantizer {
     */
   def fromMaterialized(spark: org.apache.spark.sql.SparkSession, path: String,
       expect: Option[PqSpec] = None): (PqSpec, (DataFrame, DataFrame)) = {
-    val parts = java.nio.file.Files
-      .readString(java.nio.file.Paths.get(path, SpecMarker)).trim.split(" ")
+    val parts = IndexFiles.readString(spark, s"$path/$SpecMarker")
+      .trim.split(" ")
     val spec = PqSpec(parts(0).toInt, parts(1).toInt, parts(2).toInt)
     expect.foreach(e => require(e == spec,
       s"index at $path was materialized with $spec, opened expecting $e"))
-    val stored = spark.read.parquet(s"$path/codes")
+    val stored = spark.read.parquet(resolveCodesDir(spark, path))
     val codes = tombstones(spark, path) match {
       case Some(ts) => stored.join(broadcast(ts), Seq("__id"), "left_anti")
       case None => stored
     }
     (spec, (spark.read.parquet(s"$path/codebooks"), codes))
   }
+
+  /** True when the store at `path` is the bucket-partitioned IVF-PQ code
+    * layout (vs the flat one) — the dispatch key for the append/compact
+    * maintenance twins, derived from the stored schema itself so streaming
+    * loops need no filesystem-shape heuristics.
+    */
+  def layoutIsIvfPq(spark: org.apache.spark.sql.SparkSession,
+      path: String): Boolean =
+    spark.read.parquet(resolveCodesDir(spark, path))
+      .columns.contains("__centroid")
 
   /** Materialize the full IVF-PQ composition: full-corpus codebooks plus
     * codes PARTITIONED BY the IVF bucket (`__centroid`) — the layout where
@@ -358,9 +429,9 @@ object ProductQuantizer {
         col("__centroid")), Seq("__id"))
       .write.mode("overwrite").partitionBy("__centroid")
       .parquet(s"$path/codes")
+    resetCodesState(df.sparkSession, path)
     IndexManifests.write(df.sparkSession, s"$path/codes", "__centroid")
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(path, SpecMarker),
+    IndexFiles.writeString(df.sparkSession, s"$path/$SpecMarker",
       s"${spec.m} ${spec.dsub} ${spec.stride}")
   }
 
@@ -405,32 +476,23 @@ object ProductQuantizer {
     require(!codes.columns.contains("__centroid"),
       s"index at $path is the bucket-partitioned IVF-PQ layout: use " +
         "appendToIvfPq (partition-aware append) instead of the flat append")
+    // A re-inserted id must be visible again AND must not leave two stored
+    // code rows: its old rows are tombstoned (not gone), so clearing the
+    // tombstone alone would revive them alongside the fresh append — the
+    // precomputed ADC path sums __dq per __id, so a duplicated id's
+    // distance doubles and it is wrongly demoted out of the candidate set
+    // (and a changed vector would mix stale codes with new). When the
+    // batch intersects the sidecar, fold the sidecar into the files FIRST
+    // (forced compactCodes: old rows physically purged, sidecar cleared —
+    // the generation flip makes it crash-safe), THEN append. Crash between
+    // the fold and the append leaves the ids fully deleted and the epoch
+    // marker unadvanced, so a streaming replay re-runs cleanly.
+    val batchIds = batch.select(col(idCol).cast("long").as("__id")).distinct()
+    val revives = tombstones(spark, path).exists(ts =>
+      !ts.join(broadcast(batchIds), Seq("__id"), "left_semi").isEmpty)
+    if (revives) compactCodes(spark, path, force = true)
     encode(batch, idCol, vecCol, cb, spec)
-      .write.mode("append").parquet(s"$path/codes")
-    // a re-inserted id must be visible again: clear it from the tombstone
-    // sidecar (batch-sized rewrite-and-swap; rare path — only after a
-    // flat delete that has not yet been compacted away)
-    tombstones(spark, path).foreach { ts =>
-      import java.nio.file.{Files => JF, Paths => JP, StandardCopyOption}
-      val kept = ts.join(
-        broadcast(batch.select(col(idCol).cast("long").as("__id")).distinct()),
-        Seq("__id"), "left_anti").localCheckpoint()
-      val tsDir = JP.get(path, TombstoneDir)
-      if (kept.isEmpty) {
-        import scala.jdk.CollectionConverters._
-        JF.walk(tsDir).iterator().asScala.toSeq.reverse
-          .foreach(p => JF.deleteIfExists(p))
-      } else {
-        val staging = JP.get(path, TombstoneDir + "_rewriting")
-        kept.coalesce(1).write.mode("overwrite").parquet(staging.toString)
-        val retired = JP.get(path, TombstoneDir + "_retired")
-        JF.move(tsDir, retired, StandardCopyOption.ATOMIC_MOVE)
-        JF.move(staging, tsDir, StandardCopyOption.ATOMIC_MOVE)
-        import scala.jdk.CollectionConverters._
-        JF.walk(retired).iterator().asScala.toSeq.reverse
-          .foreach(p => JF.deleteIfExists(p))
-      }
-    }
+      .write.mode("append").parquet(resolveCodesDir(spark, path))
   }
 
   /** Append a NEW vector batch to a [[materializeIvfPq]]'d (bucket-
@@ -498,6 +560,10 @@ object ProductQuantizer {
     val (spec, (_, codes)) = fromMaterialized(spark, path)
     val delIds = ids.select(col(idCol).cast("long").as("__id")).distinct()
       .localCheckpoint() // batch-sized; feeds a require + the anti-joins
+    // an empty takedown batch must not leave a zero-row sidecar: any
+    // sidecar presence makes every read pay the anti-join and forces the
+    // next compactCodes into a full rewrite
+    if (delIds.isEmpty) return
     require(delIds.where(pmod(col("__id"), lit(spec.stride)) === 0).isEmpty,
       s"batch contains codebook-entry ids ($idCol divisible by " +
         s"${spec.stride}): deleting them orphans every code that references " +
@@ -567,52 +633,75 @@ object ProductQuantizer {
     deleteFromMaterialized(batch, idCol, path, assignment = Some(
       AnnIndex.replayedAssignment(batch, idCol, vecCol, base, stride)))
 
-  /** Compact a [[materialize]]d index's flat `codes/` directory — the
-    * maintenance half of [[appendToMaterialized]], which grows it by one+
-    * file per ingest batch forever (the same small-files risk
-    * `AnnIndex.compactBuckets` closes for the bucket-partitioned store;
-    * codes are flat, so the remedy is a rewrite-and-swap instead of a
-    * dynamic partition overwrite). No-op below `maxFiles`. The rewrite is
-    * a narrow `coalesce` sized from actual on-disk bytes (no shuffle —
-    * code rows carry no ordering contract), staged to a sibling directory
-    * and swapped in with two directory renames; the swap window is not
-    * atomic on a plain filesystem, so run it under the store's
-    * single-writer contract with probes quiesced (the same contract
-    * re-materializing requires). Returns true when a rewrite happened.
+  /** Compact a [[materialize]]d index's flat code table — the maintenance
+    * half of [[appendToMaterialized]], which grows it by one+ file per
+    * ingest batch forever (the same small-files risk
+    * `AnnIndex.compactBuckets` closes for the bucket-partitioned store),
+    * and the fold point for the tombstone sidecar (deleted rows are
+    * physically purged here). No-op below `maxFiles` with no pending
+    * tombstones, unless `force` (the revive path — a batch re-inserting a
+    * tombstoned id must purge its old rows before appending new ones).
+    *
+    * The rewrite is a narrow `coalesce` sized from actual on-disk bytes
+    * (no shuffle — code rows carry no ordering contract) written to the
+    * NEXT generation directory (`codes_g<N+1>`), committed by atomically
+    * flipping the generation pointer, then the old directory and the
+    * folded sidecar are dropped. A crash at any point leaves a complete
+    * readable generation: before the flip the old directory is live and
+    * the new one an invisible orphan (overwritten by the next compaction,
+    * which re-derives the same generation number); between the flip and
+    * the sidecar drop the stale tombstones filter already-purged ids — a
+    * harmless no-op. Run under the store's single-writer contract; a
+    * probe whose scan started on the old generation may need a retry if
+    * it races the post-flip delete. Listing and the flip resolve through
+    * the store's Hadoop FileSystem ([[IndexFiles]]) — this runs wherever
+    * the data lives, not only on a local disk. Returns true when a
+    * rewrite happened.
     */
+  /** Layout-routed compaction — the one maintenance entrypoint streaming
+    * loops call without knowing the store's shape: the bucket-partitioned
+    * IVF-PQ code table compacts per over-fragmented bucket via the shared
+    * [[IndexManifests.compactTable]] (dynamic partition overwrite, in
+    * place), the flat table via [[compactCodes]] (generation swap).
+    * `maxFiles` is per bucket for the former, table-total for the latter.
+    */
+  def compact(spark: org.apache.spark.sql.SparkSession, path: String,
+      maxFiles: Int = 16, targetBytes: Long = 128L << 20): Boolean =
+    if (layoutIsIvfPq(spark, path))
+      IndexManifests.compactTable(spark, s"$path/codes", "__centroid",
+        maxFiles, targetBytes).nonEmpty
+    else compactCodes(spark, path, maxFiles, targetBytes)
+
   def compactCodes(spark: org.apache.spark.sql.SparkSession, path: String,
-      maxFiles: Int = 16, targetBytes: Long = 128L << 20): Boolean = {
-    import java.nio.file.{Files => JF, Paths => JP, StandardCopyOption}
-    import scala.jdk.CollectionConverters._
-    val codesDir = JP.get(path, "codes")
-    val parts = JF.list(codesDir).iterator().asScala
-      .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+      maxFiles: Int = 16, targetBytes: Long = 128L << 20,
+      force: Boolean = false): Boolean = {
+    val codesDir = resolveCodesDir(spark, path)
+    val parts = IndexFiles.listParquet(spark, codesDir)
     // a pending tombstone sidecar always triggers the rewrite (folding
-    // deletes into the files is this method's other job); otherwise only
-    // past the small-files threshold
-    val ts = tombstones(spark, path)
-    if (parts.length <= maxFiles && ts.isEmpty) return false
-    val bytes = parts.map(JF.size(_)).sum
-    val nOut = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
-    val staging = JP.get(path, "codes_compacting")
-    val live = ts match {
-      case Some(t) => spark.read.parquet(codesDir.toString)
-        .join(broadcast(t), Seq("__id"), "left_anti")
-      case None => spark.read.parquet(codesDir.toString)
+    // deletes into the files is this method's other job) — but a ZERO-ROW
+    // sidecar (pre-r16 artifact; empty batches no longer write one) must
+    // not force a full-table rewrite: treat it as absent and just drop it
+    val ts = tombstones(spark, path).filter(t => !t.isEmpty)
+    if (!force && parts.length <= maxFiles && ts.isEmpty) {
+      if (IndexFiles.isDirectory(spark, s"$path/$TombstoneDir"))
+        IndexFiles.deleteRecursive(spark, s"$path/$TombstoneDir")
+      return false
     }
-    live.coalesce(nOut)
-      .write.mode("overwrite").parquet(staging.toString)
-    val retired = JP.get(path, "codes_retired")
-    JF.move(codesDir, retired, StandardCopyOption.ATOMIC_MOVE)
-    JF.move(staging, codesDir, StandardCopyOption.ATOMIC_MOVE)
-    JF.walk(retired).iterator().asScala.toSeq.reverse
-      .foreach(p => JF.deleteIfExists(p))
-    // folded: clear the sidecar LAST — a crash before this point leaves
-    // the tombstones filtering already-purged ids, a harmless no-op
-    val tsDir = JP.get(path, TombstoneDir)
-    if (JF.isDirectory(tsDir))
-      JF.walk(tsDir).iterator().asScala.toSeq.reverse
-        .foreach(p => JF.deleteIfExists(p))
+    val bytes = parts.map(_.getLen).sum
+    val nOut = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+    val live = ts match {
+      case Some(t) => spark.read.parquet(codesDir)
+        .join(broadcast(t), Seq("__id"), "left_anti")
+      case None => spark.read.parquet(codesDir)
+    }
+    val nextGen = currentCodesGen(spark, path) + 1
+    val nextDir = s"$path/codes_g$nextGen"
+    live.coalesce(nOut).write.mode("overwrite").parquet(nextDir)
+    // the commit point: one atomic pointer flip
+    IndexFiles.writeString(spark, s"$path/$CodesGenMarker", nextGen.toString)
+    IndexFiles.deleteRecursive(spark, codesDir)
+    if (IndexFiles.isDirectory(spark, s"$path/$TombstoneDir"))
+      IndexFiles.deleteRecursive(spark, s"$path/$TombstoneDir")
     true
   }
 }

@@ -439,9 +439,20 @@ object AnnIndex {
     build(df, idCol, vecCol, stride).assigned
       .write.mode("overwrite").partitionBy("__centroid").parquet(path)
     IndexManifests.write(df.sparkSession, path, "__centroid")
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(path, StrideMarker), stride.toString)
+    IndexFiles.writeString(df.sparkSession, s"$path/$StrideMarker",
+      stride.toString)
   }
+
+  /** Assert the caller's stride against the on-disk marker when one exists
+    * (legacy stores have none), via the store's Hadoop FileSystem — a
+    * mismatched stride would rank centroids that don't exist as buckets.
+    */
+  private def checkStride(spark: org.apache.spark.sql.SparkSession,
+      path: String, stride: Int, verb: String): Unit =
+    IndexFiles.readStringOpt(spark, s"$path/$StrideMarker").foreach { s =>
+      require(s.trim == stride.toString,
+        s"index at $path was materialized with stride ${s.trim}, $verb with $stride")
+    }
 
   /** Open a [[materialize]]d index. `df` must be the same source frame (the
     * centroid table is re-derived from it — a tiny lazy filter, never
@@ -451,12 +462,7 @@ object AnnIndex {
     */
   def fromMaterialized(df: DataFrame, idCol: String, vecCol: String,
       stride: Int, path: String): AnnIndex = {
-    val marker = java.nio.file.Paths.get(path, StrideMarker)
-    if (java.nio.file.Files.isReadable(marker)) {
-      val written = java.nio.file.Files.readString(marker).trim
-      require(written == stride.toString,
-        s"index at $path was materialized with stride $written, opened with $stride")
-    }
+    checkStride(df.sparkSession, path, stride, "opened")
     new AnnIndex(df.sparkSession.read.parquet(path),
       centroidsOf(df, idCol, vecCol, stride), idCol, vecCol)
   }
@@ -472,12 +478,7 @@ object AnnIndex {
     */
   def appendToMaterialized(batch: DataFrame, base: DataFrame, idCol: String,
       vecCol: String, stride: Int, path: String): Unit = {
-    val marker = java.nio.file.Paths.get(path, StrideMarker)
-    if (java.nio.file.Files.isReadable(marker)) {
-      val written = java.nio.file.Files.readString(marker).trim
-      require(written == stride.toString,
-        s"index at $path was materialized with stride $written, appending with $stride")
-    }
+    checkStride(batch.sparkSession, path, stride, "appending")
     buildWith(batch, idCol, vecCol, centroidsOf(base, idCol, vecCol, stride))
       .assigned
       .write.mode("append").partitionBy("__centroid").parquet(path)
@@ -504,12 +505,7 @@ object AnnIndex {
   def deleteFromMaterialized(batch: DataFrame, base: DataFrame, idCol: String,
       vecCol: String, stride: Int, path: String): Unit = {
     val spark = batch.sparkSession
-    val marker = java.nio.file.Paths.get(path, StrideMarker)
-    if (java.nio.file.Files.isReadable(marker)) {
-      val written = java.nio.file.Files.readString(marker).trim
-      require(written == stride.toString,
-        s"index at $path was materialized with stride $written, deleting with $stride")
-    }
+    checkStride(spark, path, stride, "deleting")
     require(batch.where(pmod(col(idCol), lit(stride)) === 0).isEmpty,
       s"batch contains centroid-level ids ($idCol divisible by $stride): " +
         "deleting centroids changes the bucket geometry — re-materialize instead")

@@ -266,16 +266,18 @@ object CorpusIngest {
     * (single-writer per store, like every materialized-index mutation
     * here).
     */
-  private def appendOnce(path: String, epochId: Long)(append: => Unit): Boolean = {
-    val marker = java.nio.file.Paths.get(path, EpochMarker)
-    val last =
-      if (java.nio.file.Files.isReadable(marker))
-        java.nio.file.Files.readString(marker).trim.toLong
-      else -1L
+  private def appendOnce(spark: org.apache.spark.sql.SparkSession,
+      path: String, epochId: Long)(append: => Unit): Boolean = {
+    val marker = s"$path/$EpochMarker"
+    val last = graft.ops.IndexFiles.readStringOpt(spark, marker)
+      .map(_.trim.toLong).getOrElse(-1L)
     if (epochId <= last) false
     else {
       append
-      java.nio.file.Files.writeString(marker, epochId.toString)
+      // temp+rename via the store's Hadoop FileSystem: the marker lives
+      // beside the index data (HDFS/S3/local alike) and can never be read
+      // torn — a crash mid-write leaves the previous epoch value
+      graft.ops.IndexFiles.writeString(spark, marker, epochId.toString)
       true
     }
   }
@@ -295,24 +297,23 @@ object CorpusIngest {
     // materialize the micro-batch once: both stores encode the same rows,
     // and a streaming source frame must not be recomputed per consumer
     val rows = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val spark = batch.sparkSession
     try {
-      val annDone = appendOnce(annPath, epochId) {
+      val annDone = appendOnce(spark, annPath, epochId) {
         AnnIndex.appendToMaterialized(rows, base, idCol, vecCol, stride, annPath)
       }
       // layout dispatch: a bucket-partitioned (IVF-PQ) code table takes the
       // partition-aware append (replayed assignment — same frozen-centroid
       // rule as the IVF store above, so the two stores stay
       // bucket-consistent); the flat append would write bucket-less rows
-      // invisible to manifest-pruned reads (and now refuses to)
-      def appendPq(p: String): Unit = {
-        val partitioned = new java.io.File(s"$p/codes").listFiles() != null &&
-          new java.io.File(s"$p/codes").listFiles()
-            .exists(f => f.isDirectory && f.getName.startsWith("__centroid="))
-        if (partitioned)
+      // invisible to manifest-pruned reads (and now refuses to). The key
+      // comes from the stored schema (layoutIsIvfPq), not a local-FS
+      // directory probe — this loop must run wherever the store lives.
+      def appendPq(p: String): Unit =
+        if (ProductQuantizer.layoutIsIvfPq(spark, p))
           ProductQuantizer.appendToIvfPq(rows, idCol, vecCol, base, stride, p)
         else ProductQuantizer.appendToMaterialized(rows, idCol, vecCol, p)
-      }
-      val pqDone = pqPath.filter(p => appendOnce(p, epochId)(appendPq(p)))
+      val pqDone = pqPath.filter(p => appendOnce(spark, p, epochId)(appendPq(p)))
       (if (annDone) Seq(annPath) else Nil) ++ pqDone
     } finally rows.unpersist()
   }
@@ -345,8 +346,12 @@ object CorpusIngest {
         if (compactEvery > 0 && epochId > 0 && epochId % compactEvery == 0) {
           if (absorbed.contains(annPath))
             AnnIndex.compactBuckets(batch.sparkSession, annPath, maxFilesPerBucket)
+          // layout-routed: the bucket-partitioned IVF-PQ code table
+          // compacts per bucket (dynamic partition overwrite), the flat
+          // one by generation swap — compactCodes on a partitioned store
+          // would silently no-op and its fragmentation would grow forever
           pqPath.filter(absorbed.contains).foreach(p =>
-            ProductQuantizer.compactCodes(batch.sparkSession, p, maxFilesPerBucket))
+            ProductQuantizer.compact(batch.sparkSession, p, maxFilesPerBucket))
         }
         onEpoch(epochId, absorbed)
       }
@@ -374,7 +379,7 @@ object CorpusIngest {
         val rows = batch.persist(
           org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
-          val absorbed = appendOnce(path, epochId) {
+          val absorbed = appendOnce(batch.sparkSession, path, epochId) {
             graft.ops.GraphAnn.appendToMaterialized(rows, base, idCol,
               vecCol, stride, degree, path, superStride)
           }

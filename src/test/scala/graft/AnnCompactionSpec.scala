@@ -90,14 +90,17 @@ class AnnCompactionSpec extends SparkTestBase {
         emb.where(pmod(col("vec_id"), lit(8)) === 2 * b + 1),
         "vec_id", "embedding", path)
     }
+    // the LIVE code dir moves across generations after r16's atomic-swap
+    // compaction — resolve it the way every reader does
+    def liveDir(): String = ProductQuantizer.resolveCodesDir(spark, path)
     def codeFiles(): Seq[String] = {
       import scala.jdk.CollectionConverters._
-      java.nio.file.Files.list(java.nio.file.Paths.get(path, "codes"))
+      java.nio.file.Files.list(java.nio.file.Paths.get(liveDir()))
         .iterator().asScala.map(_.getFileName.toString)
         .filter(_.endsWith(".parquet")).toSeq.sorted
     }
     def codes(): Set[(Long, Int, Long)] =
-      spark.read.parquet(s"$path/codes").collect()
+      spark.read.parquet(liveDir()).collect()
         .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
     val beforeFiles = codeFiles()
     val beforeCodes = codes()

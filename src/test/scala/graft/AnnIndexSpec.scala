@@ -297,10 +297,21 @@ class ProductQuantizerSpec extends SparkTestBase {
 
   test("PQ delete equals a reduced-corpus materialize (both layouts)") {
     import org.apache.spark.sql.functions.{col, pmod, lit}
+    // resolve the LIVE code dir (it moves across generations after a
+    // compaction's atomic pointer flip)
     def codesOf(p: String): Set[(Long, Int, Long)] =
-      spark.read.parquet(s"$p/codes")
+      spark.read.parquet(ProductQuantizer.resolveCodesDir(spark, p))
         .select(col("__id"), col("__m"), col("__code"))
         .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    // Set equality hides IDENTICAL duplicate rows — assert none exist
+    // physically (a revived id whose old rows weren't purged would double
+    // its ADC distance on the precomputed path)
+    def assertNoDuplicates(p: String): Unit = {
+      val dups = spark.read.parquet(ProductQuantizer.resolveCodesDir(spark, p))
+        .groupBy(col("__id"), col("__m")).count()
+        .where(col("count") > 1).count()
+      assert(dups == 0, s"store at $p holds duplicate (__id, __m) code rows")
+    }
     val reduced = emb.where(pmod(col("vec_id"), lit(4)) =!= 3)
     // FLAT layout: a TOMBSTONE-sidecar delete — the code files must NOT
     // rewrite (delete cost ∝ batch, not corpus)
@@ -337,6 +348,7 @@ class ProductQuantizerSpec extends SparkTestBase {
     ProductQuantizer.appendToMaterialized(
       emb.where(col("vec_id") === 2), "vec_id", "embedding", flat)
     assert(visibleCodesOf(flat) == codesOf(flatRed))
+    assertNoDuplicates(flat) // the revive must purge id 2's OLD rows
     assert(!new java.io.File(s"$flat/tombstones").isDirectory,
       "re-inserting the only tombstoned id must clear the sidecar")
     // deleting a codebook-entry id is refused (entries are referenced)
