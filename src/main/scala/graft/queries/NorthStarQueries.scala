@@ -346,6 +346,11 @@ object NorthStarQueries {
   /** PQ twin of [[graphDelSpool]] (flat code-table layout). */
   private val pqDelSpool = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Half build + one STREAMED ingest epoch + one STREAMED takedown epoch
+    * (CorpusIngest.annIngest / annDeletes), per dir.
+    */
+  private val annStreamDelSpool = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** BPE merges learned ONCE per source dir (train-once/encode-many — the
     * tokenizer lifecycle; the TRAINING cost itself stays benched in
     * `bpe_merges`, which always retrains).
@@ -769,6 +774,54 @@ object NorthStarQueries {
         AnnIndex.deleteFromMaterialized(
           all.where(pmod(col("vec_id"), lit(4)) === 3), all,
           "vec_id", "embedding", 64, p)
+        p
+      })
+      val reduced = emb.where(pmod(col("vec_id"), lit(4)) =!= 3)
+      val qvec = emb.where(col("vec_id") === 1).select(col("embedding"))
+        .head().getSeq[Float](0).map(_.toDouble).toArray
+      AnnIndex.fromMaterialized(reduced, "vec_id", "embedding", 64, path)
+        .probeTopK(qvec, 10, nprobe = 4)
+    },
+
+    // STREAMED ANN TAKEDOWN (CorpusIngest.annDeletes — the delete twin of
+    // the streaming ingest loop, closing the maintenance symmetry: batch
+    // deletes existed on all three index tiers, streamed deletes could
+    // reach only the cluster labels). The IVF index is built over the even
+    // half; one real MemoryStream ingest epoch appends the odd half
+    // (annIngest), then one takedown epoch streams the vec_id % 4 == 3
+    // rows out (annDeletes — ids AND vectors, assignment REPLAYED from the
+    // frozen stride centroids, epoch-guarded so a replay is a no-op). The
+    // final artifact is row-identical to a reduced-corpus rebuild, so the
+    // oracle replays build+probe over embeddings WHERE vec_id % 4 <> 3 —
+    // the same replay the batch delete gate carries.
+    "streamed_ann_delete_topk" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val path = spooled(annStreamDelSpool, dir)(d => {
+        import s.implicits._
+        val p = graft.util.TempDirs.create("graft_ann_sdel_spool")
+        val all = t(s, d, "embeddings")
+        AnnIndex.materialize(
+          all.where(pmod(col("vec_id"), lit(2)) === 0),
+          "vec_id", "embedding", 64, p)
+        def epoch(rows: DataFrame)(
+            start: DataFrame => org.apache.spark.sql.streaming.StreamingQuery)
+            : Unit = {
+          val data = rows.select(col("vec_id"), col("embedding"))
+            .collect().map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+          val stream = org.apache.spark.sql.execution.streaming.runtime
+            .MemoryStream[(Long, Seq[Float])](s)
+          val q = start(stream.toDF().toDF("vec_id", "embedding")
+            .select(col("vec_id"),
+              col("embedding").cast("array<float>").as("embedding")))
+          try { stream.addData(data); q.processAllAvailable() }
+          finally q.stop()
+        }
+        epoch(all.where(pmod(col("vec_id"), lit(2)) === 1))(sdf =>
+          graft.streaming.CorpusIngest.annIngest(
+            sdf, all, "vec_id", "embedding", 64, p)())
+        epoch(all.where(pmod(col("vec_id"), lit(4)) === 3))(sdf =>
+          graft.streaming.CorpusIngest.annDeletes(
+            sdf, all, "vec_id", "embedding", 64, p)())
         p
       })
       val reduced = emb.where(pmod(col("vec_id"), lit(4)) =!= 3)
@@ -4472,6 +4525,10 @@ object NorthStarQueries {
     // delete == reduced-corpus rebuild: the oracle replays build+probe
     // over exactly the surviving rows
     "ann_ivf_delete_topk" -> annIvfOracleWhere(" WHERE vec_id % 4 <> 3"),
+    // half build + streamed ingest epoch + streamed takedown epoch ==
+    // reduced-corpus rebuild (frozen centroids make append and delete both
+    // exact), so the streamed gate shares the batch delete's replay
+    "streamed_ann_delete_topk" -> annIvfOracleWhere(" WHERE vec_id % 4 <> 3"),
     // segmentation -> distinct-doc dup census -> ordered reassembly, all
     // replayed: clean_fp only matches if the surviving segments AND their
     // order are byte-identical to the engine's rebuilt text

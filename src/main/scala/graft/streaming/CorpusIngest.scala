@@ -357,6 +357,107 @@ object CorpusIngest {
       }
       .start()
 
+  /** Takedown epochs carry their own marker (distinct from the ingest
+    * marker): ingest and takedown arrive as SEPARATE streaming queries,
+    * each with its own epoch-id sequence starting at 0, so sharing one
+    * marker would make the first takedown epoch read as an
+    * already-absorbed ingest replay. Run at most ONE mutating query per
+    * store at a time (the single-writer contract every materialized-index
+    * mutation here carries); sequential ingest-then-takedown writers are
+    * the supported shape.
+    */
+  private val TakedownMarker = "_graft_takedown_epoch"
+
+  private def takedownOnce(spark: org.apache.spark.sql.SparkSession,
+      path: String, epochId: Long)(del: => Unit): Boolean = {
+    val marker = s"$path/$TakedownMarker"
+    val last = graft.ops.IndexFiles.readStringOpt(spark, marker)
+      .map(_.trim.toLong).getOrElse(-1L)
+    if (epochId <= last) false
+    else {
+      del
+      graft.ops.IndexFiles.writeString(spark, marker, epochId.toString)
+      true
+    }
+  }
+
+  /** One takedown micro-batch against the materialized vector stores — the
+    * delete twin of [[appendVectorEpoch]]: the batch's rows (ids AND
+    * vectors — the assignment is REPLAYED from `base`'s frozen centroids,
+    * never trusted from a caller frame) leave the IVF index at `annPath`
+    * ([[AnnIndex.deleteFromMaterialized]] — touched bucket partitions
+    * only) and, when present, the PQ store at `pqPath` (layout-routed:
+    * bucket-pruned rewrite for IVF-PQ, tombstone sidecar for flat). Pure
+    * batch function; epoch-guarded per store so a replayed epoch is a
+    * no-op. Returns the stores that actually absorbed this epoch.
+    */
+  def deleteVectorEpoch(batch: DataFrame, base: DataFrame, idCol: String,
+      vecCol: String, stride: Int, annPath: String,
+      pqPath: Option[String], epochId: Long): Seq[String] = {
+    val rows = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val spark = batch.sparkSession
+    try {
+      val annDone = takedownOnce(spark, annPath, epochId) {
+        AnnIndex.deleteFromMaterialized(rows, base, idCol, vecCol, stride,
+          annPath)
+      }
+      def delPq(p: String): Unit =
+        if (ProductQuantizer.layoutIsIvfPq(spark, p))
+          ProductQuantizer.deleteFromIvfPq(rows, idCol, vecCol, base, stride, p)
+        else ProductQuantizer.deleteFromMaterialized(rows, idCol, p)
+      val pqDone = pqPath.filter(p => takedownOnce(spark, p, epochId)(delPq(p)))
+      (if (annDone) Seq(annPath) else Nil) ++ pqDone
+    } finally rows.unpersist()
+  }
+
+  /** Continuous ANN-index TAKEDOWN — the delete twin of [[annIngest]],
+    * closing the maintenance symmetry: removal requests (dedup reversals,
+    * compliance takedowns) arrive as a stream of `(idCol, vecCol)` rows
+    * and leave the materialized IVF index (and PQ store, when `pqPath` is
+    * set) at the door, epoch-guarded per store so a replayed epoch cannot
+    * double-delete (a flat-PQ replay would otherwise re-append tombstone
+    * rows). Deleted ids must not be centroid/codebook-level (the batch
+    * delete refuses them — re-materialize for those). `onEpoch` receives
+    * (epochId, absorbed stores).
+    */
+  def annDeletes(delVectors: DataFrame, base: DataFrame, idCol: String,
+      vecCol: String, stride: Int, annPath: String,
+      pqPath: Option[String] = None)
+      (onEpoch: (Long, Seq[String]) => Unit = (_, _) => ()): StreamingQuery =
+    delVectors.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        onEpoch(epochId, deleteVectorEpoch(batch, base, idCol, vecCol,
+          stride, annPath, pqPath, epochId))
+      }
+      .start()
+
+  /** Continuous GRAPH-index TAKEDOWN — the delete twin of [[graphIngest]]:
+    * every micro-batch of `(idCol, vecCol)` rows leaves the materialized
+    * graph under the build's exact rules
+    * ([[graft.ops.GraphAnn.deleteFromMaterialized]] — survivors' edges
+    * recomputed inside touched buckets only), epoch-guarded so a replayed
+    * epoch is a no-op. `onEpoch` receives (epochId, absorbed).
+    */
+  def graphDeletes(delVectors: DataFrame, base: DataFrame, idCol: String,
+      vecCol: String, stride: Int, degree: Int, path: String,
+      superStride: Int = 0)
+      (onEpoch: (Long, Boolean) => Unit = (_, _) => ()): StreamingQuery =
+    delVectors.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        val rows = batch.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val absorbed = takedownOnce(batch.sparkSession, path, epochId) {
+            graft.ops.GraphAnn.deleteFromMaterialized(rows, base, idCol,
+              vecCol, stride, degree, path, superStride)
+          }
+          onEpoch(epochId, absorbed)
+        } finally rows.unpersist()
+      }
+      .start()
+
   /** Continuous GRAPH-index maintenance — the [[annIngest]] twin for the
     * navigable-graph tier: every micro-batch splices into the
     * materialized graph under the build's exact rules

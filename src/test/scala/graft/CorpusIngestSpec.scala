@@ -509,6 +509,98 @@ class CorpusIngestSpec extends SparkTestBase {
     assert(sp.read.parquet(s"$path/assign").count() == before)
   }
 
+  test("streamed ANN takedown equals a reduced-corpus rebuild on every tier; replayed epochs are no-ops") {
+    import graft.ops.{AnnIndex, GraphAnn, ProductQuantizer}
+    import ProductQuantizer.PqSpec
+    val sp = spark
+    import sp.implicits._
+    val emb = sp.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val spec = PqSpec(m = 8, dsub = 8, stride = 16)
+    def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString
+    val annA = tmp("sdel_annA")     // IVF float + flat PQ sidecar store
+    val pqFlat = tmp("sdel_pqflat")
+    val annB = tmp("sdel_annB")     // IVF float + partitioned IVF-PQ store
+    val ivfComp = tmp("sdel_ivfpq")
+    val graphPath = tmp("sdel_graph")
+    AnnIndex.materialize(emb, "vec_id", "embedding", 64, annA)
+    ProductQuantizer.materialize(emb, "vec_id", "embedding", spec, pqFlat)
+    AnnIndex.materialize(emb, "vec_id", "embedding", 64, annB)
+    ProductQuantizer.materializeIvfPq(emb, "vec_id", "embedding",
+      sp.read.parquet(annB), spec, ivfComp)
+    GraphAnn.materialize(emb, "vec_id", "embedding", 64,
+      GraphAnn.DefaultDegree, graphPath)
+
+    // one streamed takedown epoch per store family: vec_id % 4 == 3 rows
+    // (never centroid- or codebook-level — all odd)
+    val del = emb.where(pmod(col("vec_id"), lit(4)) === 3)
+      .select(col("vec_id"), col("embedding"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+    def runTakedown(start: DataFrame => org.apache.spark.sql.streaming.StreamingQuery)
+        : Unit = {
+      val stream = MemoryStream[(Long, Seq[Float])](sp)
+      val q = start(stream.toDF().toDF("vec_id", "embedding")
+        .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding")))
+      try { stream.addData(del); q.processAllAvailable() } finally q.stop()
+    }
+    runTakedown(sdf => graft.streaming.CorpusIngest.annDeletes(
+      sdf, emb, "vec_id", "embedding", 64, annA, Some(pqFlat))())
+    runTakedown(sdf => graft.streaming.CorpusIngest.annDeletes(
+      sdf, emb, "vec_id", "embedding", 64, annB, Some(ivfComp))())
+    runTakedown(sdf => graft.streaming.CorpusIngest.graphDeletes(
+      sdf, emb, "vec_id", "embedding", 64, GraphAnn.DefaultDegree, graphPath)())
+
+    // every tier equals its reduced-corpus rebuild
+    val reduced = emb.where(pmod(col("vec_id"), lit(4)) =!= 3)
+    val annRed = tmp("sdel_annRed")
+    AnnIndex.materialize(reduced, "vec_id", "embedding", 64, annRed)
+    def ivfRows(p: String): Set[(Long, Long)] =
+      sp.read.parquet(p).select(col("vec_id"), col("__centroid").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ivfRows(annA) == ivfRows(annRed), "IVF store A diverged")
+    assert(ivfRows(annB) == ivfRows(annRed), "IVF store B diverged")
+
+    val pqRed = tmp("sdel_pqRed")
+    ProductQuantizer.materialize(reduced, "vec_id", "embedding", spec, pqRed)
+    def flatCodes(p: String): Set[(Long, Int, Long)] = {
+      val (_, (_, codes)) = ProductQuantizer.fromMaterialized(sp, p)
+      codes.select(col("__id"), col("__m"), col("__code"))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    }
+    assert(flatCodes(pqFlat) == flatCodes(pqRed), "flat PQ store diverged")
+
+    val compRed = tmp("sdel_ivfpqRed")
+    ProductQuantizer.materializeIvfPq(reduced, "vec_id", "embedding",
+      sp.read.parquet(annRed), spec, compRed)
+    def bucketedCodes(p: String): Set[(Long, Int, Long, Long)] =
+      sp.read.parquet(s"$p/codes")
+        .select(col("__id"), col("__m"), col("__code"),
+          col("__centroid").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    assert(bucketedCodes(ivfComp) == bucketedCodes(compRed),
+      "IVF-PQ store diverged")
+
+    val graphRed = tmp("sdel_graphRed")
+    GraphAnn.materialize(reduced, "vec_id", "embedding", 64,
+      GraphAnn.DefaultDegree, graphRed)
+    def edgeSet(p: String): Set[(Long, Long)] =
+      GraphAnn.fromMaterialized(sp, p, 64, GraphAnn.DefaultDegree)
+        .select("src", "dst").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(edgeSet(graphPath) == edgeSet(graphRed), "graph store diverged")
+
+    // replay: a fresh un-checkpointed query re-delivers the same batch as
+    // epoch 0 — at-or-below every stored takedown marker, so nothing moves
+    // (a flat-PQ replay would otherwise re-append sidecar rows)
+    val sidecarBefore = sp.read.parquet(s"$pqFlat/tombstones").count()
+    val annBefore = sp.read.parquet(annA).count()
+    runTakedown(sdf => graft.streaming.CorpusIngest.annDeletes(
+      sdf, emb, "vec_id", "embedding", 64, annA, Some(pqFlat))())
+    assert(sp.read.parquet(s"$pqFlat/tombstones").count() == sidecarBefore,
+      "replayed takedown epoch re-appended tombstones")
+    assert(sp.read.parquet(annA).count() == annBefore,
+      "replayed takedown epoch changed the IVF store")
+  }
+
   test("evolving corpus: folding survivors back in dedupes later epochs against them") {
     // the production loop: sink writes survivors to the corpus store, so the
     // next epoch's static frame includes them. Simulate the fold-in.
