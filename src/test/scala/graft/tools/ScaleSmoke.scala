@@ -472,6 +472,91 @@ object ScaleSmoke {
       }
     }
 
+    // central_rep_docs / central_dedup_survivors DECOMPOSED — the
+    // composite-centrality gates carry TWO fixpoints' fixed costs
+    // (components rounds + PageRank iterations, each a chain of small
+    // driver-scheduled jobs) on top of one shared jaccard pair derivation,
+    // which makes their DuckDB ratio noise-sensitive at gate scale even
+    // though each piece is individually at/under parity. Same judging-rule
+    // shape as the streaming gates: F = the full pipeline on a 3-doc
+    // fixture (pure fixpoint/scheduling machinery), `full` replays the
+    // sf0.1 gates exactly (fixture reads inside the wall, like the
+    // registered gate), `x4` scales salted copies for the slope. Rule:
+    // gate strong iff bench wall ≤ F + 2×(W−F).
+    if (on("central_decomp")) {
+      // Mirror the registered gates' amortization exactly: the gates read
+      // a repartitioned doc SPOOL and a per-dir hot-shingle array (both
+      // cached across bench invocations), so only the shingle scan + pair
+      // join + fixpoints run inside the gate's bench wall. Prepare the
+      // spools per variant OUTSIDE the timed loop, time only the gate
+      // pipeline.
+      import spark.implicits._
+      val fixedDocs = Seq(
+        (2L, "alpha beta gamma delta epsilon"),
+        (5L, "alpha beta gamma delta zeta"),
+        (3L, "one two three four five six")).toDF("doc_id", "text")
+      def saltedDocs(k: Int): DataFrame = {
+        val base = spark.read.parquet(s"$dir/documents.parquet")
+          .select("doc_id", "text")
+        (0 until k).map { c =>
+          base.select((col("doc_id") + lit(c * 1000000L)).as("doc_id"),
+            concat_ws(" ", transform(split(col("text"), " "),
+              t => substring(md5(concat(t, lit(s"|$c"))), 1, 8))).as("text"))
+        }.reduce(_ unionAll _)
+      }
+      def spooled(df: DataFrame): (String, Seq[String]) = {
+        val p = graft.util.TempDirs.create("central_decomp_spool")
+        df.repartition(spark.sparkContext.defaultParallelism)
+          .write.mode("overwrite").parquet(p)
+        val shingled = spark.read.parquet(p).select(col("doc_id"),
+          graft.ops.TextOps.wordNGrams(col("text"), 3).as("sh"))
+        (p, graft.ops.Dedup.hotShingles(shingled, "doc_id", "sh", 0.25).toSeq)
+      }
+      def gateSh(spool: String, hot: Seq[String]): DataFrame =
+        spark.read.parquet(spool).select(col("doc_id"),
+            graft.ops.TextOps.wordNGrams(col("text"), 3).as("sh"))
+          .withColumn("sh", array_except(col("sh"), typedLit(hot)))
+      def repsOnce(spool: String, hot: Seq[String]): Long = {
+        val pairs = graft.ops.Dedup.jaccardJoin(
+          gateSh(spool, hot), "doc_id", "sh", 0.5).select("a", "b")
+        graft.ops.Centrality.centralRepresentatives(
+          pairs, "a", "b", 5, 1000000L, 85L, 100L).count()
+      }
+      def survOnce(spool: String, hot: Seq[String]): Long = {
+        val pairs = graft.ops.Dedup.jaccardJoin(
+          gateSh(spool, hot), "doc_id", "sh", 0.5).select("a", "b")
+        graft.ops.Centrality.survivorsByCentrality(
+          spark.read.parquet(spool).select("doc_id"), "doc_id", pairs,
+          "a", "b", 5, 1000000L, 85L, 100L).count()
+      }
+      val variants = Seq(
+        ("fixed", () => fixedDocs),
+        ("full", () => saltedDocs(1)),
+        ("x4", () => saltedDocs(4)))
+      locally { // warm codegen/fixpoint classes off the clock
+        val (p, hot) = spooled(fixedDocs)
+        repsOnce(p, hot); survOnce(p, hot)
+      }
+      for ((name, mk) <- variants) {
+        val (p, hot) = spooled(mk())
+        var bestReps = Long.MaxValue
+        var bestSurv = Long.MaxValue
+        var reps = 0L
+        var surv = 0L
+        (0 until 3).foreach { _ =>
+          val t0 = System.nanoTime()
+          reps = repsOnce(p, hot)
+          bestReps = math.min(bestReps, (System.nanoTime() - t0) / 1000000L)
+          val t1 = System.nanoTime()
+          surv = survOnce(p, hot)
+          bestSurv = math.min(bestSurv, (System.nanoTime() - t1) / 1000000L)
+        }
+        println(f"SCALE family=central_decomp variant=$name%-5s " +
+          f"reps=$reps%7d repsBestMs=$bestReps%7d " +
+          f"surv=$surv%7d survBestMs=$bestSurv%7d")
+      }
+    }
+
     // streamed_attribution DECOMPOSED — same judging rule as
     // sessions_decomp for the stream-stream join gate: wall = two-sided
     // join-state fixed cost F (1 purchase + 1 view) + a data term
