@@ -354,10 +354,21 @@ object GraphAnn {
       s"graph at $path was materialized with (stride, degree, superStride) = " +
         s"($storedStride, $storedDegree, $storedSuper), opened expecting " +
         s"($stride, $degree, $superStride)")
-    spark.read.parquet(s"$path/edges")
+    val cedges = spark.read.parquet(s"$path/cedges")
       .select(col("src"), col("dst"), col(DstVecCol))
-      .unionAll(spark.read.parquet(s"$path/cedges")
-        .select(col("src"), col("dst"), col(DstVecCol)))
+    // a fully-DRAINED member table (every bucket single-member after a
+    // takedown wave → zero bucket directories → zero parquet files) must
+    // still open: schema inference over zero files throws, so serve the
+    // typed-empty member side off the (always-present) centroid table's
+    // schema — the same zero-file rule IndexManifests.readBuckets carries
+    // for the maintenance reads (IndexDurabilitySpec drives the full
+    // drain→reopen→regrow cycle)
+    val member =
+      if (IndexFiles.listSubdirs(spark, s"$path/edges", "__bucket=").isEmpty)
+        cedges.where(lit(false))
+      else spark.read.parquet(s"$path/edges")
+        .select(col("src"), col("dst"), col(DstVecCol))
+    member.unionAll(cedges)
   }
 
   /** Batch INSERT into a materialized graph — the incremental-maintenance

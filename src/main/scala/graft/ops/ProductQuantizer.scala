@@ -59,14 +59,37 @@ object ProductQuantizer {
       .withColumnRenamed("pos", "__m").withColumnRenamed("col", "__sv")
 
   /** Long-form codebooks `(__m, __j, __cbvec)`: broadcast-sized
-    * (m·(n/stride) rows of dsub doubles).
+    * (m·(n/stride) rows of dsub doubles). Entry numbers `__j` are the
+    * DENSE RANK of the stride-sampled ids — NOT `__id/stride`, which is
+    * only dense when corpus ids are contiguous: on a sparse id space
+    * (shard-offset ids, id-shifted corpus copies) raw `__id/stride`
+    * exceeds [[MaxEntries]] and the packed argmin would silently wrap
+    * `j mod 4096`, colliding distinct entries — the engine and the SQL
+    * replay then diverge on which entry a wrapped key means (caught by
+    * the 10×-sf0.1 synthetic rung, r16). On contiguous ids dense rank
+    * EQUALS `__id/stride`, so shipped artifacts and oracles are
+    * unchanged there; the rank window runs over the codebook-sized entry
+    * table at build time only.
     */
   def codebooks(df: DataFrame, idCol: String, vecCol: String,
       spec: PqSpec): DataFrame =
     explodeSub(df.where(pmod(col(idCol), lit(spec.stride)) === 0),
         idCol, vecCol, spec)
-      .select((col("__id") / spec.stride).cast("long").as("__j"),
-        col("__m"), col("__sv").as("__cbvec"))
+      .withColumn("__j", dense_rank().over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("__id")))
+        .cast("long") - 1)
+      .select(col("__j"), col("__m"), col("__sv").as("__cbvec"))
+
+  /** Fail fast when the codebook exceeds the packed-argmin capacity —
+    * every encode/train would otherwise silently wrap entry numbers.
+    * One tiny aggregate over the codebook-sized table; build-time only.
+    */
+  private def requireCodebookFits(cb: DataFrame, what: String): Unit = {
+    val n = cb.agg(countDistinct(col("__j"))).head().getLong(0)
+    require(n <= MaxEntries,
+      s"$what yields $n codebook entries; PQ expects small codebooks " +
+        s"(<= $MaxEntries) — raise the stride or pre-cluster")
+  }
 
   /** Codebooks are contractually SMALL (real PQ uses K = 256 — codes are
     * bytes); 4096 is generous headroom and what lets the argmin pack into
@@ -134,6 +157,7 @@ object ProductQuantizer {
     val sub = explodeSub(df, idCol, vecCol, spec)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var cb = codebooks(df, idCol, vecCol, spec)
+    requireCodebookFits(cb, s"stride ${spec.stride} over this corpus")
     var prevCb: DataFrame = null
     for (_ <- 1 to iters) {
       val assigned = sub.join(broadcast(cb), Seq("__m"))
@@ -320,6 +344,7 @@ object ProductQuantizer {
       else codebooks(df, idCol, vecCol, spec)
     require(!cb.isEmpty,
       s"no codebook entries: no $idCol divisible by stride ${spec.stride}")
+    requireCodebookFits(cb, s"stride ${spec.stride} over this corpus")
     cb.write.mode("overwrite").parquet(s"$path/codebooks")
     encode(df, idCol, vecCol, cb, spec)
       .write.mode("overwrite").parquet(s"$path/codes")
@@ -423,6 +448,7 @@ object ProductQuantizer {
       else codebooks(df, idCol, vecCol, spec)
     require(!cb.isEmpty,
       s"no codebook entries: no $idCol divisible by stride ${spec.stride}")
+    requireCodebookFits(cb, s"stride ${spec.stride} over this corpus")
     cb.write.mode("overwrite").parquet(s"$path/codebooks")
     encode(df, idCol, vecCol, cb, spec)
       .join(assignment.select(col(idCol).cast("long").as("__id"),

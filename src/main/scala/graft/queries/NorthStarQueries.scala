@@ -3085,7 +3085,7 @@ object NorthStarQueries {
        |         list_transform(embedding[m*8+1:m*8+8],
        |                        x -> CAST(x AS DOUBLE))::DOUBLE[8] AS sv
        |  FROM embeddings CROSS JOIN (SELECT unnest(range(0, 8)) AS m)),
-       |cb0 AS (SELECT vec_id // 64 AS j, m, sv AS cv FROM sub WHERE vec_id % 64 = 0),
+       |cb0 AS (SELECT dense_rank() OVER (ORDER BY vec_id) - 1 AS j, m, sv AS cv FROM sub WHERE vec_id % 64 = 0),
        |${pqTrainIterSql("cb0", 1)},
        |${pqTrainIterSql("cb1", 2)},
        |code AS (
@@ -4455,7 +4455,7 @@ object NorthStarQueries {
         |         list_transform(embedding[m*8+1:m*8+8],
         |                        x -> CAST(x AS DOUBLE))::DOUBLE[8] AS sv
         |  FROM embeddings CROSS JOIN (SELECT unnest(range(0, 8)) AS m)),
-        |cb AS (SELECT vec_id // 64 AS j, m, sv AS cv FROM suball WHERE vec_id % 64 = 0),
+        |cb AS (SELECT dense_rank() OVER (ORDER BY vec_id) - 1 AS j, m, sv AS cv FROM suball WHERE vec_id % 64 = 0),
         |sub AS (
         |  SELECT s.vec_id, s.m, s.sv FROM suball s JOIN sel ON s.vec_id = sel.vec_id),
         |code AS (
@@ -5032,7 +5032,7 @@ object NorthStarQueries {
       |         list_transform(embedding[m*8+1:m*8+8],
       |                        x -> CAST(x AS DOUBLE))::DOUBLE[8] AS sv
       |  FROM eb CROSS JOIN (SELECT unnest(range(0, 8)) AS m)),
-      |cb AS (SELECT vec_id // 64 AS j, m, sv AS cv FROM sub WHERE vec_id % 64 = 0),
+      |cb AS (SELECT dense_rank() OVER (ORDER BY vec_id) - 1 AS j, m, sv AS cv FROM sub WHERE vec_id % 64 = 0),
       |-- assignment replays the engine's packed-long argmin exactly:
       |-- floor(least(d, 2000)*1e12)*4096 + j, min, then % 4096 recovers j
       |-- (the 1e-12 quantization AND the packedKey overflow clamp are part

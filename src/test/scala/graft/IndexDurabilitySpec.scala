@@ -163,6 +163,55 @@ class IndexDurabilitySpec extends SparkTestBase {
     assert(visible() == want)
   }
 
+  test("graph tier drained to zero member edges and regrown equals a fresh build") {
+    // The zero-file corner end-to-end: delete every non-centroid member, so
+    // every bucket holds exactly its centroid and the edges/ table drops to
+    // ZERO bucket directories (a single-member bucket has no kNN edges) —
+    // the case IndexManifests' typed-empty reads exist for — then append a
+    // fresh batch and check the regrown store equals a from-scratch build.
+    val path = fsPath("graft_fs_drain")
+    val evens = emb.where(pmod(col("vec_id"), lit(2)) === 0)
+    GraphAnn.materialize(evens, "vec_id", "embedding", 64,
+      GraphAnn.DefaultDegree, path)
+    val nonCentroidEvens = evens.where(pmod(col("vec_id"), lit(64)) =!= 0)
+    GraphAnn.deleteFromMaterialized(nonCentroidEvens, emb,
+      "vec_id", "embedding", 64, GraphAnn.DefaultDegree, path)
+    // drained: no member-edge buckets remain on disk
+    assert(IndexFiles.listSubdirs(spark, s"$path/edges", "__bucket=").isEmpty,
+      "expected every edge bucket directory to be dropped")
+    // the drained store still opens and probes (upper levels + assign only)
+    val drained = GraphAnn.fromMaterialized(spark, path, 64,
+      GraphAnn.DefaultDegree)
+    assert(drained.where(col("src") =!= col("dst")).count() >= 0)
+    // regrow from a fresh batch
+    val odds = emb.where(pmod(col("vec_id"), lit(2)) === 1)
+    GraphAnn.appendToMaterialized(odds, emb, "vec_id", "embedding", 64,
+      GraphAnn.DefaultDegree, path)
+    val want = GraphAnn.buildEdges(
+      emb.where(pmod(col("vec_id"), lit(64)) === 0 ||
+        pmod(col("vec_id"), lit(2)) === 1),
+      "vec_id", "embedding", 64, GraphAnn.DefaultDegree)
+    def edgeSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("src", "dst").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(edgeSet(GraphAnn.fromMaterialized(spark, path, 64,
+        GraphAnn.DefaultDegree)) == edgeSet(want),
+      "regrown store diverged from a fresh build")
+    // probes through the regrown store match the fresh build's
+    val got = GraphAnn.pointProbeTopK(
+      emb.where(pmod(col("vec_id"), lit(64)) === 0 ||
+        pmod(col("vec_id"), lit(2)) === 1),
+      "vec_id", "embedding",
+      GraphAnn.fromMaterialized(spark, path, 64, GraphAnn.DefaultDegree),
+      qvec(7), k = 10, stride = 64).collect().map(_.getLong(0)).toSeq
+    val fresh = GraphAnn.pointProbeTopK(
+      emb.where(pmod(col("vec_id"), lit(64)) === 0 ||
+        pmod(col("vec_id"), lit(2)) === 1),
+      "vec_id", "embedding", want, qvec(7), k = 10, stride = 64)
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == fresh)
+  }
+
   test("empty delete batch leaves no sidecar; interrupted pre-r16 sidecar rewrite fails loudly") {
     val path = fsPath("graft_fs_tomb")
     ProductQuantizer.materialize(emb, "vec_id", "embedding", spec, path)
