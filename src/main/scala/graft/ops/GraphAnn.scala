@@ -413,7 +413,8 @@ object GraphAnn {
     */
   def appendToMaterialized(batch: DataFrame, base: DataFrame, idCol: String,
       vecCol: String, stride: Int, degree: Int, path: String,
-      superStride: Int = 0): Unit = {
+      superStride: Int = 0): Unit =
+      IndexFiles.withWriterLease(batch.sparkSession, path, "graph-append") {
     val spark = batch.sparkSession
     val (storedStride, storedDegree, storedSuper) = readSpec(spark, path)
     require(storedStride == stride && storedDegree == degree
@@ -533,7 +534,8 @@ object GraphAnn {
     */
   def deleteFromMaterialized(batch: DataFrame, base: DataFrame, idCol: String,
       vecCol: String, stride: Int, degree: Int, path: String,
-      superStride: Int = 0): Unit = {
+      superStride: Int = 0): Unit =
+      IndexFiles.withWriterLease(batch.sparkSession, path, "graph-delete") {
     val spark = batch.sparkSession
     val (storedStride, storedDegree, storedSuper) = readSpec(spark, path)
     require(storedStride == stride && storedDegree == degree
@@ -621,10 +623,12 @@ object GraphAnn {
   def compact(spark: org.apache.spark.sql.SparkSession, path: String,
       maxFilesPerBucket: Int = 8, targetBytes: Long = 128L << 20)
       : (Seq[Long], Seq[Long]) =
-    (IndexManifests.compactTable(spark, s"$path/edges", "__bucket",
-        maxFilesPerBucket, targetBytes),
-      IndexManifests.compactTable(spark, s"$path/assign", "__centroid",
-        maxFilesPerBucket, targetBytes))
+    IndexFiles.withWriterLease(spark, path, "graph-compact") {
+      (IndexManifests.compactTable(spark, s"$path/edges", "__bucket",
+          maxFilesPerBucket, targetBytes),
+        IndexManifests.compactTable(spark, s"$path/assign", "__centroid",
+          maxFilesPerBucket, targetBytes))
+    }
 
   /** Executed-round observability for the convergence specs: how many
     * rounds the most recent probe on this thread actually expanded (the

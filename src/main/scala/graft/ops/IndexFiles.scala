@@ -79,4 +79,102 @@ private[graft] object IndexFiles {
     fs(spark, path).delete(new HPath(path), true)
     ()
   }
+
+  // ------------------------------------------------------------------
+  // Writer lease — MECHANICAL enforcement of the single-writer contract
+  // every materialized-index mutation documents. Before r16 the contract
+  // was prose: two maintenance writers racing on a store (e.g. a
+  // compaction timer firing while a takedown batch rewrites the same
+  // buckets) would interleave dynamic partition overwrites and corrupt
+  // the store SILENTLY — the reads stay well-formed, the rows are wrong.
+  // Now every mutation runs inside `withWriterLease`: the second writer
+  // fails LOUDLY at acquisition instead.
+  //
+  // Mechanics: a `_graft_writer.lock` marker at the store root, created
+  // with `FileSystem.create(overwrite = false)` — atomic on HDFS and a
+  // check-then-create on local/object stores (same-JVM contention is
+  // additionally fenced by an in-process table, which covers the
+  // non-atomic window for the only writers this sandbox can run).
+  // Leases are REENTRANT per (store, thread): compound mutations
+  // (append folds the tombstone sidecar via compactCodes; layout-routed
+  // compact delegates) hold one lease for the whole operation. The lock
+  // name is underscore-prefixed so Spark's readers treat it as hidden.
+  //
+  // Crash story: an in-process failure releases in `finally`; a writer
+  // JVM that dies mid-mutation leaves the lock on disk, and the next
+  // writer fails with the holder's payload (op, jvm, thread, UTC time)
+  // plus explicit `breakWriterLease` guidance — takeover is an OPERATOR
+  // decision (verify the old writer is dead), never a timeout guess:
+  // clock-skew-based auto-expiry is how two writers both believe they
+  // hold a store.
+  // ------------------------------------------------------------------
+
+  private[graft] val LockName = "_graft_writer.lock"
+
+  private final class Lease(val thread: Thread) { var depth: Int = 1 }
+  private val held = new java.util.concurrent.ConcurrentHashMap[String, Lease]()
+
+  private def leaseKey(f: FileSystem, store: String): String =
+    f.makeQualified(new HPath(store)).toString
+
+  /** The current on-disk lease payload, if any (specs + operator triage). */
+  def writerLeaseHolder(spark: SparkSession, store: String): Option[String] =
+    readStringOpt(spark, new HPath(store, LockName).toString)
+
+  /** Operator override for a crashed writer's leftover lease: verify the
+    * old writer is dead FIRST — breaking a live writer's lease re-creates
+    * the silent two-writer corruption this mechanism exists to prevent.
+    */
+  def breakWriterLease(spark: SparkSession, store: String): Unit = {
+    val f = fs(spark, store)
+    held.remove(leaseKey(f, store))
+    f.delete(new HPath(store, LockName), false)
+    ()
+  }
+
+  /** Run `body` holding the store's exclusive writer lease (see above).
+    * Reentrant on the same (store, thread); any other holder — this JVM,
+    * another JVM, or a leftover lock from a crashed writer — fails loudly.
+    */
+  def withWriterLease[T](spark: SparkSession, store: String, op: String)
+      (body: => T): T = {
+    val f = fs(spark, store)
+    val key = leaseKey(f, store)
+    val cur = held.get(key)
+    if (cur != null && (cur.thread eq Thread.currentThread())) {
+      cur.depth += 1
+      try body finally cur.depth -= 1
+    } else {
+      val lock = new HPath(store, LockName)
+      def contended(detail: String): Nothing = throw new IllegalStateException(
+        s"writer lease for $store is held — refusing to run '$op' " +
+          s"concurrently with another mutation ($detail). If the holder " +
+          "crashed, verify it is dead and call IndexFiles.breakWriterLease.")
+      val out =
+        try f.create(lock, false)
+        catch {
+          case e: java.io.IOException =>
+            contended(writerLeaseHolder(spark, store)
+              .map(p => s"on-disk holder: ${p.trim}")
+              .getOrElse(s"create failed: ${e.getMessage}"))
+        }
+      try {
+        val payload = s"op=$op jvm=${
+          java.lang.management.ManagementFactory.getRuntimeMXBean.getName
+        } thread=${Thread.currentThread().getName} utc=${java.time.Instant.now}\n"
+        try out.write(payload.getBytes("UTF-8")) finally out.close()
+        if (held.putIfAbsent(key, new Lease(Thread.currentThread())) != null) {
+          f.delete(lock, false)
+          contended("same-JVM writer registered during acquisition")
+        }
+      } catch {
+        case e: Throwable if !e.isInstanceOf[IllegalStateException] =>
+          f.delete(lock, false); throw e
+      }
+      try body finally {
+        held.remove(key)
+        f.delete(lock, false)
+      }
+    }
+  }
 }

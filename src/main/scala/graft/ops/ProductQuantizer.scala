@@ -492,7 +492,8 @@ object ProductQuantizer {
     * re-fit codebooks after heavy distribution drift.
     */
   def appendToMaterialized(batch: DataFrame, idCol: String, vecCol: String,
-      path: String, expect: Option[PqSpec] = None): Unit = {
+      path: String, expect: Option[PqSpec] = None): Unit =
+      IndexFiles.withWriterLease(batch.sparkSession, path, "pq-append") {
     val spark = batch.sparkSession
     val (spec, (cb, codes)) = fromMaterialized(spark, path, expect)
     // this writes FLAT (unpartitioned) code rows: on an IVF-PQ store they
@@ -534,7 +535,8 @@ object ProductQuantizer {
     */
   def appendToIvfPq(batch: DataFrame, idCol: String, vecCol: String,
       base: DataFrame, stride: Int, path: String,
-      expect: Option[PqSpec] = None): Unit = {
+      expect: Option[PqSpec] = None): Unit =
+      IndexFiles.withWriterLease(batch.sparkSession, path, "ivfpq-append") {
     val spark = batch.sparkSession
     val (spec, (cb, codes)) = fromMaterialized(spark, path, expect)
     require(codes.columns.contains("__centroid"),
@@ -581,7 +583,8 @@ object ProductQuantizer {
     * ([[fromMaterialized]]) and [[compactCodes]] folds into the files.
     */
   def deleteFromMaterialized(ids: DataFrame, idCol: String, path: String,
-      assignment: Option[DataFrame] = None): Unit = {
+      assignment: Option[DataFrame] = None): Unit =
+      IndexFiles.withWriterLease(ids.sparkSession, path, "pq-delete") {
     val spark = ids.sparkSession
     val (spec, (_, codes)) = fromMaterialized(spark, path)
     val delIds = ids.select(col(idCol).cast("long").as("__id")).distinct()
@@ -693,14 +696,17 @@ object ProductQuantizer {
     */
   def compact(spark: org.apache.spark.sql.SparkSession, path: String,
       maxFiles: Int = 16, targetBytes: Long = 128L << 20): Boolean =
-    if (layoutIsIvfPq(spark, path))
-      IndexManifests.compactTable(spark, s"$path/codes", "__centroid",
-        maxFiles, targetBytes).nonEmpty
-    else compactCodes(spark, path, maxFiles, targetBytes)
+    IndexFiles.withWriterLease(spark, path, "pq-compact") {
+      if (layoutIsIvfPq(spark, path))
+        IndexManifests.compactTable(spark, s"$path/codes", "__centroid",
+          maxFiles, targetBytes).nonEmpty
+      else compactCodes(spark, path, maxFiles, targetBytes)
+    }
 
   def compactCodes(spark: org.apache.spark.sql.SparkSession, path: String,
       maxFiles: Int = 16, targetBytes: Long = 128L << 20,
-      force: Boolean = false): Boolean = {
+      force: Boolean = false): Boolean =
+      IndexFiles.withWriterLease(spark, path, "pq-compact-codes") {
     val codesDir = resolveCodesDir(spark, path)
     val parts = IndexFiles.listParquet(spark, codesDir)
     // a pending tombstone sidecar always triggers the rewrite (folding

@@ -477,7 +477,8 @@ object AnnIndex {
     * re-materialize to re-balance after heavy growth.
     */
   def appendToMaterialized(batch: DataFrame, base: DataFrame, idCol: String,
-      vecCol: String, stride: Int, path: String): Unit = {
+      vecCol: String, stride: Int, path: String): Unit =
+      IndexFiles.withWriterLease(batch.sparkSession, path, "ann-append") {
     checkStride(batch.sparkSession, path, stride, "appending")
     buildWith(batch, idCol, vecCol, centroidsOf(base, idCol, vecCol, stride))
       .assigned
@@ -503,7 +504,8 @@ object AnnIndex {
     * materialized-index mutation.
     */
   def deleteFromMaterialized(batch: DataFrame, base: DataFrame, idCol: String,
-      vecCol: String, stride: Int, path: String): Unit = {
+      vecCol: String, stride: Int, path: String): Unit =
+      IndexFiles.withWriterLease(batch.sparkSession, path, "ann-delete") {
     val spark = batch.sparkSession
     checkStride(spark, path, stride, "deleting")
     require(batch.where(pmod(col(idCol), lit(stride)) === 0).isEmpty,
@@ -563,8 +565,10 @@ object AnnIndex {
     */
   def compactBuckets(spark: org.apache.spark.sql.SparkSession, path: String,
       maxFilesPerBucket: Int = 8, targetBytes: Long = 128L << 20): Seq[Long] =
-    IndexManifests.compactTable(spark, path, "__centroid",
-      maxFilesPerBucket, targetBytes)
+    IndexFiles.withWriterLease(spark, path, "ann-compact") {
+      IndexManifests.compactTable(spark, path, "__centroid",
+        maxFilesPerBucket, targetBytes)
+    }
 
   private val StrideMarker = "_graft_ann_stride"
 

@@ -267,20 +267,26 @@ object CorpusIngest {
     * here).
     */
   private def appendOnce(spark: org.apache.spark.sql.SparkSession,
-      path: String, epochId: Long)(append: => Unit): Boolean = {
-    val marker = s"$path/$EpochMarker"
-    val last = graft.ops.IndexFiles.readStringOpt(spark, marker)
-      .map(_.trim.toLong).getOrElse(-1L)
-    if (epochId <= last) false
-    else {
-      append
-      // temp+rename via the store's Hadoop FileSystem: the marker lives
-      // beside the index data (HDFS/S3/local alike) and can never be read
-      // torn — a crash mid-write leaves the previous epoch value
-      graft.ops.IndexFiles.writeString(spark, marker, epochId.toString)
-      true
+      path: String, epochId: Long)(append: => Unit): Boolean =
+    // the WHOLE read-check-append-mark sequence under the store's writer
+    // lease (reentrant with the fenced mutation inside): fencing only the
+    // inner op would let a racing writer slide between the marker check
+    // and the append — the marker's replay guarantee holds only if the
+    // check and the mutation are one exclusive unit
+    graft.ops.IndexFiles.withWriterLease(spark, path, "stream-ingest-epoch") {
+      val marker = s"$path/$EpochMarker"
+      val last = graft.ops.IndexFiles.readStringOpt(spark, marker)
+        .map(_.trim.toLong).getOrElse(-1L)
+      if (epochId <= last) false
+      else {
+        append
+        // temp+rename via the store's Hadoop FileSystem: the marker lives
+        // beside the index data (HDFS/S3/local alike) and can never be read
+        // torn — a crash mid-write leaves the previous epoch value
+        graft.ops.IndexFiles.writeString(spark, marker, epochId.toString)
+        true
+      }
     }
-  }
 
   /** One vector micro-batch into the materialized ANN stores: append to
     * the IVF index at `annPath` ([[AnnIndex.appendToMaterialized]] — the
@@ -369,17 +375,19 @@ object CorpusIngest {
   private val TakedownMarker = "_graft_takedown_epoch"
 
   private def takedownOnce(spark: org.apache.spark.sql.SparkSession,
-      path: String, epochId: Long)(del: => Unit): Boolean = {
-    val marker = s"$path/$TakedownMarker"
-    val last = graft.ops.IndexFiles.readStringOpt(spark, marker)
-      .map(_.trim.toLong).getOrElse(-1L)
-    if (epochId <= last) false
-    else {
-      del
-      graft.ops.IndexFiles.writeString(spark, marker, epochId.toString)
-      true
+      path: String, epochId: Long)(del: => Unit): Boolean =
+    // same one-exclusive-unit rationale as [[appendOnce]]
+    graft.ops.IndexFiles.withWriterLease(spark, path, "stream-takedown-epoch") {
+      val marker = s"$path/$TakedownMarker"
+      val last = graft.ops.IndexFiles.readStringOpt(spark, marker)
+        .map(_.trim.toLong).getOrElse(-1L)
+      if (epochId <= last) false
+      else {
+        del
+        graft.ops.IndexFiles.writeString(spark, marker, epochId.toString)
+        true
+      }
     }
-  }
 
   /** One takedown micro-batch against the materialized vector stores — the
     * delete twin of [[appendVectorEpoch]]: the batch's rows (ids AND

@@ -1,0 +1,155 @@
+package graft
+
+import java.util.concurrent.{CountDownLatch, TimeUnit}
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{AnnIndex, GraphAnn, IndexFiles, ProductQuantizer}
+import graft.ops.ProductQuantizer.PqSpec
+
+/** The single-writer contract every materialized-index mutation documents
+  * is MECHANICALLY enforced from r16 (`IndexFiles.withWriterLease`): a
+  * second writer — same JVM, another JVM (simulated by a pre-created lock
+  * file), or a crashed writer's leftover lock — fails LOUDLY at
+  * acquisition instead of silently interleaving dynamic partition
+  * overwrites. These specs pin:
+  *
+  *  1. exclusion (held lease blocks every tier's mutation entry points),
+  *  2. reentrancy (compound mutations — PQ append folds the sidecar via
+  *     compactCodes, layout-routed compact delegates — hold ONE lease),
+  *  3. release on success AND on failure (an in-process error must not
+  *     wedge the store),
+  *  4. operator takeover (`breakWriterLease`) after a simulated crash,
+  *  5. the lock resolves through the store's Hadoop FileSystem
+  *     (`file:`-scheme-qualified store roots work).
+  */
+class WriterLeaseSpec extends SparkTestBase {
+
+  private def emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  private def freshStore(prefix: String): String =
+    "file:" + graft.util.TempDirs.create(prefix)
+
+  private val pqSpec = PqSpec(m = 8, dsub = 8, stride = 64)
+
+  test("a pre-existing lock (foreign/crashed writer) blocks every tier's mutations, and breakWriterLease recovers") {
+    val s = spark
+    val all = emb
+    val batch = all.where(pmod(col("vec_id"), lit(4)) === 1)
+
+    // IVF store
+    val ivf = freshStore("graft_lease_ivf")
+    AnnIndex.materialize(all.where(pmod(col("vec_id"), lit(4)) =!= 1),
+      "vec_id", "embedding", 64, ivf)
+    IndexFiles.withWriterLease(s, ivf, "spec-probe") {
+      // reentrant self-use works while held...
+      IndexFiles.withWriterLease(s, ivf, "spec-probe-nested") { () }
+    }
+    // simulate a foreign holder: write the lock file directly
+    IndexFiles.writeString(s, ivf + "/" + IndexFiles.LockName,
+      "op=spec-foreign jvm=elsewhere\n")
+    val e1 = intercept[IllegalStateException] {
+      AnnIndex.appendToMaterialized(batch,
+        all.where(pmod(col("vec_id"), lit(4)) =!= 1),
+        "vec_id", "embedding", 64, ivf)
+    }
+    assert(e1.getMessage.contains("writer lease"))
+    assert(e1.getMessage.contains("spec-foreign"))
+    intercept[IllegalStateException] { AnnIndex.compactBuckets(s, ivf) }
+    assert(IndexFiles.writerLeaseHolder(s, ivf).exists(_.contains("spec-foreign")))
+    IndexFiles.breakWriterLease(s, ivf)
+    // recovered: the mutation now runs, and the lock is gone afterwards
+    AnnIndex.appendToMaterialized(batch,
+      all.where(pmod(col("vec_id"), lit(4)) =!= 1),
+      "vec_id", "embedding", 64, ivf)
+    assert(IndexFiles.writerLeaseHolder(s, ivf).isEmpty)
+
+    // flat PQ store (delete + compact under a foreign lock)
+    val pq = freshStore("graft_lease_pq")
+    ProductQuantizer.materialize(all, "vec_id", "embedding", pqSpec, pq)
+    IndexFiles.writeString(s, pq + "/" + IndexFiles.LockName, "op=x\n")
+    intercept[IllegalStateException] {
+      ProductQuantizer.deleteFromMaterialized(
+        all.where(pmod(col("vec_id"), lit(4)) === 3).select("vec_id"),
+        "vec_id", pq)
+    }
+    intercept[IllegalStateException] {
+      ProductQuantizer.compactCodes(s, pq, force = true)
+    }
+    IndexFiles.breakWriterLease(s, pq)
+
+    // graph store
+    val g = freshStore("graft_lease_graph")
+    GraphAnn.materialize(all.where(pmod(col("vec_id"), lit(4)) =!= 1),
+      "vec_id", "embedding", stride = 64, degree = 4, path = g)
+    IndexFiles.writeString(s, g + "/" + IndexFiles.LockName, "op=x\n")
+    intercept[IllegalStateException] {
+      GraphAnn.appendToMaterialized(batch,
+        all.where(pmod(col("vec_id"), lit(4)) =!= 1),
+        "vec_id", "embedding", 64, 4, g)
+    }
+    intercept[IllegalStateException] { GraphAnn.compact(s, g) }
+    IndexFiles.breakWriterLease(s, g)
+  }
+
+  test("compound mutations are reentrant: a PQ revive-append (which folds the sidecar via compactCodes) runs under one lease") {
+    val s = spark
+    val all = emb
+    val pq = freshStore("graft_lease_pq_revive")
+    ProductQuantizer.materialize(all, "vec_id", "embedding", pqSpec, pq)
+    val victims = all.where(pmod(col("vec_id"), lit(4)) === 3)
+    ProductQuantizer.deleteFromMaterialized(
+      victims.select("vec_id"), "vec_id", pq)
+    // the revive path: batch intersects the tombstone sidecar, so the
+    // append forces compactCodes first — nested under the append's lease
+    ProductQuantizer.appendToMaterialized(victims, "vec_id", "embedding", pq)
+    assert(IndexFiles.writerLeaseHolder(s, pq).isEmpty)
+    // the store still probes exactly like an unbroken build
+    val qv = all.where(col("vec_id") === 1).select("embedding").head()
+      .getSeq[Float](0).map(_.toDouble).toArray
+    val (_, pre) = ProductQuantizer.fromMaterialized(s, pq, Some(pqSpec))
+    val got = ProductQuantizer.adcRerankTopK(all, "vec_id", "embedding", qv,
+      k = 10, pqSpec, overfetch = 100, precomputed = Some(pre))
+      .collect().map(_.getLong(0)).toSeq
+    val want = ProductQuantizer.adcRerankTopK(all, "vec_id", "embedding", qv,
+      k = 10, pqSpec, overfetch = 100).collect().map(_.getLong(0)).toSeq
+    assert(got == want)
+  }
+
+  test("same-JVM cross-thread contention fails loudly; the lease releases on success and on in-body failure") {
+    val s = spark
+    val store = freshStore("graft_lease_threads")
+    IndexFiles.fs(s, store).mkdirs(new org.apache.hadoop.fs.Path(store))
+
+    val acquired = new CountDownLatch(1)
+    val release = new CountDownLatch(1)
+    @volatile var holderOk = false
+    val holder = new Thread(() => {
+      IndexFiles.withWriterLease(s, store, "spec-holder") {
+        acquired.countDown()
+        assert(release.await(30, TimeUnit.SECONDS))
+        holderOk = true
+      }
+    })
+    holder.start()
+    assert(acquired.await(30, TimeUnit.SECONDS))
+    val e = intercept[IllegalStateException] {
+      IndexFiles.withWriterLease(s, store, "spec-intruder") { () }
+    }
+    assert(e.getMessage.contains("spec-holder") ||
+      e.getMessage.contains("writer lease"))
+    release.countDown()
+    holder.join(30000)
+    assert(holderOk)
+    assert(IndexFiles.writerLeaseHolder(s, store).isEmpty)
+
+    // an in-body failure must release the lease (no wedged store)
+    intercept[RuntimeException] {
+      IndexFiles.withWriterLease(s, store, "spec-fail") {
+        throw new RuntimeException("boom")
+      }
+    }
+    assert(IndexFiles.writerLeaseHolder(s, store).isEmpty)
+    IndexFiles.withWriterLease(s, store, "spec-after") { () }
+  }
+}
