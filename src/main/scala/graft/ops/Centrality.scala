@@ -64,15 +64,17 @@ object Centrality {
     // ~1.3 s), localCheckpoint when it is deep (truncation keeps a deep
     // shingle-pipeline lineage out of every round's task binaries — the
     // 50×-ladder winner by ~25 s; the LogicalRDD keeps hash(src)). The
-    // persist branch is released before return: the rank plan reads `adj`
-    // every iteration, so the result is eager-pinned (localCheckpoint)
-    // first and the adjacency cache dropped — scoped cleanup, because
-    // per-epoch callers would otherwise leak one CacheManager entry per
-    // call for the session lifetime (the Dedup.components rule; its
-    // per-round labels are already checkpointed, so it unpersists
-    // directly). The checkpoint branch stays lazy-returned: its blocks are
-    // ContextCleaner-freed on GC, and an extra eager job there would
-    // re-add the cost the size route exists to avoid.
+    // persist branch RETIRES into FixpointPin's bounded LRU instead of
+    // leaking a CacheManager entry per call (per-epoch callers) — and
+    // instead of eager-pinning the result, which re-added the extra
+    // driver-blocking job the size route exists to avoid (measured in the
+    // r16 bench: pagerank_centrality 2.0→3.2 s before this shape). The
+    // returned rank plan stays LAZY and reads the still-alive cache at
+    // the caller's one materialization; the cache unpersists only after
+    // MaxRetired newer pins (long past the consuming query). The
+    // checkpoint branch needs none of this: ContextCleaner frees its
+    // blocks on GC. (Dedup.components differs: its per-round labels are
+    // already eagerly checkpointed, so it unpersists its pin directly.)
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .repartition(col("src"))
@@ -86,12 +88,8 @@ object Centrality {
       ranks = inflow.select(col("dst").as("id"),
         (lit(base) + expr(s"(inflow * $dampNum) DIV $dampDen")).as("pr"))
     }
-    val out = ranks.select(col("id"), col("pr").cast("long").as("pr"))
-    if (persisted) {
-      val pinned = out.localCheckpoint()
-      adj.unpersist()
-      pinned
-    } else out
+    if (persisted) FixpointPin.retire(adj)
+    ranks.select(col("id"), col("pr").cast("long").as("pr"))
   }
 
   /** The most central doc of each near-dup cluster: connected components
@@ -103,14 +101,15 @@ object Centrality {
       iters: Int, unit: Long = 1000000L, dampNum: Long = 85,
       dampDen: Long = 100): DataFrame = {
     // both consumers iterate over the pair graph; evaluate the (typically
-    // expensive — e.g. a shingle join) pair input ONCE, scoped: the result
-    // is one row per cluster, so eager-pinning it and releasing the pair
-    // cache before return is cheap and keeps per-epoch callers from
-    // leaking one CacheManager entry per call (the Dedup.components rule)
+    // expensive — e.g. a shingle join) pair input ONCE. The pin retires
+    // into FixpointPin's bounded LRU: the returned plan stays LAZY (an
+    // eager pin here cost the composite gates 0.5–1.7 s of extra
+    // materialization jobs in the r16 bench) while per-epoch callers still
+    // cannot leak a cache entry per call.
     val p = pairs.select(col(aCol).as("a"), col(bCol).as("b"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val out = centralRepsOn(p, iters, unit, dampNum, dampDen).localCheckpoint()
-    p.unpersist()
+    val out = centralRepsOn(p, iters, unit, dampNum, dampDen)
+    FixpointPin.retire(p)
     out
   }
 
@@ -148,16 +147,16 @@ object Centrality {
     // one pinned pair set feeds all three consumers (components fixpoint,
     // PageRank fixpoint, member set) — before r16 this re-persisted inside
     // centralRepresentatives, paying a second cache of the same pairs.
-    // Everything derived is eager-pinned (reps is cluster-count-sized,
-    // members node-id-sized — the same class the components fixpoint
-    // already checkpoints per round) so the pair cache releases here
-    // instead of leaking a CacheManager entry per call.
+    // Like centralRepresentatives the plan stays LAZY and the pin retires
+    // into the bounded LRU (the eager reps/members checkpoints this
+    // carried briefly cost the gate 4.5 s vs r15's 2.8 s in the r16
+    // bench — two extra materialization jobs of the whole pair pipeline).
     val reps = centralRepsOn(p, iters, unit, dampNum, dampDen)
-      .select(col("doc_id").as(idCol)).localCheckpoint()
+      .select(col("doc_id").as(idCol))
     val members = p.select(col("a").as(idCol))
       .union(p.select(col("b").as(idCol)))
-      .distinct().localCheckpoint()
-    p.unpersist()
+      .distinct()
+    FixpointPin.retire(p)
     universe.select(col(idCol))
       .join(members, Seq(idCol), "left_anti")
       .unionAll(reps)

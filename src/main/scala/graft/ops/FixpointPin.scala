@@ -56,13 +56,38 @@ private[graft] object FixpointPin {
 
   /** [[pin]] plus the route taken (true = persist): a caller whose RESULT
     * is lazy (e.g. [[Centrality.pageRankInt]]'s rank plan, which reads the
-    * pin every iteration) cannot blindly unpersist after its loop — it must
-    * eager-pin its result first, and only the persist branch needs that
-    * scoped cleanup at all (the checkpoint branch is ContextCleaner-freed
-    * when the RDD is GC'd, and an extra eager job there would double the
-    * materialization cost the route exists to avoid).
+    * pin every iteration) cannot unpersist after its loop — hand the pin
+    * to [[retire]] instead. Only the persist branch needs that at all
+    * (the checkpoint branch is ContextCleaner-freed when the RDD is GC'd).
     */
   def pinScoped(df: DataFrame): (DataFrame, Boolean) =
     if (shallow(df)) (df.persist(StorageLevel.MEMORY_AND_DISK), true)
     else (df.localCheckpoint(), false)
+
+  /** Retire a persisted pin whose consumer's RESULT is lazy (e.g.
+    * [[Centrality.pageRankInt]]'s rank plan reads the pin every iteration):
+    * it cannot be unpersisted at return — the caller has not materialized
+    * yet, and dropping the cache would recompute the adjacency once per
+    * round — but leaving it forever leaks one CacheManager entry per call
+    * (the r15 ADVICE item). Eager-pinning the result instead was measured
+    * as the WRONG fix: the extra driver-blocking checkpoint job cost every
+    * gate-scale fixpoint 0.5–1.8 s — exactly the cost this module's size
+    * route exists to avoid (r16 bench: pagerank_centrality 2.0→3.2 s,
+    * central_dedup_survivors 2.8→4.5 s).
+    *
+    * So retirement is a BOUNDED LRU: the last [[MaxRetired]] pins stay
+    * alive (plenty for any composite query — the centrality composites
+    * hold three), older ones unpersist. By eviction time the pin's
+    * consuming query has long finished (queries/epochs are sequential);
+    * if some still-lazy plan re-reads an evicted pin it recomputes —
+    * slower, never wrong (a Spark cache is best-effort by contract).
+    * Memory stays bounded for per-epoch streaming callers: ≤ MaxRetired
+    * graph-sized caches instead of one per epoch for the process lifetime.
+    */
+  val MaxRetired = 8
+  private val retired = new java.util.ArrayDeque[DataFrame]()
+  def retire(df: DataFrame): Unit = synchronized {
+    retired.addLast(df)
+    while (retired.size > MaxRetired) retired.removeFirst().unpersist(false)
+  }
 }

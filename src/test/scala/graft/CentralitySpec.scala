@@ -92,4 +92,26 @@ class CentralitySpec extends SparkTestBase {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == localPr(es, 4))
   }
+
+  test("FixpointPin.retire is a bounded LRU: old pins unpersist, recent ones stay cached, evicted pins still compute") {
+    import org.apache.spark.storage.StorageLevel
+    val frames = (0 to graft.ops.FixpointPin.MaxRetired).map { i =>
+      val df = Seq((i.toLong, i.toLong + 1)).toDF("a", "b")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      df.count() // fill the cache so storageLevel reflects a live entry
+      df
+    }
+    frames.foreach(graft.ops.FixpointPin.retire)
+    // MaxRetired+1 retirements: the FIRST pin must have been evicted
+    // (unpersisted — no CacheManager leak), the LAST must still be cached
+    // (a lazy consumer materializing now reads the cache, not a recompute)
+    assert(frames.head.storageLevel == StorageLevel.NONE)
+    assert(frames.last.storageLevel != StorageLevel.NONE)
+    // an evicted pin still evaluates correctly (recompute, never wrong)
+    assert(frames.head.count() == 1)
+    // drain the registry so this spec leaves no cached frames behind
+    (0 until graft.ops.FixpointPin.MaxRetired).foreach { _ =>
+      graft.ops.FixpointPin.retire(sp.emptyDataFrame)
+    }
+  }
 }

@@ -522,6 +522,12 @@ object ScaleSmoke {
         graft.ops.Centrality.centralRepresentatives(
           pairs, "a", "b", 5, 1000000L, 85L, 100L).count()
       }
+      def prOnce(spool: String, hot: Seq[String]): Long = {
+        val pairs = graft.ops.Dedup.jaccardJoin(
+          gateSh(spool, hot), "doc_id", "sh", 0.5).select("a", "b")
+        graft.ops.Centrality.pageRankInt(
+          pairs, "a", "b", 5, 1000000L, 85L, 100L).count()
+      }
       def survOnce(spool: String, hot: Seq[String]): Long = {
         val pairs = graft.ops.Dedup.jaccardJoin(
           gateSh(spool, hot), "doc_id", "sh", 0.5).select("a", "b")
@@ -535,14 +541,16 @@ object ScaleSmoke {
         ("x4", () => saltedDocs(4)))
       locally { // warm codegen/fixpoint classes off the clock
         val (p, hot) = spooled(fixedDocs)
-        repsOnce(p, hot); survOnce(p, hot)
+        repsOnce(p, hot); survOnce(p, hot); prOnce(p, hot)
       }
       for ((name, mk) <- variants) {
         val (p, hot) = spooled(mk())
         var bestReps = Long.MaxValue
         var bestSurv = Long.MaxValue
+        var bestPr = Long.MaxValue
         var reps = 0L
         var surv = 0L
+        var pr = 0L
         (0 until 3).foreach { _ =>
           val t0 = System.nanoTime()
           reps = repsOnce(p, hot)
@@ -550,10 +558,14 @@ object ScaleSmoke {
           val t1 = System.nanoTime()
           surv = survOnce(p, hot)
           bestSurv = math.min(bestSurv, (System.nanoTime() - t1) / 1000000L)
+          val t2 = System.nanoTime()
+          pr = prOnce(p, hot)
+          bestPr = math.min(bestPr, (System.nanoTime() - t2) / 1000000L)
         }
         println(f"SCALE family=central_decomp variant=$name%-5s " +
           f"reps=$reps%7d repsBestMs=$bestReps%7d " +
-          f"surv=$surv%7d survBestMs=$bestSurv%7d")
+          f"surv=$surv%7d survBestMs=$bestSurv%7d " +
+          f"pr=$pr%7d prBestMs=$bestPr%7d")
       }
     }
 
