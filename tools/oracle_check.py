@@ -11,6 +11,7 @@ Usage: python3 tools/oracle_check.py [sfdir] [outdir]
 """
 import json
 import math
+import os
 import sys
 from pathlib import Path
 
@@ -50,6 +51,19 @@ def close(a, b):
 
 def main():
     con = duckdb.connect()
+    # Optional resource bounds for beyond-gate-scale sweeps (the 10x
+    # synthetic rung drove one recursive-CTE oracle past 100 GB and the
+    # OOM killer took the whole process, failing every later query on the
+    # shared connection). Unset = DuckDB defaults, the driver's path.
+    if os.environ.get("GRAFT_ORACLE_MEM"):
+        con.execute(f"SET memory_limit='{os.environ['GRAFT_ORACLE_MEM']}'")
+    if os.environ.get("GRAFT_ORACLE_THREADS"):
+        con.execute(f"SET threads TO {int(os.environ['GRAFT_ORACLE_THREADS'])}")
+    if os.environ.get("GRAFT_ORACLE_TMP"):
+        # an in-memory connection has no spill dir by default, so a
+        # memory_limit alone just errors; a temp_directory lets the big
+        # recursive-CTE oracles spill instead
+        con.execute(f"SET temp_directory='{os.environ['GRAFT_ORACLE_TMP']}'")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SFDIR}/{t}.parquet')")
