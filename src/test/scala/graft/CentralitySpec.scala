@@ -102,6 +102,7 @@ class CentralitySpec extends SparkTestBase {
       df
     }
     frames.foreach(graft.ops.FixpointPin.retire)
+    graft.ops.FixpointPin.drainEvictions() // evictions are async (daemon)
     // MaxRetired+1 retirements: the FIRST pin must have been evicted
     // (unpersisted — no CacheManager leak), the LAST must still be cached
     // (a lazy consumer materializing now reads the cache, not a recompute)
@@ -113,5 +114,6 @@ class CentralitySpec extends SparkTestBase {
     (0 until graft.ops.FixpointPin.MaxRetired).foreach { _ =>
       graft.ops.FixpointPin.retire(sp.emptyDataFrame)
     }
+    graft.ops.FixpointPin.drainEvictions()
   }
 }
