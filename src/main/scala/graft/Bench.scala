@@ -107,11 +107,18 @@ object Bench {
       names.toSeq.sorted.map("\"" + _ + "\"").mkString(""","only":[""", ",", "]")
     ).getOrElse("")
     val line = s"""{"metric":"$metric","value":${num(total)},"unit":"sec"$onlyField,"queries":$qs,"failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir","runs":$runs,"agg":"min","loadavg_before":"$loadBefore","loadavg_after":"${loadavg()}"}"""
+    // The full per-query line now spans 163 queries (~6 KB) and has
+    // overflowed the driver's fixed-size stdout tail window head-first
+    // ("parsed": null in BENCH_r16.json), so the totals are ALSO emitted
+    // as a short queries-free line BEFORE and AFTER it — whichever line
+    // the capture keeps intact parses to the same totals. The short line
+    // carries a "queries_run" count instead of the map.
+    val totalsLine = s"""{"metric":"$metric","value":${num(total)},"unit":"sec"$onlyField,"queries_run":${results.size},"failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir","runs":$runs,"agg":"min","loadavg_before":"$loadBefore","loadavg_after":"${loadavg()}"}"""
+    println(totalsLine)
     println(line)
-    // The driver's stdout capture has truncated the head of this line two
-    // rounds running (fixed-size tail), dropping the ann_* family from the
-    // committed record. Persist the full line to a sidecar when asked so a
-    // complete per-query map always exists on disk.
+    println(totalsLine)
+    // Persist the full line to a sidecar when asked so a complete
+    // per-query map always exists on disk regardless of capture windows.
     sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { p =>
       java.nio.file.Files.writeString(java.nio.file.Paths.get(p), line + "\n")
     }

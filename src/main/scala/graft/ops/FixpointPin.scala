@@ -101,7 +101,28 @@ private[graft] object FixpointPin {
     *    inside the RETIRING caller's next timed path.
     */
   val MaxRetired = 64
-  private val retired = new java.util.ArrayDeque[DataFrame]()
+
+  /** Default byte budget for the retired-pin LRU. The count bound alone
+    * strands up to [[MaxRetired]] batch-graph-sized MEMORY_AND_DISK caches
+    * for the process lifetime (fine at gate scale, tens of GB for a
+    * long-lived session serving LARGE ad-hoc centrality queries), so
+    * retirement additionally evicts from the oldest end once the SUM of
+    * the retained pins' estimated cached bytes exceeds this budget —
+    * always keeping at least the NEWEST pin, so the warm-rerun plan-match
+    * reuse that motivated the LRU (see above) survives for the workload
+    * that is actually live. Override per-session via
+    * `spark.conf.set("graft.fixpoint.retiredMaxBytes", n)`; sizes come
+    * from the pinned plan's statistics (the actual cached bytes once the
+    * cache is materialized, the optimizer's estimate before), computed on
+    * the evictor thread so sizing never lands in a retiring caller's
+    * timed path.
+    */
+  val DefaultMaxRetiredBytes: Long = 2L << 30
+  val RetiredBytesConf = "graft.fixpoint.retiredMaxBytes"
+
+  private final class Retired(val df: DataFrame) { var bytes: Long = 0L }
+  private val retired = new java.util.ArrayDeque[Retired]()
+  private var retiredBytes: Long = 0L
   private lazy val evictor = {
     val ex = java.util.concurrent.Executors.newSingleThreadExecutor { r =>
       val t = new Thread(r, "graft-fixpoint-evictor")
@@ -110,17 +131,45 @@ private[graft] object FixpointPin {
     }
     ex
   }
+
+  /** Estimated resident bytes of a retired pin: the pinned plan's
+    * statistics resolve to the InMemoryRelation's accumulator-backed size
+    * once the cache is materialized (the common case — the consumer's
+    * fixpoint already ran) and to the optimizer's size estimate before.
+    */
+  private def estimateBytes(df: DataFrame): Long =
+    try df.queryExecution.optimizedPlan.stats.sizeInBytes
+      .min(BigInt(Long.MaxValue)).toLong
+    catch { case _: Throwable => 0L }
+
   def retire(df: DataFrame): Unit = {
-    val evictees: Seq[DataFrame] = synchronized {
-      retired.addLast(df)
-      val out = scala.collection.mutable.Buffer[DataFrame]()
-      while (retired.size > MaxRetired) out += retired.removeFirst()
-      out.toSeq
-    }
-    if (evictees.nonEmpty) evictor.execute { () =>
+    // everything heavier than a deque append — conf lookup aside — runs on
+    // the daemon thread: sizing walks/optimizes the plan and eviction's
+    // uncacheQuery canonicalizes it, and inline either lands in the
+    // RETIRING caller's next timed path (the r16 pagerank 2→4.5 s bisect)
+    val budget =
+      try df.sparkSession.conf.get(RetiredBytesConf,
+        DefaultMaxRetiredBytes.toString).toLong
+      catch { case _: Throwable => DefaultMaxRetiredBytes }
+    val entry = new Retired(df)
+    synchronized { retired.addLast(entry) }
+    evictor.execute { () =>
+      val sz = estimateBytes(df)
+      val evictees: Seq[Retired] = synchronized {
+        entry.bytes = sz
+        retiredBytes += sz
+        val out = scala.collection.mutable.Buffer[Retired]()
+        while (retired.size > MaxRetired ||
+            (retiredBytes > budget && retired.size > 1)) {
+          val e = retired.removeFirst()
+          retiredBytes -= e.bytes
+          out += e
+        }
+        out.toSeq
+      }
       // a stopped session makes unpersist throw — the pin is gone with
       // the session either way, so a best-effort drop is correct
-      evictees.foreach(d => try d.unpersist(false) catch {
+      evictees.foreach(e => try e.df.unpersist(false) catch {
         case _: Throwable => ()
       })
     }

@@ -111,7 +111,9 @@ private[graft] object IndexFiles {
 
   private[graft] val LockName = "_graft_writer.lock"
 
-  private final class Lease(val thread: Thread) { var depth: Int = 1 }
+  private final class Lease(val thread: Thread, val nonce: String) {
+    var depth: Int = 1
+  }
   private val held = new java.util.concurrent.ConcurrentHashMap[String, Lease]()
 
   private def leaseKey(f: FileSystem, store: String): String =
@@ -135,6 +137,26 @@ private[graft] object IndexFiles {
   /** Run `body` holding the store's exclusive writer lease (see above).
     * Reentrant on the same (store, thread); any other holder — this JVM,
     * another JVM, or a leftover lock from a crashed writer — fails loudly.
+    *
+    * Acquisition order matters (r17): the IN-PROCESS table is claimed
+    * FIRST, and only the claim winner ever touches disk. On filesystems
+    * where `create(overwrite = false)` is check-then-create (local FS,
+    * object stores) two same-JVM racers could otherwise BOTH create the
+    * lock file — and the `putIfAbsent` loser's cleanup would delete the
+    * WINNER's on-disk lock, leaving the active writer unprotected against
+    * a writer in another JVM. Claiming in-process first means same-JVM
+    * contention is decided before the filesystem is involved at all, so
+    * the only cross-writer disk race left is cross-JVM — which the
+    * create-exclusive call is for (atomic on HDFS and strongly-consistent
+    * S3; the documented single-writer contract covers the rest).
+    *
+    * Release is NONCE-SCOPED: each acquisition writes a unique nonce into
+    * the lock payload, and the releasing `finally` deletes the lock file
+    * only after re-reading it and matching its own nonce (and evicts only
+    * its own in-process entry, via `remove(key, lease)`). Without that, a
+    * `breakWriterLease` issued against a live holder followed by a new
+    * acquisition would let the OLD holder's release delete the NEW
+    * holder's lock and registration, silently unprotecting it.
     */
   def withWriterLease[T](spark: SparkSession, store: String, op: String)
       (body: => T): T = {
@@ -150,30 +172,46 @@ private[graft] object IndexFiles {
         s"writer lease for $store is held — refusing to run '$op' " +
           s"concurrently with another mutation ($detail). If the holder " +
           "crashed, verify it is dead and call IndexFiles.breakWriterLease.")
+      val lease = new Lease(Thread.currentThread(),
+        java.util.UUID.randomUUID().toString)
+      // in-process claim FIRST: the loser never reaches the filesystem
+      // (beyond the read-only payload lookup for the error message)
+      if (held.putIfAbsent(key, lease) != null)
+        contended(writerLeaseHolder(spark, store)
+          .map(p => s"holder: ${p.trim}")
+          .getOrElse("another writer in this JVM holds the lease"))
       val out =
         try f.create(lock, false)
         catch {
           case e: java.io.IOException =>
+            held.remove(key, lease)
             contended(writerLeaseHolder(spark, store)
               .map(p => s"on-disk holder: ${p.trim}")
               .getOrElse(s"create failed: ${e.getMessage}"))
         }
+      def ownsDiskLock(): Boolean =
+        readStringOpt(spark, lock.toString)
+          .exists(_.contains(s"nonce=${lease.nonce}"))
       try {
         val payload = s"op=$op jvm=${
           java.lang.management.ManagementFactory.getRuntimeMXBean.getName
-        } thread=${Thread.currentThread().getName} utc=${java.time.Instant.now}\n"
+        } thread=${Thread.currentThread().getName} nonce=${lease.nonce} " +
+          s"utc=${java.time.Instant.now}\n"
         try out.write(payload.getBytes("UTF-8")) finally out.close()
-        if (held.putIfAbsent(key, new Lease(Thread.currentThread())) != null) {
-          f.delete(lock, false)
-          contended("same-JVM writer registered during acquisition")
-        }
       } catch {
-        case e: Throwable if !e.isInstanceOf[IllegalStateException] =>
-          f.delete(lock, false); throw e
+        case e: Throwable =>
+          held.remove(key, lease)
+          // the payload may not have landed, so the nonce check can't
+          // identify the file — but we created it via create-exclusive
+          // this very call, so it is ours to remove
+          f.delete(lock, false)
+          throw e
       }
       try body finally {
-        held.remove(key)
-        f.delete(lock, false)
+        held.remove(key, lease)
+        // delete only OUR lock: after an (operator-error) break + foreign
+        // re-acquire, the file holds the new writer's nonce — leave it
+        if (ownsDiskLock()) f.delete(lock, false)
       }
     }
   }

@@ -116,4 +116,38 @@ class CentralitySpec extends SparkTestBase {
     }
     graft.ops.FixpointPin.drainEvictions()
   }
+
+  test("FixpointPin.retire evicts on the byte budget too, always keeping the newest pin warm") {
+    import org.apache.spark.storage.StorageLevel
+    import org.apache.spark.sql.functions.{col, md5}
+    // each pin caches ~640 KB of incompressible md5 strings — far over the
+    // 1 KiB budget set here, so every retirement must push out ALL older
+    // pins while the newest stays cached (the warm-rerun plan-match reuse
+    // the LRU exists for survives for the live workload)
+    sp.conf.set(graft.ops.FixpointPin.RetiredBytesConf, "1024")
+    try {
+      val frames = (0 until 4).map { i =>
+        val df = sp.range(20000).toDF("id")
+          .withColumn("h", md5(col("id").cast("string")))
+          .withColumn("g", org.apache.spark.sql.functions.lit(i))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        df.count() // materialize so sizing sees the real cached bytes
+        df
+      }
+      frames.foreach(graft.ops.FixpointPin.retire)
+      graft.ops.FixpointPin.drainEvictions()
+      // storage stays bounded: every pin but the newest is unpersisted
+      assert(frames.init.forall(_.storageLevel == StorageLevel.NONE))
+      assert(frames.last.storageLevel != StorageLevel.NONE)
+      // an evicted pin still evaluates correctly (recompute, never wrong)
+      assert(frames.head.count() == 20000)
+    } finally {
+      sp.conf.unset(graft.ops.FixpointPin.RetiredBytesConf)
+      // drain the registry so this spec leaves no cached frames behind
+      (0 to graft.ops.FixpointPin.MaxRetired).foreach { _ =>
+        graft.ops.FixpointPin.retire(sp.emptyDataFrame)
+      }
+      graft.ops.FixpointPin.drainEvictions()
+    }
+  }
 }

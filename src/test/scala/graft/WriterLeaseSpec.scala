@@ -138,6 +138,10 @@ class WriterLeaseSpec extends SparkTestBase {
     }
     assert(e.getMessage.contains("spec-holder") ||
       e.getMessage.contains("writer lease"))
+    // the failed acquisition must not have disturbed the holder's on-disk
+    // lock (r17: the in-process claim is taken BEFORE any disk write, so
+    // a same-JVM loser never creates — and never deletes — the lock file)
+    assert(IndexFiles.writerLeaseHolder(s, store).exists(_.contains("spec-holder")))
     release.countDown()
     holder.join(30000)
     assert(holderOk)
@@ -151,5 +155,97 @@ class WriterLeaseSpec extends SparkTestBase {
     }
     assert(IndexFiles.writerLeaseHolder(s, store).isEmpty)
     IndexFiles.withWriterLease(s, store, "spec-after") { () }
+  }
+
+  test("release is nonce-scoped: a live holder's release after break + re-acquire leaves the new holder protected") {
+    val s = spark
+    val store = freshStore("graft_lease_nonce")
+    IndexFiles.fs(s, store).mkdirs(new org.apache.hadoop.fs.Path(store))
+
+    val aHolding = new CountDownLatch(1)
+    val aRelease = new CountDownLatch(1)
+    val a = new Thread(() => {
+      IndexFiles.withWriterLease(s, store, "old-holder") {
+        aHolding.countDown()
+        aRelease.await(60, TimeUnit.SECONDS)
+        ()
+      }
+    })
+    a.start()
+    assert(aHolding.await(30, TimeUnit.SECONDS))
+    // operator ERROR: break a LIVE holder's lease, then a new writer
+    // acquires. The misuse itself is documented-against; what must hold is
+    // that the old holder's release cannot cascade it into silently
+    // unprotecting the NEW writer.
+    IndexFiles.breakWriterLease(s, store)
+    val cHolding = new CountDownLatch(1)
+    val cRelease = new CountDownLatch(1)
+    val c = new Thread(() => {
+      IndexFiles.withWriterLease(s, store, "new-holder") {
+        cHolding.countDown()
+        cRelease.await(60, TimeUnit.SECONDS)
+        ()
+      }
+    })
+    c.start()
+    assert(cHolding.await(30, TimeUnit.SECONDS))
+    aRelease.countDown()
+    a.join(30000)
+    // the new holder's on-disk lock and in-process registration both
+    // survive the old holder's finally (nonce mismatch → no delete;
+    // remove(key, lease) → no eviction): a third writer still fails
+    assert(IndexFiles.writerLeaseHolder(s, store).exists(_.contains("op=new-holder")))
+    val e = intercept[IllegalStateException] {
+      IndexFiles.withWriterLease(s, store, "intruder") { () }
+    }
+    assert(e.getMessage.contains("new-holder"))
+    cRelease.countDown()
+    c.join(30000)
+    assert(IndexFiles.writerLeaseHolder(s, store).isEmpty)
+  }
+
+  test("object-store semantics (rename = copy+delete): create-exclusive admits exactly one racer, lease + markers still work") {
+    val s = spark
+    s.sparkContext.hadoopConfiguration.set("fs.graftmock.impl",
+      classOf[graft.tools.MockObjectStoreFs].getName)
+    val store = "graftmock:" + graft.util.TempDirs.create("graft_lease_mock")
+    val f = IndexFiles.fs(s, store)
+    assert(f.isInstanceOf[graft.tools.MockObjectStoreFs])
+
+    // marker writes (temp + rename) stay readable through a copy+delete
+    // rename; a torn write is impossible because the copy lands fully
+    // before the destination name exists
+    IndexFiles.writeString(s, store + "/gen.marker", "gen=7")
+    assert(IndexFiles.readString(s, store + "/gen.marker") == "gen=7")
+
+    // the one disk primitive the lease rests on: N concurrent
+    // create-exclusive calls on one path admit exactly ONE winner even
+    // though this FS's rename is non-atomic
+    val lock = new org.apache.hadoop.fs.Path(store, "racelock")
+    val wins = new java.util.concurrent.atomic.AtomicInteger
+    val start = new CountDownLatch(1)
+    val racers = (0 until 8).map { _ =>
+      new Thread(() => {
+        start.await()
+        try { f.create(lock, false).close(); wins.incrementAndGet(); () }
+        catch { case _: java.io.IOException => () }
+      })
+    }
+    racers.foreach(_.start())
+    start.countDown()
+    racers.foreach(_.join(30000))
+    assert(wins.get == 1)
+
+    // end-to-end on this FS: acquire/release works, a foreign lock blocks
+    IndexFiles.withWriterLease(s, store, "mock-op") { () }
+    assert(IndexFiles.writerLeaseHolder(s, store).isEmpty)
+    IndexFiles.writeString(s, store + "/" + IndexFiles.LockName,
+      "op=mock-foreign nonce=not-ours\n")
+    val e = intercept[IllegalStateException] {
+      IndexFiles.withWriterLease(s, store, "mock-blocked") { () }
+    }
+    assert(e.getMessage.contains("mock-foreign"))
+    IndexFiles.breakWriterLease(s, store)
+    IndexFiles.withWriterLease(s, store, "mock-after") { () }
   }
 }
