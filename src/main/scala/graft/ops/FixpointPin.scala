@@ -111,16 +111,23 @@ private[graft] object FixpointPin {
     * always keeping at least the NEWEST pin, so the warm-rerun plan-match
     * reuse that motivated the LRU (see above) survives for the workload
     * that is actually live. Override per-session via
-    * `spark.conf.set("graft.fixpoint.retiredMaxBytes", n)`; sizes come
-    * from the pinned plan's statistics (the actual cached bytes once the
-    * cache is materialized, the optimizer's estimate before), computed on
-    * the evictor thread so sizing never lands in a retiring caller's
-    * timed path.
+    * `spark.conf.set("graft.fixpoint.retiredMaxBytes", n)`; sizes are the
+    * cache entry's ACTUAL materialized bytes (0 until the columnar
+    * buffers load — see the sizing note in [[retire]]), resolved on the
+    * evictor thread so sizing never lands in a retiring caller's timed
+    * path.
     */
   val DefaultMaxRetiredBytes: Long = 2L << 30
   val RetiredBytesConf = "graft.fixpoint.retiredMaxBytes"
 
-  private final class Retired(val df: DataFrame) { var bytes: Long = 0L }
+  private final class Retired(val df: DataFrame) {
+    var bytes: Long = 0L
+    /** Shared CachedRDDBuilder identity — two pins whose plans canonicalize
+      * identically (a bench's best-of-3, a retried job) resolve to ONE
+      * CacheManager entry, and `unpersist` evicts by that identity.
+      */
+    var entryId: AnyRef = null
+  }
   private val retired = new java.util.ArrayDeque[Retired]()
   private var retiredBytes: Long = 0L
   private lazy val evictor = {
@@ -132,20 +139,10 @@ private[graft] object FixpointPin {
     ex
   }
 
-  /** Estimated resident bytes of a retired pin: the pinned plan's
-    * statistics resolve to the InMemoryRelation's accumulator-backed size
-    * once the cache is materialized (the common case — the consumer's
-    * fixpoint already ran) and to the optimizer's size estimate before.
-    */
-  private def estimateBytes(df: DataFrame): Long =
-    try df.queryExecution.optimizedPlan.stats.sizeInBytes
-      .min(BigInt(Long.MaxValue)).toLong
-    catch { case _: Throwable => 0L }
-
   def retire(df: DataFrame): Unit = {
     // everything heavier than a deque append — conf lookup aside — runs on
-    // the daemon thread: sizing walks/optimizes the plan and eviction's
-    // uncacheQuery canonicalizes it, and inline either lands in the
+    // the daemon thread: sizing resolves the cache entry and eviction's
+    // uncacheQuery canonicalizes the plan, and inline either lands in the
     // RETIRING caller's next timed path (the r16 pagerank 2→4.5 s bisect)
     val budget =
       try df.sparkSession.conf.get(RetiredBytesConf,
@@ -154,10 +151,37 @@ private[graft] object FixpointPin {
     val entry = new Retired(df)
     synchronized { retired.addLast(entry) }
     evictor.execute { () =>
-      val sz = estimateBytes(df)
+      // Size from the ACTUAL cached bytes (SparkShims.cachedEntry), never
+      // the optimizer estimate: pins retire while their consumer is still
+      // LAZY, and a pre-materialization join estimate overshoots by
+      // orders of magnitude (93 GB estimated vs 12 KB cached for the
+      // sf0.1 PageRank adjacency — the r17 14 s regression: the phantom
+      // bytes evicted each rerun's still-needed shared entry). A pin
+      // sized before its cache materializes records 0 — under-counting
+      // that the count bound backstops — rather than a phantom eviction.
+      val info = try org.apache.spark.sql.graftshim.SparkShims.cachedEntry(df)
+        catch { case _: Throwable => None }
       val evictees: Seq[Retired] = synchronized {
-        entry.bytes = sz
-        retiredBytes += sz
+        entry.entryId = info.map(_._1).orNull
+        entry.bytes = info.map(_._2).getOrElse(0L)
+        // Dedupe by cache-entry identity: a rerun of the same plan
+        // plan-matches the SAME CacheManager entry, so keep only the
+        // NEWEST deque slot for it (dropping older slots WITHOUT
+        // unpersist — they are one entry). Otherwise evicting an old
+        // slot kills the entry a newer identical pin still serves (the
+        // r16 inline-eviction lesson, re-armed by any byte budget), and
+        // the budget would double-count one entry per rerun.
+        if (entry.entryId != null) {
+          val it = retired.iterator()
+          while (it.hasNext) {
+            val e = it.next()
+            if ((e ne entry) && (e.entryId eq entry.entryId)) {
+              it.remove()
+              retiredBytes -= e.bytes
+            }
+          }
+        }
+        retiredBytes += entry.bytes
         val out = scala.collection.mutable.Buffer[Retired]()
         while (retired.size > MaxRetired ||
             (retiredBytes > budget && retired.size > 1)) {

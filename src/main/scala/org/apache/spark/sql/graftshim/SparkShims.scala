@@ -26,4 +26,25 @@ object SparkShims {
   /** Unwrap a Column to its Catalyst Expression. */
   def expression(c: Column): Expression =
     org.apache.spark.sql.classic.ExpressionUtils.expression(c)
+
+  /** The physical cache entry backing `df`, if cached: the shared
+    * CachedRDDBuilder (one per CacheManager entry — two Datasets whose
+    * plans canonicalize identically resolve to the SAME object, the
+    * plan-match identity `unpersist` evicts by) and the entry's ACTUAL
+    * cached bytes — 0 until the columnar buffers are materialized. The
+    * optimizer's pre-materialization `stats.sizeInBytes` is NOT a usable
+    * stand-in: on a join pipeline it overestimates by orders of magnitude
+    * (measured 93 GB estimated vs 12 KB cached on the PageRank adjacency
+    * pin at sf0.1).
+    */
+  def cachedEntry(df: org.apache.spark.sql.DataFrame): Option[(AnyRef, Long)] = {
+    val ds = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+    ds.sparkSession.sharedState.cacheManager.lookupCachedData(ds).map { cd =>
+      val b = cd.cachedRepresentation.cacheBuilder
+      val bytes =
+        if (b.isCachedColumnBuffersLoaded) b.sizeInBytesStats.value.longValue
+        else 0L
+      (b, bytes)
+    }
+  }
 }
