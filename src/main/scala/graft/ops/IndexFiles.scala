@@ -51,6 +51,16 @@ private[graft] object IndexFiles {
   /** Write a small marker file via temp + rename (atomic on HDFS/local; on
     * copy+delete stores the crash window is a MISSING marker — which every
     * reader treats as its explicit absent case — never a torn one).
+    *
+    * The rename is attempted ONTO the destination first: POSIX-rename
+    * stores (local FS) replace the old content atomically, so a REWRITTEN
+    * marker has no missing-file window at all there. Stores whose rename
+    * refuses an existing destination (HDFS semantics) fall back to
+    * delete + rename, which re-opens the narrow missing window — which is
+    * why the one marker that is repeatedly rewritten under live readers
+    * (the PQ codes generation pointer) does not use content rewrites at
+    * all (see [[createMarker]] / ProductQuantizer's sequenced
+    * `_graft_codes_gen.N` files).
     */
   def writeString(spark: SparkSession, path: String, content: String): Unit = {
     val f = fs(spark, path)
@@ -58,8 +68,32 @@ private[graft] object IndexFiles {
     val tmp = new HPath(path + ".tmp")
     val out = f.create(tmp, true)
     try out.write(content.getBytes("UTF-8")) finally out.close()
-    f.delete(dst, false)
-    require(f.rename(tmp, dst), s"marker rename failed: $tmp -> $dst")
+    if (!f.rename(tmp, dst)) {
+      f.delete(dst, false)
+      require(f.rename(tmp, dst), s"marker rename failed: $tmp -> $dst")
+    }
+  }
+
+  /** Create a marker file exclusively (fails if present) with its content
+    * landing before the name is re-readable is NOT guaranteed — callers
+    * must encode the information in the NAME (a reader may list the file
+    * before the payload write returns). This is the object-store-safe
+    * commit primitive: `create(overwrite = false)` is atomic on HDFS,
+    * local and strongly-consistent S3, with no rename involved at all.
+    */
+  def createMarker(spark: SparkSession, path: String, content: String): Unit = {
+    val out = fs(spark, path).create(new HPath(path), false)
+    try out.write(content.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Immediate children of `dir` that are FILES named with `prefix`. */
+  def listFilesWithPrefix(spark: SparkSession, dir: String,
+      prefix: String): Seq[FileStatus] = {
+    val f = fs(spark, dir)
+    val p = new HPath(dir)
+    if (!f.exists(p)) Seq.empty
+    else f.listStatus(p).toSeq
+      .filter(s => s.isFile && s.getPath.getName.startsWith(prefix))
   }
 
   /** Immediate children of `dir` that are parquet part files. */

@@ -294,23 +294,63 @@ object ProductQuantizer {
   private val SpecMarker = "_graft_pq_spec"
 
   /** Generation pointer for the FLAT code table: when present, the live
-    * codes directory is `codes_g<N>` (N = the pointer's content) and plain
-    * `codes/` is the legacy/fresh-build layout. [[compactCodes]] commits a
-    * rewrite by writing the NEXT generation directory in full and then
-    * atomically flipping this pointer (temp + rename via [[IndexFiles]]) —
-    * so a crash at ANY point leaves a complete, readable generation: before
-    * the flip the old directory is still live (the new one is an invisible
-    * orphan the next compaction overwrites), after it the new one is. This
-    * replaces the r15 two-directory-rename swap, whose mid-swap crash left
-    * NO codes directory at all.
+    * codes directory is `codes_g<N>` and plain `codes/` is the
+    * legacy/fresh-build layout. [[compactCodes]] commits a rewrite by
+    * writing the NEXT generation directory in full and then publishing the
+    * pointer — so a crash at ANY point leaves a complete, readable
+    * generation: before the publish the old directory is still live (the
+    * new one is an invisible orphan the next compaction overwrites), after
+    * it the new one is. This replaces the r15 two-directory-rename swap,
+    * whose mid-swap crash left NO codes directory at all.
+    *
+    * The pointer is a SEQUENCE of create-exclusive files
+    * `_graft_codes_gen.<N>` — readers take the max N — never a rewritten
+    * single file (r17): rewriting one marker under live readers means a
+    * delete+rename somewhere, and on rename-refuses-overwrite or
+    * copy+delete stores that is a missing-pointer window in which a
+    * reader resolves the long-deleted legacy `codes/` and fails (a CRASH
+    * in that window stranded the store until manual repair). Publishing
+    * gen N is now one atomic `create(_graft_codes_gen.N, overwrite =
+    * false)`: the old pointer file stays until AFTER the new one exists,
+    * so every read window resolves a committed generation on every store
+    * Spark can write. Stale pointer files and generation dirs are garbage-
+    * collected one cycle later — [[compactCodes]] retains generation N-1
+    * when committing N, so a reader that resolved N-1 just before the
+    * flip can still finish its scan (snapshot retention, one cycle deep).
+    * Pre-r17 stores with the content-based `_graft_codes_gen` file read
+    * compatibly (max over both forms).
     */
   private val CodesGenMarker = "_graft_codes_gen"
 
   /** The committed codes generation: 0 = no pointer (legacy `codes/`). */
   private def currentCodesGen(spark: org.apache.spark.sql.SparkSession,
-      path: String): Long =
-    IndexFiles.readStringOpt(spark, s"$path/$CodesGenMarker")
-      .map(_.trim.toLong).getOrElse(0L)
+      path: String): Long = {
+    val sequenced = IndexFiles
+      .listFilesWithPrefix(spark, path, CodesGenMarker + ".")
+      .flatMap(s =>
+        scala.util.Try(s.getPath.getName.drop(CodesGenMarker.length + 1).toLong)
+          .toOption)
+    val legacy = IndexFiles.readStringOpt(spark, s"$path/$CodesGenMarker")
+      .map(_.trim.toLong)
+    (sequenced ++ legacy).foldLeft(0L)(math.max)
+  }
+
+  /** Publish generation `gen` (see [[CodesGenMarker]]): one atomic
+    * create-exclusive, then best-effort GC of older pointer files — the
+    * max-N read rule keeps every interleaving correct while they linger.
+    */
+  private def publishCodesGen(spark: org.apache.spark.sql.SparkSession,
+      path: String, gen: Long): Unit = {
+    IndexFiles.createMarker(spark, s"$path/$CodesGenMarker.$gen", gen.toString)
+    IndexFiles.listFilesWithPrefix(spark, path, CodesGenMarker)
+      .filter { s =>
+        val n = s.getPath.getName
+        n == CodesGenMarker ||
+          scala.util.Try(n.drop(CodesGenMarker.length + 1).toLong)
+            .toOption.exists(_ < gen)
+      }
+      .foreach(s => IndexFiles.deleteRecursive(spark, s.getPath.toString))
+  }
 
   /** The LIVE codes directory — every read, append and compaction resolves
     * through here (the single choke point that makes the generation flip
@@ -363,11 +403,14 @@ object ProductQuantizer {
     */
   private def resetCodesState(spark: org.apache.spark.sql.SparkSession,
       path: String): Unit = {
-    val gen = currentCodesGen(spark, path)
-    if (gen > 0L) IndexFiles.deleteRecursive(spark, s"$path/$CodesGenMarker")
-    // gen+1 covers a crash-orphaned uncommitted generation
-    (1L to gen + 1).foreach(g =>
-      IndexFiles.deleteRecursive(spark, s"$path/codes_g$g"))
+    // pointer files first (both the sequenced r17 form and the legacy
+    // content-based one), then every generation dir by LISTING — which
+    // also catches crash-orphaned uncommitted generations — then the
+    // sidecar
+    IndexFiles.listFilesWithPrefix(spark, path, CodesGenMarker)
+      .foreach(s => IndexFiles.deleteRecursive(spark, s.getPath.toString))
+    IndexFiles.listSubdirs(spark, path, "codes_g")
+      .foreach(s => IndexFiles.deleteRecursive(spark, s.getPath.toString))
     IndexFiles.deleteRecursive(spark, s"$path/$TombstoneDir")
   }
 
@@ -378,8 +421,23 @@ object ProductQuantizer {
     */
   private val TombstoneDir = "tombstones"
 
-  private def tombstones(spark: org.apache.spark.sql.SparkSession,
-      path: String): Option[DataFrame] = {
+  /** The live generation dir's record of sidecar files already FOLDED into
+    * it: compaction retains those files one cycle (same snapshot-retention
+    * rule as the previous generation dir) instead of deleting them inline
+    * — an in-flight reader planned its tombstone anti-join against the
+    * file listing of ITS generation, and deleting those files under it is
+    * a mid-scan FileNotFound. Readers subtract the record, so a folded
+    * file lingering is invisible (its ids are already gone from the live
+    * codes; re-anti-joining them is an idempotent no-op if the record is
+    * ever lost — self-healing, never wrong).
+    */
+  private def foldedRecordPath(codesDir: String): String =
+    s"$codesDir/_graft_folded_ts"
+
+  /** Sidecar parquet files NOT yet folded into the live generation. */
+  private def unfoldedTombstoneFiles(
+      spark: org.apache.spark.sql.SparkSession, path: String)
+      : Seq[org.apache.hadoop.fs.FileStatus] = {
     // pre-r16 stores rewrote the sidecar through a two-rename swap; a crash
     // mid-swap left only `_rewriting`/`_retired` dirs, which the old reader
     // silently treated as "no tombstones" — resurrecting every pending
@@ -393,9 +451,23 @@ object ProductQuantizer {
           "manually before reading (an empty read here would silently " +
           "resurrect pending deletes)")
     }
-    if (IndexFiles.isDirectory(spark, s"$path/$TombstoneDir")) Some(
-      spark.read.parquet(s"$path/$TombstoneDir").select(col("__id")).distinct())
-    else None
+    if (!IndexFiles.isDirectory(spark, s"$path/$TombstoneDir")) Seq.empty
+    else {
+      val folded = IndexFiles.readStringOpt(spark,
+        foldedRecordPath(resolveCodesDir(spark, path)))
+        .map(_.linesIterator.map(_.trim).filter(_.nonEmpty).toSet)
+        .getOrElse(Set.empty)
+      IndexFiles.listParquet(spark, s"$path/$TombstoneDir")
+        .filterNot(s => folded.contains(s.getPath.getName))
+    }
+  }
+
+  private def tombstones(spark: org.apache.spark.sql.SparkSession,
+      path: String): Option[DataFrame] = {
+    val files = unfoldedTombstoneFiles(spark, path)
+    if (files.isEmpty) None
+    else Some(spark.read.parquet(files.map(_.getPath.toString): _*)
+      .select(col("__id")).distinct())
   }
 
   /** Open a [[materialize]]d index: `(spec, (codebooks, codes))`, shaped
@@ -712,13 +784,12 @@ object ProductQuantizer {
     // a pending tombstone sidecar always triggers the rewrite (folding
     // deletes into the files is this method's other job) — but a ZERO-ROW
     // sidecar (pre-r16 artifact; empty batches no longer write one) must
-    // not force a full-table rewrite: treat it as absent and just drop it
+    // not force a full-table rewrite: treat it as absent (it stays until
+    // a real compaction folds it — deleting it inline here would pull
+    // files out from under an in-flight reader's planned anti-join)
+    val tsFiles = unfoldedTombstoneFiles(spark, path)
     val ts = tombstones(spark, path).filter(t => !t.isEmpty)
-    if (!force && parts.length <= maxFiles && ts.isEmpty) {
-      if (IndexFiles.isDirectory(spark, s"$path/$TombstoneDir"))
-        IndexFiles.deleteRecursive(spark, s"$path/$TombstoneDir")
-      return false
-    }
+    if (!force && parts.length <= maxFiles && ts.isEmpty) return false
     val bytes = parts.map(_.getLen).sum
     val nOut = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
     val live = ts match {
@@ -726,13 +797,42 @@ object ProductQuantizer {
         .join(broadcast(t), Seq("__id"), "left_anti")
       case None => spark.read.parquet(codesDir)
     }
+    // the retiring generation's folded-file record, read before anything
+    // moves: those sidecar files become GC-able at THIS commit (the only
+    // readers that could still plan them sat on the generation before the
+    // retiring one, which this commit garbage-collects)
+    val retiringRecord = IndexFiles.readStringOpt(spark,
+      foldedRecordPath(codesDir))
     val nextGen = currentCodesGen(spark, path) + 1
     val nextDir = s"$path/codes_g$nextGen"
     live.coalesce(nOut).write.mode("overwrite").parquet(nextDir)
-    // the commit point: one atomic pointer flip
-    IndexFiles.writeString(spark, s"$path/$CodesGenMarker", nextGen.toString)
-    IndexFiles.deleteRecursive(spark, codesDir)
-    if (IndexFiles.isDirectory(spark, s"$path/$TombstoneDir"))
+    // record which sidecar files this generation folded (retained one
+    // cycle; readers of the new generation subtract them) — before the
+    // publish, while the dir is still invisible
+    if (tsFiles.nonEmpty)
+      IndexFiles.writeString(spark, foldedRecordPath(nextDir),
+        tsFiles.map(_.getPath.getName).mkString("\n"))
+    // the commit point: one atomic create-exclusive pointer publish
+    publishCodesGen(spark, path, nextGen)
+    // snapshot retention, one cycle deep: keep the PREVIOUS generation so
+    // a reader that resolved it just before the publish can still finish
+    // its scan; GC everything older (including crash-stranded stragglers —
+    // enumerate by listing, not arithmetic). The legacy `codes/` dir is
+    // generation 0 under the same rule.
+    IndexFiles.listSubdirs(spark, path, "codes_g")
+      .flatMap(s => scala.util.Try(
+        s.getPath.getName.stripPrefix("codes_g").toLong).toOption
+        .map(g => (g, s.getPath.toString)))
+      .filter { case (g, _) => g < nextGen - 1 }
+      .foreach { case (_, p) => IndexFiles.deleteRecursive(spark, p) }
+    if (nextGen >= 2 && IndexFiles.isDirectory(spark, s"$path/codes"))
+      IndexFiles.deleteRecursive(spark, s"$path/codes")
+    // sidecar files folded one full cycle ago age out now
+    retiringRecord.foreach(_.linesIterator.map(_.trim).filter(_.nonEmpty)
+      .foreach(name =>
+        IndexFiles.deleteRecursive(spark, s"$path/$TombstoneDir/$name")))
+    if (IndexFiles.isDirectory(spark, s"$path/$TombstoneDir") &&
+        IndexFiles.listParquet(spark, s"$path/$TombstoneDir").isEmpty)
       IndexFiles.deleteRecursive(spark, s"$path/$TombstoneDir")
     true
   }

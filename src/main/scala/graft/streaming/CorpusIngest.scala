@@ -267,17 +267,25 @@ object CorpusIngest {
     * here).
     */
   private def appendOnce(spark: org.apache.spark.sql.SparkSession,
-      path: String, epochId: Long)(append: => Unit): Boolean =
-    // the WHOLE read-check-append-mark sequence under the store's writer
-    // lease (reentrant with the fenced mutation inside): fencing only the
-    // inner op would let a racing writer slide between the marker check
-    // and the append — the marker's replay guarantee holds only if the
-    // check and the mutation are one exclusive unit
+      path: String, epochId: Long)(append: => Unit): Boolean = {
+    val marker = s"$path/$EpochMarker"
+    def lastAbsorbed: Long = graft.ops.IndexFiles.readStringOpt(spark, marker)
+      .map(_.trim.toLong).getOrElse(-1L)
+    // definitely-replayed epochs short-circuit BEFORE the lease: the
+    // marker only ever advances, so `epochId <= last` read lease-less can
+    // never un-become true — and a restarted-after-crash streaming query
+    // (sole writer, leftover lock on disk) can then skip its already-
+    // absorbed epochs instead of hard-failing until an operator calls
+    // breakWriterLease; it only stops at the first epoch that needs a
+    // real mutation, which is exactly where the takeover decision belongs
+    if (epochId <= lastAbsorbed) return false
+    // the read-check-append-mark sequence for a NEW epoch runs under the
+    // store's writer lease (reentrant with the fenced mutation inside):
+    // fencing only the inner op would let a racing writer slide between
+    // the re-check and the append — the marker's replay guarantee holds
+    // only if the check and the mutation are one exclusive unit
     graft.ops.IndexFiles.withWriterLease(spark, path, "stream-ingest-epoch") {
-      val marker = s"$path/$EpochMarker"
-      val last = graft.ops.IndexFiles.readStringOpt(spark, marker)
-        .map(_.trim.toLong).getOrElse(-1L)
-      if (epochId <= last) false
+      if (epochId <= lastAbsorbed) false
       else {
         append
         // temp+rename via the store's Hadoop FileSystem: the marker lives
@@ -287,6 +295,7 @@ object CorpusIngest {
         true
       }
     }
+  }
 
   /** One vector micro-batch into the materialized ANN stores: append to
     * the IVF index at `annPath` ([[AnnIndex.appendToMaterialized]] — the
@@ -375,19 +384,23 @@ object CorpusIngest {
   private val TakedownMarker = "_graft_takedown_epoch"
 
   private def takedownOnce(spark: org.apache.spark.sql.SparkSession,
-      path: String, epochId: Long)(del: => Unit): Boolean =
-    // same one-exclusive-unit rationale as [[appendOnce]]
+      path: String, epochId: Long)(del: => Unit): Boolean = {
+    // same shape as [[appendOnce]]: lease-less short-circuit for
+    // definitely-replayed epochs (crash-restart recovery stays automatic
+    // through the replay tail), one exclusive unit for a real takedown
+    val marker = s"$path/$TakedownMarker"
+    def lastAbsorbed: Long = graft.ops.IndexFiles.readStringOpt(spark, marker)
+      .map(_.trim.toLong).getOrElse(-1L)
+    if (epochId <= lastAbsorbed) return false
     graft.ops.IndexFiles.withWriterLease(spark, path, "stream-takedown-epoch") {
-      val marker = s"$path/$TakedownMarker"
-      val last = graft.ops.IndexFiles.readStringOpt(spark, marker)
-        .map(_.trim.toLong).getOrElse(-1L)
-      if (epochId <= last) false
+      if (epochId <= lastAbsorbed) false
       else {
         del
         graft.ops.IndexFiles.writeString(spark, marker, epochId.toString)
         true
       }
     }
+  }
 
   /** One takedown micro-batch against the materialized vector stores — the
     * delete twin of [[appendVectorEpoch]]: the batch's rows (ids AND

@@ -336,9 +336,13 @@ class ProductQuantizerSpec extends SparkTestBase {
         .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
     }
     assert(visibleCodesOf(flat) == codesOf(flatRed))
-    // compaction folds the tombstones into the files and clears the sidecar
+    // compaction folds the tombstones into the files; the folded sidecar
+    // file is RETAINED one cycle for in-flight readers (r17 snapshot
+    // retention) but must be invisible to every read — and a second
+    // compaction ages it out entirely
     assert(ProductQuantizer.compactCodes(spark, flat))
     assert(codesOf(flat) == codesOf(flatRed))
+    assert(ProductQuantizer.compactCodes(spark, flat, force = true))
     assert(!new java.io.File(s"$flat/tombstones").isDirectory)
     // a flat append after a (new) tombstone delete revives re-inserted ids
     ProductQuantizer.deleteFromMaterialized(
@@ -349,8 +353,12 @@ class ProductQuantizerSpec extends SparkTestBase {
       emb.where(col("vec_id") === 2), "vec_id", "embedding", flat)
     assert(visibleCodesOf(flat) == codesOf(flatRed))
     assertNoDuplicates(flat) // the revive must purge id 2's OLD rows
+    // the revive's forced fold leaves the sidecar file retained-but-folded
+    // (invisible — the reads above prove it); one more compaction cycle
+    // ages it out of the store entirely
+    assert(ProductQuantizer.compactCodes(spark, flat, force = true))
     assert(!new java.io.File(s"$flat/tombstones").isDirectory,
-      "re-inserting the only tombstoned id must clear the sidecar")
+      "a sidecar folded a full cycle ago must age out")
     // deleting a codebook-entry id is refused (entries are referenced)
     intercept[IllegalArgumentException] {
       ProductQuantizer.deleteFromMaterialized(

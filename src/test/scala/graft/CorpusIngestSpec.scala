@@ -376,6 +376,29 @@ class CorpusIngestSpec extends SparkTestBase {
     assert(replay.isEmpty, s"replayed epoch appended to $replay")
     val after = (sp.read.parquet(annPath).count(), sp.read.parquet(s"$pqPath/codes").count())
     assert(before == after, "replayed epoch changed the stores")
+
+    // crash recovery stays AUTOMATIC through the replay tail: a restarted
+    // sole-writer query facing a crashed predecessor's leftover lock must
+    // skip already-absorbed epochs lease-less (r17); it only needs the
+    // operator takeover decision at the first epoch that really mutates
+    Seq(annPath, pqPath).foreach { p =>
+      graft.ops.IndexFiles.writeString(sp, p + "/" + graft.ops.IndexFiles.LockName,
+        "op=crashed-predecessor nonce=gone\n")
+    }
+    val replayLocked = graft.streaming.CorpusIngest.appendVectorEpoch(
+      e1.toSeq.toDF("vec_id", "embedding")
+        .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding")),
+      emb, "vec_id", "embedding", 64, annPath, Some(pqPath), epochId = 0L)
+    assert(replayLocked.isEmpty,
+      "replayed epoch under a leftover lock must no-op, not mutate")
+    // a NEW epoch still fails loudly until the operator breaks the lock
+    intercept[IllegalStateException] {
+      graft.streaming.CorpusIngest.appendVectorEpoch(
+        e1.toSeq.toDF("vec_id", "embedding")
+          .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding")),
+        emb, "vec_id", "embedding", 64, annPath, Some(pqPath), epochId = 99L)
+    }
+    Seq(annPath, pqPath).foreach(p => graft.ops.IndexFiles.breakWriterLease(sp, p))
   }
 
   test("in-loop compaction bounds bucket file counts without changing probes") {

@@ -33,7 +33,14 @@ class MockObjectStoreFs extends RawLocalFileSystem {
   // expects. (RawLocalFileSystem's own overwrite=false is check-then-create
   // — the WriterLeaseSpec race measured 3 winners out of 8 through it.)
   private def exclusiveGate(f: Path, overwrite: Boolean): Unit =
-    if (!overwrite) java.nio.file.Files.createFile(pathToFile(f).toPath)
+    if (!overwrite) {
+      val file = pathToFile(f)
+      // FileSystem.create contracts include parent creation (parquet task
+      // writers rely on it); only the final-component create is exclusive
+      val parent = file.getParentFile
+      if (parent != null && !parent.exists()) parent.mkdirs()
+      java.nio.file.Files.createFile(file.toPath)
+    }
 
   // both create entry points RawLocalFileSystem exposes — the plain
   // FileSystem.create(Path, boolean) chain lands on the Progressable
