@@ -31,9 +31,21 @@ object Centrality {
 
   /** Fixed-point PageRank over an undirected pair graph.
     *
+    * DETERMINISM CONTRACT (applies to every lazy-returning entry point in
+    * this object): the returned plan re-reads the retired adjacency pin at
+    * the CALLER'S materialization, and a Spark cache is best-effort — if
+    * the pin was evicted (FixpointPin's bounded LRU, memory pressure), the
+    * pairs input RECOMPUTES. A deterministic input recomputes to the same
+    * rows (slower, never wrong); a non-deterministic one (sampled,
+    * shuffled-limit, clock-dependent) can make the eagerly-labeled
+    * components and the lazily-read ranks disagree. Pass deterministic
+    * pair frames, or snapshot (localCheckpoint/write) non-deterministic
+    * ones first — the same requirement Spark itself places on cached
+    * non-deterministic plans.
+    *
     * @param pairs  unique undirected pairs, `aCol < bCol` per row (the
     *               dedup-pair contract); vertices are the docs that appear
-    *               in at least one pair
+    *               in at least one pair; must be DETERMINISTIC (above)
     * @param iters  fixed iteration count (replayed by oracles)
     * @param unit   fixed-point scale of the initial rank (1.0 == unit)
     * @return (id, pr) — rank in integer units after `iters` rounds

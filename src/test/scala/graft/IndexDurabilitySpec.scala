@@ -113,8 +113,9 @@ class IndexDurabilitySpec extends SparkTestBase {
 
   test("compactCodes crash injection: a kill at any stage leaves a complete readable generation") {
     // Stage replay: the compaction is (1) write codes_g<N+1> in full,
-    // (2) atomically flip the generation pointer, (3) drop the old dir and
-    // the folded sidecar. Simulate a crash after each stage and assert
+    // (2) publish the sequenced generation pointer (one create-exclusive
+    // `_graft_codes_gen.<N+1>` file — r17), (3) GC dirs/sidecar files one
+    // retention cycle old. Simulate a crash after each stage and assert
     // every read sees a complete generation.
     val path = fsPath("graft_fs_crash")
     ProductQuantizer.materialize(emb, "vec_id", "embedding", spec, path)
