@@ -43,9 +43,15 @@ private[graft] object IndexManifests {
     try out.write((buckets.mkString("\n") + "\n").getBytes("UTF-8"))
     finally out.close()
     val dst = new org.apache.hadoop.fs.Path(root, FileName)
-    fs.delete(dst, false)
-    require(fs.rename(tmp, dst),
-      s"manifest rename failed: $tmp -> $dst")
+    // rename ONTO the destination first: POSIX-rename stores replace the
+    // old manifest atomically (no missing window at all); HDFS-semantics
+    // stores refuse and fall back to delete+rename, whose window readers
+    // already tolerate via the isin fallback
+    if (!fs.rename(tmp, dst)) {
+      fs.delete(dst, false)
+      require(fs.rename(tmp, dst),
+        s"manifest rename failed: $tmp -> $dst")
+    }
   }
 
   def read(spark: SparkSession, table: String): Option[Seq[Long]] = {

@@ -239,9 +239,18 @@ object SimilarityJoin {
     val rowsPerBand = nBits / bands
     require(bands * rowsPerBand == nBits, s"bands ($bands) must divide nBits ($nBits)")
     val planes = hyperplanes(dim, nBits, seed)
-    // persist: nBits dot products per row feed both self-join sides
-    val sigs = df.select(col(idCol).as("__id"), col(vecCol).as("__v"),
-      signBits(col(vecCol), planes).as("__sig"))
+    // persist: nBits dot products per row feed both self-join sides.
+    // The repartition decouples the pipeline's parallelism from the
+    // INPUT's file layout: a single-file vector table otherwise scans as
+    // ONE partition, which serializes the per-row signature dot products
+    // AND — because the band self-join broadcasts one side — the whole
+    // superlinear band-bucket pipeline into a single task (measured on
+    // the 100× synthetic rung: 35+ min in one task vs ~a minute across
+    // the full core count; same treatment the jaccard family gets from
+    // its repartitioned doc spool).
+    val sigs = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol).as("__id"), col(vecCol).as("__v"),
+        signBits(col(vecCol), planes).as("__sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val mask = (1L << rowsPerBand) - 1L
     val bandKeys = (0 until bands).map { b =>

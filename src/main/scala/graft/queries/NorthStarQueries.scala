@@ -485,12 +485,22 @@ object NorthStarQueries {
     // all 5 iterations replay bit-exact in the oracle. One shuffle per
     // iteration; rank state is |V| longs.
     "pagerank_centrality" -> { (s, dir) =>
+      // pin the pair derivation like centralRepresentatives does its own:
+      // pageRankInt's edge union + degree branches otherwise re-run the
+      // whole shingle-join pipeline per scan — invisible at sf0.1 (the
+      // pipeline is ~0.15 s) but 214 s vs ~35 s at the 100×-sf0.1 rung,
+      // where each jaccard replay is ~16 s (SCALING.md r17)
       val pairs = Dedup.jaccardJoin(docsWithShingles(s, dir), "doc_id", "sh", JaccardTau)
         .select("a", "b")
-      graft.ops.Centrality.pageRankInt(pairs, "a", "b", PrIters,
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val out = graft.ops.Centrality.pageRankInt(pairs, "a", "b", PrIters,
           PrUnit, PrDampNum, PrDampDen)
         .withColumnRenamed("id", "doc_id")
         .transform(sortedSingle(_, col("doc_id")))
+      // the returned plan is lazy — retire into the bounded LRU instead of
+      // unpersisting under it (the Centrality entry points' own pattern)
+      graft.ops.FixpointPin.retire(pairs)
+      out
     },
 
     // canonical-representative selection: per dedup cluster, keep the most

@@ -57,9 +57,17 @@ if [ "${1:-}" = "--bench" ]; then
     # both records still exist.
     if ! python3 - <<'PY'
 import json, sys
+def full_line(path):
+    # Bench brackets the full per-query line with short totals-only lines
+    # (r17, driver tail-window fix) — compare the per-query one
+    for line in open(path):
+        line = line.strip()
+        if line.startswith("{") and '"queries":' in line:
+            return json.loads(line)
+    raise ValueError(f"no per-query bench line in {path}")
 try:
-    tail = json.load(open("/tmp/preflight_bench.json"))
-    side = json.load(open("/tmp/preflight_bench_sidecar.json"))
+    tail = full_line("/tmp/preflight_bench.json")
+    side = full_line("/tmp/preflight_bench_sidecar.json")
 except Exception as e:
     print(f"PREFLIGHT FAIL: bench tail/sidecar unreadable: {e}"); sys.exit(1)
 if tail != side:
