@@ -161,27 +161,82 @@ private[graft] object FixpointPin {
       // that the count bound backstops — rather than a phantom eviction.
       val info = try org.apache.spark.sql.graftshim.SparkShims.cachedEntry(df)
         catch { case _: Throwable => None }
+      // Refresh pass over the existing deque, every evictor run (the deque
+      // is ≤ MaxRetired and cachedEntry is a CacheManager lookup — cheap,
+      // and this is the daemon thread, never a caller's timed path):
+      //  - a pin from a STOPPED SparkContext is dropped outright — its
+      //    cache died with the session, and retaining the slot would let
+      //    dead sessions crowd MaxRetired live pins out of the LRU;
+      //  - a pin sized 0 (retired before its consumer materialized the
+      //    cache — the NORMAL case for the lazy-retire paths in
+      //    Centrality/NorthStarQueries) is RE-SIZED from the now-loaded
+      //    buffers, otherwise the byte budget never sees the very caches
+      //    it was added to bound and long-lived sessions strand up to
+      //    MaxRetired full-size caches (the r17 ADVICE item).
+      // Only this single evictor thread removes or resizes; retire() only
+      // appends — so a snapshot taken under the lock stays valid here.
+      val snapshot: Seq[Retired] = synchronized {
+        val out = scala.collection.mutable.Buffer[Retired]()
+        val it = retired.iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          if (e ne entry) out += e
+        }
+        out.toSeq
+      }
+      val refreshed = snapshot.map { e =>
+        val dead = sessionStopped(e.df)
+        val sized =
+          if (dead || e.bytes != 0L) None
+          else try org.apache.spark.sql.graftshim.SparkShims.cachedEntry(e.df)
+            catch { case _: Throwable => None }
+        (e, dead, sized)
+      }
       val evictees: Seq[Retired] = synchronized {
-        entry.entryId = info.map(_._1).orNull
-        entry.bytes = info.map(_._2).getOrElse(0L)
-        // Dedupe by cache-entry identity: a rerun of the same plan
-        // plan-matches the SAME CacheManager entry, so keep only the
-        // NEWEST deque slot for it (dropping older slots WITHOUT
-        // unpersist — they are one entry). Otherwise evicting an old
-        // slot kills the entry a newer identical pin still serves (the
-        // r16 inline-eviction lesson, re-armed by any byte budget), and
-        // the budget would double-count one entry per rerun.
-        if (entry.entryId != null) {
-          val it = retired.iterator()
-          while (it.hasNext) {
-            val e = it.next()
-            if ((e ne entry) && (e.entryId eq entry.entryId)) {
-              it.remove()
-              retiredBytes -= e.bytes
+        refreshed.foreach { case (e, dead, sized) =>
+          if (dead) {
+            if (retired.remove(e)) retiredBytes -= e.bytes
+          } else sized.foreach { case (id, b) =>
+            if (retired.contains(e)) {
+              retiredBytes += b - e.bytes
+              e.bytes = b
+              if (e.entryId == null) e.entryId = id
             }
           }
         }
-        retiredBytes += entry.bytes
+        // Tasks queue faster than they run (retire() appends the slot
+        // synchronously, the sizing runs here later), so by the time THIS
+        // entry's task executes, an earlier task's refresh pass may have
+        // already sized-and-counted it, or its eviction may have already
+        // removed it. Account by DELTA against whatever is currently
+        // booked for the slot, and only while the slot is still a deque
+        // member — a flat `+= entry.bytes` double-counts the refreshed
+        // case and books phantom bytes for the evicted one, permanently
+        // poisoning the budget (every later retirement then evicts the
+        // deque to a single slot).
+        if (retired.contains(entry)) {
+          val prevBytes = entry.bytes
+          entry.entryId = info.map(_._1).orNull
+          entry.bytes = info.map(_._2).getOrElse(0L)
+          // Dedupe by cache-entry identity: a rerun of the same plan
+          // plan-matches the SAME CacheManager entry, so keep only the
+          // NEWEST deque slot for it (dropping older slots WITHOUT
+          // unpersist — they are one entry). Otherwise evicting an old
+          // slot kills the entry a newer identical pin still serves (the
+          // r16 inline-eviction lesson, re-armed by any byte budget), and
+          // the budget would double-count one entry per rerun.
+          if (entry.entryId != null) {
+            val it = retired.iterator()
+            while (it.hasNext) {
+              val e = it.next()
+              if ((e ne entry) && (e.entryId eq entry.entryId)) {
+                it.remove()
+                retiredBytes -= e.bytes
+              }
+            }
+          }
+          retiredBytes += entry.bytes - prevBytes
+        }
         val out = scala.collection.mutable.Buffer[Retired]()
         while (retired.size > MaxRetired ||
             (retiredBytes > budget && retired.size > 1)) {
@@ -197,6 +252,28 @@ private[graft] object FixpointPin {
         case _: Throwable => ()
       })
     }
+  }
+
+  /** Dead-session predicate for the refresh pass. A `var` only as a test
+    * seam: a genuinely stopped SECOND SparkContext cannot be created in
+    * the shared test JVM (Spark allows one active context), so the spec
+    * substitutes the predicate to mark a chosen pin dead and assert the
+    * deque drops it. Production value is the real isStopped check.
+    */
+  private[graft] var sessionStopped: DataFrame => Boolean = { df =>
+    try df.sparkSession.sparkContext.isStopped
+    catch { case _: Throwable => true }
+  }
+
+  /** Current byte-budget accounting (spec assertions only). */
+  private[graft] def retainedBytes: Long = synchronized { retiredBytes }
+
+  /** Snapshot of the currently retained pins (spec assertions only). */
+  private[graft] def retainedPins: Seq[DataFrame] = synchronized {
+    val out = scala.collection.mutable.Buffer[DataFrame]()
+    val it = retired.iterator()
+    while (it.hasNext) out += it.next().df
+    out.toSeq
   }
 
   /** Wait for queued evictions (deterministic spec ordering only). */

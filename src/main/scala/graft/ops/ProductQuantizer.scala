@@ -434,10 +434,19 @@ object ProductQuantizer {
   private def foldedRecordPath(codesDir: String): String =
     s"$codesDir/_graft_folded_ts"
 
-  /** Sidecar parquet files NOT yet folded into the live generation. */
+  /** Sidecar parquet files NOT yet folded into the live generation.
+    *
+    * `codesDir` must be the SAME resolved generation directory the caller
+    * reads its code rows from — resolved ONCE per open and threaded
+    * through. Re-resolving here would open a race: if compaction
+    * publishes generation N between the caller's resolution (N-1) and a
+    * second resolution here, the folded record of gen N would be
+    * subtracted from a gen N-1 scan, silently resurrecting ids whose
+    * sidecar files were folded only into N.
+    */
   private def unfoldedTombstoneFiles(
-      spark: org.apache.spark.sql.SparkSession, path: String)
-      : Seq[org.apache.hadoop.fs.FileStatus] = {
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      codesDir: String): Seq[org.apache.hadoop.fs.FileStatus] = {
     // pre-r16 stores rewrote the sidecar through a two-rename swap; a crash
     // mid-swap left only `_rewriting`/`_retired` dirs, which the old reader
     // silently treated as "no tombstones" — resurrecting every pending
@@ -454,7 +463,7 @@ object ProductQuantizer {
     if (!IndexFiles.isDirectory(spark, s"$path/$TombstoneDir")) Seq.empty
     else {
       val folded = IndexFiles.readStringOpt(spark,
-        foldedRecordPath(resolveCodesDir(spark, path)))
+        foldedRecordPath(codesDir))
         .map(_.linesIterator.map(_.trim).filter(_.nonEmpty).toSet)
         .getOrElse(Set.empty)
       IndexFiles.listParquet(spark, s"$path/$TombstoneDir")
@@ -463,8 +472,8 @@ object ProductQuantizer {
   }
 
   private def tombstones(spark: org.apache.spark.sql.SparkSession,
-      path: String): Option[DataFrame] = {
-    val files = unfoldedTombstoneFiles(spark, path)
+      path: String, codesDir: String): Option[DataFrame] = {
+    val files = unfoldedTombstoneFiles(spark, path, codesDir)
     if (files.isEmpty) None
     else Some(spark.read.parquet(files.map(_.getPath.toString): _*)
       .select(col("__id")).distinct())
@@ -486,8 +495,11 @@ object ProductQuantizer {
     val spec = PqSpec(parts(0).toInt, parts(1).toInt, parts(2).toInt)
     expect.foreach(e => require(e == spec,
       s"index at $path was materialized with $spec, opened expecting $e"))
-    val stored = spark.read.parquet(resolveCodesDir(spark, path))
-    val codes = tombstones(spark, path) match {
+    // resolve the generation ONCE: the code rows and the folded-sidecar
+    // record must come from the same generation (see unfoldedTombstoneFiles)
+    val codesDir = resolveCodesDir(spark, path)
+    val stored = spark.read.parquet(codesDir)
+    val codes = tombstones(spark, path, codesDir) match {
       case Some(ts) => stored.join(broadcast(ts), Seq("__id"), "left_anti")
       case None => stored
     }
@@ -587,8 +599,9 @@ object ProductQuantizer {
     // the fold and the append leaves the ids fully deleted and the epoch
     // marker unadvanced, so a streaming replay re-runs cleanly.
     val batchIds = batch.select(col(idCol).cast("long").as("__id")).distinct()
-    val revives = tombstones(spark, path).exists(ts =>
-      !ts.join(broadcast(batchIds), Seq("__id"), "left_semi").isEmpty)
+    val revives = tombstones(spark, path, resolveCodesDir(spark, path))
+      .exists(ts =>
+        !ts.join(broadcast(batchIds), Seq("__id"), "left_semi").isEmpty)
     if (revives) compactCodes(spark, path, force = true)
     encode(batch, idCol, vecCol, cb, spec)
       .write.mode("append").parquet(resolveCodesDir(spark, path))
@@ -787,8 +800,8 @@ object ProductQuantizer {
     // not force a full-table rewrite: treat it as absent (it stays until
     // a real compaction folds it — deleting it inline here would pull
     // files out from under an in-flight reader's planned anti-join)
-    val tsFiles = unfoldedTombstoneFiles(spark, path)
-    val ts = tombstones(spark, path).filter(t => !t.isEmpty)
+    val tsFiles = unfoldedTombstoneFiles(spark, path, codesDir)
+    val ts = tombstones(spark, path, codesDir).filter(t => !t.isEmpty)
     if (!force && parts.length <= maxFiles && ts.isEmpty) return false
     val bytes = parts.map(_.getLen).sum
     val nOut = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt

@@ -259,6 +259,17 @@ object CorpusIngest {
 
   private val EpochMarker = "_graft_ingest_epoch"
 
+  /** Lease-less epoch-marker read for the replay fast path: an unparseable
+    * (torn mid-copy on copy+delete-rename stores) marker degrades to -1 —
+    * "nothing absorbed" — which merely routes the epoch to the leased
+    * re-check instead of throwing out of the streaming batch. Never used
+    * under the lease, where strict parsing is the crash detector.
+    */
+  private def leaselessLastAbsorbed(
+      spark: org.apache.spark.sql.SparkSession, marker: String): Long =
+    scala.util.Try(graft.ops.IndexFiles.readStringOpt(spark, marker)
+      .map(_.trim.toLong).getOrElse(-1L)).getOrElse(-1L)
+
   /** Run `append` once per (store, epoch): a parquet append is not
     * idempotent under foreachBatch's at-least-once re-delivery, so each
     * store records the last epoch it absorbed and a replayed epoch is a
@@ -277,8 +288,16 @@ object CorpusIngest {
     // (sole writer, leftover lock on disk) can then skip its already-
     // absorbed epochs instead of hard-failing until an operator calls
     // breakWriterLease; it only stops at the first epoch that needs a
-    // real mutation, which is exactly where the takeover decision belongs
-    if (epochId <= lastAbsorbed) return false
+    // real mutation, which is exactly where the takeover decision belongs.
+    // The lease-less parse tolerates a TORN read (empty/truncated marker):
+    // on copy+delete-rename stores writeString's rename copies into the
+    // destination non-atomically, so a concurrent writer's in-flight copy
+    // can surface as unparseable content here — treat it as -1 and fall
+    // through to the lease path, which re-reads under exclusion (where no
+    // copy can be in flight). The LEASED parse stays strict: torn content
+    // there means a crash left the marker permanently damaged, and that
+    // must fail loudly at the takeover point, not replay absorbed epochs.
+    if (epochId <= leaselessLastAbsorbed(spark, marker)) return false
     // the read-check-append-mark sequence for a NEW epoch runs under the
     // store's writer lease (reentrant with the fenced mutation inside):
     // fencing only the inner op would let a racing writer slide between
@@ -391,7 +410,7 @@ object CorpusIngest {
     val marker = s"$path/$TakedownMarker"
     def lastAbsorbed: Long = graft.ops.IndexFiles.readStringOpt(spark, marker)
       .map(_.trim.toLong).getOrElse(-1L)
-    if (epochId <= lastAbsorbed) return false
+    if (epochId <= leaselessLastAbsorbed(spark, marker)) return false
     graft.ops.IndexFiles.withWriterLease(spark, path, "stream-takedown-epoch") {
       if (epochId <= lastAbsorbed) false
       else {

@@ -150,4 +150,75 @@ class CentralitySpec extends SparkTestBase {
       graft.ops.FixpointPin.drainEvictions()
     }
   }
+
+  test("FixpointPin evictor re-sizes pins retired before materialization, so the byte budget bites lazily-retired pins") {
+    import org.apache.spark.storage.StorageLevel
+    import org.apache.spark.sql.functions.{col, lit, md5}
+    // the NORMAL lazy-retire shape (Centrality/NorthStarQueries): retire
+    // fires while the consumer is still lazy, so the pin sizes as 0 and
+    // the budget cannot see it at retire time — the refresh pass must
+    // re-size it once the consumer materializes the cache, or the budget
+    // is permanently blind to exactly the caches it exists to bound
+    sp.conf.set(graft.ops.FixpointPin.RetiredBytesConf, "1024")
+    try {
+      val frames = (0 until 3).map { i =>
+        sp.range(20000).toDF("id")
+          .withColumn("h", md5(col("id").cast("string")))
+          .withColumn("g", lit(i))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+      }
+      frames.foreach(graft.ops.FixpointPin.retire) // sized 0: not cached yet
+      graft.ops.FixpointPin.drainEvictions()
+      // nothing evicted: every slot is 0 bytes and the count bound holds
+      assert(frames.forall(_.storageLevel != StorageLevel.NONE))
+      frames.foreach(_.count()) // the lazy consumers materialize NOW
+      // the next retirement's evictor pass re-sizes the 0-byte slots from
+      // the now-loaded buffers and applies the budget: all three ~640 KB
+      // pins must go, the newest pin (below) stays
+      val tail = sp.range(10).toDF("id")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      tail.count()
+      graft.ops.FixpointPin.retire(tail)
+      graft.ops.FixpointPin.drainEvictions()
+      assert(frames.forall(_.storageLevel == StorageLevel.NONE))
+      assert(tail.storageLevel != StorageLevel.NONE)
+      // an evicted pin still evaluates correctly (recompute, never wrong)
+      assert(frames.head.count() == 20000)
+    } finally {
+      sp.conf.unset(graft.ops.FixpointPin.RetiredBytesConf)
+      (0 to graft.ops.FixpointPin.MaxRetired).foreach { _ =>
+        graft.ops.FixpointPin.retire(sp.emptyDataFrame)
+      }
+      graft.ops.FixpointPin.drainEvictions()
+    }
+  }
+
+  test("FixpointPin drops pins from stopped sessions on the next evictor pass") {
+    import org.apache.spark.storage.StorageLevel
+    val victim = Seq((1L, 2L)).toDF("a", "b")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    victim.count()
+    graft.ops.FixpointPin.retire(victim)
+    graft.ops.FixpointPin.drainEvictions()
+    assert(graft.ops.FixpointPin.retainedPins.exists(_ eq victim))
+    // a second genuinely stopped SparkContext can't exist in this JVM —
+    // substitute the dead-session predicate to mark the victim's session
+    // stopped and assert the refresh pass drops its slot outright (its
+    // cache died with the session; retaining it would crowd live pins
+    // out of the MaxRetired LRU)
+    val saved = graft.ops.FixpointPin.sessionStopped
+    graft.ops.FixpointPin.sessionStopped = df => df eq victim
+    try {
+      graft.ops.FixpointPin.retire(sp.emptyDataFrame)
+      graft.ops.FixpointPin.drainEvictions()
+      assert(!graft.ops.FixpointPin.retainedPins.exists(_ eq victim))
+    } finally {
+      graft.ops.FixpointPin.sessionStopped = saved
+      victim.unpersist()
+      (0 to graft.ops.FixpointPin.MaxRetired).foreach { _ =>
+        graft.ops.FixpointPin.retire(sp.emptyDataFrame)
+      }
+      graft.ops.FixpointPin.drainEvictions()
+    }
+  }
 }

@@ -62,6 +62,12 @@ class MockObjectStoreFs extends RawLocalFileSystem {
 
   override def rename(src: Path, dst: Path): Boolean = {
     if (!exists(src)) return false
+    // S3A refuses a rename onto an existing FILE destination (returns
+    // false) — modeling that drives callers like IndexFiles.writeString
+    // through their delete + rename fallback, the branch those stores
+    // actually take when rewriting a marker (previously the mock's
+    // overwrite=true copy silently exercised only the POSIX-replace path)
+    if (exists(dst) && getFileStatus(dst).isFile) return false
     // copy then delete — models an object store's non-atomic "rename":
     // a crash between the two calls leaves BOTH or NEITHER path present
     val copied = FileUtil.copy(this, src, this, dst,
