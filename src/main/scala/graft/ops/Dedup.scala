@@ -803,6 +803,103 @@ object Dedup {
         coalesce(col("__r"), col("__id")).as("component"))
   }
 
+  /** Transitive EMBEDDING-space duplicate clusters — sign-LSH cosine pairs
+    * ([[SimilarityJoin.cosineJoinLsh]]) fed to [[componentsStar]] — with
+    * EXACT-DUPLICATE CONTRACTION first: bit-identical vectors collapse to
+    * one representative (min id) + a member map, the banded LSH and the
+    * components fixpoint run on representatives only, and members expand
+    * back into the final labeling. Output and labeling are IDENTICAL to
+    * running the LSH + components over the raw rows; the cost is not.
+    *
+    * Why this exists (the r17 100×-rung scale finding): the pair set of
+    * the uncontracted pipeline grows QUADRATICALLY in exact-duplicate
+    * multiplicity — m bit-identical vectors share every band key and all
+    * pass verification, so they alone emit m(m-1)/2 pairs. Real web-crawl
+    * corpora are exactly this shape (the most-duplicated pages have
+    * millions of identical copies), making O(m²) the dominant term at
+    * scale. Contraction makes each duplicate group cost O(m): one
+    * aggregate row + one expansion join row per member.
+    *
+    * Correctness of the contraction, exactly:
+    *  - group key is VALUE equality of the vector (Spark's group-by
+    *    normalizes -0.0 to 0.0 and NaN to one NaN — both coarsenings are
+    *    sound here because numerically-equal vectors produce identical
+    *    dot products, hence identical signatures, band keys and verified
+    *    distances: group-equal rows are indistinguishable to the whole
+    *    pipeline);
+    *  - only SELF-DUP vectors contract (cos_dist(v, v) <= tau): a zero
+    *    vector's self-distance is 2.0 and a NaN-containing vector's is
+    *    NaN, so identical such rows do NOT pair in the raw graph and must
+    *    stay individual rows — for any other vector, members of its group
+    *    form a clique in the raw graph (identical signatures collide in
+    *    every band; the verified distance is the self-distance);
+    *  - a member's raw-graph edges to rows OUTSIDE its group are exactly
+    *    its representative's edges (same vector → same signature, same
+    *    verified distance), so contracting preserves reachability, and
+    *    component = min id of the cluster is preserved because each
+    *    group's min id IS its representative;
+    *  - membership in the output ([[componentsStar]] labels only nodes
+    *    with at least one pair): a group of m >= 2 members is always in
+    *    the raw output (the clique), even when its representative has no
+    *    representative-level pair — kept with component = rep; an m == 1
+    *    row is in the raw output iff its representative reached the pair
+    *    set — the inner-join semantics of the expansion's null filter.
+    */
+  def embedComponents(df: DataFrame, idCol: String, vecCol: String,
+      tau: Double, dim: Int,
+      nBits: Int = SimilarityJoin.DefaultNBits,
+      bands: Int = SimilarityJoin.DefaultBands,
+      seed: Long = SimilarityJoin.DefaultSeed,
+      maxIters: Int = 50, checkpointDir: Option[String] = None,
+      driverMaxEdges: Long = 1L << 22): DataFrame = {
+    val keyed = df
+      .select(col(idCol).as("__id"), col(vecCol).as("__v"))
+      .withColumn("__selfdup",
+        graft.functions.array_cosine_distance(col("__v"), col("__v")) <= lit(tau))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // one hash-aggregate shuffle on the vector value (the exact-dedup
+    // shape); a hot duplicate group partial-aggregates map-side, so the
+    // exchange carries one row per (map task, distinct vector)
+    val groups = keyed.where(col("__selfdup"))
+      .groupBy("__v")
+      .agg(min(col("__id")).as("__rep"), count(lit(1)).as("__m"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val members = keyed.where(col("__selfdup"))
+      .join(groups, Seq("__v"))
+      .select(col("__id"), col("__rep"), col("__m"))
+      .unionAll(keyed.where(!col("__selfdup"))
+        .select(col("__id"), col("__id").as("__rep"), lit(1L).as("__m")))
+    val repVecs = groups.select(col("__rep").as(idCol), col("__v").as(vecCol))
+      .unionAll(keyed.where(!col("__selfdup"))
+        .select(col("__id").as(idCol), col("__v").as(vecCol)))
+    // SIZE-ROUTED labeling of the representative graph, same mechanism as
+    // incrementalComponents ([[labelMicroGraph]]): after contraction the
+    // rep pair set is small by construction whenever duplication is the
+    // dominant term, and the driver union-find labels a micro graph in
+    // one collect where the distributed fixpoint pays ~10 stage floors;
+    // above `driverMaxEdges` (or for non-long ids) it falls back to
+    // [[componentsStar]]. The localCheckpoint materializes the LSH pair
+    // pipeline once — it feeds both the size probe and the labeling.
+    val pairs = SimilarityJoin.cosineJoinLsh(repVecs, idCol, vecCol, tau,
+        dim, nBits, bands, seed)
+      .select(col("a"), col("b"))
+      .localCheckpoint()
+    val repComp = labelMicroGraph(pairs, pairs.count(), maxIters,
+        checkpointDir, driverMaxEdges)
+      .withColumnRenamed("__mid", "__rep")
+    val out = members.join(repComp, Seq("__rep"), "left")
+      .where(col("__m") >= 2 || col("component").isNotNull)
+      .select(col("__id").as(idCol),
+        coalesce(col("component"), col("__rep")).as("component"))
+    // componentsStar's eager fixpoint already materialized both pins; only
+    // the expansion join above is still lazy — retire, don't unpersist
+    // (the FixpointPin LRU shape: dropping the caches here would recompute
+    // the group aggregate once per downstream consumer)
+    FixpointPin.retire(keyed)
+    FixpointPin.retire(groups)
+    out
+  }
+
   /** SUBSTRING-level duplication — the tier doc-level dedup cannot see
     * (Lee et al. 2022, "Deduplicating Training Data Makes Language Models
     * Better", arXiv:2107.06499): a boilerplate paragraph pasted into

@@ -687,15 +687,18 @@ object NorthStarQueries {
 
     // transitive EMBEDDING-space duplicate clusters: sign-LSH cosine pairs
     // -> Kiveris large-star/small-star contraction (Dedup.componentsStar,
-    // O(log n) rounds — the 100 TB-posture components variant, previously
-    // only differential-tested). Component = min vec_id of the cluster;
-    // oracle = recursive-CTE reachability over the same replayed LSH pairs.
+    // O(log n) rounds — the 100 TB-posture components variant). r18: the
+    // pipeline runs through Dedup.embedComponents, which contracts
+    // bit-identical vectors to one representative FIRST — the raw pair set
+    // grows quadratically in exact-duplicate multiplicity (the r17 100×
+    // rung's one scale-killer: every vector had 99 exact copies, 286 s) —
+    // with a labeling proven identical to the uncontracted pipeline.
+    // Component = min vec_id of the cluster; oracle = the same contraction
+    // + recursive-CTE reachability over representative-level LSH pairs.
     "embed_dedup_components" -> { (s, dir) =>
       val emb = t(s, dir, "embeddings")
-      val pairs = SimilarityJoin.cosineJoinLsh(emb, "vec_id", "embedding",
-          CosineTau, embeddingDim(s, dir))
-        .select("a", "b")
-      Dedup.componentsStar(pairs, "vec_id")
+      Dedup.embedComponents(emb, "vec_id", "embedding", CosineTau,
+          embeddingDim(s, dir))
         .transform(sortedSingle(_, col("vec_id")))
     },
 
@@ -3367,7 +3370,12 @@ object NorthStarQueries {
     * sim_join_lsh / sim_join_routed oracles and the embed_dedup_components
     * recursive-CTE oracle, which consumes the pairs as a CTE.
     */
-  private def simJoinLshPairsSql: String = {
+  /** The sign-LSH signature -> band -> candidate CTE block over a source
+    * CTE named `e(vec_id, v)` — shared by [[simJoinLshPairsSql]] (e = the
+    * raw embeddings) and the embed_dedup_components oracle (e = contracted
+    * representatives). Emits `p`, `sig`, `banded`, `cand`.
+    */
+  private def signLshCandBlockSql: String = {
     val dim = EmbeddingDim
     val nBits = SimilarityJoin.DefaultNBits
     val bands = SimilarityJoin.DefaultBands
@@ -3376,8 +3384,7 @@ object NorthStarQueries {
     val values = SimilarityJoin.hyperplanes(dim, nBits).zipWithIndex
       .map { case (p, i) => s"($i, [${p.mkString(", ")}]::DOUBLE[$dim])" }
       .mkString(",\n    ")
-    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[$dim] AS v FROM embeddings),
-       |p(bit, pl) AS (VALUES
+    s"""p(bit, pl) AS (VALUES
        |    $values),
        |sig AS (
        |  SELECT vec_id,
@@ -3390,10 +3397,64 @@ object NorthStarQueries {
        |cand AS (
        |  SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
        |  FROM banded l JOIN banded r
-       |    ON l.band = r.band AND l.key = r.key AND l.vec_id < r.vec_id)
+       |    ON l.band = r.band AND l.key = r.key AND l.vec_id < r.vec_id)""".stripMargin
+  }
+
+  private def simJoinLshPairsSql: String = {
+    val dim = EmbeddingDim
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[$dim] AS v FROM embeddings),
+       |$signLshCandBlockSql
        |SELECT c.a, c.b, 1 - array_cosine_similarity(ea.v, eb.v) AS cos_dist
        |FROM cand c JOIN e ea ON c.a = ea.vec_id JOIN e eb ON c.b = eb.vec_id
        |WHERE 1 - array_cosine_similarity(ea.v, eb.v) <= $CosineTau""".stripMargin
+  }
+
+  /** embed_dedup_components oracle: the SAME exact-duplicate contraction
+    * Dedup.embedComponents performs (self-dup gate, min-id representative
+    * per distinct vector), sign-LSH pairs over representatives, recursive-
+    * CTE reachability, then member expansion — identical labeling to the
+    * uncontracted pipeline (the contraction-correctness argument lives on
+    * embedComponents), and the recursion stays feasible when duplicate
+    * multiplicity is high (the r17 100× rung made the raw-pair replay
+    * infeasible for DuckDB).
+    */
+  private def embedDedupComponentsOracle: String = {
+    val dim = EmbeddingDim
+    s"""WITH RECURSIVE
+       |e0 AS (SELECT vec_id, embedding::DOUBLE[$dim] AS v FROM embeddings),
+       |sd AS (SELECT vec_id, v,
+       |         (1 - array_cosine_similarity(v, v)) <= $CosineTau AS selfdup
+       |       FROM e0),
+       |grp AS (SELECT min(vec_id) AS rep, count(*) AS m, v
+       |        FROM sd WHERE selfdup GROUP BY v),
+       |members AS (
+       |  SELECT s.vec_id AS id, g.rep AS rep, g.m AS m
+       |  FROM sd s JOIN grp g ON s.v = g.v WHERE s.selfdup
+       |  UNION ALL
+       |  SELECT vec_id, vec_id, 1 FROM sd WHERE NOT selfdup),
+       |e AS (SELECT rep AS vec_id, v FROM grp
+       |      UNION ALL
+       |      SELECT vec_id, v FROM sd WHERE NOT selfdup),
+       |$signLshCandBlockSql,
+       |pairs AS (
+       |  SELECT c.a, c.b
+       |  FROM cand c JOIN e ea ON c.a = ea.vec_id JOIN e eb ON c.b = eb.vec_id
+       |  WHERE 1 - array_cosine_similarity(ea.v, eb.v) <= $CosineTau),
+       |edges AS (
+       |  SELECT a AS src, b AS dst FROM pairs
+       |  UNION
+       |  SELECT b AS src, a AS dst FROM pairs),
+       |nodes AS (SELECT DISTINCT src AS id FROM edges),
+       |reach(id, r) AS (
+       |  SELECT id, id FROM nodes
+       |  UNION
+       |  SELECT e2.dst AS id, reach.r AS r
+       |  FROM reach JOIN edges e2 ON e2.src = reach.id),
+       |repcomp AS (SELECT id, min(r) AS comp FROM reach GROUP BY id)
+       |SELECT m.id AS vec_id, CAST(coalesce(rc.comp, m.rep) AS BIGINT) AS component
+       |FROM members m LEFT JOIN repcomp rc ON m.rep = rc.id
+       |WHERE m.m >= 2 OR rc.id IS NOT NULL
+       |ORDER BY vec_id""".stripMargin
   }
 
   private val MarkersValues: String =
@@ -3699,20 +3760,7 @@ object NorthStarQueries {
     "sim_join_lsh" -> simJoinLshOracle,
     // routed entrypoint forced above maxExactRows → must equal the LSH tier
     "sim_join_routed" -> simJoinLshOracle,
-    "embed_dedup_components" ->
-      s"""WITH RECURSIVE pairs AS ($simJoinLshPairsSql),
-         |edges AS (
-         |  SELECT a AS src, b AS dst FROM pairs
-         |  UNION
-         |  SELECT b AS src, a AS dst FROM pairs),
-         |nodes AS (SELECT DISTINCT src AS id FROM edges),
-         |reach(id, r) AS (
-         |  SELECT id, id FROM nodes
-         |  UNION
-         |  SELECT e.dst AS id, reach.r AS r
-         |  FROM reach JOIN edges e ON e.src = reach.id)
-         |SELECT id AS vec_id, CAST(min(r) AS BIGINT) AS component
-         |FROM reach GROUP BY id ORDER BY vec_id""".stripMargin,
+    "embed_dedup_components" -> embedDedupComponentsOracle,
     "ann_kmeans_topk" -> annKmeansOracle,
     "semantic_dedup" -> semanticDedupOracle,
     "ann_graph_topk" -> annGraphOracle,

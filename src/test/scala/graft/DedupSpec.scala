@@ -674,4 +674,82 @@ class ComponentsSpec extends SparkTestBase {
     assert(toMapOf(graft.ops.Dedup.componentsStar(pairs)) ==
       toMapOf(graft.ops.Dedup.components(pairs)))
   }
+
+  /** embedComponents == the uncontracted cosineJoinLsh -> componentsStar
+    * pipeline, row for row — the contraction must be invisible.
+    */
+  private def uncontractedEmbed(df: org.apache.spark.sql.DataFrame,
+      tau: Double, dim: Int): Map[Long, Long] = {
+    val pairs = graft.ops.SimilarityJoin
+      .cosineJoinLsh(df, "vec_id", "embedding", tau, dim)
+      .select(col("a"), col("b"))
+    graft.ops.Dedup.componentsStar(pairs, "vec_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  private def contractedEmbed(df: org.apache.spark.sql.DataFrame,
+      tau: Double, dim: Int): Map[Long, Long] =
+    graft.ops.Dedup.embedComponents(df, "vec_id", "embedding", tau, dim)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("embedComponents: identical labeling to the uncontracted pipeline under heavy exact duplication") {
+    val rnd = new scala.util.Random(4242L)
+    val dim = 8
+    // 12 base vectors, each duplicated 1-9 times bit-identically, ids
+    // interleaved so group minima are non-trivial; plus two exact-zero
+    // vectors (self-distance 2.0 — must NOT contract or pair) and one
+    // vector with a NaN element (self-distance NaN — same)
+    val bases = (0 until 12).map(_ => Array.fill(dim)(rnd.nextFloat() * 2f - 1f))
+    var id = 0L
+    val rows = scala.collection.mutable.Buffer[(Long, Array[Float])]()
+    bases.zipWithIndex.foreach { case (v, i) =>
+      (0 to i % 5 * 2).foreach { _ => rows += ((id, v.clone())); id += 3 }
+    }
+    rows += ((id, Array.fill(dim)(0f))); id += 3
+    rows += ((id, Array.fill(dim)(0f))); id += 3
+    rows += ((id, Array.tabulate(dim)(j => if (j == 2) Float.NaN else 0.5f)))
+    val df = rows.toSeq.toDF("vec_id", "embedding")
+    val tau = 0.55
+    val want = uncontractedEmbed(df, tau, dim)
+    val got = contractedEmbed(df, tau, dim)
+    assert(got == want)
+    // sanity: the duplication actually exercised the contraction (some
+    // group has >= 3 members) and the zero/NaN rows are absent from both
+    assert(rows.size > bases.size + 3)
+    val zeroIds = rows.toSeq.filter(_._2.forall(_ == 0f)).map(_._1)
+    assert(zeroIds.nonEmpty && zeroIds.forall(z => !got.contains(z)))
+  }
+
+  test("embedComponents: zero vectors pair (and contract) when tau admits self-distance 2.0") {
+    // with tau >= 2.0 a zero vector's self-distance passes the gate, the
+    // raw graph pairs identical zeros, and the contraction must follow
+    val df = Seq(
+      (1L, Array.fill(4)(0f)), (5L, Array.fill(4)(0f)),
+      (9L, Array(1f, 0f, 0f, 0f))).toDF("vec_id", "embedding")
+    val want = uncontractedEmbed(df, 2.0, 4)
+    val got = contractedEmbed(df, 2.0, 4)
+    assert(got == want)
+    assert(got.get(1L).contains(1L) && got.get(5L).contains(1L))
+  }
+
+  test("embedComponents: randomized differential vs the uncontracted pipeline") {
+    val dim = 6
+    (1 to 6).foreach { seed =>
+      val rnd = new scala.util.Random(seed * 104729L)
+      val nBase = 5 + rnd.nextInt(10)
+      val bases = (0 until nBase).map(_ => Array.fill(dim)(rnd.nextFloat() * 2f - 1f))
+      val rows = (0 until 40).map { i =>
+        val v = bases(rnd.nextInt(nBase))
+        // half the rows perturb one element — near-dups that are NOT
+        // bit-identical must never contract, only pair through the LSH
+        val w = if (rnd.nextBoolean()) v.clone()
+          else { val c = v.clone(); c(rnd.nextInt(dim)) += rnd.nextFloat() * 0.01f; c }
+        (i.toLong * 7, w)
+      }
+      val df = rows.toDF("vec_id", "embedding")
+      val tau = 0.3 + rnd.nextDouble() * 0.4
+      assert(contractedEmbed(df, tau, dim) == uncontractedEmbed(df, tau, dim),
+        s"seed $seed tau $tau")
+    }
+  }
 }
