@@ -150,8 +150,19 @@ private[graft] object IndexFiles {
   }
   private val held = new java.util.concurrent.ConcurrentHashMap[String, Lease]()
 
+  /** Test seam: distinct values scope the in-process lease table, so a
+    * spec can simulate SEPARATE JVMs racing one store (two real JVMs
+    * cannot share a spec process, and the cross-JVM acquisition path —
+    * create-exclusive + payload read-back — is exactly the part that
+    * needs adversarial coverage). Production never sets it: one shared
+    * table per JVM, the real semantics.
+    */
+  private[graft] val jvmScopeForTest = new ThreadLocal[String] {
+    override def initialValue(): String = ""
+  }
+
   private def leaseKey(f: FileSystem, store: String): String =
-    f.makeQualified(new HPath(store)).toString
+    jvmScopeForTest.get() + f.makeQualified(new HPath(store)).toString
 
   /** The current on-disk lease payload, if any (specs + operator triage). */
   def writerLeaseHolder(spark: SparkSession, store: String): Option[String] =
@@ -240,6 +251,23 @@ private[graft] object IndexFiles {
           // this very call, so it is ours to remove
           f.delete(lock, false)
           throw e
+      }
+      // Read-back verification (r18): on filesystems where
+      // create(overwrite = false) is check-then-create (RawLocal; the
+      // WriterLeaseSpec race measured 3/8 racers through it) two JVMs can
+      // BOTH believe they created the lock — a window the in-process
+      // claim cannot reach (it only sees this JVM). After writing the
+      // payload, proceed only if the lock still carries OUR nonce: the
+      // racer whose payload was overwritten fails loudly here instead of
+      // entering body unprotected. (The residual window — the other
+      // JVM's create landing after this read-back — needs a truly atomic
+      // create to close, which HDFS and conditional-write S3 provide;
+      // this check reduces the non-atomic-store race to that sliver.)
+      if (!ownsDiskLock()) {
+        held.remove(key, lease)
+        contended(writerLeaseHolder(spark, store)
+          .map(p => s"lost the creation race; on-disk holder: ${p.trim}")
+          .getOrElse("lost the creation race to another JVM"))
       }
       try body finally {
         held.remove(key, lease)

@@ -248,4 +248,51 @@ class WriterLeaseSpec extends SparkTestBase {
     IndexFiles.breakWriterLease(s, store)
     IndexFiles.withWriterLease(s, store, "mock-after") { () }
   }
+
+  test("cross-JVM acquisition race (separate held-tables): exactly one racer enters body per round") {
+    // two simulated JVMs (the jvmScopeForTest seam scopes the in-process
+    // lease table per racer thread, so the in-process claim can never
+    // arbitrate between them — exactly the cross-JVM shape) race full
+    // withWriterLease acquisition on a MockObjectStoreFs store. The
+    // create-exclusive call plus the r18 payload read-back must admit
+    // exactly ONE into body per round; the loser gets the loud contended
+    // error, never a silent second writer.
+    val s = spark
+    s.sparkContext.hadoopConfiguration.set("fs.graftmock.impl",
+      classOf[graft.tools.MockObjectStoreFs].getName)
+    val store = "graftmock:" + graft.util.TempDirs.create("graft_lease_xjvm")
+    (1 to 12).foreach { round =>
+      val inBody = new java.util.concurrent.atomic.AtomicInteger
+      val maxConcurrent = new java.util.concurrent.atomic.AtomicInteger
+      val cur = new java.util.concurrent.atomic.AtomicInteger
+      val failures = new java.util.concurrent.atomic.AtomicInteger
+      val start = new CountDownLatch(1)
+      val racers = Seq("jvmA", "jvmB").map { jvm =>
+        new Thread(() => {
+          IndexFiles.jvmScopeForTest.set(jvm)
+          start.await()
+          try IndexFiles.withWriterLease(s, store, s"race-$jvm") {
+            inBody.incrementAndGet()
+            val c = cur.incrementAndGet()
+            maxConcurrent.updateAndGet(m => math.max(m, c))
+            Thread.sleep(2)
+            cur.decrementAndGet()
+            ()
+          } catch {
+            case _: IllegalStateException => failures.incrementAndGet(); ()
+          } finally IndexFiles.jvmScopeForTest.remove()
+        })
+      }
+      racers.foreach(_.start())
+      start.countDown()
+      racers.foreach(_.join(30000))
+      // exactly one winner, one loud loser, never two writers at once
+      assert(maxConcurrent.get <= 1, s"round $round: two writers in body")
+      assert(inBody.get == 1, s"round $round: ${inBody.get} entered body")
+      assert(failures.get == 1, s"round $round: ${failures.get} failed")
+      // the winner released: the next round must acquire cleanly
+      assert(IndexFiles.writerLeaseHolder(s, store).isEmpty,
+        s"round $round left a lock behind")
+    }
+  }
 }

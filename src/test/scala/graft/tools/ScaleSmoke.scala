@@ -989,6 +989,87 @@ object ScaleSmoke {
       spark.catalog.clearCache()
       emb.unpersist(blocking = true)
     }
+
+    // ann_autoprobe_pq_topk DECOMPOSED (the r17 borderline row): F = the
+    // per-invocation machinery that does not scale with the corpus — the
+    // query-vector head(), fromMaterialized's generation/spec resolution,
+    // catalog registration, the optimizer splice (rule match + probe plan
+    // memo build + the require() optimization pass) and the spliced
+    // plan's job floors; D = the ADC broadcast-join + rerank read, the
+    // only corpus-sized term. Mirrors the registered gate's amortization
+    // exactly: the trained-PQ spool materializes OUTSIDE the wall (the
+    // gate caches it per dir across bench invocations); everything the
+    // gate re-runs per invocation stays INSIDE. Variants: `fixed` = a
+    // stride-covering 65-row corpus (pure F), `full` = the sf dir corpus,
+    // `x4` = 4 id-shifted copies (slope check for D).
+    if (on("autoprobe_pq_decomp")) {
+      import graft.plans.AnnCatalog
+      graft.GraftSession.attachAnnProbeRule(spark)
+      val spec = graft.ops.ProductQuantizer.PqSpec(m = 8, dsub = 8, stride = 64)
+      val baseEmb = spark.read.parquet(s"$dir/embeddings.parquet")
+        .select("vec_id", "embedding")
+      def copies(k: Int): DataFrame = (0 until k).map { c =>
+        baseEmb.select((col("vec_id") + lit(c * 1000000L)).as("vec_id"),
+          col("embedding"))
+      }.reduce(_ unionAll _)
+      val variants: Seq[(String, DataFrame)] = Seq(
+        ("fixed", baseEmb.where(col("vec_id") <= 64)),
+        ("full", copies(1)),
+        ("x4", copies(4)))
+      def spool(emb: DataFrame, name: String): String = {
+        val p = graft.util.TempDirs.create(s"autoprobe_decomp_$name")
+        graft.ops.ProductQuantizer.materialize(emb, "vec_id", "embedding",
+          spec, p, trainedIters = 2)
+        p
+      }
+      def gateOnce(emb: DataFrame, path: String): Long = {
+        val qvec = emb.where(col("vec_id") === 1).select(col("embedding"))
+          .head().getSeq[Float](0).map(_.toDouble).toArray
+        val (_, precomputed) =
+          graft.ops.ProductQuantizer.fromMaterialized(spark, path, Some(spec))
+        AnnCatalog.clear()
+        AnnCatalog.registerProbe(emb, "vec_id", "embedding", (q, k) =>
+          graft.ops.ProductQuantizer.adcRerankTopK(emb, "vec_id",
+            "embedding", q, k, spec, overfetch = 100,
+            precomputed = Some(precomputed)))
+        spark.conf.set("spark.graft.ann.autoProbe", "true")
+        val df = emb.select(col("vec_id"),
+            graft.functions.array_cosine_distance(
+              col("embedding"), typedLit(qvec.toSeq)).as("cos_dist"))
+          .orderBy(col("cos_dist").asc_nulls_last, col("vec_id").asc)
+          .limit(10)
+        require(df.queryExecution.optimizedPlan.toString.contains("LeftSemi"),
+          "decomp rung lost the splice — it no longer measures the gate")
+        df.count()
+      }
+      // the gate reads its corpus as a fresh SINGLE parquet scan per
+      // invocation (t(), no Filter above it — the rule's match shape);
+      // land each variant corpus the same way
+      def corpusSpool(df: DataFrame, name: String): DataFrame = {
+        val cp = graft.util.TempDirs.create(s"autoprobe_corpus_$name")
+        df.write.mode("overwrite").parquet(cp)
+        spark.read.parquet(cp)
+      }
+      locally { // warm codegen/rule classes off the clock
+        val emb = corpusSpool(variants.head._2, "warm")
+        gateOnce(emb, spool(emb, "warm"))
+      }
+      for ((name, embSrc) <- variants) {
+        val emb = corpusSpool(embSrc, name)
+        val n = emb.count()
+        val p = spool(emb, name)
+        var best = Long.MaxValue
+        var out = 0L
+        (0 until 3).foreach { _ =>
+          val t0 = System.nanoTime()
+          out = gateOnce(emb, p)
+          best = math.min(best, (System.nanoTime() - t0) / 1000000L)
+        }
+        println(f"SCALE family=autoprobe_pq_decomp variant=$name%-5s " +
+          f"vecs=$n%7d topk=$out%3d wallBestMs=$best%7d")
+        spark.conf.set("spark.graft.ann.autoProbe", "false")
+      }
+    }
     spark.stop()
   }
 }
