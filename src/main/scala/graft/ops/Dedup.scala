@@ -1016,7 +1016,13 @@ object Dedup {
       stride: Int = 64, iters: Int = 2, eps: Double = 0.55): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val cents = AnnIndex.kmeansCentroids(df, idCol, vecCol, stride, iters)
-    val vecs = df.select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
+    // widen a narrower-than-core-count scan before the broadcast
+    // cross-join (one-file inputs otherwise run the n·(n/stride) argmin
+    // in a single task — the r18 rung finding on AnnIndex.buildWith)
+    val vecsSrc = df.select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val vecs = if (vecsSrc.rdd.getNumPartitions < par)
+      vecsSrc.repartition(par) else vecsSrc
     // nearest-centroid argmin: struct min orders by distance then cid, so
     // ties break to the lowest centroid id — same rule as the IVF build
     val assigned = vecs.crossJoin(broadcast(cents))

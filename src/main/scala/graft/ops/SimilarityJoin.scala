@@ -586,6 +586,21 @@ object AnnIndex {
     df.where(pmod(col(idCol), lit(stride)) === 0)
       .select(col(idCol).cast("long").as("__cid"), col(vecCol).as("__cvec"))
 
+  /** Decouple the assignment's per-row parallelism from the INPUT's file
+    * layout (the vector twin of cosineJoinLsh's repartition, r17): a
+    * one-file table scans as ONE partition, and the broadcast centroid
+    * cross-join + argmin over n·(n/stride) distance rows then runs in a
+    * single task (caught on the r18 100×-sf0.1 rung: the ann_ivf_delete
+    * spool's 200k-vector build sat in one SortAggregate task for 25+ min
+    * computing 625M dot products on one core). Widens ONLY when the scan
+    * is narrower than the core count, so real multi-split inputs (any
+    * 100 TB table) never pay a gratuitous corpus-wide shuffle.
+    */
+  private def widened(df: DataFrame): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < par) df.repartition(par) else df
+  }
+
   /** Lloyd-refined centroids: start from the deterministic stride sample,
     * run `iters` rounds of (argmin assignment → per-cluster mean). Each
     * round is one broadcast join + two aggregates — the same scale shape as
@@ -599,7 +614,8 @@ object AnnIndex {
     */
   def kmeansCentroids(df: DataFrame, idCol: String, vecCol: String,
       stride: Int = 64, iters: Int = 2): DataFrame = {
-    val vecs = df.select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
+    val vecs = widened(
+      df.select(col(idCol), col(vecCol).cast("array<double>").as("__v")))
     var cents = centroidsOf(df, idCol, vecCol, stride)
       .select(col("__cid"), col("__cvec").cast("array<double>").as("__cvec"))
     for (_ <- 1 to iters) {
@@ -667,8 +683,7 @@ object AnnIndex {
     // scan, partial-aggregate the argmin map-side — each partition ships one
     // row per vector to the shuffle regardless of centroid count. Ties on
     // distance break by centroid id (struct ordering: d, then cid).
-    val assigned = df
-      .select(col(idCol), col(vecCol))
+    val assigned = widened(df.select(col(idCol), col(vecCol)))
       .crossJoin(broadcast(centroids))
       .select(col(idCol), col(vecCol),
         struct(array_cosine_distance(col(vecCol), col("__cvec")).as("d"),
