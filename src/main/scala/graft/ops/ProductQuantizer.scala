@@ -53,10 +53,21 @@ object ProductQuantizer {
     * M subvectors, locally (posexplode — no shuffle).
     */
   private def explodeSub(df: DataFrame, idCol: String, vecCol: String,
-      spec: PqSpec): DataFrame =
-    df.select(col(idCol).cast("long").as("__id"),
-        posexplode(subvecs(col(vecCol).cast("array<double>"), spec)))
+      spec: PqSpec): DataFrame = {
+    // Widen a narrower-than-core-count scan before the explode: every
+    // consumer fans each row out M-fold and then K-fold through the
+    // broadcast codebook join, so a one-file input otherwise runs the
+    // whole n·M·K argmin in a SINGLE task (caught on the r18 100×-sf0.1
+    // rung: the IVF-PQ encode sat in one codegen task grinding 5B rows —
+    // the PQ twin of the AnnIndex.buildWith finding). Real multi-split
+    // inputs are already wide: no-op, no gratuitous corpus shuffle.
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val src = df.select(col(idCol).cast("long").as("__id"),
+      col(vecCol).cast("array<double>").as("__vsrc"))
+    val wide = if (src.rdd.getNumPartitions < par) src.repartition(par) else src
+    wide.select(col("__id"), posexplode(subvecs(col("__vsrc"), spec)))
       .withColumnRenamed("pos", "__m").withColumnRenamed("col", "__sv")
+  }
 
   /** Long-form codebooks `(__m, __j, __cbvec)`: broadcast-sized
     * (m·(n/stride) rows of dsub doubles). Entry numbers `__j` are the
