@@ -66,8 +66,17 @@ object GraphAnn {
     * built over, not centroids derived from the batch itself.
     */
   private def assignedTo(df: DataFrame, idCol: String, vecCol: String,
-      cents: DataFrame): DataFrame =
-    df.select(col(idCol).cast("long").as("__nid"), col(vecCol).as("__nv"))
+      cents: DataFrame): DataFrame = {
+    // widen a narrower-than-core-count scan before the broadcast
+    // cross-join: a one-file input otherwise runs the n·(n/stride) argmin
+    // partial-aggregate in ONE map task (the r18 100×-rung finding on
+    // AnnIndex.buildWith, graph-tier instance). No-op on multi-split
+    // inputs — never a gratuitous corpus shuffle.
+    val src = df.select(col(idCol).cast("long").as("__nid"),
+      col(vecCol).as("__nv"))
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val wide = if (src.rdd.getNumPartitions < par) src.repartition(par) else src
+    wide
       .crossJoin(broadcast(cents))
       .select(col("__nid"), col("__nv"),
         struct(array_cosine_distance(col("__nv"), col("__cvec")).as("d"),
@@ -75,6 +84,7 @@ object GraphAnn {
       .groupBy(col("__nid"))
       .agg(first(col("__nv")).as("__nv"),
         min(col("__dc")).getField("cid").as("__centroid"))
+  }
 
   /** degree-NN edges within each bucket of an [[assignedOf]] frame (ties →
     * lowest dst id) — Σ bucket² distance evaluations, the same cost class
