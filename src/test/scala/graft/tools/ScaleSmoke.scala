@@ -1070,6 +1070,75 @@ object ScaleSmoke {
         spark.conf.set("spark.graft.ann.autoProbe", "false")
       }
     }
+
+    // ann_autoprobe_graph_topk DECOMPOSED, same framing as the PQ family:
+    // the probe is a DRIVER BEAM (fixed rounds of IN-pushdown point
+    // reads), so its cost is rounds × job floor + the splice machinery —
+    // independent of corpus size by design. F = the fixed-corpus wall;
+    // the full/x4 variants prove D ≈ 0.
+    if (on("autoprobe_graph_decomp")) {
+      import graft.plans.AnnCatalog
+      graft.GraftSession.attachAnnProbeRule(spark)
+      val baseEmb = spark.read.parquet(s"$dir/embeddings.parquet")
+        .select("vec_id", "embedding")
+      def copies(k: Int): DataFrame = (0 until k).map { c =>
+        baseEmb.select((col("vec_id") + lit(c * 1000000L)).as("vec_id"),
+          col("embedding"))
+      }.reduce(_ unionAll _)
+      def corpusSpool(df: DataFrame, name: String): DataFrame = {
+        val cp = graft.util.TempDirs.create(s"apg_corpus_$name")
+        df.write.mode("overwrite").parquet(cp)
+        spark.read.parquet(cp)
+      }
+      def gateOnce(emb: DataFrame, edges: DataFrame): Long = {
+        val qvec = emb.where(col("vec_id") === 1).select(col("embedding"))
+          .head().getSeq[Float](0).map(_.toDouble).toArray
+        AnnCatalog.clear()
+        AnnCatalog.registerProbe(emb, "vec_id", "embedding", (q, k) =>
+          graft.ops.GraphAnn.pointProbeTopK(emb, "vec_id", "embedding",
+            edges, q, k, stride = 64))
+        spark.conf.set("spark.graft.ann.autoProbe", "true")
+        val df = emb.select(col("vec_id"),
+            graft.functions.array_cosine_distance(
+              col("embedding"), typedLit(qvec.toSeq)).as("cos_dist"))
+          .orderBy(col("cos_dist").asc_nulls_last, col("vec_id").asc)
+          .limit(10)
+        val plan = df.queryExecution.optimizedPlan.toString
+        require(plan.contains("LocalRelation") && !plan.contains("Sort"),
+          "decomp rung lost the graph splice")
+        df.count()
+      }
+      def spool(emb: DataFrame, name: String): DataFrame = {
+        val p = graft.util.TempDirs.create(s"apg_spool_$name")
+        graft.ops.GraphAnn.materialize(emb, "vec_id", "embedding", 64,
+          graft.ops.GraphAnn.DefaultDegree, p)
+        graft.ops.GraphAnn.fromMaterialized(spark, p, 64,
+          graft.ops.GraphAnn.DefaultDegree)
+      }
+      val variants: Seq[(String, DataFrame)] = Seq(
+        ("fixed", baseEmb.where(col("vec_id") <= 64)),
+        ("full", copies(1)),
+        ("x4", copies(4)))
+      locally {
+        val emb = corpusSpool(variants.head._2, "warm")
+        gateOnce(emb, spool(emb, "warm"))
+      }
+      for ((name, embSrc) <- variants) {
+        val emb = corpusSpool(embSrc, name)
+        val n = emb.count()
+        val edges = spool(emb, name)
+        var best = Long.MaxValue
+        var out = 0L
+        (0 until 3).foreach { _ =>
+          val t0 = System.nanoTime()
+          out = gateOnce(emb, edges)
+          best = math.min(best, (System.nanoTime() - t0) / 1000000L)
+        }
+        println(f"SCALE family=autoprobe_graph_decomp variant=$name%-5s " +
+          f"vecs=$n%7d topk=$out%3d wallBestMs=$best%7d")
+        spark.conf.set("spark.graft.ann.autoProbe", "false")
+      }
+    }
     spark.stop()
   }
 }
