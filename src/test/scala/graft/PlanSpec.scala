@@ -232,4 +232,22 @@ class PlanSpec extends SparkTestBase {
     // the only hash exchanges aggregate on bucket (weights) and doc id
     assert(!plan.contains("SortMergeJoin"), plan)
   }
+
+  test("embedComponents: map-side-combined group aggregate, broadcast expansion join") {
+    // the r18 contraction's scale claims, visible in the plan: the
+    // duplicate-group aggregate must HASH-aggregate with a partial map
+    // side (a hot duplicate group then ships one row per map task, not
+    // one per copy), and the member-expansion join must broadcast the
+    // (contracted, small) label side rather than shuffling the member
+    // table against it.
+    val plan = graft.ops.Dedup.embedComponents(
+        emb, "vec_id", "embedding", 0.55, 64)
+      .queryExecution.executedPlan.toString
+    // group-by-vector: hash/objecthash aggregate (array keys), never a
+    // row-number window (which would shuffle + sort every copy)
+    assert(plan.contains("HashAggregate") || plan.contains("ObjectHashAggregate"), plan)
+    // expansion: the label side is k-distinct-vector-sized — broadcast
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
 }
