@@ -880,10 +880,28 @@ object Dedup {
     // above `driverMaxEdges` (or for non-long ids) it falls back to
     // [[componentsStar]]. The localCheckpoint materializes the LSH pair
     // pipeline once — it feeds both the size probe and the labeling.
-    val pairs = SimilarityJoin.cosineJoinLsh(repVecs, idCol, vecCol, tau,
-        dim, nBits, bands, seed)
-      .select(col("a"), col("b"))
-      .localCheckpoint()
+    //
+    // Edge TIER (r19): connectivity needs a spanning structure, not the
+    // pair listing, so long-id inputs take
+    // [[SimilarityJoin.cosineLshComponentEdges]] — per band bucket a
+    // spanning forest of the verified subgraph, at most |bucket|-1 edges —
+    // closing the NEAR-duplicate quadratic the exact-dup contraction above
+    // cannot see: m DISTINCT vectors all within tau (the templated-page
+    // shape) don't contract (different bits) but share band keys, so the
+    // all-pairs tier fed O(m²) verified pairs into the fixpoint. Labeling
+    // is provably identical (per-bucket local components preserved =>
+    // global components preserved; see the Scaladoc proof there), covered
+    // by the randomized differentials in DedupSpec.
+    val idIsLong =
+      df.schema(idCol).dataType == org.apache.spark.sql.types.LongType
+    val rawPairs =
+      if (idIsLong)
+        SimilarityJoin.cosineLshComponentEdges(repVecs, idCol, vecCol, tau,
+          dim, nBits, bands, seed)
+      else
+        SimilarityJoin.cosineJoinLsh(repVecs, idCol, vecCol, tau,
+          dim, nBits, bands, seed).select(col("a"), col("b"))
+    val pairs = rawPairs.localCheckpoint()
     val repComp = labelMicroGraph(pairs, pairs.count(), maxIters,
         checkpointDir, driverMaxEdges)
       .withColumnRenamed("__mid", "__rep")
@@ -1019,10 +1037,8 @@ object Dedup {
     // widen a narrower-than-core-count scan before the broadcast
     // cross-join (one-file inputs otherwise run the n·(n/stride) argmin
     // in a single task — the r18 rung finding on AnnIndex.buildWith)
-    val vecsSrc = df.select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
-    val par = df.sparkSession.sparkContext.defaultParallelism
-    val vecs = if (vecsSrc.rdd.getNumPartitions < par)
-      vecsSrc.repartition(par) else vecsSrc
+    val vecs = graft.util.Partitions.widenNarrowScan(
+      df.select(col(idCol), col(vecCol).cast("array<double>").as("__v")))
     // nearest-centroid argmin: struct min orders by distance then cid, so
     // ties break to the lowest centroid id — same rule as the IVF build
     val assigned = vecs.crossJoin(broadcast(cents))

@@ -127,6 +127,14 @@ private[graft] object FixpointPin {
       * CacheManager entry, and `unpersist` evicts by that identity.
       */
     var entryId: AnyRef = null
+    /** Set once this slot's OWN booking task has run. The refresh pass may
+      * only assign `entryId` to booked slots: assigning it to a newer slot
+      * whose booking is still queued would let an OLDER slot's dedupe loop
+      * remove the newer one and keep itself — inverting the keep-newest
+      * LRU intent (the shared entry would then sit at an older deque
+      * position and be evicted earlier than intended).
+      */
+    var booked: Boolean = false
   }
   private val retired = new java.util.ArrayDeque[Retired]()
   private var retiredBytes: Long = 0L
@@ -200,7 +208,9 @@ private[graft] object FixpointPin {
             if (retired.contains(e)) {
               retiredBytes += b - e.bytes
               e.bytes = b
-              if (e.entryId == null) e.entryId = id
+              // entryId only for slots whose own booking already ran — see
+              // [[Retired.booked]] (the keep-newest dedupe inversion)
+              if (e.entryId == null && e.booked) e.entryId = id
             }
           }
         }
@@ -214,6 +224,7 @@ private[graft] object FixpointPin {
         // case and books phantom bytes for the evicted one, permanently
         // poisoning the budget (every later retirement then evicts the
         // deque to a single slot).
+        entry.booked = true
         if (retired.contains(entry)) {
           val prevBytes = entry.bytes
           entry.entryId = info.map(_._1).orNull

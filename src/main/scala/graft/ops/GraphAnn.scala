@@ -72,10 +72,9 @@ object GraphAnn {
     // partial-aggregate in ONE map task (the r18 100×-rung finding on
     // AnnIndex.buildWith, graph-tier instance). No-op on multi-split
     // inputs — never a gratuitous corpus shuffle.
-    val src = df.select(col(idCol).cast("long").as("__nid"),
-      col(vecCol).as("__nv"))
-    val par = df.sparkSession.sparkContext.defaultParallelism
-    val wide = if (src.rdd.getNumPartitions < par) src.repartition(par) else src
+    val wide = graft.util.Partitions.widenNarrowScan(
+      df.select(col(idCol).cast("long").as("__nid"),
+        col(vecCol).as("__nv")))
     wide
       .crossJoin(broadcast(cents))
       .select(col("__nid"), col("__nv"),

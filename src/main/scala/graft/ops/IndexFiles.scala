@@ -168,6 +168,36 @@ private[graft] object IndexFiles {
   def writerLeaseHolder(spark: SparkSession, store: String): Option[String] =
     readStringOpt(spark, new HPath(store, LockName).toString)
 
+  /** Generation-flip fence (r19): re-verify THIS thread's lease nonce on
+    * disk immediately before the final pointer/marker write that commits a
+    * maintenance epoch. Lease verification is otherwise acquisition-time
+    * only, so a long epoch whose lease was broken mid-flight (an operator
+    * takeover — `breakWriterLease` + a new writer's acquisition) would
+    * still land its final flip over the new writer's work. The contract
+    * covers that (takeover is an explicit operator decision: verify the
+    * old writer is dead first), but this fence turns the contract
+    * violation into a LOUD failure: the stale writer aborts with the
+    * store still resolving the previously committed state.
+    *
+    * No-op when the calling thread holds no in-process lease for the
+    * store — the same final writes also run from un-leased initial builds
+    * (materialize), whose single-writer contract is the caller's.
+    */
+  def fenceWriterLease(spark: SparkSession, store: String): Unit = {
+    val f = fs(spark, store)
+    val cur = held.get(leaseKey(f, store))
+    if (cur != null && (cur.thread eq Thread.currentThread())) {
+      val owns = readStringOpt(spark, new HPath(store, LockName).toString)
+        .exists(_.contains(s"nonce=${cur.nonce}"))
+      if (!owns) throw new IllegalStateException(
+        s"writer lease for $store was broken mid-epoch — the on-disk lock " +
+          "no longer carries this writer's nonce (operator takeover?). " +
+          "Refusing the final commit write: the store still resolves the " +
+          "previously committed state; re-run the operation under a fresh " +
+          "lease once the takeover writer is done.")
+    }
+  }
+
   /** Operator override for a crashed writer's leftover lease: verify the
     * old writer is dead FIRST — breaking a live writer's lease re-creates
     * the silent two-writer corruption this mechanism exists to prevent.
@@ -263,7 +293,22 @@ private[graft] object IndexFiles {
       // JVM's create landing after this read-back — needs a truly atomic
       // create to close, which HDFS and conditional-write S3 provide;
       // this check reduces the non-atomic-store race to that sliver.)
-      if (!ownsDiskLock()) {
+      // the read-back itself can fail transiently (FS read error on the
+      // lock we just wrote): clean up like the payload-write failure path
+      // above — otherwise the in-process entry AND our on-disk lock both
+      // stay behind and wedge every future acquisition until an operator
+      // breaks the lease. The lock delete is best-effort re-confirmed: a
+      // still-failing read leaves the file for breakWriterLease.
+      val owns =
+        try ownsDiskLock()
+        catch {
+          case e: Throwable =>
+            held.remove(key, lease)
+            try { if (ownsDiskLock()) f.delete(lock, false) }
+            catch { case _: Throwable => () }
+            throw e
+        }
+      if (!owns) {
         held.remove(key, lease)
         contended(writerLeaseHolder(spark, store)
           .map(p => s"lost the creation race; on-disk holder: ${p.trim}")

@@ -24,6 +24,10 @@ private[graft] object IndexManifests {
   private[graft] val FileName = "_graft_buckets"
 
   def write(spark: SparkSession, table: String, partCol: String): Unit = {
+    // the manifest is the final write of every leased bucket-table
+    // mutation (append/delete/compact): fence it against a mid-epoch
+    // lease takeover — no-op for un-leased initial builds
+    IndexFiles.fenceWriterLease(spark, table)
     val root = new org.apache.hadoop.fs.Path(table)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val buckets = fs.listStatus(root).iterator

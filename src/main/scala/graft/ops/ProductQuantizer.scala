@@ -61,10 +61,9 @@ object ProductQuantizer {
     // rung: the IVF-PQ encode sat in one codegen task grinding 5B rows —
     // the PQ twin of the AnnIndex.buildWith finding). Real multi-split
     // inputs are already wide: no-op, no gratuitous corpus shuffle.
-    val par = df.sparkSession.sparkContext.defaultParallelism
-    val src = df.select(col(idCol).cast("long").as("__id"),
-      col(vecCol).cast("array<double>").as("__vsrc"))
-    val wide = if (src.rdd.getNumPartitions < par) src.repartition(par) else src
+    val wide = graft.util.Partitions.widenNarrowScan(
+      df.select(col(idCol).cast("long").as("__id"),
+        col(vecCol).cast("array<double>").as("__vsrc")))
     wide.select(col("__id"), posexplode(subvecs(col("__vsrc"), spec)))
       .withColumnRenamed("pos", "__m").withColumnRenamed("col", "__sv")
   }
@@ -352,6 +351,9 @@ object ProductQuantizer {
     */
   private def publishCodesGen(spark: org.apache.spark.sql.SparkSession,
       path: String, gen: Long): Unit = {
+    // the epoch's commit point: refuse it if our lease was broken and
+    // re-acquired mid-epoch (see IndexFiles.fenceWriterLease)
+    IndexFiles.fenceWriterLease(spark, path)
     IndexFiles.createMarker(spark, s"$path/$CodesGenMarker.$gen", gen.toString)
     IndexFiles.listFilesWithPrefix(spark, path, CodesGenMarker)
       .filter { s =>

@@ -229,6 +229,152 @@ object SimilarityJoin {
         .otherwise(lit(0L))
     }.reduce(_.bitwiseOR(_))
 
+  /** Connectivity-preserving sign-LSH edge set: SAME banded buckets as
+    * [[cosineJoinLsh]], but each bucket emits a SPANNING FOREST of its
+    * verified subgraph instead of every verified pair — output `(a, b)`
+    * edges whose connected components are PROVABLY IDENTICAL to those of
+    * the full [[cosineJoinLsh]] pair set. This is the components-consumer
+    * tier ([[Dedup.embedComponents]]): labeling needs connectivity, not the
+    * pair listing.
+    *
+    * Why this exists (the r18 verdict's named residual, the near-duplicate
+    * twin of the exact-dup contraction): m DISTINCT vectors all within tau
+    * of each other — the templated-page shape, ubiquitous in web crawls —
+    * share band keys and pass verification pairwise, so the all-pairs tier
+    * emits O(m²) verified pairs into the components fixpoint, whose input
+    * then grows quadratically too. A spanning forest of each bucket's
+    * verified subgraph is at most |bucket|-1 edges — linear in m — and
+    * preserves the global components exactly: the full graph's edge set is
+    * the union over buckets of bucket-local verified edges, and replacing
+    * each bucket's edge set by a spanning forest WITH THE SAME LOCAL
+    * COMPONENTS lets any original path be rerouted segment-by-segment
+    * inside the buckets it traversed.
+    *
+    * Per-bucket exactness (incremental union-find over the bucket's rows,
+    * one task per bucket): for each new row x, scan each existing local
+    * component's members until the FIRST member within tau — emit that one
+    * edge and merge; if NO member of a component is within tau, the full
+    * component was scanned, so no x-edge into it exists. Any further
+    * x-edges into a merged component are redundant for connectivity by
+    * definition. Verification replicates [[graft.functions.CosineDistance]]
+    * bit-for-bit (same left-to-right double accumulation, same zero-vector
+    * -> 2.0 and [-1,1] clamp), so the edge PREDICATE — dist <= tau — is
+    * exactly the column expression's. Rows whose vector is NULL or carries
+    * a NULL element are dropped up front: the distance expression returns
+    * NULL for them, so they can never verify a pair in either tier.
+    *
+    * Cost shape: the templated cluster (one within-tau component of size m)
+    * costs O(m) distance evaluations — each new row hits the component's
+    * first member — and emits m-1 edges; the adversarial bucket where
+    * nothing verifies degenerates to the same O(m²) evaluations the
+    * all-pairs tier pays (inherent to exact verification of candidates),
+    * but emits ZERO rows instead of feeding a quadratic pair set downstream.
+    * The band shuffle ships the vectors (bands × dim × 8B per row) where
+    * the all-pairs tier ships 8-byte signatures and re-attaches vectors by
+    * join — the price of local verification, paid once, bounded by bands×
+    * corpus width, never by pair multiplicity. A bucket is one task: its
+    * members must fit one executor's memory (m × dim doubles — 10⁶ × 64-dim
+    * ≈ 512 MB worst case), which replaces the far harsher all-pairs failure
+    * mode (10¹² pair rows).
+    *
+    * Long ids only (the local union-find keys on them); callers with
+    * non-long ids use the all-pairs tier.
+    */
+  def cosineLshComponentEdges(df: DataFrame, idCol: String, vecCol: String,
+      tau: Double, dim: Int, nBits: Int = DefaultNBits,
+      bands: Int = DefaultBands, seed: Long = DefaultSeed): DataFrame = {
+    val rowsPerBand = nBits / bands
+    require(bands * rowsPerBand == nBits, s"bands ($bands) must divide nBits ($nBits)")
+    require(df.schema(idCol).dataType == org.apache.spark.sql.types.LongType,
+      s"cosineLshComponentEdges requires a long id column, got " +
+        s"${df.schema(idCol).dataType.simpleString} — use cosineJoinLsh")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val planes = hyperplanes(dim, nBits, seed)
+    // cast to array<double> FIRST: element-wise float->double widening is
+    // exactly what the distance/signature expressions do internally, so
+    // signatures and band keys are bit-identical to the all-pairs tier's
+    val vecd = graft.util.Partitions.widenNarrowScan(
+      df.select(col(idCol).as("__id"),
+        col(vecCol).cast("array<double>").as("__v")))
+      .where(col("__v").isNotNull && !exists(col("__v"), _.isNull))
+    val sigs = vecd.select(col("__id"), col("__v"),
+      signBits(col("__v"), planes).as("__sig"))
+    val mask = (1L << rowsPerBand) - 1L
+    val bandKeys = (0 until bands).map { b =>
+      shiftright(col("__sig"), b * rowsPerBand).bitwiseAND(lit(mask))
+    }
+    sigs.select(col("__id"), col("__v"), posexplode(array(bandKeys: _*)))
+      .select(col("pos").as("__band"), col("col").as("__key"),
+        col("__id"), col("__v"))
+      .as[(Int, Long, Long, Seq[Double])]
+      .groupByKey { case (band, key, _, _) => (band, key) }
+      .flatMapGroups((_: (Int, Long), rows) => bucketSpanningEdges(rows, tau))
+      .toDF("a", "b")
+  }
+
+  /** Incremental exact union-find over one band bucket: emits a spanning
+    * forest of the bucket's verified (dist <= tau) subgraph. See
+    * [[cosineLshComponentEdges]] for the exactness argument.
+    */
+  private def bucketSpanningEdges(rows: Iterator[(Int, Long, Long, Seq[Double])],
+      tau: Double): Iterator[(Long, Long)] = {
+    import scala.collection.mutable.ArrayBuffer
+    val comps = ArrayBuffer.empty[ArrayBuffer[(Long, Array[Double])]]
+    val out = ArrayBuffer.empty[(Long, Long)]
+    rows.foreach { case (_, _, id, vseq) =>
+      val v = vseq.toArray
+      var hits: List[Int] = Nil
+      var ci = 0
+      while (ci < comps.length) {
+        val members = comps(ci)
+        var mi = 0
+        var hit = false
+        while (mi < members.length && !hit) {
+          val (mid, mv) = members(mi)
+          if (cosineDistanceLocal(v, mv) <= tau) {
+            out += ((math.min(id, mid), math.max(id, mid)))
+            hit = true
+          }
+          mi += 1
+        }
+        if (hit) hits = ci :: hits // descending order by construction
+        ci += 1
+      }
+      hits match {
+        case Nil => comps += ArrayBuffer((id, v))
+        case _ =>
+          val asc = hits.reverse
+          val target = comps(asc.head)
+          target += ((id, v))
+          // fold higher-indexed hit comps into the first; remove from the
+          // end so remaining indices stay valid
+          asc.tail.reverse.foreach { i => target ++= comps(i); comps.remove(i) }
+      }
+    }
+    out.iterator
+  }
+
+  /** Bit-exact local replica of [[graft.functions.CosineDistance]] over
+    * non-null double vectors: same left-to-right accumulation, same
+    * zero-vector -> 2.0, same [-1, 1] clamp before 1-x. Dimension mismatch
+    * throws the same error (unreachable after signature computation, which
+    * already dot-products every vector against dim-length planes).
+    */
+  private def cosineDistanceLocal(a: Array[Double], b: Array[Double]): Double = {
+    val n = a.length
+    if (n != b.length) throw graft.functions.VectorErrors.dimMismatch(n, b.length)
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a(i); val y = b(i)
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 2.0
+    else 1.0 - math.max(-1.0, math.min(1.0, dot / (math.sqrt(na) * math.sqrt(nb))))
+  }
+
   /** Approximate cosine-threshold self-join: random-hyperplane signatures,
     * banded buckets, candidates verified with the exact distance. Recall is
     * probabilistic (more bands -> higher recall); precision is exact.
@@ -240,7 +386,7 @@ object SimilarityJoin {
     require(bands * rowsPerBand == nBits, s"bands ($bands) must divide nBits ($nBits)")
     val planes = hyperplanes(dim, nBits, seed)
     // persist: nBits dot products per row feed both self-join sides.
-    // The repartition decouples the pipeline's parallelism from the
+    // widenNarrowScan decouples the pipeline's parallelism from the
     // INPUT's file layout: a single-file vector table otherwise scans as
     // ONE partition, which serializes the per-row signature dot products
     // AND — because the band self-join broadcasts one side — the whole
@@ -248,7 +394,7 @@ object SimilarityJoin {
     // the 100× synthetic rung: 35+ min in one task vs ~a minute across
     // the full core count; same treatment the jaccard family gets from
     // its repartitioned doc spool).
-    val sigs = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    val sigs = graft.util.Partitions.widenNarrowScan(df)
       .select(col(idCol).as("__id"), col(vecCol).as("__v"),
         signBits(col(vecCol), planes).as("__sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -586,20 +732,13 @@ object AnnIndex {
     df.where(pmod(col(idCol), lit(stride)) === 0)
       .select(col(idCol).cast("long").as("__cid"), col(vecCol).as("__cvec"))
 
-  /** Decouple the assignment's per-row parallelism from the INPUT's file
-    * layout (the vector twin of cosineJoinLsh's repartition, r17): a
-    * one-file table scans as ONE partition, and the broadcast centroid
-    * cross-join + argmin over n·(n/stride) distance rows then runs in a
-    * single task (caught on the r18 100×-sf0.1 rung: the ann_ivf_delete
-    * spool's 200k-vector build sat in one SortAggregate task for 25+ min
-    * computing 625M dot products on one core). Widens ONLY when the scan
-    * is narrower than the core count, so real multi-split inputs (any
-    * 100 TB table) never pay a gratuitous corpus-wide shuffle.
-    */
-  private def widened(df: DataFrame): DataFrame = {
-    val par = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < par) df.repartition(par) else df
-  }
+  // the assignment's per-row parallelism must not inherit the INPUT's file
+  // layout (caught on the r18 100×-sf0.1 rung: the ann_ivf_delete spool's
+  // 200k-vector build sat in one SortAggregate task for 25+ min computing
+  // 625M dot products on one core) — shared rationale in
+  // [[graft.util.Partitions.widenNarrowScan]]
+  private def widened(df: DataFrame): DataFrame =
+    graft.util.Partitions.widenNarrowScan(df)
 
   /** Lloyd-refined centroids: start from the deterministic stride sample,
     * run `iters` rounds of (argmin assignment → per-cluster mean). Each

