@@ -2250,6 +2250,51 @@ object NorthStarQueries {
       s.read.parquet(out).transform(sortedSingle(_, col("doc_id")))
     },
 
+    // the SAME ingest pipeline driven from a REAL FILE SOURCE (r19): each
+    // crawl epoch lands as parquet in an ingest directory and is drained
+    // by its own Trigger.AvailableNow run restarting from ONE durable
+    // checkpoint — so the FileStreamSource offset log and the commit log
+    // are exercised across a genuine query restart: run 2 must resume
+    // AFTER run 1's committed batch (epoch 1's file is listed but never
+    // re-processed; re-processing would re-append its survivors and break
+    // the row gate). Same epochs, same dedup chain, same oracle as
+    // streamed_ingest_survivors — stream == batch == file-source-stream.
+    "streamed_file_ingest_survivors" -> { (s, dir) =>
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      def shingle(f: DataFrame): DataFrame =
+        f.select(col("doc_id"), TextOps.wordNGrams(col("text"), 3).as("sh"))
+      val corpus = shingle(d.where(pmod(col("doc_id"), lit(2)) === 0))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val src = graft.util.TempDirs.create("streamed_file_src")
+      val ckpt = graft.util.TempDirs.create("streamed_file_ckpt")
+      val out = graft.util.TempDirs.create("streamed_file_out")
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType)))
+      def drainEpoch(m: Long): Unit = {
+        // land the epoch, then drain everything the source has NOT yet
+        // committed — one AvailableNow run per epoch, one shared checkpoint
+        d.where(pmod(col("doc_id"), lit(4)) === m)
+          .coalesce(1).write.mode("append").parquet(src)
+        val q = graft.streaming.StreamSizing.withStatePartitions(s, 8) {
+          graft.streaming.CorpusIngest.dedupedIngest(
+              shingle(s.readStream.schema(schema).parquet(src)), corpus,
+              "doc_id", "sh", JaccardTau, checkpoint = Some(ckpt),
+              trigger = Some(org.apache.spark.sql.streaming.Trigger
+                .AvailableNow())) { (survivors, _) =>
+            survivors.select("doc_id").write.mode("append").parquet(out)
+          }
+        }
+        try q.awaitTermination() finally q.stop()
+      }
+      drainEpoch(1)
+      drainEpoch(3)
+      corpus.unpersist(blocking = false)
+      s.read.parquet(out).transform(sortedSingle(_, col("doc_id")))
+    },
+
     // streaming CLUSTER MAINTENANCE under the hash gate: two crawl epochs
     // replayed through a real MemoryStream into
     // CorpusIngest.clusteredIngest — each micro-batch's pairs (batch-self
@@ -3479,7 +3524,11 @@ object NorthStarQueries {
     // the IVF-PQ tier under plan substitution answers with the SAME probe
     // as ann_ivfpq_topk, so its oracle is the same replica (aliased after
     // construction — a literal self-reference inside the Map can't see it)
-    ("ann_autoprobe_ivfpq_topk" -> oracleSqlBase("ann_ivfpq_topk"))
+    ("ann_autoprobe_ivfpq_topk" -> oracleSqlBase("ann_ivfpq_topk")) +
+    // the FILE-source ingest gate replays the identical two epochs through
+    // spark.readStream.parquet restarts, so the survivor set is the same
+    ("streamed_file_ingest_survivors" ->
+      oracleSqlBase("streamed_ingest_survivors"))
 
   private lazy val oracleSqlBase: Map[String, String] = Map(
     "ngram_jaccard_join" -> (JaccardPairsSql + "\nORDER BY a, b"),

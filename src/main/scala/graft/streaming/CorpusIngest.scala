@@ -46,17 +46,29 @@ object CorpusIngest {
   /** Start the continuous ingest: every micro-batch flows through
     * [[processBatch]] and `sink` receives (survivors, epochId) — write them
     * to the corpus store with epoch-idempotent semantics for exactly-once.
+    *
+    * `checkpoint` + `trigger` are the production file/Kafka-source shape:
+    * a durable checkpoint makes the source's offset/commit logs survive
+    * restarts (a re-started query resumes AFTER the last committed batch —
+    * already-ingested files are never re-processed, and `sink` sees a
+    * monotonically continuing epochId), and `Trigger.AvailableNow` drains
+    * what the source currently has and stops — the scheduled-ingest-run
+    * shape. Both default off for the in-memory test/gate harness.
     */
   def dedupedIngest(newDocs: DataFrame, corpusShingled: DataFrame,
-      idCol: String, shingleCol: String, tau: Double)
-      (sink: (DataFrame, Long) => Unit): StreamingQuery =
-    newDocs.writeStream
-      .outputMode("append")
-      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+      idCol: String, shingleCol: String, tau: Double,
+      checkpoint: Option[String] = None,
+      trigger: Option[org.apache.spark.sql.streaming.Trigger] = None)
+      (sink: (DataFrame, Long) => Unit): StreamingQuery = {
+    var w = newDocs.writeStream.outputMode("append")
+    checkpoint.foreach(c => w = w.option("checkpointLocation", c))
+    trigger.foreach(t => w = w.trigger(t))
+    w.foreachBatch { (batch: DataFrame, epochId: Long) =>
         sink(processBatch(batch, corpusShingled, idCol, shingleCol, tau),
           epochId)
       }
       .start()
+  }
 
   /** Continuous QUALITY-GATED ingest — the streaming twin of the
     * `classifier_quality` batch tier: every arriving micro-batch is scored
