@@ -994,7 +994,11 @@ object Dedup {
     */
   private def substringWindows(df: DataFrame, idCol: String, textCol: String,
       windowTokens: Int): DataFrame =
-    df.select(col(idCol).cast("long").as("__id"),
+    // per-row window explode + gram construction must not inherit a
+    // narrow scan's layout (widenNarrowScan rationale; no-op when wide)
+    graft.util.Partitions.widenNarrowScan(
+        df.select(col(idCol).cast("long").as("__id"), col(textCol)))
+      .select(col("__id"),
         posexplode(TextOps.wordNGrams(col(textCol), windowTokens)))
       .withColumnRenamed("pos", "__s").withColumnRenamed("col", "__gram")
 
@@ -1198,7 +1202,9 @@ object Dedup {
     // allocated a slice per window, measured ~6x this wall at the 50x
     // ScaleSmoke rung; short/NULL docs yield an empty window list
     val mins = graft.functions.window_min(hashes, w)
-    df.select(col(idCol), explode(array_distinct(mins)).as("fp"))
+    // per-row md5-per-gram hashing must not inherit a narrow scan's layout
+    graft.util.Partitions.widenNarrowScan(df.select(col(idCol), col(textCol)))
+      .select(col(idCol), explode(array_distinct(mins)).as("fp"))
   }
 
   /** Candidate pairs (a < b) sharing >= `minShared` winnowing fingerprints

@@ -52,7 +52,9 @@ object Multimodal {
     // mapPartitions can be schema-less (EliminateSerialization drops the
     // encoder round-trip between adjacent typed operators)
     val bytesIdx = media.schema.fieldIndex("bytes")
-    media.mapPartitions { rows =>
+    // per-row codec/model work must not inherit a narrow scan's layout
+    // (the shared widenNarrowScan rationale; no-op on multi-split inputs)
+    graft.util.Partitions.widenNarrowScan(media).mapPartitions { rows =>
       // per-partition init happens here (real codecs load native state once)
       rows.map { r =>
         val bytes = if (r.isNullAt(bytesIdx)) null
@@ -158,7 +160,10 @@ object Multimodal {
       formula: PixelFormula = DefaultFormula): DataFrame = {
     val encoder = org.apache.spark.sql.Encoders.row(mediaSchema)
     val f = formula
-    ids.select(col(idCol).cast("long")).mapPartitions { rows =>
+    // the media pipeline HEAD: a narrow ids scan would otherwise encode
+    // every PNG in one task and leave the whole downstream chain narrow
+    graft.util.Partitions.widenNarrowScan(
+      ids.select(col(idCol).cast("long"))).mapPartitions { rows =>
       rows.map { row =>
         val id = row.getLong(0)
         val img = new java.awt.image.BufferedImage(
@@ -192,8 +197,9 @@ object Multimodal {
       StructField("sum_b", LongType, nullable = false)))
     val encoder = org.apache.spark.sql.Encoders.row(outSchema)
     val d = decoder
-    media.where(col("kind") === "image" && col("bytes").isNotNull)
-      .select(col(idCol).cast("long"), col("bytes"))
+    graft.util.Partitions.widenNarrowScan(
+      media.where(col("kind") === "image" && col("bytes").isNotNull)
+        .select(col(idCol).cast("long"), col("bytes")))
       .mapPartitions { rows =>
         rows.flatMap { row =>
           val id = row.getLong(0)
@@ -239,8 +245,9 @@ object Multimodal {
       StructField("dhash", LongType, nullable = false)))
     val encoder = org.apache.spark.sql.Encoders.row(outSchema)
     val d = decoder
-    media.where(col("kind") === "image" && col("bytes").isNotNull)
-      .select(col(idCol).cast("long"), col("bytes"))
+    graft.util.Partitions.widenNarrowScan(
+      media.where(col("kind") === "image" && col("bytes").isNotNull)
+        .select(col(idCol).cast("long"), col("bytes")))
       .mapPartitions { rows =>
         rows.map { row =>
           val (w, h, px) = d.decodeRgb(row.get(1).asInstanceOf[Array[Byte]])
@@ -295,7 +302,9 @@ object Multimodal {
       formula: SampleFormula = DefaultSampleFormula): DataFrame = {
     val encoder = org.apache.spark.sql.Encoders.row(mediaSchema)
     val f = formula
-    ids.select(col(idCol).cast("long")).mapPartitions { rows =>
+    // the audio pipeline HEAD — same widen rationale as syntheticImagesFor
+    graft.util.Partitions.widenNarrowScan(
+      ids.select(col(idCol).cast("long"))).mapPartitions { rows =>
       rows.map { row =>
         val id = row.getLong(0)
         val samples = Array.tabulate(nSamples)(i => f.sample(id, i).toShort)
@@ -327,8 +336,9 @@ object Multimodal {
       StructField("zero_crossings", LongType, nullable = false),
       StructField("silent", BooleanType, nullable = false)))
     val encoder = org.apache.spark.sql.Encoders.row(outSchema)
-    media.where(col("kind") === "audio" && col("bytes").isNotNull)
-      .select(col(idCol).cast("long"), col("bytes"))
+    graft.util.Partitions.widenNarrowScan(
+      media.where(col("kind") === "audio" && col("bytes").isNotNull)
+        .select(col(idCol).cast("long"), col("bytes")))
       .mapPartitions { rows =>
         rows.flatMap { row =>
           val id = row.getLong(0)
@@ -494,6 +504,35 @@ object ImageIoCodec extends MediaCodec with ImageDecoder {
       y += 1
     }
     encodePng(dst)
+  }
+
+  /** Per-grid-cell channel sums over decoded pixels as an MLP input
+    * vector, row-major cell order — integer-valued floats, EXACT while
+    * cell sums stay below 2^24 (a 256×256 cell of white pixels is still
+    * only 5·10⁷... guard anyway). Shared by [[OnnxMediaCodec]] and its
+    * oracle derivation: SQL replays it as `sum(r+g+b) GROUP BY cell`.
+    */
+  def gridInput(w: Int, h: Int, px: Array[Int], grid: Int): Array[Float] = {
+    require(w % grid == 0 && h % grid == 0,
+      s"gridInput: image ${w}x$h not divisible by grid $grid")
+    val cw = w / grid; val ch = h / grid
+    val sums = new Array[Long](grid * grid)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val p = px(y * w + x)
+        sums((y / ch) * grid + (x / cw)) +=
+          ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
+        x += 1
+      }
+      y += 1
+    }
+    Array.tabulate(grid * grid) { c =>
+      require(sums(c) < (1L << 24),
+        s"gridInput: cell sum ${sums(c)} exceeds float-exact range")
+      sums(c).toFloat
+    }
   }
 
   /** Mean-luminance features over `dim` vertical strips, scaled to [0, 1].

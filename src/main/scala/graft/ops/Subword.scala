@@ -156,7 +156,9 @@ object Subword {
       unkId: Long = -1L): DataFrame = {
     val pieces = udf((word: String) =>
       greedyPieces(word, vocab, maxPieceLen, unkId))
-    docs
+    // per-word greedy matching must not inherit a narrow scan's layout
+    graft.util.Partitions.widenNarrowScan(
+        docs.select(col(idCol), col(textCol)))
       .select(col(idCol),
         posexplode(TextOps.tokens(col(textCol))).as(Seq("wpos", "word")))
       .select(col(idCol), col("wpos").cast("long").as("wpos"),
@@ -283,7 +285,9 @@ object Subword {
   def bpeEncode(docs: DataFrame, idCol: String, textCol: String,
       merges: Seq[BpeMerge], wordPattern: String = BpeWordPattern)
       : DataFrame =
-    docs
+    // per-word merge replay must not inherit a narrow scan's layout
+    graft.util.Partitions.widenNarrowScan(
+        docs.select(col(idCol), col(textCol)))
       .select(col(idCol),
         posexplode(TextOps.tokens(col(textCol))).as(Seq("wpos", "word")))
       .where(col("word").rlike(wordPattern))

@@ -49,20 +49,35 @@ final case class MlpEmbedder(layers: Seq[MlpLayer]) extends Embedder {
     out
   }
 
+  /** Raw vector forward — the matmul chain with relu between layers, NO
+    * text hashing and NO final l2 normalization: the reusable numeric
+    * core for non-text consumers (the ONNX-backed media codec). With
+    * integer-valued inputs and integer weights every float op here is
+    * EXACT as long as intermediate magnitudes stay below 2^24, which is
+    * what makes such consumers SQL-oracle-replicable in integer
+    * arithmetic.
+    */
+  def forward(x: Array[Float]): Array[Float] = {
+    require(x.length == features,
+      s"forward: input dim ${x.length} != model features $features")
+    var h = x
+    var i = 0
+    while (i < layers.length) {
+      h = matmulBias(layers(i), h)
+      if (i < layers.length - 1) {
+        var j = 0
+        while (j < h.length) { if (h(j) < 0f) h(j) = 0f; j += 1 }
+      }
+      i += 1
+    }
+    h
+  }
+
   override def embedBatch(texts: Seq[String]): Seq[Array[Float]] =
     texts.map { t =>
       if (t == null) new Array[Float](dim)
       else {
-        var h = FeatureHash(t, features)
-        var i = 0
-        while (i < layers.length) {
-          h = matmulBias(layers(i), h)
-          if (i < layers.length - 1) { // relu between layers, not after last
-            var j = 0
-            while (j < h.length) { if (h(j) < 0f) h(j) = 0f; j += 1 }
-          }
-          i += 1
-        }
+        val h = forward(FeatureHash(t, features))
         var norm = 0.0
         var j = 0
         while (j < h.length) { norm += h(j).toDouble * h(j).toDouble; j += 1 }
