@@ -565,6 +565,48 @@ object ImageIoCodec extends MediaCodec with ImageDecoder {
       "ImageIoCodec: the JDK ships no video codec — frameAt needs a JNI-backed MediaCodec")
 }
 
+/** ONNX-BACKED media codec (r19) — realizes the documented codec seam with
+  * the in-repo ONNX executor: `features` = decode real pixels
+  * ([[ImageIoCodec.decodeRgb]]) → grid-pool to integer channel sums
+  * ([[ImageIoCodec.gridInput]]) → run a REAL ONNX protobuf graph (a
+  * MatMul→Add→Relu→MatMul→Add chain parsed by
+  * [[graft.search.OnnxLinearModel.parseMlp]] — the same executable subset
+  * the encoder-search tier runs). This is exactly where a production
+  * vision tower slots in: swap the artifact bytes, keep the operator
+  * plumbing ([[Multimodal.extractFeatures]]' mapPartitions batching,
+  * schema, partition-once model init) untouched.
+  *
+  * Exactness contract: with INTEGER-valued inputs (grid sums) and
+  * integer-valued weights, every float op in the forward is exact while
+  * intermediate magnitudes stay below 2^24 — so outputs are integers a
+  * SQL oracle replays with BIGINT arithmetic (the `media_onnx_features`
+  * gate does exactly that from the synthetic pixel formula). A real
+  * trained tower gives up the hash gate, not the seam.
+  *
+  * Holds the protobuf BYTES (serializable, broadcast-friendly); the
+  * parsed model materializes lazily once per executor instance, the
+  * ModelRegistry pattern.
+  */
+final class OnnxMediaCodec(onnxBytes: Array[Byte], grid: Int)
+    extends MediaCodec {
+  @transient private lazy val mlp = graft.search.OnnxLinearModel.parseMlp(onnxBytes)
+
+  override def features(bytes: Array[Byte], dim: Int): Array[Float] = {
+    if (bytes == null) return Array.fill(dim)(0.0f)
+    require(dim == mlp.dim,
+      s"OnnxMediaCodec: requested dim $dim != model output dim ${mlp.dim}")
+    val (w, h, px) = ImageIoCodec.decodeRgb(bytes)
+    mlp.forward(ImageIoCodec.gridInput(w, h, px, grid))
+  }
+
+  // pixel transforms stay with the real JDK codec — the ONNX graph is the
+  // feature tower, not an image transcoder
+  override def resize(bytes: Array[Byte], width: Int, height: Int): Array[Byte] =
+    ImageIoCodec.resize(bytes, width, height)
+  override def frameAt(bytes: Array[Byte], ms: Long): Array[Byte] =
+    ImageIoCodec.frameAt(bytes, ms)
+}
+
 /** REAL audio codec on the pure JDK: RIFF/WAV PCM16 mono. Encode is a
   * hand-rolled 44-byte RIFF header + little-endian samples; decode goes
   * through `javax.sound.sampled.AudioSystem` (the JDK's actual WAV parser —

@@ -1560,6 +1560,32 @@ object NorthStarQueries {
         .transform(sortedSingle(_, col("media_id")))
     },
 
+    // the ONNX-BACKED codec seam, end to end (r19): real PNGs decode, grid-
+    // pool to integer channel sums, and run through a REAL ONNX protobuf
+    // artifact — built by the in-repo writer, written to disk, re-read and
+    // parsed by the executor (write → parse → execute, the production
+    // model-artifact path) — inside Multimodal.extractFeatures'
+    // mapPartitions batching. Integer weights + integer inputs keep every
+    // float op exact below 2^24, so the oracle replays decode→pool→MLP
+    // with BIGINT arithmetic from the pixel formula. A trained vision
+    // tower swaps the artifact bytes and gives up only the hash gate.
+    "media_onnx_features" -> { (s, dir) =>
+      import graft.ops.Multimodal
+      val p = graft.util.TempDirs.create("graft_onnx_codec")
+      val f = java.nio.file.Paths.get(p, "codec.onnx")
+      java.nio.file.Files.write(f,
+        graft.search.OnnxLinearModel.toMlpBytes(onnxCodecMlp))
+      val codec = new graft.ops.OnnxMediaCodec(
+        java.nio.file.Files.readAllBytes(f), MediaGrid)
+      val ids = t(s, dir, "documents").select(col("doc_id"))
+      val media = Multimodal.syntheticImagesFor(ids, "doc_id", MediaW, MediaH)
+      Multimodal.extractFeatures(media, codec, dim = OnnxCodecOut)
+        .select(col("media_id"), posexplode(col("features")))
+        .select(col("media_id"), col("pos").cast("long").as("i"),
+          col("col").cast("double").as("f"))
+        .transform(sortedSingle(_, col("media_id"), col("i")))
+    },
+
     // per-frame audio features over REAL decoded PCM (WavCodec: hand-rolled
     // RIFF encode, javax.sound.sampled decode — the JDK's actual WAV
     // parser). Frame peak / exact energy (sum of squares) / zero crossings /
@@ -2727,6 +2753,76 @@ object NorthStarQueries {
   private val AudioSamples = 800 // PCM16 samples per generated clip
   private val AudioSilence = 64 // |peak| below this = silent frame
 
+  // ---- ONNX media-codec fixture (shared by query and oracle) ----
+  private val OnnxCodecHidden = 8
+  private val OnnxCodecOut = 8
+
+  /** Deterministic INTEGER-weight 2-layer MLP for the ONNX-backed codec
+    * gate — one splitmix64 stream, so query and oracle literals can never
+    * drift. Exactness budget (24×24 image, 3×3 grid → 8×8 cells): cell
+    * sum ≤ 64·765 = 48,960; |h| ≤ 9·1·48,960 + 15 < 2^19; |out| ≤
+    * 8·2·|h| + 50 < 2^23 — every float op exact, SQL replays in BIGINT.
+    */
+  private lazy val onnxCodecMlp: graft.search.MlpEmbedder = {
+    var s = 0x5eed00c0dec5L
+    def next(mod: Int, off: Int): Float = {
+      s = graft.util.Hashing.splitmix64(s)
+      (java.lang.Long.remainderUnsigned(s, mod.toLong).toInt - off).toFloat
+    }
+    val in = MediaGrid * MediaGrid
+    val w1 = Array.fill(OnnxCodecHidden * in)(next(3, 1)) // {-1,0,1}
+    val b1 = Array.fill(OnnxCodecHidden)(next(31, 15)) // [-15,15]
+    val w2 = Array.fill(OnnxCodecOut * OnnxCodecHidden)(next(5, 2)) // [-2,2]
+    val b2 = Array.fill(OnnxCodecOut)(next(101, 50)) // [-50,50]
+    graft.search.MlpEmbedder(Seq(
+      graft.search.MlpLayer(OnnxCodecHidden, in, w1, b1),
+      graft.search.MlpLayer(OnnxCodecOut, OnnxCodecHidden, w2, b2)))
+  }
+
+  /** Replays decode→grid-pool→MLP in BIGINT arithmetic from the pixel
+    * formula: PNG decode is lossless and every forward op is float-exact
+    * on these integer magnitudes (see [[onnxCodecMlp]]), so equality is
+    * exact, not approximate.
+    */
+  private def mediaOnnxFeaturesOracle: String = {
+    val f = graft.ops.Multimodal.DefaultFormula
+    val g = MediaGrid; val cw = MediaW / g; val ch = MediaH / g
+    val in = g * g
+    val l1 = onnxCodecMlp.layers(0); val l2 = onnxCodecMlp.layers(1)
+    val hExprs = (0 until OnnxCodecHidden).map { r =>
+      val terms = (0 until in)
+        .map(c => s"(${l1.w(r * in + c).toLong})*c$c").mkString(" + ")
+      s"greatest(0, ${l1.b(r).toLong} + $terms) AS h$r"
+    }
+    val oExprs = (0 until OnnxCodecOut).map { r =>
+      val terms = (0 until OnnxCodecHidden)
+        .map(c => s"(${l2.w(r * OnnxCodecHidden + c).toLong})*h$c").mkString(" + ")
+      s"(${l2.b(r).toLong} + $terms) AS o$r"
+    }
+    val cCols = (0 until in)
+      .map(k => s"max(CASE WHEN cell_id = $k THEN csum END) AS c$k").mkString(", ")
+    s"""WITH px AS (
+       |  SELECT d.doc_id AS media_id, xs.x AS x, ys.y AS y
+       |  FROM documents d
+       |  CROSS JOIN (SELECT unnest(range(0, $MediaW)) AS x) xs
+       |  CROSS JOIN (SELECT unnest(range(0, $MediaH)) AS y) ys),
+       |cells AS (
+       |  SELECT media_id, (y // $ch) * $g + (x // $cw) AS cell_id,
+       |         CAST(sum((${f.channelSql(f.r, "media_id", "x", "y")}) +
+       |                  (${f.channelSql(f.g, "media_id", "x", "y")}) +
+       |                  (${f.channelSql(f.b, "media_id", "x", "y")})) AS BIGINT) AS csum
+       |  FROM px GROUP BY 1, 2),
+       |xrow AS (SELECT media_id, $cCols FROM cells GROUP BY media_id),
+       |hrow AS (SELECT media_id, ${hExprs.mkString(", ")} FROM xrow),
+       |orow AS (SELECT media_id, ${oExprs.mkString(", ")} FROM hrow),
+       |feats AS (SELECT media_id,
+       |  list_value(${(0 until OnnxCodecOut).map(r => s"o$r").mkString(", ")}) AS l
+       |  FROM orow)
+       |SELECT media_id, CAST(i AS BIGINT) AS i, CAST(l[i+1] AS DOUBLE) AS f
+       |FROM feats CROSS JOIN (SELECT unnest(range(0, $OnnxCodecOut)) AS i)
+       |ORDER BY media_id, i""".stripMargin
+  }
+
   /** Replays the decode→resize→pool pipeline arithmetically: resized pixel
     * (x,y) is source pixel ((x*W)//RW, (y*H)//RH) (ImageIoCodec's floor
     * mapping), whose channels come straight from the PixelFormula — PNG adds
@@ -3703,6 +3799,7 @@ object NorthStarQueries {
     "simhash_pairs" -> simhashOracle,
     "media_pipeline" -> mediaPipelineOracle,
     "image_dhash" -> dhashOracle,
+    "media_onnx_features" -> mediaOnnxFeaturesOracle,
     "audio_frame_stats" -> audioFrameStatsOracle,
     // byte-identical payloads <=> identical formula class: survivors are
     // min(doc_id) per class, no decoding needed

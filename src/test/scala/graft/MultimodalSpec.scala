@@ -267,4 +267,41 @@ class MultimodalSpec extends SparkTestBase {
       .where(col("media_id") === 0L).orderBy("frame_id").collect()
     assert(rows.map(_.getLong(2)).toSeq == Seq(160L, 90L))
   }
+
+  private def codecFixtureMlp: graft.search.MlpEmbedder = {
+    // tiny integer-weight 2-layer chain: 4 grid cells -> 3 hidden -> 2 out
+    graft.search.MlpEmbedder(Seq(
+      graft.search.MlpLayer(3, 4,
+        Array(1f, -1f, 0f, 1f, 0f, 1f, 1f, -1f, -1f, 1f, 1f, 0f),
+        Array(5f, -3f, 0f)),
+      graft.search.MlpLayer(2, 3,
+        Array(2f, -1f, 1f, -2f, 1f, 2f), Array(7f, -7f))))
+  }
+
+  test("OnnxMediaCodec: ONNX artifact write -> parse -> execute matches a driver-side forward, distributed") {
+    val mlp = codecFixtureMlp
+    // the REAL artifact path: protobuf bytes through a file round-trip
+    val dir = graft.util.TempDirs.create("onnx_codec_spec")
+    val f = java.nio.file.Paths.get(dir, "codec.onnx")
+    java.nio.file.Files.write(f, graft.search.OnnxLinearModel.toMlpBytes(mlp))
+    val codec = new graft.ops.OnnxMediaCodec(
+      java.nio.file.Files.readAllBytes(f), grid = 2)
+    val ids = spark.range(0, 40).toDF("media_id")
+    val media = Multimodal.syntheticImagesFor(ids, "media_id", 8, 8)
+    val got = Multimodal.extractFeatures(media, codec, dim = 2)
+      .select(col("media_id"), col("features")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toSeq).toMap
+    // driver-side expectation over the same decoded pixels
+    media.select(col("media_id"), col("bytes")).collect().foreach { r =>
+      val (w, h, px) = graft.ops.ImageIoCodec
+        .decodeRgb(r.get(1).asInstanceOf[Array[Byte]])
+      val want = mlp.forward(graft.ops.ImageIoCodec.gridInput(w, h, px, 2)).toSeq
+      assert(got(r.getLong(0)) == want, s"media ${r.getLong(0)}")
+    }
+    // the exactness contract: integer inputs x integer weights stay
+    // integer-valued through the float forward
+    assert(got.values.flatten.forall(v => v == math.rint(v)))
+    // null payload -> zero vector (the MediaCodec contract)
+    assert(codec.features(null, 2).toSeq == Seq(0f, 0f))
+  }
 }
