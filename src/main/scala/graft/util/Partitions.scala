@@ -22,6 +22,12 @@ object Partitions {
     * frame that feeds the heavy consumer.
     */
   def widenNarrowScan(df: DataFrame): DataFrame = {
+    // Streaming frames pass through untouched: the partition probe (`.rdd`)
+    // is illegal on a streaming plan, and a micro-batch's parallelism is set
+    // by the source's offset planning, not by at-rest file layout — an
+    // unconditional repartition would shuffle every micro-batch even when
+    // the source already feeds all cores.
+    if (df.isStreaming) return df
     val par = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < par) df.repartition(par) else df
   }
