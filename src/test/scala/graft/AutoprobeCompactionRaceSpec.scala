@@ -101,10 +101,22 @@ class AutoprobeCompactionRaceSpec extends SparkTestBase {
             else failures.add(s"torn answer: got ${got.take(3)}... want ${want.take(3)}...")
           } catch {
             case e: Throwable =>
-              val m = String.valueOf(e.getMessage) + " " +
-                String.valueOf(Option(e.getCause).map(_.getMessage).orNull)
-              if (m.contains("does not exist") || m.contains("DOES_NOT_EXIST") ||
-                  m.contains("FileNotFound") || m.contains("PATH_NOT_FOUND") ||
+              // Classify over the WHOLE cause chain, by type as well as by
+              // message: Spark wraps the mid-compaction file deletion as
+              // FAILED_READ_FILE.FILE_NOT_EXIST ("... does not exist") in
+              // some read paths but FAILED_READ_FILE.NO_HINT in others
+              // (e.g. the footer read), where the FileNotFoundException
+              // cause carries only the path as its message — both are the
+              // same documented retryable missing-file class.
+              val chain = Iterator.iterate(e)(_.getCause)
+                .takeWhile(_ != null).take(10).toList
+              val m = chain.map(t =>
+                s"${t.getClass.getSimpleName}: ${t.getMessage}").mkString(" <- ")
+              if (chain.exists(t => t.isInstanceOf[java.io.FileNotFoundException] ||
+                    t.isInstanceOf[java.nio.file.NoSuchFileException]) ||
+                  m.contains("does not exist") || m.contains("DOES_NOT_EXIST") ||
+                  m.contains("FILE_NOT_EXIST") || m.contains("FileNotFound") ||
+                  m.contains("PATH_NOT_FOUND") ||
                   m.contains("Unable to infer schema"))
                 staleRetries.incrementAndGet()
               else failures.add(s"reader died: $m")
