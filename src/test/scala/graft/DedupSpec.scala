@@ -763,6 +763,82 @@ class ComponentsSpec extends SparkTestBase {
     assert(contractedEmbed(df, tau, dim) == uncontractedEmbed(df, tau, dim))
   }
 
+  test("cosineLshComponentEdges: block-pair decomposition preserves components exactly") {
+    // Force the oversized-bucket path with a tiny per-task ceiling: every
+    // bucket above 8 members splits into block-pairs, so components must
+    // survive edges whose endpoints land in different blocks. Shapes:
+    // (a) one big within-tau cluster (every block pair verifies),
+    // (b) a CHAIN u1-u2-...-uk where only consecutive rows are within tau
+    //     (connectivity must reroute through many block-pair groups),
+    // (c) far bucket-mates that never verify (no spurious edges).
+    val dim = 8
+    val rnd = new scala.util.Random(4241L)
+    val base = Array.fill(dim)(rnd.nextFloat() * 2f - 1f)
+    val cluster = (0 until 60).map { i =>
+      val v = base.clone(); v(i % dim) += (i + 1) * 1e-5f
+      ((100 + i).toLong, v)
+    }
+    // chain: rotate a unit vector in small angular steps; consecutive
+    // steps are within tau, distant steps are not
+    val chain = (0 until 40).map { i =>
+      val theta = i * 0.12
+      val v = Array.fill(dim)(0f)
+      v(0) = math.cos(theta).toFloat; v(1) = math.sin(theta).toFloat
+      ((1000 + i).toLong, v)
+    }
+    val far = Seq((5000L, Array.fill(dim)(-1f)))
+    val df = (cluster ++ chain ++ far).toDF("vec_id", "embedding")
+    val tau = 0.02
+    val single = graft.ops.Dedup.componentsStar(
+        graft.ops.SimilarityJoin.cosineLshComponentEdges(
+          df, "vec_id", "embedding", tau, dim).toDF("a", "b"), "vec_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val decomposed = graft.ops.Dedup.componentsStar(
+        graft.ops.SimilarityJoin.cosineLshComponentEdges(
+          df, "vec_id", "embedding", tau, dim,
+          maxBucketRows = 8, maxBlocks = 16).toDF("a", "b"), "vec_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(decomposed == single)
+    // the chain actually is one component and the far row pairs with nobody
+    assert(decomposed.filter(_._1 >= 1000L).filter(_._1 < 5000L).values.toSet.size == 1)
+    assert(!decomposed.contains(5000L))
+    // and the decomposition genuinely split: with maxBucketRows=8 the
+    // 60-member cluster bucket must produce more edges than members-1 per
+    // band (block-pair forests overlap) while staying ~linear
+    val nEdges = graft.ops.SimilarityJoin.cosineLshComponentEdges(
+      df, "vec_id", "embedding", tau, dim,
+      maxBucketRows = 8, maxBlocks = 16).count()
+    assert(nEdges < 40L * 101, s"decomposed edge count not ~linear: $nEdges")
+  }
+
+  test("cosineLshComponentEdges: randomized decomposition differential (forced tiny buckets)") {
+    val dim = 6
+    (1 to 5).foreach { seed =>
+      val rnd = new scala.util.Random(seed * 15485863L)
+      val nBase = 3 + rnd.nextInt(5)
+      val bases = (0 until nBase).map(_ => Array.fill(dim)(rnd.nextFloat() * 2f - 1f))
+      val rows = (0 until 80).map { i =>
+        val v = bases(rnd.nextInt(nBase)).clone()
+        val k = rnd.nextInt(3)
+        (0 until dim).foreach(j => v(j) += rnd.nextFloat() * 0.15f * k)
+        (i.toLong * 5 + 2, v)
+      }
+      val df = rows.toDF("vec_id", "embedding")
+      val tau = 0.05 + rnd.nextDouble() * 0.3
+      val want = graft.ops.Dedup.componentsStar(
+          graft.ops.SimilarityJoin.cosineLshComponentEdges(
+            df, "vec_id", "embedding", tau, dim).toDF("a", "b"), "vec_id")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val got = graft.ops.Dedup.componentsStar(
+          graft.ops.SimilarityJoin.cosineLshComponentEdges(
+            df, "vec_id", "embedding", tau, dim,
+            maxBucketRows = 4 + rnd.nextInt(12),
+            maxBlocks = 2 + rnd.nextInt(14)).toDF("a", "b"), "vec_id")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want, s"seed $seed tau $tau")
+    }
+  }
+
   test("cosineLshComponentEdges: components match cosineJoinLsh's across adversarial shapes") {
     // shapes where spanning-forest exactness is non-trivial: bucket-mates
     // that do NOT verify (far vectors colliding in a band), chains where
