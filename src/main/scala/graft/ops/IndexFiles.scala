@@ -185,13 +185,28 @@ private[graft] object IndexFiles {
     */
   def fenceWriterLease(spark: SparkSession, store: String): Unit = {
     val f = fs(spark, store)
-    val cur = held.get(leaseKey(f, store))
-    if (cur != null && (cur.thread eq Thread.currentThread())) {
-      val owns = readStringOpt(spark, new HPath(store, LockName).toString)
+    // The lease may be registered on an ANCESTOR of the mutated table:
+    // ProductQuantizer leases the store root but writes its manifest under
+    // $root/codes, GraphAnn under $root/edges and $root/assign — looking
+    // up only the exact path would silently no-op the fence for every
+    // subdirectory table. Walk up from the path to the filesystem root and
+    // fence against the nearest lease THIS thread holds.
+    var p: HPath = new HPath(store)
+    var cur: Lease = null
+    var leaseRoot: String = null
+    while (p != null && cur == null) {
+      val c = held.get(leaseKey(f, p.toString))
+      if (c != null && (c.thread eq Thread.currentThread())) {
+        cur = c; leaseRoot = p.toString
+      }
+      p = p.getParent
+    }
+    if (cur != null) {
+      val owns = readStringOpt(spark, new HPath(leaseRoot, LockName).toString)
         .exists(_.contains(s"nonce=${cur.nonce}"))
       if (!owns) throw new IllegalStateException(
-        s"writer lease for $store was broken mid-epoch — the on-disk lock " +
-          "no longer carries this writer's nonce (operator takeover?). " +
+        s"writer lease for $leaseRoot was broken mid-epoch — the on-disk " +
+          "lock no longer carries this writer's nonce (operator takeover?). " +
           "Refusing the final commit write: the store still resolves the " +
           "previously committed state; re-run the operation under a fresh " +
           "lease once the takeover writer is done.")

@@ -332,12 +332,25 @@ object SimilarityJoin {
     // cast to array<double> FIRST: element-wise float->double widening is
     // exactly what the distance/signature expressions do internally, so
     // signatures and band keys are bit-identical to the all-pairs tier's
-    val vecd = graft.util.Partitions.widenNarrowScan(
-      df.select(col(idCol).as("__id"),
-        col(vecCol).cast("array<double>").as("__v")))
+    val projected = df.select(col(idCol).as("__id"),
+        col(vecCol).cast("array<double>").as("__v"))
       .where(col("__v").isNotNull && !exists(col("__v"), _.isNull))
-    val sigs = vecd.select(col("__id"), col("__v"),
+    // Small-input bypass probe BEFORE the widen: limit().count() on the
+    // pre-shuffle projection stops scanning at maxBucketRows + 1 rows,
+    // whereas probing the repartitioned frame would execute the exchange's
+    // full map side (every row scanned and shuffle-written) first.
+    // (Int.MaxValue disables the decomposition outright — and the +1 probe
+    // would overflow — so it takes the bypass unconditionally.)
+    val small = maxBucketRows == Int.MaxValue ||
+      projected.limit(maxBucketRows + 1).count() <= maxBucketRows
+    val vecd = graft.util.Partitions.widenNarrowScan(projected)
+    val sigsRaw = vecd.select(col("__id"), col("__v"),
       signBits(col("__v"), planes).as("__sig"))
+    // census path: the signature pipeline (scan + nBits×dim dot products
+    // per row) feeds BOTH the hot-bucket census and the final group job —
+    // persist it once, same two-consumer shape cosineJoinLsh persists for
+    val sigs = if (small) sigsRaw
+      else sigsRaw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val mask = (1L << rowsPerBand) - 1L
     val bandKeys = (0 until bands).map { b =>
       shiftright(col("__sig"), b * rowsPerBand).bitwiseAND(lit(mask))
@@ -348,13 +361,7 @@ object SimilarityJoin {
     // Small-input bypass: if the WHOLE input fits under the per-task
     // ceiling, no bucket can exceed it — skip the census/broadcast/explode
     // (three extra jobs that cost ~0.3-0.4 s at gate scale) and take the
-    // one-group-per-bucket path directly. The probe stops scanning at
-    // maxBucketRows + 1 rows, so at corpus scale it costs one partial
-    // partition read before routing to the census path.
-    // (Int.MaxValue disables the decomposition outright — and the +1 probe
-    // would overflow — so it takes the bypass unconditionally)
-    val small = maxBucketRows == Int.MaxValue ||
-      vecd.limit(maxBucketRows + 1).count() <= maxBucketRows
+    // one-group-per-bucket path directly.
     val expanded = if (small) {
       bucketed.select(col("__band"), col("__key"),
         lit(0).as("__pi"), lit(0).as("__pj"), lit(0).as("__blk"),

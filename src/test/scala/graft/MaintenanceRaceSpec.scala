@@ -203,4 +203,38 @@ class MaintenanceRaceSpec extends SparkTestBase {
     val (_, (_, codes)) = ProductQuantizer.fromMaterialized(s, store, Some(pqSpec))
     assert(codes.count() == emb.count() * pqSpec.m) // long-form: one row per subspace
   }
+
+  test("the fence covers SUBDIRECTORY tables of the leased root (PQ codes / graph edges shape)") {
+    // r19 review finding: the fence used to look up the in-process lease
+    // by the mutated table's own path, but ProductQuantizer/GraphAnn lease
+    // the store ROOT and write their manifests under $root/codes /
+    // $root/edges — so the final manifest write of every PQ/graph
+    // append/delete/compact was silently UNfenced. The fence now walks up
+    // to the nearest lease this thread holds.
+    val s = spark
+    val store = graft.util.TempDirs.create("graft_fence_subdir")
+    // intact lease: fencing a subdirectory is a no-op (positive path)
+    IndexFiles.withWriterLease(s, store, "epoch") {
+      IndexFiles.fenceWriterLease(s, s"$store/codes")
+    }
+    // un-leased thread: no-op (initial builds run the same final writes)
+    IndexFiles.fenceWriterLease(s, s"$store/codes")
+    // broken + re-acquired mid-epoch: the stale writer's subdirectory
+    // write must be refused
+    IndexFiles.jvmScopeForTest.set("jvmA//")
+    try {
+      val ex = intercept[IllegalStateException] {
+        IndexFiles.withWriterLease(s, store, "long-epoch") {
+          IndexFiles.jvmScopeForTest.set("jvmB//")
+          IndexFiles.breakWriterLease(s, store)
+          IndexFiles.withWriterLease(s, store, "takeover") {
+            IndexFiles.jvmScopeForTest.set("jvmA//")
+            try IndexFiles.fenceWriterLease(s, s"$store/codes")
+            finally IndexFiles.jvmScopeForTest.set("jvmB//")
+          }
+        }
+      }
+      assert(ex.getMessage.contains("broken mid-epoch"), ex.getMessage)
+    } finally IndexFiles.jvmScopeForTest.set("")
+  }
 }

@@ -37,7 +37,9 @@ object NearDupRung {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .config("spark.driver.memory", "48g")
+      // heap must come from the LAUNCHER (tools/rung_sweep.sh -Xmx, or sbt
+      // javaOptions): spark.driver.memory set in-process is silently
+      // ignored in local mode — the JVM heap is fixed at launch
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.GraftSession.prepare(spark)

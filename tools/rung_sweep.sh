@@ -41,12 +41,15 @@ done
 rc=0
 for gate in "$@"; do
   echo "== rung gate: $gate (fresh JVM) =="
+  # stderr (Spark INFO noise AND any OOM/stack trace) goes to a per-gate
+  # log, not /dev/null: a failed gate must leave its failure reason behind
+  errlog="/tmp/rung_${gate//[^A-Za-z0-9_.-]/_}.err"
   # shellcheck disable=SC2086
   if ! java -Xmx"${SPARK_DRIVER_MEM:-48g}" $ADD_OPENS \
       -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
       -cp "$CP" "${RUNG_MAIN:-graft.tools.TimeSome}" "$SF_DIR" "$gate" \
-      2>/dev/null; then
-    echo "RUNG_GATE_FAILED $gate" >&2
+      2>"$errlog"; then
+    echo "RUNG_GATE_FAILED $gate (stderr: $errlog)" >&2
     rc=1
   fi
 done
