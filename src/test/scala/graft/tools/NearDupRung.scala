@@ -24,7 +24,7 @@ import org.apache.spark.sql.functions._
   *    componentsStar), only up to `maxOldPathM`;
   *  - labeling equality spanning-vs-all-pairs up to `maxOldPathM`.
   *
-  * Usage: sbt "Test/runMain graft.tools.NearDupRung [m1,m2,...] [maxAllPairsM] [maxOldPathM]"
+  * Usage: sbt "Test/runMain graft.tools.NearDupRung [m1,m2,...] [maxAllPairsM] [maxOldPathM] [maxEmbedM]"
   */
 object NearDupRung {
   def main(args: Array[String]): Unit = {
@@ -32,6 +32,10 @@ object NearDupRung {
       .split(",").map(_.trim.toInt).toSeq
     val maxAllPairsM = args.lift(1).map(_.toInt).getOrElse(10000)
     val maxOldPathM = args.lift(2).map(_.toInt).getOrElse(3000)
+    // above maxEmbedM only the spanning tier is timed: the full
+    // embedComponents fixpoint on a 10^6-member clique's edge set is its
+    // own (componentsStar) measurement, not the tier's
+    val maxEmbedM = args.lift(3).map(_.toInt).getOrElse(Int.MaxValue)
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -74,11 +78,14 @@ object NearDupRung {
         graft.ops.SimilarityJoin
           .cosineLshComponentEdges(df, "vec_id", "embedding", tau, dim).count()
       }
-      val (_, tEmbed) = time {
-        graft.ops.Dedup.embedComponents(df, "vec_id", "embedding", tau, dim)
-          .write.format("noop").mode("overwrite").save()
-      }
-      println(f"RUNG m=$m%d spanning_edges=$nSpan%d spanning_wall=$tSpan%.2fs embed_wall=$tEmbed%.2fs")
+      if (m <= maxEmbedM) {
+        val (_, tEmbed) = time {
+          graft.ops.Dedup.embedComponents(df, "vec_id", "embedding", tau, dim)
+            .write.format("noop").mode("overwrite").save()
+        }
+        println(f"RUNG m=$m%d spanning_edges=$nSpan%d spanning_wall=$tSpan%.2fs embed_wall=$tEmbed%.2fs")
+      } else
+        println(f"RUNG m=$m%d spanning_edges=$nSpan%d spanning_wall=$tSpan%.2fs")
 
       if (m <= maxAllPairsM) {
         val (nAll, tAll) = time {
