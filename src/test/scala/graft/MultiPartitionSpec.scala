@@ -105,7 +105,8 @@ class MultiPartitionSpec extends SparkTestBase {
     "incremental_components", "substring_dedup_clean", "winnow_pairs",
     "semantic_dedup", "embed_dedup_components", "sim_join_cosine",
     "diversity_keep", "ann_ivf_topk", "ann_pq_topk", "ann_graph_topk",
-    "search_topk", "token_stats", "dsir_weights", "decontaminate_docs")
+    "search_topk", "token_stats", "dsir_weights", "decontaminate_docs",
+    "media_onnx_features")
 
   gates.foreach { name =>
     test(s"$name is partitioning-invariant (1 file vs 8-file mirror)") {

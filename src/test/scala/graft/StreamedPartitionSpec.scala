@@ -29,7 +29,8 @@ class StreamedPartitionSpec extends SparkTestBase {
     "streamed_ingest_survivors", "streamed_components",
     "streamed_cluster_delete", "streamed_ann_delete_topk",
     "streamed_sessions", "streamed_attribution",
-    "streamed_profiles", "streamed_profiles_v2")
+    "streamed_profiles", "streamed_profiles_v2",
+    "streamed_file_ingest_survivors")
 
   gates.foreach { name =>
     test(s"$name is input-partitioning-invariant (1 file vs 8-file mirror)") {
