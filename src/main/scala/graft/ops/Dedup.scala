@@ -425,8 +425,21 @@ object Dedup {
     *   (executor-memory/disk only — fastest, fine for short-lived local
     *   work, but an executor loss mid-iteration kills the job).
     */
+  /** @param driverMaxEdges below this (symmetric) edge count the labeling
+    *   routes through the [[labelMicroGraph]] driver union-find instead of
+    *   the distributed fixpoint — identical min-id labeling (the
+    *   incrementalComponents/embedComponents route, differential-tested),
+    *   one collect instead of ~3 driver-blocking jobs per propagation
+    *   round. Gate-scale near-dup graphs are a few hundred edges; the
+    *   fixpoint paid ~10 stage floors for work a HashMap does in
+    *   microseconds. The route key is the MEASURED count of the pinned
+    *   edge set (scale-adaptive — never a constant tuned to one SF), and
+    *   the count itself reads the pin the fixpoint's first round would
+    *   have materialized anyway.
+    */
   def components(pairs: DataFrame, idCol: String = "id",
-      maxIters: Int = 25, checkpointDir: Option[String] = None): DataFrame = {
+      maxIters: Int = 25, checkpointDir: Option[String] = None,
+      driverMaxEdges: Long = 1L << 22): DataFrame = {
     val spark = pairs.sparkSession
     // truncate lineage each round: a round's plan references the previous
     // round's twice, so without checkpointing the logical plan doubles per
@@ -457,6 +470,19 @@ object Dedup {
         .unionAll(pairs.select(col("b").as("src"), col("a").as("dst")))
         .repartition(col("dst"))
         .distinct())
+    // size route (scaladoc above): long-id edge sets under driverMaxEdges
+    // label on the driver — same labeling, none of the per-round jobs. The
+    // symmetric edge view double-counts each pair; union-find is immune to
+    // the duplication, and the bound applies to what is actually collected.
+    val longIds = edges.schema.fields.forall(
+      _.dataType == org.apache.spark.sql.types.LongType)
+    val edgeCount = if (longIds) edges.count() else Long.MaxValue
+    if (edgeCount <= driverMaxEdges) {
+      val out = labelMicroGraph(edges, edgeCount, maxIters, checkpointDir,
+        driverMaxEdges).select(col("__mid").as(idCol), col("component"))
+      edges.unpersist()
+      return out
+    }
     var labels = checkpoint(
       edges.select(col("src").as("__id")).distinct()
         .withColumn("__label", col("__id")))

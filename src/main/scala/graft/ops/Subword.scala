@@ -230,9 +230,28 @@ object Subword {
     * left asc, right asc)-max adjacent pair over current piece reps.
     * Deterministic; ties pinned. Distinct-word table persisted once; the
     * per-round collect is exactly one row (the merge), never data-sized.
+    *
+    * SIZE-ROUTED (r19 optimization round): the distinct-WORD table is the
+    * only state the merge loop ever reads, and it is vocabulary-sized (a
+    * few thousand rows at gate scale; bounded by the language, not the
+    * corpus, at any scale — Heaps' law). Below `driverMaxWords` the loop
+    * runs on the driver over the collected `(word, count)` table —
+    * one aggregate job + one bounded collect instead of `rounds`
+    * driver-blocking aggregate jobs (each round of the distributed loop
+    * re-scans the cached table, re-counts every adjacent pair and pays a
+    * full job floor to fetch ONE row). The probe is `limit(n+1)` on the
+    * persisted table, so the route key is a measured size, the collect is
+    * bounded either way, and an over-limit vocabulary falls back to the
+    * distributed loop with the cache already warm. The driver twin
+    * replicates the engine semantics exactly: code-point wrapping
+    * (regexp `(.)` matches a code point), Java literal `replace`
+    * (UTF8String.replace — same left-to-right non-overlap), and the
+    * tie-break compares strings as unsigned UTF-8 bytes
+    * (UTF8String.compareTo). SubwordSpec holds the route differential.
     */
   def bpeTrain(docs: DataFrame, textCol: String, rounds: Int,
-      wordPattern: String = BpeWordPattern): Seq[BpeMerge] = {
+      wordPattern: String = BpeWordPattern,
+      driverMaxWords: Int = 1 << 20): Seq[BpeMerge] = {
     require(rounds > 0, s"need positive rounds: $rounds")
     val base = docs
       .select(explode(TextOps.tokens(col(textCol))).as("word"))
@@ -241,23 +260,97 @@ object Subword {
       .select(col("word"), col("c"), bpeInitRep(col("word")).as("rep"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val out = Seq.newBuilder[BpeMerge]
-      var words = base
-      var r = 1
-      while (r <= rounds) {
-        val top = bpePairCounts(words)
-          .orderBy(col("cnt").desc, col("l").asc, col("r").asc)
-          .limit(1).collect()
-        require(top.nonEmpty, s"BPE round $r: no adjacent pairs left")
-        val m = BpeMerge(r, top(0).getString(0), top(0).getString(1),
-          top(0).getLong(2))
-        out += m
-        words = words.withColumn("rep",
-          bpeApplyMerge(col("rep"), m.left, m.right))
-        r += 1
+      val probe =
+        if (driverMaxWords > 0)
+          base.select(col("word"), col("c")).limit(driverMaxWords + 1).collect()
+        else Array.empty[org.apache.spark.sql.Row]
+      if (driverMaxWords > 0 && probe.length <= driverMaxWords)
+        bpeTrainLocal(probe.iterator.map(r => (r.getString(0), r.getLong(1))).toSeq, rounds)
+      else {
+        val out = Seq.newBuilder[BpeMerge]
+        var words = base
+        var r = 1
+        while (r <= rounds) {
+          val top = bpePairCounts(words)
+            .orderBy(col("cnt").desc, col("l").asc, col("r").asc)
+            .limit(1).collect()
+          require(top.nonEmpty, s"BPE round $r: no adjacent pairs left")
+          val m = BpeMerge(r, top(0).getString(0), top(0).getString(1),
+            top(0).getLong(2))
+          out += m
+          words = words.withColumn("rep",
+            bpeApplyMerge(col("rep"), m.left, m.right))
+          r += 1
+        }
+        out.result()
       }
-      out.result()
     } finally base.unpersist()
+  }
+
+  /** Unsigned-UTF-8-byte comparison — UTF8String.compareTo's order, which
+    * is what the distributed loop's `orderBy(asc)` ties break on. Java's
+    * String.compareTo (UTF-16 units) diverges for supplementary planes.
+    */
+  private def utf8Less(a: String, b: String): Boolean = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    x.length < y.length
+  }
+
+  /** Driver twin of the distributed merge loop over a collected
+    * `(word, count)` table — engine-exact (see [[bpeTrain]] scaladoc).
+    */
+  private def bpeTrainLocal(words: Seq[(String, Long)], rounds: Int)
+      : Seq[BpeMerge] = {
+    // |c1||c2|...|cn| by CODE POINT — regexp_replace(word, "(.)", "|$1|")
+    // matches one code point per group, not one UTF-16 unit
+    var reps: Array[(String, Long)] = words.iterator.map { case (w, c) =>
+      val sb = new java.lang.StringBuilder(w.length * 3)
+      var i = 0
+      while (i < w.length) {
+        val cp = w.codePointAt(i)
+        sb.append('|').appendCodePoint(cp).append('|')
+        i += Character.charCount(cp)
+      }
+      (sb.toString, c)
+    }.toArray
+    val out = Seq.newBuilder[BpeMerge]
+    var r = 1
+    while (r <= rounds) {
+      val cnt = new java.util.HashMap[(String, String), Long]()
+      reps.foreach { case (rep, c) =>
+        if (rep.length >= 2) {
+          val ps = rep.substring(1, rep.length - 1).split("\\Q||\\E", -1)
+          var i = 0
+          while (i < ps.length - 1) {
+            val k = (ps(i), ps(i + 1))
+            cnt.put(k, cnt.getOrDefault(k, 0L) + c)
+            i += 1
+          }
+        }
+      }
+      require(!cnt.isEmpty, s"BPE round $r: no adjacent pairs left")
+      var best: ((String, String), Long) = null
+      cnt.forEach { (k, v) =>
+        if (best == null || v > best._2 ||
+          (v == best._2 && (utf8Less(k._1, best._1._1) ||
+            (k._1 == best._1._1 && utf8Less(k._2, best._1._2)))))
+          best = (k, v)
+      }
+      val m = BpeMerge(r, best._1._1, best._1._2, best._2)
+      out += m
+      val (fromS, toS) = (s"|${m.left}||${m.right}|", s"|${m.left}${m.right}|")
+      reps = reps.map { case (rep, n) => (rep.replace(fromS, toS), n) }
+      r += 1
+    }
+    out.result()
   }
 
   /** Final piece sequence for a word column under a learned merge list:

@@ -412,15 +412,32 @@ class ComponentsSpec extends SparkTestBase {
 
   test("throws instead of returning an unconverged labeling") {
     val chain = (1L until 12L).map(i => (i, i + 1)).toDF("a", "b")
+    // the guard belongs to the distributed fixpoint — force it (the driver
+    // union-find route needs no iteration bound)
     assertThrows[IllegalArgumentException] {
-      graft.ops.Dedup.components(chain, maxIters = 3)
+      graft.ops.Dedup.components(chain, maxIters = 3, driverMaxEdges = 0L)
     }
+  }
+
+  test("size route: driver labeling equals the distributed fixpoint") {
+    val rnd = new scala.util.Random(20260818L)
+    val pairRows = (1 to 150).map(_ =>
+      (rnd.nextInt(80).toLong, rnd.nextInt(160).toLong))
+    val pairs = pairRows.toDF("a", "b")
+    val driver = graft.ops.Dedup.components(pairs) // routes driver (tiny)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dist = graft.ops.Dedup.components(pairs, driverMaxEdges = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(driver == dist)
   }
 
   test("reliable checkpointing converges to the same labels") {
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (9L, 10L)).toDF("a", "b")
     val dir = graft.util.TempDirs.create("graft_ckpt")
-    val reliable = graft.ops.Dedup.components(pairs, checkpointDir = Some(dir))
+    // reliable checkpointing is a distributed-fixpoint concern — force the
+    // route so the checkpoint-dir assertion below stays meaningful
+    val reliable = graft.ops.Dedup.components(pairs,
+        checkpointDir = Some(dir), driverMaxEdges = 0L)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val local = graft.ops.Dedup.components(pairs)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

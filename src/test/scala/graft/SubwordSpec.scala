@@ -151,6 +151,14 @@ class SubwordSpec extends SparkTestBase {
     assert(engine == local)
   }
 
+  test("bpeTrain size route: driver loop equals the distributed loop") {
+    val df = bpeTexts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val driver = Subword.bpeTrain(df, "text", 6) // tiny vocab routes driver
+    val dist = Subword.bpeTrain(df, "text", 6, driverMaxWords = 0)
+    assert(driver == dist)
+  }
+
   test("bpeEncode matches the local twin's piece sequences") {
     val df = bpeTexts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
       .toDF("doc_id", "text")
