@@ -50,9 +50,20 @@ object Centrality {
     * @param unit   fixed-point scale of the initial rank (1.0 == unit)
     * @return (id, pr) — rank in integer units after `iters` rounds
     */
+  /** @param driverMaxEdges below this adjacency-row count the rank loop
+    *   runs on the driver over the collected `(src, dst, deg)` table —
+    *   bit-identical by construction (every step is integer arithmetic:
+    *   `pr DIV deg` contributions, integer damping — the same
+    *   order-independence that makes the oracle replay exact makes the
+    *   driver replay exact), one bounded collect instead of `iters`
+    *   chained shuffle rounds in the consuming job's plan. The route key
+    *   is the MEASURED pinned-adjacency count (scale-adaptive); above it
+    *   (or for non-long ids) the distributed loop is unchanged.
+    *   CentralitySpec holds the route differential.
+    */
   def pageRankInt(pairs: DataFrame, aCol: String, bCol: String, iters: Int,
-      unit: Long = 1000000L, dampNum: Long = 85, dampDen: Long = 100)
-      : DataFrame = {
+      unit: Long = 1000000L, dampNum: Long = 85, dampDen: Long = 100,
+      driverMaxEdges: Long = 1L << 22): DataFrame = {
     require(iters >= 1, s"need at least one iteration: $iters")
     require((unit * (dampDen - dampNum)) % dampDen == 0,
       s"teleport base must be integer-exact: $unit * ($dampDen - $dampNum) / $dampDen")
@@ -92,6 +103,35 @@ object Centrality {
       .repartition(col("src"))
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     val (adj, persisted) = FixpointPin.pinScoped(edges.join(deg, "src"))
+    // size route (scaladoc above): the pinned adjacency is consumed every
+    // round anyway — the count materializes it once, and a small graph
+    // replays the integer loop on the driver
+    val longIds = Seq(aCol, bCol).forall(c =>
+      pairs.schema(c).dataType == org.apache.spark.sql.types.LongType)
+    if (longIds && adj.count() <= driverMaxEdges) {
+      val rows = adj.select(col("src"), col("dst"), col("deg")).collect()
+      if (persisted) FixpointPin.retire(adj)
+      var cur = new java.util.HashMap[Long, Long]()
+      rows.foreach(r => cur.put(r.getLong(0), unit))
+      var it = 0
+      while (it < iters) {
+        val inflow = new java.util.HashMap[Long, Long](cur.size * 2)
+        rows.foreach { r =>
+          if (cur.containsKey(r.getLong(0)))
+            inflow.put(r.getLong(1),
+              inflow.getOrDefault(r.getLong(1), 0L) +
+                cur.get(r.getLong(0)) / r.getLong(2))
+        }
+        val next = new java.util.HashMap[Long, Long](inflow.size * 2)
+        inflow.forEach((k, v) => next.put(k, base + (v * dampNum) / dampDen))
+        cur = next
+        it += 1
+      }
+      import scala.jdk.CollectionConverters._
+      val out = cur.entrySet().asScala.iterator
+        .map(e => (e.getKey.longValue(), e.getValue.longValue())).toSeq
+      return pairs.sparkSession.createDataFrame(out).toDF("id", "pr")
+    }
     var ranks = deg.select(col("src").as("id"), lit(unit).as("pr"))
     (1 to iters).foreach { _ =>
       val inflow = adj.join(ranks, adj("src") === ranks("id"))

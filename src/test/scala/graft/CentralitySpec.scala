@@ -38,6 +38,19 @@ class CentralitySpec extends SparkTestBase {
     assert(got == localPr(pairs, 5))
   }
 
+  test("size route: driver rank loop equals the distributed loop") {
+    val rnd = new scala.util.Random(19L)
+    val rp = (1 to 200).map(_ =>
+      (rnd.nextInt(60).toLong, 60L + rnd.nextInt(60))).distinct
+    val df = rp.toDF("a", "b")
+    val driver = Centrality.pageRankInt(df, "a", "b", 5) // tiny routes driver
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dist = Centrality.pageRankInt(df, "a", "b", 5, driverMaxEdges = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(driver == dist)
+    assert(driver == localPr(rp, 5))
+  }
+
   test("the star center outranks its leaves") {
     val df = pairs.toDF("a", "b")
     val got = Centrality.pageRankInt(df, "a", "b", 5)
