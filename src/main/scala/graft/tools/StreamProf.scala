@@ -1,0 +1,132 @@
+package graft.tools
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Scratch phase profiler for the streamed gates (optimization-round
+  * measurement; mirrors the registered query bodies with nanoTime around
+  * each phase). Not part of the library surface.
+  */
+object StreamProf {
+  def main(args: Array[String]): Unit = {
+    val spark = graft.GraftSession.builder("local[32]", 32,
+      tuneSmallFileScans = true).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    import spark.implicits._
+
+    def ph[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"  [$name] ${(System.nanoTime() - t0) / 1e9}%.3f s"); r
+    }
+
+    val parts = sys.env.getOrElse("PROF_PARTS", "8").toInt
+    val gate = sys.env.getOrElse("PROF_GATE", "sessions")
+
+    if (gate == "components") {
+      for (round <- 1 to 2) {
+        println(s"== streamed_components round $round")
+        val d = ph("docs") {
+          graft.SparkEntry.queries // touch
+          spark.read.parquet(s"$dir/documents.parquet")
+            .select(col("doc_id"), col("text"))
+        }
+        def shingle(f: DataFrame): DataFrame =
+          f.select(col("doc_id"),
+            graft.ops.TextOps.wordNGrams(col("text"), 3).as("sh"))
+        val state = ph("clusterState") {
+          graft.streaming.CorpusIngest.clusterState(
+            shingle(d.where(pmod(col("doc_id"), lit(2)) === 0)),
+            "doc_id", "sh", 0.5)
+        }
+        val epochs = ph("collect-epochs") {
+          Seq(1L, 3L).map(m =>
+            d.where(pmod(col("doc_id"), lit(4)) === m)
+              .as[(Long, String)].collect().toSeq)
+        }
+        val stream = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(Long, String)](spark)
+        val q = ph("start") {
+          graft.streaming.StreamSizing.withStatePartitions(spark, parts) {
+            graft.streaming.CorpusIngest.clusteredIngest(
+              shingle(stream.toDF().toDF("doc_id", "text")), state,
+              "doc_id", "sh", 0.5)((_, _) => ())
+          }
+        }
+        try {
+          var i = 0
+          epochs.foreach { e =>
+            i += 1
+            ph(s"epoch$i") { stream.addData(e); q.processAllAvailable() }
+          }
+        } finally ph("stop") { q.stop() }
+        ph("readback") {
+          state.currentLabels.orderBy(col("doc_id"))
+            .write.format("noop").mode("overwrite").save()
+        }
+      }
+      spark.stop(); return
+    }
+    // batch twin: how much of the epoch is streaming machinery vs the agg?
+    locally {
+      val ev = graft.SparkEntry.eventsTable(spark, dir)
+        .select(col("ts"), col("user_id"), col("value"))
+        .withColumn("value", col("value").cast("decimal(18,2)"))
+      ph("batch-twin sessionize") {
+        ev.groupBy(col("user_id"),
+            session_window(col("ts"), "30 minutes"))
+          .agg(count(lit(1)).as("n_events"), sum(col("value")).as("v"))
+          .write.format("noop").mode("overwrite").save()
+      }
+    }
+    for (round <- 1 to 2) {
+      println(s"== streamed_sessions round $round parts=$parts")
+      val rows = ph("collect-events") {
+        graft.SparkEntry.eventsTable(spark, dir)
+          .select(col("ts"), col("user_id"), col("value"))
+          .as[(java.sql.Timestamp, Long, Double)].collect().toSeq
+      }
+      val maxTs = rows.iterator.map(_._1.getTime).max
+      val stream = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(java.sql.Timestamp, Long, Double)](spark)
+      val out = graft.util.TempDirs.create("prof_sessions")
+      val sessions = graft.streaming.EventStreams.sessionize(
+        stream.toDF().toDF("ts", "user_id", "value")
+          .withColumn("value", col("value").cast("decimal(18,2)")))
+      val q = ph("start") {
+        graft.streaming.StreamSizing.withStatePartitions(spark, parts) {
+          sessions.writeStream.outputMode("append")
+            .option("checkpointLocation",
+              graft.util.TempDirs.create("prof_sessions_ckpt"))
+            .foreachBatch { (b: DataFrame, _: Long) =>
+              b.write.mode("append").parquet(out)
+            }
+            .start()
+        }
+      }
+      try {
+        ph("epoch1") { stream.addData(rows); q.processAllAvailable() }
+        ph("sentinel") {
+          stream.addData(Seq((new java.sql.Timestamp(
+            maxTs + 10L * 86400L * 1000L), -1L, 0.0)))
+          q.processAllAvailable()
+        }
+      } finally ph("stop") { q.stop() }
+      q.recentProgress.foreach { p =>
+        println(s"  batch=${p.batchId} rows=${p.numInputRows} " +
+          s"durationMs=${p.durationMs} state=${p.stateOperators.toSeq.map(s =>
+            s"commit=${s.commitTimeMs}ms rows=${s.numRowsTotal}")}")
+      }
+      ph("readback") {
+        spark.read.parquet(out)
+          .select(col("session_start"), col("session_end"), col("user_id"),
+            col("n_events"), col("session_value").cast("double")
+              .as("session_value"))
+          .orderBy(col("user_id"), col("session_start"))
+          .write.format("noop").mode("overwrite").save()
+      }
+    }
+    spark.stop()
+  }
+}
