@@ -970,13 +970,21 @@ object Dedup {
     val wins = substringWindows(df, idCol, textCol, windowTokens)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val dup = duplicatedGrams(wins, minCount)
-    val dupPerDoc = wins.join(dup, Seq("__gram"))
-      .groupBy(col("__id")).agg(count(lit(1)).as("__ndup"))
-    wins.groupBy(col("__id")).agg(count(lit(1)).as("n_windows"))
-      .join(dupPerDoc, Seq("__id"), "left")
+    // ONE pass over the windows computes both per-doc counts (r19
+    // optimization round): a left join against the (unique-per-gram)
+    // duplicated dictionary flags each window, and a single per-doc
+    // aggregate counts all windows and sums the flags — the previous
+    // shape paid a second full pass over `wins` for n_windows plus a
+    // per-doc join of the two aggregates (3 exchanges -> 2, one pass
+    // fewer over the exploded windows; identical output by construction:
+    // `dup` is distinct on __gram, so the left join is row-preserving).
+    wins.join(dup.withColumn("__isdup", lit(1L)), Seq("__gram"), "left")
+      .groupBy(col("__id"))
+      .agg(count(lit(1)).as("n_windows"),
+        sum(coalesce(col("__isdup"), lit(0L))).as("__ndup"))
       .select(col("__id").as(idCol), col("n_windows"),
-        coalesce(col("__ndup"), lit(0L)).as("n_dup_windows"),
-        (coalesce(col("__ndup"), lit(0L)).cast("double") /
+        col("__ndup").as("n_dup_windows"),
+        (col("__ndup").cast("double") /
           col("n_windows")).as("dup_ratio"))
   }
 
