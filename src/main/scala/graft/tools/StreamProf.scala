@@ -100,7 +100,8 @@ object StreamProf {
             .option("checkpointLocation",
               graft.util.TempDirs.create("prof_sessions_ckpt"))
             .foreachBatch { (b: DataFrame, _: Long) =>
-              b.write.mode("append").parquet(out)
+              (if (sys.env.contains("PROF_COALESCE")) b.coalesce(1) else b)
+                .write.mode("append").parquet(out)
             }
             .start()
         }
