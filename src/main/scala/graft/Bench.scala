@@ -116,12 +116,30 @@ object Bench {
     val totalsLine = s"""{"metric":"$metric","value":${num(total)},"unit":"sec"$onlyField,"queries_run":${results.size},"failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir","runs":$runs,"agg":"min","loadavg_before":"$loadBefore","loadavg_after":"${loadavg()}"}"""
     println(totalsLine)
     println(line)
-    println(totalsLine)
-    // Persist the full line to a sidecar when asked so a complete
-    // per-query map always exists on disk regardless of capture windows.
-    sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { p =>
-      java.nio.file.Files.writeString(java.nio.file.Paths.get(p), line + "\n")
+    // The full per-query line above overflows the driver's fixed-size
+    // stdout tail window head-first (BENCH_r18/r19: "parsed": null two
+    // rounds running), so the map is ALSO emitted chunked across short
+    // (~20-query, well under 1 KB) lines that each parse standalone —
+    // whichever subset of lines the capture keeps, the per-query data is
+    // reconstructible as the union of the parts. The totals lines and the
+    // full line stay byte-identical to r19's format.
+    val chunks = results.grouped(20).toSeq
+    chunks.zipWithIndex.foreach { case (chunk, i) =>
+      val cq = chunk.map { case (k, v) => "\"" + k + "\":" + num(v) }
+        .mkString("{", ",", "}")
+      println(s"""{"metric":"per_query_part","part":${i + 1},"parts":${chunks.size},"unit":"sec","queries":$cq,"sf":"$sfDir","runs":$runs,"agg":"min"}""")
     }
+    println(totalsLine)
+    // Persist the full line to a sidecar UNCONDITIONALLY (plus any
+    // explicitly requested path) so a complete per-query map always
+    // exists on disk regardless of capture windows.
+    (Seq("BENCH_SIDECAR.json") ++ sys.env.get("SPARK_GRAFT_BENCH_OUT"))
+      .foreach { p =>
+        try java.nio.file.Files.writeString(java.nio.file.Paths.get(p), line + "\n")
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] sidecar write to $p failed: ${e.getMessage}")
+        }
+      }
     spark.stop()
     // a broken query must not masquerade as a faster total
     if (failed.nonEmpty) sys.exit(1)

@@ -59,11 +59,16 @@ object Centrality {
     *   chained shuffle rounds in the consuming job's plan. The route key
     *   is the MEASURED pinned-adjacency count (scale-adaptive); above it
     *   (or for non-long ids) the distributed loop is unchanged.
+    *   Driver-heap footprint at the default 2^20 cap: ~1M collected
+    *   3-long Rows plus two |V|-sized HashMaps — roughly 150–250 MB
+    *   transiently (r20: was 2^22 — r19 ADVICE); an adjacency whose
+    *   materialized cache exceeds [[FixpointPin.DriverRouteMaxBytes]]
+    *   stays distributed regardless of row count.
     *   CentralitySpec holds the route differential.
     */
   def pageRankInt(pairs: DataFrame, aCol: String, bCol: String, iters: Int,
       unit: Long = 1000000L, dampNum: Long = 85, dampDen: Long = 100,
-      driverMaxEdges: Long = 1L << 22): DataFrame = {
+      driverMaxEdges: Long = 1L << 20): DataFrame = {
     require(iters >= 1, s"need at least one iteration: $iters")
     require((unit * (dampDen - dampNum)) % dampDen == 0,
       s"teleport base must be integer-exact: $unit * ($dampDen - $dampNum) / $dampDen")
@@ -89,9 +94,13 @@ object Centrality {
     // 50×-ladder winner by ~25 s; the LogicalRDD keeps hash(src)). The
     // persist branch RETIRES into FixpointPin's bounded LRU instead of
     // leaking a CacheManager entry per call (per-epoch callers) — and
-    // instead of eager-pinning the result, which re-added the extra
-    // driver-blocking job the size route exists to avoid (measured in the
-    // r16 bench: pagerank_centrality 2.0→3.2 s before this shape). The
+    // instead of eager-pinning the RESULT, which re-added an extra
+    // driver-blocking job per call on top of the size-route count below
+    // (measured in the r16 bench: pagerank_centrality 2.0→3.2 s before
+    // this shape). Note the r19 size route DOES pay one eager count job
+    // per call unconditionally — also in the large-graph distributed
+    // regime, where it is pure cache-warming of a pin every round reads
+    // anyway (the adjacency materializes once either way). The
     // returned rank plan stays LAZY and reads the still-alive cache at
     // the caller's one materialization; the cache unpersists only after
     // MaxRetired newer pins (long past the consuming query). The
@@ -108,7 +117,8 @@ object Centrality {
     // replays the integer loop on the driver
     val longIds = Seq(aCol, bCol).forall(c =>
       pairs.schema(c).dataType == org.apache.spark.sql.types.LongType)
-    if (longIds && adj.count() <= driverMaxEdges) {
+    if (longIds && adj.count() <= driverMaxEdges &&
+        FixpointPin.underDriverByteBound(adj)) {
       val rows = adj.select(col("src"), col("dst"), col("deg")).collect()
       if (persisted) FixpointPin.retire(adj)
       var cur = new java.util.HashMap[Long, Long]()

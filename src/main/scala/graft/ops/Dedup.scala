@@ -435,11 +435,17 @@ object Dedup {
     *   microseconds. The route key is the MEASURED count of the pinned
     *   edge set (scale-adaptive — never a constant tuned to one SF), and
     *   the count itself reads the pin the fixpoint's first round would
-    *   have materialized anyway.
+    *   have materialized anyway. Driver-heap footprint at the default
+    *   cap: ~2^20 collected 2-long Rows plus the boxed-Long union-find
+    *   map — roughly 100–200 MB transiently, sized for a default 1–2 GB
+    *   driver (r20: was 2^22, which at the boundary meant several hundred
+    *   MB — r19 ADVICE); a pinned edge set whose materialized cache
+    *   exceeds [[FixpointPin.DriverRouteMaxBytes]] stays distributed
+    *   regardless of row count.
     */
   def components(pairs: DataFrame, idCol: String = "id",
       maxIters: Int = 25, checkpointDir: Option[String] = None,
-      driverMaxEdges: Long = 1L << 22): DataFrame = {
+      driverMaxEdges: Long = 1L << 20): DataFrame = {
     val spark = pairs.sparkSession
     // truncate lineage each round: a round's plan references the previous
     // round's twice, so without checkpointing the logical plan doubles per
@@ -474,10 +480,14 @@ object Dedup {
     // label on the driver — same labeling, none of the per-round jobs. The
     // symmetric edge view double-counts each pair; union-find is immune to
     // the duplication, and the bound applies to what is actually collected.
+    // The route condition is explicit on longIds (r19 ADVICE: the old
+    // Long.MaxValue sentinel coupled this check to labelMicroGraph's
+    // internal re-check); non-long ids never count, never collect.
     val longIds = edges.schema.fields.forall(
       _.dataType == org.apache.spark.sql.types.LongType)
-    val edgeCount = if (longIds) edges.count() else Long.MaxValue
-    if (edgeCount <= driverMaxEdges) {
+    val edgeCount = if (longIds) edges.count() else -1L
+    if (longIds && edgeCount <= driverMaxEdges &&
+        FixpointPin.underDriverByteBound(edges)) {
       val out = labelMicroGraph(edges, edgeCount, maxIters, checkpointDir,
         driverMaxEdges).select(col("__mid").as(idCol), col("component"))
       edges.unpersist()
@@ -561,7 +571,7 @@ object Dedup {
   def incrementalComponents(labels: DataFrame, idCol: String,
       newPairs: DataFrame, maxIters: Int = 25,
       checkpointDir: Option[String] = None,
-      driverMaxEdges: Long = 1L << 22): DataFrame = {
+      driverMaxEdges: Long = 1L << 20): DataFrame = {
     val (plan, caches) = incrementalComponentsPlan(labels, idCol, newPairs,
       maxIters, checkpointDir, driverMaxEdges)
     // pin the output, then release every internal cache (scoped cleanup —
@@ -580,7 +590,7 @@ object Dedup {
   private[graft] def incrementalComponentsPlan(labels: DataFrame, idCol: String,
       newPairs: DataFrame, maxIters: Int = 25,
       checkpointDir: Option[String] = None,
-      driverMaxEdges: Long = 1L << 22): (DataFrame, Seq[DataFrame]) = {
+      driverMaxEdges: Long = 1L << 20): (DataFrame, Seq[DataFrame]) = {
     val lab = labels.select(col(idCol).as("__oid"), col("component").as("__ocomp"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val np = newPairs.select(col("a"), col("b"))
@@ -656,7 +666,8 @@ object Dedup {
       driverMaxEdges: Long): DataFrame = {
     val longIds = microEdges.schema.fields.forall(
       _.dataType == org.apache.spark.sql.types.LongType)
-    if (longIds && microCount <= driverMaxEdges) {
+    if (longIds && microCount <= driverMaxEdges &&
+        FixpointPin.underDriverByteBound(microEdges)) {
       val parent = new java.util.HashMap[Long, Long]()
       def find(x: Long): Long = {
         var r = x
@@ -719,7 +730,7 @@ object Dedup {
   def deleteFromComponents(labels: DataFrame, idCol: String,
       delIds: DataFrame, pairsAmong: DataFrame => DataFrame,
       maxIters: Int = 25, checkpointDir: Option[String] = None,
-      driverMaxEdges: Long = 1L << 22): DataFrame = {
+      driverMaxEdges: Long = 1L << 20): DataFrame = {
     val lab = labels.select(col(idCol).as("__oid"), col("component").as("__ocomp"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val del = delIds.select(col(idCol).as("__oid")).distinct()
@@ -877,7 +888,7 @@ object Dedup {
       bands: Int = SimilarityJoin.DefaultBands,
       seed: Long = SimilarityJoin.DefaultSeed,
       maxIters: Int = 50, checkpointDir: Option[String] = None,
-      driverMaxEdges: Long = 1L << 22): DataFrame = {
+      driverMaxEdges: Long = 1L << 20): DataFrame = {
     val keyed = df
       .select(col(idCol).as("__id"), col(vecCol).as("__v"))
       .withColumn("__selfdup",

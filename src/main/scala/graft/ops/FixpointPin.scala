@@ -40,6 +40,30 @@ private[graft] object FixpointPin {
     */
   val MaxPersistNodes = 400
 
+  /** Byte ceiling for the driver-route collects ([[Dedup.labelMicroGraph]],
+    * [[Centrality.pageRankInt]]): the row-count cap alone cannot see row
+    * WIDTH, so a pinned edge/adjacency set whose materialized cache
+    * already exceeds this is kept on the distributed path regardless of
+    * its row count — a mid-size graph just under the row cap must not OOM
+    * a 1–2 GB production driver (r19 ADVICE). 256 MB of columnar-cached
+    * longs is ~10× the worst case the 2^20-row cap admits (2–3 long
+    * columns ≈ 16–24 MB), so this only fires on estimation anomalies or
+    * unexpectedly wide rows, never on the measured gate/rung regimes.
+    */
+  val DriverRouteMaxBytes: Long = 256L << 20
+
+  /** True when `df`'s materialized cache is under [[DriverRouteMaxBytes]].
+    * Checkpoint-pinned frames have no cache entry (None) and unmaterialized
+    * caches size 0 — both pass, leaving the caller's row cap as the only
+    * bound there (the routes call this right after a count() that
+    * materializes the persist branch, so the loaded-size read is live
+    * exactly where the byte risk is).
+    */
+  def underDriverByteBound(df: DataFrame): Boolean =
+    (try org.apache.spark.sql.graftshim.SparkShims.cachedEntry(df)
+     catch { case _: Throwable => None })
+      .forall(_._2 <= DriverRouteMaxBytes)
+
   /** True if `df`'s lineage is shallow enough that a persist's per-task
     * lineage re-serialization is cheaper than an eager checkpoint job.
     */

@@ -260,9 +260,13 @@ object Subword {
       .select(col("word"), col("c"), bpeInitRep(col("word")).as("rep"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      // +1 saturates instead of overflowing: driverMaxWords = Int.MaxValue
+      // ("always local") would otherwise flip the limit negative and fail
+      // the query instead of routing (r19 ADVICE)
+      val probeCap = math.min(driverMaxWords.toLong + 1, Int.MaxValue).toInt
       val probe =
         if (driverMaxWords > 0)
-          base.select(col("word"), col("c")).limit(driverMaxWords + 1).collect()
+          base.select(col("word"), col("c")).limit(probeCap).collect()
         else Array.empty[org.apache.spark.sql.Row]
       if (driverMaxWords > 0 && probe.length <= driverMaxWords)
         bpeTrainLocal(probe.iterator.map(r => (r.getString(0), r.getLong(1))).toSeq, rounds)

@@ -21,6 +21,33 @@ object StreamProf {
       println(f"  [$name] ${(System.nanoTime() - t0) / 1e9}%.3f s"); r
     }
 
+    // per-job breakdown (PROF_JOBS=1): which driver-blocking jobs a phase
+    // pays, with wall per job — the guide-§1 measurement for the per-epoch
+    // job-chain candidate (r20 #1)
+    val jobLog = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val starts = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
+    if (sys.env.contains("PROF_JOBS"))
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onJobStart(
+              j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+            starts.put(j.jobId, (System.nanoTime(),
+              Option(j.properties).flatMap(p =>
+                Option(p.getProperty("callSite.short"))
+                  .orElse(Option(p.getProperty("spark.job.description"))))
+                .getOrElse("?")))
+          override def onJobEnd(
+              j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+            val (t0, d) = starts.getOrDefault(j.jobId, (0L, "?"))
+            jobLog.add(f"    job ${j.jobId}%3d ${(System.nanoTime() - t0) / 1e9}%7.3f s  $d")
+          }
+        })
+    def drainJobs(): Unit = {
+      Thread.sleep(300) // listener bus is async; let tail events land
+      var s = jobLog.poll()
+      while (s != null) { println(s); s = jobLog.poll() }
+    }
+
     val parts = sys.env.getOrElse("PROF_PARTS", "8").toInt
     val gate = sys.env.getOrElse("PROF_GATE", "sessions")
 
@@ -56,15 +83,18 @@ object StreamProf {
         }
         try {
           var i = 0
+          drainJobs()
           epochs.foreach { e =>
             i += 1
             ph(s"epoch$i") { stream.addData(e); q.processAllAvailable() }
+            drainJobs()
           }
         } finally ph("stop") { q.stop() }
         ph("readback") {
           state.currentLabels.orderBy(col("doc_id"))
             .write.format("noop").mode("overwrite").save()
         }
+        drainJobs()
       }
       spark.stop(); return
     }
