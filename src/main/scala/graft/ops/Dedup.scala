@@ -938,7 +938,10 @@ object Dedup {
       else
         SimilarityJoin.cosineJoinLsh(repVecs, idCol, vecCol, tau,
           dim, nBits, bands, seed).select(col("a"), col("b"))
-    val pairs = rawPairs.localCheckpoint()
+    // LAZY checkpoint (r20): the count below materializes it — an eager
+    // checkpoint spent a separate driver-blocking job on the LSH pair
+    // pipeline before the count could read the blocks
+    val pairs = rawPairs.localCheckpoint(eager = false)
     val repComp = labelMicroGraph(pairs, pairs.count(), maxIters,
         checkpointDir, driverMaxEdges)
       .withColumnRenamed("__mid", "__rep")

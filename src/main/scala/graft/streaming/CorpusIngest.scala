@@ -146,7 +146,13 @@ object CorpusIngest {
     */
   def clusterBatch(batch: DataFrame, state: ClusterState, idCol: String,
       shingleCol: String, tau: Double): DataFrame = {
-    val bsh = batch.select(idCol, shingleCol).localCheckpoint()
+    // LAZY local checkpoint (r20): the pin is mandatory — the fold-in below
+    // re-reads bsh in later epochs, when the micro-batch frame is no longer
+    // valid — but its materialization needn't be its own driver-blocking
+    // job: the merge's micro-edge count below computes through bsh within
+    // THIS epoch, materializing the checkpoint as a side effect (one job
+    // floor saved per epoch; the r19 shape paid an eager job here).
+    val bsh = batch.select(idCol, shingleCol).localCheckpoint(eager = false)
     val newPairs = Dedup.jaccardJoin(bsh, idCol, shingleCol, tau)
       .select("a", "b")
       .unionAll(Dedup.jaccardJoinAgainst(bsh, state.ingested, idCol,
@@ -206,8 +212,11 @@ object CorpusIngest {
   def deleteBatch(delIds: DataFrame, state: ClusterState, idCol: String,
       shingleCol: String, tau: Double): DataFrame = {
     // pin the takedown set: it gates BOTH state transitions, and a
-    // micro-batch frame is only valid during its own epoch
-    val del = delIds.select(idCol).localCheckpoint()
+    // micro-batch frame is only valid during its own epoch. LAZY (r20):
+    // deleteFromComponents' touched-component derivation computes through
+    // it within this epoch, materializing the checkpoint without a
+    // dedicated job (same rationale as clusterBatch's batch pin).
+    val del = delIds.select(idCol).localCheckpoint(eager = false)
     val ingested = state.ingested
     val relabeled = Dedup.deleteFromComponents(state.labels, idCol, del,
       affectedIds => Dedup.jaccardJoin(
