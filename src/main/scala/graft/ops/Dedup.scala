@@ -882,13 +882,23 @@ object Dedup {
     *    row is in the raw output iff its representative reached the pair
     *    set — the inner-join semantics of the expansion's null filter.
     */
+  /** @param allPairsMaxRows input-row bound (measured via a bounded
+    *   limit-probe) below which the representative pair set comes from the
+    *   all-pairs [[SimilarityJoin.cosineJoinLsh]] tier instead of the
+    *   spanning tier: at gate scale the spanning tier's typed per-bucket
+    *   union-find costs ~2.3× the pure-codegen all-pairs plan, while the
+    *   near-dup quadratic it bounds is capped at allPairsMaxRows²/2 pairs
+    *   here. `0` forces spanning (spec pin), `Int.MaxValue` forces
+    *   all-pairs. Identical labeling either way.
+    */
   def embedComponents(df: DataFrame, idCol: String, vecCol: String,
       tau: Double, dim: Int,
       nBits: Int = SimilarityJoin.DefaultNBits,
       bands: Int = SimilarityJoin.DefaultBands,
       seed: Long = SimilarityJoin.DefaultSeed,
       maxIters: Int = 50, checkpointDir: Option[String] = None,
-      driverMaxEdges: Long = 1L << 20): DataFrame = {
+      driverMaxEdges: Long = 1L << 20,
+      allPairsMaxRows: Int = 1 << 12): DataFrame = {
     val keyed = df
       .select(col(idCol).as("__id"), col(vecCol).as("__v"))
       .withColumn("__selfdup",
@@ -931,8 +941,22 @@ object Dedup {
     // by the randomized differentials in DedupSpec.
     val idIsLong =
       df.schema(idCol).dataType == org.apache.spark.sql.types.LongType
+    // SMALL-INPUT route to the all-pairs tier (r20): the spanning tier's
+    // typed per-bucket union-find + census probe cost ~0.5 s over the
+    // pure-codegen cosineJoinLsh at gate scale (EmbedProf interleaved
+    // A/B: 0.89-1.04 s vs 0.39-0.44 s warm), and below `allPairsMaxRows`
+    // input rows the quadratic it exists to bound is capped at
+    // allPairsMaxRows²/2 ≈ 8.4M verified pairs at the default — the load
+    // class the downstream fixpoint handles routinely. The route key is a
+    // MEASURED bounded probe (limit(n+1).count() — stops at n+1 rows,
+    // never a full scan), so any real corpus routes spanning. Labeling is
+    // identical on both tiers (DedupSpec randomized differentials, plus
+    // the forced-route differential).
+    require(allPairsMaxRows >= 0, s"allPairsMaxRows must be >= 0: $allPairsMaxRows")
+    val useSpanning = idIsLong && allPairsMaxRows != Int.MaxValue &&
+      df.limit(allPairsMaxRows + 1).count() > allPairsMaxRows
     val rawPairs =
-      if (idIsLong)
+      if (useSpanning)
         SimilarityJoin.cosineLshComponentEdges(repVecs, idCol, vecCol, tau,
           dim, nBits, bands, seed)
       else

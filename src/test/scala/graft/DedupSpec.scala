@@ -910,4 +910,33 @@ class ComponentsSpec extends SparkTestBase {
         s"seed $seed tau $tau")
     }
   }
+
+  test("embedComponents: forced spanning route == forced all-pairs route == default (r20 size route)") {
+    // the r20 small-input route picks the all-pairs tier below
+    // allPairsMaxRows; the labeling must be identical on every route,
+    // including across the near-dup family shape the spanning tier exists
+    // for (distinct vectors within tau)
+    val dim = 8
+    val rnd = new scala.util.Random(9090L)
+    val base = Array.fill(dim)(rnd.nextFloat() * 2f - 1f)
+    val rows = (0 until 60).map { i =>
+      val v =
+        if (i % 3 == 0) { // templated family: distinct bits, tiny angle
+          val c = base.clone(); c(i % dim) += (i + 1) * 1e-5f; c
+        } else Array.fill(dim)(rnd.nextFloat() * 2f - 1f)
+      ((i * 11 + 2).toLong, v)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val tau = 0.25
+    def run(allPairsMaxRows: Int): Map[Long, Long] =
+      graft.ops.Dedup.embedComponents(df, "vec_id", "embedding", tau, dim,
+          allPairsMaxRows = allPairsMaxRows)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val spanning = run(0)
+    val allPairs = run(Int.MaxValue)
+    val default = contractedEmbed(df, tau, dim)
+    assert(spanning == allPairs, "route labelings diverged")
+    assert(default == spanning, "default route diverged")
+    assert(spanning.nonEmpty)
+  }
 }
