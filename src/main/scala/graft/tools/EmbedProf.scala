@@ -30,6 +30,28 @@ object EmbedProf {
     val tau = 0.2
 
     val mode = sys.env.getOrElse("EMBED_MODE", "tier")
+    if (mode == "plans") {
+      // the tier swap is invisible in embedComponents' RETURNED plan (the
+      // micro labeling enters as a LocalRelation on the driver route), so
+      // dump the PAIRS intermediate both tiers produce — the plans the r20
+      // size route picks between
+      val outDir = java.nio.file.Paths.get("plans/r20")
+      java.nio.file.Files.createDirectories(outDir)
+      def dump(name: String, df: DataFrame): Unit = {
+        df.write.format("noop").mode("overwrite").save()
+        java.nio.file.Files.writeString(outDir.resolve(name),
+          df.queryExecution.explainString(
+            org.apache.spark.sql.execution.FormattedMode))
+        println(s"wrote plans/r20/$name")
+      }
+      dump("embed_pairs_spanning_tier.txt", SimilarityJoin
+        .cosineLshComponentEdges(emb, "vec_id", "embedding", tau, dim))
+      spark.catalog.clearCache()
+      dump("embed_pairs_allpairs_tier.txt", SimilarityJoin
+        .cosineJoinLsh(emb, "vec_id", "embedding", tau, dim)
+        .select(col("a"), col("b")))
+      spark.stop(); return
+    }
     if (mode == "tier") {
       for (r <- 1 to 4) {
         ph(s"spanning r$r")(SimilarityJoin.cosineLshComponentEdges(

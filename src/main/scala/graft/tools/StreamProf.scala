@@ -98,6 +98,64 @@ object StreamProf {
       }
       spark.stop(); return
     }
+    if (gate == "fileingest") {
+      for (round <- 1 to 2) {
+        println(s"== streamed_file_ingest_survivors round $round")
+        val d = ph("docs") {
+          graft.SparkEntry.queries // touch
+          spark.read.parquet(s"$dir/documents.parquet")
+            .select(col("doc_id"), col("text"))
+        }
+        def shingle(f: DataFrame): DataFrame =
+          f.select(col("doc_id"),
+            graft.ops.TextOps.wordNGrams(col("text"), 3).as("sh"))
+        val corpus = ph("corpus-pin") {
+          val c = shingle(d.where(pmod(col("doc_id"), lit(2)) === 0))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          c
+        }
+        val src = graft.util.TempDirs.create("prof_file_src")
+        val ckpt = graft.util.TempDirs.create("prof_file_ckpt")
+        val out = graft.util.TempDirs.create("prof_file_out")
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("text",
+            org.apache.spark.sql.types.StringType)))
+        def drainEpoch(m: Long): Unit = {
+          ph(s"land-file m=$m") {
+            d.where(pmod(col("doc_id"), lit(4)) === m)
+              .coalesce(1).write.mode("append").parquet(src)
+          }
+          val q = ph(s"start m=$m") {
+            graft.streaming.StreamSizing.withStatePartitions(spark, parts) {
+              graft.streaming.CorpusIngest.dedupedIngest(
+                  shingle(spark.readStream.schema(schema).parquet(src)), corpus,
+                  "doc_id", "sh", 0.5, checkpoint = Some(ckpt),
+                  trigger = Some(org.apache.spark.sql.streaming.Trigger
+                    .AvailableNow())) { (survivors, _) =>
+                survivors.select("doc_id").write.mode("append").parquet(out)
+              }
+            }
+          }
+          try ph(s"drain m=$m") { q.awaitTermination() }
+          finally ph(s"stop m=$m") { q.stop() }
+          q.recentProgress.foreach { p =>
+            println(s"    batch=${p.batchId} rows=${p.numInputRows} " +
+              s"durationMs=${p.durationMs}")
+          }
+          drainJobs()
+        }
+        drainEpoch(1)
+        drainEpoch(3)
+        ph("readback") {
+          spark.read.parquet(out).orderBy(col("doc_id"))
+            .write.format("noop").mode("overwrite").save()
+        }
+        corpus.unpersist(blocking = false)
+      }
+      spark.stop(); return
+    }
     // batch twin: how much of the epoch is streaming machinery vs the agg?
     locally {
       val ev = graft.SparkEntry.eventsTable(spark, dir)
@@ -124,8 +182,18 @@ object StreamProf {
       val sessions = graft.streaming.EventStreams.sessionize(
         stream.toDF().toDF("ts", "user_id", "value")
           .withColumn("value", col("value").cast("decimal(18,2)")))
+      // PROF_STORE=rocksdb: measure the RocksDB state-store provider vs the
+      // default HDFS-backed one for the session_window aggregate (r20
+      // measurement item; the provider is pinned per-query at first start
+      // via the cloned session, so the scoped set/restore is safe — the
+      // same mechanism withStatePartitions uses)
+      val providerKey = "spark.sql.streaming.stateStore.providerClass"
+      val prevProvider = spark.conf.getOption(providerKey)
+      if (sys.env.get("PROF_STORE").contains("rocksdb"))
+        spark.conf.set(providerKey,
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       val q = ph("start") {
-        graft.streaming.StreamSizing.withStatePartitions(spark, parts) {
+        try graft.streaming.StreamSizing.withStatePartitions(spark, parts) {
           sessions.writeStream.outputMode("append")
             .option("checkpointLocation",
               graft.util.TempDirs.create("prof_sessions_ckpt"))
@@ -134,6 +202,9 @@ object StreamProf {
                 .write.mode("append").parquet(out)
             }
             .start()
+        } finally prevProvider match {
+          case Some(v) => spark.conf.set(providerKey, v)
+          case None => spark.conf.unset(providerKey)
         }
       }
       try {
